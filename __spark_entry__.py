@@ -1,38 +1,174 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes each implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) → DataFrame callable; ``oracle_sql()`` gives the DuckDB
+equivalent over the same parquet views.  The KG-pipeline oracles are
+GENERATED from the same lexicon the Spark pipeline broadcasts
+(trove_spark.oracle), so a mismatch is a real engine bug.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from trove_spark.oracle import kg_cte_prefix
+from trove_spark.pipeline import KGPipeline
+
+SF0001 = "/root/testdata/sf0.001"
+
+_PIPELINES: dict[tuple[int, str], KGPipeline] = {}
+
+
+def _pipe(spark: SparkSession, sf_dir: str) -> KGPipeline:
+    key = (id(spark), sf_dir)
+    if key not in _PIPELINES:
+        _PIPELINES[key] = KGPipeline(spark, sf_dir)
+    return _PIPELINES[key]
+
+
+def _long(df: DataFrame, *cols: str) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast("long"))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries (SURVEY.md §2: T1-T3, M1-M5, L2, G1, linking, triples)
+# ---------------------------------------------------------------------------
+
+
+def q_kg_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1-T3 tokenizer: exploded (doc_id, token_idx, word)."""
+    return _long(
+        _pipe(spark, sf_dir).tokens().select("doc_id", "token_idx", "word"),
+        "token_idx",
+    )
+
+
+def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1+M2 dictionary matching, all matches (n-grams × variants)."""
+    return _long(
+        _pipe(spark, sf_dir).mentions().select("doc_id", "tok_start", "tok_end", "term"),
+        "tok_start",
+        "tok_end",
+    )
+
+
+def q_kg_mentions_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 longest-match-only pruning."""
+    return _long(
+        _pipe(spark, sf_dir)
+        .mentions()
+        .filter("is_longest")
+        .select("doc_id", "tok_start", "tok_end", "term", "char_start", "char_end"),
+        "tok_start",
+        "tok_end",
+        "char_start",
+        "char_end",
+    )
+
+
+def q_kg_lf_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 OntologyLabelingFunction votes (sparse label matrix)."""
+    p = _pipe(spark, sf_dir)
+    sabs = p.lexicon.sabs
+    mapping = F.create_map(
+        *[x for i, s in enumerate(sabs) for x in (F.lit(i), F.lit(s))]
+    )
+    return _long(
+        p.labels().select(
+            "doc_id", "token_idx", mapping[F.col("lf_id")].alias("sab"), "label"
+        ),
+        "token_idx",
+        "label",
+    )
+
+
+def q_kg_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 majority vote, tie→abstain."""
+    return _long(
+        _pipe(spark, sf_dir).token_votes().select("doc_id", "token_idx", "y"),
+        "token_idx",
+        "y",
+    )
+
+
+def q_kg_typed_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mention-level type assignment (HAS_TYPE aggregation)."""
+    return _long(
+        _pipe(spark, sf_dir)
+        .typed_mentions()
+        .select("doc_id", "tok_start", "tok_end", "term", "etype"),
+        "tok_start",
+        "tok_end",
+        "etype",
+    )
+
+
+def q_kg_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity linking: type-consistent min-CUI resolution (broadcast join)."""
+    return _long(
+        _pipe(spark, sf_dir)
+        .linked()
+        .select("doc_id", "tok_start", "tok_end", "term", "etype", "cui"),
+        "tok_start",
+        "tok_end",
+        "etype",
+    )
+
+
+def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical triple set (salted two-phase dedup)."""
+    return _pipe(spark, sf_dir).triples().select("subj", "pred", "obj")
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG construction on sf0.001 → triples."""
+    return q_kg_triples(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_tokens": q_kg_tokens,
+        "kg_mentions": q_kg_mentions,
+        "kg_mentions_longest": q_kg_mentions_longest,
+        "kg_lf_votes": q_kg_lf_votes,
+        "kg_majority_vote": q_kg_majority_vote,
+        "kg_typed_mentions": q_kg_typed_mentions,
+        "kg_linked": q_kg_linked,
+        "kg_triples": q_kg_triples,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    p = kg_cte_prefix()
+    return {
+        "kg_tokens": p + "SELECT doc_id, tok AS token_idx, word FROM toks",
+        "kg_mentions": p
+        + """SELECT m.doc_id, m.s AS tok_start, m.e AS tok_end, tm.term
+             FROM matches m JOIN terms tm ON tm.term_id = m.term_id""",
+        "kg_mentions_longest": p
+        + """SELECT l.doc_id, l.s AS tok_start, l.e AS tok_end, tm.term,
+                    cs.char_start AS char_start,
+                    CAST(ce.char_start + LEN(ce.word) - 1 AS BIGINT) AS char_end
+             FROM longest l
+             JOIN terms tm ON tm.term_id = l.term_id
+             JOIN toksc cs ON cs.doc_id = l.doc_id AND cs.tok = l.s
+             JOIN toksc ce ON ce.doc_id = l.doc_id AND ce.tok = l.e""",
+        "kg_lf_votes": p + "SELECT doc_id, token_idx, sab, label FROM votes",
+        "kg_majority_vote": p + "SELECT doc_id, token_idx, y FROM mv",
+        "kg_typed_mentions": p
+        + """SELECT t.doc_id, t.s AS tok_start, t.e AS tok_end, tm.term, t.etype
+             FROM typed t JOIN terms tm ON tm.term_id = t.term_id""",
+        "kg_linked": p
+        + """SELECT t.doc_id, t.s AS tok_start, t.e AS tok_end, tm.term, t.etype, t.cui
+             FROM linked t JOIN terms tm ON tm.term_id = t.term_id""",
+        "kg_triples": p + "SELECT subj, pred, obj FROM triples",
+    }

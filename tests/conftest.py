@@ -1,0 +1,30 @@
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from trove_spark.session import get_spark  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="trove_spark_tests", master="local[8]", shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+def normalize_rows(rows):
+    """Order-insensitive canonical form for cross-engine comparison."""
+    def norm(v):
+        if v is None:
+            return "\0NULL"
+        if isinstance(v, float):
+            return f"{v:.9g}"
+        return str(v)
+
+    return sorted(tuple(norm(v) for v in r) for r in rows)

@@ -1,0 +1,89 @@
+"""Unit tests: Aho-Corasick token automaton + longest-match semantics
+(reference parity: matchers.py:77-150, labeling.py:106-121)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from trove_spark.automaton import AhoCorasick, longest_match_filter, plural_variants
+
+
+def build(terms: dict[str, int]) -> AhoCorasick:
+    a = AhoCorasick()
+    for t, tid in terms.items():
+        a.add_with_variants(tuple(t.split()), tid)
+    return a.finalize()
+
+
+def test_unigram_and_ngram_matches():
+    a = build({"hash join": 1, "join": 2, "sort merge join": 3})
+    got = sorted(a.match("big hash join beats sort merge join".split()))
+    assert (1, 2, 1) in got          # hash join
+    assert (2, 2, 2) in got          # join inside hash join
+    assert (4, 6, 3) in got          # sort merge join
+    assert (6, 6, 2) in got          # trailing join
+
+
+def test_case_normalization():
+    a = build({"hash join": 1})
+    assert list(a.match(["HASH", "Join"])) == [(0, 1, 1)]
+
+
+def test_plural_variants_match():
+    a = build({"parts": 1, "key": 2})
+    assert list(a.match(["part"])) == [(0, 0, 1)]     # rstrip-s variant
+    assert list(a.match(["keys"])) == [(0, 0, 2)]     # +s variant
+    assert list(a.match(["parts"])) == [(0, 0, 1)]
+
+
+def test_plural_variant_expansion_rules():
+    assert ("part",) in plural_variants(("parts",))
+    assert ("keys",) in plural_variants(("key",))
+    # only the LAST token of a multi-token term varies
+    assert ("hash", "joins") in plural_variants(("hash", "join"))
+    assert ("hashs", "join") not in plural_variants(("hash", "join"))
+    # single-char 's' never singularizes to empty
+    assert ("",) not in plural_variants(("s",))
+
+
+def test_overlapping_matches_all_reported():
+    a = build({"a b": 1, "b c": 2})
+    assert sorted(a.match("a b c".split())) == [(0, 1, 1), (1, 2, 2)]
+
+
+def test_longest_match_filter_nested():
+    # 'sort merge join' wins over nested 'merge join' and 'sort'
+    matches = [(0, 2, 30), (1, 2, 20), (0, 0, 10)]
+    assert longest_match_filter(matches) == [(0, 2, 30)]
+
+
+def test_longest_match_filter_ties_leftmost():
+    matches = [(0, 1, 1), (1, 2, 2)]  # equal length, overlap → leftmost kept
+    assert longest_match_filter(matches) == [(0, 1, 1)]
+
+
+def test_longest_match_filter_disjoint_kept_sorted():
+    matches = [(5, 6, 2), (0, 1, 1)]
+    assert longest_match_filter(matches) == [(0, 1, 1), (5, 6, 2)]
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 5), st.integers(0, 99)).map(
+            lambda t: (t[0], t[0] + t[1], t[2])
+        ),
+        max_size=30,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_longest_match_filter_nonoverlapping(matches):
+    kept = longest_match_filter(matches)
+    covered: set[int] = set()
+    for s, e, _ in kept:
+        span = set(range(s, e + 1))
+        assert not (span & covered)
+        covered |= span
+    # every dropped match overlaps something kept
+    for m in matches:
+        if m not in kept:
+            assert any(i in covered for i in range(m[0], m[1] + 1))

@@ -1,0 +1,62 @@
+"""Driver-gate proxy: every queries() entry vs its oracle_sql() in DuckDB.
+
+Mirrors the driver's CORRECTNESS check (row count + order-insensitive
+values) at sf0.001 so regressions surface in pytest before the round gate.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import normalize_rows
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_run(sql: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con.execute(sql)
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
+def test_query_matches_oracle(spark, name):
+    q = entrymod.queries()[name]
+    oracles = entrymod.oracle_sql()
+    if name not in oracles:
+        df = q(spark, SF_DIR)
+        assert df.count() >= 0  # rows-only check (driver's weak path)
+        return
+    sdf = q(spark, SF_DIR)
+    spark_cols = sorted(sdf.columns)
+    spark_rows = [
+        tuple(r[c] for c in spark_cols) for r in sdf.select(*spark_cols).collect()
+    ]
+    res = duck_run(oracles[name])
+    duck_cols_full = [d[0] for d in res.description]
+    assert sorted(duck_cols_full) == spark_cols, (
+        f"{name}: column mismatch {sorted(duck_cols_full)} vs {spark_cols}"
+    )
+    order = [duck_cols_full.index(c) for c in spark_cols]
+    duck_rows = [tuple(r[i] for i in order) for r in res.fetchall()]
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs oracle {len(duck_rows)}"
+    )
+    a, b = normalize_rows(spark_rows), normalize_rows(duck_rows)
+    if a != b:
+        diff = [(x, y) for x, y in zip(a, b) if x != y][:5]
+        pytest.fail(f"{name}: value mismatch, first diffs: {diff}")
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0

@@ -1,0 +1,68 @@
+"""Tokenizer/SBD unit + property tests (reference parity:
+preprocessing/pipes/tokenizers.py; offset round-trip per contexts.py:37-47
+and the consistency exception at matchers.py:35-43)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from trove_spark.tokenize import (
+    STANDARD_TOKEN_RE,
+    WHITESPACE_TOKEN_RE,
+    reconstruct_text,
+    segment_and_tokenize,
+)
+
+
+def test_whitespace_tokens_and_offsets():
+    sents = segment_and_tokenize("the fast key", WHITESPACE_TOKEN_RE, 256)
+    assert sents == [(["the", "fast", "key"], [0, 4, 9])]
+
+
+def test_standard_splits_punctuation():
+    sents = segment_and_tokenize("foo(bar)", STANDARD_TOKEN_RE, 256)
+    assert sents[0][0] == ["foo", "(", "bar", ")"]
+    assert sents[0][1] == [0, 3, 4, 7]
+
+
+def test_sentence_boundaries():
+    sents = segment_and_tokenize("a b. c d! e?", WHITESPACE_TOKEN_RE, 256)
+    assert [s[0] for s in sents] == [["a", "b."], ["c", "d!"], ["e?"]]
+    # offsets stay absolute across sentences
+    assert sents[1][1] == [5, 7]
+    assert sents[2][1] == [10]
+
+
+def test_max_sentence_resplit():
+    sents = segment_and_tokenize("a b c d e", WHITESPACE_TOKEN_RE, 2)
+    assert [s[0] for s in sents] == [["a", "b"], ["c", "d"], ["e"]]
+
+
+def test_offsets_slice_back_to_tokens():
+    text = "big  gaps   here"
+    (words, offs), = segment_and_tokenize(text, WHITESPACE_TOKEN_RE, 256)
+    for w, o in zip(words, offs):
+        assert text[o : o + len(w)] == w
+
+
+@given(st.lists(st.text(alphabet="abcz", min_size=1, max_size=6), min_size=1, max_size=12))
+@settings(max_examples=200, deadline=None)
+def test_reconstruct_round_trip(words):
+    text = " ".join(words)
+    sents = segment_and_tokenize(text, WHITESPACE_TOKEN_RE, 256)
+    assert len(sents) == 1
+    w, o = sents[0]
+    assert reconstruct_text(w, o) == text
+
+
+def test_tokenize_documents_stage(spark):
+    df = spark.createDataFrame(
+        [("d1", "a b. c"), ("d2", ""), ("d3", None)], "doc_id string, content string"
+    )
+    from trove_spark.tokenize import tokenize_documents
+
+    out = tokenize_documents(df, mode="whitespace").collect()
+    got = {(r["doc_id"], r["sent_idx"]): (r["words"], r["char_offsets"]) for r in out}
+    assert got[("d1", 0)] == (["a", "b."], [0, 2])
+    assert got[("d1", 1)] == (["c"], [5])
+    assert ("d2", 0) not in got and ("d3", 0) not in got

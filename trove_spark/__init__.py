@@ -1,0 +1,22 @@
+"""trove_spark — a from-scratch PySpark-native knowledge-graph construction
+engine with the query/data-processing capabilities of som-shahlab/trove.
+
+The reference (read-only at /root/reference) is a single-machine
+joblib/numpy weak-supervision framework; this package re-expresses its
+dataflow — scan → tokenize → candidate-generate → labeling functions →
+label-matrix aggregation → entity linking → triple materialization — as
+idiomatic Spark DataFrame pipelines with Arrow-vectorized kernels.
+
+Design rules (see SURVEY.md):
+  * DataFrame + built-in functions wherever Catalyst can optimize.
+  * Python only inside ``mapInPandas`` / pandas UDF kernels (Arrow batches),
+    never row-at-a-time.
+  * Dictionaries/ontologies are driver-built Aho-Corasick automata shipped
+    via ``sparkContext.broadcast``.
+  * Sparse-by-construction: the label matrix is a long-format table of
+    non-abstain votes (the reference's CSR, trove/labelers/core.py:56-91).
+  * Skew handled explicitly: salted two-phase aggregation for head
+    concepts; AQE as backstop.
+"""
+
+__version__ = "0.1.0"

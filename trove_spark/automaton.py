@@ -1,0 +1,151 @@
+"""Token-level Aho-Corasick automaton for dictionary/ontology matching.
+
+The reference matches token n-grams (up to ``max_ngrams``) against term
+dictionaries with case/plural normalization variants
+(/root/reference/trove/labelers/matchers.py:77-131 ``match_term`` /
+``apply_matcher``; /root/reference/trove/labelers/labeling.py:106-121
+``OntologyLF._get_term_label`` tries ``[t, lower(t), rstrip('s'), t+'s']``).
+That is an O(sentences × positions × max_ngrams) scan per dictionary.
+
+Here we pre-expand every term's normalization variants into ONE automaton
+at build time (driver-side, once), broadcast it, and stream each sentence's
+token array through it — O(tokens) per sentence for *all* dictionaries at
+once, independent of term count.  This is the engine's dominant "join":
+a broadcast text⋈dictionary join that never shuffles the corpus.
+
+States are dict-based trie nodes over *normalized tokens* (not chars), so
+matches are token-aligned by construction and char-offset mapping is exact.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Iterable, Iterator, Sequence
+
+
+def normalize_token(tok: str) -> str:
+    return tok.lower()
+
+
+def plural_variants(term_tokens: tuple[str, ...]) -> set[tuple[str, ...]]:
+    """Expand the reference's match variants: the term itself, plural
+    (+'s'), and singular (rstrip 's') applied to the LAST token
+    (matchers.py:77-97 normalizes candidate text; inserting the inverse
+    transforms here makes corpus-side lookup a single exact probe)."""
+    out = {term_tokens}
+    last = term_tokens[-1]
+    out.add(term_tokens[:-1] + (last + "s",))
+    if len(last) > 1 and last.endswith("s"):
+        out.add(term_tokens[:-1] + (last.rstrip("s"),))
+    return out
+
+
+class AhoCorasick:
+    """Multi-pattern matcher over token sequences.
+
+    ``add(term_tokens, payload)`` may be called repeatedly (same term, many
+    payloads → payload set union).  ``finalize()`` builds fail links.
+    ``match(tokens)`` yields ``(start, end_inclusive, payloads)`` in token
+    indices, every occurrence (the longest-match sweep is a separate,
+    per-consumer post-pass — reference keeps these separate too:
+    DictionaryLabelingFunction wants all matches, OntologyLF longest-only).
+    """
+
+    __slots__ = ("goto", "fail", "out", "depth", "_finalized")
+
+    def __init__(self) -> None:
+        # node 0 is the root; each node is an int; goto[node] = {token: node}
+        self.goto: list[dict[str, int]] = [{}]
+        self.fail: list[int] = [0]
+        self.out: list[list[tuple[int, object]]] = [[]]  # (pattern_len, payload)
+        self.depth: list[int] = [0]
+        self._finalized = False
+
+    def _node(self, depth: int) -> int:
+        self.goto.append({})
+        self.fail.append(0)
+        self.out.append([])
+        self.depth.append(depth)
+        return len(self.goto) - 1
+
+    def add(self, term_tokens: Sequence[str], payload: object) -> None:
+        if self._finalized:
+            raise RuntimeError("automaton already finalized")
+        node = 0
+        for d, tok in enumerate(term_tokens):
+            nxt = self.goto[node].get(tok)
+            if nxt is None:
+                nxt = self._node(d + 1)
+                self.goto[node][tok] = nxt
+            node = nxt
+        self.out[node].append((len(term_tokens), payload))
+
+    def add_with_variants(self, term_tokens: Sequence[str], payload: object) -> None:
+        for var in plural_variants(tuple(normalize_token(t) for t in term_tokens)):
+            self.add(var, payload)
+
+    def finalize(self) -> "AhoCorasick":
+        if self._finalized:
+            return self
+        q: deque[int] = deque()
+        for node in self.goto[0].values():
+            self.fail[node] = 0
+            q.append(node)
+        while q:
+            cur = q.popleft()
+            for tok, nxt in self.goto[cur].items():
+                q.append(nxt)
+                f = self.fail[cur]
+                while f and tok not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[nxt] = self.goto[f].get(tok, 0)
+                if self.fail[nxt] == nxt:
+                    self.fail[nxt] = 0
+                # merge suffix outputs so match() never walks fail chains
+                self.out[nxt] = self.out[nxt] + self.out[self.fail[nxt]]
+        self._finalized = True
+        return self
+
+    def match(
+        self, tokens: Iterable[str], normalize: bool = True
+    ) -> Iterator[tuple[int, int, object]]:
+        """Yield (start_tok, end_tok_inclusive, payload) for every match."""
+        if not self._finalized:
+            raise RuntimeError("call finalize() before match()")
+        goto, fail, out = self.goto, self.fail, self.out
+        node = 0
+        for i, tok in enumerate(tokens):
+            if normalize:
+                tok = tok.lower()
+            while node and tok not in goto[node]:
+                node = fail[node]
+            node = goto[node].get(tok, 0)
+            if out[node]:
+                for plen, payload in out[node]:
+                    yield (i - plen + 1, i, payload)
+
+    @property
+    def n_nodes(self) -> int:
+        return len(self.goto)
+
+
+def longest_match_filter(
+    matches: list[tuple[int, int, object]]
+) -> list[tuple[int, int, object]]:
+    """Longest-match-only sweep (matchers.py:133-150, 196-209): sort by
+    span length descending (ties: leftmost, then payload repr for full
+    determinism), greedily keep spans that overlap nothing already kept."""
+    kept: list[tuple[int, int, object]] = []
+    covered: set[int] = set()
+
+    def _key(m):  # ints sort numerically (term_ids); anything else by str
+        p = m[2]
+        return (-(m[1] - m[0]), m[0], p if isinstance(p, int) else str(p))
+
+    for s, e, p in sorted(matches, key=_key):
+        if any(i in covered for i in range(s, e + 1)):
+            continue
+        kept.append((s, e, p))
+        covered.update(range(s, e + 1))
+    kept.sort(key=lambda m: (m[0], m[1]))
+    return kept

@@ -1,0 +1,318 @@
+"""Labeling functions: vectorized kernels emitting the sparse label matrix.
+
+The reference applies a list of LFs per sentence in a joblib process pool
+(`SequenceLabelingServer.apply`, /root/reference/trove/labelers/core.py:21-53),
+each LF returning {token_idx: label} with abstain = absent key, and
+assembles a scipy CSR matrix (core.py:56-91).  Here:
+
+  * ALL sentence-scoped LFs run in ONE ``mapInPandas`` pass: the automaton
+    match is computed once per sentence and shared across LFs (the
+    reference re-matches per LF — our pass is strictly cheaper);
+  * the label matrix is the long-format ``labels`` table
+    ``(doc_id, sent_idx, token_idx, lf_id, label)`` — non-abstains only,
+    exactly the CSR sparsity, and it shuffles/aggregates natively;
+  * doc-scoped LFs (SynSet labeling.py:391-423, Schwartz-Hearst
+    abbreviations.py:180-267) are two-stage: a doc-level pass derives a
+    per-doc term→label dict, then sentence matching applies it — the
+    reference's per-doc memo cache (abbreviations.py:205-238) becomes a
+    broadcast/long-table join instead of repeated doc scans.
+
+Every LF is a picklable object with ``label_sentence(ctx) -> dict``;
+resources (lexicon, synsets, word graphs) live in ONE broadcast consulted
+inside the kernel, so adding LFs adds no serialization weight
+(labeling.py:101's 60% pickling tax is avoided by construction).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import pandas as pd
+from pyspark.broadcast import Broadcast
+from pyspark.sql import DataFrame
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from .lexicon import Lexicon
+from .matching import match_sentence
+
+LABELS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("sent_idx", IntegerType(), False),
+        StructField("token_idx", IntegerType(), False),
+        StructField("lf_id", IntegerType(), False),
+        StructField("label", IntegerType(), False),
+    ]
+)
+
+
+@dataclass
+class SentenceCtx:
+    """Everything a sentence-scoped LF may consult; matches precomputed."""
+
+    words: list[str]
+    offsets: list[int]
+    all_matches: list[tuple[int, int, int]]       # (tok_start, tok_end, term_id)
+    longest_matches: list[tuple[int, int, int]]
+    lex: Lexicon
+
+
+class LF:
+    """Base labeling function (reference labeling.py:20-25).  Subclasses
+    carry a ``name`` field; no default here — dataclass subclasses would
+    inherit it as a field default."""
+
+    def label_sentence(self, ctx: SentenceCtx) -> dict[int, int]:
+        raise NotImplementedError
+
+
+@dataclass
+class OntologyLF(LF):
+    """Longest-only matches; label = per-SAB precomputed argmax class,
+    uniform proba → abstain; later matches overwrite earlier per token
+    (labeling.py:69-146)."""
+
+    sab: str
+
+    def __post_init__(self):
+        self.name = f"ontology:{self.sab}"
+
+    def label_sentence(self, ctx: SentenceCtx) -> dict[int, int]:
+        tl = ctx.lex.sab_term_labels.get(self.sab, {})
+        out: dict[int, int] = {}
+        for s, e, tid in sorted(ctx.longest_matches):
+            lbl = tl.get(tid)
+            if lbl is None:  # term not in this SAB, or ambiguous → abstain
+                continue
+            for i in range(s, e + 1):
+                out[i] = lbl
+        return out
+
+
+@dataclass
+class DictionaryLF(LF):
+    """ALL matches of a term subset → fixed label (labeling.py:27-66)."""
+
+    name: str
+    label: int
+    term_ids: frozenset[int]
+
+    def label_sentence(self, ctx: SentenceCtx) -> dict[int, int]:
+        out: dict[int, int] = {}
+        for s, e, tid in ctx.all_matches:
+            if tid in self.term_ids:
+                for i in range(s, e + 1):
+                    out[i] = self.label
+        return out
+
+
+@dataclass
+class RegexEachLF(LF):
+    """Per-token regex search → label (labeling.py:344-361)."""
+
+    name: str
+    label: int
+    pattern: str
+    _rgx: re.Pattern = field(init=False, repr=False)
+
+    def __post_init__(self):
+        self._rgx = re.compile(self.pattern)
+
+    def label_sentence(self, ctx: SentenceCtx) -> dict[int, int]:
+        return {
+            i: self.label for i, w in enumerate(ctx.words) if self._rgx.search(w)
+        }
+
+
+@dataclass
+class RegexSpanLF(LF):
+    """Sentence-level regex over reconstructed text → covered tokens
+    labeled (labeling.py:364-381).  Sentence text is rebuilt by gap-padding
+    (contexts.py:37-47) so regex char offsets map back to tokens exactly."""
+
+    name: str
+    label: int
+    pattern: str
+    _rgx: re.Pattern = field(init=False, repr=False)
+
+    def __post_init__(self):
+        self._rgx = re.compile(self.pattern)
+
+    def label_sentence(self, ctx: SentenceCtx) -> dict[int, int]:
+        if not ctx.words:
+            return {}
+        base = ctx.offsets[0]
+        parts: list[str] = []
+        cur = base
+        for w, o in zip(ctx.words, ctx.offsets):
+            parts.append(" " * (o - cur))
+            parts.append(w)
+            cur = o + len(w)
+        text = "".join(parts)
+        out: dict[int, int] = {}
+        for m in self._rgx.finditer(text):
+            lo, hi = m.start() + base, m.end() - 1 + base  # inclusive
+            for i, o in enumerate(ctx.offsets):
+                if o + len(ctx.words[i]) - 1 >= lo and o <= hi:
+                    out[i] = self.label
+        return out
+
+
+@dataclass
+class WordGraphLF(LF):
+    """Runs of ≥ min_length tokens whose consecutive bigrams are edges of a
+    dictionary-derived word graph (labeling.py:432-472; graph build
+    applications/bc5cdr/chemicals.py:36-54)."""
+
+    name: str
+    label: int
+    edges: frozenset[tuple[str, str]]
+    min_length: int = 2
+
+    def label_sentence(self, ctx: SentenceCtx) -> dict[int, int]:
+        words = [w.lower() for w in ctx.words]
+        out: dict[int, int] = {}
+        run_start = 0
+        n = len(words)
+        i = 0
+        while i < n - 1:
+            if (words[i], words[i + 1]) in self.edges:
+                run_start = i
+                while i < n - 1 and (words[i], words[i + 1]) in self.edges:
+                    i += 1
+                if i - run_start + 1 >= self.min_length:
+                    for j in range(run_start, i + 1):
+                        out[j] = self.label
+            i += 1
+        return out
+
+
+def build_word_graph(terms: list[str]) -> frozenset[tuple[str, str]]:
+    """Bigram adjacency over multi-token dictionary terms
+    (chemicals.py:36-54)."""
+    edges = set()
+    for t in terms:
+        toks = t.lower().split()
+        edges.update(zip(toks, toks[1:]))
+    return frozenset(edges)
+
+
+# ---------------------------------------------------------------------------
+# LF application engine (reference core.py:21-91 → one mapInPandas stage)
+# ---------------------------------------------------------------------------
+
+
+def apply_lfs(
+    sentences: DataFrame,
+    lex_bc: Broadcast,
+    lfs: list[LF],
+) -> DataFrame:
+    """sentences → labels(doc_id, sent_idx, token_idx, lf_id, label).
+
+    lf_id = index into ``lfs`` (the caller keeps the registry; see
+    ``lf_registry_df``).  Narrow stage, no shuffle; the matrix lands
+    pre-sparsified."""
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lex: Lexicon = lex_bc.value
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "sent_idx": [], "token_idx": [], "lf_id": [], "label": []
+            }
+            for doc_id, sent_idx, words, offs in zip(
+                pdf["doc_id"], pdf["sent_idx"], pdf["words"], pdf["char_offsets"]
+            ):
+                words = list(words)
+                all_m, longest = match_sentence(lex, words)
+                ctx = SentenceCtx(words, list(offs), all_m, longest, lex)
+                for lf_id, lf in enumerate(lfs):
+                    for tok, lbl in lf.label_sentence(ctx).items():
+                        rows["doc_id"].append(doc_id)
+                        rows["sent_idx"].append(sent_idx)
+                        rows["token_idx"].append(tok)
+                        rows["lf_id"].append(lf_id)
+                        rows["label"].append(lbl)
+            yield _labels_pdf(rows)
+
+    return sentences.mapInPandas(_kernel, schema=LABELS_SCHEMA)
+
+
+def _labels_pdf(rows: dict[str, list]) -> pd.DataFrame:
+    """Explicitly-typed labels batch (empty batches must keep arrow types)."""
+    return pd.DataFrame(
+        {
+            c: pd.Series(v, dtype=object if c == "doc_id" else "int32")
+            for c, v in rows.items()
+        }
+    )
+
+
+def lf_registry_df(spark, lfs: list[LF]) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, lf.name) for i, lf in enumerate(lfs)], schema="lf_id int, name string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Doc-scoped LFs: SynSet (L6) and Schwartz-Hearst (L8), two-stage pattern
+# ---------------------------------------------------------------------------
+
+
+def synset_labels(
+    sentences: DataFrame,
+    lex_bc: Broadcast,
+    synsets: dict[str, list[str]],
+    label: int,
+    lf_id: int,
+) -> DataFrame:
+    """SynSetLabelingFunction (labeling.py:391-423): token w is labeled if
+    any synonym of w occurs anywhere in the DOCUMENT.
+
+    Stage 1 (doc scope): per doc, the set of vocabulary words present —
+    computed with one agg over exploded tokens, no full-doc rescans.
+    Stage 2: join doc word-sets back to sentences and label in-kernel.
+    Here both stages fuse into groupBy(doc_id) + collect word set + a
+    second pass; implemented as agg + broadcast-joinable long table."""
+    from pyspark.sql import functions as F
+
+    syn_items = {w.lower(): frozenset(s.lower() for s in syns) for w, syns in synsets.items()}
+    all_syn_words = frozenset(w for s in syn_items.values() for w in s)
+
+    # doc → distinct lowercase tokens that are synonyms of anything (small)
+    doc_words = (
+        sentences.select("doc_id", F.explode("words").alias("w"))
+        .select("doc_id", F.lower("w").alias("w"))
+        .filter(F.col("w").isin(list(all_syn_words)))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("w").alias("doc_syn_words"))
+    )
+
+    joined = sentences.join(doc_words, "doc_id", "left")
+
+    schema = LABELS_SCHEMA
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "sent_idx": [], "token_idx": [], "lf_id": [], "label": []
+            }
+            for doc_id, sent_idx, words, dws in zip(
+                pdf["doc_id"], pdf["sent_idx"], pdf["words"], pdf["doc_syn_words"]
+            ):
+                present = set(dws) if dws is not None else set()
+                for i, w in enumerate(words):
+                    syns = syn_items.get(w.lower())
+                    if syns and (syns & present):
+                        rows["doc_id"].append(doc_id)
+                        rows["sent_idx"].append(sent_idx)
+                        rows["token_idx"].append(i)
+                        rows["lf_id"].append(lf_id)
+                        rows["label"].append(label)
+            yield _labels_pdf(rows)
+
+    return joined.select("doc_id", "sent_idx", "words", "doc_syn_words").mapInPandas(
+        _kernel, schema=schema
+    )

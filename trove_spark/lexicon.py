@@ -1,0 +1,158 @@
+"""Lexicon build: concept rows → filtered terminologies → broadcast automaton.
+
+Re-expresses the reference's terminology pipeline:
+  * per-SAB filter battery — min char length, max token length, stopwords,
+    transforms (/root/reference/trove/labelers/umls.py:118-180);
+  * SmartLowercase transform (lowercase unless acronym-like,
+    trove/labelers/transforms.py:3-39) — here: preserve short all-caps;
+  * term → class-probability map with argmax precomputed at build time so
+    executors never touch numpy dtypes (labeling.py:98-104 notes a 60%
+    joblib pickling tax; broadcast avoids per-task pickling entirely);
+  * all SABs compiled into ONE token-level Aho-Corasick automaton whose
+    payload is a compact int term_id; per-term metadata rides alongside in
+    plain dict/tuple structures (cheap to pickle once for the broadcast).
+
+The driver builds this once from a (small) concepts table; the corpus-side
+match is then a broadcast "join" that never shuffles sentence data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark import SparkContext
+from pyspark.sql import DataFrame
+
+from .automaton import AhoCorasick
+
+
+def smart_lowercase(term: str) -> str:
+    """Lowercase unless the term looks like an acronym (short, all-caps) —
+    transforms.py:3-39 semantics."""
+    if term.isupper() and 2 <= len(term) <= 5:
+        return term
+    return term.lower()
+
+
+@dataclass
+class LexiconFilters:
+    """umls.py:118-180 filter battery."""
+
+    min_char_len: int = 2
+    max_tok_len: int = 8
+    stopwords: frozenset[str] = frozenset()
+    min_dict_size: int = 1  # drop whole SABs below this (umls.py:143-180)
+
+    def keep(self, term: str) -> bool:
+        if len(term) < self.min_char_len:
+            return False
+        toks = term.split()
+        if len(toks) > self.max_tok_len:
+            return False
+        if term.lower() in self.stopwords:
+            return False
+        return True
+
+
+@dataclass
+class Lexicon:
+    """Broadcast payload: automaton + per-term metadata.
+
+    term_id is the dense index into the parallel lists below.
+    """
+
+    automaton: AhoCorasick
+    terms: list[str]                               # normalized canonical form
+    term_entries: list[tuple[tuple[str, str, str], ...]]  # (sab, tui, cui) per term
+    # per (sab) precomputed term_id → label (argmax of class proba; None=tie/abstain)
+    sab_term_labels: dict[str, dict[int, int | None]]
+    stopwords: frozenset[str] = frozenset()
+    class_map: dict[str, int] = field(default_factory=dict)
+
+    @property
+    def sabs(self) -> list[str]:
+        return sorted(self.sab_term_labels)
+
+    def term_id_of(self, term: str) -> int | None:
+        try:
+            return self.terms.index(term)
+        except ValueError:
+            return None
+
+
+def build_lexicon(
+    concept_rows: list[tuple[str, str, str, str]],
+    class_map: dict[str, int],
+    filters: LexiconFilters | None = None,
+) -> Lexicon:
+    """(sab, tui, cui, term) rows → Lexicon.  Driver-side, O(|lexicon|)."""
+    filters = filters or LexiconFilters()
+
+    # group rows per SAB, apply filter battery, drop undersized SABs
+    by_sab: dict[str, list[tuple[str, str, str]]] = {}
+    for sab, tui, cui, term in concept_rows:
+        norm = smart_lowercase(term.strip())
+        if not filters.keep(norm):
+            continue
+        by_sab.setdefault(sab, []).append((norm, tui, cui))
+    by_sab = {s: rows for s, rows in by_sab.items() if len(rows) >= filters.min_dict_size}
+
+    # dense term ids over the union of surviving terms (sorted: deterministic)
+    all_terms = sorted({t for rows in by_sab.values() for t, _, _ in rows})
+    term_ids = {t: i for i, t in enumerate(all_terms)}
+    entries: list[list[tuple[str, str, str]]] = [[] for _ in all_terms]
+    for sab in sorted(by_sab):
+        for term, tui, cui in sorted(by_sab[sab]):
+            entries[term_ids[term]].append((sab, tui, cui))
+
+    # per-SAB term label precompute: argmax class frequency, tie → None
+    # (OntologyLabelingFunction semantics, labeling.py:69-146: a term whose
+    # class-probability vector is uniform means abstain)
+    sab_term_labels: dict[str, dict[int, int | None]] = {s: {} for s in by_sab}
+    for tid, ent in enumerate(entries):
+        per_sab: dict[str, dict[int, int]] = {}
+        for sab, tui, cui in ent:
+            lbl = class_map.get(tui)
+            if lbl is None:
+                continue
+            per_sab.setdefault(sab, {}).setdefault(lbl, 0)
+            per_sab[sab][lbl] += 1
+        for sab, counts in per_sab.items():
+            mx = max(counts.values())
+            top = sorted(l for l, c in counts.items() if c == mx)
+            sab_term_labels[sab][tid] = top[0] if len(top) == 1 else None
+
+    aut = AhoCorasick()
+    for term, tid in term_ids.items():
+        aut.add_with_variants(tuple(term.split()), tid)
+    aut.finalize()
+
+    return Lexicon(
+        automaton=aut,
+        terms=all_terms,
+        term_entries=[tuple(e) for e in entries],
+        sab_term_labels=sab_term_labels,
+        stopwords=filters.stopwords,
+        class_map=dict(class_map),
+    )
+
+
+def build_lexicon_from_df(
+    concepts: DataFrame,
+    class_map: dict[str, int],
+    filters: LexiconFilters | None = None,
+) -> Lexicon:
+    """Collect a (small, pre-filtered) concepts DataFrame to the driver and
+    build.  The concepts table itself can be huge on disk — callers should
+    push SAB/length predicates into the scan first (partition pruning on a
+    SAB-partitioned table, umls.py:410-411); what is collected is only the
+    surviving lexicon."""
+    rows = [
+        (r["sab"], r["tui"], r["cui"], r["term"])
+        for r in concepts.select("sab", "tui", "cui", "term").collect()
+    ]
+    return build_lexicon(rows, class_map, filters)
+
+
+def broadcast_lexicon(sc: SparkContext, lex: Lexicon):
+    return sc.broadcast(lex)

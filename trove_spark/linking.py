@@ -1,0 +1,153 @@
+"""Entity linking + triple emission + canonicalization.
+
+Mentions → canonical concept IDs (CUIs) → (subj, pred, obj) triples:
+
+  * MENTIONS  — (span_key, MENTIONS, term): every longest-match mention;
+  * HAS_TYPE  — (span_key, HAS_TYPE, class_name): the majority-vote type of
+    the mention's tokens (the reference's label-matrix aggregate, our G1);
+  * LINKS_TO  — (span_key, LINKS_TO, cui): the concept link, resolved by
+    type-consistency (candidate TUI's class must equal the voted type when
+    one exists) then deterministic min(CUI) — mirroring the reference's
+    export of one concept id per entity (contexts.py:169-190 ``cid``;
+    index_collections.py:74-92 row shape).
+
+span_key = doc_id#char_start-char_end (char_end inclusive,
+contexts.py:86).  Linking is a BROADCAST join against the (small,
+filtered) concept vocabulary; canonicalization is a salted two-phase
+dedup (skew.py) because head concepts create hot (subj,pred,obj) keys at
+10^12-file scale (BASELINE.json north_rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import broadcast
+
+from .skew import salted_distinct
+from .voting import majority_vote
+
+
+def span_key(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "span_key",
+        F.concat_ws("", F.col("doc_id"), F.lit("#"), F.col("char_start"),
+                    F.lit("-"), F.col("char_end")),
+    )
+
+
+def mention_types(mentions: DataFrame, labels: DataFrame) -> DataFrame:
+    """Assign each longest-match mention its majority-vote type.
+
+    Token-level votes (labels) are aggregated per token (G1), then a
+    mention adopts the vote of its tokens — majority across the mention's
+    token range, ties → min label.  Join is on (doc_id, sent_idx) +
+    token-range predicate; both sides are pre-bucketed by doc so the
+    shuffle is one hash partitioning each."""
+    token_y = majority_vote(labels)  # (doc_id, sent_idx, token_idx, y)
+    m = mentions.filter("is_longest").alias("m")
+    t = token_y.alias("t")
+    joined = m.join(
+        t,
+        (F.col("m.doc_id") == F.col("t.doc_id"))
+        & (F.col("m.sent_idx") == F.col("t.sent_idx"))
+        & (F.col("t.token_idx") >= F.col("m.tok_start"))
+        & (F.col("t.token_idx") <= F.col("m.tok_end")),
+        "left",
+    ).select("m.*", F.col("t.y").alias("tok_y"))
+    # mention-level vote over its tokens: mode with deterministic tie→min
+    counts = (
+        joined.filter(F.col("tok_y").isNotNull())
+        .groupBy("doc_id", "sent_idx", "tok_start", "tok_end",
+                 "char_start", "char_end", "term_id", "term", "tok_y")
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id", "sent_idx", "tok_start", "tok_end")
+    best = (
+        counts.withColumn("mx", F.max("n").over(w))
+        .filter(F.col("n") == F.col("mx"))
+        .groupBy("doc_id", "sent_idx", "tok_start", "tok_end",
+                 "char_start", "char_end", "term_id", "term")
+        .agg(F.min("tok_y").alias("etype"))
+    )
+    base = mentions.filter("is_longest").select(
+        "doc_id", "sent_idx", "tok_start", "tok_end",
+        "char_start", "char_end", "term_id", "term",
+    )
+    return base.join(
+        best.select("doc_id", "sent_idx", "tok_start", "tok_end", "etype"),
+        ["doc_id", "sent_idx", "tok_start", "tok_end"],
+        "left",
+    )
+
+
+def link_mentions(typed_mentions: DataFrame, concepts: DataFrame, class_map: dict[str, int]) -> DataFrame:
+    """typed_mentions ⋈ concepts (broadcast) → one CUI per mention.
+
+    Resolution: candidates whose class(TUI) == etype win when etype is
+    known and any such candidate exists; otherwise all candidates compete;
+    final tie-break = min(CUI) (deterministic)."""
+    cm = F.create_map(*[x for kv in sorted(class_map.items()) for x in (F.lit(kv[0]), F.lit(kv[1]))])
+    cand = concepts.select(
+        F.lower(F.col("term")).alias("term"),
+        F.col("cui"),
+        cm[F.col("tui")].alias("cand_class"),
+    )
+    j = typed_mentions.join(broadcast(cand), "term", "inner")
+    j = j.withColumn(
+        "type_ok",
+        F.when(F.col("etype").isNotNull() & (F.col("cand_class") == F.col("etype")), 1).otherwise(0),
+    )
+    key = ["doc_id", "sent_idx", "tok_start", "tok_end", "char_start", "char_end", "term", "etype"]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id", "sent_idx", "tok_start", "tok_end")
+    return (
+        j.withColumn("best_ok", F.max("type_ok").over(w))
+        .filter(F.col("type_ok") == F.col("best_ok"))
+        .groupBy(*key)
+        .agg(F.min("cui").alias("cui"))
+    )
+
+
+def emit_triples(
+    linked: DataFrame, class_names: dict[int, str], n_salts: int = 16
+) -> DataFrame:
+    """linked mentions → canonical (subj, pred, obj) triple set.
+
+    Dedup = salted two-phase distinct (head-concept skew defense)."""
+    lm = span_key(linked)
+    name_map = F.create_map(*[x for kv in sorted(class_names.items()) for x in (F.lit(kv[0]), F.lit(kv[1]))])
+    mentions_t = lm.select(
+        F.col("span_key").alias("subj"), F.lit("MENTIONS").alias("pred"), F.col("term").alias("obj")
+    )
+    types_t = lm.filter(F.col("etype").isNotNull()).select(
+        F.col("span_key").alias("subj"),
+        F.lit("HAS_TYPE").alias("pred"),
+        name_map[F.col("etype")].alias("obj"),
+    )
+    links_t = lm.filter(F.col("cui").isNotNull()).select(
+        F.col("span_key").alias("subj"), F.lit("LINKS_TO").alias("pred"), F.col("cui").alias("obj")
+    )
+    all_t = mentions_t.unionByName(types_t).unionByName(links_t)
+    return salted_distinct(all_t, ["subj", "pred", "obj"], n_salts=n_salts)
+
+
+def run_linking_pipeline(
+    mentions: DataFrame,
+    labels: DataFrame,
+    concepts: DataFrame,
+    class_map: dict[str, int],
+    class_names: dict[int, str],
+) -> DataFrame:
+    typed = mention_types(mentions, labels)
+    linked_cui = link_mentions(typed, concepts, class_map)
+    # left-join the CUI back onto all typed mentions (mentions with no
+    # concept candidate still emit MENTIONS/HAS_TYPE triples)
+    linked = typed.join(
+        linked_cui.select("doc_id", "sent_idx", "tok_start", "tok_end", "cui"),
+        ["doc_id", "sent_idx", "tok_start", "tok_end"],
+        "left",
+    )
+    return emit_triples(linked, class_names)

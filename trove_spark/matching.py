@@ -1,0 +1,114 @@
+"""Mention detection: sentences × broadcast automaton → mentions table.
+
+The reference's core candidate-generation "join" (n-gram enumeration +
+dictionary membership + longest-match pruning,
+/root/reference/trove/labelers/matchers.py:100-150) as ONE narrow
+``mapInPandas`` stage: each Arrow batch of sentences streams through the
+broadcast Aho-Corasick automaton; n-grams are never materialized as a
+table (a 10^12-file corpus would explode), and the longest-match sweep
+runs in-kernel per sentence.
+
+Output is the long-format ``mentions`` table:
+
+    doc_id, sent_idx, tok_start, tok_end (inclusive),
+    char_start, char_end (inclusive, reference convention contexts.py:86),
+    term_id, term, is_longest
+
+``is_longest`` marks the longest-match-only subset (OntologyLF consumes
+longest-only, labeling.py:69-146; DictionaryLF consumes all matches,
+labeling.py:27-66) so both consumers share one detection pass.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.broadcast import Broadcast
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .automaton import longest_match_filter
+from .lexicon import Lexicon
+
+MENTIONS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("sent_idx", IntegerType(), False),
+        StructField("tok_start", IntegerType(), False),
+        StructField("tok_end", IntegerType(), False),
+        StructField("char_start", IntegerType(), False),
+        StructField("char_end", IntegerType(), False),
+        StructField("term_id", IntegerType(), False),
+        StructField("term", StringType(), False),
+        StructField("is_longest", BooleanType(), False),
+    ]
+)
+
+
+def match_sentence(
+    lex: Lexicon, words: list[str]
+) -> tuple[list[tuple[int, int, int]], list[tuple[int, int, int]]]:
+    """One sentence → (all_matches, longest_matches) as (start, end, term_id)
+    token-index triples.  Stopword unigrams are dropped (labeling.py:59-60:
+    dictionary LFs subtract stopwords; our lexicon filter already removes
+    stopword TERMS, this guards matches whose surface form is a stopword)."""
+    stop = lex.stopwords
+    all_matches = [
+        (s, e, tid)
+        for s, e, tid in lex.automaton.match(words)
+        if not (s == e and words[s].lower() in stop)
+    ]
+    longest = longest_match_filter(all_matches)
+    return all_matches, longest
+
+
+def detect_mentions(sentences: DataFrame, lex_bc: Broadcast) -> DataFrame:
+    """sentences(doc_id, sent_idx, words, char_offsets) → mentions."""
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lex: Lexicon = lex_bc.value
+        terms = lex.terms
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in (
+                "doc_id", "sent_idx", "tok_start", "tok_end",
+                "char_start", "char_end", "term_id", "term", "is_longest")}
+            for doc_id, sent_idx, words, offs in zip(
+                pdf["doc_id"], pdf["sent_idx"], pdf["words"], pdf["char_offsets"]
+            ):
+                words = list(words)
+                offs = list(offs)
+                all_m, longest = match_sentence(lex, words)
+                longest_set = set(longest)
+                for s, e, tid in all_m:
+                    rows["doc_id"].append(doc_id)
+                    rows["sent_idx"].append(sent_idx)
+                    rows["tok_start"].append(s)
+                    rows["tok_end"].append(e)
+                    rows["char_start"].append(offs[s])
+                    rows["char_end"].append(offs[e] + len(words[e]) - 1)
+                    rows["term_id"].append(tid)
+                    rows["term"].append(terms[tid])
+                    rows["is_longest"].append((s, e, tid) in longest_set)
+            out = pd.DataFrame(
+                {
+                    c: pd.Series(
+                        v,
+                        dtype=(
+                            object
+                            if c in ("doc_id", "term")
+                            else "bool" if c == "is_longest" else "int32"
+                        ),
+                    )
+                    for c, v in rows.items()
+                }
+            )
+            yield out
+
+    return sentences.mapInPandas(_kernel, schema=MENTIONS_SCHEMA)

@@ -1,0 +1,164 @@
+"""DuckDB oracle SQL for the KG pipeline — generated from the SAME lexicon
+the Spark pipeline uses (single source of truth: trove_spark.synth /
+trove_spark.lexicon), so Spark-vs-SQL disagreement means a real bug, not
+fixture drift.
+
+The synthetic corpus is strictly single-space-joined (verified property),
+so token char offsets are recomputable in pure SQL as
+cumulative-word-length + token_index, and the whole pipeline — n-gram
+dictionary matching with plural/case variants, longest-match pruning,
+per-SAB ontology votes, majority vote with tie→abstain, type-consistent
+CUI linking, triple emission — is expressible as one CTE chain.
+"""
+
+from __future__ import annotations
+
+from .automaton import plural_variants
+from .lexicon import Lexicon
+from .pipeline import default_lexicon
+from . import synth
+
+
+def _values(rows: list[tuple], alias: str, cols: str) -> str:
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    body = ", ".join("(" + ", ".join(lit(v) for v in row) + ")" for row in rows)
+    return f"{alias}({cols}) AS (SELECT * FROM (VALUES {body}))"
+
+
+def kg_cte_prefix(lex: Lexicon | None = None) -> str:
+    lex = lex or default_lexicon()
+    terms_rows = [(i, t) for i, t in enumerate(lex.terms)]
+    variant_rows = sorted(
+        {
+            (" ".join(var), tid)
+            for tid, t in enumerate(lex.terms)
+            for var in plural_variants(tuple(t.split()))
+        }
+    )
+    sab_label_rows = [
+        (sab, tid, lbl)
+        for sab in lex.sabs
+        for tid, lbl in sorted(lex.sab_term_labels[sab].items())
+        if lbl is not None
+    ]
+    concept_rows = list(synth.LEXICON)
+    class_map_rows = sorted(synth.CLASS_MAP.items())
+    class_name_rows = sorted(synth.CLASS_NAMES.items())
+    stop_rows = [(w,) for w in sorted(synth.STOPWORDS)]
+
+    return f"""
+WITH {_values(terms_rows, "terms", "term_id, term")},
+{_values(variant_rows, "variants", "variant, term_id")},
+{_values(sab_label_rows, "sab_labels", "sab, term_id, label")},
+{_values(concept_rows, "concepts", "sab, tui, cui, term")},
+{_values(class_map_rows, "class_map", "tui, label")},
+{_values(class_name_rows, "class_names", "label, name")},
+{_values(stop_rows, "stop", "word")},
+toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT) AS tok
+  FROM documents
+),
+toksc AS (
+  SELECT doc_id, word, tok,
+         CAST(COALESCE(SUM(LEN(word)) OVER (
+             PARTITION BY doc_id ORDER BY tok
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + tok AS BIGINT)
+           AS char_start
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, tok AS s, tok AS e, word AS gram FROM toks
+  UNION ALL
+  SELECT a.doc_id, a.tok, b.tok, a.word || ' ' || b.word
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.tok = a.tok + 1
+  UNION ALL
+  SELECT a.doc_id, a.tok, c.tok, a.word || ' ' || b.word || ' ' || c.word
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.tok = a.tok + 1
+              JOIN toks c ON a.doc_id = c.doc_id AND c.tok = a.tok + 2
+),
+matches AS (
+  SELECT g.doc_id, g.s, g.e, v.term_id
+  FROM grams g JOIN variants v ON lower(g.gram) = v.variant
+  WHERE NOT (g.s = g.e AND lower(g.gram) IN (SELECT word FROM stop))
+),
+longest AS (
+  SELECT m.* FROM matches m
+  WHERE NOT EXISTS (
+    SELECT 1 FROM matches m2
+    WHERE m2.doc_id = m.doc_id AND m2.s <= m.e AND m2.e >= m.s
+      AND (m2.e - m2.s) > (m.e - m.s))
+),
+votes AS (
+  SELECT DISTINCT l.doc_id, t.tok AS token_idx, sl.sab, CAST(sl.label AS BIGINT) AS label
+  FROM longest l
+  JOIN sab_labels sl ON sl.term_id = l.term_id
+  JOIN toks t ON t.doc_id = l.doc_id AND t.tok BETWEEN l.s AND l.e
+),
+mv AS (
+  SELECT doc_id, token_idx, CAST(MIN(label) AS BIGINT) AS y
+  FROM (
+    SELECT doc_id, token_idx, label, COUNT(*) AS n,
+           MAX(COUNT(*)) OVER (PARTITION BY doc_id, token_idx) AS mx
+    FROM votes GROUP BY doc_id, token_idx, label
+  ) WHERE n = mx
+  GROUP BY doc_id, token_idx HAVING COUNT(*) = 1
+),
+typed AS (
+  SELECT l.doc_id, l.s, l.e, l.term_id, ty.etype
+  FROM longest l LEFT JOIN (
+    SELECT doc_id, s, e, CAST(MIN(y) AS BIGINT) AS etype FROM (
+      SELECT l2.doc_id, l2.s, l2.e, mv.y, COUNT(*) AS n,
+             MAX(COUNT(*)) OVER (PARTITION BY l2.doc_id, l2.s, l2.e) AS mx
+      FROM longest l2
+      JOIN mv ON mv.doc_id = l2.doc_id AND mv.token_idx BETWEEN l2.s AND l2.e
+      GROUP BY l2.doc_id, l2.s, l2.e, mv.y
+    ) WHERE n = mx GROUP BY doc_id, s, e
+  ) ty ON ty.doc_id = l.doc_id AND ty.s = l.s AND ty.e = l.e
+),
+linked AS (
+  SELECT t.doc_id, t.s, t.e, t.term_id, t.etype, x.cui
+  FROM typed t LEFT JOIN (
+    SELECT q.doc_id, q.s, q.e, MIN(q.cui) AS cui FROM (
+      SELECT t2.doc_id, t2.s, t2.e, c.cui,
+             CASE WHEN t2.etype IS NOT NULL AND cm.label = t2.etype
+                  THEN 1 ELSE 0 END AS type_ok,
+             MAX(CASE WHEN t2.etype IS NOT NULL AND cm.label = t2.etype
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY t2.doc_id, t2.s, t2.e) AS best_ok
+      FROM typed t2
+      JOIN terms tm ON tm.term_id = t2.term_id
+      JOIN concepts c ON lower(c.term) = tm.term
+      LEFT JOIN class_map cm ON cm.tui = c.tui
+    ) q WHERE q.type_ok = q.best_ok GROUP BY q.doc_id, q.s, q.e
+  ) x ON x.doc_id = t.doc_id AND x.s = t.s AND x.e = t.e
+),
+spans AS (
+  SELECT t.doc_id, t.s, t.e, t.etype, t.cui, tm.term,
+         cs.char_start AS char_start,
+         CAST(ce.char_start + LEN(ce.word) - 1 AS BIGINT) AS char_end
+  FROM linked t
+  JOIN terms tm ON tm.term_id = t.term_id
+  JOIN toksc cs ON cs.doc_id = t.doc_id AND cs.tok = t.s
+  JOIN toksc ce ON ce.doc_id = t.doc_id AND ce.tok = t.e
+),
+triples AS (
+  SELECT DISTINCT subj, pred, obj FROM (
+    SELECT doc_id || '#' || char_start || '-' || char_end AS subj,
+           'MENTIONS' AS pred, term AS obj FROM spans
+    UNION ALL
+    SELECT doc_id || '#' || char_start || '-' || char_end, 'HAS_TYPE', cn.name
+    FROM spans s JOIN class_names cn ON cn.label = s.etype
+    UNION ALL
+    SELECT doc_id || '#' || char_start || '-' || char_end, 'LINKS_TO', cui
+    FROM spans WHERE cui IS NOT NULL
+  ) u(subj, pred, obj)
+)
+"""

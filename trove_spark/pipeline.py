@@ -1,0 +1,97 @@
+"""End-to-end KG-construction pipeline facade over a testdata sf dir.
+
+documents → sentences → mentions → LF labels → majority vote → typed
+mentions → CUI links → (subj, pred, obj) triples.  Every stage is a
+DataFrame; the facade memoizes stages so composite queries reuse plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import synth
+from .labeling import OntologyLF, apply_lfs
+from .lexicon import Lexicon, LexiconFilters, build_lexicon
+from .linking import emit_triples, link_mentions, mention_types
+from .matching import detect_mentions
+from .tokenize import tokenize_documents
+from .voting import majority_vote
+
+
+def default_lexicon() -> Lexicon:
+    return build_lexicon(
+        synth.LEXICON, synth.CLASS_MAP, LexiconFilters(stopwords=synth.STOPWORDS)
+    )
+
+
+class KGPipeline:
+    """Lazy stage graph for one corpus directory."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str, tokenizer_mode: str = "whitespace"):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.tokenizer_mode = tokenizer_mode
+        self._cache: dict[str, DataFrame] = {}
+        self.lexicon = default_lexicon()
+        self.lex_bc = spark.sparkContext.broadcast(self.lexicon)
+
+    def _memo(self, key: str, fn) -> DataFrame:
+        if key not in self._cache:
+            self._cache[key] = fn()
+        return self._cache[key]
+
+    def documents(self) -> DataFrame:
+        return self._memo(
+            "documents",
+            lambda: self.spark.read.parquet(f"{self.sf_dir}/documents.parquet"),
+        )
+
+    def sentences(self) -> DataFrame:
+        return self._memo(
+            "sentences",
+            lambda: tokenize_documents(
+                self.documents(), text_col="text", mode=self.tokenizer_mode
+            ),
+        )
+
+    def tokens(self) -> DataFrame:
+        """Exploded token view (doc_id, token_idx, word) — token_idx is
+        sentence-relative; the synthetic corpus is one sentence per doc."""
+        return self._memo(
+            "tokens",
+            lambda: self.sentences().select(
+                "doc_id",
+                "sent_idx",
+                F.posexplode("words").alias("token_idx", "word"),
+            ),
+        )
+
+    def mentions(self) -> DataFrame:
+        return self._memo("mentions", lambda: detect_mentions(self.sentences(), self.lex_bc))
+
+    def lfs(self) -> list[OntologyLF]:
+        return [OntologyLF(sab) for sab in self.lexicon.sabs]
+
+    def labels(self) -> DataFrame:
+        return self._memo("labels", lambda: apply_lfs(self.sentences(), self.lex_bc, self.lfs()))
+
+    def token_votes(self) -> DataFrame:
+        return self._memo("token_votes", lambda: majority_vote(self.labels()))
+
+    def typed_mentions(self) -> DataFrame:
+        return self._memo("typed", lambda: mention_types(self.mentions(), self.labels()))
+
+    def linked(self) -> DataFrame:
+        def _build():
+            typed = self.typed_mentions()
+            cui = link_mentions(typed, synth.concepts_df(self.spark), synth.CLASS_MAP)
+            return typed.join(
+                cui.select("doc_id", "sent_idx", "tok_start", "tok_end", "cui"),
+                ["doc_id", "sent_idx", "tok_start", "tok_end"],
+                "left",
+            )
+
+        return self._memo("linked", _build)
+
+    def triples(self) -> DataFrame:
+        return self._memo("triples", lambda: emit_triples(self.linked(), synth.CLASS_NAMES))

@@ -1,0 +1,64 @@
+"""Explicit skew handling: salted two-phase aggregation helpers.
+
+The BASELINE.json north_rule mandates salted hash-join dedup for head
+concepts: stopword-like lexicon terms ("hash" at ~2% of all corpus tokens
+in the synthetic fixture; "the"-like terms escaping filters at 10^12-file
+scale) concentrate millions of identical (subj, pred, obj) rows or
+per-CUI aggregation state on one reducer key.  The reference's only
+defense is lexicon hygiene (min_dict_size/stopword pruning,
+/root/reference/trove/labelers/umls.py:143-180); at cluster scale we also
+need the shuffle itself to be skew-proof.
+
+Spark's hash aggregate already does map-side partial combine, which
+de-skews pure-count/distinct aggs; salting matters for aggs with heavy
+per-key state (collect_list/collect_set), for high-cardinality-per-key
+dedup, and as an AQE-independent guarantee.  Both helpers here are
+two-phase: phase 1 groups by (key, salt) — the hot key spreads over
+``n_salts`` reducers — phase 2 merges the tiny per-salt partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int, salt_col: str = "__salt") -> DataFrame:
+    """Deterministic salt: hash of ALL columns mod n_salts.  Content-derived
+    (not random/task-id) so resume/restart produce identical partials
+    (SURVEY.md §7.3.5 resume determinism)."""
+    return df.withColumn(
+        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    )
+
+
+def salted_distinct(df: DataFrame, keys: list[str] | None = None, n_salts: int = 16) -> DataFrame:
+    """Two-phase distinct on ``keys`` (default all columns): phase-1 dedup
+    within (key, salt) buckets, phase-2 dedup of the ≤n_salts survivors per
+    key.  Equivalent to ``df.select(keys).distinct()`` (asserted in tests);
+    bounds any single reducer's input for a hot key to ~rows/n_salts."""
+    keys = keys or df.columns
+    salted = with_salt(df.select(*keys), n_salts)
+    phase1 = salted.groupBy(*keys, "__salt").agg(F.lit(1).alias("__one"))
+    return phase1.groupBy(*keys).agg(F.lit(1).alias("__one")).drop("__one")
+
+
+def salted_count(df: DataFrame, keys: list[str], n_salts: int = 16, out: str = "n") -> DataFrame:
+    """Two-phase count per key; equivalent to groupBy(keys).count()."""
+    salted = with_salt(df.select(*keys), n_salts)
+    phase1 = salted.groupBy(*keys, "__salt").agg(F.count("*").alias("__partial"))
+    return phase1.groupBy(*keys).agg(F.sum("__partial").alias(out))
+
+
+def salted_collect_set(
+    df: DataFrame, keys: list[str], value_col: str, n_salts: int = 16, out: str = "vals"
+) -> DataFrame:
+    """Two-phase collect_set: per-salt partial sets → flatten+dedup merge.
+    This is the case where salting genuinely beats the built-in: a hot
+    key's set state no longer accumulates on a single task."""
+    salted = with_salt(df.select(*keys, value_col), n_salts)
+    phase1 = salted.groupBy(*keys, "__salt").agg(
+        F.collect_set(value_col).alias("__partial")
+    )
+    return phase1.groupBy(*keys).agg(
+        F.array_distinct(F.flatten(F.collect_list("__partial"))).alias(out)
+    )

@@ -1,0 +1,145 @@
+"""Deterministic synthetic resources: ontology lexicon + repo-shaped corpus.
+
+Two jobs:
+
+1. ``LEXICON`` — the synthetic concept vocabulary used for correctness
+   checks over ``/root/testdata/sf*/documents.parquet`` (whose text is a
+   closed ~31-word vocabulary).  It is the SINGLE SOURCE OF TRUTH shared by
+   the Spark pipeline, the DuckDB oracle SQL (rendered via
+   ``concepts_values_sql``), and pytest fixtures.  Shape mirrors the
+   reference's concepts file ``SAB``/``TUI``/``CUI``/``TERM``
+   (/root/reference/trove/labelers/umls.py:385) and deliberately includes:
+   multi-token terms (longest-match cases, matchers.py:133-150), an
+   intra-SAB ambiguous term (uniform class proba → ontology-LF abstain,
+   labeling.py:99-104), a cross-SAB conflicting term (MV conflict), a
+   plural variant (match_term semantics, matchers.py:77-97), a stopword
+   collision (must be filtered, labeling.py:59-60), and a head term with
+   ~100× corpus frequency (skew fixture per BASELINE.json north_rule).
+
+2. ``generate_corpus`` — seeded generator for the BASELINE.json input
+   shape ``(repo, path, commit, lang, content)`` at arbitrary scale, no
+   wall clock, for ingest/resume/scaling tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+
+# ---------------------------------------------------------------------------
+# Synthetic ontology over the testdata vocabulary
+# ---------------------------------------------------------------------------
+
+# (SAB, TUI, CUI, TERM)
+LEXICON: list[tuple[str, str, str, str]] = [
+    # ONTO_A — the "UMLS" stand-in
+    ("ONTO_A", "T001", "C0001", "hash join"),
+    ("ONTO_A", "T001", "C0002", "merge join"),
+    ("ONTO_A", "T001", "C0003", "sort"),
+    ("ONTO_A", "T001", "C0004", "scan"),
+    ("ONTO_A", "T001", "C0005", "filter"),
+    ("ONTO_A", "T001", "C0006", "group agg"),
+    ("ONTO_A", "T001", "C0007", "window"),       # conflicts with ONTO_B C0201 (T002)
+    ("ONTO_A", "T002", "C0101", "table"),
+    ("ONTO_A", "T002", "C0102", "row"),
+    ("ONTO_A", "T002", "C0103", "column"),
+    ("ONTO_A", "T002", "C0104", "vector"),
+    ("ONTO_A", "T002", "C0105", "hash"),         # head/skew term (~1000× at sf0.01)
+    ("ONTO_A", "T002", "C0106", "key value"),
+    ("ONTO_A", "T001", "C0301", "stream"),       # intra-SAB ambiguous: T001+T002
+    ("ONTO_A", "T002", "C0107", "stream"),       #   → uniform proba → LF abstains
+    # ONTO_B — the "CTD" stand-in
+    ("ONTO_B", "T002", "C0201", "window"),
+    ("ONTO_B", "T001", "C0002", "merge join"),   # cross-SAB agreement (overlap)
+    ("ONTO_B", "T002", "C0202", "batch"),
+    ("ONTO_B", "T002", "C0203", "line"),
+    ("ONTO_B", "T001", "C0204", "sort merge join"),  # 3-gram longest-match case
+    ("ONTO_B", "T002", "C0206", "parts"),        # plural: corpus has 'part'
+    ("ONTO_B", "T002", "C0999", "the"),          # stopword collision → filtered
+]
+
+STOPWORDS: frozenset[str] = frozenset({"the", "a"})
+
+# TUI → class label (shape of tutorials/data/chemical_semantic_types.tsv)
+CLASS_MAP: dict[str, int] = {"T001": 1, "T002": 2}
+CLASS_NAMES: dict[int, str] = {1: "OPERATOR", 2: "STRUCTURE"}
+
+MAX_NGRAM = 3  # longest term in LEXICON
+
+
+def concepts_values_sql() -> str:
+    """Render LEXICON as a SQL VALUES list for the DuckDB oracle."""
+    rows = ", ".join(
+        f"('{sab}', '{tui}', '{cui}', '{term}')" for sab, tui, cui, term in LEXICON
+    )
+    return f"(VALUES {rows}) AS concepts(sab, tui, cui, term)"
+
+
+def class_map_values_sql() -> str:
+    rows = ", ".join(f"('{tui}', {lbl})" for tui, lbl in sorted(CLASS_MAP.items()))
+    return f"(VALUES {rows}) AS class_map(tui, label)"
+
+
+def stopwords_values_sql() -> str:
+    rows = ", ".join(f"('{w}')" for w in sorted(STOPWORDS))
+    return f"(VALUES {rows}) AS stopwords(word)"
+
+
+def concepts_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(LEXICON, schema="sab string, tui string, cui string, term string")
+
+
+# ---------------------------------------------------------------------------
+# Repo-shaped corpus generator (BASELINE.json input_hint)
+# ---------------------------------------------------------------------------
+
+_LANGS = ["py", "java", "go", "rs", "ts"]
+_VOCAB = [
+    "join", "hash", "row", "batch", "scan", "column", "filter", "merge",
+    "order", "vector", "line", "data", "table", "agg", "value", "key",
+    "stream", "window", "spark", "group", "part", "big", "sort", "query",
+    "fast", "the", "a", "slow", "small", "customer",
+]
+
+
+def _sha40(s: str) -> str:
+    return hashlib.sha1(s.encode()).hexdigest()
+
+
+def generate_corpus_rows(
+    n_docs: int, seed: int = 42, sentences_per_doc: tuple[int, int] = (1, 5)
+) -> list[tuple[str, str, str, str, str]]:
+    """Seeded (repo, path, commit, lang, content) rows; content embeds
+    lexicon terms (incl. multi-token runs and parenthetical abbreviation
+    definitions for Schwartz-Hearst tests) with sentence punctuation."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_docs):
+        repo = f"org/name-{i % 97}"
+        path = f"src/mod_{i % 13}/file_{i}.py"
+        commit = _sha40(f"{seed}:{i}")
+        lang = _LANGS[i % len(_LANGS)]
+        sents = []
+        for _ in range(rng.randint(*sentences_per_doc)):
+            n = rng.randint(4, 14)
+            words = [rng.choice(_VOCAB) for _ in range(n)]
+            # deterministic embellishments for specific docs
+            if rng.random() < 0.15:
+                words[rng.randrange(n)] = "sort"
+                words.append("merge")
+                words.append("join")
+            if rng.random() < 0.05:
+                words.extend(["structured", "query", "language", "(", "sql", ")"])
+            sents.append(" ".join(words) + ".")
+        rows.append((repo, path, commit, lang, " ".join(sents)))
+    return rows
+
+
+def generate_corpus(spark: SparkSession, n_docs: int, seed: int = 42, n_partitions: int = 8) -> DataFrame:
+    rows = generate_corpus_rows(n_docs, seed)
+    df = spark.createDataFrame(
+        rows, schema="repo string, path string, commit string, lang string, content string"
+    )
+    return df.repartition(n_partitions, "repo", "path")

@@ -1,0 +1,142 @@
+"""Tokenizer + sentence-boundary detection as one Arrow-vectorized stage.
+
+Re-expresses the reference's spaCy front-end
+(/root/reference/preprocessing/pipes/tokenizers.py:251-331 custom
+tokenizer, :32-203 rule SBD, :340-387 doc→sentence-record projection) as a
+deterministic regex kernel inside ``mapInPandas``: no spaCy, no per-row
+Python UDFs, one narrow stage from ``documents`` to ``sentences``.
+
+Output schema mirrors the reference's sentence record
+(preprocessing/README.md:58-66): whitespace-free tokens + ABSOLUTE char
+offsets into the document content; the text is reconstructable by
+gap-padding with spaces (trove/dataloaders/contexts.py:37-47), and char_end
+of a token span is INCLUSIVE (contexts.py:86) throughout the engine.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# word runs, or single punctuation chars (the reference's clinical rules
+# split most punctuation into standalone tokens; dates/codes special cases
+# are corpus-specific lexicons we do not need for the synthetic corpora)
+STANDARD_TOKEN_RE = re.compile(r"\w+|[^\w\s]")
+# pure whitespace tokenization (oracle-aligned for space-separated corpora)
+WHITESPACE_TOKEN_RE = re.compile(r"\S+")
+# sentence boundary: terminal punctuation followed by whitespace
+_SBD_RE = re.compile(r"(?<=[.!?])\s+")
+
+_TOKENIZERS = {"standard": STANDARD_TOKEN_RE, "whitespace": WHITESPACE_TOKEN_RE}
+
+SENTENCES_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("sent_idx", IntegerType(), False),
+        StructField("words", ArrayType(StringType()), False),
+        StructField("char_offsets", ArrayType(IntegerType()), False),
+    ]
+)
+
+
+def segment_and_tokenize(
+    text: str, token_re: re.Pattern, max_sentence_len: int
+) -> list[tuple[list[str], list[int]]]:
+    """Pure function: text → [(words, abs_char_offsets)] per sentence.
+
+    SBD on terminal punctuation + hard re-split of over-long sentences
+    (the reference re-splits long sentences and enforces a max length,
+    tokenizers.py:32-203)."""
+    sentences: list[tuple[list[str], list[int]]] = []
+    seg_start = 0
+    for seg in _SBD_RE.split(text):
+        # _SBD_RE.split drops the separator; recover absolute offsets by
+        # searching forward from the previous segment end.
+        abs_start = text.index(seg, seg_start) if seg else seg_start
+        seg_start = abs_start + len(seg)
+        words: list[str] = []
+        offsets: list[int] = []
+        for m in token_re.finditer(seg):
+            words.append(m.group())
+            offsets.append(abs_start + m.start())
+            if len(words) == max_sentence_len:
+                sentences.append((words, offsets))
+                words, offsets = [], []
+        if words:
+            sentences.append((words, offsets))
+    return sentences
+
+
+def reconstruct_text(words: list[str], offsets: list[int]) -> str:
+    """Gap-pad tokens with spaces (contexts.py:37-47) — property-test
+    helper: for whitespace-tokenized single-space text this is an exact
+    round trip of the sentence slice."""
+    if not words:
+        return ""
+    base = offsets[0]
+    out: list[str] = []
+    cur = base
+    for w, o in zip(words, offsets):
+        out.append(" " * (o - cur))
+        out.append(w)
+        cur = o + len(w)
+    return "".join(out)
+
+
+def tokenize_documents(
+    docs: DataFrame,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    mode: str = "standard",
+    max_sentence_len: int = 256,
+) -> DataFrame:
+    """documents → sentences(doc_id, sent_idx, words, char_offsets).
+
+    One ``mapInPandas`` pass: Arrow batches in, Arrow batches out; the
+    reference's joblib process pool + minibatching
+    (preprocessing/parse.py:108-133) becomes Spark task parallelism with
+    AQE load balancing.  Narrow (no shuffle)."""
+    token_re = _TOKENIZERS[mode]
+    mlen = max_sentence_len
+    cols = docs.select(
+        docs[id_col].cast("string").alias("doc_id"), docs[text_col].alias("__text")
+    )
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids: list[str] = []
+            out_idx: list[int] = []
+            out_words: list[list[str]] = []
+            out_offs: list[list[int]] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["__text"]):
+                if text is None:
+                    continue
+                for i, (words, offs) in enumerate(
+                    segment_and_tokenize(text, token_re, mlen)
+                ):
+                    out_ids.append(doc_id)
+                    out_idx.append(i)
+                    out_words.append(words)
+                    out_offs.append(offs)
+            # explicit dtypes: empty batches must still carry list<string>
+            # arrow types (pandas would infer float64 and break conversion)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_ids, dtype=object),
+                    "sent_idx": pd.Series(out_idx, dtype="int32"),
+                    "words": pd.Series(out_words, dtype=object),
+                    "char_offsets": pd.Series(out_offs, dtype=object),
+                }
+            )
+
+    return cols.mapInPandas(_kernel, schema=SENTENCES_SCHEMA)

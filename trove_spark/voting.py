@@ -1,0 +1,69 @@
+"""Vote aggregation over the sparse label matrix — pure DataFrame aggs.
+
+Majority vote / soft majority vote re-express
+/root/reference/trove/models/voting.py:4-34 as shuffling hash
+aggregations (map-side partial combine for free).  Tie handling mirrors
+the reference's ``break_ties`` hook: 'abstain' (drop the token) or
+'min' (deterministic smallest label) — the random option is excluded by
+design (resume determinism, SURVEY.md §7.3.5).
+
+The {0=abstain,…} ↔ {−1=abstain,…} convention remap
+(tutorial 3 cell 34 ``convert_label_matrix``) is a when/otherwise
+expression Catalyst folds into the same stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+TOKEN_KEY = ["doc_id", "sent_idx", "token_idx"]
+
+
+def majority_vote(
+    labels: DataFrame, keys: list[str] | None = None, break_ties: str = "abstain"
+) -> DataFrame:
+    """labels(…key…, lf_id, label) → (…key…, y) — mode of non-abstain
+    votes; ties resolved per ``break_ties`` (voting.py:4-16).
+
+    One shuffle on the token key: count per (key,label) happens with
+    map-side combine; the argmax/tie logic is a second LOCAL agg over the
+    per-key label counts (same partitioning → no extra shuffle)."""
+    from pyspark.sql import Window
+
+    keys = keys or TOKEN_KEY
+    counts = labels.groupBy(*keys, "label").agg(F.count("*").alias("n"))
+    # per-key max via window: counts is already hash-partitioned by a
+    # superset key, so the window repartition is small (distinct labels/key)
+    w = Window.partitionBy(*keys)
+    top = (
+        counts.withColumn("mx", F.max("n").over(w))
+        .filter(F.col("n") == F.col("mx"))
+        .groupBy(*keys)
+        .agg(F.count("*").alias("n_at_mx"), F.min("label").alias("top"))
+    )
+    if break_ties == "abstain":
+        return top.filter(F.col("n_at_mx") == 1).select(*keys, F.col("top").alias("y"))
+    if break_ties == "min":
+        return top.select(*keys, F.col("top").alias("y"))
+    raise ValueError(break_ties)
+
+
+def soft_majority_vote(labels: DataFrame, n_classes: int, keys: list[str] | None = None) -> DataFrame:
+    """Class-frequency distribution over non-abstain votes per token
+    (voting.py:18-34) → (…key…, label, proba)."""
+    keys = keys or TOKEN_KEY
+    counts = labels.groupBy(*keys, "label").agg(F.count("*").alias("n"))
+    totals = counts.groupBy(*keys).agg(F.sum("n").alias("tot"))
+    return counts.join(totals, keys).select(
+        *keys, "label", (F.col("n") / F.col("tot")).alias("proba")
+    )
+
+
+def remap_convention(labels: DataFrame, col: str = "label") -> DataFrame:
+    """{0=abstain, 1=pos, 2=neg} → {−1=abstain, 1=pos, 0=neg}
+    (tutorial 3 cell 34)."""
+    c = F.col(col)
+    return labels.withColumn(
+        col,
+        F.when(c == 0, F.lit(-1)).when(c == 2, F.lit(0)).otherwise(c),
+    )
