@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit", "queries" {name: sec},
+"sf", plus docs/s and scaling context}.
+
+Set BENCH_SCALING=1 to also run the flagship pipeline at local[8] vs
+local[32] on the same input and report throughput scaling efficiency
+(the BASELINE.json north_rule's two-cluster-size criterion, evidenced
+in-sandbox at two parallelism levels).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _fresh_spark(cores: str):
+    from trove_spark.session import get_spark
+
+    return get_spark(app_name=f"bench_{cores}", master=f"local[{cores}]")
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    import __spark_entry__ as em
+
+    em._PIPELINES.clear()  # no cross-query reuse: each timing is cold-plan
+    q = em.queries()[name]
+    t0 = time.time()
+    q(spark, sf_dir).count()
+    return time.time() - t0
+
+
+HEADLINE = [
+    "kg_tokens",
+    "kg_mentions_longest",
+    "kg_lf_votes",
+    "kg_majority_vote",
+    "kg_linked",
+    "kg_triples",
+]
+
+
+def main() -> None:
+    import duckdb
+
+    n_docs = duckdb.sql(
+        f"select count(*) from read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchone()[0]
+
+    spark = _fresh_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as em
+
+    available = set(em.queries())
+    queries: dict[str, float] = {}
+    for name in HEADLINE:
+        if name in available:
+            queries[name] = round(run_query(spark, name, SF_DIR), 3)
+    total = round(sum(queries.values()), 3)
+    flagship = queries.get("kg_triples", total)
+    docs_per_sec = round(n_docs / flagship, 1) if flagship else None
+
+    result = {
+        "metric": "kg_pipeline_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "n_docs": n_docs,
+        "flagship_docs_per_sec": docs_per_sec,
+        "cpus": CPUS,
+    }
+
+    if os.environ.get("BENCH_SCALING") == "1":
+        spark.stop()
+        scaling = {}
+        for cores in ("8", "32"):
+            s = _fresh_spark(cores)
+            s.sparkContext.setLogLevel("ERROR")
+            run_query(s, "kg_triples", SF_DIR)  # warm JVM/JIT
+            dt = run_query(s, "kg_triples", SF_DIR)
+            scaling[cores] = {"sec": round(dt, 3), "docs_per_sec": round(n_docs / dt, 1)}
+            s.stop()
+        speedup = scaling["8"]["sec"] / scaling["32"]["sec"]
+        result["scaling"] = scaling
+        result["scaling_speedup_8_to_32"] = round(speedup, 3)
+        result["scaling_efficiency"] = round(speedup / 4.0, 3)
+    else:
+        spark.stop()
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

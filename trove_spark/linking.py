@@ -44,23 +44,21 @@ def mention_types(mentions: DataFrame, labels: DataFrame) -> DataFrame:
     token-range predicate; both sides are pre-bucketed by doc so the
     shuffle is one hash partitioning each."""
     token_y = majority_vote(labels)  # (doc_id, sent_idx, token_idx, y)
-    m = mentions.filter("is_longest").alias("m")
-    t = token_y.alias("t")
-    joined = m.join(
-        t,
-        (F.col("m.doc_id") == F.col("t.doc_id"))
-        & (F.col("m.sent_idx") == F.col("t.sent_idx"))
-        & (F.col("t.token_idx") >= F.col("m.tok_start"))
-        & (F.col("t.token_idx") <= F.col("m.tok_end")),
-        "left",
-    ).select("m.*", F.col("t.y").alias("tok_y"))
-    # mention-level vote over its tokens: mode with deterministic tie→min
-    counts = (
-        joined.filter(F.col("tok_y").isNotNull())
-        .groupBy("doc_id", "sent_idx", "tok_start", "tok_end",
-                 "char_start", "char_end", "term_id", "term", "tok_y")
-        .agg(F.count("*").alias("n"))
+    m = mentions.filter("is_longest")
+    # explode the (short, ≤max_ngram) token range so the vote lookup is an
+    # EQUI-join on (doc_id, sent_idx, token_idx) — a hash join Catalyst can
+    # plan well — instead of a range join (BNLJ at scale)
+    m_tokens = m.select(
+        "doc_id", "sent_idx", "tok_start", "tok_end",
+        "char_start", "char_end", "term_id", "term",
+        F.explode(F.sequence("tok_start", "tok_end")).alias("token_idx"),
     )
+    joined = m_tokens.join(token_y, ["doc_id", "sent_idx", "token_idx"], "inner")
+    # mention-level vote over its tokens: mode with deterministic tie→min
+    counts = joined.groupBy(
+        "doc_id", "sent_idx", "tok_start", "tok_end",
+        "char_start", "char_end", "term_id", "term", F.col("y").alias("tok_y"),
+    ).agg(F.count("*").alias("n"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id", "sent_idx", "tok_start", "tok_end")

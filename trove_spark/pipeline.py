@@ -35,9 +35,19 @@ class KGPipeline:
         self.lexicon = default_lexicon()
         self.lex_bc = spark.sparkContext.broadcast(self.lexicon)
 
+    # stages consumed by >1 downstream branch (or >1 time inside one plan —
+    # emit_triples unions three projections of `linked`): persist so the
+    # Python-kernel stages (tokenize/match/LF) run once, not once per branch
+    _PERSISTED = {"sentences", "mentions", "labels", "typed", "linked"}
+
     def _memo(self, key: str, fn) -> DataFrame:
         if key not in self._cache:
-            self._cache[key] = fn()
+            df = fn()
+            if key in self._PERSISTED:
+                from pyspark import StorageLevel
+
+                df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            self._cache[key] = df
         return self._cache[key]
 
     def documents(self) -> DataFrame:
