@@ -125,6 +125,96 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data-pipeline operators: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dedup_exact(spark, sf_dir):
+    from trove_spark.extras.dedup import exact_dup_groups
+
+    return exact_dup_groups(_docs(spark, sf_dir))
+
+
+def q_dedup_jaccard_pairs(spark, sf_dir):
+    from trove_spark.extras.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=5, threshold=0.6, max_shingle_freq=100)
+
+
+def q_dedup_minhash_sigs(spark, sf_dir):
+    from trove_spark.extras.dedup import minhash_signatures
+
+    return _long(minhash_signatures(_docs(spark, sf_dir), n_hashes=16), "seed")
+
+
+def q_dedup_minhash_lsh_pairs(spark, sf_dir):
+    from trove_spark.extras.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), n_hashes=16, band_size=4, threshold=0.5)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from trove_spark.extras.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir), bits=32)
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash hamming-≤3 near-dup pairs (rows-only check: the banded
+    candidate generation is set-equivalent to SQL but the pigeonhole
+    blocking is the operator under test)."""
+    from trove_spark.extras.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(spark, sf_dir), bits=32, max_hamming=3)
+
+
+def q_ann_brute_topk(spark, sf_dir):
+    from trove_spark.extras.similarity import brute_force_topk
+
+    embs = _embs(spark, sf_dir)
+    return brute_force_topk(embs, embs.filter("vec_id < 10"), k=5)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (rows-only: approximate by design)."""
+    from trove_spark.extras.similarity import lsh_bucketed_topk
+
+    return lsh_bucketed_topk(_embs(spark, sf_dir), k=5, dim=64, n_planes=6)
+
+
+def q_text_token_counts(spark, sf_dir):
+    from trove_spark.extras.textstats import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def q_text_language_id(spark, sf_dir):
+    from trove_spark.extras.textstats import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark, sf_dir):
+    from trove_spark.extras.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    from trove_spark.extras.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -144,12 +234,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_typed_mentions": q_kg_typed_mentions,
         "kg_linked": q_kg_linked,
         "kg_triples": q_kg_triples,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "dedup_minhash_sigs": q_dedup_minhash_sigs,
+        "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "ann_brute_topk": q_ann_brute_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "text_token_counts": q_text_token_counts,
+        "text_language_id": q_text_language_id,
+        "text_quality": q_text_quality,
+        "text_fingerprint": q_text_fingerprint,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from trove_spark.oracle import extras_oracles
+
     p = kg_cte_prefix()
-    return {
+    out = extras_oracles()
+    # dedup_simhash_pairs / ann_lsh_topk intentionally have NO oracle
+    # (blocking-based approximations) → driver's rows-only check
+    out.update({
         "kg_tokens": p + "SELECT doc_id, tok AS token_idx, word FROM toks",
         "kg_mentions": p
         + """SELECT m.doc_id, m.s AS tok_start, m.e AS tok_end, tm.term
@@ -171,4 +278,5 @@ def oracle_sql() -> dict[str, str]:
         + """SELECT t.doc_id, t.s AS tok_start, t.e AS tok_end, tm.term, t.etype, t.cui
              FROM linked t JOIN terms tm ON tm.term_id = t.term_id""",
         "kg_triples": p + "SELECT subj, pred, obj FROM triples",
-    }
+    })
+    return out

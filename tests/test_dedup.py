@@ -1,0 +1,97 @@
+"""Dedup operator behavior against the testdata's PLANTED near-duplicates:
+each doc containing the token 'dup' is a copy of another doc with one token
+inserted — MinHash-LSH and n-gram Jaccard must recover those pairs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def planted_pairs(docs) -> set[tuple[str, str]]:
+    rows = docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text").collect()
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    pairs = set()
+    for did, text in texts.items():
+        toks = text.split()
+        if "dup" not in toks:
+            continue
+        stripped = " ".join(w for w in toks if w != "dup")
+        for oid, otext in texts.items():
+            if oid != did and otext == stripped:
+                pairs.add((min(did, oid), max(did, oid)))
+    return pairs
+
+
+def test_planted_pairs_exist(docs):
+    assert len(planted_pairs(docs)) >= 20
+
+
+def test_jaccard_recovers_planted(docs):
+    from trove_spark.extras.dedup import ngram_jaccard_pairs
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, k=5, threshold=0.6).collect()
+    }
+    planted = planted_pairs(docs)
+    assert planted <= got, f"missed {planted - got}"
+
+
+def test_minhash_lsh_recovers_most_planted(docs):
+    from trove_spark.extras.dedup import minhash_lsh_pairs
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, n_hashes=16, band_size=4, threshold=0.5).collect()
+    }
+    planted = planted_pairs(docs)
+    recall = len(planted & got) / len(planted)
+    # LSH at b=4,r=4 has ~99% hit prob at J≈0.85; allow a small miss margin
+    assert recall >= 0.8, f"recall {recall}: missed {planted - got}"
+    # verification step means no false positives below the jaccard threshold
+    from trove_spark.extras.dedup import ngram_jaccard_pairs
+
+    verified = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, 5, 0.5, 10**9).collect()
+    }
+    assert got <= verified
+
+
+def test_simhash_pairs_hamming_bound(docs):
+    from trove_spark.extras.dedup import simhash, simhash_near_pairs
+
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    pairs = simhash_near_pairs(docs, bits=32, max_hamming=3).collect()
+    for r in pairs:
+        xor = fp[r["doc_a"]] ^ fp[r["doc_b"]]
+        assert bin(xor).count("1") == r["hamming"] <= 3
+
+
+def test_exact_dedup_no_collisions(docs):
+    from trove_spark.extras.dedup import exact_dup_groups
+
+    g = exact_dup_groups(docs)
+    assert g.filter("n_docs > 1").count() == 0  # corpus has no exact dups
+    assert g.count() == docs.count()
+
+
+def test_ann_brute_topk_shape(spark):
+    from trove_spark.extras.similarity import brute_force_topk
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = brute_force_topk(embs, embs.filter("vec_id < 10"), k=5).collect()
+    assert len(out) == 50
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert r["neighbor_id"] != r["query_id"]
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())

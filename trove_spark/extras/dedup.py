@@ -1,0 +1,234 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All four families — exact, n-gram Jaccard, MinHash+LSH, SimHash — are
+pure-DataFrame formulations (no Python kernels at all): hashing uses
+md5/sha2 built-ins so plans stay inside whole-stage codegen AND are
+bit-reproducible across engines (the DuckDB oracles recompute them).
+
+Scale design (the point — 100 TB, 10^9+ docs):
+  * never O(n²): candidate pairs always come from an inverted index
+    (shingle → docs) or an LSH band-bucket join, i.e. a shuffle whose
+    key cardinality is bounded by design;
+  * hot shingles (boilerplate headers shared by millions of docs) are
+    the skew risk: ``max_shingle_freq`` drops shingles above a document
+    frequency cap before the pair join (standard trick — a shingle in
+    1M docs contributes (1M choose 2) pairs and zero discrimination);
+  * MinHash signatures are fixed-width (n_hashes rows/doc) so the
+    band join is linear in corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# 60-bit portable hash: identical in Spark and DuckDB
+#   spark : conv(substr(md5(x), 1, 15), 16, 10)::long
+#   duckdb: cast('0x' || substr(md5(x), 1, 15) as bigint)
+
+
+def _h60(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: content-hash groups (sha256) with canonical min-id.
+    One shuffle on the 256-bit hash — uniform by construction, no skew."""
+    return (
+        docs.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.sha2(F.col(text_col), 256).alias("content_hash"),
+        )
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_id"))
+    )
+
+
+def shingles(
+    docs: DataFrame, k: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct word k-shingles per doc, computed with array higher-order
+    functions (JVM-side, no UDF)."""
+    words = F.split(F.col(text_col), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+    )
+    return docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.explode(F.array_distinct(sh)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    threshold: float = 0.6,
+    max_shingle_freq: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard via inverted index:
+    shingle → docs → co-occurrence counts → |A∩B| / (|A|+|B|−|A∩B|).
+
+    The self-join key is the shingle; ``max_shingle_freq`` caps its
+    fan-out (skew defense).  Output: (doc_a, doc_b, co, na, nb) with
+    doc_a < doc_b and jaccard ≥ threshold."""
+    sh = shingles(docs, k, id_col, text_col)
+    # drop boilerplate shingles: they blow up the pair join and carry no signal
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sh = sh.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    co = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("co"))
+    )
+    out = (
+        co.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .filter(F.col("co") / (F.col("na") + F.col("nb") - F.col("co")) >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "co", "na", "nb")
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signature rows (doc_id, seed, mh): mh = min over the doc's
+    shingles of h60(shingle ‖ ':' ‖ seed).  Explode-by-seed then min-agg —
+    one shuffle keyed (doc_id, seed); fully codegen'd."""
+    sh = shingles(docs, k, id_col, text_col)
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
+        "shingle",
+    )
+    return seeded.groupBy("doc_id", "seed").agg(
+        F.min(_h60(F.concat_ws(":", F.col("shingle"), F.col("seed")))).alias("mh")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    k: int = 5,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash + LSH banding: band signature = md5 of the band's ordered
+    minhashes; docs sharing any band bucket become candidates; candidates
+    are verified by exact Jaccard (ngram_jaccard_pairs logic) — the
+    standard scale path: the only all-pairs computation happens within
+    LSH buckets, whose size is controlled by band tuning.
+
+    Output: (doc_a, doc_b) candidate pairs verified at ≥ threshold."""
+    sig = minhash_signatures(docs, n_hashes, k, id_col, text_col)
+    bands = (
+        sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                        lambda s: s["mh"].cast("string"),
+                    ),
+                )
+            ).alias("band_sig")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(docs, k, threshold, 10**9, id_col, text_col)
+    return cand.join(verified.select("doc_a", "doc_b"), ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b"
+    )
+
+
+def simhash(
+    docs: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """SimHash fingerprints: per token-with-count, hash once; bit b of the
+    fingerprint is sign(Σ count × (±1 by hash bit b)).  Expressed as
+    explode(bits) + conditional sum — stays in codegen; the (doc, bit)
+    key is perfectly uniform."""
+    words = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    )
+    wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
+    wh = wc.withColumn("h", _h60(F.col("w")))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    # shiftright/shiftleft with a COLUMN shift amount: only the SQL form
+    # accepts expressions (the python helper wants an int literal)
+    per_bit = wh.select("doc_id", "cnt", "h", bit).withColumn(
+        "contrib",
+        F.when(F.expr("(shiftright(h, bit) & 1)") == 1, F.col("cnt")).otherwise(-F.col("cnt")),
+    )
+    return (
+        per_bit.groupBy("doc_id", "bit")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn(
+            "bitval",
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    bits: int = 32,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs: band the fingerprint into ``n_bands`` byte
+    blocks; pairs agreeing on ≥1 block are candidates (pigeonhole: any
+    pair within max_hamming < n_bands differs in < n_bands blocks, so
+    at least one block matches); verify true Hamming ≤ max_hamming."""
+    fp = simhash(docs, bits, id_col, text_col)
+    block_bits = bits // n_bands
+    blocks = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("blk"),
+    ).withColumn(
+        "blk_val",
+        F.expr(f"shiftright(simhash, blk * {block_bits}) & {(1 << block_bits) - 1}"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(b, ["blk", "blk_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    ).filter(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")

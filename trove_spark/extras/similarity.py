@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  * ``brute_force_topk`` — exact cosine top-k via a crossJoin +
+    window rank.  Correctness baseline; O(n·q) — fine for a broadcast-
+    sized query set against a big corpus (the common "find neighbors of
+    these 100 probes in 10^9 vectors" shape: broadcast the probes,
+    one pass over the corpus, per-probe top-k via window).
+  * ``lsh_bucketed_topk`` — random-hyperplane LSH (signed projections
+    onto deterministic pseudo-random planes) buckets the corpus; only
+    same-bucket pairs are scored.  The scale path: the crossJoin
+    disappears, replaced by an equi-join on the bucket signature.
+
+All dot products use ``F.zip_with`` + ``F.aggregate`` in DOUBLE —
+JVM-side higher-order functions, no UDF.  Ranks tie-break on neighbor
+id so results are engine-deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def with_cosine(pairs: DataFrame, a_col: str = "emb_a", b_col: str = "emb_b") -> DataFrame:
+    return pairs.withColumn(
+        "cosine",
+        _dot(F.col(a_col), F.col(b_col))
+        / (_norm(F.col(a_col)) * _norm(F.col(b_col))),
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus.
+    (query_id, neighbor_id, rank) — rank 1..k, self-match excluded,
+    ties broken by neighbor id.  ``queries`` is expected to be small →
+    broadcast side of the crossJoin (one corpus scan, no shuffle of the
+    corpus)."""
+    q = queries.select(
+        F.col(id_col).cast("long").alias("query_id"), F.col(vec_col).alias("emb_q")
+    )
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"), F.col(vec_col).alias("emb_c")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", _dot(F.col("emb_q"), F.col("emb_c")) / (_norm(F.col("emb_q")) * _norm(F.col("emb_c"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _plane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from md5 — reproducible on
+    any engine/driver, no RNG state."""
+    import hashlib
+
+    out = []
+    for j in range(dim):
+        h = hashlib.md5(f"plane:{plane_idx}:{j}".encode()).hexdigest()
+        out.append((int(h[:15], 16) / float(1 << 60)) * 2.0 - 1.0)
+    return out
+
+
+def random_hyperplane_signature(
+    df: DataFrame, dim: int, n_planes: int = 8, vec_col: str = "embedding"
+) -> DataFrame:
+    """Append an LSH bucket signature: bit i = sign(v · plane_i)."""
+    sig = None
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in _plane(dim, i)])
+        bit = F.when(_dot(F.col(vec_col), plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig * 2 + bit
+    return df.withColumn("lsh_bucket", sig.cast("long"))
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs ANN within LSH buckets: equi-join on the bucket signature
+    replaces the crossJoin (recall < 1 by design; n_planes trades recall
+    vs bucket size).  (query_id, neighbor_id, rank within bucket)."""
+    sigd = random_hyperplane_signature(
+        corpus.select(F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("emb")),
+        dim,
+        n_planes,
+        "emb",
+    )
+    a, b = sigd.alias("a"), sigd.alias("b")
+    scored = (
+        a.join(b, "lsh_bucket")
+        .filter(F.col("a.vid") != F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("query_id"),
+            F.col("b.vid").alias("neighbor_id"),
+            (_dot(F.col("a.emb"), F.col("b.emb")) / (_norm(F.col("a.emb")) * _norm(F.col("b.emb")))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    )

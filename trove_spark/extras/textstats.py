@@ -1,0 +1,94 @@
+"""Text analysis for training-data curation: language-ID heuristic,
+quality scoring, token counting, document fingerprinting.
+
+Everything is built-in-function DataFrame code (whole-stage codegen; no
+Python).  Scores that feed filters are emitted as SCALED INTEGERS
+(ratio × 1000, floor) so results are engine-exact (no float hashing
+hazards) and cheap to compare/aggregate at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# tiny English function-word list for the n-gram/stopword heuristic
+EN_STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is", "it", "for"]
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish proxy: word-chars runs vs punctuation
+    singletons (regexp count).  (doc_id, n_tokens, n_subtokens, n_chars)."""
+    words = F.split(F.col(text_col), " ")
+    return docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.size(words).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\w+|[^\w\s]"), 0))
+        .cast("long")
+        .alias("n_subtokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+
+
+def language_id(
+    docs: DataFrame,
+    stopwords: list[str] | None = None,
+    threshold_permille: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heuristic language ID: share of tokens that are English function
+    words, in permille (integer).  pred = 'en' iff ≥ threshold.
+    (The reference has no lang-ID; this is the standard n-gram/stopword
+    heuristic a corpus pipeline needs, kept deterministic + SQL-exact.)"""
+    stopwords = stopwords or EN_STOPWORDS
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: F.lower(w).isin(stopwords)))
+    permille = F.floor(n_stop * 1000 / F.greatest(n, F.lit(1))).cast("long")
+    return docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        permille.alias("stopword_permille"),
+        F.when(permille >= threshold_permille, F.lit("en")).otherwise(F.lit("other")).alias("lang_pred"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus-quality features, all scaled-integer: mean word length (×100),
+    distinct-token ratio (permille), punctuation ratio (permille of chars),
+    plus a composite keep/drop flag with the usual curation thresholds."""
+    words = F.split(F.col(text_col), " ")
+    n = F.greatest(F.size(words), F.lit(1))
+    n_chars = F.greatest(F.length(text_col), F.lit(1))
+    mean_wlen_x100 = F.floor((F.length(text_col) - (F.size(words) - 1)) * 100 / n).cast("long")
+    distinct_permille = F.floor(F.size(F.array_distinct(words)) * 1000 / n).cast("long")
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[\w\s]", ""))
+    punct_permille = F.floor(n_punct * 1000 / n_chars).cast("long")
+    keep = (
+        (F.size(words) >= 5)
+        & (mean_wlen_x100.between(200, 1200))
+        & (distinct_permille >= 200)
+        & (punct_permille <= 200)
+    )
+    return docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.size(words).cast("long").alias("n_tokens"),
+        mean_wlen_x100.alias("mean_wlen_x100"),
+        distinct_permille.alias("distinct_permille"),
+        punct_permille.alias("punct_permille"),
+        keep.alias("keep"),
+    )
+
+
+def fingerprint(docs: DataFrame, k: int = 5, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprint: full-content sha256 plus a winnowing-style
+    min-shingle-hash (rolling content marker robust to reordering of
+    surrounding docs).  (doc_id, content_sha256, min_shingle_h)."""
+    from .dedup import _h60, shingles
+
+    sh = shingles(docs, k, id_col, text_col)
+    minsh = sh.groupBy("doc_id").agg(F.min(_h60(F.col("shingle"))).alias("min_shingle_h"))
+    base = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.sha2(F.col(text_col), 256).alias("content_sha256"),
+    )
+    return base.join(minsh, "doc_id", "left")

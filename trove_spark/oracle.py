@@ -162,3 +162,161 @@ triples AS (
   ) u(subj, pred, obj)
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Dedup / similarity / textstats oracles (trove_spark.extras)
+# ---------------------------------------------------------------------------
+
+# portable 60-bit hash (== Spark conv(substr(md5(x),1,15),16,10)::long)
+_H60 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+_SHINGLES = """
+shingles AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         unnest(list_distinct(list_transform(
+             range(0, greatest(len(string_split(text, ' ')) - 4, 1)),
+             i -> array_to_string(array_slice(string_split(text, ' '), i + 1, i + 5), ' ')
+         ))) AS shingle
+  FROM documents
+)
+"""
+
+_JACCARD_BODY = """
+filt AS (
+  SELECT s.* FROM shingles s
+  JOIN (SELECT shingle FROM shingles GROUP BY 1 HAVING COUNT(*) <= {max_freq}) f
+    USING (shingle)
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM filt GROUP BY 1),
+co AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS co
+  FROM filt a JOIN filt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b, co, sa.n_sh AS na, sb.n_sh AS nb
+  FROM co JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE co * 1.0 / (sa.n_sh + sb.n_sh - co) >= {threshold}
+)
+"""
+
+
+def extras_oracles() -> dict[str, str]:
+    h_sh = _H60.format(x="shingle || ':' || seed")
+    h_w = _H60.format(x="w")
+    return {
+        "dedup_exact": """
+SELECT sha256(text) AS content_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(CAST(doc_id AS VARCHAR)) AS canonical_id
+FROM documents GROUP BY 1
+""",
+        "dedup_jaccard_pairs": "WITH "
+        + _SHINGLES.strip().rstrip()
+        + ","
+        + _JACCARD_BODY.format(max_freq=100, threshold=0.6)
+        + "SELECT doc_a, doc_b, co, na, nb FROM jac",
+        "dedup_minhash_sigs": "WITH "
+        + _SHINGLES.strip()
+        + f"""
+SELECT doc_id, seed, CAST(MIN({h_sh}) AS BIGINT) AS mh
+FROM shingles, (SELECT unnest(range(0, 16)) AS seed) s
+GROUP BY doc_id, seed
+""",
+        "dedup_minhash_lsh_pairs": "WITH "
+        + _SHINGLES.strip()
+        + f""",
+sig AS (
+  SELECT doc_id, seed, MIN({h_sh}) AS mh
+  FROM shingles, (SELECT unnest(range(0, 16)) AS seed) s
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // 4 AS band,
+         md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS band_sig
+  FROM sig GROUP BY doc_id, seed // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+  WHERE a.doc_id < b.doc_id
+),
+"""
+        + _JACCARD_BODY.format(max_freq=10**9, threshold=0.5)
+        + "SELECT c.doc_a, c.doc_b FROM cand c JOIN jac USING (doc_a, doc_b)",
+        "dedup_simhash": f"""
+WITH wc AS (
+  SELECT doc_id, w, COUNT(*) AS cnt FROM (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, unnest(string_split(text, ' ')) AS w
+    FROM documents) GROUP BY 1, 2
+),
+pb AS (
+  SELECT doc_id, bp, SUM(CASE WHEN ({h_w} >> bp) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+  FROM wc, (SELECT unnest(range(0, 32)) AS bp) b GROUP BY 1, 2
+)
+SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << bp ELSE 0 END) AS BIGINT) AS simhash
+FROM pb GROUP BY 1
+""",
+        "ann_brute_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS emb_q FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS emb_c FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(emb_q, emb_c)
+           / (sqrt(list_dot_product(emb_q, emb_q)) * sqrt(list_dot_product(emb_c, emb_c))) AS cosine
+  FROM c, q WHERE neighbor_id != query_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+        "text_token_counts": r"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_subtokens,
+       CAST(len(text) AS BIGINT) AS n_chars
+FROM documents
+""",
+        "text_language_id": """
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(FLOOR(len(list_filter(string_split(text, ' '),
+                w -> lower(w) IN ('the','a','an','and','of','to','in','is','it','for'))) * 1000
+              / greatest(len(string_split(text, ' ')), 1)) AS BIGINT) AS stopword_permille
+  FROM documents
+)
+SELECT doc_id, stopword_permille,
+       CASE WHEN stopword_permille >= 30 THEN 'en' ELSE 'other' END AS lang_pred
+FROM t
+""",
+        "text_quality": r"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+         string_split(text, ' ') AS ws,
+         greatest(len(string_split(text, ' ')), 1) AS n,
+         greatest(len(text), 1) AS nc
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_tokens,
+         CAST(FLOOR((len(text) - (len(ws) - 1)) * 100 / n) AS BIGINT) AS mean_wlen_x100,
+         CAST(FLOOR(len(list_distinct(ws)) * 1000 / n) AS BIGINT) AS distinct_permille,
+         CAST(FLOOR(len(regexp_replace(text, '[\w\s]', '', 'g')) * 1000 / nc) AS BIGINT) AS punct_permille
+  FROM t
+)
+SELECT *, (n_tokens >= 5 AND mean_wlen_x100 BETWEEN 200 AND 1200
+           AND distinct_permille >= 200 AND punct_permille <= 200) AS keep
+FROM m
+""",
+        "text_fingerprint": "WITH "
+        + _SHINGLES.strip()
+        + f""",
+minsh AS (SELECT doc_id, CAST(MIN({_H60.format(x="shingle")}) AS BIGINT) AS min_shingle_h
+          FROM shingles GROUP BY 1)
+SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, sha256(d.text) AS content_sha256, m.min_shingle_h
+FROM documents d LEFT JOIN minsh m ON m.doc_id = CAST(d.doc_id AS VARCHAR)
+""",
+    }
