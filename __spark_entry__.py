@@ -125,6 +125,194 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LF suite / analysis / taggers (SURVEY.md §2.4, §2.5, §2.7)
+# ---------------------------------------------------------------------------
+
+
+def q_kg_lf_suite(spark, sf_dir):
+    """L1 dictionary / L4 regex-each / L7 word-graph / L6 doc-scope synset
+    LFs — one kernel pass + the two-stage doc-scope pattern."""
+    p = _pipe(spark, sf_dir)
+    names = p.suite_lf_names()
+    mapping = F.create_map(*[x for i, n in enumerate(names) for x in (F.lit(i), F.lit(n))])
+    return _long(
+        p.lf_suite_labels().select(
+            "doc_id", "token_idx", mapping[F.col("lf_id")].alias("lf"), "label"
+        ),
+        "token_idx",
+        "label",
+    )
+
+
+def q_kg_coverage_stats(spark, sf_dir):
+    """G5-G7: global coverage/overlap/conflict counts."""
+    from trove_spark.analysis import coverage_stats
+
+    return coverage_stats(_pipe(spark, sf_dir).labels())
+
+
+def q_kg_lf_summary(spark, sf_dir):
+    """G8-G10 lf_summary: per-LF polarities + coverage/overlap/conflict."""
+    from trove_spark.analysis import lf_summary
+
+    p = _pipe(spark, sf_dir)
+    sabs = p.lexicon.sabs
+    mapping = F.create_map(*[x for i, s in enumerate(sabs) for x in (F.lit(i), F.lit(s))])
+    labels = p.labels().withColumn("lf_id", mapping[F.col("lf_id")])
+    return lf_summary(labels).withColumnRenamed("lf_id", "lf")
+
+
+def q_kg_ontology_rank(spark, sf_dir):
+    """G15: rank source vocabularies by corpus match count (top-k)."""
+    from trove_spark.analysis import ontology_coverage_rank
+
+    p = _pipe(spark, sf_dir)
+    term_sabs = spark.createDataFrame(
+        sorted(
+            {
+                (tid, sab)
+                for tid, entries in enumerate(p.lexicon.term_entries)
+                for (sab, _tui, _cui) in entries
+            }
+        ),
+        schema="term_id int, sab string",
+    )
+    return ontology_coverage_rank(p.mentions(), term_sabs, k=10)
+
+
+def q_tag_sessions(spark, sf_dir):
+    """A7 section carry-forward shape: LOCF window over the events stream."""
+    from trove_spark.taggers import session_headers
+
+    return session_headers(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_tag_relations(spark, sf_dir):
+    """A11 RelationTagger: within-sentence typed-pair self-join."""
+    from trove_spark.taggers import relation_pairs
+
+    return relation_pairs(_pipe(spark, sf_dir).typed_mentions(), 1, 2, max_token_dist=5)
+
+
+def q_tag_negation(spark, sf_dir):
+    """A1 NegEx shape: left-window trigger → negated property."""
+    from trove_spark.synth import NEGATION_TRIGGERS
+    from trove_spark.taggers import negation_window
+
+    p = _pipe(spark, sf_dir)
+    out = negation_window(p.typed_mentions(), p.tokens(), NEGATION_TRIGGERS, window=3)
+    return _long(
+        out.select("doc_id", "tok_start", "tok_end", "term", "negated"),
+        "tok_start",
+        "tok_end",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational operator taxonomy over the TPC-H-ish tables (SURVEY.md §2.10)
+# ---------------------------------------------------------------------------
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_rel_agg_pricing(spark, sf_dir):
+    """Hash agg with decimal-exact partial+final sums (TPC-H Q1 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+
+
+def q_rel_join_nations(spark, sf_dir):
+    """Multi-way join with BROADCAST dims (customer/nation) into fact agg."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+        )
+    )
+
+
+def q_rel_window_top_orders(spark, sf_dir):
+    """Window rank: top-3 orders per customer."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 3")
+        .select(
+            F.col("o_custkey").cast("long").alias("o_custkey"),
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+def q_rel_anti_join(spark, sf_dir):
+    """Anti join: orders with no lineitems (non-empty at every sf)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey")
+    )
+
+
+def q_rel_semi_join(spark, sf_dir):
+    """Semi join: parts that appear in lineitem."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select(
+        F.col("p_partkey").cast("long").alias("p_partkey")
+    )
+
+
+def q_rel_topk_parts(spark, sf_dir):
+    """Top-k by count with deterministic tie-break."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_partkey").cast("long").alias("l_partkey"))
+        .agg(F.count("*").cast("long").alias("n_lines"))
+        .orderBy(F.desc("n_lines"), F.asc("l_partkey"))
+        .limit(10)
+    )
+
+
+def q_rel_set_ops(spark, sf_dir):
+    """Set ops: part sizes EXCEPT nation regionkeys (non-empty), plus the
+    INTERSECT count folded in as a second column via union tagging."""
+    p = _t(spark, sf_dir, "part").select(F.col("p_size").cast("long").alias("k"))
+    n = _t(spark, sf_dir, "nation").select(F.col("n_regionkey").cast("long").alias("k"))
+    return p.subtract(n).withColumnRenamed("k", "p_size")
+
+
+def q_rel_range_join(spark, sf_dir):
+    """Equi+range join: lineitems shipped within 30 days of order date."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n_fast_ships"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Training-data-pipeline operators: dedup / similarity / text analysis
 # ---------------------------------------------------------------------------
 
@@ -234,6 +422,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_typed_mentions": q_kg_typed_mentions,
         "kg_linked": q_kg_linked,
         "kg_triples": q_kg_triples,
+        "kg_lf_suite": q_kg_lf_suite,
+        "kg_coverage_stats": q_kg_coverage_stats,
+        "kg_lf_summary": q_kg_lf_summary,
+        "kg_ontology_rank": q_kg_ontology_rank,
+        "tag_sessions": q_tag_sessions,
+        "tag_relations": q_tag_relations,
+        "tag_negation": q_tag_negation,
+        "rel_agg_pricing": q_rel_agg_pricing,
+        "rel_join_nations": q_rel_join_nations,
+        "rel_window_top_orders": q_rel_window_top_orders,
+        "rel_anti_join": q_rel_anti_join,
+        "rel_semi_join": q_rel_semi_join,
+        "rel_topk_parts": q_rel_topk_parts,
+        "rel_set_ops": q_rel_set_ops,
+        "rel_range_join": q_rel_range_join,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
@@ -250,10 +453,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from trove_spark.oracle import extras_oracles
+    from trove_spark.oracle import analysis_oracles, extras_oracles, relational_oracles
 
     p = kg_cte_prefix()
     out = extras_oracles()
+    out.update(analysis_oracles())
+    out.update(relational_oracles())
     # dedup_simhash_pairs / ann_lsh_topk intentionally have NO oracle
     # (blocking-based approximations) → driver's rows-only check
     out.update({

@@ -1,0 +1,88 @@
+"""Label-matrix diagnostics — the reference's LF analysis suite
+(/root/reference/trove/metrics/analysis.py:46-218) as DataFrame aggs.
+
+Counts are emitted as INTEGERS (not fractions) so results are engine-exact;
+consumers divide by the published totals.  Every function takes the sparse
+``labels`` long table (doc_id, sent_idx, token_idx, lf_id, label).
+
+Shuffle shape: everything keys on the token identity (doc_id, sent_idx,
+token_idx) or on lf_id (tiny) — one wide shuffle on tokens, map-side
+combined; per-LF rollups are broadcast-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+TOKEN_KEY = ["doc_id", "sent_idx", "token_idx"]
+
+
+def coverage_stats(labels: DataFrame) -> DataFrame:
+    """G5-G7 global counts: covered tokens (≥1 vote), overlapped (≥2
+    votes), conflicted (≥2 distinct labels).  One row."""
+    per_tok = labels.groupBy(*TOKEN_KEY).agg(
+        F.count("*").alias("n_votes"),
+        F.countDistinct("label").alias("n_distinct"),
+    )
+    return per_tok.agg(
+        F.count("*").cast("long").alias("covered_n"),
+        F.sum((F.col("n_votes") >= 2).cast("long")).alias("overlap_n"),
+        F.sum((F.col("n_distinct") >= 2).cast("long")).alias("conflict_n"),
+    )
+
+
+def lf_summary(labels: DataFrame) -> DataFrame:
+    """G8-G10 per-LF: polarities (sorted, comma-joined), labeled-token
+    count, and counts of its tokens that overlap / conflict with other LFs
+    (analysis.py:93-154 semantics, as counts)."""
+    per_tok = labels.groupBy(*TOKEN_KEY).agg(
+        F.countDistinct("lf_id").alias("n_lfs"),
+        F.countDistinct("label").alias("n_distinct"),
+    )
+    j = labels.join(per_tok, TOKEN_KEY)
+    return j.groupBy("lf_id").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("label"))).alias("polarities"),
+        F.count("*").cast("long").alias("coverage_n"),
+        F.sum((F.col("n_lfs") >= 2).cast("long")).alias("overlap_n"),
+        F.sum((F.col("n_distinct") >= 2).cast("long")).alias("conflict_n"),
+    )
+
+
+def lf_empirical_accuracy(labels: DataFrame, gold: DataFrame) -> DataFrame:
+    """G11: per-LF correct/incorrect counts vs a gold token labeling
+    (gold: TOKEN_KEY + y).  Inner join on the token key — tokens gold
+    doesn't cover are excluded, like the reference masks abstains."""
+    j = labels.join(gold, TOKEN_KEY)
+    return j.groupBy("lf_id").agg(
+        F.sum((F.col("label") == F.col("y")).cast("long")).alias("correct_n"),
+        F.sum((F.col("label") != F.col("y")).cast("long")).alias("incorrect_n"),
+    )
+
+
+def confusion_matrix(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """G13 abstention-aware confusion: outer-join pred/gold token labels;
+    missing side = abstain (-1).  (y_gold, y_pred, n)."""
+    p = pred.select(*TOKEN_KEY, F.col("y").alias("y_pred"))
+    g = gold.select(*TOKEN_KEY, F.col("y").alias("y_gold"))
+    j = p.join(g, TOKEN_KEY, "full")
+    return (
+        j.select(
+            F.coalesce("y_gold", F.lit(-1)).cast("long").alias("y_gold"),
+            F.coalesce("y_pred", F.lit(-1)).cast("long").alias("y_pred"),
+        )
+        .groupBy("y_gold", "y_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def ontology_coverage_rank(mentions: DataFrame, term_sabs: DataFrame, k: int = 10) -> DataFrame:
+    """G15 ``score_umls_ontologies``: rank source vocabularies by corpus
+    match count → top-k.  ``term_sabs(term_id, sab)`` is the (tiny)
+    lexicon side — broadcast; ranking is a 2-level agg + limit."""
+    return (
+        mentions.join(F.broadcast(term_sabs), "term_id")
+        .groupBy("sab")
+        .agg(F.count("*").alias("n_matches"))
+        .orderBy(F.desc("n_matches"), F.asc("sab"))
+        .limit(k)
+    )

@@ -165,6 +165,164 @@ triples AS (
 
 
 # ---------------------------------------------------------------------------
+# LF-suite / analysis / tagger oracles
+# ---------------------------------------------------------------------------
+
+
+def lf_suite_sql(lex: Lexicon | None = None) -> str:
+    """Extended LF suite (dict / regex-each / word-graph / doc-scope synset)
+    as SQL over the kg CTE prefix."""
+    lex = lex or default_lexicon()
+    from .labeling import build_word_graph
+
+    dict_ids = sorted(i for i, t in enumerate(lex.terms) if t in set(synth.DICT_STRUCT_TERMS))
+    edges = sorted(build_word_graph([t for t in lex.terms if " " in t]))
+    ids_in = ", ".join(str(i) for i in dict_ids)
+    return (
+        kg_cte_prefix(lex)
+        + f""",
+{_values(edges, "wg_edges", "head, tail")},
+{_values([(w, s) for w, syns in sorted(synth.SYNSETS.items()) for s in syns], "synsets", "word, synonym")},
+dict_lf AS (
+  SELECT DISTINCT m.doc_id, t.tok AS token_idx,
+         'dict_structures' AS lf, CAST({synth.DICT_STRUCT_LABEL} AS BIGINT) AS label
+  FROM matches m JOIN toks t ON t.doc_id = m.doc_id AND t.tok BETWEEN m.s AND m.e
+  WHERE m.term_id IN ({ids_in})
+),
+regex_lf AS (
+  SELECT doc_id, tok AS token_idx, 'regex_b' AS lf, CAST({synth.REGEX_B_LABEL} AS BIGINT) AS label
+  FROM toks WHERE regexp_matches(word, '{synth.REGEX_B_PATTERN}')
+),
+nbr AS (
+  SELECT doc_id, tok, word,
+         lead(word) OVER (PARTITION BY doc_id ORDER BY tok) AS nxt,
+         lag(word)  OVER (PARTITION BY doc_id ORDER BY tok) AS prv
+  FROM toks
+),
+wg_lf AS (
+  SELECT doc_id, tok AS token_idx, 'wordgraph' AS lf, CAST({synth.WORDGRAPH_LABEL} AS BIGINT) AS label
+  FROM nbr
+  WHERE EXISTS (SELECT 1 FROM wg_edges e WHERE e.head = nbr.word AND e.tail = nbr.nxt)
+     OR EXISTS (SELECT 1 FROM wg_edges e WHERE e.head = nbr.prv AND e.tail = nbr.word)
+),
+syn_lf AS (
+  SELECT DISTINCT t.doc_id, t.tok AS token_idx,
+         'synset_antonyms' AS lf, CAST({synth.SYNSET_LABEL} AS BIGINT) AS label
+  FROM toks t JOIN synsets sy ON sy.word = lower(t.word)
+  WHERE EXISTS (SELECT 1 FROM toks t2 WHERE t2.doc_id = t.doc_id AND lower(t2.word) = sy.synonym)
+),
+suite AS (
+  SELECT * FROM dict_lf UNION ALL SELECT * FROM regex_lf
+  UNION ALL SELECT * FROM wg_lf UNION ALL SELECT * FROM syn_lf
+)
+SELECT doc_id, token_idx, lf, label FROM suite"""
+    )
+
+
+def analysis_oracles() -> dict[str, str]:
+    p = kg_cte_prefix()
+    return {
+        "kg_lf_suite": lf_suite_sql(),
+        "kg_coverage_stats": p
+        + """SELECT CAST(COUNT(*) AS BIGINT) AS covered_n,
+       CAST(SUM(CASE WHEN n_votes >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS overlap_n,
+       CAST(SUM(CASE WHEN n_distinct >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS conflict_n
+FROM (SELECT doc_id, token_idx, COUNT(*) AS n_votes, COUNT(DISTINCT label) AS n_distinct
+      FROM votes GROUP BY 1, 2)""",
+        "kg_lf_summary": p
+        + """, per_tok AS (
+  SELECT doc_id, token_idx, COUNT(DISTINCT sab) AS n_lfs, COUNT(DISTINCT label) AS n_distinct
+  FROM votes GROUP BY 1, 2
+)
+SELECT v.sab AS lf,
+       string_agg(DISTINCT v.label::VARCHAR, ',' ORDER BY v.label::VARCHAR) AS polarities,
+       CAST(COUNT(*) AS BIGINT) AS coverage_n,
+       CAST(SUM(CASE WHEN pt.n_lfs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS overlap_n,
+       CAST(SUM(CASE WHEN pt.n_distinct >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS conflict_n
+FROM votes v JOIN per_tok pt ON pt.doc_id = v.doc_id AND pt.token_idx = v.token_idx
+GROUP BY v.sab""",
+        "kg_ontology_rank": p
+        + """SELECT c.sab, CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM matches m
+JOIN terms tm ON tm.term_id = m.term_id
+JOIN (SELECT DISTINCT lower(term) AS term, sab FROM concepts) c ON c.term = tm.term
+GROUP BY c.sab ORDER BY n_matches DESC, c.sab LIMIT 10""",
+        "tag_sessions": """
+SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id, event_type,
+       CAST(last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS last_view_id
+FROM events""",
+        "tag_relations": p
+        + """SELECT a.doc_id, CAST(a.s AS BIGINT) AS a_start, ta.term AS a_term,
+       CAST(b.s AS BIGINT) AS b_start, tb.term AS b_term,
+       CAST(greatest(b.s - a.e, a.s - b.e, 0) AS BIGINT) AS token_dist
+FROM typed a JOIN typed b ON a.doc_id = b.doc_id
+JOIN terms ta ON ta.term_id = a.term_id
+JOIN terms tb ON tb.term_id = b.term_id
+WHERE a.etype = 1 AND b.etype = 2
+  AND greatest(b.s - a.e, a.s - b.e, 0) <= 5
+  AND NOT (a.s = b.s AND a.e = b.e)""",
+        "tag_negation": p
+        + f"""SELECT t.doc_id, CAST(t.s AS BIGINT) AS tok_start, CAST(t.e AS BIGINT) AS tok_end,
+       tm.term,
+       EXISTS (SELECT 1 FROM toks k WHERE k.doc_id = t.doc_id
+               AND lower(k.word) IN ({", ".join("'" + w + "'" for w in synth.NEGATION_TRIGGERS)})
+               AND k.tok >= t.s - 3 AND k.tok < t.s) AS negated
+FROM typed t JOIN terms tm ON tm.term_id = t.term_id""",
+    }
+
+
+def relational_oracles() -> dict[str, str]:
+    """Classic relational taxonomy over the TPC-H-ish tables: hash agg
+    with decimal-exact sums, multi-way broadcast join, window rank,
+    anti/semi join, top-k, set ops, equi+range join."""
+    return {
+        "rel_agg_pricing": """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "rel_join_nations": """
+SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total_price
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name""",
+        "rel_window_top_orders": """
+SELECT o_custkey, o_orderkey, rn FROM (
+  SELECT CAST(o_custkey AS BIGINT) AS o_custkey, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+  FROM orders
+) WHERE rn <= 3""",
+        "rel_anti_join": """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey FROM orders
+WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL)""",
+        "rel_semi_join": """
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p_partkey)""",
+        "rel_topk_parts": """
+SELECT CAST(l_partkey AS BIGINT) AS l_partkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem GROUP BY l_partkey ORDER BY n_lines DESC, l_partkey LIMIT 10""",
+        "rel_set_ops": """
+SELECT CAST(k AS BIGINT) AS p_size FROM (
+  SELECT p_size AS k FROM part
+  EXCEPT
+  SELECT n_regionkey AS k FROM nation
+) t""",
+        "rel_range_join": """
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_fast_ships
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= o.o_orderdate
+  AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+GROUP BY o.o_orderpriority""",
+    }
+
+
+# ---------------------------------------------------------------------------
 # Dedup / similarity / textstats oracles (trove_spark.extras)
 # ---------------------------------------------------------------------------
 

@@ -105,3 +105,41 @@ class KGPipeline:
 
     def triples(self) -> DataFrame:
         return self._memo("triples", lambda: emit_triples(self.linked(), synth.CLASS_NAMES))
+
+    # -- extended LF suite (L1 dict / L4 regex / L6 synset / L7 word-graph) --
+
+    def suite_lf_names(self) -> list[str]:
+        return ["dict_structures", "regex_b", "wordgraph", "synset_antonyms"]
+
+    def lf_suite_labels(self) -> DataFrame:
+        """Sentence-scoped suite LFs in one kernel pass + the doc-scoped
+        synset LF as its two-stage agg/join — unioned into one long table
+        (doc_id, sent_idx, token_idx, lf_id, label); lf_id indexes
+        ``suite_lf_names``."""
+
+        def _build():
+            from .labeling import (
+                DictionaryLF,
+                RegexEachLF,
+                WordGraphLF,
+                build_word_graph,
+                synset_labels,
+            )
+
+            lex = self.lexicon
+            dict_ids = frozenset(
+                i for i, t in enumerate(lex.terms) if t in set(synth.DICT_STRUCT_TERMS)
+            )
+            edges = build_word_graph([t for t in lex.terms if " " in t])
+            lfs = [
+                DictionaryLF("dict_structures", synth.DICT_STRUCT_LABEL, dict_ids),
+                RegexEachLF("regex_b", synth.REGEX_B_LABEL, synth.REGEX_B_PATTERN),
+                WordGraphLF("wordgraph", synth.WORDGRAPH_LABEL, edges, min_length=2),
+            ]
+            sent_lf = apply_lfs(self.sentences(), self.lex_bc, lfs)
+            syn_lf = synset_labels(
+                self.sentences(), self.lex_bc, synth.SYNSETS, synth.SYNSET_LABEL, lf_id=3
+            )
+            return sent_lf.unionByName(syn_lf)
+
+        return self._memo("lf_suite", _build)

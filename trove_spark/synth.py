@@ -68,6 +68,21 @@ CLASS_NAMES: dict[int, str] = {1: "OPERATOR", 2: "STRUCTURE"}
 
 MAX_NGRAM = 3  # longest term in LEXICON
 
+# --- extended LF suite (single source of truth for Spark + oracle SQL) ---
+# DictionaryLF subset (reference labeling.py:27-66): structure terms, ALL matches
+DICT_STRUCT_TERMS = ["table", "row", "column", "vector"]
+DICT_STRUCT_LABEL = 2
+# RegexEachLF (labeling.py:344-361): tokens starting with 'b'
+REGEX_B_PATTERN = "^b"
+REGEX_B_LABEL = 2
+# WordGraphLF (labeling.py:432-472): bigram edges from multi-token terms
+WORDGRAPH_LABEL = 1
+# SynSetLF (labeling.py:391-423): doc-scope antonym/synonym presence
+SYNSETS = {"fast": ["slow"], "slow": ["fast"], "big": ["small"], "small": ["big"]}
+SYNSET_LABEL = 1
+# NegEx-style trigger terms (negex.py shape)
+NEGATION_TRIGGERS = ["slow"]
+
 
 def concepts_values_sql() -> str:
     """Render LEXICON as a SQL VALUES list for the DuckDB oracle."""

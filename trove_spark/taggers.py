@@ -1,0 +1,123 @@
+"""Span-attribute tagger operators (reference §2.5) as DataFrame shapes.
+
+The clinical taggers' regex batteries are corpus-specific; what transfers
+to the new engine is their OPERATOR SHAPE, implemented generically:
+
+  * A7 Section carry-forward (sections.py:103-128): last-observation-
+    carried-forward window — ``last(value, ignorenulls=True)`` over
+    document order.  Exposed as ``carry_forward`` and demonstrated over
+    the events stream (each event annotated with the most recent 'view'
+    event of its user).
+  * A11 RelationTagger (contrib/.../taggers.py:304-325): per-sentence
+    Cartesian product of typed span layers — a self-join on the sentence
+    key.  Group sizes are sentence-bounded, so the join is skew-safe by
+    construction (same argument as the reference's per-sentence loop).
+  * A1 NegEx-style window tagger: trigger terms flip a property of
+    mentions within ±window tokens — same self-join shape with a
+    distance predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def carry_forward(
+    df: DataFrame,
+    part_cols: list[str],
+    order_col: str,
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """LOCF window: within each partition, ordered by ``order_col``, fill
+    ``out_col`` with the last non-null ``value_col`` seen so far."""
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, F.last(value_col, ignorenulls=True).over(w))
+
+
+def session_headers(events: DataFrame) -> DataFrame:
+    """A7 demo on events: carry the most recent 'view' event_id forward
+    per user — exactly the reference's ParentSectionTagger walk
+    (sections.py:103-128) re-keyed to (user, time)."""
+    marked = events.withColumn(
+        "view_id", F.when(F.col("event_type") == "view", F.col("event_id"))
+    )
+    out = carry_forward(marked, ["user_id"], "event_id", "view_id", "last_view_id")
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.col("last_view_id").cast("long").alias("last_view_id"),
+    )
+
+
+def relation_pairs(
+    typed_mentions: DataFrame,
+    etype_a: int,
+    etype_b: int,
+    max_token_dist: int = 5,
+) -> DataFrame:
+    """A11: co-occurring (type-a, type-b) mention pairs within a sentence
+    and within ``max_token_dist`` tokens → relation candidates.
+
+    Self-join on (doc_id, sent_idx): group sizes are bounded by mentions
+    per sentence, so this is a within-group Cartesian like the reference,
+    not a corpus-level blowup."""
+    a = typed_mentions.filter(F.col("etype") == etype_a).select(
+        "doc_id", "sent_idx",
+        F.col("tok_start").alias("a_start"), F.col("tok_end").alias("a_end"),
+        F.col("term").alias("a_term"),
+    )
+    b = typed_mentions.filter(F.col("etype") == etype_b).select(
+        "doc_id", "sent_idx",
+        F.col("tok_start").alias("b_start"), F.col("tok_end").alias("b_end"),
+        F.col("term").alias("b_term"),
+    )
+    j = a.join(b, ["doc_id", "sent_idx"])
+    dist = F.greatest(
+        F.col("b_start") - F.col("a_end"),
+        F.col("a_start") - F.col("b_end"),
+        F.lit(0),
+    )
+    return (
+        j.withColumn("token_dist", dist.cast("long"))
+        .filter((F.col("token_dist") <= max_token_dist)
+                & ~((F.col("a_start") == F.col("b_start")) & (F.col("a_end") == F.col("b_end"))))
+        .select(
+            "doc_id",
+            F.col("a_start").cast("long").alias("a_start"),
+            "a_term",
+            F.col("b_start").cast("long").alias("b_start"),
+            "b_term",
+            "token_dist",
+        )
+    )
+
+
+def negation_window(
+    typed_mentions: DataFrame,
+    tokens: DataFrame,
+    trigger_words: list[str],
+    window: int = 3,
+) -> DataFrame:
+    """A1 NegEx shape: mention gets negated=true iff a trigger token
+    occurs within ``window`` tokens before its start (definite left-side
+    trigger, negex.py:10-185 reduced to the transferable core)."""
+    trig = tokens.filter(F.lower(F.col("word")).isin([t.lower() for t in trigger_words])).select(
+        "doc_id", "sent_idx", F.col("token_idx").alias("trig_idx")
+    )
+    j = typed_mentions.join(trig, ["doc_id", "sent_idx"], "left").withColumn(
+        "is_trig",
+        F.when(
+            (F.col("trig_idx") >= F.col("tok_start") - window)
+            & (F.col("trig_idx") < F.col("tok_start")),
+            1,
+        ).otherwise(0),
+    )
+    return j.groupBy(
+        "doc_id", "sent_idx", "tok_start", "tok_end", "term"
+    ).agg((F.max("is_trig") == 1).alias("negated"))
