@@ -1,0 +1,118 @@
+"""Pure-Python reference implementation of the labeling semantics —
+the stand-in for 'reference Trove' in the triple-set P/R gate.
+
+DELIBERATELY independent of the Spark engine's code paths: brute-force
+n-gram enumeration with per-candidate variant lookup (the reference's
+``apply_matcher``/``match_term`` shape, matchers.py:77-131) instead of an
+automaton; plain dict/loop voting and linking.  Only the tokenizer is
+shared (its parity is covered separately by hypothesis round-trip tests).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from trove_spark import synth
+from trove_spark.tokenize import STANDARD_TOKEN_RE, WHITESPACE_TOKEN_RE, segment_and_tokenize
+
+MODES = {"standard": STANDARD_TOKEN_RE, "whitespace": WHITESPACE_TOKEN_RE}
+
+
+def _build_resources():
+    stop = {w.lower() for w in synth.STOPWORDS}
+    # per-SAB term dict with filters (min len 2, stopword) applied
+    terms: dict[str, set[tuple[str, str, str]]] = {}
+    for sab, tui, cui, term in synth.LEXICON:
+        t = term.lower()
+        if len(t) < 2 or t in stop:
+            continue
+        terms.setdefault(t, set()).add((sab, tui, cui))
+    # variant → canonical term (match_term semantics: t, t+'s', t rstrip 's')
+    variants: dict[str, str] = {}
+    for t in terms:
+        toks = t.split()
+        last = toks[-1]
+        forms = {t, " ".join(toks[:-1] + [last + "s"])}
+        if len(last) > 1 and last.endswith("s"):
+            forms.add(" ".join(toks[:-1] + [last.rstrip("s")]))
+        for f in forms:
+            variants[f] = t
+    return stop, terms, variants
+
+
+def reference_triples(rows: list[tuple[str, str]], mode: str = "standard") -> set[tuple[str, str, str]]:
+    """rows: [(doc_id, text)] → {(subj, pred, obj)} per the reference
+    semantics (ontology LFs over both SABs, mv tie→abstain, type-consistent
+    min-CUI linking)."""
+    stop, terms, variants = _build_resources()
+    sabs = sorted({s for ent in terms.values() for (s, _, _) in ent})
+    out: set[tuple[str, str, str]] = set()
+
+    for doc_id, text in rows:
+        for words, offsets in segment_and_tokenize(text, MODES[mode], 256):
+            lw = [w.lower() for w in words]
+            # brute-force n-gram enumeration (max 3) + variant membership
+            matches = []
+            for n in (1, 2, 3):
+                for i in range(len(lw) - n + 1):
+                    gram = " ".join(lw[i : i + n])
+                    if n == 1 and gram in stop:
+                        continue
+                    t = variants.get(gram)
+                    if t is not None:
+                        matches.append((i, i + n - 1, t))
+            # longest-match-only (sort length desc, greedy non-overlap)
+            kept, covered = [], set()
+            for s, e, t in sorted(matches, key=lambda m: (-(m[1] - m[0]), m[0], m[2])):
+                if any(j in covered for j in range(s, e + 1)):
+                    continue
+                kept.append((s, e, t))
+                covered.update(range(s, e + 1))
+            kept.sort()
+            # ontology LF votes per SAB (argmax class, tie → abstain)
+            votes: dict[int, list[int]] = {}
+            for s, e, t in kept:
+                for sab in sabs:
+                    counts = Counter(
+                        synth.CLASS_MAP[tui]
+                        for (sb, tui, _c) in terms[t]
+                        if sb == sab and tui in synth.CLASS_MAP
+                    )
+                    if not counts:
+                        continue
+                    mx = max(counts.values())
+                    top = sorted(l for l, c in counts.items() if c == mx)
+                    if len(top) != 1:
+                        continue
+                    for j in range(s, e + 1):
+                        votes.setdefault(j, []).append(top[0])
+            # token majority vote, tie → abstain
+            tok_y: dict[int, int] = {}
+            for j, vs in votes.items():
+                c = Counter(vs)
+                mx = max(c.values())
+                top = sorted(l for l, n in c.items() if n == mx)
+                if len(top) == 1:
+                    tok_y[j] = top[0]
+            # mentions → etype (mode of token votes, tie → min), link, emit
+            for s, e, t in kept:
+                ys = [tok_y[j] for j in range(s, e + 1) if j in tok_y]
+                etype = None
+                if ys:
+                    c = Counter(ys)
+                    mx = max(c.values())
+                    etype = sorted(l for l, n in c.items() if n == mx)[0]
+                cs = offsets[s]
+                ce = offsets[e] + len(words[e]) - 1
+                subj = f"{doc_id}#{cs}-{ce}"
+                out.add((subj, "MENTIONS", t))
+                if etype is not None:
+                    out.add((subj, "HAS_TYPE", synth.CLASS_NAMES[etype]))
+                cands = [
+                    (1 if etype is not None and synth.CLASS_MAP.get(tui) == etype else 0, cui)
+                    for (sb, tui, cui) in terms[t]
+                ]
+                best_ok = max(ok for ok, _ in cands)
+                cui = min(c for ok, c in cands if ok == best_ok)
+                out.add((subj, "LINKS_TO", cui))
+    return out

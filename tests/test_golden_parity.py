@@ -1,0 +1,58 @@
+"""Golden end-to-end gate: Spark pipeline triples vs the independent
+pure-Python reference implementation (tests/parity_ref.py) — the stand-in
+for 'P/R ≥ 0.95 vs reference Trove' (BASELINE.json).  Target here is
+P/R = 1.0 on the deterministic synthetic corpus (SURVEY.md §5.3), both on
+the repo-shaped generated corpus (with punctuation + multi-sentence docs)
+and on the driver's testdata documents."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.parity_ref import reference_triples
+from trove_spark import synth
+from trove_spark.ingest import ingest_documents
+from trove_spark.pipeline import KGPipeline
+from trove_spark.tags import triple_set_pr
+
+
+def _spark_triples(pipe: KGPipeline) -> set[tuple[str, str, str]]:
+    return {tuple(r) for r in pipe.triples().select("subj", "pred", "obj").collect()}
+
+
+def test_parity_on_generated_repo_corpus(spark):
+    docs = ingest_documents(synth.generate_corpus(spark, 150, seed=3)).cache()
+    pipe = KGPipeline(spark, docs_df=docs, text_col="content", tokenizer_mode="standard")
+    got = _spark_triples(pipe)
+    rows = [(r["doc_id"], r["content"]) for r in docs.select("doc_id", "content").collect()]
+    want = reference_triples(rows, mode="standard")
+    missing, extra = want - got, got - want
+    assert not missing and not extra, (
+        f"missing={list(missing)[:5]} extra={list(extra)[:5]}"
+    )
+
+
+def test_parity_on_testdata(spark):
+    sf = "/root/testdata/sf0.001"
+    pipe = KGPipeline(spark, sf_dir=sf)
+    got = _spark_triples(pipe)
+    raw = spark.read.parquet(f"{sf}/documents.parquet")
+    rows = [(str(r["doc_id"]), r["text"]) for r in raw.select("doc_id", "text").collect()]
+    want = reference_triples(rows, mode="whitespace")
+    assert got == want
+
+
+def test_triple_set_pr_harness(spark):
+    pred = spark.createDataFrame(
+        [("a", "MENTIONS", "x"), ("b", "MENTIONS", "y"), ("c", "MENTIONS", "z")],
+        "subj string, pred string, obj string",
+    )
+    gold = spark.createDataFrame(
+        [("a", "MENTIONS", "x"), ("b", "MENTIONS", "y"), ("d", "MENTIONS", "w"),
+         ("e", "MENTIONS", "v")],
+        "subj string, pred string, obj string",
+    )
+    r = triple_set_pr(pred, gold)
+    assert r["tp"] == 2 and r["n_pred"] == 3 and r["n_gold"] == 4
+    assert abs(r["precision"] - 2 / 3) < 1e-9 and abs(r["recall"] - 0.5) < 1e-9

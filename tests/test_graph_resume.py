@@ -1,0 +1,104 @@
+"""Checkpoint-resume + lineage manifests + sha256 invariant
+(BASELINE.json north_rule: 'resumable from checkpoint with per-partition
+lineage + metrics'; FIXTURES.md resume fixture)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trove_spark import synth
+from trove_spark.graph import TripleStore, write_nodes
+from trove_spark.ingest import content_manifest, ingest_documents
+from trove_spark.pipeline import default_lexicon
+from trove_spark.matching import detect_mentions
+from trove_spark.tokenize import tokenize_documents
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return ingest_documents(synth.generate_corpus(spark, 200, seed=7)).cache()
+
+
+@pytest.fixture(scope="module")
+def triples(spark, corpus):
+    """Small triple set: mention triples straight from the automaton."""
+    sents = tokenize_documents(corpus, mode="whitespace")
+    lex_bc = spark.sparkContext.broadcast(default_lexicon())
+    m = detect_mentions(sents, lex_bc).filter("is_longest")
+    return m.select(
+        F.concat_ws("", "doc_id", F.lit("#"), "char_start", F.lit("-"), "char_end").alias("subj"),
+        F.lit("MENTIONS").alias("pred"),
+        F.col("term").alias("obj"),
+    ).distinct().cache()
+
+
+def _collect(df):
+    return sorted(tuple(r) for r in df.select("subj", "pred", "obj").collect())
+
+
+def test_ingest_ids_deterministic(spark, corpus):
+    again = ingest_documents(synth.generate_corpus(spark, 200, seed=7))
+    assert sorted(r["doc_id"] for r in corpus.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in again.select("doc_id").collect()
+    )
+    assert corpus.select("doc_id").distinct().count() == 200
+
+
+def test_kill_and_resume_identical_output(spark, corpus, triples, tmp_path):
+    # one-shot reference write
+    full = TripleStore(spark, str(tmp_path / "full"), n_buckets=8)
+    full.write_triples(triples)
+    expected = _collect(full.read_triples())
+
+    # killed after 3 bucket commits, then resumed
+    part = TripleStore(spark, str(tmp_path / "part"), n_buckets=8)
+    st1 = part.write_triples(triples, max_buckets=3)
+    assert st1["written_buckets"] == 3
+    assert len(part.committed_buckets()) == 3
+    st2 = part.write_triples(triples)  # resume
+    assert st2["skipped_buckets"] == 3
+    assert st2["written_buckets"] == 5
+
+    assert _collect(part.read_triples()) == expected
+    assert len(part.committed_buckets()) == 8  # one manifest row per partition
+    assert part.verify_manifests()
+    assert full.verify_manifests()
+
+
+def test_resume_noop_when_complete(spark, triples, tmp_path):
+    store = TripleStore(spark, str(tmp_path / "done"), n_buckets=4)
+    store.write_triples(triples)
+    st = store.write_triples(triples)
+    assert st == {"written_buckets": 0, "skipped_buckets": 4}
+
+
+def test_manifest_detects_corruption(spark, triples, tmp_path):
+    store = TripleStore(spark, str(tmp_path / "bad"), n_buckets=4)
+    store.write_triples(triples)
+    # tamper: rewrite one bucket with a row dropped
+    b0 = store.read_triples().filter("bucket = 0").drop("bucket")
+    n = b0.count()
+    if n > 1:
+        b0.limit(n - 1).write.mode("overwrite").parquet(
+            str(tmp_path / "bad" / "edges" / "bucket=0")
+        )
+        assert not store.verify_manifests()
+
+
+def test_content_sha_invariant_roundtrip(spark, corpus, tmp_path):
+    """Source manifest == manifest of the materialized documents table →
+    per-row content sha256 equality held through write/read."""
+    src = content_manifest(corpus, n_buckets=8)
+    corpus.write.mode("overwrite").parquet(str(tmp_path / "docs"))
+    back = spark.read.parquet(str(tmp_path / "docs"))
+    dst = content_manifest(back, n_buckets=8)
+    assert sorted(map(tuple, src.collect())) == sorted(map(tuple, dst.collect()))
+
+
+def test_nodes_table(spark, triples, tmp_path):
+    nodes = write_nodes(spark, triples, str(tmp_path / "g"))
+    kinds = {r["node_id"]: r["kinds"] for r in nodes.collect()}
+    assert all("span" in v or "term" in v for v in kinds.values())
+    back = spark.read.parquet(str(tmp_path / "g" / "nodes"))
+    assert back.count() == nodes.count()

@@ -1,0 +1,84 @@
+"""EM label model: must recover LF accuracies from agreement structure and
+beat majority vote when LF qualities diverge (the reference's whole reason
+for a generative model over MV, model_search.py:227-240 MV floor)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from trove_spark.label_model import (
+    accuracy_vs_gold,
+    fit_label_model,
+    model_search,
+    predict_label_model,
+)
+from trove_spark.voting import majority_vote
+
+
+def make_fixture(spark, n_tokens=2000, seed=11):
+    """Hidden y ∈ {1,2}; 5 LFs with accuracies [.9,.85,.8,.55,.35] and
+    propensity .8 — the .35 LF is adversarial, MV is dragged down by it."""
+    rng = random.Random(seed)
+    accs = [0.9, 0.85, 0.8, 0.55, 0.35]
+    gold_rows, label_rows = [], []
+    for t in range(n_tokens):
+        y = rng.choice([1, 2])
+        gold_rows.append(("d%d" % (t % 50), t // 50, t % 50, y))
+        for lf, a in enumerate(accs):
+            if rng.random() > 0.8:
+                continue  # abstain
+            vote = y if rng.random() < a else (3 - y)
+            label_rows.append(("d%d" % (t % 50), t // 50, t % 50, lf, vote))
+    gold = spark.createDataFrame(
+        gold_rows, schema="doc_id string, sent_idx int, token_idx int, y int"
+    )
+    labels = spark.createDataFrame(
+        label_rows, schema="doc_id string, sent_idx int, token_idx int, lf_id int, label int"
+    )
+    return gold.cache(), labels.cache()
+
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    return make_fixture(spark)
+
+
+def test_em_learns_lf_accuracies(spark, fixture):
+    gold, labels = fixture
+    params = fit_label_model(labels, n_classes=2, n_iter=10)
+    # diagonal mass of each LF's confusion should track true accuracy order
+    diag = {
+        lf: (vd[1][1] + vd[2][2]) / 2 for lf, vd in params.theta.items()
+    }
+    assert diag[0] > diag[3] > diag[4], diag
+    assert diag[0] > 0.8 and diag[4] < 0.5
+
+
+def test_em_beats_majority_vote(spark, fixture):
+    gold, labels = fixture
+    mv_acc = accuracy_vs_gold(majority_vote(labels, break_ties="min"), gold)
+    params = fit_label_model(labels, n_classes=2, n_iter=10)
+    em_acc = accuracy_vs_gold(predict_label_model(labels, params), gold)
+    assert em_acc > mv_acc, (em_acc, mv_acc)
+    assert em_acc > 0.9
+
+
+def test_model_search_mv_floor(spark, fixture):
+    gold, labels = fixture
+    best, report = model_search(labels, labels, gold, n_classes=2,
+                                grid=[{"n_iter": 5, "smoothing": 1.0}])
+    assert report["best_acc"] >= report["mv_acc"]
+    assert best is not None  # on this fixture EM clears the floor
+
+
+def test_prediction_probabilities_valid(spark, fixture):
+    _, labels = fixture
+    params = fit_label_model(labels, n_classes=2, n_iter=3)
+    pred = predict_label_model(labels, params)
+    rows = pred.agg(F.min("proba"), F.max("proba")).collect()[0]
+    assert 0.0 <= rows[0] and rows[1] <= 1.0 + 1e-9
+    # one prediction per covered token
+    assert pred.count() == labels.select("doc_id", "sent_idx", "token_idx").distinct().count()

@@ -1,0 +1,83 @@
+"""Tag-format transforms (Q1/Q5-Q7) + Schwartz-Hearst (L8) unit tests —
+reference parity per metrics.py:28-131 and abbreviations.py:25-149."""
+
+from __future__ import annotations
+
+from trove_spark.abbreviations import (
+    extract_long_form,
+    is_short_form,
+    mine_doc_abbreviations,
+)
+from trove_spark.tags import convert_tag_fmt, entity_tag, tags_to_spans
+
+
+def test_entity_tag_formats():
+    assert entity_tag(1, "X", "IO") == ["I-X"]
+    assert entity_tag(3, "X", "IO") == ["I-X"] * 3
+    assert entity_tag(3, "X", "IOB") == ["B-X", "I-X", "I-X"]
+    assert entity_tag(1, "X", "IOBES") == ["S-X"]
+    assert entity_tag(2, "X", "IOBES") == ["B-X", "E-X"]
+    assert entity_tag(4, "X", "IOBES") == ["B-X", "I-X", "I-X", "E-X"]
+
+
+def test_tags_to_spans():
+    assert tags_to_spans(["B-X", "I-X", "O", "S-Y"]) == [(0, 1, "X"), (3, 3, "Y")]
+    # adjacent entities in IOB
+    assert tags_to_spans(["B-X", "B-X"]) == [(0, 0, "X"), (1, 1, "X")]
+    # type change inside a run splits
+    assert tags_to_spans(["I-X", "I-Y"]) == [(0, 0, "X"), (1, 1, "Y")]
+    assert tags_to_spans([]) == []
+
+
+def test_convert_round_trips():
+    iob = ["B-X", "I-X", "O", "B-Y"]
+    iobes = convert_tag_fmt(iob, "IOBES")
+    assert iobes == ["B-X", "E-X", "O", "S-Y"]
+    assert convert_tag_fmt(iobes, "IOB") == iob
+    # IO is lossy: adjacent same-type entities merge
+    io = convert_tag_fmt(["B-X", "B-X"], "IO")
+    assert io == ["I-X", "I-X"]
+    assert tags_to_spans(io) == [(0, 1, "X")]
+
+
+def test_is_short_form():
+    assert is_short_form("sql")
+    assert is_short_form("A1c")
+    assert not is_short_form("x")          # too short
+    assert not is_short_form("123")        # no letter
+    assert not is_short_form("(ab")        # first char not alnum
+    assert not is_short_form("a" * 11)     # too long
+
+
+def test_extract_long_form():
+    lf = extract_long_form("sql", "we use structured query language".split())
+    assert lf == ["structured", "query", "language"]
+    # chars must appear in order — 'xqz' cannot match
+    assert extract_long_form("xqz", "structured query language".split()) is None
+
+
+def test_mine_doc_abbreviations():
+    words = "we use structured query language ( sql ) daily".split()
+    assert mine_doc_abbreviations(words) == [("sql", "structured query language")]
+    # reject: non-short-form inside parens
+    words2 = "a b ( 123 ) c".split()
+    assert mine_doc_abbreviations(words2) == []
+
+
+def test_schwartz_hearst_stage(spark):
+    from trove_spark.abbreviations import schwartz_hearst_labels
+    from trove_spark.tokenize import tokenize_documents
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "structured query language ( sql ) is used here sql rocks"),
+            ("d2", "sql appears but is never defined here"),
+        ],
+        "doc_id string, content string",
+    )
+    sents = tokenize_documents(docs, mode="whitespace")
+    out = schwartz_hearst_labels(sents, label=1, lf_id=9).collect()
+    got = {(r["doc_id"], r["token_idx"]) for r in out}
+    # d1: 'sql' at positions 4 and 9 labeled; d2: nothing (undefined)
+    assert got == {("d1", 4), ("d1", 9)}
+    assert all(r["lf_id"] == 9 and r["label"] == 1 for r in out)

@@ -1,0 +1,143 @@
+"""Schwartz-Hearst abbreviation mining (L8) — the doc-scoped LF pattern.
+
+Reference: /root/reference/trove/labelers/abbreviations.py —
+``is_short_form`` accept/reject rules (:25-53), left-window long-form
+extraction by the Schwartz-Hearst char-matching rule (:76-149), per-doc
+SF→label dict with memo cache (:199-238), then dictionary-matching
+sentences against the mined dict (:180-267).
+
+Spark shape (SURVEY.md §2.4 L8): the per-doc memo cache becomes stage 1 —
+a doc-level kernel emitting (doc_id, short_form, label) rows — and stage 2
+joins those back to the doc's sentences and labels SF occurrences.  No
+repeated doc scans, no cross-doc state.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .labeling import LABELS_SCHEMA, _labels_pdf
+
+
+def is_short_form(token: str, min_len: int = 2, max_len: int = 10) -> bool:
+    """abbreviations.py:25-53 core rules: 2-10 chars, at least one letter,
+    first char alphanumeric, not a pure number, not a common word."""
+    if not (min_len <= len(token) <= max_len):
+        return False
+    if not any(c.isalpha() for c in token):
+        return False
+    if not token[0].isalnum():
+        return False
+    return True
+
+
+def extract_long_form(sf: str, left_tokens: list[str]) -> list[str] | None:
+    """Schwartz-Hearst long-form search (abbreviations.py:76-149): scan the
+    ≤ min(|SF|+5, |SF|×2) token window left of '(' right-to-left, matching
+    SF chars in order; the long form must start at a token whose first
+    char matches SF's first char."""
+    window = left_tokens[-min(len(sf) + 5, len(sf) * 2):]
+    if not window:
+        return None
+    text = " ".join(window).lower()
+    s = sf.lower()
+    # right-to-left char match
+    ti = len(text) - 1
+    for ch in reversed(s[1:]):
+        while ti >= 0 and text[ti] != ch:
+            ti -= 1
+        if ti < 0:
+            return None
+        ti -= 1
+    # first char must start a token at or before ti
+    first = s[0]
+    start_char = None
+    pos = 0
+    for tok in window:
+        if pos <= ti + 1 and tok.lower().startswith(first):
+            start_char = pos
+        pos += len(tok) + 1
+    if start_char is None:
+        return None
+    # tokens from start_char to end of window
+    pos, out = 0, []
+    for tok in window:
+        if pos >= start_char:
+            out.append(tok)
+        pos += len(tok) + 1
+    return out or None
+
+
+def mine_doc_abbreviations(words: list[str]) -> list[tuple[str, str]]:
+    """One document's token stream → [(short_form, long_form)] from
+    ``long form ( SF )`` patterns."""
+    out = []
+    for i, w in enumerate(words):
+        if w != "(" or i + 2 >= len(words) or words[i + 2] != ")":
+            continue
+        sf = words[i + 1]
+        if not is_short_form(sf):
+            continue
+        lf = extract_long_form(sf, words[:i])
+        if lf:
+            out.append((sf, " ".join(lf)))
+    return out
+
+
+def schwartz_hearst_labels(sentences: DataFrame, label: int, lf_id: int) -> DataFrame:
+    """Two-stage doc-scope LF: stage 1 mines (doc_id, sf) pairs from full
+    docs (groupBy doc, ordered sentence concat); stage 2 labels every
+    occurrence of a mined SF in that doc's sentences."""
+    doc_words = (
+        sentences.groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sent_idx", "words"))),
+                    lambda s: s["words"],
+                )
+            ).alias("doc_words")
+        )
+    )
+
+    def _mine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sfs = [], []
+            for doc_id, words in zip(pdf["doc_id"], pdf["doc_words"]):
+                for sf, _lf in mine_doc_abbreviations(list(words)):
+                    ids.append(doc_id)
+                    sfs.append(sf.lower())
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype=object), "sf": pd.Series(sfs, dtype=object)}
+            )
+
+    mined = doc_words.mapInPandas(_mine, schema="doc_id string, sf string").distinct()
+
+    joined = sentences.join(
+        mined.groupBy("doc_id").agg(F.collect_set("sf").alias("doc_sfs")), "doc_id", "inner"
+    )
+
+    def _label(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "sent_idx": [], "token_idx": [], "lf_id": [], "label": []
+            }
+            for doc_id, sent_idx, words, sfs in zip(
+                pdf["doc_id"], pdf["sent_idx"], pdf["words"], pdf["doc_sfs"]
+            ):
+                sfset = set(sfs)
+                for i, w in enumerate(words):
+                    if w.lower() in sfset:
+                        rows["doc_id"].append(doc_id)
+                        rows["sent_idx"].append(sent_idx)
+                        rows["token_idx"].append(i)
+                        rows["lf_id"].append(lf_id)
+                        rows["label"].append(label)
+            yield _labels_pdf(rows)
+
+    return joined.select("doc_id", "sent_idx", "words", "doc_sfs").mapInPandas(
+        _label, schema=LABELS_SCHEMA
+    )

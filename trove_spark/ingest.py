@@ -1,0 +1,61 @@
+"""Ingest + fingerprint stage for the repo-shaped source table
+(BASELINE.json input_hint: repo, path, commit, lang, content).
+
+Derives the engine's stable identifiers and the per-row invariant:
+  * doc_id         = sha2(repo ‖ 0x1f ‖ path ‖ 0x1f ‖ commit) — stable under
+                     repartitioning/restarts (never task/partition ids;
+                     SURVEY.md §7.3.5 resume determinism);
+  * content_sha256 = sha2(content) — the row invariant that must survive
+                     the pipeline end-to-end (checked via bucket manifests,
+                     see graph.py).
+
+All built-ins (sha2/concat_ws) — zero Python, fully codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SEP = ""
+
+
+def ingest_documents(raw: DataFrame) -> DataFrame:
+    """(repo, path, commit, lang, content) → + (doc_id, content_sha256)."""
+    return raw.select(
+        F.sha2(F.concat_ws(SEP, "repo", "path", "commit"), 256).alias("doc_id"),
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    )
+
+
+def bucket_of(doc_col, n_buckets: int):
+    """Deterministic, engine-stable bucket: sha2-derived, NOT murmur hash
+    (partition→output mapping must survive Spark version changes and
+    repartitioning)."""
+    return F.pmod(
+        F.conv(F.substring(F.sha2(doc_col.cast("string"), 256), 1, 15), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+
+
+def content_manifest(docs: DataFrame, n_buckets: int = 16) -> DataFrame:
+    """Per-bucket content fingerprint: row count + order-independent sum of
+    60-bit hashes of content_sha256.  Comparing source vs sink manifests
+    proves per-row content sha256 equality without a row-level join."""
+    # mod 2^31 keeps the ANSI-mode sum overflow-safe at any bucket size
+    h = F.pmod(
+        F.conv(F.substring(F.col("content_sha256"), 1, 15), 16, 10).cast("long"),
+        F.lit(1 << 31),
+    )
+    return (
+        docs.withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(h).cast("long").alias("content_fingerprint"),
+        )
+    )

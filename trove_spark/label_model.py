@@ -1,0 +1,184 @@
+"""Generative label model (Snorkel LabelModel stand-in) as data-parallel EM.
+
+The reference fits snorkel's torch-SGD LabelModel over the dense L matrix
+(/root/reference/trove/models/model_search.py:77-81, 201-203).  Executors
+can't run torch here and shouldn't: the model parameters are TINY
+(m_LFs × k × k confusion + k prior), only the sufficient statistics are
+big.  So:
+
+  driver:   holds θ (per-LF class-conditional vote distributions) and π
+            (class prior); broadcasts log-parameters each round;
+  executors: E-step = one join of the sparse ``labels`` table against the
+            broadcast θ + a groupBy(token, y) log-sum + per-token softmax;
+            M-step sufficient stats = γ ⋈ labels → groupBy(lf, vote, y);
+  loop:     ≤ n_iter rounds of (2 shuffles each) — the reference
+            grid-searches epochs 50-1000; EM on this model converges in
+            ~10-20.
+
+This is the Dawid-Skene family model — LF accuracies learned from
+agreement structure, abstains carry no likelihood term (matching snorkel's
+conditionally-independent model).  ``model_search`` mirrors the
+reference's MV-floor checkpointing (model_search.py:227-240): a candidate
+config is kept only if it beats majority vote on the dev split.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from .voting import TOKEN_KEY, majority_vote
+
+
+@dataclass
+class LabelModelParams:
+    n_classes: int
+    # theta[lf_id][vote_label][true_label] = P(vote | y); log-space at use
+    theta: dict[int, dict[int, dict[int, float]]]
+    prior: dict[int, float]
+
+
+def _expand_token_class(labels: DataFrame, classes: list[int]) -> DataFrame:
+    ys = F.explode(F.array(*[F.lit(c) for c in classes])).alias("y_hyp")
+    return labels.select(*TOKEN_KEY, "lf_id", "label", ys)
+
+
+def _e_step(labels: DataFrame, params: LabelModelParams, spark) -> DataFrame:
+    """→ (token key, y_hyp, gamma) responsibilities."""
+    classes = sorted(params.prior)
+    theta_rows = [
+        (lf, v, y, math.log(max(p, 1e-9)))
+        for lf, vd in params.theta.items()
+        for v, yd in vd.items()
+        for y, p in yd.items()
+    ]
+    theta_df = spark.createDataFrame(
+        theta_rows, schema="lf_id int, label int, y_hyp int, logp double"
+    )
+    prior_rows = [(y, math.log(max(p, 1e-9))) for y, p in params.prior.items()]
+    prior_df = spark.createDataFrame(prior_rows, schema="y_hyp int, log_prior double")
+
+    expanded = _expand_token_class(labels, classes)
+    scored = (
+        expanded.join(F.broadcast(theta_df), ["lf_id", "label", "y_hyp"], "left")
+        .fillna({"logp": math.log(1e-9)})
+        .groupBy(*TOKEN_KEY, "y_hyp")
+        .agg(F.sum("logp").alias("ll"))
+        .join(F.broadcast(prior_df), "y_hyp")
+        .withColumn("ll", F.col("ll") + F.col("log_prior"))
+    )
+    # softmax per token (log-sum-exp, numerically safe)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*TOKEN_KEY)
+    return (
+        scored.withColumn("mx", F.max("ll").over(w))
+        .withColumn("expv", F.exp(F.col("ll") - F.col("mx")))
+        .withColumn("gamma", F.col("expv") / F.sum("expv").over(w))
+        .select(*TOKEN_KEY, "y_hyp", "gamma")
+    )
+
+
+def fit_label_model(
+    labels: DataFrame,
+    n_classes: int,
+    n_iter: int = 10,
+    smoothing: float = 1.0,
+    spark=None,
+) -> LabelModelParams:
+    """EM fit; labels must be cached by the caller (it is scanned 2×/round)."""
+    spark = spark or labels.sparkSession
+    classes = list(range(1, n_classes + 1))
+    lf_ids = [r["lf_id"] for r in labels.select("lf_id").distinct().collect()]
+    # init: diagonal-heavy confusion (votes mostly truthful), uniform prior
+    params = LabelModelParams(
+        n_classes=n_classes,
+        theta={
+            lf: {v: {y: (0.7 if v == y else 0.3 / max(n_classes - 1, 1)) for y in classes} for v in classes}
+            for lf in lf_ids
+        },
+        prior={y: 1.0 / n_classes for y in classes},
+    )
+    for _ in range(n_iter):
+        gamma = _e_step(labels, params, spark)
+        stats = (
+            labels.join(gamma, TOKEN_KEY)
+            .groupBy("lf_id", "label", "y_hyp")
+            .agg(F.sum("gamma").alias("w"))
+            .collect()
+        )
+        prior_stats = gamma.groupBy("y_hyp").agg(F.sum("gamma").alias("w")).collect()
+        # M-step on the driver (tiny)
+        acc: dict[int, dict[int, dict[int, float]]] = {
+            lf: {v: {y: smoothing for y in classes} for v in classes} for lf in lf_ids
+        }
+        for r in stats:
+            if r["label"] in acc.get(r["lf_id"], {}):
+                acc[r["lf_id"]][r["label"]][r["y_hyp"]] += r["w"]
+        for lf in lf_ids:
+            for y in classes:
+                tot = sum(acc[lf][v][y] for v in classes)
+                for v in classes:
+                    acc[lf][v][y] = acc[lf][v][y] / tot if tot > 0 else 1.0 / n_classes
+        total = sum(r["w"] for r in prior_stats) or 1.0
+        params = LabelModelParams(
+            n_classes=n_classes,
+            theta=acc,
+            prior={r["y_hyp"]: (r["w"] + smoothing) / (total + smoothing * n_classes) for r in prior_stats},
+        )
+    return params
+
+
+def predict_label_model(labels: DataFrame, params: LabelModelParams, spark=None) -> DataFrame:
+    """→ (token key, y, proba): argmax responsibility, deterministic
+    tie-break on min y."""
+    spark = spark or labels.sparkSession
+    gamma = _e_step(labels, params, spark)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*TOKEN_KEY).orderBy(F.desc("gamma"), F.asc("y_hyp"))
+    return (
+        gamma.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(*TOKEN_KEY, F.col("y_hyp").alias("y"), F.col("gamma").alias("proba"))
+    )
+
+
+def accuracy_vs_gold(pred: DataFrame, gold: DataFrame) -> float:
+    j = pred.join(gold.withColumnRenamed("y", "y_gold"), TOKEN_KEY)
+    row = j.agg(
+        F.avg((F.col("y") == F.col("y_gold")).cast("double")).alias("acc")
+    ).collect()[0]
+    return float(row["acc"] or 0.0)
+
+
+def model_search(
+    labels_train: DataFrame,
+    labels_dev: DataFrame,
+    gold_dev: DataFrame,
+    n_classes: int,
+    grid: list[dict] | None = None,
+) -> tuple[LabelModelParams | None, dict]:
+    """X2 grid search with MV-floor checkpointing (model_search.py:142-280):
+    fit each config on train, score on dev, keep only configs beating the
+    majority-vote baseline; returns (best params or None, report)."""
+    grid = grid or [
+        {"n_iter": 5, "smoothing": 1.0},
+        {"n_iter": 10, "smoothing": 1.0},
+        {"n_iter": 10, "smoothing": 0.1},
+        {"n_iter": 20, "smoothing": 0.5},
+    ]
+    mv_acc = accuracy_vs_gold(
+        majority_vote(labels_dev, break_ties="min"), gold_dev
+    )
+    best, best_acc = None, mv_acc
+    trials = []
+    for cfg in grid:
+        params = fit_label_model(labels_train, n_classes, **cfg)
+        acc = accuracy_vs_gold(predict_label_model(labels_dev, params), gold_dev)
+        trials.append({**cfg, "dev_acc": acc})
+        if acc > best_acc:  # strict: checkpoint only if ≥ MV floor
+            best, best_acc = params, acc
+    return best, {"mv_acc": mv_acc, "best_acc": best_acc, "trials": trials}

@@ -27,11 +27,21 @@ def default_lexicon() -> Lexicon:
 class KGPipeline:
     """Lazy stage graph for one corpus directory."""
 
-    def __init__(self, spark: SparkSession, sf_dir: str, tokenizer_mode: str = "whitespace"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str | None = None,
+        tokenizer_mode: str = "whitespace",
+        docs_df: DataFrame | None = None,
+        text_col: str = "text",
+    ):
         self.spark = spark
         self.sf_dir = sf_dir
         self.tokenizer_mode = tokenizer_mode
+        self.text_col = text_col
         self._cache: dict[str, DataFrame] = {}
+        if docs_df is not None:
+            self._cache["documents"] = docs_df
         self.lexicon = default_lexicon()
         self.lex_bc = spark.sparkContext.broadcast(self.lexicon)
 
@@ -60,7 +70,7 @@ class KGPipeline:
         return self._memo(
             "sentences",
             lambda: tokenize_documents(
-                self.documents(), text_col="text", mode=self.tokenizer_mode
+                self.documents(), text_col=self.text_col, mode=self.tokenizer_mode
             ),
         )
 

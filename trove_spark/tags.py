@@ -1,0 +1,119 @@
+"""Sequence-tag transforms + entity-level scoring (reference §2.8).
+
+Pure functions over tag lists (exercised in-kernel / in tests) plus
+DataFrame wrappers:
+  * Q1 entity_tag (dataloaders.py:95-121): span length → IO/IOB/IOBES run;
+  * Q5 convert_tag_fmt (metrics.py:28-59): IO ↔ IOB ↔ IOBES (lossy to IO);
+  * Q6 tokens_to_sequences (metrics.py:62-102): per-token labels →
+    per-sentence tag strings, abstain → 'O';
+  * Q7 score_sequences (metrics.py:105-131): entity-level exact-match
+    P/R/F1 (seqeval semantics) — spans extracted from tag runs, joined
+    against gold spans, counted.  This is also the harness shape for the
+    triple-set P/R gate (brat.py:549-598).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+# ---------------------------------------------------------------------------
+# pure tag-list functions (reference-parity, unit-tested)
+# ---------------------------------------------------------------------------
+
+
+def entity_tag(length: int, etype: str, fmt: str = "IOB") -> list[str]:
+    """Q1: tags for one entity span of ``length`` tokens."""
+    if length <= 0:
+        return []
+    if fmt == "IO":
+        return [f"I-{etype}"] * length
+    if fmt == "IOB":
+        return [f"B-{etype}"] + [f"I-{etype}"] * (length - 1)
+    if fmt == "IOBES":
+        if length == 1:
+            return [f"S-{etype}"]
+        return [f"B-{etype}"] + [f"I-{etype}"] * (length - 2) + [f"E-{etype}"]
+    raise ValueError(fmt)
+
+
+def tags_to_spans(tags: list[str]) -> list[tuple[int, int, str]]:
+    """Extract (start, end_inclusive, etype) entity spans from a tag
+    sequence; tolerant reader (IOB/IOBES/IO all accepted, I- after O
+    starts a new span — seqeval default)."""
+    spans = []
+    start, etype = None, None
+    for i, t in enumerate(tags + ["O"]):
+        prefix, _, typ = t.partition("-")
+        if prefix in ("B", "S") or (prefix in ("I", "E") and (etype is None or typ != etype)):
+            if start is not None:
+                spans.append((start, i - 1, etype))
+            start, etype = i, typ
+            if prefix == "S":
+                spans.append((i, i, typ))
+                start, etype = None, None
+        elif prefix in ("I", "E"):
+            continue
+        else:  # O
+            if start is not None:
+                spans.append((start, i - 1, etype))
+            start, etype = None, None
+    return spans
+
+
+def convert_tag_fmt(tags: list[str], fmt: str) -> list[str]:
+    """Q5: convert any tag sequence to ``fmt`` via span extraction."""
+    out = ["O"] * len(tags)
+    for s, e, typ in tags_to_spans(tags):
+        for off, t in enumerate(entity_tag(e - s + 1, typ, fmt)):
+            out[s + off] = t
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DataFrame wrappers
+# ---------------------------------------------------------------------------
+
+
+def tokens_to_sequences(token_labels: DataFrame, class_names: dict[int, str], fmt: str = "IO") -> DataFrame:
+    """Q6: (doc_id, sent_idx, token_idx, y) → per-sentence ordered tag
+    array; uncovered tokens are absent → treated 'O' by scorers."""
+    nm = F.create_map(*[x for kv in sorted(class_names.items()) for x in (F.lit(kv[0]), F.lit(kv[1]))])
+    return (
+        token_labels.withColumn("tag", F.concat(F.lit("I-"), nm[F.col("y")]))
+        .groupBy("doc_id", "sent_idx")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("token_idx", "tag"))),
+                lambda s: s["tag"],
+            ).alias("tags"),
+            F.array_sort(F.collect_list("token_idx")).alias("token_idxs"),
+        )
+    )
+
+
+def score_spans(pred_spans: DataFrame, gold_spans: DataFrame) -> dict:
+    """Q7/G17: exact-match P/R/F1 between two span sets keyed
+    (doc_id, start, end, etype) — the same join-count harness used for the
+    triple-set gate."""
+    key = ["doc_id", "start", "end", "etype"]
+    tp = pred_spans.join(gold_spans, key, "inner").count()
+    n_pred = pred_spans.count()
+    n_gold = gold_spans.count()
+    p = tp / n_pred if n_pred else 0.0
+    r = tp / n_gold if n_gold else 0.0
+    f1 = 2 * p * r / (p + r) if p + r else 0.0
+    return {"tp": tp, "n_pred": n_pred, "n_gold": n_gold, "precision": p, "recall": r, "f1": f1}
+
+
+def triple_set_pr(pred: DataFrame, gold: DataFrame) -> dict:
+    """Triple-set precision/recall (the BASELINE.json ≥0.95 gate):
+    exact-key join on (subj, pred, obj)."""
+    key = ["subj", "pred", "obj"]
+    p_d = pred.select(*key).distinct()
+    g_d = gold.select(*key).distinct()
+    tp = p_d.join(g_d, key, "inner").count()
+    n_pred, n_gold = p_d.count(), g_d.count()
+    prec = tp / n_pred if n_pred else 0.0
+    rec = tp / n_gold if n_gold else 0.0
+    return {"tp": tp, "n_pred": n_pred, "n_gold": n_gold, "precision": prec, "recall": rec}
