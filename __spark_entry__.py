@@ -124,6 +124,16 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pipe(spark, sf_dir).triples().select("subj", "pred", "obj")
 
 
+def q_kg_fused_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same triples via the fused single-kernel plan (trove_spark.fused) —
+    one narrow mapInPandas + one shuffle; shares kg_triples' oracle."""
+    from trove_spark import synth
+    from trove_spark.fused import fused_triples
+
+    p = _pipe(spark, sf_dir)
+    return fused_triples(p.documents(), p.lex_bc, synth.CLASS_MAP, synth.CLASS_NAMES)
+
+
 # ---------------------------------------------------------------------------
 # LF suite / analysis / taggers (SURVEY.md §2.4, §2.5, §2.7)
 # ---------------------------------------------------------------------------
@@ -422,6 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_typed_mentions": q_kg_typed_mentions,
         "kg_linked": q_kg_linked,
         "kg_triples": q_kg_triples,
+        "kg_fused_triples": q_kg_fused_triples,
         "kg_lf_suite": q_kg_lf_suite,
         "kg_coverage_stats": q_kg_coverage_stats,
         "kg_lf_summary": q_kg_lf_summary,
@@ -483,5 +494,6 @@ def oracle_sql() -> dict[str, str]:
         + """SELECT t.doc_id, t.s AS tok_start, t.e AS tok_end, tm.term, t.etype, t.cui
              FROM linked t JOIN terms tm ON tm.term_id = t.term_id""",
         "kg_triples": p + "SELECT subj, pred, obj FROM triples",
+        "kg_fused_triples": p + "SELECT subj, pred, obj FROM triples",
     })
     return out

@@ -4,50 +4,42 @@
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
 line: {"metric", "value" (total sec), "unit", "queries" {name: sec},
-"sf", plus docs/s and scaling context}.
+"sf", ...}.
 
-Set BENCH_SCALING=1 to also run the flagship pipeline at local[8] vs
-local[32] on the same input and report throughput scaling efficiency
-(the BASELINE.json north_rule's two-cluster-size criterion, evidenced
-in-sandbox at two parallelism levels).
+Two pipeline physical plans are timed:
+  * staged  — every operator its own DataFrame (kg_* queries, oracle path)
+  * fused   — one narrow kernel + one salted-distinct shuffle
+              (trove_spark.fused; the 100TB plan) — also the flagship
+              docs/s number.
+
+Scaling (north rule: N vs 4N parallelism on the SAME input) runs each
+level in its OWN subprocess (fresh JVM; in-process master switching is
+unreliable) via scripts/scaling_run.py, best-of-3 to damp the sandbox's
+CPU-steal noise.  Disable with BENCH_SCALING=0.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-
-
-def _fresh_spark(cores: str):
-    from trove_spark.session import get_spark
-
-    return get_spark(app_name=f"bench_{cores}", master=f"local[{cores}]")
-
-
-def run_query(spark, name: str, sf_dir: str) -> float:
-    import __spark_entry__ as em
-
-    em._PIPELINES.clear()  # no cross-query reuse: each timing is cold-plan
-    q = em.queries()[name]
-    t0 = time.time()
-    q(spark, sf_dir).count()
-    return time.time() - t0
-
+SCALING_FACTOR = int(os.environ.get("BENCH_SCALING_FACTOR", "160"))  # 800k docs
 
 HEADLINE = [
     "kg_tokens",
     "kg_mentions_longest",
-    "kg_lf_votes",
     "kg_majority_vote",
-    "kg_linked",
     "kg_triples",
+    "dedup_minhash_lsh_pairs",
+    "ann_brute_topk",
 ]
 
 
@@ -58,19 +50,34 @@ def main() -> None:
         f"select count(*) from read_parquet('{SF_DIR}/documents.parquet')"
     ).fetchone()[0]
 
-    spark = _fresh_spark(CPUS)
+    from trove_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
     import __spark_entry__ as em
 
-    available = set(em.queries())
     queries: dict[str, float] = {}
+    qmap = em.queries()
     for name in HEADLINE:
-        if name in available:
-            queries[name] = round(run_query(spark, name, SF_DIR), 3)
-    total = round(sum(queries.values()), 3)
-    flagship = queries.get("kg_triples", total)
-    docs_per_sec = round(n_docs / flagship, 1) if flagship else None
+        em._PIPELINES.clear()
+        t0 = time.time()
+        qmap[name](spark, SF_DIR).count()
+        queries[name] = round(time.time() - t0, 3)
 
+    # fused single-pass flagship
+    from trove_spark import synth
+    from trove_spark.fused import fused_triples
+    from trove_spark.pipeline import default_lexicon
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    lex_bc = spark.sparkContext.broadcast(default_lexicon())
+    fused_triples(docs, lex_bc, synth.CLASS_MAP, synth.CLASS_NAMES).count()  # warm
+    t0 = time.time()
+    fused_triples(docs, lex_bc, synth.CLASS_MAP, synth.CLASS_NAMES).count()
+    queries["kg_fused_triples"] = round(time.time() - t0, 3)
+    spark.stop()
+
+    total = round(sum(queries.values()), 3)
     result = {
         "metric": "kg_pipeline_total_runtime",
         "value": total,
@@ -78,26 +85,25 @@ def main() -> None:
         "queries": queries,
         "sf": SF_DIR,
         "n_docs": n_docs,
-        "flagship_docs_per_sec": docs_per_sec,
+        "staged_docs_per_sec": round(n_docs / queries["kg_triples"], 1),
+        "fused_docs_per_sec": round(n_docs / queries["kg_fused_triples"], 1),
         "cpus": CPUS,
     }
 
-    if os.environ.get("BENCH_SCALING") == "1":
-        spark.stop()
+    if os.environ.get("BENCH_SCALING", "1") == "1":
         scaling = {}
         for cores in ("8", "32"):
-            s = _fresh_spark(cores)
-            s.sparkContext.setLogLevel("ERROR")
-            run_query(s, "kg_triples", SF_DIR)  # warm JVM/JIT
-            dt = run_query(s, "kg_triples", SF_DIR)
-            scaling[cores] = {"sec": round(dt, 3), "docs_per_sec": round(n_docs / dt, 1)}
-            s.stop()
+            out = subprocess.run(
+                [sys.executable, os.path.join(HERE, "scripts", "scaling_run.py"),
+                 cores, str(SCALING_FACTOR)],
+                capture_output=True, text=True, timeout=1800,
+            )
+            line = out.stdout.strip().splitlines()[-1]
+            scaling[cores] = json.loads(line)
         speedup = scaling["8"]["sec"] / scaling["32"]["sec"]
         result["scaling"] = scaling
         result["scaling_speedup_8_to_32"] = round(speedup, 3)
         result["scaling_efficiency"] = round(speedup / 4.0, 3)
-    else:
-        spark.stop()
 
     print(json.dumps(result))
 

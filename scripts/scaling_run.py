@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""One scaling measurement at a given core count — run as its OWN process
+(`python scripts/scaling_run.py <cores> [factor]`) so each parallelism
+level gets a fresh JVM (in-process master switching is unreliable).
+
+Prints one JSON line: {"cores", "docs", "sec", "docs_per_sec"}.
+The corpus is the sf0.1 documents table replicated ``factor``× with
+remapped doc_ids — same input for every core count, big enough that
+kernel compute (not fixed stage overhead) dominates.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    cores = sys.argv[1] if len(sys.argv) > 1 else "32"
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from pyspark.sql import functions as F
+
+    from trove_spark import synth
+    from trove_spark.fused import fused_triples
+    from trove_spark.pipeline import default_lexicon
+    from trove_spark.session import get_spark
+
+    spark = get_spark(app_name=f"scaling_{cores}", master=f"local[{cores}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    big = (
+        docs.crossJoin(spark.range(factor).select(F.col("id").alias("rep")))
+        .select(
+            F.concat_ws("_", F.col("doc_id").cast("string"), "rep").alias("doc_id"),
+            "text",
+        )
+        .repartition(128)
+        .cache()
+    )
+    n = big.count()
+    lex_bc = spark.sparkContext.broadcast(default_lexicon())
+
+    def job():
+        return fused_triples(big, lex_bc, synth.CLASS_MAP, synth.CLASS_NAMES).count()
+
+    job()  # warm JVM/JIT/python workers
+    # best-of-4: the sandbox VM shows up to 25% CPU steal from neighbors;
+    # min damps external noise (we are measuring the engine, not the host)
+    trials = []
+    for _ in range(4):
+        t0 = time.time()
+        job()
+        trials.append(time.time() - t0)
+    dt = min(trials)
+    spark.stop()
+    print(json.dumps({"cores": int(cores), "docs": n, "sec": round(dt, 2),
+                      "docs_per_sec": round(n / dt, 1),
+                      "trials": [round(t, 2) for t in trials]}))
+
+
+if __name__ == "__main__":
+    main()

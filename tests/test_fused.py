@@ -1,0 +1,34 @@
+"""Fused single-pass path must emit EXACTLY the staged pipeline's triples."""
+
+from __future__ import annotations
+
+from trove_spark import synth
+from trove_spark.fused import fused_triples
+from trove_spark.ingest import ingest_documents
+from trove_spark.pipeline import KGPipeline
+
+
+def _collect(df):
+    return sorted(tuple(r) for r in df.select("subj", "pred", "obj").collect())
+
+
+def test_fused_equals_staged_testdata(spark):
+    pipe = KGPipeline(spark, sf_dir="/root/testdata/sf0.001")
+    staged = _collect(pipe.triples())
+    fused = _collect(
+        fused_triples(pipe.documents(), pipe.lex_bc, synth.CLASS_MAP, synth.CLASS_NAMES)
+    )
+    assert fused == staged
+
+
+def test_fused_equals_staged_repo_corpus(spark):
+    docs = ingest_documents(synth.generate_corpus(spark, 120, seed=5)).cache()
+    pipe = KGPipeline(spark, docs_df=docs, text_col="content", tokenizer_mode="standard")
+    staged = _collect(pipe.triples())
+    fused = _collect(
+        fused_triples(
+            docs, pipe.lex_bc, synth.CLASS_MAP, synth.CLASS_NAMES,
+            text_col="content", tokenizer_mode="standard",
+        )
+    )
+    assert fused == staged

@@ -1,0 +1,59 @@
+"""Multimodal plumbing: binary columns through Arrow kernels (decode is
+stubbed per environment; schema/batch shape/partitioning are real)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from trove_spark.extras.multimodal import (
+    decode_image,
+    extract_media_features,
+    fake_features,
+    synth_media_table,
+)
+
+
+def test_decode_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff")
+
+
+def test_fake_features_deterministic():
+    a = fake_features(b"hello", dim=8)
+    assert a == fake_features(b"hello", dim=8)
+    assert len(a) == 8 and all(-1.0 <= x <= 1.0 for x in a)
+    assert a != fake_features(b"world", dim=8)
+
+
+def test_media_pipeline(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    media = synth_media_table(spark, docs)
+    # binary column type + struct metadata survive parquet round-trip
+    assert dict(media.dtypes)["media"] == "binary"
+    feats = extract_media_features(media, dim=8).collect()
+    assert len(feats) == 50
+    texts = {str(r["doc_id"]): r["text"] for r in docs.collect()}
+    for r in feats:
+        blob = texts[r["doc_id"]].encode()
+        assert r["n_bytes"] == len(blob)
+        assert r["content_hash"] == hashlib.sha256(blob).hexdigest()
+        assert list(r["features"]) == pytest.approx(fake_features(blob, 8), abs=1e-6)
+
+
+def test_metadata_only_scan_prunes_blob(spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    media = synth_media_table(spark, docs)
+    media.write.mode("overwrite").parquet(str(tmp_path / "media"))
+    back = spark.read.parquet(str(tmp_path / "media"))
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.select("doc_id", "meta.mime").explain("formatted")
+    plan = buf.getvalue()
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "media" not in read_schema  # pruning keeps the blob out of the scan
+    assert "mime" in read_schema  # nested-field pruning reaches into the struct

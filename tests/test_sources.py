@@ -1,0 +1,95 @@
+"""Terminology source loaders (S4-S12) on synthetic RRF/CSV fixtures +
+partition-pruning evidence on the SAB-partitioned concepts table."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from trove_spark.sources import (
+    chebi_loader,
+    ctd_loader,
+    load_concepts,
+    semantic_groups_loader,
+    umls_from_rrfs,
+    write_concepts,
+)
+
+MRCONSO = """C0001|ENG|P|L0001|PF|S0001|Y|A0001||||ONTO_A|PT|X1|hash join|0|N||
+C0001|FRE|P|L0002|PF|S0002|Y|A0002||||ONTO_A|PT|X1|jointure de hachage|0|N||
+C0002|ENG|P|L0003|PF|S0003|Y|A0003||||ONTO_B|PT|X2|merge join|0|N||
+C0003|ENG|P|L0004|PF|S0004|Y|A0004||||ONTO_A|PT|X3|suppressed term|0|O||
+"""
+
+MRSTY = """C0001|T001|A1.2|Algorithm|AT01||
+C0002|T001|A1.2|Algorithm|AT02||
+C0003|T002|A1.3|Structure|AT03||
+"""
+
+
+@pytest.fixture(scope="module")
+def rrf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("rrf")
+    (d / "MRCONSO.RRF").write_text(MRCONSO)
+    (d / "MRSTY.RRF").write_text(MRSTY)
+    return d
+
+
+def test_umls_from_rrfs(spark, rrf_dir):
+    concepts = umls_from_rrfs(
+        spark, str(rrf_dir / "MRCONSO.RRF"), str(rrf_dir / "MRSTY.RRF")
+    )
+    rows = {tuple(r) for r in concepts.collect()}
+    assert ("ONTO_A", "T001", "C0001", "hash join") in rows
+    assert ("ONTO_B", "T001", "C0002", "merge join") in rows
+    # French row dropped by language filter; suppressed row dropped
+    assert not any("jointure" in r[3] for r in rows)
+    assert not any(r[2] == "C0003" for r in rows)
+
+
+def test_concepts_partition_pruning(spark, rrf_dir, tmp_path):
+    concepts = umls_from_rrfs(
+        spark, str(rrf_dir / "MRCONSO.RRF"), str(rrf_dir / "MRSTY.RRF")
+    )
+    out = str(tmp_path / "concepts")
+    write_concepts(concepts, out)
+    pruned = load_concepts(spark, out, sabs=["ONTO_A"])
+    assert pruned.count() == 1
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "sab" in plan  # pruning reached the scan
+
+
+def test_ctd_loader(spark, tmp_path):
+    p = tmp_path / "ctd.csv"
+    p.write_text(
+        "# CTD comment line\n"
+        "DiseaseName,DiseaseID,Synonyms\n"
+        "Anemia,MESH:D000740,anaemia|blood disorder\n"
+        "Asthma,MESH:D001249,\n"
+    )
+    terms = {r["term"] for r in ctd_loader(spark, str(p)).collect()}
+    assert terms == {"anemia", "anaemia", "blood disorder", "asthma"}
+
+
+def test_chebi_loader(spark, tmp_path):
+    p = tmp_path / "names.tsv"
+    p.write_text(
+        "ID\tCOMPOUND_ID\tTYPE\tSOURCE\tNAME\tADAPTED\tLANGUAGE\n"
+        "1\t10\tNAME\tChEBI\tWater\tF\ten\n"
+        "2\t11\tSYNONYM\tKEGG\tH\tF\ten\n"
+        "3\t12\tNAME\tChEBI\tEthanol\tF\ten\n"
+    )
+    rows = {(r["source"], r["term"]) for r in chebi_loader(spark, str(p)).collect()}
+    assert rows == {("ChEBI", "water"), ("ChEBI", "ethanol")}  # 'H' fails min_len
+
+
+def test_semantic_groups(spark, tmp_path):
+    p = tmp_path / "SemGroups.txt"
+    p.write_text("ACTI|Activities & Behaviors|T052|Activity|\nDISO|Disorders|T047|Disease|\n")
+    rows = {tuple(r) for r in semantic_groups_loader(spark, str(p)).collect()}
+    assert ("DISO", "Disorders", "T047", "Disease") in rows

@@ -1,0 +1,107 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The container has no image/audio codecs, so the DECODE step is stubbed
+(clearly-marked NotImplementedError / deterministic fake), but everything
+Spark-side is real and tested: the schema convention, the Arrow batch
+shape through ``mapInPandas``, partition sizing for large blobs, and the
+feature-extraction pipeline pattern.
+
+Schema convention for a media table:
+    (doc_id string, media binary, meta struct<mime string, width int,
+     height int, duration_ms int>)
+
+Scale notes:
+  * blobs ride in their own column so column pruning keeps metadata-only
+    queries off the heavy bytes (parquet reads only requested columns);
+  * ``spark.sql.files.maxPartitionBytes`` governs scan parallelism for
+    blob-heavy files; feature extraction is a narrow kernel — no shuffle
+    touches the bytes;
+  * extracted features are SMALL (fixed-size vectors/scalars) — emit them
+    to a separate table keyed by doc_id rather than carrying blobs along.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("n_bytes", IntegerType(), False),
+        StructField("content_hash", StringType(), False),
+        StructField("features", ArrayType(FloatType()), False),
+    ]
+)
+
+
+def decode_image(blob: bytes) -> "object":
+    """REAL decode requires PIL/libjpeg — not present in this container.
+    The Spark plumbing around this stub is what's under test; swap this
+    body for ``PIL.Image.open(io.BytesIO(blob))`` in a full environment."""
+    raise NotImplementedError(
+        "image decode needs an imaging library not present in this container"
+    )
+
+
+def fake_features(blob: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in feature extractor: md5-seeded pseudo-embedding.
+    Keeps the kernel's batch shape and output schema identical to a real
+    model's, so the pipeline is swappable."""
+    h = hashlib.md5(blob).digest()
+    return [((h[i] << 8 | h[i + 1]) / 65535.0) * 2 - 1 for i in range(0, dim * 2, 2)]
+
+
+def extract_media_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """media(doc_id, media binary) → features table via Arrow-batched
+    kernel.  Bytes never shuffle; output is narrow."""
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nb, ch, feats = [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                if blob is None:
+                    continue
+                b = bytes(blob)
+                ids.append(doc_id)
+                nb.append(len(b))
+                ch.append(hashlib.sha256(b).hexdigest())
+                feats.append(fake_features(b, dim))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype=object),
+                    "n_bytes": pd.Series(nb, dtype="int32"),
+                    "content_hash": pd.Series(ch, dtype=object),
+                    "features": pd.Series(feats, dtype=object),
+                }
+            )
+
+    return media.select(F.col("doc_id").cast("string").alias("doc_id"), "media").mapInPandas(
+        _kernel, schema=FEATURES_SCHEMA
+    )
+
+
+def synth_media_table(spark, docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic fake media: utf-8 bytes of the text as the blob +
+    plausible metadata — exercises binary columns end-to-end."""
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.encode(F.col(text_col), "utf-8").alias("media"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            (F.length(text_col) % 640).cast("int").alias("width"),
+            (F.length(text_col) % 480).cast("int").alias("height"),
+            F.lit(0).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )

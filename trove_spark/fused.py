@@ -1,0 +1,155 @@
+"""Fused single-pass triple extraction — the performance flagship.
+
+The staged pipeline (pipeline.py) exposes every operator as its own
+DataFrame for composability and oracle checking, but pays one shuffle per
+aggregation.  Observation: EVERYTHING from tokenization through linking is
+sentence-local — ontology LF votes, token majority vote, mention typing,
+and CUI resolution only read the sentence plus broadcast resources.  The
+subject key embeds doc_id, so even dedup is doc-local.
+
+So the scalable physical plan is ONE narrow ``mapInPandas`` pass
+(documents → triples, in-kernel per-doc dedup) followed by a single
+salted-distinct canonicalization shuffle (a formality for doc-scoped
+subjects, a real dedup once cross-doc subjects like concept-pair edges
+appear).  On a 1000-executor cluster this is a map-only job over the
+source table: no intermediate materialization, no shuffle of corpus-sized
+data, linear scaling by construction.
+
+Equivalence with the staged pipeline is asserted exactly in
+tests/test_fused.py (same triples, row for row).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Iterator
+
+import pandas as pd
+from pyspark.broadcast import Broadcast
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from .lexicon import Lexicon
+from .matching import match_sentence
+from .skew import salted_distinct
+from .tokenize import _TOKENIZERS, segment_and_tokenize
+
+TRIPLES_SCHEMA = StructType(
+    [
+        StructField("subj", StringType(), False),
+        StructField("pred", StringType(), False),
+        StructField("obj", StringType(), False),
+    ]
+)
+
+
+def _link_tables(lex: Lexicon, class_map: dict[str, int]):
+    """Precompute per-term candidate lists [(cand_class|None, cui)] — the
+    broadcast-join side, flattened to plain python for kernel speed."""
+    return [
+        tuple((class_map.get(tui), cui) for (_sab, tui, cui) in entries)
+        for entries in lex.term_entries
+    ]
+
+
+def triples_for_doc(
+    doc_id: str,
+    text: str,
+    lex: Lexicon,
+    sab_labels: list[dict[int, int | None]],
+    cands: list[tuple],
+    class_names: dict[int, str],
+    token_re,
+) -> set[tuple[str, str, str]]:
+    """Pure per-document computation (unit-testable without Spark)."""
+    out: set[tuple[str, str, str]] = set()
+    for words, offsets in segment_and_tokenize(text, token_re, 256):
+        _all, longest = match_sentence(lex, words)
+        if not longest:
+            continue
+        # per-token votes from the per-SAB precomputed term labels
+        votes: dict[int, list[int]] = {}
+        for s, e, tid in longest:
+            for tl in sab_labels:
+                lbl = tl.get(tid)
+                if lbl is None:
+                    continue
+                for j in range(s, e + 1):
+                    votes.setdefault(j, []).append(lbl)
+        tok_y: dict[int, int] = {}
+        for j, vs in votes.items():
+            c = Counter(vs)
+            mx = max(c.values())
+            top = sorted(l for l, n in c.items() if n == mx)
+            if len(top) == 1:
+                tok_y[j] = top[0]
+        for s, e, tid in longest:
+            ys = [tok_y[j] for j in range(s, e + 1) if j in tok_y]
+            etype = None
+            if ys:
+                c = Counter(ys)
+                mx = max(c.values())
+                etype = sorted(l for l, n in c.items() if n == mx)[0]
+            cs = offsets[s]
+            ce = offsets[e] + len(words[e]) - 1
+            subj = f"{doc_id}#{cs}-{ce}"
+            out.add((subj, "MENTIONS", lex.terms[tid]))
+            if etype is not None:
+                out.add((subj, "HAS_TYPE", class_names[etype]))
+            ent = cands[tid]
+            if ent:
+                best_ok = max(1 if (etype is not None and cc == etype) else 0 for cc, _ in ent)
+                cui = min(
+                    c for cc, c in ent if (1 if (etype is not None and cc == etype) else 0) == best_ok
+                )
+                out.add((subj, "LINKS_TO", cui))
+    return out
+
+
+def fused_triples(
+    docs: DataFrame,
+    lex_bc: Broadcast,
+    class_map: dict[str, int],
+    class_names: dict[int, str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokenizer_mode: str = "whitespace",
+    n_salts: int = 16,
+) -> DataFrame:
+    """documents → canonical triples in one narrow kernel + one shuffle."""
+    token_re = _TOKENIZERS[tokenizer_mode]
+    cm = dict(class_map)
+    cn = dict(class_names)
+    cols = docs.select(
+        docs[id_col].cast("string").alias("doc_id"), docs[text_col].alias("__text")
+    )
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lex: Lexicon = lex_bc.value
+        sab_labels = [lex.sab_term_labels[s] for s in lex.sabs]
+        cands = _link_tables(lex, cm)
+        for pdf in batches:
+            subj, pred, obj = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["__text"]):
+                if text is None:
+                    continue
+                for s, p, o in triples_for_doc(
+                    doc_id, text, lex, sab_labels, cands, cn, token_re
+                ):
+                    subj.append(s)
+                    pred.append(p)
+                    obj.append(o)
+            yield pd.DataFrame(
+                {
+                    "subj": pd.Series(subj, dtype=object),
+                    "pred": pd.Series(pred, dtype=object),
+                    "obj": pd.Series(obj, dtype=object),
+                }
+            )
+
+    raw = cols.mapInPandas(_kernel, schema=TRIPLES_SCHEMA)
+    # canonicalization: in-kernel per-doc dedup already guarantees global
+    # uniqueness for doc-scoped subjects; the salted distinct stays as the
+    # skew-proof final commit barrier (near-free: map-side combine sees
+    # unique keys) and is REQUIRED once cross-doc edges join the stream
+    return salted_distinct(raw, ["subj", "pred", "obj"], n_salts=n_salts)

@@ -54,20 +54,27 @@ def mention_types(mentions: DataFrame, labels: DataFrame) -> DataFrame:
         F.explode(F.sequence("tok_start", "tok_end")).alias("token_idx"),
     )
     joined = m_tokens.join(token_y, ["doc_id", "sent_idx", "token_idx"], "inner")
-    # mention-level vote over its tokens: mode with deterministic tie→min
+    # mention-level vote over its tokens: mode with deterministic tie→min —
+    # same windowless collect-of-≤k-structs trick as voting.majority_vote
     counts = joined.groupBy(
         "doc_id", "sent_idx", "tok_start", "tok_end",
         "char_start", "char_end", "term_id", "term", F.col("y").alias("tok_y"),
     ).agg(F.count("*").alias("n"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id", "sent_idx", "tok_start", "tok_end")
     best = (
-        counts.withColumn("mx", F.max("n").over(w))
-        .filter(F.col("n") == F.col("mx"))
-        .groupBy("doc_id", "sent_idx", "tok_start", "tok_end",
-                 "char_start", "char_end", "term_id", "term")
-        .agg(F.min("tok_y").alias("etype"))
+        counts.groupBy(
+            "doc_id", "sent_idx", "tok_start", "tok_end",
+            "char_start", "char_end", "term_id", "term",
+        )
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("n"), (-F.col("tok_y")).alias("neg"))),
+                asc=False,
+            ).alias("arr")
+        )
+        .select(
+            "doc_id", "sent_idx", "tok_start", "tok_end",
+            (-F.col("arr")[0]["neg"]).alias("etype"),
+        )
     )
     base = mentions.filter("is_longest").select(
         "doc_id", "sent_idx", "tok_start", "tok_end",
@@ -98,14 +105,13 @@ def link_mentions(typed_mentions: DataFrame, concepts: DataFrame, class_map: dic
         F.when(F.col("etype").isNotNull() & (F.col("cand_class") == F.col("etype")), 1).otherwise(0),
     )
     key = ["doc_id", "sent_idx", "tok_start", "tok_end", "char_start", "char_end", "term", "etype"]
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id", "sent_idx", "tok_start", "tok_end")
+    # "min CUI among candidates with maximal type_ok" in ONE windowless agg:
+    # min of (-type_ok, cui) structs sorts type-consistent candidates first,
+    # then lexicographically smallest CUI
     return (
-        j.withColumn("best_ok", F.max("type_ok").over(w))
-        .filter(F.col("type_ok") == F.col("best_ok"))
-        .groupBy(*key)
-        .agg(F.min("cui").alias("cui"))
+        j.groupBy(*key)
+        .agg(F.min(F.struct((-F.col("type_ok")).alias("neg_ok"), F.col("cui"))).alias("b"))
+        .select(*key, F.col("b")["cui"].alias("cui"))
     )
 
 

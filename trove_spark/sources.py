@@ -1,0 +1,103 @@
+"""Terminology/dictionary sources (SURVEY §2.1 S4-S12) as Spark read jobs.
+
+The reference streams RRF/CSV files through Python line loops
+(/root/reference/trove/labelers/umls.py:331-415 ``init_from_rrfs``,
+trove/labelers/dictionaries.py CTD/ChEBI/BioPortal loaders); here each
+loader is a declarative ``spark.read.csv`` + join/filter plan, and the
+concepts table lands partitioned by SAB so per-SAB lexicon builds get
+partition pruning for free (the reference's sqlite-per-SAB SELECT and
+parquet partitioning, umls.py:195-225, 410-411).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# RRF column subsets we consume (full UMLS layouts; trailing '|' in RRF
+# produces an extra empty column we drop by selecting named fields)
+MRCONSO_COLS = [
+    "CUI", "LAT", "TS", "LUI", "STT", "SUI", "ISPREF", "AUI", "SAUI",
+    "SCUI", "SDUI", "SAB", "TTY", "CODE", "STR", "SRL", "SUPPRESS", "CVF",
+]
+MRSTY_COLS = ["CUI", "TUI", "STN", "STY", "ATUI", "CVF"]
+MRSAB_COLS_MIN = ["RSAB", "SON"]  # we need name + title only
+
+
+def load_rrf(spark: SparkSession, path: str, columns: list[str]) -> DataFrame:
+    """Pipe-delimited RRF (no header, trailing '|')."""
+    df = spark.read.csv(path, sep="|", header=False)
+    named = df.select(
+        *[F.col(f"_c{i}").alias(c) for i, c in enumerate(columns) if f"_c{i}" in df.columns]
+    )
+    return named
+
+
+def umls_from_rrfs(
+    spark: SparkSession,
+    mrconso_path: str,
+    mrsty_path: str,
+    languages: tuple[str, ...] = ("ENG",),
+    drop_suppressed: bool = True,
+) -> DataFrame:
+    """S4: MRCONSO ⋈ MRSTY on CUI → concepts(sab, tui, cui, term).
+
+    One shuffle join keyed on CUI; MRSTY is typically 100× smaller than
+    MRCONSO → broadcast."""
+    conso = load_rrf(spark, mrconso_path, MRCONSO_COLS).filter(
+        F.col("LAT").isin(list(languages))
+    )
+    if drop_suppressed:
+        conso = conso.filter((F.col("SUPPRESS").isNull()) | (F.col("SUPPRESS") != "O"))
+    sty = load_rrf(spark, mrsty_path, MRSTY_COLS).select("CUI", "TUI").distinct()
+    return (
+        conso.select("CUI", "SAB", "STR")
+        .join(F.broadcast(sty), "CUI")
+        .select(
+            F.col("SAB").alias("sab"),
+            F.col("TUI").alias("tui"),
+            F.col("CUI").alias("cui"),
+            F.col("STR").alias("term"),
+        )
+        .distinct()
+    )
+
+
+def write_concepts(concepts: DataFrame, outdir: str) -> None:
+    """Partitioned-by-SAB parquet (umls.py:410-411) → per-SAB reads prune."""
+    concepts.write.mode("overwrite").partitionBy("sab").parquet(outdir)
+
+
+def load_concepts(spark: SparkSession, outdir: str, sabs: list[str] | None = None) -> DataFrame:
+    df = spark.read.parquet(outdir)
+    if sabs:
+        df = df.filter(F.col("sab").isin(sabs))  # partition pruning
+    return df
+
+
+def ctd_loader(spark: SparkSession, path: str, term_col: str = "DiseaseName",
+               syn_col: str = "Synonyms") -> DataFrame:
+    """S6: CTD-style CSV — name + '|'-separated synonyms → one term per row."""
+    raw = spark.read.csv(path, header=True, comment="#")
+    names = raw.select(F.col(term_col).alias("term"))
+    syns = raw.select(F.explode(F.split(F.coalesce(F.col(syn_col), F.lit("")), r"\|")).alias("term"))
+    return (
+        names.unionByName(syns)
+        .filter((F.col("term").isNotNull()) & (F.length("term") > 0))
+        .select(F.lower("term").alias("term"))
+        .distinct()
+    )
+
+
+def chebi_loader(spark: SparkSession, path: str, min_len: int = 2) -> DataFrame:
+    """S7: ChEBI names.tsv — grouped by SOURCE, length-filtered."""
+    raw = spark.read.csv(path, sep="\t", header=True)
+    return (
+        raw.select(F.col("SOURCE").alias("source"), F.lower("NAME").alias("term"))
+        .filter(F.length("term") >= min_len)
+        .distinct()
+    )
+
+
+def semantic_groups_loader(spark: SparkSession, path: str) -> DataFrame:
+    """S12: SemGroups.txt — GRP|GRP_STR|TUI|STR (tiny dim, broadcast side)."""
+    return load_rrf(spark, path, ["grp", "grp_str", "tui", "str"])
