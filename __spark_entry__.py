@@ -95,6 +95,32 @@ def q_kg_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_soft_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 soft majority vote: per-token class-frequency distribution."""
+    from trove_spark.voting import soft_majority_vote
+
+    p = _pipe(spark, sf_dir)
+    return _long(
+        soft_majority_vote(p.labels(), n_classes=2).select(
+            "doc_id", "token_idx", "label", "proba"
+        ),
+        "token_idx",
+        "label",
+    )
+
+
+def q_kg_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 label-convention remap {0=abstain,2=neg}→{-1,0} + distribution."""
+    from trove_spark.voting import remap_convention
+
+    p = _pipe(spark, sf_dir)
+    return (
+        remap_convention(p.labels())
+        .groupBy(F.col("label").cast("long").alias("label"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
 def q_kg_typed_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mention-level type assignment (HAS_TYPE aggregation)."""
     return _long(
@@ -429,6 +455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions_longest": q_kg_mentions_longest,
         "kg_lf_votes": q_kg_lf_votes,
         "kg_majority_vote": q_kg_majority_vote,
+        "kg_soft_votes": q_kg_soft_votes,
+        "kg_remap": q_kg_remap,
         "kg_typed_mentions": q_kg_typed_mentions,
         "kg_linked": q_kg_linked,
         "kg_triples": q_kg_triples,
@@ -487,6 +515,17 @@ def oracle_sql() -> dict[str, str]:
              JOIN toksc ce ON ce.doc_id = l.doc_id AND ce.tok = l.e""",
         "kg_lf_votes": p + "SELECT doc_id, token_idx, sab, label FROM votes",
         "kg_majority_vote": p + "SELECT doc_id, token_idx, y FROM mv",
+        "kg_soft_votes": p
+        + """, c AS (SELECT doc_id, token_idx, label, COUNT(*) AS n
+                     FROM votes GROUP BY 1, 2, 3),
+             t AS (SELECT doc_id, token_idx, SUM(n) AS tot FROM c GROUP BY 1, 2)
+             SELECT c.doc_id, c.token_idx, c.label, c.n * 1.0 / t.tot AS proba
+             FROM c JOIN t USING (doc_id, token_idx)""",
+        "kg_remap": p
+        + """SELECT CASE WHEN label = 0 THEN -1 WHEN label = 2 THEN 0
+                         ELSE label END AS label,
+                    CAST(COUNT(*) AS BIGINT) AS n
+             FROM votes GROUP BY 1""",
         "kg_typed_mentions": p
         + """SELECT t.doc_id, t.s AS tok_start, t.e AS tok_end, tm.term, t.etype
              FROM typed t JOIN terms tm ON tm.term_id = t.term_id""",

@@ -1,0 +1,77 @@
+"""Property test: the Aho-Corasick automaton must agree EXACTLY with a
+brute-force n-gram × variant-lookup matcher (the reference's apply_matcher
+shape, matchers.py:100-131) on random lexicons and random token streams —
+plus mv permutation invariance (SURVEY.md §5.5)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from trove_spark.automaton import AhoCorasick, plural_variants
+
+VOCAB = ["aa", "bb", "cc", "dd", "ee", "ffs"]
+
+terms_strategy = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=1, max_size=3).map(tuple),
+    min_size=1,
+    max_size=8,
+    unique=True,
+)
+tokens_strategy = st.lists(st.sampled_from(VOCAB + ["AA", "Bb", "zz", "ccs"]), max_size=25)
+
+
+def brute_force(terms: list[tuple[str, ...]], tokens: list[str]):
+    lw = [t.lower() for t in tokens]
+    # variant → term_id map, exactly like the automaton build
+    variants = {}
+    for tid, term in enumerate(terms):
+        for var in plural_variants(term):
+            variants.setdefault(var, set()).add(tid)
+    out = set()
+    for n in range(1, 4):
+        for i in range(len(lw) - n + 1):
+            for tid in variants.get(tuple(lw[i : i + n]), ()):
+                out.add((i, i + n - 1, tid))
+    return out
+
+
+@given(terms_strategy, tokens_strategy)
+@settings(max_examples=300, deadline=None)
+def test_automaton_equals_brute_force(terms, tokens):
+    a = AhoCorasick()
+    for tid, term in enumerate(terms):
+        a.add_with_variants(term, tid)
+    a.finalize()
+    assert set(a.match(tokens)) == brute_force(terms, tokens)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 3), st.integers(1, 3)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.randoms(),
+)
+@settings(max_examples=50, deadline=None)
+def test_mv_invariant_under_lf_permutation(spark_votes, rnd):
+    """Majority vote must not depend on LF column order (driver-side check
+    of the pure semantics; the Spark agg is oracle-checked separately)."""
+    from collections import Counter
+
+    def mv(votes):
+        out = {}
+        by_tok = {}
+        for tok, _lf, lbl in votes:
+            by_tok.setdefault(tok, []).append(lbl)
+        for tok, vs in by_tok.items():
+            c = Counter(vs)
+            mx = max(c.values())
+            top = sorted(l for l, n in c.items() if n == mx)
+            if len(top) == 1:
+                out[tok] = top[0]
+        return out
+
+    shuffled = list(spark_votes)
+    rnd.shuffle(shuffled)
+    assert mv(spark_votes) == mv(shuffled)

@@ -1,0 +1,67 @@
+"""Salted two-phase aggregation: equality with the naive plans on a
+skew-stress fixture (one hot key at ~100× frequency — FIXTURES.md skew
+fixture; BASELINE.json north_rule salted dedup)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trove_spark.skew import salted_collect_set, salted_count, salted_distinct
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """~100× hot key 'C_HOT' plus a uniform tail, with duplicate rows."""
+    hot = spark.range(10000).select(
+        F.lit("C_HOT").alias("cui"), (F.col("id") % 500).cast("string").alias("span")
+    )
+    tail = spark.range(2000).select(
+        F.concat(F.lit("C"), (F.col("id") % 100).cast("string")).alias("cui"),
+        (F.col("id") % 37).cast("string").alias("span"),
+    )
+    return hot.unionByName(tail).cache()
+
+
+def test_salted_distinct_equals_distinct(spark, skewed):
+    naive = {tuple(r) for r in skewed.distinct().collect()}
+    salted = {tuple(r) for r in salted_distinct(skewed, ["cui", "span"]).collect()}
+    assert salted == naive
+    # hot key contributes exactly its distinct spans
+    assert sum(1 for c, _ in salted if c == "C_HOT") == 500
+
+
+def test_salted_count_equals_groupby_count(spark, skewed):
+    naive = {(r["cui"], r["n"]) for r in skewed.groupBy("cui").agg(F.count("*").alias("n")).collect()}
+    salted = {(r["cui"], r["n"]) for r in salted_count(skewed, ["cui"]).collect()}
+    assert salted == naive
+
+
+def test_salted_collect_set_equals_plain(spark, skewed):
+    naive = {
+        (r["cui"], tuple(sorted(r["vals"])))
+        for r in skewed.groupBy("cui").agg(F.collect_set("span").alias("vals")).collect()
+    }
+    salted = {
+        (r["cui"], tuple(sorted(r["vals"])))
+        for r in salted_collect_set(skewed, ["cui"], "span").collect()
+    }
+    assert salted == naive
+
+
+def test_salt_is_content_derived(spark, skewed):
+    """Same rows → same salt on every run (resume determinism)."""
+    from trove_spark.skew import with_salt
+
+    a = sorted(map(tuple, with_salt(skewed.select("cui", "span"), 16).collect()))
+    b = sorted(map(tuple, with_salt(skewed.select("cui", "span"), 16).collect()))
+    assert a == b
+    # phase-1 keys actually spread: the hot key must hit >1 salt bucket
+    n_buckets = (
+        with_salt(skewed.select("cui", "span"), 16)
+        .filter("cui = 'C_HOT'")
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert n_buckets > 4

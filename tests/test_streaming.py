@@ -1,0 +1,71 @@
+"""Incremental (Structured Streaming) extraction: new document files →
+triples, equal to the batch pipeline over the same docs; restart resumes
+without reprocessing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trove_spark import synth
+from trove_spark.fused import fused_triples
+from trove_spark.pipeline import default_lexicon
+from trove_spark.streaming import read_streamed_triples, stream_documents_to_triples
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {
+        "in": str(tmp_path / "in"),
+        "out": str(tmp_path / "out"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    (tmp_path / "in").mkdir()
+    return d
+
+
+def _write_docs(spark, path, lo, hi):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+    ).select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    docs.coalesce(1).write.mode("append").parquet(path)
+    return docs
+
+
+def test_streaming_matches_batch(spark, dirs):
+    lex_bc = spark.sparkContext.broadcast(default_lexicon())
+    _write_docs(spark, dirs["in"], 0, 40)
+    q = stream_documents_to_triples(
+        spark, dirs["in"], dirs["out"], dirs["ckpt"], lex_bc,
+        synth.CLASS_MAP, synth.CLASS_NAMES,
+    )
+    q.awaitTermination()
+
+    # second drop of files → restart picks up ONLY the new ones
+    _write_docs(spark, dirs["in"], 40, 80)
+    q2 = stream_documents_to_triples(
+        spark, dirs["in"], dirs["out"], dirs["ckpt"], lex_bc,
+        synth.CLASS_MAP, synth.CLASS_NAMES,
+    )
+    q2.awaitTermination()
+
+    streamed = {
+        tuple(r)
+        for r in read_streamed_triples(spark, dirs["out"])
+        .select("subj", "pred", "obj")
+        .collect()
+    }
+    all_docs = spark.read.parquet(dirs["in"])
+    batch = {
+        tuple(r)
+        for r in fused_triples(all_docs, lex_bc, synth.CLASS_MAP, synth.CLASS_NAMES)
+        .select("subj", "pred", "obj")
+        .collect()
+    }
+    assert streamed == batch
+    # resume really was incremental: checkpoint prevented reprocessing, so
+    # batch dirs from run 1 and run 2 both exist
+    import os
+
+    batches = [d for d in os.listdir(dirs["out"]) if d.startswith("batch=")]
+    assert len(batches) >= 2

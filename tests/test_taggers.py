@@ -1,0 +1,59 @@
+"""Tagger operator shapes: LOCF carry-forward, relation self-join,
+negation window, span→sentence range assignment (Q2/S15)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trove_spark.taggers import attach_spans_to_sentences, carry_forward
+from trove_spark.tokenize import tokenize_documents
+
+
+def test_carry_forward_locf(spark):
+    df = spark.createDataFrame(
+        [("u1", 1, None), ("u1", 2, "a"), ("u1", 3, None), ("u1", 4, "b"),
+         ("u1", 5, None), ("u2", 1, None)],
+        "user string, t int, v string",
+    )
+    out = {(r["user"], r["t"]): r["filled"]
+           for r in carry_forward(df, ["user"], "t", "v", "filled").collect()}
+    assert out == {("u1", 1): None, ("u1", 2): "a", ("u1", 3): "a",
+                   ("u1", 4): "b", ("u1", 5): "b", ("u2", 1): None}
+
+
+def test_attach_spans_range_join(spark):
+    docs = spark.createDataFrame(
+        [("d1", "aa bb. cc dd ee. ff")], "doc_id string, content string"
+    )
+    sents = tokenize_documents(docs, mode="whitespace")
+    # sentences: [0,5] 'aa bb.'; [7,15] 'cc dd ee.'; [17,18] 'ff'
+    spans = spark.createDataFrame(
+        [
+            ("d1", 0, 1),    # 'aa' → sent 0
+            ("d1", 7, 11),   # 'cc dd' → sent 1
+            ("d1", 17, 18),  # 'ff' → sent 2
+            ("d1", 3, 8),    # crosses sentence boundary → NULL
+            ("d1", 100, 102),  # out of range → NULL
+        ],
+        "doc_id string, abs_char_start int, abs_char_end int",
+    )
+    out = {
+        (r["abs_char_start"], r["abs_char_end"]): r["sent_idx"]
+        for r in attach_spans_to_sentences(spans, sents).collect()
+    }
+    assert out == {(0, 1): 0, (7, 11): 1, (17, 18): 2, (3, 8): None, (100, 102): None}
+
+
+def test_span_text_roundtrip(spark):
+    """Attached spans slice back to the right text via sentence offsets
+    (the reference's span/text consistency assertion, dataloaders.py:255-264)."""
+    text = "aa bb. cc dd ee. ff"
+    docs = spark.createDataFrame([("d1", text)], "doc_id string, content string")
+    sents = tokenize_documents(docs, mode="whitespace")
+    spans = spark.createDataFrame(
+        [("d1", 7, 11, "cc dd")],
+        "doc_id string, abs_char_start int, abs_char_end int, expected string",
+    )
+    r = attach_spans_to_sentences(spans.drop("expected"), sents).collect()[0]
+    assert text[r["abs_char_start"] : r["abs_char_end"] + 1] == "cc dd"
+    assert r["sent_idx"] == 1

@@ -106,7 +106,7 @@ def triples_for_doc(
     return out
 
 
-def fused_triples(
+def fused_triples_raw(
     docs: DataFrame,
     lex_bc: Broadcast,
     class_map: dict[str, int],
@@ -114,9 +114,9 @@ def fused_triples(
     text_col: str = "text",
     id_col: str = "doc_id",
     tokenizer_mode: str = "whitespace",
-    n_salts: int = 16,
 ) -> DataFrame:
-    """documents → canonical triples in one narrow kernel + one shuffle."""
+    """documents → triples, kernel only (per-doc dedup, NO shuffle).
+    Streaming-safe: stateless mapInPandas, usable on a streaming DF."""
     token_re = _TOKENIZERS[tokenizer_mode]
     cm = dict(class_map)
     cn = dict(class_names)
@@ -147,9 +147,25 @@ def fused_triples(
                 }
             )
 
-    raw = cols.mapInPandas(_kernel, schema=TRIPLES_SCHEMA)
-    # canonicalization: in-kernel per-doc dedup already guarantees global
-    # uniqueness for doc-scoped subjects; the salted distinct stays as the
-    # skew-proof final commit barrier (near-free: map-side combine sees
-    # unique keys) and is REQUIRED once cross-doc edges join the stream
+    return cols.mapInPandas(_kernel, schema=TRIPLES_SCHEMA)
+
+
+def fused_triples(
+    docs: DataFrame,
+    lex_bc: Broadcast,
+    class_map: dict[str, int],
+    class_names: dict[int, str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokenizer_mode: str = "whitespace",
+    n_salts: int = 16,
+) -> DataFrame:
+    """documents → canonical triples: the raw kernel + ONE salted-distinct
+    canonicalization shuffle.  In-kernel per-doc dedup already guarantees
+    global uniqueness for doc-scoped subjects; the salted distinct stays as
+    the skew-proof final commit barrier (near-free: map-side combine sees
+    unique keys) and is REQUIRED once cross-doc edges join the stream."""
+    raw = fused_triples_raw(
+        docs, lex_bc, class_map, class_names, text_col, id_col, tokenizer_mode
+    )
     return salted_distinct(raw, ["subj", "pred", "obj"], n_salts=n_salts)

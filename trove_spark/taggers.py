@@ -98,6 +98,49 @@ def relation_pairs(
     )
 
 
+def attach_spans_to_sentences(
+    spans: DataFrame,
+    sentences: DataFrame,
+) -> DataFrame:
+    """Q2 ``map_sent_entities`` / S15 PrecomputedEntityTagger: assign
+    externally-supplied char spans (doc_id, abs_char_start, abs_char_end
+    inclusive) to their containing sentence.
+
+    Range join, done scalably: sentence char intervals are derived with a
+    per-doc ``lead()`` window (dataloaders.py:124-165 uses a positional
+    scan), then the join is an EQUI join on doc_id with the range predicate
+    as a post-filter — correct because sentence counts per doc are small
+    (the group is doc-bounded, like the reference's per-doc loop).
+    Cross-sentence spans get sent_idx = NULL (the reference counts them as
+    errors, dataloaders.py:137-153)."""
+    from pyspark.sql import Window, functions as F
+
+    bounds = sentences.select(
+        "doc_id",
+        "sent_idx",
+        F.element_at("char_offsets", 1).alias("sent_start"),
+        (
+            F.element_at("char_offsets", -1)
+            + F.length(F.element_at("words", -1))
+            - 1
+        ).alias("sent_end"),
+    )
+    j = spans.join(bounds, "doc_id", "left").filter(
+        (F.col("abs_char_start") >= F.col("sent_start"))
+        & (F.col("abs_char_start") <= F.col("sent_end"))
+    )
+    # containment check: the END must land in the SAME sentence
+    out = j.withColumn(
+        "sent_idx",
+        F.when(F.col("abs_char_end") <= F.col("sent_end"), F.col("sent_idx")),
+    )
+    return spans.join(
+        out.select("doc_id", "abs_char_start", "abs_char_end", "sent_idx"),
+        ["doc_id", "abs_char_start", "abs_char_end"],
+        "left",
+    )
+
+
 def negation_window(
     typed_mentions: DataFrame,
     tokens: DataFrame,
