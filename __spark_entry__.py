@@ -257,8 +257,8 @@ def q_rel_agg_pricing(spark, sf_dir):
     """Hash agg with decimal-exact partial+final sums (TPC-H Q1 shape)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_price"),
         F.count("*").cast("long").alias("n_rows"),
     )
 
@@ -274,7 +274,7 @@ def q_rel_join_nations(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.count("*").cast("long").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_price"),
         )
     )
 

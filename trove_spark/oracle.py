@@ -280,13 +280,13 @@ def relational_oracles() -> dict[str, str]:
     return {
         "rel_agg_pricing": """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
        CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         "rel_join_nations": """
 SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
-       SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total_price
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
 FROM orders o
 JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
