@@ -216,6 +216,23 @@ def q_kg_ontology_rank(spark, sf_dir):
     return ontology_coverage_rank(p.mentions(), term_sabs, k=10)
 
 
+def q_kg_label_model(spark, sf_dir):
+    """G3 generative label model (EM, non-SQL-expressible → rows-only
+    check): probabilistic token labels from the LF vote matrix."""
+    from trove_spark.label_model import fit_label_model, predict_label_model
+
+    p = _pipe(spark, sf_dir)
+    labels = p.labels()
+    params = fit_label_model(labels, n_classes=2, n_iter=3, spark=spark)
+    return _long(
+        predict_label_model(labels, params, spark=spark).select(
+            "doc_id", "token_idx", "y", "proba"
+        ),
+        "token_idx",
+        "y",
+    )
+
+
 def q_tag_sessions(spark, sf_dir):
     """A7 section carry-forward shape: LOCF window over the events stream."""
     from trove_spark.taggers import session_headers
@@ -465,6 +482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_coverage_stats": q_kg_coverage_stats,
         "kg_lf_summary": q_kg_lf_summary,
         "kg_ontology_rank": q_kg_ontology_rank,
+        "kg_label_model": q_kg_label_model,  # rows-only (EM, non-SQL)
         "tag_sessions": q_tag_sessions,
         "tag_relations": q_tag_relations,
         "tag_negation": q_tag_negation,

@@ -1,0 +1,94 @@
+"""LF diagnostics on the hand-built micro-fixture (FIXTURES.md F5):
+known coverage/overlap/conflict fractions, per-LF accuracies vs gold,
+abstention-aware confusion (analysis.py G5-G13 semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trove_spark.analysis import (
+    confusion_matrix,
+    coverage_stats,
+    lf_empirical_accuracy,
+    lf_summary,
+)
+from trove_spark.voting import majority_vote, unipolar_union
+
+# 6 tokens (d,0,t); 3 LFs.  By token:
+#   t0: lf0→1, lf1→1          (overlap, agree)
+#   t1: lf0→1, lf1→2          (overlap, conflict)
+#   t2: lf0→2                 (single)
+#   t3: lf2→1                 (single)
+#   t4: —                     (uncovered)
+#   t5: lf0→1, lf1→1, lf2→2   (overlap, conflict)
+LABELS = [
+    ("d", 0, 0, 0, 1), ("d", 0, 0, 1, 1),
+    ("d", 0, 1, 0, 1), ("d", 0, 1, 1, 2),
+    ("d", 0, 2, 0, 2),
+    ("d", 0, 3, 2, 1),
+    ("d", 0, 5, 0, 1), ("d", 0, 5, 1, 1), ("d", 0, 5, 2, 2),
+]
+GOLD = [("d", 0, i, y) for i, y in [(0, 1), (1, 2), (2, 2), (3, 2), (4, 1), (5, 1)]]
+
+
+@pytest.fixture(scope="module")
+def labels(spark):
+    return spark.createDataFrame(
+        LABELS, "doc_id string, sent_idx int, token_idx int, lf_id int, label int"
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def gold(spark):
+    return spark.createDataFrame(
+        GOLD, "doc_id string, sent_idx int, token_idx int, y int"
+    ).cache()
+
+
+def test_coverage_stats(spark, labels):
+    r = coverage_stats(labels).collect()[0]
+    assert r["covered_n"] == 5      # t4 uncovered
+    assert r["overlap_n"] == 3      # t0, t1, t5
+    assert r["conflict_n"] == 2     # t1, t5
+
+
+def test_lf_summary(spark, labels):
+    rows = {r["lf_id"]: r for r in lf_summary(labels).collect()}
+    assert rows[0]["polarities"] == "1,2" and rows[0]["coverage_n"] == 4
+    assert rows[0]["overlap_n"] == 3      # t0,t1,t5 of lf0's tokens
+    assert rows[0]["conflict_n"] == 2     # t1,t5
+    assert rows[2]["polarities"] == "1,2" and rows[2]["coverage_n"] == 2
+    assert rows[2]["overlap_n"] == 1      # only t5
+
+
+def test_majority_vote_fixture(spark, labels):
+    mv = {r["token_idx"]: r["y"] for r in majority_vote(labels).collect()}
+    # t0: 1; t1 tie 1v2 → abstain; t2: 2; t3: 1; t5: two 1s one 2 → 1
+    assert mv == {0: 1, 2: 2, 3: 1, 5: 1}
+
+
+def test_lf_empirical_accuracy(spark, labels, gold):
+    acc = {r["lf_id"]: (r["correct_n"], r["incorrect_n"])
+           for r in lf_empirical_accuracy(labels, gold).collect()}
+    # lf0 votes: t0=1✓ t1=1✗ t2=2✓ t5=1✓ → (3,1); lf1: t0✓ t1✓ t5✓ → (3,0)
+    assert acc[0] == (3, 1)
+    assert acc[1] == (3, 0)
+    assert acc[2] == (0, 2)   # t3: voted 1 vs gold 2; t5: voted 2 vs gold 1
+
+
+def test_confusion_matrix_abstention_aware(spark, labels, gold):
+    cm = {(r["y_gold"], r["y_pred"]): r["n"]
+          for r in confusion_matrix(majority_vote(labels), gold).collect()}
+    # gold t4 uncovered → (1, -1); t1 tie-abstained → (2, -1)
+    assert cm[(1, -1)] == 1 and cm[(2, -1)] == 1
+    assert cm[(1, 1)] == 2      # t0, t5
+    assert cm[(2, 1)] == 1      # t3 (mv says 1, gold 2)
+    assert cm[(2, 2)] == 1      # t2
+
+
+def test_unipolar_union(spark, labels):
+    u = {(r["token_idx"], r["label"]) for r in unipolar_union(labels, [0, 1], 99).collect()}
+    assert (0, 1) in u and (2, 2) in u
+    assert all(r[0] != 4 for r in u)
+    assert unipolar_union(labels, [0, 1], 99).filter("lf_id != 99").count() == 0

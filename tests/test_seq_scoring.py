@@ -1,0 +1,34 @@
+"""Q6 tokens_to_sequences + Q7/G17 span scoring DataFrame wrappers."""
+
+from __future__ import annotations
+
+from trove_spark.tags import score_spans, tokens_to_sequences
+
+
+def test_tokens_to_sequences(spark):
+    tl = spark.createDataFrame(
+        [("d", 0, 0, 1), ("d", 0, 1, 1), ("d", 0, 3, 2), ("d", 1, 0, 2)],
+        "doc_id string, sent_idx int, token_idx int, y int",
+    )
+    rows = {
+        (r["doc_id"], r["sent_idx"]): (list(r["tags"]), list(r["token_idxs"]))
+        for r in tokens_to_sequences(tl, {1: "OP", 2: "DS"}).collect()
+    }
+    assert rows[("d", 0)] == (["I-OP", "I-OP", "I-DS"], [0, 1, 3])
+    assert rows[("d", 1)] == (["I-DS"], [0])
+
+
+def test_score_spans(spark):
+    pred = spark.createDataFrame(
+        [("d", 0, 1, "OP"), ("d", 3, 3, "DS"), ("d", 5, 6, "OP")],
+        "doc_id string, start int, end int, etype string",
+    )
+    gold = spark.createDataFrame(
+        [("d", 0, 1, "OP"), ("d", 3, 3, "OP"), ("d", 8, 9, "DS"), ("d", 5, 6, "OP")],
+        "doc_id string, start int, end int, etype string",
+    )
+    r = score_spans(pred, gold)
+    assert r["tp"] == 2 and r["n_pred"] == 3 and r["n_gold"] == 4
+    assert abs(r["precision"] - 2 / 3) < 1e-9
+    assert abs(r["recall"] - 0.5) < 1e-9
+    assert abs(r["f1"] - 2 * (2 / 3) * 0.5 / (2 / 3 + 0.5)) < 1e-9

@@ -62,6 +62,20 @@ def soft_majority_vote(labels: DataFrame, n_classes: int, keys: list[str] | None
     )
 
 
+def unipolar_union(labels: DataFrame, lf_ids: list[int], new_lf_id: int) -> DataFrame:
+    """L10 ``UnipolarUnionLabelingFunction``: OR-union several unipolar LFs
+    into one column — union of their votes, one vote per token, max label
+    as the deterministic reducer (members are unipolar, so labels agree;
+    max handles accidental mixtures).  Call sites:
+    /root/reference/applications/i2b2_drugs/drugs.py:401."""
+    member = labels.filter(F.col("lf_id").isin(lf_ids))
+    return member.groupBy(*TOKEN_KEY).agg(
+        F.max("label").alias("label")
+    ).withColumn("lf_id", F.lit(new_lf_id).cast("int")).select(
+        *TOKEN_KEY, "lf_id", "label"
+    )
+
+
 def remap_convention(labels: DataFrame, col: str = "label") -> DataFrame:
     """{0=abstain, 1=pos, 2=neg} → {−1=abstain, 1=pos, 0=neg}
     (tutorial 3 cell 34)."""
