@@ -1,0 +1,88 @@
+"""Document-corpus scans (S1 JSONL / S3 TSV / S13 brat), timex (A8/A9),
+kappa (G16), grid sampling (X1)."""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+import pytest
+
+from trove_spark.analysis import fleiss_kappa, sample_param_grid
+from trove_spark.sources import read_brat_annotations, read_jsonl_documents, read_tsv_corpus
+from trove_spark.timex import day_deltas, extract_dates
+
+
+def test_read_jsonl_documents(spark, tmp_path):
+    doc = {
+        "name": "doc1",
+        "metadata": {"src": "unit"},
+        "sentences": [
+            {"words": ["hash", "join"], "abs_char_offsets": [0, 5], "i": 0},
+            {"words": ["sort"], "abs_char_offsets": [10], "i": 1},
+        ],
+    }
+    p = tmp_path / "docs.jsonl"
+    p.write_text(json.dumps(doc) + "\n")
+    rows = {(r["doc_id"], r["sent_idx"]): (list(r["words"]), list(r["char_offsets"]))
+            for r in read_jsonl_documents(spark, str(p)).collect()}
+    assert rows[("doc1", 0)] == (["hash", "join"], [0, 5])
+    assert rows[("doc1", 1)] == (["sort"], [10])
+
+
+def test_read_tsv_corpus_unescapes(spark, tmp_path):
+    p = tmp_path / "corpus.tsv"
+    p.write_text("doc_id\ttext\nd1\tline one\\nline two\\twith tab\n")
+    r = read_tsv_corpus(spark, str(p)).collect()[0]
+    assert r["doc_id"] == "d1"
+    assert r["text"] == "line one\nline two\twith tab"
+
+
+def test_read_brat_annotations(spark, tmp_path):
+    (tmp_path / "doc42.ann").write_text(
+        "T1\tChemical 0 9\tmercaptol\n"
+        "T2\tDisease 15 21;25 30\tanemia\n"      # discontiguous → first fragment
+        "R1\tRelated Arg1:T1 Arg2:T2\n"          # non-entity line ignored
+    )
+    rows = {r["ann_id"]: r for r in read_brat_annotations(spark, str(tmp_path)).collect()}
+    assert rows["T1"]["doc_id"] == "doc42"
+    assert rows["T1"]["etype"] == "Chemical"
+    assert (rows["T1"]["abs_char_start"], rows["T1"]["abs_char_end"]) == (0, 8)  # inclusive
+    assert (rows["T2"]["abs_char_start"], rows["T2"]["abs_char_end"]) == (15, 20)
+    assert "R1" not in rows
+
+
+def test_extract_dates_and_deltas(spark):
+    docs = spark.createDataFrame(
+        [("d1", "seen on 2024-03-05 and again 3/7/2024 and nonsense 99/99/9999")],
+        "doc_id string, text string",
+    )
+    dated = extract_dates(docs, "text")
+    got = {r["expr"]: r["norm_date"] for r in dated.collect()}
+    assert got["2024-03-05"] == datetime.date(2024, 3, 5)
+    assert got["3/7/2024"] == datetime.date(2024, 3, 7)
+    assert got["99/99/9999"] is None  # kept, unnormalizable
+    doc_times = spark.createDataFrame(
+        [("d1", datetime.date(2024, 3, 1))], "doc_id string, doc_date date"
+    )
+    deltas = {r["expr"]: r["tdelta_days"]
+              for r in day_deltas(dated.filter("norm_date is not null"), doc_times).collect()}
+    assert deltas == {"2024-03-05": 4, "3/7/2024": 6}
+
+
+def test_fleiss_kappa():
+    # perfect agreement → 1.0
+    assert fleiss_kappa([[3, 0], [0, 3], [3, 0]]) == pytest.approx(1.0)
+    # the classic Fleiss 1971-style mixed table is between 0 and 1
+    k = fleiss_kappa([[2, 1], [1, 2], [3, 0], [0, 3]])
+    assert 0.0 < k < 1.0
+    assert fleiss_kappa([]) == 0.0
+
+
+def test_sample_param_grid_deterministic():
+    grid = {"lr": [1, 2, 3], "epochs": [10, 20]}
+    a = sample_param_grid(grid, 4, seed=7)
+    b = sample_param_grid(grid, 4, seed=7)
+    assert a == b and len(a) == 4
+    assert sample_param_grid(grid, 4, seed=8) != a
+    assert all(c["lr"] in (1, 2, 3) and c["epochs"] in (10, 20) for c in a)

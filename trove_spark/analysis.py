@@ -75,6 +75,38 @@ def confusion_matrix(pred: DataFrame, gold: DataFrame) -> DataFrame:
     )
 
 
+def fleiss_kappa(ratings: list[list[int]]) -> float:
+    """G16 inter-annotator agreement (brat.py:387-419) — driver-side on the
+    small per-item category-count matrix: ratings[item][category] = #raters
+    choosing that category."""
+    n_items = len(ratings)
+    if n_items == 0:
+        return 0.0
+    n_raters = sum(ratings[0])
+    n_cats = len(ratings[0])
+    p_cat = [sum(row[c] for row in ratings) / (n_items * n_raters) for c in range(n_cats)]
+    p_item = [
+        (sum(x * x for x in row) - n_raters) / (n_raters * (n_raters - 1)) for row in ratings
+    ]
+    p_bar = sum(p_item) / n_items
+    p_e = sum(p * p for p in p_cat)
+    if p_e == 1.0:
+        return 1.0
+    return (p_bar - p_e) / (1 - p_e)
+
+
+def sample_param_grid(grid: dict[str, list], n: int, seed: int = 1234) -> list[dict]:
+    """X1 ``sample_param_grid`` (model_search.py:12-24): seeded shuffle of
+    the Cartesian grid, first n configs — deterministic, driver-side."""
+    import itertools
+    import random
+
+    keys = sorted(grid)
+    combos = [dict(zip(keys, vals)) for vals in itertools.product(*(grid[k] for k in keys))]
+    random.Random(seed).shuffle(combos)
+    return combos[:n]
+
+
 def ontology_coverage_rank(mentions: DataFrame, term_sabs: DataFrame, k: int = 10) -> DataFrame:
     """G15 ``score_umls_ontologies``: rank source vocabularies by corpus
     match count → top-k.  ``term_sabs(term_id, sab)`` is the (tiny)

@@ -101,3 +101,74 @@ def chebi_loader(spark: SparkSession, path: str, min_len: int = 2) -> DataFrame:
 def semantic_groups_loader(spark: SparkSession, path: str) -> DataFrame:
     """S12: SemGroups.txt — GRP|GRP_STR|TUI|STR (tiny dim, broadcast side)."""
     return load_rrf(spark, path, ["grp", "grp_str", "tui", "str"])
+
+
+# ---------------------------------------------------------------------------
+# Document-corpus scans (S1 JSONL, S3 TSV, S13 brat standoff)
+# ---------------------------------------------------------------------------
+
+# the reference's pre-tokenized document JSON (one per line):
+#   {"name": ..., "metadata": {...}, "sentences": [{"words": [...],
+#    "abs_char_offsets": [...], "i": 0, ...}, ...]}
+# (trove/dataloaders/dataloaders.py:28-43; field layout
+#  preprocessing/pipes/tokenizers.py:340-387)
+JSONL_DOC_SCHEMA = (
+    "name string, metadata map<string,string>, "
+    "sentences array<struct<words:array<string>, abs_char_offsets:array<int>, i:int>>"
+)
+
+
+def read_jsonl_documents(spark: SparkSession, path: str) -> DataFrame:
+    """S1: trove-shaped JSONL → the engine's ``sentences`` table directly
+    (the docs arrive pre-tokenized; no tokenizer stage needed).
+    ``spark.read.json`` is gzip-aware like the reference's loader."""
+    raw = spark.read.schema(JSONL_DOC_SCHEMA).json(path)
+    s = F.explode("sentences").alias("s")
+    return raw.select(F.col("name").alias("doc_id"), s).select(
+        "doc_id",
+        F.col("s.i").alias("sent_idx"),
+        F.col("s.words").alias("words"),
+        F.col("s.abs_char_offsets").alias("char_offsets"),
+    )
+
+
+def read_tsv_corpus(
+    spark: SparkSession, path: str, primary_key: str = "doc_id", text_key: str = "text"
+) -> DataFrame:
+    """S3: row-per-doc TSV with escaped newlines/tabs
+    (preprocessing/parse.py:69-99 unescapes ``\\n``/``\\t``/``\\r``)."""
+    raw = spark.read.csv(path, sep="\t", header=True)
+    unescaped = (
+        F.regexp_replace(
+            F.regexp_replace(F.regexp_replace(F.col(text_key), r"\\n", "\n"), r"\\t", "\t"),
+            r"\\r",
+            "\r",
+        )
+    )
+    return raw.select(F.col(primary_key).alias("doc_id"), unescaped.alias("text"))
+
+
+def read_brat_annotations(spark: SparkSession, ann_dir: str) -> DataFrame:
+    """S13: brat standoff ``.ann`` entity lines
+    (``T<id>\\t<TYPE> <start> <end>\\t<text>``; trove/contrib/brat/brat.py:149-366)
+    → gold spans DataFrame (doc_id, ann_id, etype, abs_char_start,
+    abs_char_end INCLUSIVE, text).  Discontiguous spans ('start end;start
+    end') keep their first fragment, like contiguous_only loading
+    (dataloaders.py:79-80)."""
+    raw = spark.read.text(f"{ann_dir}/*.ann").select(
+        F.regexp_replace(
+            F.element_at(F.split(F.input_file_name(), "/"), -1), r"\.ann$", ""
+        ).alias("doc_id"),
+        F.col("value"),
+    )
+    ents = raw.filter(F.col("value").startswith("T"))
+    parts = F.split("value", "\t")
+    span = F.split(F.element_at(F.split(parts[1], ";"), 1), " ")
+    return ents.select(
+        "doc_id",
+        parts[0].alias("ann_id"),
+        span[0].alias("etype"),
+        span[1].cast("int").alias("abs_char_start"),
+        (span[2].cast("int") - 1).alias("abs_char_end"),  # brat end is exclusive
+        parts[2].alias("text"),
+    )

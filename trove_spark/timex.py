@@ -1,0 +1,43 @@
+"""Date/time expression normalization (A8 Timex shape) + doc-time deltas (A9).
+
+The reference's Timex3 machinery is a 600-line clinical regex battery
+(/root/reference/trove/contrib/labelers/clinical/timex.py:72-600); the
+transferable operator is: regex-extract date expressions from text →
+normalize to DATE with ``to_date`` per format → attach signed day deltas
+against a reference date (timedeltas.py:11-97).  All built-ins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# the common explicit-date shapes the reference normalizes
+#   MM/DD/YYYY, MM-DD-YYYY, YYYY-MM-DD
+_DATE_RE = r"\b(\d{4}-\d{2}-\d{2}|\d{1,2}[/-]\d{1,2}[/-]\d{4})\b"
+
+
+def extract_dates(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, expr, norm_date): every date expression with its
+    normalized DATE (null if unparseable — kept, like the reference keeps
+    un-normalizable timexes as spans without values)."""
+    exprs = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(_DATE_RE), 1)).alias("expr"),
+    )
+    # try_to_date: ANSI mode makes to_date THROW on a non-matching format,
+    # so per-format fallbacks must use the try_ variant
+    norm = F.coalesce(
+        F.expr("try_to_date(expr, 'yyyy-MM-dd')"),
+        F.expr("try_to_date(expr, 'M/d/yyyy')"),
+        F.expr("try_to_date(expr, 'M-d-yyyy')"),
+    )
+    return exprs.withColumn("norm_date", norm)
+
+
+def day_deltas(dated: DataFrame, doc_times: DataFrame) -> DataFrame:
+    """A9: signed day delta between each normalized date and its document's
+    reference time (doc_times: doc_id, doc_date).  Broadcast join — the
+    doc-time side is one row per doc."""
+    return dated.join(doc_times, "doc_id").withColumn(
+        "tdelta_days", F.datediff(F.col("norm_date"), F.col("doc_date"))
+    )
