@@ -1,0 +1,60 @@
+"""S9 ADAM / S10 SPECIALIST loaders + L3 slot-filled merge pass."""
+
+from __future__ import annotations
+
+from trove_spark.labeling import SlotFilledOntologyLF, merge_adjacent_matches
+from trove_spark.sources import adam_loader, specialist_loader
+
+
+def test_adam_loader(spark, tmp_path):
+    p = tmp_path / "adam.txt"
+    p.write_text(
+        "# header comment\n"
+        "HJ\thash join:0.9\n"
+        "MJ\tmerge join:0.3\n"       # below score threshold
+        "XX\tunknown thing:0.8\n"    # long form not in targets
+    )
+    targets = spark.createDataFrame([("hash join",), ("unknown?",)], "term string")
+    rows = {(r["abbrev"], r["long_form"]) for r in adam_loader(spark, str(p), targets).collect()}
+    assert rows == {("hj", "hash join")}
+
+
+def test_specialist_loader(spark, tmp_path):
+    p = tmp_path / "LRABR"
+    p.write_text(
+        "E1|HJ|acronym|u1|hash join|\n"
+        "E2|HJ|acronym|u2|hip joint|\n"     # HJ: 2 expansions, same cls? see below
+        "E3|WB|acronym|u3|whole blood|\n"
+        "E4|WB|acronym|u4|water bottle|\n"  # WB ambiguous across classes
+    )
+    term_sty = spark.createDataFrame(
+        [("hash join", 1), ("hip joint", 1), ("whole blood", 1), ("water bottle", 2)],
+        "term string, cls int",
+    )
+    out = {r["abbrev"]: r["cls"] for r in specialist_loader(spark, str(p), term_sty).collect()}
+    # HJ: both expansions cls 1 → unambiguous, kept; WB: 50/50 split → dropped
+    assert out == {"hj": 1}
+
+
+def test_merge_adjacent_matches():
+    labels = {10: 1, 11: 1, 12: 2, 13: None}
+    # (0,0,t10)+(1,1,t11) same label adjacent → merge; t12 different label;
+    # gap before (5,5) prevents merge; t13 unlabeled stays separate
+    merged = merge_adjacent_matches(
+        [(0, 0, 10), (1, 1, 11), (2, 2, 12), (5, 5, 10), (6, 6, 13)], labels
+    )
+    assert merged == [(0, 1, 1), (2, 2, 2), (5, 5, 1), (6, 6, None)]
+
+
+def test_slotfilled_lf_labels_merged_spans(spark):
+    from trove_spark.labeling import SentenceCtx, apply_lfs
+    from trove_spark.pipeline import default_lexicon
+    from trove_spark.tokenize import tokenize_documents
+
+    # 'sort' and 'scan' are both ONTO_A label 1 and adjacent → merged run
+    docs = spark.createDataFrame([("d1", "sort scan table")], "doc_id string, content string")
+    sents = tokenize_documents(docs, mode="whitespace")
+    bc = spark.sparkContext.broadcast(default_lexicon())
+    out = apply_lfs(sents, bc, [SlotFilledOntologyLF("ONTO_A")]).collect()
+    got = {(r["token_idx"], r["label"]) for r in out}
+    assert got == {(0, 1), (1, 1), (2, 2)}

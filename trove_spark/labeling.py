@@ -199,6 +199,47 @@ def build_word_graph(terms: list[str]) -> frozenset[tuple[str, str]]:
     return frozenset(edges)
 
 
+def merge_adjacent_matches(
+    matches: list[tuple[int, int, int]],
+    labels_of: dict[int, int | None],
+) -> list[tuple[int, int, int | None]]:
+    """L3 SlotFilledOntologyLF's merge pass (labeling.py:149-336): fuse
+    ADJACENT matches that carry the same label into one span (the slot
+    regexes over merged surface forms are application-specific; the
+    transferable operator is the sequential merge).  Input must be the
+    longest-only, position-sorted match list; output is
+    (tok_start, tok_end, label)."""
+    out: list[tuple[int, int, int | None]] = []
+    for s, e, tid in sorted(matches):
+        lbl = labels_of.get(tid)
+        if out and lbl is not None and out[-1][2] == lbl and out[-1][1] + 1 == s:
+            out[-1] = (out[-1][0], e, lbl)
+        else:
+            out.append((s, e, lbl))
+    return out
+
+
+@dataclass
+class SlotFilledOntologyLF(LF):
+    """L3: OntologyLF + merge-adjacent-same-label post-pass."""
+
+    sab: str
+
+    def __post_init__(self):
+        self.name = f"slotfilled:{self.sab}"
+
+    def label_sentence(self, ctx: SentenceCtx) -> dict[int, int]:
+        tl = ctx.lex.sab_term_labels.get(self.sab, {})
+        merged = merge_adjacent_matches(ctx.longest_matches, tl)
+        out: dict[int, int] = {}
+        for s, e, lbl in merged:
+            if lbl is None:
+                continue
+            for i in range(s, e + 1):
+                out[i] = lbl
+        return out
+
+
 # ---------------------------------------------------------------------------
 # LF application engine (reference core.py:21-91 → one mapInPandas stage)
 # ---------------------------------------------------------------------------

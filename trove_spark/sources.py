@@ -103,6 +103,50 @@ def semantic_groups_loader(spark: SparkSession, path: str) -> DataFrame:
     return load_rrf(spark, path, ["grp", "grp_str", "tui", "str"])
 
 
+def adam_loader(
+    spark: SparkSession,
+    path: str,
+    target_terms: DataFrame,
+    min_score: float = 0.5,
+) -> DataFrame:
+    """S9 ADAM abbreviation synsets (dictionaries.py:98-143): TSV rows
+    ``abbrev\\tlong_form:score`` (comment lines '#'); keep rows with score ≥
+    min_score whose long form is in the target concept set — a SEMI-join
+    against the class dictionary."""
+    # explicit schema: an empty/comment-only file must still parse (csv
+    # inference infers zero columns and breaks the select otherwise)
+    raw = spark.read.csv(path, sep="\t", comment="#", schema="abbrev string, pref string")
+    parsed = raw.select(
+        F.lower("abbrev").alias("abbrev"),
+        F.lower(F.element_at(F.split("pref", ":"), 1)).alias("long_form"),
+        F.element_at(F.split("pref", ":"), -1).cast("double").alias("score"),
+    ).filter(F.col("score") >= min_score)
+    tgt = target_terms.select(F.lower("term").alias("long_form")).distinct()
+    return parsed.join(tgt, "long_form", "left_semi").select("abbrev", "long_form", "score")
+
+
+def specialist_loader(
+    spark: SparkSession,
+    path: str,
+    term_sty: DataFrame,
+    max_ambiguity: float = 0.5,
+) -> DataFrame:
+    """S10 SPECIALIST LRABR (dictionaries.py:146-209): '|'-delimited rows
+    ``EUI|abbrev|type|uid|long_form|``; an abbreviation is kept only if its
+    expansions' semantic types are unambiguous enough — per-abbrev class
+    votes from ``term_sty(term, cls)``, keep when the top class holds
+    > (1 − max_ambiguity) of the vote mass."""
+    raw = load_rrf(spark, path, ["eui", "abbrev", "type", "uid", "long_form"])
+    j = raw.select(F.lower("abbrev").alias("abbrev"), F.lower("long_form").alias("term")).join(
+        term_sty.select(F.lower("term").alias("term"), "cls"), "term"
+    )
+    votes = j.groupBy("abbrev", "cls").agg(F.count("*").alias("n"))
+    tot = votes.groupBy("abbrev").agg(F.sum("n").alias("tot"), F.max("n").alias("mx"))
+    kept = tot.filter(F.col("mx") / F.col("tot") > (1.0 - max_ambiguity))
+    best = votes.join(kept, "abbrev").filter(F.col("n") == F.col("mx"))
+    return best.groupBy("abbrev").agg(F.min("cls").alias("cls"))
+
+
 # ---------------------------------------------------------------------------
 # Document-corpus scans (S1 JSONL, S3 TSV, S13 brat standoff)
 # ---------------------------------------------------------------------------
