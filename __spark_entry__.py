@@ -350,6 +350,24 @@ def q_rel_set_ops(spark, sf_dir):
     return p.subtract(n).withColumnRenamed("k", "p_size")
 
 
+def q_rel_sql_interface(spark, sf_dir):
+    """The same engine through the pure-SQL surface (`spark.sql` over
+    registered temp views) — users of the reference's export tables get a
+    plain SQL interface to the materialized corpus."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView("li_v")
+    spark.read.parquet(f"{sf_dir}/part.parquet").createOrReplaceTempView("part_v")
+    return spark.sql(
+        """
+        SELECT p.p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        FROM li_v l JOIN part_v p ON p.p_partkey = l.l_partkey
+        WHERE l.l_discount > 0.02
+        GROUP BY p.p_brand
+        """
+    )
+
+
 def q_rel_range_join(spark, sf_dir):
     """Equi+range join: lineitems shipped within 30 days of order date."""
     li = _t(spark, sf_dir, "lineitem")
@@ -494,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_topk_parts": q_rel_topk_parts,
         "rel_set_ops": q_rel_set_ops,
         "rel_range_join": q_rel_range_join,
+        "rel_sql_interface": q_rel_sql_interface,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,

@@ -313,6 +313,13 @@ SELECT CAST(k AS BIGINT) AS p_size FROM (
   EXCEPT
   SELECT n_regionkey AS k FROM nation
 ) t""",
+        "rel_sql_interface": """
+SELECT p.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_discount > 0.02
+GROUP BY p.p_brand""",
         "rel_range_join": """
 SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_fast_ships
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
