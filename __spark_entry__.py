@@ -40,10 +40,46 @@ def _long(df: DataFrame, *cols: str) -> DataFrame:
 
 
 def q_kg_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1-T3 tokenizer: exploded (doc_id, token_idx, word)."""
+    """T1-T3 tokenizer: exploded (doc_id, sent_idx, token_idx, word).
+
+    token_idx is sentence-relative.  The DuckDB oracles number tokens
+    doc-absolutely with sent_idx pinned to 0, which is exact for the
+    testdata corpus (single-sentence docs, a verified property) — on any
+    multi-sentence corpus the gate turns red instead of silently colliding
+    keys (ADVICE r1 #3)."""
     return _long(
-        _pipe(spark, sf_dir).tokens().select("doc_id", "token_idx", "word"),
+        _pipe(spark, sf_dir).tokens().select("doc_id", "sent_idx", "token_idx", "word"),
+        "sent_idx",
         "token_idx",
+    )
+
+
+def q_kg_tokens_clinical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T2 clinical tokenizer + rule SBD battery (token_match lab/date/
+    code protection, special-case lexicon, whitespace-run + bullet resplit,
+    non-terminal merge) over the golden fixture corpus.  Fixed-scale by
+    design: the oracle is the hand-reviewed frozen golden VALUES table."""
+    from trove_spark.clinical_fixture import CLINICAL_DOCS
+    from trove_spark.tokenize import tokenize_documents
+
+    docs = spark.createDataFrame(CLINICAL_DOCS, schema="doc_id string, text string")
+    sents = tokenize_documents(docs, text_col="text", id_col="doc_id", mode="clinical")
+    z = sents.select(
+        "doc_id",
+        "sent_idx",
+        F.posexplode(F.arrays_zip("words", "char_offsets")).alias("token_idx", "z"),
+    )
+    return _long(
+        z.select(
+            "doc_id",
+            "sent_idx",
+            "token_idx",
+            F.col("z.words").alias("word"),
+            F.col("z.char_offsets").alias("char_start"),
+        ),
+        "sent_idx",
+        "token_idx",
+        "char_start",
     )
 
 
@@ -79,8 +115,9 @@ def q_kg_lf_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _long(
         p.labels().select(
-            "doc_id", "token_idx", mapping[F.col("lf_id")].alias("sab"), "label"
+            "doc_id", "sent_idx", "token_idx", mapping[F.col("lf_id")].alias("sab"), "label"
         ),
+        "sent_idx",
         "token_idx",
         "label",
     )
@@ -89,7 +126,8 @@ def q_kg_lf_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kg_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 majority vote, tie→abstain."""
     return _long(
-        _pipe(spark, sf_dir).token_votes().select("doc_id", "token_idx", "y"),
+        _pipe(spark, sf_dir).token_votes().select("doc_id", "sent_idx", "token_idx", "y"),
+        "sent_idx",
         "token_idx",
         "y",
     )
@@ -102,8 +140,9 @@ def q_kg_soft_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _pipe(spark, sf_dir)
     return _long(
         soft_majority_vote(p.labels(), n_classes=2).select(
-            "doc_id", "token_idx", "label", "proba"
+            "doc_id", "sent_idx", "token_idx", "label", "proba"
         ),
+        "sent_idx",
         "token_idx",
         "label",
     )
@@ -173,8 +212,9 @@ def q_kg_lf_suite(spark, sf_dir):
     mapping = F.create_map(*[x for i, n in enumerate(names) for x in (F.lit(i), F.lit(n))])
     return _long(
         p.lf_suite_labels().select(
-            "doc_id", "token_idx", mapping[F.col("lf_id")].alias("lf"), "label"
+            "doc_id", "sent_idx", "token_idx", mapping[F.col("lf_id")].alias("lf"), "label"
         ),
+        "sent_idx",
         "token_idx",
         "label",
     )
@@ -271,11 +311,16 @@ def _t(spark, sf_dir, name):
 
 
 def q_rel_agg_pricing(spark, sf_dir):
-    """Hash agg with decimal-exact partial+final sums (TPC-H Q1 shape)."""
+    """Hash agg with exact integer-cent sums (TPC-H Q1 shape).
+
+    Monetary columns are clean 2-dp doubles, so ROUND(x*100) is an exact
+    integer on both engines; summing BIGINT cents sidesteps decimal
+    rendering differences between Spark and the driver's DuckDB oracle.
+    """
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_qty"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_price"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).cast("long").alias("sum_qty_cents"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long").alias("sum_price_cents"),
         F.count("*").cast("long").alias("n_rows"),
     )
 
@@ -291,7 +336,7 @@ def q_rel_join_nations(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.count("*").cast("long").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_price"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("total_price_cents"),
         )
     )
 
@@ -360,7 +405,7 @@ def q_rel_sql_interface(spark, sf_dir):
         """
         SELECT p.p_brand,
                CAST(COUNT(*) AS BIGINT) AS n_lines,
-               CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+               CAST(SUM(CAST(ROUND(l.l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents
         FROM li_v l JOIN part_v p ON p.p_partkey = l.l_partkey
         WHERE l.l_discount > 0.02
         GROUP BY p.p_brand
@@ -486,6 +531,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_tokens": q_kg_tokens,
+        "kg_tokens_clinical": q_kg_tokens_clinical,
         "kg_mentions": q_kg_mentions,
         "kg_mentions_longest": q_kg_mentions_longest,
         "kg_lf_votes": q_kg_lf_votes,
@@ -529,16 +575,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from trove_spark.oracle import analysis_oracles, extras_oracles, relational_oracles
+    from trove_spark.oracle import (
+        analysis_oracles,
+        clinical_oracles,
+        extras_oracles,
+        relational_oracles,
+    )
 
     p = kg_cte_prefix()
     out = extras_oracles()
     out.update(analysis_oracles())
     out.update(relational_oracles())
+    out.update(clinical_oracles())
     # dedup_simhash_pairs / ann_lsh_topk intentionally have NO oracle
     # (blocking-based approximations) → driver's rows-only check
     out.update({
-        "kg_tokens": p + "SELECT doc_id, tok AS token_idx, word FROM toks",
+        # sent_idx pinned to 0: the testdata corpus is single-sentence by
+        # construction; a multi-sentence corpus turns these rows red
+        # (detectable) instead of silently colliding token keys
+        "kg_tokens": p
+        + "SELECT doc_id, CAST(0 AS BIGINT) AS sent_idx, tok AS token_idx, word FROM toks",
         "kg_mentions": p
         + """SELECT m.doc_id, m.s AS tok_start, m.e AS tok_end, tm.term
              FROM matches m JOIN terms tm ON tm.term_id = m.term_id""",
@@ -550,13 +606,16 @@ def oracle_sql() -> dict[str, str]:
              JOIN terms tm ON tm.term_id = l.term_id
              JOIN toksc cs ON cs.doc_id = l.doc_id AND cs.tok = l.s
              JOIN toksc ce ON ce.doc_id = l.doc_id AND ce.tok = l.e""",
-        "kg_lf_votes": p + "SELECT doc_id, token_idx, sab, label FROM votes",
-        "kg_majority_vote": p + "SELECT doc_id, token_idx, y FROM mv",
+        "kg_lf_votes": p
+        + "SELECT doc_id, CAST(0 AS BIGINT) AS sent_idx, token_idx, sab, label FROM votes",
+        "kg_majority_vote": p
+        + "SELECT doc_id, CAST(0 AS BIGINT) AS sent_idx, token_idx, y FROM mv",
         "kg_soft_votes": p
         + """, c AS (SELECT doc_id, token_idx, label, COUNT(*) AS n
                      FROM votes GROUP BY 1, 2, 3),
              t AS (SELECT doc_id, token_idx, SUM(n) AS tot FROM c GROUP BY 1, 2)
-             SELECT c.doc_id, c.token_idx, c.label, c.n * 1.0 / t.tot AS proba
+             SELECT c.doc_id, CAST(0 AS BIGINT) AS sent_idx, c.token_idx, c.label,
+                    c.n * 1.0 / t.tot AS proba
              FROM c JOIN t USING (doc_id, token_idx)""",
         "kg_remap": p
         + """SELECT CASE WHEN label = 0 THEN -1 WHEN label = 2 THEN 0

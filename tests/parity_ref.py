@@ -20,19 +20,22 @@ MODES = {"standard": STANDARD_TOKEN_RE, "whitespace": WHITESPACE_TOKEN_RE}
 
 def _build_resources():
     stop = {w.lower() for w in synth.STOPWORDS}
-    # per-SAB term dict with filters (min len 2, stopword) applied
+    # per-SAB term dict with filters (min len 2, stopword) applied; the
+    # canonical form preserves short all-caps acronyms (SmartLowercase,
+    # reference transforms.py:3-39) while MATCHING is case-insensitive
     terms: dict[str, set[tuple[str, str, str]]] = {}
     for sab, tui, cui, term in synth.LEXICON:
-        t = term.lower()
-        if len(t) < 2 or t in stop:
+        t = term if (term.isupper() and 2 <= len(term) <= 5) else term.lower()
+        if len(t) < 2 or t.lower() in stop:
             continue
         terms.setdefault(t, set()).add((sab, tui, cui))
-    # variant → canonical term (match_term semantics: t, t+'s', t rstrip 's')
+    # lowercase variant surface → canonical term (match_term semantics:
+    # t, t+'s', t rstrip 's')
     variants: dict[str, str] = {}
     for t in terms:
-        toks = t.split()
+        toks = t.lower().split()
         last = toks[-1]
-        forms = {t, " ".join(toks[:-1] + [last + "s"])}
+        forms = {" ".join(toks), " ".join(toks[:-1] + [last + "s"])}
         if len(last) > 1 and last.endswith("s"):
             forms.add(" ".join(toks[:-1] + [last.rstrip("s")]))
         for f in forms:

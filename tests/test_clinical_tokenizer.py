@@ -1,0 +1,119 @@
+"""Clinical tokenizer + SBD battery (T1/T2) — unit tests mirroring the
+reference's semantics (preprocessing/pipes/tokenizers.py) plus the frozen
+golden fixture the kg_tokens_clinical oracle uses."""
+
+from __future__ import annotations
+
+from trove_spark.clinical_fixture import CLINICAL_DOCS, CLINICAL_GOLDEN
+from trove_spark.clinical_tokenizer import (
+    segment_clinical,
+    split_chunk,
+    token_match,
+    tokenize_clinical,
+)
+
+
+def test_golden_fixture_regenerates():
+    got = []
+    for doc_id, text in CLINICAL_DOCS:
+        for si, sent in enumerate(segment_clinical(text)):
+            for ti, (w, o) in enumerate(sent):
+                got.append((doc_id, si, ti, w, o))
+    assert got == CLINICAL_GOLDEN
+
+
+def test_offsets_are_exact():
+    texts = dict(CLINICAL_DOCS)
+    for doc_id, _si, _ti, w, o in CLINICAL_GOLDEN:
+        assert texts[doc_id][o : o + len(w)] == w
+
+
+def test_token_match_keep_whole():
+    for s in [
+        "0.3/0.7", "100.02", "-1.002", "555.555.5555", "136.9BJ", "1.0mm",
+        "0.1-0.4", "98.6", "1/2", "120/80", "11/12", "1/11/2000",
+        "https://x.org/a?b=1", "1.", "A.", "11:09:00.0", "cTropnT-<0.01",
+        "HCT-26.7*", "INR(PT)-1.3", "10-29-92", "5-10",
+    ]:
+        assert token_match(s), s
+
+
+def test_token_match_force_split():
+    # accept list overrides: these MUST be split normally
+    for s in ["(0.5", "1/11/2000,", "01/01/2001."]:
+        assert not token_match(s), s
+
+
+def test_special_cases_not_split():
+    for s in ["Dr.", "b.i.d.", "s/p", "y/o", "q.d."]:
+        assert split_chunk(s) == [(s, 0)]
+
+
+def test_prefix_suffix_infix():
+    assert [t for t, _ in split_chunk("(foo),")] == ["(", "foo", ")", ","]
+    assert [t for t, _ in split_chunk("dose:")] == ["dose", ":"]
+    assert [t for t, _ in split_chunk("a/b")] == ["a", "/", "b"]
+    assert [t for t, _ in split_chunk("Bob's")] == ["Bob", "'s"]
+
+
+def test_sbd_terminal_punct():
+    # reference-faithful: the suffix class has no '!' so 'more!' stays one
+    # token (no sentence break there); '?' is an infix so 'Three?' splits
+    sents = segment_clinical("One done. Two more! Three?")
+    assert [[t for t, _ in s] for s in sents] == [
+        ["One", "done", "."],
+        ["Two", "more!", "Three", "?"],
+    ]
+
+
+def test_sbd_abbreviation_no_split():
+    sents = segment_clinical("Dr. Smith arrived. Then left.")
+    assert len(sents) == 2
+    assert sents[0][0][0] == "Dr."
+
+
+def test_bullet_split_and_temp_guard():
+    sents = segment_clinical("plan today • rest • fluids")
+    assert [[t for t, _ in s] for s in sents] == [
+        ["plan", "today"], ["•", "rest"], ["•", "fluids"]
+    ]
+    # •C / •F are temperatures, not bullets
+    sents = segment_clinical("temp was 37 •C at night here")
+    assert len(sents) == 1
+
+
+def test_nonterminal_merge():
+    # bullet would split, but previous sentence ends in 'with' → merged
+    sents = segment_clinical("reviewed with • patient today")
+    assert len(sents) == 1
+
+
+def test_merge_terms_bigram():
+    sents = segment_clinical(
+        "status post • op today", merge_terms=frozenset({"post •"})
+    )
+    assert len(sents) == 1
+
+
+def test_max_sentence_len_partition():
+    sents = segment_clinical("a b c d e f g h", max_sentence_len=3)
+    assert [len(s) for s in sents] == [3, 3, 2]
+
+
+def test_whitespace_run_resplit():
+    long_head = "x" * 248
+    text = long_head + " y  z"
+    sents = segment_clinical(text)
+    assert [[t for t, _ in s] for s in sents] == [[long_head, "y"], ["z"]]
+
+
+def test_offsets_round_trip_arbitrary():
+    text = "Pt c/o pain.  BP 140/90, HR 88; gave 2.5mg at 10:30:00.1 w/ food."
+    for sent in segment_clinical(text):
+        for w, o in sent:
+            assert text[o : o + len(w)] == w
+
+
+def test_tokenize_clinical_flat():
+    toks = tokenize_clinical("HCT-26.7* ok")
+    assert [t for t, _ in toks] == ["HCT-26.7*", "ok"]

@@ -66,6 +66,17 @@ def test_minhash_lsh_recovers_most_planted(docs):
     assert got <= verified
 
 
+def test_minhash_lsh_verification_is_candidate_bounded(docs):
+    """Scale invariant (VERDICT r1 #2): the exact-Jaccard verification inside
+    minhash_lsh_pairs must NOT be a global shingle self-join — the shingle
+    table is LEFT-SEMI-joined to the LSH candidate doc_ids first, so the
+    quadratic step is bounded by candidate volume."""
+    from trove_spark.extras.dedup import minhash_lsh_pairs
+
+    plan = minhash_lsh_pairs(docs, n_hashes=16, band_size=4, threshold=0.5)._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan, "verification shingles not semi-joined to candidates"
+
+
 def test_simhash_pairs_hamming_bound(docs):
     from trove_spark.extras.dedup import simhash, simhash_near_pairs
 

@@ -1,0 +1,283 @@
+"""Clinical tokenizer + rule-based sentence boundary detection (T1/T2).
+
+Re-expresses the reference's spaCy clinical front-end
+(/root/reference/preprocessing/pipes/tokenizers.py: ``ct_tokenizer``
+:251-331, ``ct_sbd_rules`` :32-203) as pure deterministic Python with NO
+spaCy dependency, so the same code runs inside the Arrow kernel
+(tokenize.tokenize_documents mode="clinical") and in unit tests.
+
+Semantics ported:
+  * token_match accept/reject battery — tokens that look like lab values,
+    ICD codes, floats, phone numbers, dates, URLs, times, ranges are kept
+    WHOLE (never split on internal punctuation); a small accept list
+    overrides (leading-paren numbers, dates with trailing punctuation);
+  * prefix / suffix / infix punctuation splitting in the spaCy tokenizer
+    loop order (special-case → token_match → prefix → suffix → infix);
+  * special-case lexicon hook: clinical abbreviations ("Dr.", "b.i.d.")
+    pass through unsplit; callers can extend the set (the reference loads
+    specialist_special_cases.txt / special_cases.txt, :212-248);
+  * SBD: split after terminal [.!?] before a non-punct token; re-split
+    over-long sentences on whitespace runs (≥250 chars), on any
+    whitespace-run token when the sentence is ≥100 chars and has >2 ':'
+    (table-ish lines), and on bullets '•' (≥10 chars, unless •C/•F
+    temperatures); then merge sentences that must not split (non-terminal
+    last token or protected bigram); finally hard-partition to
+    max_sentence_len.
+
+Deliberate deviation: the reference's prefix char class contains an
+unescaped ``+-?`` range (a latent bug that swallows digits); here '-' is
+escaped so the class means the literal punctuation it lists.
+"""
+
+from __future__ import annotations
+
+import re
+
+# ---------------------------------------------------------------------------
+# token_match battery (tokenizers.py:251-331)
+# ---------------------------------------------------------------------------
+
+# accept list: force NORMAL splitting even if a reject pattern fires
+_FORCE_SPLIT = [
+    r"^[(][0-9]",              # leading-paren numbers: (0.5 mg)
+    r"[/][0-9]+[,]$",          # trailing comma after a slashed number
+    r"[0-9]+[/][0-9]+[.,]$",   # dates with trailing punctuation: 01/01/2001,
+]
+
+# reject list: keep the token WHOLE (protects lab values / codes / dates
+# from punctuation splitting, which also prevents false SBD periods)
+_KEEP_WHOLE = [
+    r"^[0-9]{1,3}[.][0-9]{1,2}[/][0-9]{1,3}[.][0-9]{1,2}$",  # float ratio 0.3/0.7
+    r"^[-]*[0-9]{1,3}[.][0-9]{1,4}$",                        # signed floats 100.02 -1.002
+    r"^([0-9]{3}[.]){2}[0-9]{4}$",                           # phone 555.555.5555
+    r"^[A-Z]*[0-9]+[.][0-9A-Z]+$",                           # ICD9 codes 136.9BJ
+    r"^[0-9]+[.][0-9]+([%]|mm|cm|mg|ml)$",                   # measurements 1.0mm
+    r"[0-9]+[.][0-9]+[-][0-9]+[.][0-9]+",                    # ranges 0.1-0.4
+    r"^[0-9]+[.][0-9]+$",                                    # bare decimals
+    r"[0-9]+[/][0-9]+",                                      # fractions / BP 120/80
+    r"([01][0-9]/[0-3][0-9])",                               # dates 11/12
+    r"[0-1]?[0-9][/](3[01]|[12][0-9]|[0-9])[/]((19|20)[0-9]{2}|[0-3][0-9])\b",  # 1/11/2000
+    r"http[s]?://\S+",                                       # URLs
+    r"^([0-9]{1,2}|[A-Z])[).]$",                             # list items 1. 1) A.
+    r"[0-2][0-9][:][0-9]{2}[:][0-9]{2}[.][0-9]",             # times 11:09:00.0
+    r"[A-Za-z()]+[-<]{1,2}[0-9]{1,2}[.][0-9]{1,2}[*#]{0,2}",  # labs HCT-26.7*
+    r"([0-9]+[-][0-9]+[-][0-9]+)|([0-9]+[-][0-9]+)",         # dashed dates 10-29-92
+]
+
+_FORCE_SPLIT_RE = re.compile("|".join(_FORCE_SPLIT))
+_KEEP_WHOLE_RE = re.compile("|".join(_KEEP_WHOLE))
+
+
+def token_match(s: str) -> bool:
+    """True → the chunk is one indivisible token."""
+    if _FORCE_SPLIT_RE.search(s):
+        return False
+    return bool(_KEEP_WHOLE_RE.search(s))
+
+
+# ---------------------------------------------------------------------------
+# prefix / suffix / infix splitting (ct_tokenizer, tokenizers.py:299-331)
+# ---------------------------------------------------------------------------
+
+_PREFIX_RE = re.compile(r"""^(?:[><]=|[\["'()*+\-?/<>#%])""")
+_SUFFIX_RE = re.compile(r"""(?:'s|[\]"'),\-.:;*])$""")
+_INFIX_RE = re.compile(r"""[%(),\-./;=?]+""")
+
+# clinical abbreviation special cases (the reference ships ~1k-entry
+# lexicon files; this is the always-on core — extend via the parameter)
+DEFAULT_SPECIAL_CASES = frozenset(
+    {
+        "Dr.", "Mr.", "Mrs.", "Ms.", "vs.", "e.g.", "i.e.", "etc.",
+        "q.d.", "b.i.d.", "t.i.d.", "q.i.d.", "p.r.n.", "p.o.", "h.s.",
+        "s/p", "r/o", "c/o", "w/", "w/o", "y/o", "n/v", "f/u",
+    }
+)
+
+
+def split_chunk(chunk: str, special: frozenset[str] = DEFAULT_SPECIAL_CASES) -> list[tuple[str, int]]:
+    """One whitespace-free chunk → [(token, rel_offset)], spaCy loop order:
+    special-case / token_match first, then peel prefix, then suffix, then
+    split the remainder on infix runs."""
+    tokens: list[tuple[str, int]] = []
+    suffixes: list[tuple[str, int]] = []
+    start = 0
+    end = len(chunk)
+    while start < end:
+        sub = chunk[start:end]
+        if sub in special or token_match(sub):
+            tokens.append((sub, start))
+            start = end
+            break
+        pm = _PREFIX_RE.search(sub)
+        if pm:
+            tokens.append((pm.group(), start + pm.start()))
+            start += pm.end()
+            continue
+        sm = _SUFFIX_RE.search(sub)
+        if sm and sm.start() > 0:
+            suffixes.append((sm.group(), start + sm.start()))
+            end = start + sm.start()
+            continue
+        # infix split of what remains
+        pos = start
+        for im in _INFIX_RE.finditer(sub):
+            if im.start() > pos - start:
+                tokens.append((chunk[pos : start + im.start()], pos))
+            tokens.append((im.group(), start + im.start()))
+            pos = start + im.end()
+        if pos < end:
+            tokens.append((chunk[pos:end], pos))
+        start = end
+        break
+    tokens.extend(reversed(suffixes))
+    return tokens
+
+
+_PUNCT_ONLY_RE = re.compile(r"^[^\w\s]+$")
+_TERMINAL = {".", "!", "?"}
+# tokens that can never end a sentence (merge_sentences non_terminals)
+NON_TERMINALS = frozenset(
+    {",", "-", "(", "=", "/", "mrs.", "mr.", "ms.", "dr.", "at", "with", "and", "the", "is", "s/p"}
+)
+
+
+def tokenize_clinical(
+    text: str, special: frozenset[str] = DEFAULT_SPECIAL_CASES
+) -> list[tuple[str, int]]:
+    """Full text → [(token, abs_char_offset)] (no sentence structure)."""
+    out: list[tuple[str, int]] = []
+    for m in re.finditer(r"\S+", text):
+        for tok, rel in split_chunk(m.group(), special):
+            out.append((tok, m.start() + rel))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SBD (ct_sbd_rules, tokenizers.py:162-203)
+# ---------------------------------------------------------------------------
+
+
+def _sent_char_len(text: str, toks: list[tuple[str, int]]) -> int:
+    first = toks[0][1]
+    last = toks[-1][1] + len(toks[-1][0])
+    return last - first
+
+
+def _split_at(toks, split_idxs):
+    """Split a token list BEFORE each index in split_idxs (token positions
+    within toks)."""
+    if not split_idxs:
+        return [toks]
+    out, prev = [], 0
+    for i in sorted(set(split_idxs)):
+        if 0 < i < len(toks):
+            out.append(toks[prev:i])
+            prev = i
+    out.append(toks[prev:])
+    return [s for s in out if s]
+
+
+def _ws_run_before(text: str, toks, i: int) -> str:
+    """The raw whitespace between token i-1 and token i."""
+    prev_end = toks[i - 1][1] + len(toks[i - 1][0])
+    return text[prev_end : toks[i][1]]
+
+
+def segment_clinical(
+    text: str,
+    max_sentence_len: int | None = 256,
+    special: frozenset[str] = DEFAULT_SPECIAL_CASES,
+    merge_terms: frozenset[str] = frozenset(),
+) -> list[list[tuple[str, int]]]:
+    """text → sentences as [(token, abs_offset)] lists, ct_sbd_rules order:
+    punct SBD → whitespace-run resplit (≥250) → table-line resplit
+    (≥100 chars, >2 ':') → bullet resplit (≥10) → non-terminal merge →
+    max-length partition."""
+    toks = tokenize_clinical(text, special)
+    if not toks:
+        return []
+
+    # 1. split after terminal punct, before the next non-punct token
+    sents: list[list[tuple[str, int]]] = []
+    cur: list[tuple[str, int]] = []
+    seen_period = False
+    for t in toks:
+        is_punct = bool(_PUNCT_ONLY_RE.match(t[0]))
+        if seen_period and not is_punct:
+            if cur:
+                sents.append(cur)
+            cur = []
+            seen_period = False
+        cur.append(t)
+        if t[0] in _TERMINAL:
+            seen_period = True
+    if cur:
+        sents.append(cur)
+
+    # 2./3. whitespace-run resplits (spaCy's whitespace tokens = runs of
+    # ≥2 spaces or any newline/tab in the raw gap)
+    def _resplit(sents, threshold, pred, gap_pred):
+        out = []
+        for s in sents:
+            if _sent_char_len(text, s) >= threshold and pred(s):
+                idxs = [i for i in range(1, len(s)) if gap_pred(_ws_run_before(text, s, i))]
+                out.extend(_split_at(s, idxs))
+            else:
+                out.append(s)
+        return out
+
+    def _is_ws_run(gap: str) -> bool:
+        return len(gap) >= 2 or any(c in gap for c in "\n\t")
+
+    sents = _resplit(sents, 250, lambda s: True, _is_ws_run)
+    sents = _resplit(
+        sents,
+        100,
+        lambda s: sum(t[0].count(":") for t in s) > 2,
+        _is_ws_run,
+    )
+    # bullets: split BEFORE a '•' token unless •C / •F (temperatures)
+    out = []
+    for s in sents:
+        if _sent_char_len(text, s) >= 10:
+            idxs = [
+                i
+                for i in range(1, len(s))
+                if s[i][0].startswith("•")
+                and not (i + 1 < len(s) and s[i + 1][0][:1] in ("C", "F"))
+                and not s[i][0][1:2] in ("C", "F")
+            ]
+            out.extend(_split_at(s, idxs))
+        else:
+            out.append(s)
+    sents = out
+
+    # 4. merge: previous sentence ends in a non-terminal, or the boundary
+    # bigram is protected
+    merged: list[list[tuple[str, int]]] = [sents[0]]
+    for s in sents[1:]:
+        last = merged[-1][-1][0].lower()
+        bigram = f"{merged[-1][-1][0]} {s[0][0]}".lower()
+        if last in NON_TERMINALS or bigram in merge_terms:
+            merged[-1].extend(s)
+        else:
+            merged.append(s)
+
+    # 5. hard max length
+    if max_sentence_len:
+        final: list[list[tuple[str, int]]] = []
+        for s in merged:
+            for i in range(0, len(s), max_sentence_len):
+                final.append(s[i : i + max_sentence_len])
+        merged = final
+    return merged
+
+
+def clinical_segment_and_tokenize(
+    text: str, max_sentence_len: int = 256
+) -> list[tuple[list[str], list[int]]]:
+    """Adapter matching tokenize.segment_and_tokenize's return shape."""
+    return [
+        ([t for t, _ in sent], [o for _, o in sent])
+        for sent in segment_clinical(text, max_sentence_len)
+    ]

@@ -121,14 +121,20 @@ def minhash_lsh_pairs(
     band_size: int = 4,
     k: int = 5,
     threshold: float = 0.5,
+    max_shingle_freq: int = 100,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """MinHash + LSH banding: band signature = md5 of the band's ordered
     minhashes; docs sharing any band bucket become candidates; candidates
-    are verified by exact Jaccard (ngram_jaccard_pairs logic) — the
-    standard scale path: the only all-pairs computation happens within
-    LSH buckets, whose size is controlled by band tuning.
+    are verified by exact Jaccard computed ONLY over candidate docs.
+
+    Scale invariant (the reason LSH exists): no global shingle self-join
+    ever happens.  The shingle table is LEFT-SEMI-joined to the candidate
+    doc-id set before the pair join, so the quadratic step is bounded by
+    the LSH candidate volume, and the ``max_shingle_freq`` boilerplate cap
+    stays active during verification (a shingle in 10^6 docs would
+    contribute ~5·10^11 pair rows and zero signal).
 
     Output: (doc_a, doc_b) candidate pairs verified at ≥ threshold."""
     sig = minhash_signatures(docs, n_hashes, k, id_col, text_col)
@@ -155,9 +161,34 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    verified = ngram_jaccard_pairs(docs, k, threshold, 10**9, id_col, text_col)
-    return cand.join(verified.select("doc_a", "doc_b"), ["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b"
+    # exact-Jaccard verification restricted to LSH candidates: semi-join the
+    # (capped) shingle inverted index to candidate doc_ids, pair-join within
+    # that subset, then keep only actual candidate pairs.
+    sh = shingles(docs, k, id_col, text_col)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sh = sh.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle").select(
+        "doc_id", "shingle"
+    )
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_ids, "doc_id", "left_semi")
+    sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa, sb = sh_c.alias("a"), sh_c.alias("b")
+    co = (
+        sa.join(sb, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("co"))
+        .join(cand, ["doc_a", "doc_b"])
+    )
+    return (
+        co.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .filter(F.col("co") / (F.col("na") + F.col("nb") - F.col("co")) >= threshold)
+        .select("doc_a", "doc_b")
     )
 
 

@@ -32,7 +32,7 @@ from pyspark.sql.types import StringType, StructField, StructType
 from .lexicon import Lexicon
 from .matching import match_sentence
 from .skew import salted_distinct
-from .tokenize import _TOKENIZERS, segment_and_tokenize
+from .tokenize import get_segmenter
 
 TRIPLES_SCHEMA = StructType(
     [
@@ -59,11 +59,11 @@ def triples_for_doc(
     sab_labels: list[dict[int, int | None]],
     cands: list[tuple],
     class_names: dict[int, str],
-    token_re,
+    segmenter,
 ) -> set[tuple[str, str, str]]:
     """Pure per-document computation (unit-testable without Spark)."""
     out: set[tuple[str, str, str]] = set()
-    for words, offsets in segment_and_tokenize(text, token_re, 256):
+    for words, offsets in segmenter(text, 256):
         _all, longest = match_sentence(lex, words)
         if not longest:
             continue
@@ -117,7 +117,7 @@ def fused_triples_raw(
 ) -> DataFrame:
     """documents → triples, kernel only (per-doc dedup, NO shuffle).
     Streaming-safe: stateless mapInPandas, usable on a streaming DF."""
-    token_re = _TOKENIZERS[tokenizer_mode]
+    segmenter = get_segmenter(tokenizer_mode)
     cm = dict(class_map)
     cn = dict(class_names)
     cols = docs.select(
@@ -134,7 +134,7 @@ def fused_triples_raw(
                 if text is None:
                     continue
                 for s, p, o in triples_for_doc(
-                    doc_id, text, lex, sab_labels, cands, cn, token_re
+                    doc_id, text, lex, sab_labels, cands, cn, segmenter
                 ):
                     subj.append(s)
                     pred.append(p)

@@ -150,8 +150,11 @@ class TripleStore:
         }
         manifests = self.committed_buckets()
         for b, row in manifests.items():
+            # every committed bucket must match, INCLUDING zero-row ones:
+            # a manifest that says "empty" over a directory holding stale
+            # rows is exactly the resume hazard the fingerprint exists for
             got = actual.get(b, (0, 0))
-            if row["n_rows"] > 0 and (row["n_rows"], row["triple_fingerprint"]) != got:
+            if (row["n_rows"], row["triple_fingerprint"]) != got:
                 return False
         return True
 

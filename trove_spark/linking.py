@@ -87,19 +87,34 @@ def mention_types(mentions: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
-def link_mentions(typed_mentions: DataFrame, concepts: DataFrame, class_map: dict[str, int]) -> DataFrame:
-    """typed_mentions ⋈ concepts (broadcast) → one CUI per mention.
+def term_candidates(spark, lex, class_map: dict[str, int]) -> DataFrame:
+    """Lexicon term_entries → (term_id, cui, cand_class) candidate table.
+
+    Keyed by term_id — the SAME key the automaton emits — so linking never
+    re-matches term strings (a string join would silently drop acronyms the
+    lexicon's smart_lowercase preserved in uppercase; the fused kernel
+    links via term_entries too, fused.py:_link_tables)."""
+    rows = sorted(
+        {
+            (tid, cui, class_map.get(tui))
+            for tid, entries in enumerate(lex.term_entries)
+            for (_sab, tui, cui) in entries
+        },
+        key=lambda r: (r[0], r[1], -1 if r[2] is None else r[2]),
+    )
+    return spark.createDataFrame(
+        rows, schema="term_id int, cui string, cand_class int"
+    )
+
+
+def link_mentions(typed_mentions: DataFrame, candidates: DataFrame) -> DataFrame:
+    """typed_mentions ⋈ candidates (broadcast, on term_id) → one CUI per
+    mention.
 
     Resolution: candidates whose class(TUI) == etype win when etype is
     known and any such candidate exists; otherwise all candidates compete;
     final tie-break = min(CUI) (deterministic)."""
-    cm = F.create_map(*[x for kv in sorted(class_map.items()) for x in (F.lit(kv[0]), F.lit(kv[1]))])
-    cand = concepts.select(
-        F.lower(F.col("term")).alias("term"),
-        F.col("cui"),
-        cm[F.col("tui")].alias("cand_class"),
-    )
-    j = typed_mentions.join(broadcast(cand), "term", "inner")
+    j = typed_mentions.join(broadcast(candidates), "term_id", "inner")
     j = j.withColumn(
         "type_ok",
         F.when(F.col("etype").isNotNull() & (F.col("cand_class") == F.col("etype")), 1).otherwise(0),
@@ -141,12 +156,11 @@ def emit_triples(
 def run_linking_pipeline(
     mentions: DataFrame,
     labels: DataFrame,
-    concepts: DataFrame,
-    class_map: dict[str, int],
+    candidates: DataFrame,
     class_names: dict[int, str],
 ) -> DataFrame:
     typed = mention_types(mentions, labels)
-    linked_cui = link_mentions(typed, concepts, class_map)
+    linked_cui = link_mentions(typed, candidates)
     # left-join the CUI back onto all typed mentions (mentions with no
     # concept candidate still emit MENTIONS/HAS_TYPE triples)
     linked = typed.join(

@@ -13,7 +13,7 @@ CUI linking, triple emission — is expressible as one CTE chain.
 
 from __future__ import annotations
 
-from .automaton import plural_variants
+from .automaton import normalize_token, plural_variants
 from .lexicon import Lexicon
 from .pipeline import default_lexicon
 from . import synth
@@ -34,11 +34,14 @@ def _values(rows: list[tuple], alias: str, cols: str) -> str:
 def kg_cte_prefix(lex: Lexicon | None = None) -> str:
     lex = lex or default_lexicon()
     terms_rows = [(i, t) for i, t in enumerate(lex.terms)]
+    # variants are built over NORMALIZED tokens (the automaton lowercases
+    # pattern tokens too — acronym canonical forms like 'SQL' must still
+    # match the lowercased corpus gram)
     variant_rows = sorted(
         {
             (" ".join(var), tid)
             for tid, t in enumerate(lex.terms)
-            for var in plural_variants(tuple(t.split()))
+            for var in plural_variants(tuple(normalize_token(x) for x in t.split()))
         }
     )
     sab_label_rows = [
@@ -48,15 +51,23 @@ def kg_cte_prefix(lex: Lexicon | None = None) -> str:
         if lbl is not None
     ]
     concept_rows = list(synth.LEXICON)
+    entry_rows = sorted(
+        {
+            (tid, sab, tui, cui)
+            for tid, entries in enumerate(lex.term_entries)
+            for (sab, tui, cui) in entries
+        }
+    )
     class_map_rows = sorted(synth.CLASS_MAP.items())
     class_name_rows = sorted(synth.CLASS_NAMES.items())
     stop_rows = [(w,) for w in sorted(synth.STOPWORDS)]
 
     return f"""
-WITH {_values(terms_rows, "terms", "term_id, term")},
+WITH RECURSIVE {_values(terms_rows, "terms", "term_id, term")},
 {_values(variant_rows, "variants", "variant, term_id")},
 {_values(sab_label_rows, "sab_labels", "sab, term_id, label")},
 {_values(concept_rows, "concepts", "sab, tui, cui, term")},
+{_values(entry_rows, "term_entries", "term_id, sab, tui, cui")},
 {_values(class_map_rows, "class_map", "tui, label")},
 {_values(class_name_rows, "class_names", "label, name")},
 {_values(stop_rows, "stop", "word")},
@@ -89,12 +100,37 @@ matches AS (
   FROM grams g JOIN variants v ON lower(g.gram) = v.variant
   WHERE NOT (g.s = g.e AND lower(g.gram) IN (SELECT word FROM stop))
 ),
+ranked AS (
+  -- the engine's longest-match sweep order (automaton.longest_match_filter,
+  -- mirroring reference matchers.get_longest_matches): length desc,
+  -- then leftmost, then min term_id
+  SELECT doc_id, s, e, term_id,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY (e - s) DESC, s, term_id) AS rk
+  FROM matches
+),
+sweep AS (
+  -- greedy non-overlap sweep replicated as per-doc recursion: process
+  -- matches in rank order, keep one iff it overlaps nothing already kept
+  SELECT doc_id, CAST(0 AS BIGINT) AS rk,
+         CAST([] AS STRUCT(s BIGINT, e BIGINT, rk BIGINT)[]) AS kept
+  FROM (SELECT DISTINCT doc_id FROM ranked)
+  UNION ALL
+  SELECT w.doc_id, r.rk,
+         CASE WHEN len(list_filter(w.kept, x -> x.s <= r.e AND x.e >= r.s)) = 0
+              THEN list_append(w.kept, {{'s': r.s, 'e': r.e, 'rk': r.rk}})
+              ELSE w.kept END
+  FROM sweep w JOIN ranked r ON r.doc_id = w.doc_id AND r.rk = w.rk + 1
+),
 longest AS (
-  SELECT m.* FROM matches m
-  WHERE NOT EXISTS (
-    SELECT 1 FROM matches m2
-    WHERE m2.doc_id = m.doc_id AND m2.s <= m.e AND m2.e >= m.s
-      AND (m2.e - m2.s) > (m.e - m.s))
+  SELECT r.doc_id, r.s, r.e, r.term_id
+  FROM ranked r
+  JOIN (
+    SELECT doc_id, unnest(kept) AS k
+    FROM (SELECT doc_id, kept,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY rk DESC) AS rn
+          FROM sweep) WHERE rn = 1
+  ) f ON f.doc_id = r.doc_id AND f.k.rk = r.rk
 ),
 votes AS (
   SELECT DISTINCT l.doc_id, t.tok AS token_idx, sl.sab, CAST(sl.label AS BIGINT) AS label
@@ -134,8 +170,8 @@ linked AS (
                       THEN 1 ELSE 0 END)
                OVER (PARTITION BY t2.doc_id, t2.s, t2.e) AS best_ok
       FROM typed t2
-      JOIN terms tm ON tm.term_id = t2.term_id
-      JOIN concepts c ON lower(c.term) = tm.term
+      JOIN (SELECT DISTINCT term_id, tui, cui FROM term_entries) c
+        ON c.term_id = t2.term_id
       LEFT JOIN class_map cm ON cm.tui = c.tui
     ) q WHERE q.type_ok = q.best_ok GROUP BY q.doc_id, q.s, q.e
   ) x ON x.doc_id = t.doc_id AND x.s = t.s AND x.e = t.e
@@ -200,10 +236,12 @@ nbr AS (
   FROM toks
 ),
 wg_lf AS (
+  -- WordGraphLF lowercases tokens before the edge probe (labeling.py) —
+  -- lower() both sides so mixed-case corpora agree with the engine
   SELECT doc_id, tok AS token_idx, 'wordgraph' AS lf, CAST({synth.WORDGRAPH_LABEL} AS BIGINT) AS label
   FROM nbr
-  WHERE EXISTS (SELECT 1 FROM wg_edges e WHERE e.head = nbr.word AND e.tail = nbr.nxt)
-     OR EXISTS (SELECT 1 FROM wg_edges e WHERE e.head = nbr.prv AND e.tail = nbr.word)
+  WHERE EXISTS (SELECT 1 FROM wg_edges e WHERE e.head = lower(nbr.word) AND e.tail = lower(nbr.nxt))
+     OR EXISTS (SELECT 1 FROM wg_edges e WHERE e.head = lower(nbr.prv) AND e.tail = lower(nbr.word))
 ),
 syn_lf AS (
   SELECT DISTINCT t.doc_id, t.tok AS token_idx,
@@ -215,8 +253,26 @@ suite AS (
   SELECT * FROM dict_lf UNION ALL SELECT * FROM regex_lf
   UNION ALL SELECT * FROM wg_lf UNION ALL SELECT * FROM syn_lf
 )
-SELECT doc_id, token_idx, lf, label FROM suite"""
+SELECT doc_id, CAST(0 AS BIGINT) AS sent_idx, token_idx, lf, label FROM suite"""
     )
+
+
+def clinical_oracles() -> dict[str, str]:
+    """T1/T2 clinical tokenizer: the oracle is the hand-reviewed frozen
+    golden table (clinical_fixture.CLINICAL_GOLDEN) rendered as VALUES —
+    the fixture corpus is fixed-scale by design."""
+    from .clinical_fixture import CLINICAL_GOLDEN
+
+    rows = [(d, si, ti, w, cs) for (d, si, ti, w, cs) in CLINICAL_GOLDEN]
+    return {
+        "kg_tokens_clinical": "WITH "
+        + _values(rows, "g", "doc_id, sent_idx, token_idx, word, char_start")
+        + """
+SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx,
+       CAST(token_idx AS BIGINT) AS token_idx, word,
+       CAST(char_start AS BIGINT) AS char_start
+FROM g""",
+    }
 
 
 def analysis_oracles() -> dict[str, str]:
@@ -244,8 +300,7 @@ GROUP BY v.sab""",
         "kg_ontology_rank": p
         + """SELECT c.sab, CAST(COUNT(*) AS BIGINT) AS n_matches
 FROM matches m
-JOIN terms tm ON tm.term_id = m.term_id
-JOIN (SELECT DISTINCT lower(term) AS term, sab FROM concepts) c ON c.term = tm.term
+JOIN (SELECT DISTINCT term_id, sab FROM term_entries) c ON c.term_id = m.term_id
 GROUP BY c.sab ORDER BY n_matches DESC, c.sab LIMIT 10""",
         "tag_sessions": """
 SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id, event_type,
@@ -280,13 +335,13 @@ def relational_oracles() -> dict[str, str]:
     return {
         "rel_agg_pricing": """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
        CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         "rel_join_nations": """
 SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_price_cents
 FROM orders o
 JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -316,7 +371,7 @@ SELECT CAST(k AS BIGINT) AS p_size FROM (
         "rel_sql_interface": """
 SELECT p.p_brand,
        CAST(COUNT(*) AS BIGINT) AS n_lines,
-       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+       CAST(SUM(CAST(ROUND(l.l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE l.l_discount > 0.02
 GROUP BY p.p_brand""",
@@ -407,7 +462,7 @@ cand AS (
   WHERE a.doc_id < b.doc_id
 ),
 """
-        + _JACCARD_BODY.format(max_freq=10**9, threshold=0.5)
+        + _JACCARD_BODY.format(max_freq=100, threshold=0.5)
         + "SELECT c.doc_a, c.doc_b FROM cand c JOIN jac USING (doc_a, doc_b)",
         "dedup_simhash": f"""
 WITH wc AS (

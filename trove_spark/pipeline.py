@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from . import synth
 from .labeling import OntologyLF, apply_lfs
 from .lexicon import Lexicon, LexiconFilters, build_lexicon
-from .linking import emit_triples, link_mentions, mention_types
+from .linking import emit_triples, link_mentions, mention_types, term_candidates
 from .matching import detect_mentions
 from .tokenize import tokenize_documents
 from .voting import majority_vote
@@ -104,7 +104,9 @@ class KGPipeline:
     def linked(self) -> DataFrame:
         def _build():
             typed = self.typed_mentions()
-            cui = link_mentions(typed, synth.concepts_df(self.spark), synth.CLASS_MAP)
+            cui = link_mentions(
+                typed, term_candidates(self.spark, self.lexicon, synth.CLASS_MAP)
+            )
             return typed.join(
                 cui.select("doc_id", "sent_idx", "tok_start", "tok_end", "cui"),
                 ["doc_id", "sent_idx", "tok_start", "tok_end"],

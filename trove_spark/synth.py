@@ -58,6 +58,14 @@ LEXICON: list[tuple[str, str, str, str]] = [
     ("ONTO_B", "T001", "C0204", "sort merge join"),  # 3-gram longest-match case
     ("ONTO_B", "T002", "C0206", "parts"),        # plural: corpus has 'part'
     ("ONTO_B", "T002", "C0999", "the"),          # stopword collision → filtered
+    ("ONTO_B", "T001", "C0205", "value join"),   # overlaps 'key value' at equal
+                                                 #   length ('key value join' occurs
+                                                 #   in testdata) → exercises the
+                                                 #   greedy longest-match sweep
+    ("ONTO_A", "T001", "C0401", "SQL"),          # acronym: smart_lowercase keeps
+                                                 #   uppercase canonical form; the
+                                                 #   match + link path must still
+                                                 #   hit it (term_id-keyed linking)
 ]
 
 STOPWORDS: frozenset[str] = frozenset({"the", "a"})

@@ -39,6 +39,25 @@ _SBD_RE = re.compile(r"(?<=[.!?])\s+")
 
 _TOKENIZERS = {"standard": STANDARD_TOKEN_RE, "whitespace": WHITESPACE_TOKEN_RE}
 
+
+def get_segmenter(mode: str):
+    """mode → callable(text, max_sentence_len) → [(words, abs_offsets)].
+
+    "standard"/"whitespace" are the regex fast paths; "clinical" is the
+    reference's full rule battery (clinical_tokenizer.py: token_match
+    accept/reject, special-case lexicon, whitespace-run/bullet resplit,
+    non-terminal merge)."""
+    if mode == "clinical":
+        from .clinical_tokenizer import clinical_segment_and_tokenize
+
+        return clinical_segment_and_tokenize
+    token_re = _TOKENIZERS[mode]
+
+    def _seg(text: str, max_sentence_len: int):
+        return segment_and_tokenize(text, token_re, max_sentence_len)
+
+    return _seg
+
 SENTENCES_SCHEMA = StructType(
     [
         StructField("doc_id", StringType(), False),
@@ -106,7 +125,7 @@ def tokenize_documents(
     reference's joblib process pool + minibatching
     (preprocessing/parse.py:108-133) becomes Spark task parallelism with
     AQE load balancing.  Narrow (no shuffle)."""
-    token_re = _TOKENIZERS[mode]
+    segmenter = get_segmenter(mode)
     mlen = max_sentence_len
     cols = docs.select(
         docs[id_col].cast("string").alias("doc_id"), docs[text_col].alias("__text")
@@ -121,9 +140,7 @@ def tokenize_documents(
             for doc_id, text in zip(pdf["doc_id"], pdf["__text"]):
                 if text is None:
                     continue
-                for i, (words, offs) in enumerate(
-                    segment_and_tokenize(text, token_re, mlen)
-                ):
+                for i, (words, offs) in enumerate(segmenter(text, mlen)):
                     out_ids.append(doc_id)
                     out_idx.append(i)
                     out_words.append(words)
