@@ -273,6 +273,84 @@ def q_kg_label_model(spark, sf_dir):
     )
 
 
+def q_kg_lf_accuracy(spark, sf_dir):
+    """G11 per-LF empirical accuracy counts vs the majority-vote pseudo-
+    gold (the reference computes these against any provided token gold;
+    MV is the standard stand-in when no human gold exists)."""
+    from trove_spark.analysis import lf_empirical_accuracy
+
+    p = _pipe(spark, sf_dir)
+    sabs = p.lexicon.sabs
+    mapping = F.create_map(*[x for i, s in enumerate(sabs) for x in (F.lit(i), F.lit(s))])
+    out = lf_empirical_accuracy(p.labels(), p.token_votes())
+    return out.select(
+        mapping[F.col("lf_id")].alias("lf"),
+        F.col("correct_n").cast("long").alias("correct_n"),
+        F.col("incorrect_n").cast("long").alias("incorrect_n"),
+    )
+
+
+def q_kg_confusion(spark, sf_dir):
+    """G13 abstention-aware confusion matrix: the ONTO_A single-ontology
+    vote vs the all-LF majority vote; missing side = abstain(-1)."""
+    from trove_spark.analysis import confusion_matrix
+    from trove_spark.voting import majority_vote
+
+    p = _pipe(spark, sf_dir)
+    onto_a = p.labels().filter(F.col("lf_id") == 0)  # sabs[0] == ONTO_A
+    pred = majority_vote(onto_a)
+    return _long(confusion_matrix(pred, p.token_votes()), "n")
+
+
+def q_seq_tags(spark, sf_dir):
+    """Q6 tokens_to_sequences: per-sentence ordered IO tag strings from
+    the majority-vote token labels (joined flat for cross-engine compare)."""
+    from trove_spark import synth
+    from trove_spark.tags import tokens_to_sequences
+
+    p = _pipe(spark, sf_dir)
+    seqs = tokens_to_sequences(p.token_votes(), synth.CLASS_NAMES)
+    return seqs.select(
+        "doc_id",
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        F.concat_ws(",", "tags").alias("tag_seq"),
+        F.concat_ws(",", F.transform("token_idxs", lambda i: i.cast("string"))).alias("idx_seq"),
+    )
+
+
+def q_kg_abbrev_labels(spark, sf_dir):
+    """L8 Schwartz-Hearst doc-scope LF over the abbreviation fixture:
+    mined (long form ( SF )) definitions label every SF occurrence.
+    Oracle = frozen hand-verified golden VALUES."""
+    from trove_spark.abbreviations import schwartz_hearst_labels
+    from trove_spark.clinical_fixture import ABBREV_DOCS
+    from trove_spark.tokenize import tokenize_documents
+
+    docs = spark.createDataFrame(ABBREV_DOCS, schema="doc_id string, text string")
+    sents = tokenize_documents(docs, text_col="text", id_col="doc_id", mode="whitespace")
+    out = schwartz_hearst_labels(sents, label=1, lf_id=0)
+    return _long(
+        out.select("doc_id", "sent_idx", "token_idx", "label"),
+        "sent_idx",
+        "token_idx",
+        "label",
+    )
+
+
+def q_tag_timex(spark, sf_dir):
+    """A8 Timex battery over the date fixture: regex extraction + per-
+    format normalization (ISO, slashed/dashed US, 2-digit year, written
+    months); unparseable expressions kept with NULL value."""
+    from trove_spark.clinical_fixture import TIMEX_DOCS
+    from trove_spark.timex import extract_dates
+
+    docs = spark.createDataFrame(TIMEX_DOCS, schema="doc_id string, text string")
+    out = extract_dates(docs, "text")
+    return out.select(
+        "doc_id", "expr", F.col("norm_date").cast("string").alias("norm_date")
+    )
+
+
 def q_tag_sessions(spark, sf_dir):
     """A7 section carry-forward shape: LOCF window over the events stream."""
     from trove_spark.taggers import session_headers
@@ -285,6 +363,31 @@ def q_tag_relations(spark, sf_dir):
     from trove_spark.taggers import relation_pairs
 
     return relation_pairs(_pipe(spark, sf_dir).typed_mentions(), 1, 2, max_token_dist=5)
+
+
+def q_tag_polarity(spark, sf_dir):
+    """A2 PolarityTagger shape: generic trigger-battery engine (one LF
+    vote per directional-window hit, majority vote with tie→affirmative)
+    configured with the testdata-vocabulary battery; the clinical
+    batteries (A2-A5 reference lexicons) share this exact engine."""
+    from trove_spark import synth
+    from trove_spark.taggers import trigger_battery_tagger
+
+    p = _pipe(spark, sf_dir)
+    out = trigger_battery_tagger(
+        p.typed_mentions(),
+        p.tokens(),
+        synth.POLARITY_BATTERY,
+        reduction="mv",
+        tie_label=synth.POLARITY_TIE_LABEL,
+        prop_col="polarity",
+    )
+    return _long(
+        out.select("doc_id", "tok_start", "tok_end", "term", "polarity"),
+        "tok_start",
+        "tok_end",
+        "polarity",
+    )
 
 
 def q_tag_negation(spark, sf_dir):
@@ -472,12 +575,13 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
-    """SimHash hamming-≤3 near-dup pairs (rows-only check: the banded
-    candidate generation is set-equivalent to SQL but the pigeonhole
-    blocking is the operator under test)."""
+    """SimHash hamming-≤3 near-dup pairs: pigeonhole byte-block banding
+    then exact Hamming verify — fully deterministic, oracle-checked."""
     from trove_spark.extras.dedup import simhash_near_pairs
 
-    return simhash_near_pairs(_docs(spark, sf_dir), bits=32, max_hamming=3)
+    return _long(
+        simhash_near_pairs(_docs(spark, sf_dir), bits=32, max_hamming=3), "hamming"
+    )
 
 
 def q_ann_brute_topk(spark, sf_dir):
@@ -488,7 +592,9 @@ def q_ann_brute_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN (rows-only: approximate by design)."""
+    """LSH-bucketed ANN — approximate vs brute force but DETERMINISTIC
+    (md5-derived hyperplanes inlined as exact double literals on both
+    engines), so it is oracle-checked."""
     from trove_spark.extras.similarity import lsh_bucketed_topk
 
     return lsh_bucketed_topk(_embs(spark, sf_dir), k=5, dim=64, n_planes=6)
@@ -547,9 +653,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_lf_summary": q_kg_lf_summary,
         "kg_ontology_rank": q_kg_ontology_rank,
         "kg_label_model": q_kg_label_model,  # rows-only (EM, non-SQL)
+        "kg_lf_accuracy": q_kg_lf_accuracy,
+        "kg_confusion": q_kg_confusion,
+        "seq_tags": q_seq_tags,
+        "kg_abbrev_labels": q_kg_abbrev_labels,
+        "tag_timex": q_tag_timex,
         "tag_sessions": q_tag_sessions,
         "tag_relations": q_tag_relations,
         "tag_negation": q_tag_negation,
+        "tag_polarity": q_tag_polarity,
         "rel_agg_pricing": q_rel_agg_pricing,
         "rel_join_nations": q_rel_join_nations,
         "rel_window_top_orders": q_rel_window_top_orders,
@@ -587,8 +699,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(analysis_oracles())
     out.update(relational_oracles())
     out.update(clinical_oracles())
-    # dedup_simhash_pairs / ann_lsh_topk intentionally have NO oracle
-    # (blocking-based approximations) → driver's rows-only check
+    # only kg_label_model has no oracle (iterative EM is not
+    # SQL-expressible); every other query is oracle-checked
     out.update({
         # sent_idx pinned to 0: the testdata corpus is single-sentence by
         # construction; a multi-sentence corpus turns these rows red

@@ -92,3 +92,38 @@ def test_unipolar_union(spark, labels):
     assert (0, 1) in u and (2, 2) in u
     assert all(r[0] != 4 for r in u)
     assert unipolar_union(labels, [0, 1], 99).filter("lf_id != 99").count() == 0
+
+
+def test_error_buckets(spark):
+    from trove_spark.analysis import error_buckets
+
+    pred = spark.createDataFrame(
+        [("d", 0, 0, 1), ("d", 0, 1, 1), ("d", 0, 2, 2)],
+        schema="doc_id string, sent_idx int, token_idx int, y int",
+    )
+    gold = spark.createDataFrame(
+        [("d", 0, 0, 1), ("d", 0, 1, 2), ("d", 0, 2, 2), ("d", 0, 9, 1)],
+        schema="doc_id string, sent_idx int, token_idx int, y int",
+    )
+    rows = {(r["y_pred"], r["y_gold"], r["token_idx"]) for r in error_buckets(pred, gold).collect()}
+    # token 9 is gold-only (not aligned) → excluded, reference zip semantics
+    assert rows == {(1, 1, 0), (1, 2, 1), (2, 2, 2)}
+
+
+def test_cohen_kappa_perfect_and_chance():
+    from trove_spark.analysis import cohen_kappa
+
+    assert cohen_kappa([(1, 1, 10), (2, 2, 10)]) == 1.0
+    # independent raters, uniform: po = 0.5, pe = 0.5 -> kappa 0
+    assert abs(cohen_kappa([(1, 1, 5), (1, 2, 5), (2, 1, 5), (2, 2, 5)])) < 1e-9
+
+
+def test_randolph_kappa_uniform_chance():
+    from trove_spark.analysis import fleiss_kappa
+
+    # all raters always agree on category 0 of 2 -> fleiss degenerate, randolph 1.0
+    ratings = [[3, 0]] * 10
+    assert fleiss_kappa(ratings, method="randolph") == 1.0
+    # half/half split with full agreement per item: randolph = fleiss-with-uniform-pe
+    ratings = [[3, 0]] * 5 + [[0, 3]] * 5
+    assert abs(fleiss_kappa(ratings, method="randolph") - 1.0) < 1e-9

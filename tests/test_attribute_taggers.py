@@ -1,0 +1,167 @@
+"""A2-A6 attribute taggers: generic trigger-battery engine + configured
+clinical batteries (reference polarity.py / historical.py /
+hypothetical.py / family.py / laterality.py semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trove_spark.taggers import (
+    CLINICAL_FAMILY_BATTERY,
+    CLINICAL_HISTORICAL_BATTERY,
+    CLINICAL_HYPOTHETICAL_BATTERY,
+    CLINICAL_POLARITY_BATTERY,
+    laterality_tagger,
+    trigger_battery_tagger,
+)
+
+SENTS = [
+    # doc, sent, text (whitespace-tokenized)
+    ("d0", 0, "patient denies chest pain today"),
+    ("d1", 0, "history of diabetes noted"),
+    ("d2", 0, "recommend chest xray if fever returns"),
+    ("d3", 0, "mother had breast cancer"),
+    ("d4", 0, "left arm pain and b/l edema"),
+    ("d5", 0, "no fever but positive for cough"),
+    ("d6", 0, "status post knee surgery"),
+]
+
+# (doc, sent, tok_start, tok_end, term)
+MENTIONS = [
+    ("d0", 0, 3, 3, "pain"),
+    ("d1", 0, 2, 2, "diabetes"),
+    ("d2", 0, 2, 2, "xray"),
+    ("d2", 0, 4, 4, "fever"),
+    ("d3", 0, 3, 3, "cancer"),
+    ("d4", 0, 2, 2, "pain"),
+    ("d4", 0, 6, 6, "edema"),
+    ("d5", 0, 1, 1, "fever"),
+    ("d5", 0, 5, 5, "cough"),
+    ("d6", 0, 3, 3, "surgery"),
+]
+
+
+@pytest.fixture(scope="module")
+def toks(spark):
+    rows = [
+        (d, s, i, w)
+        for d, s, text in SENTS
+        for i, w in enumerate(text.split())
+    ]
+    return spark.createDataFrame(
+        rows, schema="doc_id string, sent_idx int, token_idx int, word string"
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def mentions(spark):
+    return spark.createDataFrame(
+        MENTIONS, schema="doc_id string, sent_idx int, tok_start int, tok_end int, term string"
+    ).cache()
+
+
+def _props(df, col):
+    return {
+        (r["doc_id"], r["tok_start"]): r[col]
+        for r in df.collect()
+    }
+
+
+def test_polarity_battery(mentions, toks):
+    out = trigger_battery_tagger(
+        mentions, toks, CLINICAL_POLARITY_BATTERY, reduction="mv",
+        tie_label=2, prop_col="polarity",
+    )
+    p = _props(out, "polarity")
+    assert p[("d0", 3)] == 1          # 'denies' left of pain → negated
+    assert p[("d5", 1)] == 1          # 'no' left of fever → negated
+    assert p[("d5", 5)] == 2          # 'positive for' left of cough → affirm
+    assert p[("d1", 2)] is None       # no polarity cue → prop unset
+
+
+def test_historical_battery(mentions, toks):
+    out = trigger_battery_tagger(
+        mentions, toks, CLINICAL_HISTORICAL_BATTERY, reduction="or",
+        or_label=1, default_label=1, prop_col="historical",
+    )
+    p = _props(out, "historical")
+    assert p[("d1", 2)] == 1          # 'history of' → historical
+    assert p[("d6", 3)] == 1          # 'status post' → historical
+    assert p[("d0", 3)] is None
+
+
+def test_hypothetical_battery(mentions, toks):
+    out = trigger_battery_tagger(
+        mentions, toks, CLINICAL_HYPOTHETICAL_BATTERY, reduction="or",
+        or_label=1, default_label=2, prop_col="hypothetical",
+    )
+    p = _props(out, "hypothetical")
+    assert p[("d2", 2)] == 1          # 'recommend' → hypothetical
+    assert p[("d2", 4)] == 1          # 'if' left of fever
+    assert p[("d6", 3)] == 2          # only the reject cue fired → 2
+    assert p[("d3", 3)] is None
+
+
+def test_family_battery(mentions, toks):
+    out = trigger_battery_tagger(
+        mentions, toks, CLINICAL_FAMILY_BATTERY, reduction="or",
+        or_label=2, default_label=1, prop_col="subject",
+    )
+    p = _props(out, "subject")
+    assert p[("d3", 3)] == 2          # 'mother' in sentence → family/other
+    assert p[("d0", 3)] is None       # no family cue → unset
+
+
+def test_laterality(mentions, toks):
+    out = laterality_tagger(mentions, toks, window=3)
+    p = _props(out, "laterality")
+    assert p[("d4", 2)] == "L"        # 'left' within window of arm pain
+    assert p[("d4", 6)] == "B"        # 'b/l' closest to edema
+    assert p[("d0", 3)] is None
+
+
+def test_mv_tie_breaks_to_tie_label(spark, toks):
+    # craft one label-1 and one label-2 LF both firing once → tie → 2
+    m = spark.createDataFrame(
+        [("d5", 0, 3, 3, "but")],
+        schema="doc_id string, sent_idx int, tok_start int, tok_end int, term string",
+    )
+    battery = [
+        ("neg", 1, "no", "left", 3),
+        ("aff", 2, "fever", "left", 3),
+    ]
+    out = trigger_battery_tagger(m, toks, battery, reduction="mv", tie_label=2, prop_col="p")
+    assert out.collect()[0]["p"] == 2
+
+
+def test_one_vote_per_lf_despite_repeats(spark):
+    # the same trigger occurring twice in the window is still ONE vote
+    t = spark.createDataFrame(
+        [("x", 0, 0, "no"), ("x", 0, 1, "no"), ("x", 0, 2, "pain"), ("x", 0, 3, "fast")],
+        schema="doc_id string, sent_idx int, token_idx int, word string",
+    )
+    m = spark.createDataFrame(
+        [("x", 0, 2, 2, "pain")],
+        schema="doc_id string, sent_idx int, tok_start int, tok_end int, term string",
+    )
+    battery = [("neg", 1, "no", "left", 3), ("aff", 2, "fast", "right", 3)]
+    # 'no' fired twice but counts once; mv over {1, 2} → tie → tie_label 9
+    out = trigger_battery_tagger(m, t, battery, reduction="mv", tie_label=9, prop_col="p")
+    assert out.collect()[0]["p"] == 9
+
+
+def test_bigram_trigger_window(spark):
+    t = spark.createDataFrame(
+        [("y", 0, 0, "history"), ("y", 0, 1, "of"), ("y", 0, 2, "falls")],
+        schema="doc_id string, sent_idx int, token_idx int, word string",
+    )
+    m = spark.createDataFrame(
+        [("y", 0, 2, 2, "falls")],
+        schema="doc_id string, sent_idx int, tok_start int, tok_end int, term string",
+    )
+    out = trigger_battery_tagger(
+        m, t, [("h", 1, "history of", "left", 6)], reduction="or",
+        or_label=1, default_label=1, prop_col="historical",
+    )
+    assert out.collect()[0]["historical"] == 1

@@ -1,0 +1,120 @@
+"""S8 BioPortal / S11 CARD loaders + L3 slot-filled ontology LF
+(round-2 gap closures; reference dictionaries.py:212-250,321-354 and
+labeling.py:149-336)."""
+
+from __future__ import annotations
+
+import pytest
+
+from trove_spark.sources import bioportal_loader, card_loader
+
+
+@pytest.fixture(scope="module")
+def bioportal_csv(tmp_path_factory):
+    p = tmp_path_factory.mktemp("bp") / "onto.csv"
+    p.write_text(
+        '"Preferred Label","Synonyms","Obsolete"\n'
+        '"Heart Attack","myocardial infarction|MI","false"\n'
+        '"Fever","pyrexia","false"\n'
+        '"7","","false"\n'           # bare digit → dropped
+        '"the","","false"\n'         # stopword → dropped
+    )
+    return str(p)
+
+
+def test_bioportal_loader(spark, bioportal_csv):
+    got = {
+        r["term"]
+        for r in bioportal_loader(
+            spark, bioportal_csv, stopwords=frozenset({"the"})
+        ).collect()
+    }
+    assert got == {"heart attack", "myocardial infarction", "mi", "fever", "pyrexia"}
+
+
+@pytest.fixture(scope="module")
+def card_tsv(tmp_path_factory):
+    p = tmp_path_factory.mktemp("card") / "vabbr.tsv"
+    p.write_text(
+        "abbreviation\tCUI\tsense\n"
+        "mi\tC0001|C0002\tmyocardial infarction\n"
+        "bp\tC0003\tblood pressure\n"
+        "zz\tC9999\tunmapped concept\n"
+    )
+    return str(p)
+
+
+def test_card_loader(spark, card_tsv):
+    cui_sty = spark.createDataFrame(
+        [("C0001", "T047"), ("C0002", "T047"), ("C0003", "T201"), ("C9999", "T999")],
+        schema="cui string, sty string",
+    )
+    got = {
+        (r["label"], r["abbrev"], r["sense"])
+        for r in card_loader(
+            spark, card_tsv, cui_sty, {"T047": 1, "T201": 2}
+        ).collect()
+    }
+    # T999 unmapped → zz dropped; duplicate CUIs collapse to one row
+    assert got == {(1, "MI", "myocardial infarction"), (2, "BP", "blood pressure")}
+
+
+# -- L3 slot patterns + span rule (pure in-kernel logic, no Spark) ----------
+
+
+def _ctx(sentence: str, lexicon_rows):
+    from trove_spark.labeling import SentenceCtx
+    from trove_spark.lexicon import LexiconFilters, build_lexicon
+    from trove_spark.matching import match_sentence
+
+    lex = build_lexicon(lexicon_rows, {"T001": 1, "T002": 2}, LexiconFilters())
+    words = sentence.split()
+    offsets = []
+    pos = 0
+    for w in words:
+        offsets.append(pos)
+        pos += len(w) + 1
+    all_m, longest = match_sentence(lex, words)
+    return SentenceCtx(words, offsets, all_m, longest, lex)
+
+
+LEX = [
+    ("SAB", "T001", "C1", "tylenol"),
+    ("SAB", "T001", "C2", "acetaminophen"),
+    ("SAB", "T002", "C3", "tablet"),
+]
+
+
+def test_slot_pattern_merges_args_into_one_span():
+    from trove_spark.labeling import SlotFilledOntologyLF
+
+    lf = SlotFilledOntologyLF("SAB", slot_patterns=(r"{} \( {} \)",))
+    ctx = _ctx("tylenol ( acetaminophen ) daily", LEX)
+    # the slot hit labels the WHOLE 'tylenol ( acetaminophen )' span
+    assert lf.label_sentence(ctx) == {0: 1, 1: 1, 2: 1, 3: 1}
+
+
+def test_slot_pattern_skips_negative_class_args():
+    from trove_spark.labeling import SlotFilledOntologyLF
+
+    lf = SlotFilledOntologyLF("SAB", slot_patterns=(r"{} \( {} \)",))
+    ctx = _ctx("tablet ( acetaminophen ) daily", LEX)
+    # 'tablet' is class 2 → slot skipped; plain ontology labels remain
+    assert lf.label_sentence(ctx) == {0: 2, 2: 1}
+
+
+def test_span_rule_flips_positive_label():
+    from trove_spark.labeling import SlotFilledOntologyLF
+
+    lf = SlotFilledOntologyLF("SAB", span_rule_pattern=r"^tylenol$")
+    ctx = _ctx("tylenol and acetaminophen", LEX)
+    # span rule fires on the 'tylenol' span only → its label flips 1→2
+    assert lf.label_sentence(ctx) == {0: 2, 2: 1}
+
+
+def test_merge_pass_unchanged_without_slots():
+    from trove_spark.labeling import SlotFilledOntologyLF
+
+    lf = SlotFilledOntologyLF("SAB")
+    ctx = _ctx("tylenol acetaminophen daily", LEX)
+    assert lf.label_sentence(ctx) == {0: 1, 1: 1}

@@ -75,10 +75,43 @@ def confusion_matrix(pred: DataFrame, gold: DataFrame) -> DataFrame:
     )
 
 
-def fleiss_kappa(ratings: list[list[int]]) -> float:
-    """G16 inter-annotator agreement (brat.py:387-419) — driver-side on the
+def error_buckets(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """G14 error buckets (metrics/analysis.py:232-255): every aligned
+    (pred, gold) token assigned to its (y_pred, y_gold) bucket.  Returned
+    as the LONG bucket-membership table — fully distributed (the
+    reference's dict-of-lists materializes all items in memory; consumers
+    here filter/sample the bucket they want)."""
+    p = pred.select(*TOKEN_KEY, F.col("y").alias("y_pred"))
+    g = gold.select(*TOKEN_KEY, F.col("y").alias("y_gold"))
+    return p.join(g, TOKEN_KEY).select(
+        F.col("y_pred").cast("long").alias("y_pred"),
+        F.col("y_gold").cast("long").alias("y_gold"),
+        *TOKEN_KEY,
+    )
+
+
+def cohen_kappa(confusion: list[tuple[int, int, int]]) -> float:
+    """G16 Cohen's kappa for two raters (brat.py:420-473 aggregates votes;
+    the kappa itself is the standard two-rater chance-corrected agreement)
+    — driver-side over (y_a, y_b, n) confusion counts."""
+    n = sum(c for _a, _b, c in confusion)
+    if n == 0:
+        return 0.0
+    cats = sorted({a for a, _b, _c in confusion} | {b for _a, b, _c in confusion})
+    po = sum(c for a, b, c in confusion if a == b) / n
+    row = {k: sum(c for a, _b, c in confusion if a == k) / n for k in cats}
+    col = {k: sum(c for _a, b, c in confusion if b == k) / n for k in cats}
+    pe = sum(row[k] * col[k] for k in cats)
+    if pe == 1.0:
+        return 1.0
+    return (po - pe) / (1 - pe)
+
+
+def fleiss_kappa(ratings: list[list[int]], method: str = "fleiss") -> float:
+    """G16 inter-annotator agreement (brat.py:600-622) — driver-side on the
     small per-item category-count matrix: ratings[item][category] = #raters
-    choosing that category."""
+    choosing that category.  method='fleiss' uses sample category margins
+    for chance agreement; 'randolph' (uniform) uses 1/k."""
     n_items = len(ratings)
     if n_items == 0:
         return 0.0
@@ -89,7 +122,10 @@ def fleiss_kappa(ratings: list[list[int]]) -> float:
         (sum(x * x for x in row) - n_raters) / (n_raters * (n_raters - 1)) for row in ratings
     ]
     p_bar = sum(p_item) / n_items
-    p_e = sum(p * p for p in p_cat)
+    if method.startswith("rand") or method == "uniform":
+        p_e = 1.0 / n_cats
+    else:
+        p_e = sum(p * p for p in p_cat)
     if p_e == 1.0:
         return 1.0
     return (p_bar - p_e) / (1 - p_e)

@@ -35,6 +35,37 @@ CLINICAL_DOCS: list[tuple[str, str]] = [
     ("c09", "Call 555.555.5555 re: labs (0.5 mg) dose"),
 ]
 
+# A8 timex fixture: one doc per normalized format + an unparseable span
+# (kept with NULL value, reference behavior) + a no-date doc.  2-digit
+# years stay below 69 (Spark 'yy' pivots 2000-2099, DuckDB %y at 69).
+TIMEX_DOCS: list[tuple[str, str]] = [
+    ("t0", "seen on 2020-01-05 and again on 1/6/2020 for follow-up"),
+    ("t1", "scheduled 01-07-2020 then 2/8/1999 review"),
+    ("t2", "admitted January 5, 2021 and discharged 14 Feb 2021"),
+    ("t3", "clinic visit 3/4/21 noted"),
+    ("t4", "no explicit dates mentioned here"),
+    ("t5", "bad date 13/45/2020 kept as span"),
+]
+
+# L8 Schwartz-Hearst fixture: mined '(long form ( SF )' definitions label
+# every SF occurrence in the doc; rejection branches covered (pure-number
+# SF, long-form char match failure).
+ABBREV_DOCS: list[tuple[str, str]] = [
+    ("a0", "structured query language ( sql ) is popular and sql is used here"),
+    ("a1", "magnetic resonance imaging ( mri ) scan with mri follow up"),
+    ("a2", "a count ( 123 ) is not an abbreviation"),
+    ("a3", "unrelated words ( zq ) never match any long form"),
+    ("a4", "the real time protocol ( rtp ) stream and rtp packets"),
+]
+
+# frozen expected (doc_id, sent_idx, token_idx) SF-occurrence labels for
+# ABBREV_DOCS — hand-verified against the Schwartz-Hearst rules
+ABBREV_GOLDEN: list[tuple[str, int, int]] = [
+    ("a0", 0, 4), ("a0", 0, 9),
+    ("a1", 0, 4), ("a1", 0, 8),
+    ("a4", 0, 5), ("a4", 0, 9),
+]
+
 CLINICAL_GOLDEN = [
     ('c00', 0, 0, 'Pt', 0),
     ('c00', 0, 1, 'is', 3),

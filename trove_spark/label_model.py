@@ -45,8 +45,8 @@ def _expand_token_class(labels: DataFrame, classes: list[int]) -> DataFrame:
     return labels.select(*TOKEN_KEY, "lf_id", "label", ys)
 
 
-def _e_step(labels: DataFrame, params: LabelModelParams, spark) -> DataFrame:
-    """→ (token key, y_hyp, gamma) responsibilities."""
+def _score(labels: DataFrame, params: LabelModelParams, spark) -> DataFrame:
+    """→ (token key, y_hyp, ll) per-class unnormalized log-posteriors."""
     classes = sorted(params.prior)
     theta_rows = [
         (lf, v, y, math.log(max(p, 1e-9)))
@@ -69,15 +69,42 @@ def _e_step(labels: DataFrame, params: LabelModelParams, spark) -> DataFrame:
         .join(F.broadcast(prior_df), "y_hyp")
         .withColumn("ll", F.col("ll") + F.col("log_prior"))
     )
-    # softmax per token (log-sum-exp, numerically safe)
-    from pyspark.sql import Window
+    return scored.select(*TOKEN_KEY, "y_hyp", "ll")
 
-    w = Window.partitionBy(*TOKEN_KEY)
+
+def _e_step(labels: DataFrame, params: LabelModelParams, spark) -> DataFrame:
+    """→ (token key, y_hyp, gamma) responsibilities."""
+    scored = _score(labels, params, spark)
+    # softmax per token (log-sum-exp, numerically safe).  WINDOWLESS: a
+    # window over per-token keys is the measured 3-8× anti-pattern
+    # (BENCH.md) — instead collect the ≤k (y_hyp, ll) pairs per token and
+    # normalize with array higher-order functions, one shuffle total.
     return (
-        scored.withColumn("mx", F.max("ll").over(w))
-        .withColumn("expv", F.exp(F.col("ll") - F.col("mx")))
-        .withColumn("gamma", F.col("expv") / F.sum("expv").over(w))
-        .select(*TOKEN_KEY, "y_hyp", "gamma")
+        _collect_scores(scored)
+        .select(*TOKEN_KEY, "mx", "denom", F.explode("arr").alias("s"))
+        .select(
+            *TOKEN_KEY,
+            F.col("s.y_hyp").alias("y_hyp"),
+            (F.exp(F.col("s.ll") - F.col("mx")) / F.col("denom")).alias("gamma"),
+        )
+    )
+
+
+def _collect_scores(scored: DataFrame) -> DataFrame:
+    """(token, y_hyp, ll) → one row per token with the ≤n_classes score
+    array plus its log-sum-exp pieces (mx, denom)."""
+    agg = scored.groupBy(*TOKEN_KEY).agg(
+        F.collect_list(F.struct("y_hyp", "ll")).alias("arr")
+    )
+    return agg.withColumn(
+        "mx", F.array_max(F.transform("arr", lambda x: x["ll"]))
+    ).withColumn(
+        "denom",
+        F.aggregate(
+            "arr",
+            F.lit(0.0),
+            lambda acc, x: acc + F.exp(x["ll"] - F.col("mx")),
+        ),
     )
 
 
@@ -133,16 +160,18 @@ def fit_label_model(
 
 def predict_label_model(labels: DataFrame, params: LabelModelParams, spark=None) -> DataFrame:
     """→ (token key, y, proba): argmax responsibility, deterministic
-    tie-break on min y."""
+    tie-break on min y.  Windowless: the argmax is an array_max over the
+    per-token (ll, -y) struct array — struct ordering gives max ll then
+    min y — so prediction is ONE groupBy shuffle, no per-token sort."""
     spark = spark or labels.sparkSession
-    gamma = _e_step(labels, params, spark)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(*TOKEN_KEY).orderBy(F.desc("gamma"), F.asc("y_hyp"))
-    return (
-        gamma.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
-        .select(*TOKEN_KEY, F.col("y_hyp").alias("y"), F.col("gamma").alias("proba"))
+    collected = _collect_scores(_score(labels, params, spark))
+    best = F.array_max(
+        F.transform("arr", lambda x: F.struct(x["ll"].alias("ll"), (-x["y_hyp"]).alias("neg")))
+    )
+    return collected.withColumn("b", best).select(
+        *TOKEN_KEY,
+        (-F.col("b.neg")).alias("y"),
+        (F.exp(F.col("b.ll") - F.col("mx")) / F.col("denom")).alias("proba"),
     )
 
 

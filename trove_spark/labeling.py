@@ -221,20 +221,90 @@ def merge_adjacent_matches(
 
 @dataclass
 class SlotFilledOntologyLF(LF):
-    """L3: OntologyLF + merge-adjacent-same-label post-pass."""
+    """L3 SlotFilledOntologyLF (reference labeling.py:149-336), full
+    semantics:
+
+      1. merge adjacent same-label matches into one span;
+      2. slot patterns — templates like ``r'{} \\( {} \\)'`` are instantiated
+         with consecutive merged surface forms (positive-label args only,
+         reference's 'HACK - positive classes only'), regex-searched against
+         the gap-padded sentence text; a hit replaces its argument matches
+         with ONE span over the regex hit, labeled with the args' label;
+      3. span_rule — a span whose label is 1 flips to 2 when the rule fires
+         on its surface text (reference passes a callable; the transferable
+         reduction is a regex over the span text).
+
+    Deviation: slot arguments are re.escape'd before formatting (the
+    reference interpolates raw surface strings into the regex, which breaks
+    on terms containing metacharacters)."""
 
     sab: str
+    slot_patterns: tuple[str, ...] = ()
+    span_rule_pattern: str | None = None
 
     def __post_init__(self):
         self.name = f"slotfilled:{self.sab}"
+        self._slot_n = [p.count("{}") for p in self.slot_patterns]
+        self._span_rgx = (
+            re.compile(self.span_rule_pattern, re.I) if self.span_rule_pattern else None
+        )
 
     def label_sentence(self, ctx: SentenceCtx) -> dict[int, int]:
         tl = ctx.lex.sab_term_labels.get(self.sab, {})
         merged = merge_adjacent_matches(ctx.longest_matches, tl)
+        items = [
+            (s, e, lbl, " ".join(ctx.words[s : e + 1])) for s, e, lbl in merged
+        ]
         out: dict[int, int] = {}
-        for s, e, lbl in merged:
+        if not items:
+            return out
+        # gap-padded sentence text for slot regex search
+        base = ctx.offsets[0]
+        parts: list[str] = []
+        cur = base
+        for w, o in zip(ctx.words, ctx.offsets):
+            parts.append(" " * (o - cur))
+            parts.append(w)
+            cur = o + len(w)
+        text = "".join(parts)
+
+        mask = [False] * len(items)
+        extra: list[tuple[int, int, int]] = []
+        for pat, n_args in zip(self.slot_patterns, self._slot_n):
+            for i in range(len(items) - n_args + 1):
+                if any(mask[i : i + n_args]):
+                    continue
+                args = items[i : i + n_args]
+                ys = [a[2] for a in args]
+                if None in ys or 2 in ys:  # positive-class args only
+                    continue
+                rgx = re.compile(pat.format(*[re.escape(a[3]) for a in args]), re.I)
+                m = rgx.search(text)
+                if not m:
+                    continue
+                lo, hi = m.start() + base, m.end() - 1 + base
+                covered = [
+                    j
+                    for j, o in enumerate(ctx.offsets)
+                    if o + len(ctx.words[j]) - 1 >= lo and o <= hi
+                ]
+                if covered:
+                    for k in range(i, i + n_args):
+                        mask[k] = True
+                    extra.append((covered[0], covered[-1], ys[0]))
+
+        final = [
+            (s, e, lbl) for keep, (s, e, lbl, _t) in zip(mask, items) if not keep
+        ] + extra
+        for s, e, lbl in final:
             if lbl is None:
                 continue
+            if (
+                self._span_rgx is not None
+                and lbl == 1
+                and self._span_rgx.search(" ".join(ctx.words[s : e + 1]))
+            ):
+                lbl = 2
             for i in range(s, e + 1):
                 out[i] = lbl
         return out

@@ -275,9 +275,130 @@ FROM g""",
     }
 
 
+def polarity_oracle_sql() -> str:
+    """A2 trigger-battery tagger oracle — GENERATED from the same
+    synth.POLARITY_BATTERY the Spark engine broadcasts: trigger
+    occurrences (uni+bigram) joined into each mention's directional
+    window, one vote per LF, majority vote with tie→POLARITY_TIE_LABEL."""
+    trig_rows = [
+        (i, lbl, trig.lower(), side, window, len(trig.split()))
+        for i, (_name, lbl, trig, side, window) in enumerate(synth.POLARITY_BATTERY)
+    ]
+    return (
+        kg_cte_prefix()
+        + f""", {_values(trig_rows, "trigs", "lf_id, label, trig, side, win, n")},
+p_occ AS (
+  SELECT t.doc_id, t.tok AS trig_start, t.tok AS trig_end,
+         g.lf_id, g.label, g.side, g.win
+  FROM toks t JOIN trigs g ON g.n = 1 AND lower(t.word) = g.trig
+  UNION ALL
+  SELECT a.doc_id, a.tok, b.tok, g.lf_id, g.label, g.side, g.win
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.tok = a.tok + 1
+  JOIN trigs g ON g.n = 2 AND lower(a.word) || ' ' || lower(b.word) = g.trig
+),
+p_votes AS (
+  SELECT DISTINCT t.doc_id, t.s, t.e, t.term_id, o.lf_id, o.label
+  FROM typed t JOIN p_occ o ON o.doc_id = t.doc_id
+  WHERE (o.side = 'left' AND o.trig_end >= t.s - o.win AND o.trig_end < t.s)
+     OR (o.side = 'right' AND o.trig_start > t.e AND o.trig_start <= t.e + o.win)
+     OR (o.side = 'span' AND o.trig_start >= t.s AND o.trig_end <= t.e)
+     OR o.side = 'sentence'
+),
+p_counts AS (
+  SELECT doc_id, s, e, term_id, label, COUNT(*) AS n
+  FROM p_votes GROUP BY 1, 2, 3, 4, 5
+),
+p_mv AS (
+  SELECT doc_id, s, e, term_id,
+         CASE WHEN COUNT(*) = 1 THEN CAST(MIN(label) AS BIGINT)
+              ELSE CAST({synth.POLARITY_TIE_LABEL} AS BIGINT) END AS polarity
+  FROM (SELECT *, MAX(n) OVER (PARTITION BY doc_id, s, e, term_id) AS mx
+        FROM p_counts) WHERE n = mx
+  GROUP BY doc_id, s, e, term_id
+)
+SELECT t.doc_id, CAST(t.s AS BIGINT) AS tok_start, CAST(t.e AS BIGINT) AS tok_end,
+       tm.term, m.polarity
+FROM typed t
+JOIN terms tm ON tm.term_id = t.term_id
+LEFT JOIN p_mv m ON m.doc_id = t.doc_id AND m.s = t.s AND m.e = t.e
+                AND m.term_id = t.term_id"""
+    )
+
+
+def _timex_oracle_sql() -> str:
+    """A8 oracle: the SAME extraction regex (timex._DATE_RE) run by DuckDB
+    RE2, normalized with per-format try_strptime fallbacks mirroring the
+    engine's try_to_date chain."""
+    from .clinical_fixture import TIMEX_DOCS
+    from .timex import _DATE_RE
+
+    pat = _DATE_RE.replace("'", "''")
+    return f"""
+WITH {_values(list(TIMEX_DOCS), "d", "doc_id, text")},
+x AS (SELECT doc_id, unnest(regexp_extract_all(text, '{pat}', 1)) AS expr FROM d)
+SELECT doc_id, expr,
+       CAST(CAST(COALESCE(
+         try_strptime(expr, '%Y-%m-%d'),
+         -- DuckDB %Y leniently accepts 2-digit years (0021-03-04), so the
+         -- 2-digit form must be dispatched by shape, not by fallback order
+         CASE WHEN regexp_matches(expr, '^\\d{{1,2}}/\\d{{1,2}}/\\d{{2}}$')
+              THEN try_strptime(expr, '%m/%d/%y')
+              ELSE try_strptime(expr, '%m/%d/%Y') END,
+         try_strptime(expr, '%m-%d-%Y'),
+         try_strptime(expr, '%B %d, %Y'),
+         try_strptime(expr, '%d %b %Y')
+       ) AS DATE) AS VARCHAR) AS norm_date
+FROM x"""
+
+
+def _abbrev_oracle_sql() -> str:
+    """L8 oracle: frozen hand-verified golden occurrence table."""
+    from .clinical_fixture import ABBREV_GOLDEN
+
+    rows = [(d, si, ti, 1) for (d, si, ti) in ABBREV_GOLDEN]
+    return (
+        "WITH "
+        + _values(rows, "g", "doc_id, sent_idx, token_idx, label")
+        + """
+SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx,
+       CAST(token_idx AS BIGINT) AS token_idx, CAST(label AS BIGINT) AS label
+FROM g"""
+    )
+
+
 def analysis_oracles() -> dict[str, str]:
     p = kg_cte_prefix()
     return {
+        "tag_polarity": polarity_oracle_sql(),
+        "tag_timex": _timex_oracle_sql(),
+        "kg_abbrev_labels": _abbrev_oracle_sql(),
+        "kg_lf_accuracy": p
+        + """SELECT v.sab AS lf,
+       CAST(SUM(CASE WHEN v.label = mv.y THEN 1 ELSE 0 END) AS BIGINT) AS correct_n,
+       CAST(SUM(CASE WHEN v.label != mv.y THEN 1 ELSE 0 END) AS BIGINT) AS incorrect_n
+FROM votes v JOIN mv ON mv.doc_id = v.doc_id AND mv.token_idx = v.token_idx
+GROUP BY v.sab""",
+        "kg_confusion": p
+        + """, mva AS (
+  SELECT doc_id, token_idx, CAST(MIN(label) AS BIGINT) AS y
+  FROM (
+    SELECT doc_id, token_idx, label, COUNT(*) AS n,
+           MAX(COUNT(*)) OVER (PARTITION BY doc_id, token_idx) AS mx
+    FROM votes WHERE sab = 'ONTO_A' GROUP BY doc_id, token_idx, label
+  ) WHERE n = mx
+  GROUP BY doc_id, token_idx HAVING COUNT(*) = 1
+)
+SELECT CAST(COALESCE(g.y, -1) AS BIGINT) AS y_gold,
+       CAST(COALESCE(p2.y, -1) AS BIGINT) AS y_pred,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM mva p2 FULL JOIN mv g ON g.doc_id = p2.doc_id AND g.token_idx = p2.token_idx
+GROUP BY 1, 2""",
+        "seq_tags": p
+        + """SELECT mv.doc_id, CAST(0 AS BIGINT) AS sent_idx,
+       string_agg('I-' || cn.name, ',' ORDER BY mv.token_idx) AS tag_seq,
+       string_agg(mv.token_idx::VARCHAR, ',' ORDER BY mv.token_idx) AS idx_seq
+FROM mv JOIN class_names cn ON cn.label = mv.y
+GROUP BY mv.doc_id""",
         "kg_lf_suite": lf_suite_sql(),
         "kg_coverage_stats": p
         + """SELECT CAST(COUNT(*) AS BIGINT) AS covered_n,
@@ -422,10 +543,48 @@ jac AS (
 """
 
 
+def _ann_lsh_sql(dim: int = 64, n_planes: int = 6, k: int = 5) -> str:
+    """LSH-bucketed ANN oracle: the hyperplanes are rendered as EXACT
+    double literals from the same _plane() generator the engine uses
+    (repr round-trips IEEE doubles), so bucket signatures are
+    bit-identical across engines."""
+    from .extras.similarity import _plane
+
+    plane_rows = ", ".join(
+        "(" + str(i) + ", [" + ", ".join(repr(x) for x in _plane(dim, i)) + "])"
+        for i in range(n_planes)
+    )
+    return f"""
+WITH planes(plane_idx, plane) AS (SELECT * FROM (VALUES {plane_rows})),
+e AS (SELECT CAST(vec_id AS BIGINT) AS vid, embedding::DOUBLE[] AS emb FROM embeddings),
+sig AS (
+  SELECT e.vid,
+         CAST(SUM(CASE WHEN list_dot_product(e.emb, p.plane) >= 0
+                       THEN (1::BIGINT << ({n_planes - 1} - p.plane_idx)) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM e, planes p GROUP BY e.vid
+),
+scored AS (
+  SELECT a.vid AS query_id, b.vid AS neighbor_id,
+         list_dot_product(ea.emb, eb.emb)
+           / (sqrt(list_dot_product(ea.emb, ea.emb)) * sqrt(list_dot_product(eb.emb, eb.emb))) AS cosine
+  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vid != b.vid
+  JOIN e ea ON ea.vid = a.vid JOIN e eb ON eb.vid = b.vid
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def extras_oracles() -> dict[str, str]:
     h_sh = _H60.format(x="shingle || ':' || seed")
     h_w = _H60.format(x="w")
     return {
+        "ann_lsh_topk": _ann_lsh_sql(dim=64, n_planes=6, k=5),
         "dedup_exact": """
 SELECT sha256(text) AS content_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
        MIN(CAST(doc_id AS VARCHAR)) AS canonical_id
@@ -476,6 +635,33 @@ pb AS (
 )
 SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << bp ELSE 0 END) AS BIGINT) AS simhash
 FROM pb GROUP BY 1
+""",
+        "dedup_simhash_pairs": f"""
+WITH wc AS (
+  SELECT doc_id, w, COUNT(*) AS cnt FROM (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, unnest(string_split(text, ' ')) AS w
+    FROM documents) GROUP BY 1, 2
+),
+pb AS (
+  SELECT doc_id, bp, SUM(CASE WHEN ({h_w} >> bp) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+  FROM wc, (SELECT unnest(range(0, 32)) AS bp) b GROUP BY 1, 2
+),
+sh AS (
+  SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << bp ELSE 0 END) AS BIGINT) AS simhash
+  FROM pb GROUP BY 1
+),
+blocks AS (
+  SELECT doc_id, simhash, blk, (simhash >> (blk * 8)) & 255 AS blk_val
+  FROM sh, (SELECT unnest(range(0, 4)) AS blk) nb
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.blk_val = b.blk_val
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
 """,
         "ann_brute_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS emb_q FROM embeddings WHERE vec_id < 10),

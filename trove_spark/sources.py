@@ -98,6 +98,59 @@ def chebi_loader(spark: SparkSession, path: str, min_len: int = 2) -> DataFrame:
     )
 
 
+def bioportal_loader(
+    spark: SparkSession, path: str, stopwords: frozenset[str] = frozenset()
+) -> DataFrame:
+    """S8 BioPortal ontology CSV (dictionaries.py:321-354): 'Preferred
+    Label' + '|'-separated 'Synonyms' → lowercased term set, minus
+    stopwords and bare single digits."""
+    raw = spark.read.csv(path, header=True)
+    names = raw.select(F.col("Preferred Label").alias("term"))
+    syns = raw.select(
+        F.explode(F.split(F.coalesce(F.col("Synonyms"), F.lit("")), r"\|")).alias("term")
+    )
+    out = (
+        names.unionByName(syns)
+        .select(F.lower(F.trim("term")).alias("term"))
+        .filter((F.length("term") > 0) & ~F.col("term").rlike(r"^[0-9]$"))
+        .distinct()
+    )
+    if stopwords:
+        sw = spark.createDataFrame([(w,) for w in sorted(stopwords)], schema="term string")
+        out = out.join(F.broadcast(sw), "term", "left_anti")
+    return out
+
+
+def card_loader(
+    spark: SparkSession,
+    path: str,
+    cui_sty: DataFrame,
+    class_map: dict[str, int],
+) -> DataFrame:
+    """S11 CARD clinical-abbreviation TSV (dictionaries.py:212-250): rows
+    ``abbreviation\\tCUI\\tsense`` where CUI may be '|'-multivalued; each
+    CUI's semantic types (``cui_sty(cui, sty)``) map through class_map →
+    (label, abbrev UPPER, sense) rows, unmapped types dropped."""
+    raw = spark.read.csv(
+        path, sep="\t", header=True, schema="abbreviation string, CUI string, sense string"
+    )
+    cm = F.create_map(
+        *[x for kv in sorted(class_map.items()) for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    )
+    exploded = raw.select(
+        F.upper("abbreviation").alias("abbrev"),
+        "sense",
+        F.explode(F.split(F.upper("CUI"), r"\|")).alias("cui"),
+    )
+    j = exploded.join(F.broadcast(cui_sty), "cui")
+    return (
+        j.withColumn("label", cm[F.col("sty")])
+        .filter(F.col("label").isNotNull())
+        .select(F.col("label").cast("int").alias("label"), "abbrev", "sense")
+        .distinct()
+    )
+
+
 def semantic_groups_loader(spark: SparkSession, path: str) -> DataFrame:
     """S12: SemGroups.txt — GRP|GRP_STR|TUI|STR (tiny dim, broadcast side)."""
     return load_rrf(spark, path, ["grp", "grp_str", "tui", "str"])

@@ -91,6 +91,22 @@ SYNSET_LABEL = 1
 # NegEx-style trigger terms (negex.py shape)
 NEGATION_TRIGGERS = ["slow"]
 
+# A2 PolarityTagger battery over the testdata vocabulary — same LF-battery
+# SHAPE as the reference's clinical battery (polarity.py:462-532: per-LF
+# trigger test in a directional context window, majority-vote reduction
+# with tie→affirmative), with triggers drawn from the corpus's closed
+# vocab so the oracle gate exercises every code path (left/right/sentence
+# windows, a bigram trigger, mv tie-break).
+# (name, label, trigger phrase, side, window)
+POLARITY_BATTERY: list[tuple[str, int, str, str, int]] = [
+    ("definite_left", 1, "slow", "left", 3),
+    ("probable_left", 1, "small", "left", 2),
+    ("bigram_left", 1, "key value", "left", 4),
+    ("affirm_right", 2, "fast", "right", 3),
+    ("affirm_sentence", 2, "big", "sentence", 0),
+]
+POLARITY_TIE_LABEL = 2  # reference breaks mv ties toward 'affirmative'
+
 
 def concepts_values_sql() -> str:
     """Render LEXICON as a SQL VALUES list for the DuckDB oracle."""

@@ -141,6 +141,223 @@ def attach_spans_to_sentences(
     )
 
 
+def trigger_occurrences(
+    tokens: DataFrame,
+    battery: list[tuple[str, int, str, str, int]],
+) -> DataFrame:
+    """Locate every battery-trigger occurrence in the token stream.
+
+    battery rows: (lf_name, label, trigger_phrase, side, window); phrases
+    are 1-2 lowercase tokens.  Unigrams are an equi-join of tokens against
+    the broadcast trigger table; bigrams are a (doc, sent, idx+1)
+    self-equi-join first — no window functions, no regex scans, all
+    broadcast-hash-join-able at any corpus size."""
+    spark = tokens.sparkSession
+    rows = [
+        (i, name, label, trig.lower(), side, window, len(trig.split()))
+        for i, (name, label, trig, side, window) in enumerate(battery)
+    ]
+    trigs = spark.createDataFrame(
+        rows, schema="lf_id int, lf string, label int, trig string, side string, window int, n int"
+    )
+    toks = tokens.select(
+        "doc_id", "sent_idx", "token_idx", F.lower(F.col("word")).alias("w")
+    )
+    uni = toks.join(
+        F.broadcast(trigs.filter("n = 1")), F.col("w") == F.col("trig")
+    ).select(
+        "doc_id", "sent_idx",
+        F.col("token_idx").alias("trig_start"),
+        F.col("token_idx").alias("trig_end"),
+        "lf_id", "label", "side", "window",
+    )
+    nxt = toks.select(
+        "doc_id", "sent_idx",
+        (F.col("token_idx") - 1).alias("token_idx"),
+        F.col("w").alias("w2"),
+    )
+    bi = (
+        toks.join(nxt, ["doc_id", "sent_idx", "token_idx"])
+        .join(
+            F.broadcast(trigs.filter("n = 2")),
+            F.concat_ws(" ", "w", "w2") == F.col("trig"),
+        )
+        .select(
+            "doc_id", "sent_idx",
+            F.col("token_idx").alias("trig_start"),
+            (F.col("token_idx") + 1).alias("trig_end"),
+            "lf_id", "label", "side", "window",
+        )
+    )
+    return uni.unionByName(bi)
+
+
+MENTION_KEY = ["doc_id", "sent_idx", "tok_start", "tok_end", "term"]
+
+
+def trigger_battery_tagger(
+    mentions: DataFrame,
+    tokens: DataFrame,
+    battery: list[tuple[str, int, str, str, int]],
+    reduction: str = "mv",
+    tie_label: int = 2,
+    prop_col: str = "prop",
+    or_label: int = 1,
+    default_label: int = 2,
+) -> DataFrame:
+    """A2-A6 generic engine: each battery LF fires (at most once per
+    mention) when a trigger occurrence lands in its directional window;
+    fired votes reduce to one property value per mention.
+
+    Reference semantics (PolarityTagger.tag / HistoricalTagger.tag etc.):
+      * reduction='mv'  — mode of fired votes, tie → ``tie_label``;
+      * reduction='or'  — ``or_label`` if any LF voted it, else
+        ``default_label`` if anything fired;
+      * nothing fired — property NULL (reference leaves the prop unset).
+
+    Plan shape: one equi-join mentions⋈occurrences on (doc_id, sent_idx)
+    with the window predicate as a post-filter (sentence-bounded groups),
+    then a windowless collect-of-≤k-structs reduction — the same two
+    shuffles as A1 negation regardless of battery size."""
+    occ = trigger_occurrences(tokens, battery)
+    j = mentions.join(occ, ["doc_id", "sent_idx"], "inner")
+    in_window = (
+        F.when(
+            F.col("side") == "left",
+            (F.col("trig_end") >= F.col("tok_start") - F.col("window"))
+            & (F.col("trig_end") < F.col("tok_start")),
+        )
+        .when(
+            F.col("side") == "right",
+            (F.col("trig_start") > F.col("tok_end"))
+            & (F.col("trig_start") <= F.col("tok_end") + F.col("window")),
+        )
+        .when(
+            F.col("side") == "span",
+            (F.col("trig_start") >= F.col("tok_start"))
+            & (F.col("trig_end") <= F.col("tok_end")),
+        )
+        .otherwise(F.lit(True))  # 'sentence' scope
+    )
+    # one vote per (mention, LF) no matter how many occurrences fired
+    votes = (
+        j.filter(in_window)
+        .select(*MENTION_KEY, "lf_id", "label")
+        .distinct()
+    )
+    if reduction == "or":
+        reduced = votes.groupBy(*MENTION_KEY).agg(
+            F.when(
+                F.max(F.when(F.col("label") == or_label, 1).otherwise(0)) == 1,
+                F.lit(or_label),
+            )
+            .otherwise(F.lit(default_label))
+            .alias(prop_col)
+        )
+    else:  # mv: mode of votes, tie → tie_label (no per-mention window)
+        counts = votes.groupBy(*MENTION_KEY, "label").agg(F.count("*").alias("n"))
+        reduced = (
+            counts.groupBy(*MENTION_KEY)
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("n"), (-F.col("label")).alias("neg"))),
+                    asc=False,
+                ).alias("arr")
+            )
+            .select(
+                *MENTION_KEY,
+                F.when(
+                    (F.size("arr") > 1)
+                    & (F.col("arr")[0]["n"] == F.col("arr")[1]["n"]),
+                    F.lit(tie_label),
+                )
+                .otherwise(-F.col("arr")[0]["neg"])
+                .alias(prop_col),
+            )
+        )
+    return mentions.join(reduced, MENTION_KEY, "left")
+
+
+# -- A2-A6 configured batteries (reference trigger semantics reduced to
+#    word/bigram triggers; regex variants collapse to their head phrases) --
+
+# A2 polarity (polarity.py:462-532): negation cues left, affirmations
+# right/pseudo-negations; mv reduction, tie → affirmative(2)
+CLINICAL_POLARITY_BATTERY = [
+    ("definite_left_no", 1, "no", "left", 3),
+    ("definite_left_denies", 1, "denies", "left", 6),
+    ("definite_left_without", 1, "without", "left", 3),
+    ("probable_left_unlikely", 1, "unlikely", "left", 3),
+    ("definite_right_ruled_out", 1, "ruled out", "right", 4),
+    ("affirm_positive_left", 2, "positive for", "left", 3),
+    ("affirm_no_change", 2, "no change", "left", 3),
+]
+
+# A3 historical (historical.py:167-217): past-placing cues; 'or' reduction
+CLINICAL_HISTORICAL_BATTERY = [
+    ("history_of", 1, "history of", "left", 6),
+    ("h_o", 1, "h/o", "left", 6),
+    ("status_post", 1, "status post", "left", 6),
+    ("s_p", 1, "s/p", "left", 6),
+    ("prior", 1, "prior", "left", 3),
+    ("previous", 1, "previous", "left", 3),
+]
+
+# A4 hypothetical (hypothetical.py:12-81): future/speculative cues left;
+# reject cues vote 2; 'or' reduction
+CLINICAL_HYPOTHETICAL_BATTERY = [
+    ("if", 1, "if", "left", 10),
+    ("chance_of", 1, "chance of", "left", 10),
+    ("possibility_of", 1, "possibility of", "left", 10),
+    ("recommend", 1, "recommend", "left", 10),
+    ("consider", 1, "consider", "left", 10),
+    ("pending", 1, "pending", "left", 10),
+    ("scheduled_for", 1, "scheduled for", "left", 10),
+    ("reject_status_post", 2, "status post", "left", 10),
+    ("reject_post_op", 2, "post op", "left", 10),
+]
+
+# A5 family/subject (family.py:80-131): family-member cues anywhere in
+# the sentence; 'or' reduction with or_label=2 → 'family/other',
+# default 1 → 'patient'
+CLINICAL_FAMILY_BATTERY = [
+    ("relative", 2, t, "sentence", 0)
+    for t in ("mother", "father", "brother", "sister", "aunt", "uncle",
+              "grandmother", "grandfather", "cousin", "donor")
+] + [("family_history", 2, "family history", "sentence", 0)]
+
+
+def laterality_tagger(
+    mentions: DataFrame, tokens: DataFrame, window: int = 3
+) -> DataFrame:
+    """A6 LateralityTagger (laterality.py:10-83): closest laterality cue —
+    inside the span first, then the nearest left-window token — normalized
+    to L/R/B.  Windowless: distance-keyed min-struct agg."""
+    lat_map = {
+        "left": "L", "lt": "L", "l": "L", "left-sided": "L",
+        "right": "R", "rt": "R", "r": "R", "right-sided": "R",
+        "bilateral": "B", "r/l": "B", "b/l": "B", "bilat": "B",
+    }
+    spark = tokens.sparkSession
+    lat = spark.createDataFrame(sorted(lat_map.items()), schema="w string, norm string")
+    occ = tokens.select(
+        "doc_id", "sent_idx", F.col("token_idx").alias("lat_idx"),
+        F.lower(F.col("word")).alias("w"),
+    ).join(F.broadcast(lat), "w")
+    j = mentions.join(occ, ["doc_id", "sent_idx"], "inner")
+    in_span = (F.col("lat_idx") >= F.col("tok_start")) & (F.col("lat_idx") <= F.col("tok_end"))
+    in_left = (F.col("lat_idx") < F.col("tok_start")) & (
+        F.col("lat_idx") >= F.col("tok_start") - window
+    )
+    scored = j.filter(in_span | in_left).withColumn(
+        "dist", F.when(in_span, F.lit(0)).otherwise(F.col("tok_start") - F.col("lat_idx"))
+    )
+    best = scored.groupBy(*MENTION_KEY).agg(
+        F.min(F.struct("dist", "lat_idx", "norm")).alias("b")
+    ).select(*MENTION_KEY, F.col("b")["norm"].alias("laterality"))
+    return mentions.join(best, MENTION_KEY, "left")
+
+
 def negation_window(
     typed_mentions: DataFrame,
     tokens: DataFrame,

@@ -11,15 +11,31 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# the common explicit-date shapes the reference normalizes
-#   MM/DD/YYYY, MM-DD-YYYY, YYYY-MM-DD
-_DATE_RE = r"\b(\d{4}-\d{2}-\d{2}|\d{1,2}[/-]\d{1,2}[/-]\d{4})\b"
+# the explicit-date shapes the reference's battery normalizes most often
+# (timex.py:72-600): ISO, slashed/dashed US dates (4- and 2-digit years),
+# written-out "Month D, YYYY" and "D Mon YYYY"
+_MONTHS = (
+    "January|February|March|April|May|June|July|August"
+    "|September|October|November|December"
+)
+_MONS = "Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec"
+_DATE_RE = (
+    r"\b(\d{4}-\d{2}-\d{2}"
+    r"|\d{1,2}[/-]\d{1,2}[/-]\d{4}"
+    r"|\d{1,2}/\d{1,2}/\d{2}"
+    rf"|(?:{_MONTHS}) \d{{1,2}}, \d{{4}}"
+    rf"|\d{{1,2}} (?:{_MONS}) \d{{4}})\b"
+)
 
 
 def extract_dates(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataFrame:
     """→ (doc_id, expr, norm_date): every date expression with its
     normalized DATE (null if unparseable — kept, like the reference keeps
-    un-normalizable timexes as spans without values)."""
+    un-normalizable timexes as spans without values).
+
+    NOTE on 2-digit years: Spark's 'yy' pattern pivots to 2000-2099; use
+    the same convention downstream (the DuckDB oracle's %y pivots at 69 —
+    fixtures therefore stay below 69)."""
     exprs = df.select(
         F.col(id_col).cast("string").alias("doc_id"),
         F.explode(F.regexp_extract_all(F.col(text_col), F.lit(_DATE_RE), 1)).alias("expr"),
@@ -30,6 +46,9 @@ def extract_dates(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataF
         F.expr("try_to_date(expr, 'yyyy-MM-dd')"),
         F.expr("try_to_date(expr, 'M/d/yyyy')"),
         F.expr("try_to_date(expr, 'M-d-yyyy')"),
+        F.expr("try_to_date(expr, 'M/d/yy')"),
+        F.expr("try_to_date(expr, 'MMMM d, yyyy')"),
+        F.expr("try_to_date(expr, 'd MMM yyyy')"),
     )
     return exprs.withColumn("norm_date", norm)
 
