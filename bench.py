@@ -100,10 +100,17 @@ def main() -> None:
             )
             line = out.stdout.strip().splitlines()[-1]
             scaling[cores] = json.loads(line)
-        speedup = scaling["8"]["sec"] / scaling["32"]["sec"]
         result["scaling"] = scaling
-        result["scaling_speedup_8_to_32"] = round(speedup, 3)
-        result["scaling_efficiency"] = round(speedup / 4.0, 3)
+        speedup_best = scaling["8"]["sec"] / scaling["32"]["sec"]
+        result["scaling_speedup_8_to_32"] = round(speedup_best, 3)
+        result["scaling_efficiency"] = round(speedup_best / 4.0, 3)
+        med8 = scaling["8"].get("sec_median", scaling["8"]["sec"])
+        med32 = scaling["32"].get("sec_median", scaling["32"]["sec"])
+        result["scaling_speedup_median"] = round(med8 / med32, 3)
+        result["scaling_efficiency_median"] = round(med8 / med32 / 4.0, 3)
+        result["scaling_spread"] = {
+            c: scaling[c].get("spread") for c in scaling
+        }
 
     print(json.dumps(result))
 

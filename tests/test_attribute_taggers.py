@@ -165,3 +165,29 @@ def test_bigram_trigger_window(spark):
         or_label=1, default_label=1, prop_col="historical",
     )
     assert out.collect()[0]["historical"] == 1
+
+
+def test_negex_full_battery(spark):
+    from trove_spark.taggers import negex_tagger
+
+    t = spark.createDataFrame(
+        [
+            ("n0", 0, i, w)
+            for i, w in enumerate("patient denies fever and chills".split())
+        ]
+        + [("n1", 0, i, w) for i, w in enumerate("no increase in pain".split())]
+        + [("n2", 0, i, w) for i, w in enumerate("infection was ruled out".split())],
+        schema="doc_id string, sent_idx int, token_idx int, word string",
+    )
+    m = spark.createDataFrame(
+        [
+            ("n0", 0, 2, 2, "fever"),
+            ("n1", 0, 3, 3, "pain"),
+            ("n2", 0, 0, 0, "infection"),
+        ],
+        schema="doc_id string, sent_idx int, tok_start int, tok_end int, term string",
+    )
+    p = {(r["doc_id"]): r["negated"] for r in negex_tagger(m, t).collect()}
+    assert p["n0"] is True      # 'denies' definite left
+    assert p["n1"] is False     # 'no increase' pseudo cancels the bare 'no'
+    assert p["n2"] is True      # 'was ruled out' definite right

@@ -68,13 +68,39 @@ def test_minhash_lsh_recovers_most_planted(docs):
 
 def test_minhash_lsh_verification_is_candidate_bounded(docs):
     """Scale invariant (VERDICT r1 #2): the exact-Jaccard verification inside
-    minhash_lsh_pairs must NOT be a global shingle self-join — the shingle
-    table is LEFT-SEMI-joined to the LSH candidate doc_ids first, so the
-    quadratic step is bounded by candidate volume."""
+    minhash_lsh_pairs must NOT contain a global shingle self-join (a join
+    keyed ONLY on the shingle column is the quadratic blowup LSH exists to
+    avoid) — candidate pairs are joined to per-doc shingle sets instead,
+    so every shingle join also carries a doc-id key."""
+    import re
+
     from trove_spark.extras.dedup import minhash_lsh_pairs
 
-    plan = minhash_lsh_pairs(docs, n_hashes=16, band_size=4, threshold=0.5)._jdf.queryExecution().optimizedPlan().toString()
-    assert "LeftSemi" in plan, "verification shingles not semi-joined to candidates"
+    plan = (
+        minhash_lsh_pairs(docs, n_hashes=16, band_size=4, threshold=0.5)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    lines = plan.splitlines()
+    bad = []
+    for i, ln in enumerate(lines):
+        m = re.search(r"^(.*?)(?::- |\+- |^)Join \w+, \(shingle#\d+L? = shingle#\d+L?\)\s*$", ln)
+        if "Join" not in ln or not re.search(r"\(shingle#\d+L? = shingle#\d+L?\)\s*$", ln):
+            continue
+        # locate this join's RIGHT child (TreeNode printing: child prefix =
+        # join prefix with the trailing ':- '/'+- ' connector advanced)
+        content_col = ln.index("Join")
+        prefix = ln[: content_col - 3] if content_col >= 3 else ""
+        conn = ln[max(content_col - 3, 0) : content_col]
+        base = prefix + ("   " if conn == "+- " else ":  ")
+        right = next(
+            (l2 for l2 in lines[i + 1 :] if l2.startswith(base + "+- ")), ""
+        )
+        # the hot-shingle-cap join's right side is the per-shingle frequency
+        # AGGREGATE (linear); a quadratic self-join's right side is another
+        # doc-carrying shingle projection
+        if re.search(r"\+- (Project|Generate) \[?.*doc_id", right):
+            bad.append(ln.strip())
+    assert not bad, f"global shingle self-join present: {bad}"
 
 
 def test_simhash_pairs_hamming_bound(docs):

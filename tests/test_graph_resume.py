@@ -66,6 +66,33 @@ def test_kill_and_resume_identical_output(spark, corpus, triples, tmp_path):
     assert full.verify_manifests()
 
 
+def test_onepass_write_matches_per_bucket(spark, triples, tmp_path):
+    ref = TripleStore(spark, str(tmp_path / "ref"), n_buckets=8)
+    ref.write_triples(triples)
+    one = TripleStore(spark, str(tmp_path / "one"), n_buckets=8)
+    st = one.write_triples_onepass(triples)
+    assert st["written_buckets"] == 8
+    assert _collect(one.read_triples()) == _collect(ref.read_triples())
+    assert one.verify_manifests()
+    # resume after partial per-bucket commit: one-pass finishes the rest
+    mix = TripleStore(spark, str(tmp_path / "mix"), n_buckets=8)
+    mix.write_triples(triples, max_buckets=3)
+    st2 = mix.write_triples_onepass(triples)
+    assert st2 == {"written_buckets": 5, "skipped_buckets": 3}
+    assert _collect(mix.read_triples()) == _collect(ref.read_triples())
+    assert mix.verify_manifests()
+
+
+def test_zero_row_manifest_detects_stale_data(spark, triples, tmp_path):
+    """ADVICE r1 #5: a bucket whose manifest says empty must FAIL
+    verification if its directory actually holds rows."""
+    store = TripleStore(spark, str(tmp_path / "stale"), n_buckets=4)
+    store.write_triples(triples)
+    # forge: claim bucket 0 is empty while its parquet dir still has rows
+    store._commit_manifest({"bucket": 0, "n_rows": 0, "triple_fingerprint": 0})
+    assert not store.verify_manifests()
+
+
 def test_resume_noop_when_complete(spark, triples, tmp_path):
     store = TripleStore(spark, str(tmp_path / "done"), n_buckets=4)
     store.write_triples(triples)

@@ -118,3 +118,65 @@ def test_merge_pass_unchanged_without_slots():
     lf = SlotFilledOntologyLF("SAB")
     ctx = _ctx("tylenol acetaminophen daily", LEX)
     assert lf.label_sentence(ctx) == {0: 1, 1: 1}
+
+
+# -- L9 function-style LFs (exposure battery port) ---------------------------
+
+
+def _fctx(sentence: str):
+    from trove_spark.labeling import SentenceCtx
+    from trove_spark.lexicon import LexiconFilters, build_lexicon
+
+    lex = build_lexicon([("S", "T001", "C1", "zzz")], {"T001": 1}, LexiconFilters())
+    words = sentence.split()
+    offs = []
+    pos = 0
+    for w in words:
+        offs.append(pos)
+        pos += len(w) + 1
+    return SentenceCtx(words, offs, [], [], lex)
+
+
+def test_exposure_battery():
+    from trove_spark.labeling import exposure_lfs
+
+    lfs = {lf.name: lf for lf in exposure_lfs()}
+
+    out = lfs["covid_contact"].label_sentence(_fctx("known covid positive contact"))
+    assert set(out.values()) == {1}
+    out = lfs["covid_contact"].label_sentence(_fctx("no covid positive contact"))
+    assert set(out.values()) == {2}  # negated trigger flips
+
+    out = lfs["exposed_to"].label_sentence(_fctx("patient was exposed to virus"))
+    assert set(out.values()) == {1}
+    assert lfs["exposed_to"].label_sentence(_fctx("nothing relevant here")) == {}
+
+    out = lfs["family_covid_positive"].label_sentence(_fctx("mother tested covid positive"))
+    assert set(out.values()) == {1}
+    assert lfs["family_covid_positive"].label_sentence(_fctx("mother is healthy")) == {}
+
+    out = lfs["covid_rule_out"].label_sentence(_fctx("plan to r/o covid today"))
+    assert set(out.values()) == {2}
+
+    out = lfs["no_mention_covid"].label_sentence(_fctx("knee pain after fall"))
+    assert set(out.values()) == {2}
+    assert lfs["no_mention_covid"].label_sentence(_fctx("covid swab sent")) == {}
+
+
+def test_function_lf_in_apply_pipeline(spark):
+    """FunctionLF flows through the same apply_lfs kernel as every other LF."""
+    from trove_spark.labeling import FunctionLF, apply_lfs, make_trigger_fn
+    from trove_spark.pipeline import default_lexicon
+    from trove_spark.tokenize import tokenize_documents
+
+    docs = spark.createDataFrame(
+        [("x", "patient exposed to covid"), ("y", "routine visit")],
+        schema="doc_id string, text string",
+    )
+    sents = tokenize_documents(docs, text_col="text", id_col="doc_id", mode="whitespace")
+    lex_bc = spark.sparkContext.broadcast(default_lexicon())
+    lf = FunctionLF("exposed_to", make_trigger_fn(r"\bexposed to\b", 1, 2))
+    rows = apply_lfs(sents, lex_bc, [lf]).collect()
+    assert {r["doc_id"] for r in rows} == {"x"}
+    assert all(r["label"] == 1 for r in rows)
+    assert len(rows) == 4  # every token of the matched sentence

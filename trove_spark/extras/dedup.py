@@ -161,28 +161,28 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact-Jaccard verification restricted to LSH candidates: semi-join the
-    # (capped) shingle inverted index to candidate doc_ids, pair-join within
-    # that subset, then keep only actual candidate pairs.
+    # exact-Jaccard verification restricted to LSH candidates: join the
+    # candidate PAIRS to per-doc shingle sets (cand ⋈ shingles(doc_a) ⋈
+    # shingles(doc_b) on the shared shingle) — intersections are computed
+    # ONLY for candidate pairs, the hot-shingle cap stays active, and the
+    # expensive minhash/banding lineage (`cand`) is consumed exactly once
+    # (a second reference would recompute the whole signature DAG).
     sh = shingles(docs, k, id_col, text_col)
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     sh = sh.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle").select(
         "doc_id", "shingle"
     )
-    cand_ids = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    sh_c = sh.join(cand_ids, "doc_id", "left_semi")
-    sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sa, sb = sh_c.alias("a"), sh_c.alias("b")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     co = (
-        sa.join(sb, "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("co"))
-        .join(cand, ["doc_a", "doc_b"])
     )
     return (
         co.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")

@@ -126,6 +126,56 @@ class TripleStore:
             pending.unpersist()
         return {"written_buckets": len(todo), "skipped_buckets": len(done)}
 
+    def write_triples_onepass(self, triples: DataFrame) -> dict:
+        """Single ``partitionBy("bucket")`` write: every pending bucket
+        lands in ONE Spark job (cluster-parallel across buckets — the
+        preferred path when n_buckets is large), manifests committed
+        post-hoc per bucket.
+
+        Idempotence is preserved (dynamic partition overwrite rewrites
+        exactly the pending ``bucket=<b>/`` dirs, committed buckets are
+        untouched); what changes vs ``write_triples`` is commit
+        granularity — a mid-job crash re-runs ALL pending buckets instead
+        of resuming after the last committed one.  verify_manifests
+        catches any partially-written bucket either way."""
+        doc_of_subj = F.substring_index(F.col("subj"), "#", 1)
+        bucketed = triples.withColumn("bucket", bucket_of(doc_of_subj, self.n_buckets))
+        done = set(self.committed_buckets())
+        todo = [b for b in range(self.n_buckets) if b not in done]
+        if not todo:
+            return {"written_buckets": 0, "skipped_buckets": len(done)}
+        pending = bucketed.filter(F.col("bucket").isin(todo)).persist()
+        try:
+            fps = {
+                r["bucket"]: r
+                for r in pending.groupBy("bucket")
+                .agg(
+                    F.count("*").cast("long").alias("n_rows"),
+                    F.sum(_h60(F.concat_ws("\x1f", "subj", "pred", "obj")))
+                    .cast("long")
+                    .alias("triple_fingerprint"),
+                )
+                .collect()
+            }
+            (
+                pending.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(self.edges_dir)
+            )
+            for b in todo:
+                stats = fps.get(b)
+                self._commit_manifest(
+                    {
+                        "bucket": b,
+                        "n_rows": int(stats["n_rows"]) if stats else 0,
+                        "triple_fingerprint": int(stats["triple_fingerprint"]) if stats else 0,
+                    }
+                )
+        finally:
+            pending.unpersist()
+        return {"written_buckets": len(todo), "skipped_buckets": len(done)}
+
     # -- read / verify -------------------------------------------------------
 
     def read_triples(self) -> DataFrame:

@@ -189,6 +189,85 @@ class WordGraphLF(LF):
         return out
 
 
+@dataclass
+class FunctionLF(LF):
+    """L9 function-style LF (reference applications/covid19/exposure.py:
+    29-222): an arbitrary picklable ``fn(ctx) -> label | None`` evaluated
+    per sentence; a non-None return labels every token of the sentence
+    (the reference's exposure LFs vote at sentence grain — lowering to
+    token grain keeps one long-format label matrix for all LF kinds)."""
+
+    name: str
+    fn: object  # Callable[[SentenceCtx], int | None]
+
+    def label_sentence(self, ctx: SentenceCtx) -> dict[int, int]:
+        lbl = self.fn(ctx)
+        if lbl is None:
+            return {}
+        return {i: lbl for i in range(len(ctx.words))}
+
+
+# negation cues for the exposure battery (exposure.py is_negated shape:
+# a denial trigger to the LEFT of the match flips the label)
+_EXPOSURE_NEG_RE = re.compile(r"\b(no|denies|without|negative)\b", re.I)
+
+
+def _sentence_text(ctx: SentenceCtx) -> str:
+    return " ".join(ctx.words)
+
+
+def make_trigger_fn(trigger_pattern: str, pos_label: int, neg_label: int):
+    """Reference function-LF core: regex trigger in the sentence →
+    pos_label, unless a negation cue precedes the trigger → neg_label;
+    no trigger → abstain (None)."""
+    rgx = re.compile(trigger_pattern, re.I)
+
+    def fn(ctx: SentenceCtx):
+        text = _sentence_text(ctx)
+        m = rgx.search(text)
+        if not m:
+            return None
+        return neg_label if _EXPOSURE_NEG_RE.search(text[: m.start()]) else pos_label
+
+    return fn
+
+
+def exposure_lfs(pos_label: int = 1, neg_label: int = 2) -> list[FunctionLF]:
+    """L9 battery ported from exposure.py (EXPOSURE=1 / NO_EXPOSURE=2):
+    representative members of each shape — trigger+negation, co-occurrence
+    conjunction, absence-of-mention, rule-out."""
+    covid = r"(coronavirus|covid[\s-]*19|covid\+?)"
+    family = (
+        r"(family member|spouse|partner|husband|wife|son|daughter|child|"
+        r"father|mother|mom|dad|parent|brother|sister|aunt|uncle|cousin|"
+        r"grandpa|grandma|grandparent)"
+    )
+    covid_rgx = re.compile(covid, re.I)
+    family_rgx = re.compile(family, re.I)
+
+    def family_covid(ctx: SentenceCtx):
+        text = _sentence_text(ctx)
+        m = covid_rgx.search(text)
+        if not (m and family_rgx.search(text)):
+            return None
+        return neg_label if _EXPOSURE_NEG_RE.search(text[: m.start()]) else pos_label
+
+    def no_mention(ctx: SentenceCtx):
+        return neg_label if not covid_rgx.search(_sentence_text(ctx)) else None
+
+    return [
+        FunctionLF("covid_contact", make_trigger_fn(
+            covid + r"\s*(\+|positive|pos)\s*(contacts?|persons?|patients?)?",
+            pos_label, neg_label)),
+        FunctionLF("exposed_to", make_trigger_fn(r"\bexposed to\b", pos_label, neg_label)),
+        FunctionLF("sick_contacts", make_trigger_fn(r"\bsick contacts?\b", pos_label, neg_label)),
+        FunctionLF("family_covid_positive", family_covid),
+        FunctionLF("covid_rule_out", make_trigger_fn(
+            r"\b(r/o covid|covid r/o|covid rule out)\b", neg_label, neg_label)),
+        FunctionLF("no_mention_covid", no_mention),
+    ]
+
+
 def build_word_graph(terms: list[str]) -> frozenset[tuple[str, str]]:
     """Bigram adjacency over multi-token dictionary terms
     (chemicals.py:36-54)."""

@@ -31,6 +31,23 @@ def _values(rows: list[tuple], alias: str, cols: str) -> str:
     return f"{alias}({cols}) AS (SELECT * FROM (VALUES {body}))"
 
 
+def _grams_union_sql(max_ngram: int) -> str:
+    """n-gram enumeration CTE body GENERATED for the lexicon's actual
+    max n-gram length — a 4-gram term added to synth.LEXICON moves the
+    oracle automatically instead of silently under-matching."""
+    parts = ["  SELECT doc_id, tok AS s, tok AS e, word AS gram FROM toks"]
+    for n in range(2, max_ngram + 1):
+        joins = "\n".join(
+            f"  JOIN toks t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.tok = t0.tok + {i}"
+            for i in range(1, n)
+        )
+        concat = " || ' ' || ".join(f"t{i}.word" for i in range(n))
+        parts.append(
+            f"  SELECT t0.doc_id, t0.tok, t{n - 1}.tok, {concat}\n  FROM toks t0\n{joins}"
+        )
+    return "\n  UNION ALL\n".join(parts)
+
+
 def kg_cte_prefix(lex: Lexicon | None = None) -> str:
     lex = lex or default_lexicon()
     terms_rows = [(i, t) for i, t in enumerate(lex.terms)]
@@ -86,14 +103,7 @@ toksc AS (
   FROM toks
 ),
 grams AS (
-  SELECT doc_id, tok AS s, tok AS e, word AS gram FROM toks
-  UNION ALL
-  SELECT a.doc_id, a.tok, b.tok, a.word || ' ' || b.word
-  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.tok = a.tok + 1
-  UNION ALL
-  SELECT a.doc_id, a.tok, c.tok, a.word || ' ' || b.word || ' ' || c.word
-  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.tok = a.tok + 1
-              JOIN toks c ON a.doc_id = c.doc_id AND c.tok = a.tok + 2
+{_grams_union_sql(synth.MAX_NGRAM)}
 ),
 matches AS (
   SELECT g.doc_id, g.s, g.e, v.term_id

@@ -148,9 +148,9 @@ def trigger_occurrences(
     """Locate every battery-trigger occurrence in the token stream.
 
     battery rows: (lf_name, label, trigger_phrase, side, window); phrases
-    are 1-2 lowercase tokens.  Unigrams are an equi-join of tokens against
-    the broadcast trigger table; bigrams are a (doc, sent, idx+1)
-    self-equi-join first — no window functions, no regex scans, all
+    are 1-3 lowercase tokens.  Unigrams are an equi-join of tokens against
+    the broadcast trigger table; bi/trigrams are (doc, sent, idx+k)
+    self-equi-joins first — no window functions, no regex scans, all
     broadcast-hash-join-able at any corpus size."""
     spark = tokens.sparkSession
     rows = [
@@ -171,25 +171,33 @@ def trigger_occurrences(
         F.col("token_idx").alias("trig_end"),
         "lf_id", "label", "side", "window",
     )
-    nxt = toks.select(
-        "doc_id", "sent_idx",
-        (F.col("token_idx") - 1).alias("token_idx"),
-        F.col("w").alias("w2"),
-    )
-    bi = (
-        toks.join(nxt, ["doc_id", "sent_idx", "token_idx"])
-        .join(
-            F.broadcast(trigs.filter("n = 2")),
-            F.concat_ws(" ", "w", "w2") == F.col("trig"),
+    out = uni
+    max_n = max((r[6] for r in rows), default=1)
+    for n in range(2, max_n + 1):
+        grams = toks
+        surface = [F.col("w")]
+        for k in range(1, n):
+            nxt = toks.select(
+                "doc_id", "sent_idx",
+                (F.col("token_idx") - k).alias("token_idx"),
+                F.col("w").alias(f"w{k}"),
+            )
+            grams = grams.join(nxt, ["doc_id", "sent_idx", "token_idx"])
+            surface.append(F.col(f"w{k}"))
+        ngram = (
+            grams.join(
+                F.broadcast(trigs.filter(F.col("n") == n)),
+                F.concat_ws(" ", *surface) == F.col("trig"),
+            )
+            .select(
+                "doc_id", "sent_idx",
+                F.col("token_idx").alias("trig_start"),
+                (F.col("token_idx") + n - 1).alias("trig_end"),
+                "lf_id", "label", "side", "window",
+            )
         )
-        .select(
-            "doc_id", "sent_idx",
-            F.col("token_idx").alias("trig_start"),
-            (F.col("token_idx") + 1).alias("trig_end"),
-            "lf_id", "label", "side", "window",
-        )
-    )
-    return uni.unionByName(bi)
+        out = out.unionByName(ngram)
+    return out
 
 
 MENTION_KEY = ["doc_id", "sent_idx", "tok_start", "tok_end", "term"]
@@ -325,6 +333,60 @@ CLINICAL_FAMILY_BATTERY = [
     for t in ("mother", "father", "brother", "sister", "aunt", "uncle",
               "grandmother", "grandfather", "cousin", "donor")
 ] + [("family_history", 2, "family history", "sentence", 0)]
+
+
+# A1 NegEx full category battery (negex.py:10-185 / Chapman 2001):
+# definite + probable cues in both directions vote NEGATED(1); pseudo-
+# negation phrases (vote 3) cancel — they are the lexicon's "looks like
+# negation but isn't" exceptions (e.g. 'no increase', 'not certain if').
+NEGEX_BATTERY = (
+    [("definite_left", 1, t, "left", 3)
+     for t in ("no", "not", "denies", "denied", "without", "absence of",
+               "negative for", "never had", "free of")]
+    + [("definite_right", 1, t, "right", 3)
+       for t in ("was ruled out", "is ruled out", "unlikely",)]
+    + [("probable_left", 1, t, "left", 3)
+       for t in ("rule out", "doubt", "versus", "vs")]
+    + [("pseudo_left", 3, t, "left", 3)
+       for t in ("no increase", "no change", "not only", "gram negative",
+                 "not certain")]
+)
+
+
+def negex_tagger(
+    mentions: DataFrame,
+    tokens: DataFrame,
+    battery: list[tuple[str, int, str, str, int]] = NEGEX_BATTERY,
+) -> DataFrame:
+    """A1 NegEx, full semantics: a mention is negated iff a definite or
+    probable cue fires in its directional window AND no pseudo-negation
+    phrase fires (pseudo phrases are NegEx's exception list — checked
+    first in Chapman's algorithm, expressed here as a cancelling vote).
+    Same two-shuffle plan as every battery tagger."""
+    occ = trigger_occurrences(tokens, battery)
+    j = mentions.join(occ, ["doc_id", "sent_idx"], "inner")
+    in_window = (
+        F.when(
+            F.col("side") == "left",
+            (F.col("trig_end") >= F.col("tok_start") - F.col("window"))
+            & (F.col("trig_end") < F.col("tok_start")),
+        )
+        .when(
+            F.col("side") == "right",
+            (F.col("trig_start") > F.col("tok_end"))
+            & (F.col("trig_start") <= F.col("tok_end") + F.col("window")),
+        )
+        .otherwise(F.lit(True))
+    )
+    fired = j.filter(in_window).groupBy(*MENTION_KEY).agg(
+        (F.max((F.col("label") == 1).cast("int")) == 1).alias("neg_cue"),
+        (F.max((F.col("label") == 3).cast("int")) == 1).alias("pseudo"),
+    )
+    out = mentions.join(fired, MENTION_KEY, "left")
+    return out.withColumn(
+        "negated",
+        F.coalesce(F.col("neg_cue") & ~F.col("pseudo"), F.lit(False)),
+    ).drop("neg_cue", "pseudo")
 
 
 def laterality_tagger(
