@@ -584,6 +584,18 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_embedding_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup: banded hyperplane LSH candidates verified
+    at cosine ≥ 0.4 (the synthetic embeddings have no planted near-dups at
+    high thresholds; 0.4 exercises the full candidate→verify path with a
+    non-trivial result set).  Deterministic → oracle-checked."""
+    from trove_spark.extras.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _embs(spark, sf_dir), threshold=0.4, dim=64, n_planes=4, n_tables=8
+    )
+
+
 def q_ann_brute_topk(spark, sf_dir):
     from trove_spark.extras.similarity import brute_force_topk
 
@@ -677,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "text_token_counts": q_text_token_counts,

@@ -132,3 +132,35 @@ def test_ann_brute_topk_shape(spark):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
         assert r["neighbor_id"] != r["query_id"]
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+
+
+def test_embedding_near_dup_subset_and_recall(spark):
+    """LSH near-dup pairs must be a SUBSET of brute-force pairs at the
+    same threshold (verification is exact) with usable recall even at the
+    unfavorable low threshold (wide angle → low per-table collision prob)."""
+    from trove_spark.extras.similarity import embedding_near_dup_pairs, _dot, _norm
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            embs, threshold=0.4, dim=64, n_planes=4, n_tables=8
+        ).collect()
+    }
+    e = embs.select(F.col("vec_id").cast("long").alias("vid"), F.col("embedding").alias("emb"))
+    a = e.select(F.col("vid").alias("id_a"), F.col("emb").alias("emb_a"))
+    b = e.select(F.col("vid").alias("id_b"), F.col("emb").alias("emb_b"))
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("emb_a"), F.col("emb_b")) / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))),
+        )
+        .filter(F.col("cosine") >= 0.4)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert got <= brute
+    assert len(got) / max(len(brute), 1) >= 0.5, (len(got), len(brute))

@@ -1,0 +1,90 @@
+"""T4 subword retokenize + Q3 subword tag projection
+(reference dataloaders.py:160-269 head-token bookkeeping)."""
+
+from __future__ import annotations
+
+from trove_spark.tags import (
+    default_subword_fn,
+    subword_retokenize,
+    tokens_to_subword_tags,
+)
+
+
+def test_default_subword_fn():
+    assert default_subword_fn("cat") == ["cat"]
+    assert default_subword_fn("hashjoin") == ["hash", "##join"]
+    assert default_subword_fn("abcdefghij") == ["abcd", "##efgh", "##ij"]
+
+
+def test_subword_retokenize_offsets():
+    words = ["hashjoin", "on", "tables"]
+    offs = [0, 9, 12]
+    toks, abs_offs = subword_retokenize(words, offs)
+    assert toks == ["hash", "##join", "on", "tabl", "##es"]
+    assert abs_offs == [0, 4, 9, 12, 16]
+    # '##' carries no width: continuation offset = head offset + head len
+
+
+def test_heads_and_tag_projection():
+    # 'hashjoin now' with entity over 'hashjoin' (chars 0-7 inclusive)
+    words, offs = ["hashjoin", "now"], [0, 9]
+    toks, tags, heads, errs = tokens_to_subword_tags(
+        words, offs, [(0, 7, "OP")], tag_fmt="IOB"
+    )
+    assert toks == ["hash", "##join", "now"]
+    assert heads == [1, 0, 1]
+    # head subword gets B-, continuation INHERITS the current tag
+    assert tags == ["B-OP", "B-OP", "O"]
+    assert errs == 0
+
+
+def test_multi_token_entity():
+    # entity 'sort merge' over two words, each split into subwords
+    words, offs = ["sortx", "mergey", "join"], [0, 6, 13]
+    toks, tags, heads, errs = tokens_to_subword_tags(
+        words, offs, [(0, 11, "OP")], tag_fmt="IOB"
+    )
+    assert toks == ["sort", "##x", "merg", "##ey", "join"]
+    assert heads == [1, 0, 1, 0, 1]
+    assert tags == ["B-OP", "B-OP", "I-OP", "I-OP", "O"]
+    assert errs == 0
+
+
+def test_error_on_non_head_start():
+    # entity starting mid-word (char 4 = continuation '##join') → error
+    words, offs = ["hashjoin"], [0]
+    _toks, tags, _heads, errs = tokens_to_subword_tags(words, offs, [(4, 7, "OP")])
+    assert errs == 1
+    assert set(tags) == {"O"}
+
+
+def test_error_on_unknown_offset():
+    words, offs = ["abc"], [0]
+    _t, _tags, _h, errs = tokens_to_subword_tags(words, offs, [(99, 100, "OP")])
+    assert errs == 1
+
+
+def test_truncation():
+    words = [f"w{i}" for i in range(600)]
+    offs = [i * 3 for i in range(600)]
+    toks, tags, heads, _ = tokens_to_subword_tags(words, offs, [], max_seq_len=512)
+    assert len(toks) == 510 and len(tags) == 510 and len(heads) == 510
+
+
+def test_subword_tag_sequences_stage(spark):
+    from trove_spark.tags import subword_tag_sequences
+
+    sents = spark.createDataFrame(
+        [("d0", 0, ["hashjoin", "now"], [0, 9]), ("d1", 0, ["plain"], [0])],
+        schema="doc_id string, sent_idx int, words array<string>, char_offsets array<int>",
+    )
+    mentions = spark.createDataFrame(
+        [("d0", 0, 0, 7, 1)],
+        schema="doc_id string, sent_idx int, char_start int, char_end int, etype int",
+    )
+    rows = {r["doc_id"]: r for r in subword_tag_sequences(
+        sents, mentions, {1: "OPERATOR"}).collect()}
+    assert rows["d0"]["tags"] == ["B-OPERATOR", "B-OPERATOR", "O"]
+    assert rows["d0"]["is_heads"] == [1, 0, 1]
+    assert rows["d1"]["tags"] == ["O", "O"]  # 'plain' → plai/##n, no entities
+    assert rows["d1"]["n_errors"] == 0

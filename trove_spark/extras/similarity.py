@@ -102,6 +102,61 @@ def random_hyperplane_signature(
     return df.withColumn("lsh_bucket", sig.cast("long"))
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: banded random-hyperplane LSH
+    (n_tables independent signatures of n_planes bits; pairs colliding in
+    ANY table are candidates) verified by exact cosine ≥ threshold.
+
+    Scale shape: candidates come from an equi-join on (table, signature) —
+    never an all-pairs crossJoin; per-table recall for angle θ is
+    (1−θ/π)^n_planes, compounded across tables, so (n_planes, n_tables)
+    trade bucket size vs recall.  Verification joins the (small) candidate
+    pair set back to the embedding table twice — hash joins on the id.
+    Deterministic: planes are md5-derived literals (same on any engine)."""
+    e = corpus.select(
+        F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("emb")
+    )
+    table_sigs = []
+    for t in range(n_tables):
+        sig = None
+        for i in range(n_planes):
+            plane = F.array(*[F.lit(x) for x in _plane(dim, t * n_planes + i)])
+            bit = F.when(_dot(F.col("emb"), plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+            sig = bit if sig is None else sig * 2 + bit
+        table_sigs.append(F.struct(F.lit(t).alias("tbl"), sig.cast("long").alias("sig")))
+    sigs = e.select(
+        "vid", F.explode(F.array(*table_sigs)).alias("ts")
+    ).select("vid", F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(b, ["tbl", "sig"])
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        .distinct()
+    )
+    ea = e.select(F.col("vid").alias("id_a"), F.col("emb").alias("emb_a"))
+    eb = e.select(F.col("vid").alias("id_b"), F.col("emb").alias("emb_b"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn(
+            "cosine",
+            _dot(F.col("emb_a"), F.col("emb_b"))
+            / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     k: int = 5,

@@ -590,11 +590,49 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+def _embedding_near_dup_sql(
+    threshold: float = 0.4, dim: int = 64, n_planes: int = 4, n_tables: int = 8
+) -> str:
+    """Banded hyperplane near-dup oracle — planes rendered as exact double
+    literals from the engine's _plane() generator, signatures and cosine
+    verification mirrored bit-for-bit."""
+    from .extras.similarity import _plane
+
+    plane_rows = ", ".join(
+        f"({t}, {i}, [" + ", ".join(repr(x) for x in _plane(dim, t * n_planes + i)) + "])"
+        for t in range(n_tables)
+        for i in range(n_planes)
+    )
+    return f"""
+WITH planes(tbl, bit_idx, plane) AS (SELECT * FROM (VALUES {plane_rows})),
+e AS (SELECT CAST(vec_id AS BIGINT) AS vid, embedding::DOUBLE[] AS emb FROM embeddings),
+sigs AS (
+  SELECT e.vid, p.tbl,
+         CAST(SUM(CASE WHEN list_dot_product(e.emb, p.plane) >= 0
+                       THEN (1::BIGINT << ({n_planes - 1} - p.bit_idx)) ELSE 0 END)
+              AS BIGINT) AS sig
+  FROM e, planes p GROUP BY e.vid, p.tbl
+),
+cand AS (
+  SELECT DISTINCT a.vid AS id_a, b.vid AS id_b
+  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig AND a.vid < b.vid
+)
+SELECT c.id_a, c.id_b
+FROM cand c JOIN e ea ON ea.vid = c.id_a JOIN e eb ON eb.vid = c.id_b
+WHERE list_dot_product(ea.emb, eb.emb)
+      / (sqrt(list_dot_product(ea.emb, ea.emb)) * sqrt(list_dot_product(eb.emb, eb.emb)))
+      >= {threshold}
+"""
+
+
 def extras_oracles() -> dict[str, str]:
     h_sh = _H60.format(x="shingle || ':' || seed")
     h_w = _H60.format(x="w")
     return {
         "ann_lsh_topk": _ann_lsh_sql(dim=64, n_planes=6, k=5),
+        "dedup_embedding_pairs": _embedding_near_dup_sql(
+            threshold=0.4, dim=64, n_planes=4, n_tables=8
+        ),
         "dedup_exact": """
 SELECT sha256(text) AS content_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
        MIN(CAST(doc_id AS VARCHAR)) AS canonical_id

@@ -70,9 +70,175 @@ def convert_tag_fmt(tags: list[str], fmt: str) -> list[str]:
     return out
 
 
+def default_subword_fn(word: str, piece_len: int = 4) -> list[str]:
+    """Deterministic wordpiece-shaped splitter (no model download): fixed
+    piece_len chunks, continuations '##'-prefixed — exercises exactly the
+    bookkeeping a real BPE/WordPiece tokenizer needs."""
+    if len(word) <= piece_len:
+        return [word]
+    pieces = [word[:piece_len]]
+    for i in range(piece_len, len(word), piece_len):
+        pieces.append("##" + word[i : i + piece_len])
+    return pieces
+
+
+def subword_retokenize(
+    words: list[str], offsets: list[int], subword_fn=default_subword_fn
+) -> tuple[list[str], list[int]]:
+    """T4 retokenize (dataloaders.py:160-188): word tokens → subword pieces
+    with ABSOLUTE char offsets ('##' prefixes carry no width)."""
+    toks: list[str] = []
+    abs_offs: list[int] = []
+    for w, o in zip(words, offsets):
+        pos = o
+        for p in subword_fn(w):
+            toks.append(p)
+            abs_offs.append(pos)
+            pos += len(p[2:]) if p.startswith("##") else len(p)
+    return toks, abs_offs
+
+
+def tokens_to_subword_tags(
+    words: list[str],
+    offsets: list[int],
+    entities: list[tuple[int, int, str]],
+    tag_fmt: str = "IOB",
+    subword_fn=default_subword_fn,
+    max_seq_len: int = 512,
+) -> tuple[list[str], list[str], list[int], int]:
+    """Q3 tokens_to_tags with subword head bookkeeping
+    (dataloaders.py:191-269): retokenize, mark head subwords (offset
+    coincides with an original token offset), project entity char spans
+    (char_end INCLUSIVE, engine convention) to subword ranges — head
+    subwords advance the entity tag sequence, continuations inherit the
+    current tag.  Returns (toks, tags, is_heads, n_errors); an entity whose
+    start is not a head subword (tokenization error) is skipped and
+    counted, reference behavior."""
+    toks, abs_offs = subword_retokenize(words, offsets, subword_fn)
+    if len(toks) > max_seq_len - 2:
+        toks = toks[: max_seq_len - 2]
+        abs_offs = abs_offs[: max_seq_len - 2]
+    head_set = set(offsets)
+    is_heads = [1 if o in head_set else 0 for o in abs_offs]
+    tags = ["O"] * len(toks)
+    errs = 0
+    off_index = {o: i for i, o in enumerate(abs_offs)}
+    for char_start, char_end, etype in entities:
+        start = off_index.get(char_start)
+        if start is None:
+            errs += 1
+            continue
+        if is_heads[start] == 0:
+            errs += 1
+            continue
+        end = len(abs_offs)
+        for j, o in enumerate(abs_offs):
+            if char_end + 1 > o:
+                continue
+            end = j
+            break
+        n_heads = is_heads[start:end].count(1)
+        head_tags = entity_tag(n_heads, etype, tag_fmt)
+        t = "O"
+        for i in range(start, end):
+            if is_heads[i] == 1:
+                t = head_tags.pop(0)
+            tags[i] = t
+    return toks, tags, is_heads, errs
+
+
 # ---------------------------------------------------------------------------
 # DataFrame wrappers
 # ---------------------------------------------------------------------------
+
+
+def subword_tag_sequences(
+    sentences: "DataFrame",
+    mentions: "DataFrame",
+    class_names: dict[int, str],
+    tag_fmt: str = "IOB",
+    piece_len: int = 4,
+    max_seq_len: int = 512,
+) -> "DataFrame":
+    """Q3 as a stage: sentences ⋈ per-sentence collected mention spans →
+    (doc_id, sent_idx, toks, tags, is_heads, n_errors) via one Arrow
+    kernel.  Mentions collapse to a ≤sentence-bounded struct list first
+    (equi-join, no window)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ents = mentions.groupBy("doc_id", "sent_idx").agg(
+        F.collect_list(
+            F.struct(
+                F.col("char_start").alias("cs"),
+                F.col("char_end").alias("ce"),
+                F.col("etype").alias("etype"),
+            )
+        ).alias("ents")
+    )
+    joined = sentences.join(ents, ["doc_id", "sent_idx"], "left")
+    cn = dict(class_names)
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("sent_idx", IntegerType(), False),
+            StructField("toks", ArrayType(StringType()), False),
+            StructField("tags", ArrayType(StringType()), False),
+            StructField("is_heads", ArrayType(IntegerType()), False),
+            StructField("n_errors", IntegerType(), False),
+        ]
+    )
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "sent_idx", "toks", "tags", "is_heads", "n_errors")}
+            for doc_id, sent_idx, words, offs, ents_row in zip(
+                pdf["doc_id"], pdf["sent_idx"], pdf["words"],
+                pdf["char_offsets"], pdf["ents"],
+            ):
+                spans = []
+                if ents_row is not None and not (
+                    isinstance(ents_row, float) and pd.isna(ents_row)
+                ):
+                    for e in ents_row:
+                        ety = e["etype"]
+                        if ety is None:
+                            continue
+                        spans.append((int(e["cs"]), int(e["ce"]), cn.get(int(ety), str(ety))))
+                toks, tags, heads, errs = tokens_to_subword_tags(
+                    list(words), list(offs), spans, tag_fmt,
+                    lambda w: default_subword_fn(w, piece_len), max_seq_len,
+                )
+                out["doc_id"].append(doc_id)
+                out["sent_idx"].append(sent_idx)
+                out["toks"].append(toks)
+                out["tags"].append(tags)
+                out["is_heads"].append(heads)
+                out["n_errors"].append(errs)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype=object),
+                    "sent_idx": pd.Series(out["sent_idx"], dtype="int32"),
+                    "toks": pd.Series(out["toks"], dtype=object),
+                    "tags": pd.Series(out["tags"], dtype=object),
+                    "is_heads": pd.Series(out["is_heads"], dtype=object),
+                    "n_errors": pd.Series(out["n_errors"], dtype="int32"),
+                }
+            )
+
+    return joined.select(
+        "doc_id", "sent_idx", "words", "char_offsets", "ents"
+    ).mapInPandas(_kernel, schema=schema)
 
 
 def tokens_to_sequences(token_labels: DataFrame, class_names: dict[int, str], fmt: str = "IO") -> DataFrame:
