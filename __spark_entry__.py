@@ -351,6 +351,31 @@ def q_tag_timex(spark, sf_dir):
     )
 
 
+def q_tag_timedelta(spark, sf_dir):
+    """A9/A10 TimeDelta + doc-time join: normalized timex dates minus a
+    per-document reference date (synthesized deterministically from the
+    doc_id hash — the reference joins each doc's charttime the same way),
+    signed day deltas."""
+    from trove_spark.clinical_fixture import TIMEX_DOCS
+    from trove_spark.timex import day_deltas, extract_dates
+
+    docs = spark.createDataFrame(TIMEX_DOCS, schema="doc_id string, text string")
+    dated = extract_dates(docs, "text")
+    doc_times = docs.select(
+        "doc_id",
+        F.expr(
+            "date_add(DATE'2020-06-15', CAST(pmod(CAST(conv(substr(md5(doc_id),1,15),16,10) AS BIGINT), 365) AS INT))"
+        ).alias("doc_date"),
+    )
+    out = day_deltas(dated, doc_times)
+    return out.select(
+        "doc_id",
+        "expr",
+        F.col("norm_date").cast("string").alias("norm_date"),
+        F.col("tdelta_days").cast("long").alias("tdelta_days"),
+    )
+
+
 def q_tag_sessions(spark, sf_dir):
     """A7 section carry-forward shape: LOCF window over the events stream."""
     from trove_spark.taggers import session_headers
@@ -670,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_tags": q_seq_tags,
         "kg_abbrev_labels": q_kg_abbrev_labels,
         "tag_timex": q_tag_timex,
+        "tag_timedelta": q_tag_timedelta,
         "tag_sessions": q_tag_sessions,
         "tag_relations": q_tag_relations,
         "tag_negation": q_tag_negation,

@@ -57,3 +57,51 @@ def test_metadata_only_scan_prunes_blob(spark, tmp_path):
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "media" not in read_schema  # pruning keeps the blob out of the scan
     assert "mime" in read_schema  # nested-field pruning reaches into the struct
+
+
+def test_resize_media_shape(spark):
+    from trove_spark.extras.multimodal import resize_media, synth_media_table
+
+    docs = spark.createDataFrame(
+        [("m0", "alpha beta gamma"), ("m1", "x")], schema="doc_id string, text string"
+    )
+    media = synth_media_table(spark, docs)
+    out = resize_media(media, width=8, height=4).collect()
+    assert len(out) == 2
+    for r in out:
+        assert len(bytes(r["media"])) == 8 * 4  # shape contract: w*h bytes
+        assert (r["width"], r["height"]) == (8, 4)
+    # deterministic across runs
+    again = resize_media(media, width=8, height=4).collect()
+    assert {(r["doc_id"], bytes(r["media"])) for r in out} == {
+        (r["doc_id"], bytes(r["media"])) for r in again
+    }
+
+
+def test_sample_frames_shape(spark):
+    from trove_spark.extras.multimodal import sample_frames, synth_media_table
+
+    docs = spark.createDataFrame(
+        [("v0", "a" * 500), ("v1", "b" * 10)], schema="doc_id string, text string"
+    )
+    media = synth_media_table(spark, docs)
+    rows = sample_frames(media, n_frames=4, frame_bytes=64).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert sorted(r["frame_idx"] for r in by_doc["v0"]) == [0, 1, 2, 3]
+    assert all(len(bytes(r["frame"])) == 64 for r in by_doc["v0"])
+    # short blob: frames clamp to available bytes, still 4 rows
+    assert len(by_doc["v1"]) == 4
+    assert all(len(bytes(r["frame"])) == 10 for r in by_doc["v1"])
+
+
+def test_real_decode_and_resize_are_honest_stubs():
+    import pytest as _pytest
+
+    from trove_spark.extras.multimodal import decode_image, resize_image
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"xx")
+    with _pytest.raises(NotImplementedError):
+        resize_image(b"xx", 2, 2)

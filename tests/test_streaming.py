@@ -69,3 +69,101 @@ def test_streaming_matches_batch(spark, dirs):
 
     batches = [d for d in os.listdir(dirs["out"]) if d.startswith("batch=")]
     assert len(batches) >= 2
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows, schema="event_id long, user_id long, event_type string, event_time timestamp"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_windowed_event_counts_with_watermark(spark, dirs):
+    """Event-time windowed rollup + watermark: counts per 5-min window,
+    late rows beyond the watermark dropped once the watermark advances."""
+    import datetime as dt
+    import os
+
+    from trove_spark.streaming import EVENTS_STREAM_SCHEMA, windowed_event_counts
+
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+    _write_events(spark, dirs["in"], [
+        (1, 1, "view", t0),
+        (2, 1, "click", t0 + dt.timedelta(minutes=1)),
+        (3, 2, "view", t0 + dt.timedelta(minutes=6)),
+    ])
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dirs["in"])
+    )
+    out = windowed_event_counts(stream, "5 minutes", "10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["win_start"].minute, r["event_type"]): r["n"]
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    assert got == {(0, "view"): 1, (0, "click"): 1, (5, "view"): 1}
+
+
+def test_stateful_carry_forward_across_batches_and_restart(spark, dirs):
+    """applyInPandasWithState: per-user last-view state survives across
+    micro-batches AND across query restarts (checkpointed state)."""
+    import datetime as dt
+    import os
+
+    from trove_spark.streaming import EVENTS_STREAM_SCHEMA, stateful_session_carry_forward
+
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def run():
+        stream = (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(dirs["in"])
+        )
+        out = stateful_session_carry_forward(stream)
+
+        def _sink(batch_df, batch_id):
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(dirs["out"], f"batch={batch_id}")
+            )
+
+        q = (
+            out.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", dirs["ckpt"])
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: user 1 views (id 10) then clicks
+    _write_events(spark, dirs["in"], [
+        (10, 1, "view", t0),
+        (11, 1, "click", t0 + dt.timedelta(minutes=1)),
+    ])
+    run()
+    # run 2 (restart from checkpoint): a later click must still see view 10
+    _write_events(spark, dirs["in"], [
+        (20, 1, "click", t0 + dt.timedelta(minutes=5)),
+        (21, 2, "click", t0 + dt.timedelta(minutes=5)),
+    ])
+    run()
+
+    rows = {
+        r["event_id"]: r["last_view_id"]
+        for r in spark.read.option("basePath", dirs["out"])
+        .parquet(dirs["out"] + "/batch=*")
+        .collect()
+    }
+    assert rows[10] == 10
+    assert rows[11] == 10
+    assert rows[20] == 10      # state carried across the restart
+    assert rows[21] is None    # user 2 never viewed

@@ -51,14 +51,20 @@ class AhoCorasick:
     DictionaryLabelingFunction wants all matches, OntologyLF longest-only).
     """
 
-    __slots__ = ("goto", "fail", "out", "depth", "_finalized")
+    __slots__ = ("goto", "fail", "out", "depth", "vocab", "_finalized")
 
     def __init__(self) -> None:
-        # node 0 is the root; each node is an int; goto[node] = {token: node}
-        self.goto: list[dict[str, int]] = [{}]
+        # node 0 is the root; each node is an int; goto[node] = {tok_id: node}.
+        # Edge labels are INTERNED token ids (vocab: token → id): each
+        # distinct pattern token is stored once, so a UMLS-scale lexicon
+        # (~7M terms) broadcasts a vocab + int-keyed dicts instead of
+        # repeating strings on every trie edge — several× smaller pickle,
+        # and int-dict probes are faster in the kernel hot loop.
+        self.goto: list[dict[int, int]] = [{}]
         self.fail: list[int] = [0]
         self.out: list[list[tuple[int, object]]] = [[]]  # (pattern_len, payload)
         self.depth: list[int] = [0]
+        self.vocab: dict[str, int] = {}
         self._finalized = False
 
     def _node(self, depth: int) -> int:
@@ -68,15 +74,23 @@ class AhoCorasick:
         self.depth.append(depth)
         return len(self.goto) - 1
 
+    def _tok_id(self, tok: str) -> int:
+        tid = self.vocab.get(tok)
+        if tid is None:
+            tid = len(self.vocab)
+            self.vocab[tok] = tid
+        return tid
+
     def add(self, term_tokens: Sequence[str], payload: object) -> None:
         if self._finalized:
             raise RuntimeError("automaton already finalized")
         node = 0
         for d, tok in enumerate(term_tokens):
-            nxt = self.goto[node].get(tok)
+            tid = self._tok_id(tok)
+            nxt = self.goto[node].get(tid)
             if nxt is None:
                 nxt = self._node(d + 1)
-                self.goto[node][tok] = nxt
+                self.goto[node][tid] = nxt
             node = nxt
         self.out[node].append((len(term_tokens), payload))
 
@@ -112,14 +126,19 @@ class AhoCorasick:
         """Yield (start_tok, end_tok_inclusive, payload) for every match."""
         if not self._finalized:
             raise RuntimeError("call finalize() before match()")
-        goto, fail, out = self.goto, self.fail, self.out
+        goto, fail, out, vocab = self.goto, self.fail, self.out, self.vocab
         node = 0
         for i, tok in enumerate(tokens):
             if normalize:
                 tok = tok.lower()
-            while node and tok not in goto[node]:
+            tid = vocab.get(tok)
+            if tid is None:
+                # token appears in no pattern: every transition fails → root
+                node = 0
+                continue
+            while node and tid not in goto[node]:
                 node = fail[node]
-            node = goto[node].get(tok, 0)
+            node = goto[node].get(tid, 0)
             if out[node]:
                 for plen, payload in out[node]:
                     yield (i - plen + 1, i, payload)

@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     StringType,
@@ -90,6 +91,107 @@ def extract_media_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.select(F.col("doc_id").cast("string").alias("doc_id"), "media").mapInPandas(
         _kernel, schema=FEATURES_SCHEMA
     )
+
+
+def resize_image(blob: bytes, width: int, height: int) -> bytes:
+    """REAL resize requires an imaging library (PIL) — absent here.  Swap
+    the body for ``Image.open(...).resize((width, height)).tobytes()`` in
+    a full environment; the kernel plumbing below is what's tested."""
+    raise NotImplementedError(
+        "image resize needs an imaging library not present in this container"
+    )
+
+
+def fake_resize(blob: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in with the right SHAPE contract: output length
+    is exactly width×height bytes (1 'channel'), derived from the input by
+    md5-keyed tiling — byte-stable across engines/runs."""
+    h = hashlib.md5(blob).digest()
+    need = width * height
+    return (h * (need // len(h) + 1))[:need]
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int, resize_fn=fake_resize
+) -> DataFrame:
+    """Batch image resize as a narrow Arrow kernel: blobs in → resized
+    blobs out, metadata updated; no shuffle ever touches the bytes.
+    Pass ``resize_fn=resize_image`` when codecs exist."""
+    out_schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("media", BinaryType(), False),
+            StructField("width", IntegerType(), False),
+            StructField("height", IntegerType(), False),
+        ]
+    )
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                if blob is None:
+                    continue
+                ids.append(doc_id)
+                blobs.append(resize_fn(bytes(blob), width, height))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype=object),
+                    "media": pd.Series(blobs, dtype=object),
+                    "width": pd.Series([width] * len(ids), dtype="int32"),
+                    "height": pd.Series([height] * len(ids), dtype="int32"),
+                }
+            )
+
+    return media.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "media"
+    ).mapInPandas(_kernel, schema=out_schema)
+
+
+def sample_frames(
+    media: DataFrame,
+    n_frames: int = 4,
+    frame_bytes: int = 64,
+) -> DataFrame:
+    """Video frame sampling plumbing: each blob → n_frames evenly-spaced
+    'frames' (REAL decoding needs ffmpeg — absent; the deterministic
+    stand-in slices evenly-spaced byte windows, preserving the exploded
+    one-row-per-frame output shape a real sampler produces).  Frames are
+    SMALL relative to the video blob — emitted to their own narrow table
+    keyed (doc_id, frame_idx)."""
+    out_schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("frame_idx", IntegerType(), False),
+            StructField("frame", BinaryType(), False),
+        ]
+    )
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                if blob is None:
+                    continue
+                b = bytes(blob)
+                if not b:
+                    continue
+                for i in range(n_frames):
+                    start = (i * max(len(b) - frame_bytes, 0)) // max(n_frames - 1, 1)
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(b[start : start + frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype=object),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": pd.Series(frames, dtype=object),
+                }
+            )
+
+    return media.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "media"
+    ).mapInPandas(_kernel, schema=out_schema)
 
 
 def synth_media_table(spark, docs: DataFrame, text_col: str = "text") -> DataFrame:

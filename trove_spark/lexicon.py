@@ -146,7 +146,15 @@ def build_lexicon_from_df(
     build.  The concepts table itself can be huge on disk — callers should
     push SAB/length predicates into the scan first (partition pruning on a
     SAB-partitioned table, umls.py:410-411); what is collected is only the
-    surviving lexicon."""
+    surviving lexicon.
+
+    Scale envelope: the automaton interns pattern tokens (int-keyed trie
+    edges + one shared vocab), measuring ≈72 bytes/term pickled (50k-term
+    synthetic → 3.6 MB); full English UMLS (~7M terms) extrapolates to
+    ≈500 MB — a large but feasible one-time broadcast.  Past that, shard
+    the lexicon by SAB group and run one matching pass per shard (the
+    mentions tables union; every downstream operator already keys on
+    term_id + SAB)."""
     rows = [
         (r["sab"], r["tui"], r["cui"], r["term"])
         for r in concepts.select("sab", "tui", "cui", "term").collect()

@@ -361,6 +361,40 @@ SELECT doc_id, expr,
 FROM x"""
 
 
+def _timedelta_oracle_sql() -> str:
+    """A9/A10 oracle: the timex extraction CTE joined to the same
+    hash-derived per-doc reference date (portable md5-60bit hash)."""
+    from .clinical_fixture import TIMEX_DOCS
+    from .timex import _DATE_RE
+
+    pat = _DATE_RE.replace("'", "''")
+    return f"""
+WITH {_values(list(TIMEX_DOCS), "d", "doc_id, text")},
+x AS (SELECT doc_id, unnest(regexp_extract_all(text, '{pat}', 1)) AS expr FROM d),
+nd AS (
+  SELECT doc_id, expr,
+         CAST(COALESCE(
+           try_strptime(expr, '%Y-%m-%d'),
+           CASE WHEN regexp_matches(expr, '^\\d{{1,2}}/\\d{{1,2}}/\\d{{2}}$')
+                THEN try_strptime(expr, '%m/%d/%y')
+                ELSE try_strptime(expr, '%m/%d/%Y') END,
+           try_strptime(expr, '%m-%d-%Y'),
+           try_strptime(expr, '%B %d, %Y'),
+           try_strptime(expr, '%d %b %Y')
+         ) AS DATE) AS norm_date
+  FROM x
+),
+dt AS (
+  SELECT doc_id,
+         DATE '2020-06-15' + CAST(
+           {_H60.format(x="doc_id")} % 365 AS INT) AS doc_date
+  FROM d
+)
+SELECT nd.doc_id, nd.expr, CAST(nd.norm_date AS VARCHAR) AS norm_date,
+       CAST(nd.norm_date - dt.doc_date AS BIGINT) AS tdelta_days
+FROM nd JOIN dt ON dt.doc_id = nd.doc_id"""
+
+
 def _abbrev_oracle_sql() -> str:
     """L8 oracle: frozen hand-verified golden occurrence table."""
     from .clinical_fixture import ABBREV_GOLDEN
@@ -381,6 +415,7 @@ def analysis_oracles() -> dict[str, str]:
     return {
         "tag_polarity": polarity_oracle_sql(),
         "tag_timex": _timex_oracle_sql(),
+        "tag_timedelta": _timedelta_oracle_sql(),
         "kg_abbrev_labels": _abbrev_oracle_sql(),
         "kg_lf_accuracy": p
         + """SELECT v.sab AS lf,

@@ -23,7 +23,13 @@ import os
 from pyspark.broadcast import Broadcast
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 from .fused import fused_triples_raw
 
@@ -75,3 +81,92 @@ def stream_documents_to_triples(
 
 def read_streamed_triples(spark: SparkSession, output_dir: str) -> DataFrame:
     return spark.read.option("basePath", output_dir).parquet(output_dir + "/batch=*")
+
+
+# ---------------------------------------------------------------------------
+# Watermarked event-time windows + custom stateful operators
+# ---------------------------------------------------------------------------
+
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("event_time", TimestampType(), True),
+    ]
+)
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window_duration: str = "5 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Event-time windowed counts with LATE-DATA handling: rows older than
+    the watermark are dropped, windows finalize (append-mode emittable)
+    once the watermark passes their end — the standard Structured-
+    Streaming shape for time-bucketed rollups at any volume (state is one
+    count per open (window, event_type))."""
+    from pyspark.sql import functions as F
+
+    return (
+        events_stream.withWatermark("event_time", watermark_delay)
+        .groupBy(F.window("event_time", window_duration), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+SESSION_STATE_SCHEMA = StructType([StructField("last_view_id", LongType(), True)])
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("event_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("last_view_id", LongType(), True),
+    ]
+)
+
+
+def stateful_session_carry_forward(events_stream: DataFrame) -> DataFrame:
+    """A7 section carry-forward as a CUSTOM STATEFUL streaming operator
+    (``applyInPandasWithState``): per-user state = the most recent 'view'
+    event_id, carried across micro-batches (and across restarts via the
+    checkpoint).  This is the streaming twin of taggers.carry_forward —
+    the batch LOCF window becomes one long-lived state cell per key."""
+    import pandas as pd
+
+    def _fn(key, pdf_iter, state):
+        (user_id,) = key
+        last = state.get[0] if state.exists else None
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("event_id")
+            out_last = []
+            for ev_id, ev_type in zip(pdf["event_id"], pdf["event_type"]):
+                if ev_type == "view":
+                    last = int(ev_id)
+                out_last.append(last)
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series([user_id] * len(pdf), dtype="int64"),
+                    "event_id": pdf["event_id"].astype("int64"),
+                    "event_type": pdf["event_type"].astype(object),
+                    "last_view_id": pd.Series(out_last, dtype="Int64"),
+                }
+            )
+        state.update((last,))
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
