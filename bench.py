@@ -58,6 +58,10 @@ def main() -> None:
 
     queries: dict[str, float] = {}
     qmap = em.queries()
+    # warm the JVM / Arrow / python-worker pool on the tiny sf so the first
+    # headline query isn't charged ~7s of one-time startup
+    qmap["kg_tokens"](spark, "/root/testdata/sf0.001").count()
+    em._PIPELINES.clear()
     for name in HEADLINE:
         em._PIPELINES.clear()
         t0 = time.time()

@@ -6,7 +6,7 @@ Cluster usage (north rule: spark-submit --py-files on multi-executor):
     zip -r /tmp/trove_spark.zip trove_spark
     spark-submit --master <cluster> --py-files /tmp/trove_spark.zip \
         scripts/run_pipeline.py --input <docs parquet> --output <graph dir> \
-        [--text-col text] [--id-col doc_id] [--tokenizer whitespace|standard] \
+        [--text-col text] [--id-col doc_id] [--tokenizer whitespace|standard|clinical] \
         [--n-buckets 64] [--fused]
 
 No module state: the session comes from spark-submit's context
@@ -32,10 +32,14 @@ def main() -> None:
     ap.add_argument("--output", required=True, help="graph output dir")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--id-col", default="doc_id")
-    ap.add_argument("--tokenizer", default="whitespace", choices=["whitespace", "standard"])
+    ap.add_argument("--tokenizer", default="whitespace",
+                    choices=["whitespace", "standard", "clinical"])
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--staged", action="store_true",
                     help="use the staged multi-shuffle plan instead of the fused kernel")
+    ap.add_argument("--onepass-write", action="store_true",
+                    help="single partitionBy(bucket) write (cluster-parallel across "
+                         "buckets) instead of per-bucket commits")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -63,7 +67,8 @@ def main() -> None:
         )
 
     store = TripleStore(spark, args.output, n_buckets=args.n_buckets)
-    stats = store.write_triples(triples)
+    stats = (store.write_triples_onepass(triples) if args.onepass_write
+             else store.write_triples(triples))
     nodes = write_nodes(spark, store.read_triples(), args.output)
     n_triples = store.read_triples().count()
     n_docs = docs.count()

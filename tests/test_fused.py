@@ -32,3 +32,31 @@ def test_fused_equals_staged_repo_corpus(spark):
         )
     )
     assert fused == staged
+
+
+def test_fused_equals_staged_clinical_mode(spark):
+    """The fused kernel and the staged pipeline must agree under the
+    CLINICAL tokenizer too (token_match battery changes offsets/spans)."""
+    from pyspark.sql import functions as F
+
+    from trove_spark import synth
+    from trove_spark.fused import fused_triples
+    from trove_spark.pipeline import KGPipeline
+
+    rows = [
+        ("c0", "Pt denies hash join today. BP 120/80 with sort merge join noted."),
+        ("c1", "Dr. Smith ran a scan ( filter ) on the table at 10:30:00.1"),
+        ("c2", "no dates - just a hash and a window with key value join runs"),
+    ]
+    docs = spark.createDataFrame(rows, schema="doc_id string, text string")
+    p = KGPipeline(spark, docs_df=docs, tokenizer_mode="clinical", text_col="text")
+    staged = {tuple(r) for r in p.triples().select("subj", "pred", "obj").collect()}
+    fused = {
+        tuple(r)
+        for r in fused_triples(
+            docs, p.lex_bc, synth.CLASS_MAP, synth.CLASS_NAMES,
+            text_col="text", tokenizer_mode="clinical",
+        ).select("subj", "pred", "obj").collect()
+    }
+    assert staged == fused
+    assert len(staged) > 0

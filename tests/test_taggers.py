@@ -57,3 +57,28 @@ def test_span_text_roundtrip(spark):
     r = attach_spans_to_sentences(spans.drop("expected"), sents).collect()[0]
     assert text[r["abs_char_start"] : r["abs_char_end"] + 1] == "cc dd"
     assert r["sent_idx"] == 1
+
+
+def test_section_carry_forward_on_text(spark):
+    """A7 text side: header sentences govern following spans until the
+    next header (sections.py ParentSectionTagger semantics)."""
+    from trove_spark.taggers import assign_sections
+
+    sents = spark.createDataFrame(
+        [
+            ("d", 0, ["History:"]),
+            ("d", 1, ["had", "fever"]),
+            ("d", 2, ["Plan:"]),
+            ("d", 3, ["give", "fluids"]),
+            ("e", 0, ["no", "header", "here"]),
+        ],
+        schema="doc_id string, sent_idx int, words array<string>",
+    )
+    spans = spark.createDataFrame(
+        [("d", 1, 1), ("d", 3, 1), ("e", 0, 0)],
+        schema="doc_id string, sent_idx int, tok_start int",
+    )
+    got = {(r["doc_id"], r["sent_idx"]): r["section"] for r in assign_sections(sents, spans).collect()}
+    assert got[("d", 1)] == "History:"
+    assert got[("d", 3)] == "Plan:"
+    assert got[("e", 0)] is None

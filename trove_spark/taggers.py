@@ -55,6 +55,34 @@ def session_headers(events: DataFrame) -> DataFrame:
     )
 
 
+def detect_section_headers(
+    sentences: DataFrame, header_pattern: str = r"^[A-Za-z][A-Za-z ]{0,40}:$"
+) -> DataFrame:
+    """A7 SectionHeaderTagger (sections.py:11-100): a sentence whose
+    reconstructed text matches the header shape (short, ends ':') marks a
+    section; emits (doc_id, sent_idx, header|null)."""
+    text = F.concat_ws(" ", F.col("words"))
+    return sentences.select(
+        "doc_id",
+        "sent_idx",
+        F.when(text.rlike(header_pattern), text).alias("header"),
+    )
+
+
+def assign_sections(
+    sentences: DataFrame, spans: DataFrame, header_pattern: str = r"^[A-Za-z][A-Za-z ]{0,40}:$"
+) -> DataFrame:
+    """A7 ParentSectionTagger (sections.py:103-128): every span adopts the
+    most recent header at-or-before its sentence — LOCF over sent_idx
+    within each doc (doc-bounded partitions: the safe window case), then
+    an equi-join onto spans."""
+    headers = detect_section_headers(sentences, header_pattern)
+    filled = carry_forward(headers, ["doc_id"], "sent_idx", "header", "section")
+    return spans.join(
+        filled.select("doc_id", "sent_idx", "section"), ["doc_id", "sent_idx"], "left"
+    )
+
+
 def relation_pairs(
     typed_mentions: DataFrame,
     etype_a: int,
