@@ -415,6 +415,46 @@ def q_tag_polarity(spark, sf_dir):
     )
 
 
+def q_tag_historical(spark, sf_dir):
+    """A3 HistoricalTagger shape: the same trigger-battery engine under
+    'or' reduction (any past-placing cue → historical) — covers the
+    reduction path tag_polarity's mv does not."""
+    from trove_spark import synth
+    from trove_spark.taggers import trigger_battery_tagger
+
+    p = _pipe(spark, sf_dir)
+    out = trigger_battery_tagger(
+        p.typed_mentions(),
+        p.tokens(),
+        synth.HISTORICAL_BATTERY,
+        reduction="or",
+        or_label=1,
+        default_label=2,
+        prop_col="historical",
+    )
+    return _long(
+        out.select("doc_id", "tok_start", "tok_end", "term", "historical"),
+        "tok_start",
+        "tok_end",
+        "historical",
+    )
+
+
+def q_kg_unipolar(spark, sf_dir):
+    """L10 UnipolarUnion: OR-union of the two unipolar suite LFs
+    (dict_structures + regex_b, both label 2) into one LF column."""
+    from trove_spark.voting import unipolar_union
+
+    p = _pipe(spark, sf_dir)
+    out = unipolar_union(p.lf_suite_labels(), lf_ids=[0, 1], new_lf_id=99)
+    return _long(
+        out.select("doc_id", "sent_idx", "token_idx", "label"),
+        "sent_idx",
+        "token_idx",
+        "label",
+    )
+
+
 def q_tag_negation(spark, sf_dir):
     """A1 NegEx shape: left-window trigger → negated property."""
     from trove_spark.synth import NEGATION_TRIGGERS
@@ -700,6 +740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_relations": q_tag_relations,
         "tag_negation": q_tag_negation,
         "tag_polarity": q_tag_polarity,
+        "tag_historical": q_tag_historical,
+        "kg_unipolar": q_kg_unipolar,
         "rel_agg_pricing": q_rel_agg_pricing,
         "rel_join_nations": q_rel_join_nations,
         "rel_window_top_orders": q_rel_window_top_orders,

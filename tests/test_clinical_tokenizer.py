@@ -117,3 +117,39 @@ def test_offsets_round_trip_arbitrary():
 def test_tokenize_clinical_flat():
     toks = tokenize_clinical("HCT-26.7* ok")
     assert [t for t, _ in toks] == ["HCT-26.7*", "ok"]
+
+
+def test_offsets_property_random_text():
+    """Property: for ANY text, every emitted clinical token matches the
+    exact source slice at its offset, tokens within a sentence are in
+    offset order, and no token is empty."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = st.sampled_from(
+        list("abcXYZ019 .()-/:%*'\n\t") + ["•", "##"]
+    )
+    texts = st.lists(alphabet, min_size=0, max_size=80).map("".join)
+
+    @settings(max_examples=200, deadline=None)
+    @given(texts)
+    def check(text):
+        for sent in segment_clinical(text):
+            prev = -1
+            for w, o in sent:
+                assert w != ""
+                assert text[o : o + len(w)] == w, (text, w, o)
+                assert o > prev or (o == 0 and prev == -1)
+                prev = o
+        # every non-whitespace char is covered by exactly one token
+        covered = [False] * len(text)
+        for sent in segment_clinical(text):
+            for w, o in sent:
+                for i in range(o, o + len(w)):
+                    assert not covered[i], (text, w, o)
+                    covered[i] = True
+        for i, c in enumerate(text):
+            if not c.isspace():
+                assert covered[i], (text, i, c)
+
+    check()

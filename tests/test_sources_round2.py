@@ -180,3 +180,30 @@ def test_function_lf_in_apply_pipeline(spark):
     assert {r["doc_id"] for r in rows} == {"x"}
     assert all(r["label"] == 1 for r in rows)
     assert len(rows) == 4  # every token of the matched sentence
+
+
+# -- S1 corrupt-record robustness --------------------------------------------
+
+
+def test_jsonl_scan_survives_corrupt_lines(spark, tmp_path):
+    from trove_spark.sources import read_jsonl_documents
+
+    p = tmp_path / "docs.jsonl"
+    good = (
+        '{"name": "g1", "metadata": {}, "sentences": '
+        '[{"words": ["a", "b"], "abs_char_offsets": [0, 2], "i": 0}]}'
+    )
+    p.write_text(
+        good + "\n"
+        + "{this is not json\n"
+        + '{"name": "g2", "metadata": {}, "sentences": '
+        + '[{"words": ["c"], "abs_char_offsets": [0], "i": 0}]}\n'
+        + "\x00\x01garbage\n"
+    )
+    qdir = str(tmp_path / "quarantine")
+    out = read_jsonl_documents(spark, str(p), corrupt_out=qdir)
+    rows = {r["doc_id"]: r["words"] for r in out.collect()}
+    assert rows == {"g1": ["a", "b"], "g2": ["c"]}
+    # quarantined lines are preserved for triage
+    quarantined = spark.read.json(qdir).count()
+    assert quarantined == 2

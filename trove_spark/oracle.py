@@ -285,15 +285,45 @@ FROM g""",
     }
 
 
-def polarity_oracle_sql() -> str:
-    """A2 trigger-battery tagger oracle — GENERATED from the same
-    synth.POLARITY_BATTERY the Spark engine broadcasts: trigger
-    occurrences (uni+bigram) joined into each mention's directional
-    window, one vote per LF, majority vote with tie→POLARITY_TIE_LABEL."""
+def battery_oracle_sql(
+    battery: list[tuple[str, int, str, str, int]],
+    prop: str,
+    reduction: str = "mv",
+    tie_label: int = 2,
+    or_label: int = 1,
+    default_label: int = 2,
+) -> str:
+    """A2-A5 trigger-battery tagger oracle — GENERATED from the same
+    battery config the Spark engine broadcasts: trigger occurrences
+    (uni+bigram) joined into each mention's directional window, one vote
+    per LF, then the configured reduction ('mv' with tie→tie_label, or
+    'or' with or_label/default_label)."""
     trig_rows = [
         (i, lbl, trig.lower(), side, window, len(trig.split()))
-        for i, (_name, lbl, trig, side, window) in enumerate(synth.POLARITY_BATTERY)
+        for i, (_name, lbl, trig, side, window) in enumerate(battery)
     ]
+    if reduction == "mv":
+        reduce_sql = f"""
+p_counts AS (
+  SELECT doc_id, s, e, term_id, label, COUNT(*) AS n
+  FROM p_votes GROUP BY 1, 2, 3, 4, 5
+),
+p_red AS (
+  SELECT doc_id, s, e, term_id,
+         CASE WHEN COUNT(*) = 1 THEN CAST(MIN(label) AS BIGINT)
+              ELSE CAST({tie_label} AS BIGINT) END AS {prop}
+  FROM (SELECT *, MAX(n) OVER (PARTITION BY doc_id, s, e, term_id) AS mx
+        FROM p_counts) WHERE n = mx
+  GROUP BY doc_id, s, e, term_id
+)"""
+    else:
+        reduce_sql = f"""
+p_red AS (
+  SELECT doc_id, s, e, term_id,
+         CAST(CASE WHEN MAX(CASE WHEN label = {or_label} THEN 1 ELSE 0 END) = 1
+              THEN {or_label} ELSE {default_label} END AS BIGINT) AS {prop}
+  FROM p_votes GROUP BY 1, 2, 3, 4
+)"""
     return (
         kg_cte_prefix()
         + f""", {_values(trig_rows, "trigs", "lf_id, label, trig, side, win, n")},
@@ -313,25 +343,13 @@ p_votes AS (
      OR (o.side = 'right' AND o.trig_start > t.e AND o.trig_start <= t.e + o.win)
      OR (o.side = 'span' AND o.trig_start >= t.s AND o.trig_end <= t.e)
      OR o.side = 'sentence'
-),
-p_counts AS (
-  SELECT doc_id, s, e, term_id, label, COUNT(*) AS n
-  FROM p_votes GROUP BY 1, 2, 3, 4, 5
-),
-p_mv AS (
-  SELECT doc_id, s, e, term_id,
-         CASE WHEN COUNT(*) = 1 THEN CAST(MIN(label) AS BIGINT)
-              ELSE CAST({synth.POLARITY_TIE_LABEL} AS BIGINT) END AS polarity
-  FROM (SELECT *, MAX(n) OVER (PARTITION BY doc_id, s, e, term_id) AS mx
-        FROM p_counts) WHERE n = mx
-  GROUP BY doc_id, s, e, term_id
-)
+),{reduce_sql}
 SELECT t.doc_id, CAST(t.s AS BIGINT) AS tok_start, CAST(t.e AS BIGINT) AS tok_end,
-       tm.term, m.polarity
+       tm.term, m.{prop}
 FROM typed t
 JOIN terms tm ON tm.term_id = t.term_id
-LEFT JOIN p_mv m ON m.doc_id = t.doc_id AND m.s = t.s AND m.e = t.e
-                AND m.term_id = t.term_id"""
+LEFT JOIN p_red m ON m.doc_id = t.doc_id AND m.s = t.s AND m.e = t.e
+                 AND m.term_id = t.term_id"""
     )
 
 
@@ -413,7 +431,21 @@ FROM g"""
 def analysis_oracles() -> dict[str, str]:
     p = kg_cte_prefix()
     return {
-        "tag_polarity": polarity_oracle_sql(),
+        "kg_unipolar": lf_suite_sql().replace(
+            "SELECT doc_id, CAST(0 AS BIGINT) AS sent_idx, token_idx, lf, label FROM suite",
+            """SELECT doc_id, CAST(0 AS BIGINT) AS sent_idx, token_idx,
+       CAST(MAX(label) AS BIGINT) AS label
+FROM suite WHERE lf IN ('dict_structures', 'regex_b')
+GROUP BY doc_id, token_idx""",
+        ),
+        "tag_polarity": battery_oracle_sql(
+            synth.POLARITY_BATTERY, "polarity", "mv",
+            tie_label=synth.POLARITY_TIE_LABEL,
+        ),
+        "tag_historical": battery_oracle_sql(
+            synth.HISTORICAL_BATTERY, "historical", "or",
+            or_label=1, default_label=2,
+        ),
         "tag_timex": _timex_oracle_sql(),
         "tag_timedelta": _timedelta_oracle_sql(),
         "kg_abbrev_labels": _abbrev_oracle_sql(),

@@ -215,13 +215,34 @@ JSONL_DOC_SCHEMA = (
 )
 
 
-def read_jsonl_documents(spark: SparkSession, path: str) -> DataFrame:
+def read_jsonl_documents(
+    spark: SparkSession, path: str, corrupt_out: str | None = None
+) -> DataFrame:
     """S1: trove-shaped JSONL → the engine's ``sentences`` table directly
     (the docs arrive pre-tokenized; no tokenizer stage needed).
-    ``spark.read.json`` is gzip-aware like the reference's loader."""
-    raw = spark.read.schema(JSONL_DOC_SCHEMA).json(path)
+    ``spark.read.json`` is gzip-aware like the reference's loader.
+
+    Robustness (a 100-TB corpus WILL contain malformed lines): PERMISSIVE
+    parse with a corrupt-record column — bad lines never kill the job;
+    they are dropped from the output, and written to ``corrupt_out`` for
+    triage when given (quarantine-table pattern)."""
+    schema = JSONL_DOC_SCHEMA + ", _corrupt string"
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+    # cache so the corrupt/good split doesn't re-parse (and because Spark
+    # requires referencing the full row when filtering on the corrupt col)
+    raw = raw.cache()
+    if corrupt_out is not None:
+        raw.filter(F.col("_corrupt").isNotNull()).select("_corrupt").write.mode(
+            "overwrite"
+        ).json(corrupt_out)
+    good = raw.filter(F.col("_corrupt").isNull() & F.col("sentences").isNotNull())
     s = F.explode("sentences").alias("s")
-    return raw.select(F.col("name").alias("doc_id"), s).select(
+    return good.select(F.col("name").alias("doc_id"), s).select(
         "doc_id",
         F.col("s.i").alias("sent_idx"),
         F.col("s.words").alias("words"),

@@ -107,6 +107,15 @@ POLARITY_BATTERY: list[tuple[str, int, str, str, int]] = [
 ]
 POLARITY_TIE_LABEL = 2  # reference breaks mv ties toward 'affirmative'
 
+# A3 HistoricalTagger battery over the testdata vocabulary — exercises the
+# 'or' reduction path (reference historical.py:167-217: any past-placing
+# cue fires → historical(1); a reject cue alone → 2)
+HISTORICAL_BATTERY: list[tuple[str, int, str, str, int]] = [
+    ("hist_order", 1, "order", "left", 4),
+    ("hist_the_part", 1, "the part", "left", 5),
+    ("reject_fast", 2, "fast", "left", 3),
+]
+
 
 def concepts_values_sql() -> str:
     """Render LEXICON as a SQL VALUES list for the DuckDB oracle."""
