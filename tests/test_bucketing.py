@@ -1,0 +1,58 @@
+"""Bucketed co-located joins: matching bucket specs must eliminate the
+join shuffle entirely (the write-once/join-many strategy for the engine's
+recurring doc_id-keyed joins at cluster scale)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trove_spark.bucketing import assert_no_shuffle, cobucketed_join, write_bucketed
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    # warehouse dir is a STATIC conf — use the session default and clean up
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    stats = docs.select("doc_id", F.length("text").alias("n_chars"))
+    write_bucketed(docs, "b_docs", ["doc_id"], n_buckets=8, sort_cols=["doc_id"])
+    write_bucketed(stats, "b_stats", ["doc_id"], n_buckets=8, sort_cols=["doc_id"])
+    yield "b_docs", "b_stats"
+    spark.sql("DROP TABLE IF EXISTS b_docs")
+    spark.sql("DROP TABLE IF EXISTS b_stats")
+
+
+def test_cobucketed_join_has_no_exchange(spark, bucketed_tables):
+    left, right = bucketed_tables
+    # disable broadcast so the test exercises the bucketed SMJ path (a
+    # broadcast join would trivially have no exchange on the small side)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = cobucketed_join(spark, left, right, ["doc_id"])
+        assert_no_shuffle(j)
+        assert j.count() == spark.table(left).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_unbucketed_join_does_shuffle(spark, bucketed_tables):
+    """Control: the same join WITHOUT bucketing shuffles — proving the
+    assertion above is measuring the bucketing, not join size."""
+    left, _ = bucketed_tables
+    # a genuinely UNBUCKETED side (raw parquet scan, not derived from the
+    # bucketed table — bucketing propagates through projections)
+    plain = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.length("text").alias("n"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table(left).join(plain.hint("merge"), ["doc_id"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

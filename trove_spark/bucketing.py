@@ -1,0 +1,48 @@
+"""Bucketed tables for co-located joins (the 100-TB join strategy).
+
+At cluster scale the recurring joins in this engine key on ``doc_id``
+(mentions ⋈ labels, mentions ⋈ tokens, spans ⋈ sentences...).  Writing
+both sides bucketed by doc_id makes those joins ZERO-SHUFFLE: Spark
+recognizes matching bucket specs and plans a SortMergeJoin over co-located
+buckets with no Exchange on either side — the per-query shuffle cost is
+paid ONCE at write time and amortized over every subsequent join.
+
+``bucketBy`` requires a managed/table write (saveAsTable); the helpers
+here wrap that, and tests/test_bucketing.py ASSERTS the no-Exchange plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Materialize ``df`` as a bucketed (and optionally sorted) table.
+    Matching (bucket_cols, n_buckets) on both sides of a later join lets
+    Catalyst drop both Exchanges; sortBy additionally drops the Sort."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def cobucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two identically-bucketed tables — plans shuffle-free when both
+    were written with write_bucketed(..., same cols, same n_buckets)."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def assert_no_shuffle(df: DataFrame) -> None:
+    """Raise if the physical plan contains any Exchange (used by tests and
+    available as a production guardrail around hot joins)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan:
+        raise AssertionError("plan contains a shuffle Exchange:\n" + plan)
