@@ -581,6 +581,20 @@ def q_rel_sql_interface(spark, sf_dir):
     )
 
 
+def q_rel_rollup(spark, sf_dir):
+    """Hierarchical ROLLUP aggregate (returnflag → linestatus → grand
+    total) — the OLAP subtotal operator; NULL grouping levels mark the
+    subtotal rows on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).cast("long").alias("sum_qty_cents"),
+        )
+    )
+
+
 def q_rel_range_join(spark, sf_dir):
     """Equi+range join: lineitems shipped within 30 days of order date."""
     li = _t(spark, sf_dir, "lineitem")
@@ -750,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_topk_parts": q_rel_topk_parts,
         "rel_set_ops": q_rel_set_ops,
         "rel_range_join": q_rel_range_join,
+        "rel_rollup": q_rel_rollup,
         "rel_sql_interface": q_rel_sql_interface,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,

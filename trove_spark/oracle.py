@@ -573,6 +573,11 @@ SELECT p.p_brand,
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE l.l_discount > 0.02
 GROUP BY p.p_brand""",
+        "rel_rollup": """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
         "rel_range_join": """
 SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_fast_ships
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
