@@ -415,6 +415,22 @@ def q_tag_polarity(spark, sf_dir):
     )
 
 
+def q_tag_negex(spark, sf_dir):
+    """A1 FULL NegEx semantics: definite cues in both directions vote
+    negated, pseudo-negation phrases CANCEL (Chapman's exception list) —
+    the tag_negation query covers only the reduced left-window core."""
+    from trove_spark import synth
+    from trove_spark.taggers import negex_tagger
+
+    p = _pipe(spark, sf_dir)
+    out = negex_tagger(p.typed_mentions(), p.tokens(), synth.NEGEX_TESTDATA_BATTERY)
+    return _long(
+        out.select("doc_id", "tok_start", "tok_end", "term", "negated"),
+        "tok_start",
+        "tok_end",
+    )
+
+
 def q_tag_historical(spark, sf_dir):
     """A3 HistoricalTagger shape: the same trigger-battery engine under
     'or' reduction (any past-placing cue → historical) — covers the
@@ -755,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_negation": q_tag_negation,
         "tag_polarity": q_tag_polarity,
         "tag_historical": q_tag_historical,
+        "tag_negex": q_tag_negex,
         "kg_unipolar": q_kg_unipolar,
         "rel_agg_pricing": q_rel_agg_pricing,
         "rel_join_nations": q_rel_join_nations,

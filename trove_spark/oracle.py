@@ -428,6 +428,44 @@ FROM g"""
     )
 
 
+def negex_oracle_sql(battery: list[tuple[str, int, str, str, int]]) -> str:
+    """A1 full-NegEx oracle: trigger occurrences in directional windows;
+    negated ⇔ a definite/probable cue (label 1) fired AND no pseudo
+    phrase (label 3) fired."""
+    trig_rows = [
+        (i, lbl, trig.lower(), side, window, len(trig.split()))
+        for i, (_name, lbl, trig, side, window) in enumerate(battery)
+    ]
+    return (
+        kg_cte_prefix()
+        + f""", {_values(trig_rows, "trigs", "lf_id, label, trig, side, win, n")},
+n_occ AS (
+  SELECT t.doc_id, t.tok AS trig_start, t.tok AS trig_end,
+         g.lf_id, g.label, g.side, g.win
+  FROM toks t JOIN trigs g ON g.n = 1 AND lower(t.word) = g.trig
+  UNION ALL
+  SELECT a.doc_id, a.tok, b.tok, g.lf_id, g.label, g.side, g.win
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.tok = a.tok + 1
+  JOIN trigs g ON g.n = 2 AND lower(a.word) || ' ' || lower(b.word) = g.trig
+),
+n_fired AS (
+  SELECT t.doc_id, t.s, t.e, t.term_id,
+         MAX(CASE WHEN o.label = 1 THEN 1 ELSE 0 END) AS neg_cue,
+         MAX(CASE WHEN o.label = 3 THEN 1 ELSE 0 END) AS pseudo
+  FROM typed t JOIN n_occ o ON o.doc_id = t.doc_id
+  WHERE (o.side = 'left' AND o.trig_end >= t.s - o.win AND o.trig_end < t.s)
+     OR (o.side = 'right' AND o.trig_start > t.e AND o.trig_start <= t.e + o.win)
+  GROUP BY 1, 2, 3, 4
+)
+SELECT t.doc_id, CAST(t.s AS BIGINT) AS tok_start, CAST(t.e AS BIGINT) AS tok_end,
+       tm.term, COALESCE(f.neg_cue = 1 AND f.pseudo = 0, FALSE) AS negated
+FROM typed t
+JOIN terms tm ON tm.term_id = t.term_id
+LEFT JOIN n_fired f ON f.doc_id = t.doc_id AND f.s = t.s AND f.e = t.e
+                   AND f.term_id = t.term_id"""
+    )
+
+
 def analysis_oracles() -> dict[str, str]:
     p = kg_cte_prefix()
     return {
@@ -442,6 +480,7 @@ GROUP BY doc_id, token_idx""",
             synth.POLARITY_BATTERY, "polarity", "mv",
             tie_label=synth.POLARITY_TIE_LABEL,
         ),
+        "tag_negex": negex_oracle_sql(synth.NEGEX_TESTDATA_BATTERY),
         "tag_historical": battery_oracle_sql(
             synth.HISTORICAL_BATTERY, "historical", "or",
             or_label=1, default_label=2,

@@ -107,6 +107,15 @@ POLARITY_BATTERY: list[tuple[str, int, str, str, int]] = [
 ]
 POLARITY_TIE_LABEL = 2  # reference breaks mv ties toward 'affirmative'
 
+# A1 full-NegEx battery over the testdata vocabulary — exercises the
+# pseudo-negation CANCEL path ('slow table' looks like negation via its
+# 'slow' prefix but is the exception phrase) + a right-side definite cue
+NEGEX_TESTDATA_BATTERY: list[tuple[str, int, str, str, int]] = [
+    ("definite_left", 1, "slow", "left", 3),
+    ("definite_right", 1, "fast", "right", 3),
+    ("pseudo_left", 3, "slow table", "left", 3),
+]
+
 # A3 HistoricalTagger battery over the testdata vocabulary — exercises the
 # 'or' reduction path (reference historical.py:167-217: any past-placing
 # cue fires → historical(1); a reject cue alone → 2)
