@@ -95,25 +95,43 @@ def main() -> None:
     }
 
     if os.environ.get("BENCH_SCALING", "1") == "1":
-        scaling = {}
-        for cores in ("8", "32"):
+        # PAIRED rounds: each round measures 8 then 32 cores back-to-back
+        # (fresh JVM each), so a host-steal burst hits BOTH levels of a
+        # round and mostly cancels in the ratio — one level measured long
+        # after the other (the naive layout) lets a noise window land on
+        # only one side and swing "efficiency" by ±0.3.
+        n_rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "3"))
+        env = dict(os.environ, BENCH_SCALING_TRIALS=os.environ.get("BENCH_SCALING_TRIALS", "3"))
+
+        def _run(cores: str) -> dict:
             out = subprocess.run(
                 [sys.executable, os.path.join(HERE, "scripts", "scaling_run.py"),
                  cores, str(SCALING_FACTOR)],
-                capture_output=True, text=True, timeout=1800,
+                capture_output=True, text=True, timeout=1800, env=env,
             )
-            line = out.stdout.strip().splitlines()[-1]
-            scaling[cores] = json.loads(line)
-        result["scaling"] = scaling
-        speedup_best = scaling["8"]["sec"] / scaling["32"]["sec"]
-        result["scaling_speedup_8_to_32"] = round(speedup_best, 3)
-        result["scaling_efficiency"] = round(speedup_best / 4.0, 3)
-        med8 = scaling["8"].get("sec_median", scaling["8"]["sec"])
-        med32 = scaling["32"].get("sec_median", scaling["32"]["sec"])
-        result["scaling_speedup_median"] = round(med8 / med32, 3)
-        result["scaling_efficiency_median"] = round(med8 / med32 / 4.0, 3)
+            return json.loads(out.stdout.strip().splitlines()[-1])
+
+        rounds = []
+        for _ in range(n_rounds):
+            r8 = _run("8")
+            r32 = _run("32")
+            rounds.append({
+                "8": r8, "32": r32,
+                "speedup": round(r8["sec"] / r32["sec"], 3),
+            })
+        ratios = sorted(r["speedup"] for r in rounds)
+        # LOWER median: with an even round count, claim the conservative
+        # middle value rather than the optimistic one
+        med = ratios[(len(ratios) - 1) // 2]
+        best = max(ratios)
+        last8, last32 = rounds[-1]["8"], rounds[-1]["32"]
+        result["scaling"] = {"8": last8, "32": last32, "rounds": rounds}
+        result["scaling_speedup_8_to_32"] = best
+        result["scaling_efficiency"] = round(best / 4.0, 3)
+        result["scaling_speedup_median"] = med
+        result["scaling_efficiency_median"] = round(med / 4.0, 3)
         result["scaling_spread"] = {
-            c: scaling[c].get("spread") for c in scaling
+            "ratio_spread": round(max(ratios) / max(min(ratios), 1e-9), 2)
         }
 
     print(json.dumps(result))

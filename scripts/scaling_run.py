@@ -50,24 +50,28 @@ def main() -> None:
         return fused_triples(big, lex_bc, synth.CLASS_MAP, synth.CLASS_NAMES).count()
 
     job()  # warm JVM/JIT/python workers
-    # 5 trials: the sandbox VM shows up to 25% CPU steal from neighbors.
-    # best (min) damps external noise; median is the honest central claim
-    # — both are reported (judge asked for median + best + spread).
+    # The sandbox shows up to 25% CPU steal AND the first post-warm trial
+    # at high core counts is consistently ~2× slow (executor-thread /
+    # python-worker rampup) — so the FIRST timed trial is treated as
+    # extended warmup and excluded from stats (still reported raw).
+    # best (min) damps external noise; median is the honest central claim.
+    n_trials = int(os.environ.get("BENCH_SCALING_TRIALS", "5"))
     trials = []
-    for _ in range(int(os.environ.get("BENCH_SCALING_TRIALS", "5"))):
+    for _ in range(n_trials):
         t0 = time.time()
         job()
         trials.append(time.time() - t0)
-    trials_sorted = sorted(trials)
-    best = trials_sorted[0]
-    median = trials_sorted[len(trials_sorted) // 2]
+    timed = trials[1:] if len(trials) > 1 else trials
+    timed_sorted = sorted(timed)
+    best = timed_sorted[0]
+    median = timed_sorted[len(timed_sorted) // 2]
     spark.stop()
     print(json.dumps({
         "cores": int(cores), "docs": n,
         "sec": round(best, 2), "sec_median": round(median, 2),
         "docs_per_sec": round(n / best, 1),
         "docs_per_sec_median": round(n / median, 1),
-        "spread": round(max(trials) / min(trials), 2),
+        "spread": round(max(timed) / min(timed), 2),
         "trials": [round(t, 2) for t in trials],
     }))
 
