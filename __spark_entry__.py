@@ -257,8 +257,12 @@ def q_kg_ontology_rank(spark, sf_dir):
 
 
 def q_kg_label_model(spark, sf_dir):
-    """G3 generative label model (EM, non-SQL-expressible → rows-only
-    check): probabilistic token labels from the LF vote matrix."""
+    """G3 generative label model (Dawid-Skene EM over the sparse LF vote
+    matrix).  Oracle-checked since r3: the fit is deterministic-replay
+    (integer-quantized M-step statistics + 9-decimal parameter rounding,
+    label_model.fit_label_model), so the DuckDB oracle replays the SAME
+    3-iteration trajectory CTE-by-CTE (oracle.label_model_oracle_sql);
+    output proba rounds to 6 decimals on both engines."""
     from trove_spark.label_model import fit_label_model, predict_label_model
 
     p = _pipe(spark, sf_dir)
@@ -266,7 +270,7 @@ def q_kg_label_model(spark, sf_dir):
     params = fit_label_model(labels, n_classes=2, n_iter=3, spark=spark)
     return _long(
         predict_label_model(labels, params, spark=spark).select(
-            "doc_id", "token_idx", "y", "proba"
+            "doc_id", "token_idx", "y", F.round("proba", 6).alias("proba")
         ),
         "token_idx",
         "y",
@@ -352,27 +356,31 @@ def q_tag_timex(spark, sf_dir):
 
 
 def q_tag_timedelta(spark, sf_dir):
-    """A9/A10 TimeDelta + doc-time join: normalized timex dates minus a
-    per-document reference date (synthesized deterministically from the
-    doc_id hash — the reference joins each doc's charttime the same way),
-    signed day deltas."""
+    """A8+A9+A10 full timex surface: one ordered-alternation extraction
+    (explicit dates, partial dates, relative expressions, durations),
+    per-kind normalization, and resolution against a per-document
+    reference date (synthesized deterministically from the doc_id hash —
+    the reference joins each doc's charttime the same way): explicit →
+    signed day delta, relative → doc_date + offset, duration → day count."""
     from trove_spark.clinical_fixture import TIMEX_DOCS
-    from trove_spark.timex import day_deltas, extract_dates
+    from trove_spark.timex import day_deltas, extract_timex
 
     docs = spark.createDataFrame(TIMEX_DOCS, schema="doc_id string, text string")
-    dated = extract_dates(docs, "text")
+    tx = extract_timex(docs, "text")
     doc_times = docs.select(
         "doc_id",
         F.expr(
             "date_add(DATE'2020-06-15', CAST(pmod(CAST(conv(substr(md5(doc_id),1,15),16,10) AS BIGINT), 365) AS INT))"
         ).alias("doc_date"),
     )
-    out = day_deltas(dated, doc_times)
+    out = day_deltas(tx, doc_times)
     return out.select(
         "doc_id",
         "expr",
+        "kind",
         F.col("norm_date").cast("string").alias("norm_date"),
         F.col("tdelta_days").cast("long").alias("tdelta_days"),
+        F.col("duration_days").cast("long").alias("duration_days"),
     )
 
 
@@ -401,7 +409,7 @@ def q_tag_polarity(spark, sf_dir):
     p = _pipe(spark, sf_dir)
     out = trigger_battery_tagger(
         p.typed_mentions(),
-        p.tokens(),
+        p.sentences(),
         synth.POLARITY_BATTERY,
         reduction="mv",
         tie_label=synth.POLARITY_TIE_LABEL,
@@ -423,7 +431,7 @@ def q_tag_negex(spark, sf_dir):
     from trove_spark.taggers import negex_tagger
 
     p = _pipe(spark, sf_dir)
-    out = negex_tagger(p.typed_mentions(), p.tokens(), synth.NEGEX_TESTDATA_BATTERY)
+    out = negex_tagger(p.typed_mentions(), p.sentences(), synth.NEGEX_TESTDATA_BATTERY)
     return _long(
         out.select("doc_id", "tok_start", "tok_end", "term", "negated"),
         "tok_start",
@@ -441,11 +449,10 @@ def q_tag_historical(spark, sf_dir):
     p = _pipe(spark, sf_dir)
     out = trigger_battery_tagger(
         p.typed_mentions(),
-        p.tokens(),
+        p.sentences(),
         synth.HISTORICAL_BATTERY,
         reduction="or",
         or_label=1,
-        default_label=2,
         prop_col="historical",
     )
     return _long(
@@ -453,6 +460,71 @@ def q_tag_historical(spark, sf_dir):
         "tok_start",
         "tok_end",
         "historical",
+    )
+
+
+def q_tag_hypothetical(spark, sf_dir):
+    """A4 HypotheticalTagger shape: speculative cues vote 1, reject cues
+    vote 2, 'or' reduction — reject-only votes leave the prop unset
+    (reference hypothetical.py:12-81 `if 1 in L` semantics)."""
+    from trove_spark import synth
+    from trove_spark.taggers import trigger_battery_tagger
+
+    p = _pipe(spark, sf_dir)
+    out = trigger_battery_tagger(
+        p.typed_mentions(),
+        p.sentences(),
+        synth.HYPOTHETICAL_BATTERY,
+        reduction="or",
+        or_label=1,
+        prop_col="hypothetical",
+    )
+    return _long(
+        out.select("doc_id", "tok_start", "tok_end", "term", "hypothetical"),
+        "tok_start",
+        "tok_end",
+        "hypothetical",
+    )
+
+
+def q_tag_family(spark, sf_dir):
+    """A5 FamilyTagger shape: subject cues anywhere in the sentence
+    ('sentence' scope), 'or' reduction on family(2)."""
+    from trove_spark import synth
+    from trove_spark.taggers import trigger_battery_tagger
+
+    p = _pipe(spark, sf_dir)
+    out = trigger_battery_tagger(
+        p.typed_mentions(),
+        p.sentences(),
+        synth.FAMILY_BATTERY,
+        reduction="or",
+        or_label=2,
+        prop_col="subject",
+    )
+    return _long(
+        out.select("doc_id", "tok_start", "tok_end", "term", "subject"),
+        "tok_start",
+        "tok_end",
+        "subject",
+    )
+
+
+def q_tag_laterality(spark, sf_dir):
+    """A6 LateralityTagger: closest-cue resolution (in-span first, then
+    nearest left-window token), broadcast cue map, min-struct agg."""
+    from trove_spark import synth
+    from trove_spark.taggers import laterality_tagger
+
+    p = _pipe(spark, sf_dir)
+    out = laterality_tagger(
+        p.typed_mentions(), p.tokens(), window=3,
+        lat_map=synth.LATERALITY_MAP_TESTDATA,
+    )
+    return _long(
+        out.select("doc_id", "tok_start", "tok_end", "term", "laterality"),
+        "tok_start",
+        "tok_end",
     )
 
 
@@ -742,16 +814,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries — the driver harness checks at most 50 rows
+    (observed in CORRECTNESS_r02: 3 registered green queries silently
+    dropped past the cap), so strict-duplicate shapes are trimmed rather
+    than risk silently unchecked operators: kg_mentions ⊂
+    kg_mentions_longest (same kernel, is_longest filter), kg_typed_mentions
+    ⊂ kg_linked, tag_negation ⊂ tag_negex, dedup_minhash_sigs ⊂
+    dedup_minhash_lsh_pairs, tag_timex ⊂ tag_timedelta, kg_remap (G4,
+    pytest-covered).  The trimmed callables remain importable + tested."""
     return {
         "kg_tokens": q_kg_tokens,
         "kg_tokens_clinical": q_kg_tokens_clinical,
-        "kg_mentions": q_kg_mentions,
         "kg_mentions_longest": q_kg_mentions_longest,
         "kg_lf_votes": q_kg_lf_votes,
         "kg_majority_vote": q_kg_majority_vote,
         "kg_soft_votes": q_kg_soft_votes,
-        "kg_remap": q_kg_remap,
-        "kg_typed_mentions": q_kg_typed_mentions,
         "kg_linked": q_kg_linked,
         "kg_triples": q_kg_triples,
         "kg_fused_triples": q_kg_fused_triples,
@@ -759,18 +836,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_coverage_stats": q_kg_coverage_stats,
         "kg_lf_summary": q_kg_lf_summary,
         "kg_ontology_rank": q_kg_ontology_rank,
-        "kg_label_model": q_kg_label_model,  # rows-only (EM, non-SQL)
+        "kg_label_model": q_kg_label_model,
         "kg_lf_accuracy": q_kg_lf_accuracy,
         "kg_confusion": q_kg_confusion,
         "seq_tags": q_seq_tags,
         "kg_abbrev_labels": q_kg_abbrev_labels,
-        "tag_timex": q_tag_timex,
         "tag_timedelta": q_tag_timedelta,
         "tag_sessions": q_tag_sessions,
         "tag_relations": q_tag_relations,
-        "tag_negation": q_tag_negation,
         "tag_polarity": q_tag_polarity,
         "tag_historical": q_tag_historical,
+        "tag_hypothetical": q_tag_hypothetical,
+        "tag_family": q_tag_family,
+        "tag_laterality": q_tag_laterality,
         "tag_negex": q_tag_negex,
         "kg_unipolar": q_kg_unipolar,
         "rel_agg_pricing": q_rel_agg_pricing,
@@ -785,7 +863,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_sql_interface": q_rel_sql_interface,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
-        "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -807,14 +884,17 @@ def oracle_sql() -> dict[str, str]:
         relational_oracles,
     )
 
+    from trove_spark.oracle import label_model_oracle_sql
+
     p = kg_cte_prefix()
     out = extras_oracles()
     out.update(analysis_oracles())
     out.update(relational_oracles())
     out.update(clinical_oracles())
-    # only kg_label_model has no oracle (iterative EM is not
-    # SQL-expressible); every other query is oracle-checked
+    # every registered query is oracle-checked — including kg_label_model,
+    # whose deterministic-replay EM is replayed iteration-by-iteration
     out.update({
+        "kg_label_model": label_model_oracle_sql(n_iter=3),
         # sent_idx pinned to 0: the testdata corpus is single-sentence by
         # construction; a multi-sentence corpus turns these rows red
         # (detectable) instead of silently colliding token keys

@@ -2,9 +2,10 @@
 """Benchmark harness (driver contract).
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line: {"metric", "value" (total sec), "unit", "queries" {name: sec},
-"sf", ...}.
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE COMPACT
+JSON line: {"metric", "value" (total sec), "unit", "queries" {name: sec},
+"sf", ...} — trial-level scaling detail goes to BENCH_SCALING_DETAIL.json
+(the r2 line embedded it and outgrew the driver's tail capture).
 
 Two pipeline physical plans are timed:
   * staged  — every operator its own DataFrame (kg_* queries, oracle path)
@@ -12,16 +13,24 @@ Two pipeline physical plans are timed:
               (trove_spark.fused; the 100TB plan) — also the flagship
               docs/s number.
 
-Scaling (north rule: N vs 4N parallelism on the SAME input) runs each
-level in its OWN subprocess (fresh JVM; in-process master switching is
-unreliable) via scripts/scaling_run.py, best-of-3 to damp the sandbox's
-CPU-steal noise.  Disable with BENCH_SCALING=0.
+Scaling (north rule: N vs 4N parallelism on the SAME input) measures
+cores 4 vs 16, each level in its OWN subprocess (fresh JVM) that PINS
+itself to exactly that many CPUs (scripts/scaling_run.py): unpinned, a
+local[N] JVM leaks GC/shuffle/Arrow/python-worker threads onto the idle
+cores, inflating the small-cluster baseline (r2's 0.50 "efficiency" was
+largely this), and demanding all 32 vCPUs at once runs into hypervisor
+throttling that caps ANY job's 8→32 ratio near 2×.  4 vs 16 keeps half
+the box idle as steal headroom while still measuring N→4N.  The first
+timed trial per level is warmup-excluded; the HEADLINE speedup/efficiency
+keys are MEDIAN-based (best-case under *_best).  Disable with
+BENCH_SCALING=0.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -32,6 +41,8 @@ sys.path.insert(0, HERE)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 SCALING_FACTOR = int(os.environ.get("BENCH_SCALING_FACTOR", "160"))  # 800k docs
+SMALL = int(os.environ.get("BENCH_SCALING_SMALL", "4"))
+BIG = int(os.environ.get("BENCH_SCALING_BIG", "16"))
 
 HEADLINE = [
     "kg_tokens",
@@ -95,44 +106,57 @@ def main() -> None:
     }
 
     if os.environ.get("BENCH_SCALING", "1") == "1":
-        # PAIRED rounds: each round measures 8 then 32 cores back-to-back
-        # (fresh JVM each), so a host-steal burst hits BOTH levels of a
-        # round and mostly cancels in the ratio — one level measured long
-        # after the other (the naive layout) lets a noise window land on
-        # only one side and swing "efficiency" by ±0.3.
-        n_rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "3"))
-        env = dict(os.environ, BENCH_SCALING_TRIALS=os.environ.get("BENCH_SCALING_TRIALS", "3"))
+        n_rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "1"))
+        env = dict(
+            os.environ,
+            BENCH_SCALING_TRIALS=os.environ.get("BENCH_SCALING_TRIALS", "4"),
+        )
 
-        def _run(cores: str) -> dict:
+        def _run(cores: int) -> dict:
             out = subprocess.run(
                 [sys.executable, os.path.join(HERE, "scripts", "scaling_run.py"),
-                 cores, str(SCALING_FACTOR)],
-                capture_output=True, text=True, timeout=1800, env=env,
+                 str(cores), str(SCALING_FACTOR)],
+                capture_output=True, text=True, timeout=3600, env=env,
             )
             return json.loads(out.stdout.strip().splitlines()[-1])
 
-        rounds = []
+        rounds, small_timed, big_timed = [], [], []
         for _ in range(n_rounds):
-            r8 = _run("8")
-            r32 = _run("32")
-            rounds.append({
-                "8": r8, "32": r32,
-                "speedup": round(r8["sec"] / r32["sec"], 3),
-            })
-        ratios = sorted(r["speedup"] for r in rounds)
-        # LOWER median: with an even round count, claim the conservative
-        # middle value rather than the optimistic one
-        med = ratios[(len(ratios) - 1) // 2]
-        best = max(ratios)
-        last8, last32 = rounds[-1]["8"], rounds[-1]["32"]
-        result["scaling"] = {"8": last8, "32": last32, "rounds": rounds}
-        result["scaling_speedup_8_to_32"] = best
-        result["scaling_efficiency"] = round(best / 4.0, 3)
-        result["scaling_speedup_median"] = med
-        result["scaling_efficiency_median"] = round(med / 4.0, 3)
-        result["scaling_spread"] = {
-            "ratio_spread": round(max(ratios) / max(min(ratios), 1e-9), 2)
+            rs = _run(SMALL)
+            rb = _run(BIG)
+            rounds.append({"small": rs, "big": rb})
+            small_timed.extend(rs["trials"][1:])
+            big_timed.extend(rb["trials"][1:])
+
+        med_s, med_b = statistics.median(small_timed), statistics.median(big_timed)
+        best_s, best_b = min(small_timed), min(big_timed)
+        n_scale_docs = rounds[-1]["big"]["docs"]
+        speedup_med = round(med_s / med_b, 3)
+        speedup_best = round(best_s / best_b, 3)
+        ratio = BIG / SMALL
+        # compact contract-line summary; full trials → side file
+        result["scaling"] = {
+            "cores": [SMALL, BIG],
+            "docs": n_scale_docs,
+            "sec_median": [round(med_s, 2), round(med_b, 2)],
+            "sec_best": [round(best_s, 2), round(best_b, 2)],
+            "docs_per_sec_median": [
+                round(n_scale_docs / med_s, 1), round(n_scale_docs / med_b, 1)
+            ],
         }
+        # HEADLINE keys are the MEDIAN claim; best-case under *_best
+        result["scaling_speedup"] = speedup_med
+        result["scaling_efficiency"] = round(speedup_med / ratio, 3)
+        result["scaling_speedup_best"] = speedup_best
+        result["scaling_efficiency_best"] = round(speedup_best / ratio, 3)
+        result["scaling_spread"] = round(
+            (max(small_timed) / min(small_timed))
+            * (max(big_timed) / min(big_timed)), 2,
+        )
+        detail_path = os.path.join(HERE, "BENCH_SCALING_DETAIL.json")
+        with open(detail_path, "w") as f:
+            json.dump({"factor": SCALING_FACTOR, "rounds": rounds}, f, indent=1)
+        result["scaling_detail_file"] = os.path.basename(detail_path)
 
     print(json.dumps(result))
 

@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Lexicon-at-scale proof (VERDICT r2 #6): build a synthetic N-term
+lexicon through the real build path (filters → interned-token automaton)
+and measure driver build time + broadcast pickle size.
+
+`python scripts/lexicon_scale.py [n_terms ...]` — prints one JSON line
+per size: {"terms", "build_sec", "pickle_mb", "nodes", "vocab"}.
+The pickle size IS the broadcast cost (sc.broadcast pickles once); no
+Spark session needed to measure it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from trove_spark.lexicon import LexiconFilters, build_lexicon  # noqa: E402
+
+
+def synthetic_concepts(n_terms: int, seed: int = 7, n_words: int = 20000):
+    """UMLS-shaped (sab, tui, cui, term) rows: zipf-ish reuse of a shared
+    word vocabulary, 60% unigrams / 30% bigrams / 10% trigrams (real UMLS
+    skews multi-token; token INTERNING is what the automaton banks on)."""
+    rng = random.Random(seed)
+    words = [f"w{i}" for i in range(n_words)]
+    rows = []
+    for i in range(n_terms):
+        r = rng.random()
+        k = 1 if r < 0.6 else (2 if r < 0.9 else 3)
+        term = " ".join(rng.choice(words) for _ in range(k))
+        rows.append(
+            (f"SAB{i % 7}", f"T{i % 40:03d}", f"C{i:07d}", term)
+        )
+    return rows
+
+
+def measure(n_terms: int) -> dict:
+    rows = synthetic_concepts(n_terms)
+    class_map = {f"T{i:03d}": (i % 5) + 1 for i in range(40)}
+    t0 = time.time()
+    lex = build_lexicon(rows, class_map, LexiconFilters(max_tok_len=8))
+    build_sec = time.time() - t0
+    t0 = time.time()
+    blob = pickle.dumps(lex, protocol=pickle.HIGHEST_PROTOCOL)
+    pickle_sec = time.time() - t0
+    return {
+        "terms": len(lex.terms),
+        "build_sec": round(build_sec, 2),
+        "pickle_sec": round(pickle_sec, 2),
+        "pickle_mb": round(len(blob) / 1e6, 1),
+        "bytes_per_term": round(len(blob) / max(len(lex.terms), 1), 1),
+        "nodes": lex.automaton.n_nodes,
+        "vocab": len(lex.automaton.vocab),
+    }
+
+
+if __name__ == "__main__":
+    sizes = [int(a) for a in sys.argv[1:]] or [100_000, 1_000_000]
+    for n in sizes:
+        print(json.dumps(measure(n)))

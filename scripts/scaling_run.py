@@ -3,7 +3,15 @@
 (`python scripts/scaling_run.py <cores> [factor]`) so each parallelism
 level gets a fresh JVM (in-process master switching is unreliable).
 
-Prints one JSON line: {"cores", "docs", "sec", "docs_per_sec"}.
+The process pins itself (sched_setaffinity, inherited by the JVM and
+python workers) to exactly <cores> CPUs: without pinning, a local[8] JVM
+leaks GC/shuffle/Arrow threads onto the other 24 idle cores and the
+"8-core" run consumes well over 8 cores of CPU, silently inflating the
+small-cluster baseline and destroying the measured scaling ratio (the
+r2 driver artifact's 0.50 "efficiency" was largely this).  Pinning also
+leaves the remaining cores as headroom that absorbs host steal.
+
+Prints one JSON line: {"cores", "docs", "sec", "sec_median", ...}.
 The corpus is the sf0.1 documents table replicated ``factor``× with
 remapped doc_ids — same input for every core count, big enough that
 kernel compute (not fixed stage overhead) dominates.
@@ -23,6 +31,11 @@ def main() -> None:
     cores = sys.argv[1] if len(sys.argv) > 1 else "32"
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    try:
+        os.sched_setaffinity(0, set(range(int(cores))))
+    except (AttributeError, OSError):
+        pass  # non-Linux / restricted: run unpinned
 
     from pyspark.sql import functions as F
 
@@ -51,10 +64,10 @@ def main() -> None:
 
     job()  # warm JVM/JIT/python workers
     # The sandbox shows up to 25% CPU steal AND the first post-warm trial
-    # at high core counts is consistently ~2× slow (executor-thread /
+    # at high core counts is consistently slow (executor-thread /
     # python-worker rampup) — so the FIRST timed trial is treated as
     # extended warmup and excluded from stats (still reported raw).
-    # best (min) damps external noise; median is the honest central claim.
+    # median is the honest central claim; best (min) damps external noise.
     n_trials = int(os.environ.get("BENCH_SCALING_TRIALS", "5"))
     trials = []
     for _ in range(n_trials):

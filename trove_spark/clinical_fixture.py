@@ -45,6 +45,13 @@ TIMEX_DOCS: list[tuple[str, str]] = [
     ("t3", "clinic visit 3/4/21 noted"),
     ("t4", "no explicit dates mentioned here"),
     ("t5", "bad date 13/45/2020 kept as span"),
+    # relative / duration / partial-date battery (A8 depth, r3)
+    ("t6", "symptoms started 3 days ago and worsened 2 weeks ago"),
+    ("t7", "follow up in 5 days and again 1 month from now"),
+    ("t8", "seen yesterday and returns tomorrow not today"),
+    ("t9", "last month was stable but next year needs review"),
+    ("t10", "treated for 10 days with antibiotics since March 2020"),
+    ("t11", "initial injury in 2019 reported 6 months ago"),
 ]
 
 # L8 Schwartz-Hearst fixture: mined '(long form ( SF )' definitions label

@@ -108,6 +108,9 @@ def _collect_scores(scored: DataFrame) -> DataFrame:
     )
 
 
+QUANTIZE_SCALE = 1_000_000_000  # E-step responsibilities → integer quanta
+
+
 def fit_label_model(
     labels: DataFrame,
     n_classes: int,
@@ -115,7 +118,16 @@ def fit_label_model(
     smoothing: float = 1.0,
     spark=None,
 ) -> LabelModelParams:
-    """EM fit; labels must be cached by the caller (it is scanned 2×/round)."""
+    """EM fit; labels must be cached by the caller (it is scanned 2×/round).
+
+    DETERMINISTIC REPLAY: the M-step sufficient statistics are sums of
+    millions of doubles whose addition order Spark does not fix — so raw
+    float sums differ run-to-run (and engine-to-engine) in the low bits.
+    Responsibilities are therefore quantized to integer 1e-9 quanta before
+    summing (BIGINT sums are order-independent and exact) and the re-
+    estimated θ/π are rounded to 9 decimals: fixed data + fixed n_iter →
+    bit-identical parameters on every run, which is what lets the DuckDB
+    oracle replicate the whole fit (oracle.label_model_oracle_sql)."""
     spark = spark or labels.sparkSession
     classes = list(range(1, n_classes + 1))
     lf_ids = [r["lf_id"] for r in labels.select("lf_id").distinct().collect()]
@@ -129,31 +141,42 @@ def fit_label_model(
         prior={y: 1.0 / n_classes for y in classes},
     )
     for _ in range(n_iter):
-        gamma = _e_step(labels, params, spark)
+        gq = _e_step(labels, params, spark).withColumn(
+            "q", F.round(F.col("gamma") * QUANTIZE_SCALE).cast("long")
+        )
         stats = (
-            labels.join(gamma, TOKEN_KEY)
+            labels.join(gq, TOKEN_KEY)
             .groupBy("lf_id", "label", "y_hyp")
-            .agg(F.sum("gamma").alias("w"))
+            .agg(F.sum("q").alias("wq"))
             .collect()
         )
-        prior_stats = gamma.groupBy("y_hyp").agg(F.sum("gamma").alias("w")).collect()
+        prior_stats = gq.groupBy("y_hyp").agg(F.sum("q").alias("wq")).collect()
         # M-step on the driver (tiny)
         acc: dict[int, dict[int, dict[int, float]]] = {
             lf: {v: {y: smoothing for y in classes} for v in classes} for lf in lf_ids
         }
         for r in stats:
             if r["label"] in acc.get(r["lf_id"], {}):
-                acc[r["lf_id"]][r["label"]][r["y_hyp"]] += r["w"]
+                acc[r["lf_id"]][r["label"]][r["y_hyp"]] += r["wq"] / QUANTIZE_SCALE
         for lf in lf_ids:
             for y in classes:
                 tot = sum(acc[lf][v][y] for v in classes)
                 for v in classes:
-                    acc[lf][v][y] = acc[lf][v][y] / tot if tot > 0 else 1.0 / n_classes
-        total = sum(r["w"] for r in prior_stats) or 1.0
+                    acc[lf][v][y] = (
+                        round(acc[lf][v][y] / tot, 9) if tot > 0 else 1.0 / n_classes
+                    )
+        total = sum(r["wq"] for r in prior_stats) / QUANTIZE_SCALE or 1.0
         params = LabelModelParams(
             n_classes=n_classes,
             theta=acc,
-            prior={r["y_hyp"]: (r["w"] + smoothing) / (total + smoothing * n_classes) for r in prior_stats},
+            prior={
+                r["y_hyp"]: round(
+                    (r["wq"] / QUANTIZE_SCALE + smoothing)
+                    / (total + smoothing * n_classes),
+                    9,
+                )
+                for r in prior_stats
+            },
         )
     return params
 

@@ -285,23 +285,47 @@ FROM g""",
     }
 
 
+def _trigger_occ_sql(max_n: int) -> str:
+    """Trigger-occurrence CTE body GENERATED up to the battery's actual
+    max n-gram width (mirrors _grams_union_sql): adding a 4-token trigger
+    moves the oracle automatically instead of silently under-matching."""
+    parts = [
+        "  SELECT t.doc_id, t.tok AS trig_start, t.tok AS trig_end,\n"
+        "         g.lf_id, g.label, g.side, g.win\n"
+        "  FROM toks t JOIN trigs g ON g.n = 1 AND lower(t.word) = g.trig"
+    ]
+    for n in range(2, max_n + 1):
+        joins = "\n".join(
+            f"  JOIN toks t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.tok = t0.tok + {i}"
+            for i in range(1, n)
+        )
+        concat = " || ' ' || ".join(f"lower(t{i}.word)" for i in range(n))
+        parts.append(
+            f"  SELECT t0.doc_id, t0.tok, t{n - 1}.tok, g.lf_id, g.label, g.side, g.win\n"
+            f"  FROM toks t0\n{joins}\n"
+            f"  JOIN trigs g ON g.n = {n} AND {concat} = g.trig"
+        )
+    return "\n  UNION ALL\n".join(parts)
+
+
 def battery_oracle_sql(
     battery: list[tuple[str, int, str, str, int]],
     prop: str,
     reduction: str = "mv",
     tie_label: int = 2,
     or_label: int = 1,
-    default_label: int = 2,
 ) -> str:
     """A2-A5 trigger-battery tagger oracle — GENERATED from the same
-    battery config the Spark engine broadcasts: trigger occurrences
-    (uni+bigram) joined into each mention's directional window, one vote
-    per LF, then the configured reduction ('mv' with tie→tie_label, or
-    'or' with or_label/default_label)."""
+    battery config the Spark engine broadcasts: trigger occurrences (CTE
+    generated to the battery's max n-gram width) joined into each
+    mention's directional window, one vote per LF, then the configured
+    reduction ('mv' with tie→tie_label, or 'or' → or_label iff any LF
+    voted it, else NULL — the reference's unset-prop path)."""
     trig_rows = [
         (i, lbl, trig.lower(), side, window, len(trig.split()))
         for i, (_name, lbl, trig, side, window) in enumerate(battery)
     ]
+    max_n = max(r[5] for r in trig_rows)
     if reduction == "mv":
         reduce_sql = f"""
 p_counts AS (
@@ -317,24 +341,20 @@ p_red AS (
   GROUP BY doc_id, s, e, term_id
 )"""
     else:
+        # no ELSE branch: votes that never equal or_label → NULL (the
+        # reference leaves the property unset in that case)
         reduce_sql = f"""
 p_red AS (
   SELECT doc_id, s, e, term_id,
-         CAST(CASE WHEN MAX(CASE WHEN label = {or_label} THEN 1 ELSE 0 END) = 1
-              THEN {or_label} ELSE {default_label} END AS BIGINT) AS {prop}
+         CASE WHEN MAX(CASE WHEN label = {or_label} THEN 1 ELSE 0 END) = 1
+              THEN CAST({or_label} AS BIGINT) END AS {prop}
   FROM p_votes GROUP BY 1, 2, 3, 4
 )"""
     return (
         kg_cte_prefix()
         + f""", {_values(trig_rows, "trigs", "lf_id, label, trig, side, win, n")},
 p_occ AS (
-  SELECT t.doc_id, t.tok AS trig_start, t.tok AS trig_end,
-         g.lf_id, g.label, g.side, g.win
-  FROM toks t JOIN trigs g ON g.n = 1 AND lower(t.word) = g.trig
-  UNION ALL
-  SELECT a.doc_id, a.tok, b.tok, g.lf_id, g.label, g.side, g.win
-  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.tok = a.tok + 1
-  JOIN trigs g ON g.n = 2 AND lower(a.word) || ' ' || lower(b.word) = g.trig
+{_trigger_occ_sql(max_n)}
 ),
 p_votes AS (
   SELECT DISTINCT t.doc_id, t.s, t.e, t.term_id, o.lf_id, o.label
@@ -353,64 +373,101 @@ LEFT JOIN p_red m ON m.doc_id = t.doc_id AND m.s = t.s AND m.e = t.e
     )
 
 
-def _timex_oracle_sql() -> str:
-    """A8 oracle: the SAME extraction regex (timex._DATE_RE) run by DuckDB
-    RE2, normalized with per-format try_strptime fallbacks mirroring the
-    engine's try_to_date chain."""
+def _timex_base_sql() -> str:
+    """Shared A8 CTE chain: one ordered-alternation extraction (the SAME
+    timex._TIMEX_RE — RE2 and Java regex both scan leftmost-first, so
+    both engines consume identical spans), kind classification, magnitude
+    parsing, and explicit-date normalization with per-format
+    try_strptime fallbacks mirroring the engine's try_to_date chain."""
     from .clinical_fixture import TIMEX_DOCS
-    from .timex import _DATE_RE
+    from .timex import _TIMEX_RE
 
-    pat = _DATE_RE.replace("'", "''")
-    return f"""
-WITH {_values(list(TIMEX_DOCS), "d", "doc_id, text")},
-x AS (SELECT doc_id, unnest(regexp_extract_all(text, '{pat}', 1)) AS expr FROM d)
-SELECT doc_id, expr,
-       CAST(CAST(COALESCE(
-         try_strptime(expr, '%Y-%m-%d'),
-         -- DuckDB %Y leniently accepts 2-digit years (0021-03-04), so the
-         -- 2-digit form must be dispatched by shape, not by fallback order
-         CASE WHEN regexp_matches(expr, '^\\d{{1,2}}/\\d{{1,2}}/\\d{{2}}$')
-              THEN try_strptime(expr, '%m/%d/%y')
-              ELSE try_strptime(expr, '%m/%d/%Y') END,
-         try_strptime(expr, '%m-%d-%Y'),
-         try_strptime(expr, '%B %d, %Y'),
-         try_strptime(expr, '%d %b %Y')
-       ) AS DATE) AS VARCHAR) AS norm_date
-FROM x"""
-
-
-def _timedelta_oracle_sql() -> str:
-    """A9/A10 oracle: the timex extraction CTE joined to the same
-    hash-derived per-doc reference date (portable md5-60bit hash)."""
-    from .clinical_fixture import TIMEX_DOCS
-    from .timex import _DATE_RE
-
-    pat = _DATE_RE.replace("'", "''")
+    pat = _TIMEX_RE.replace("'", "''")
     return f"""
 WITH {_values(list(TIMEX_DOCS), "d", "doc_id, text")},
 x AS (SELECT doc_id, unnest(regexp_extract_all(text, '{pat}', 1)) AS expr FROM d),
-nd AS (
+k AS (
   SELECT doc_id, expr,
-         CAST(COALESCE(
+         CASE WHEN regexp_matches(expr, '^for ') THEN 'duration'
+              WHEN regexp_matches(expr, '(ago|from now)$')
+                OR regexp_matches(expr, '^in [0-9]')
+                OR regexp_matches(expr, '^(last|next) ')
+                OR regexp_matches(expr, '^(yesterday|today|tomorrow)$')
+              THEN 'relative'
+              ELSE 'explicit' END AS kind,
+         try_cast(regexp_extract(expr, '([0-9]+)', 1) AS INT) AS n,
+         CASE WHEN regexp_matches(expr, 'day') THEN 1
+              WHEN regexp_matches(expr, 'week') THEN 7
+              WHEN regexp_matches(expr, 'month') THEN 30
+              WHEN regexp_matches(expr, 'year') THEN 365 END AS unit
+  FROM x
+),
+nd AS (
+  SELECT doc_id, expr, kind,
+         CASE WHEN kind = 'explicit' THEN CAST(COALESCE(
            try_strptime(expr, '%Y-%m-%d'),
+           -- DuckDB %Y leniently accepts 2-digit years (0021-03-04), so
+           -- the 2-digit form is dispatched by shape, not fallback order
            CASE WHEN regexp_matches(expr, '^\\d{{1,2}}/\\d{{1,2}}/\\d{{2}}$')
                 THEN try_strptime(expr, '%m/%d/%y')
                 ELSE try_strptime(expr, '%m/%d/%Y') END,
            try_strptime(expr, '%m-%d-%Y'),
            try_strptime(expr, '%B %d, %Y'),
-           try_strptime(expr, '%d %b %Y')
-         ) AS DATE) AS norm_date
-  FROM x
-),
+           try_strptime(expr, '%d %b %Y'),
+           CASE WHEN regexp_matches(expr, '^[A-Za-z]+ [0-9]{{4}}$')
+                THEN try_strptime(expr, '%B %Y') END,
+           CASE WHEN regexp_matches(expr, '^(19|20)[0-9]{{2}}$')
+                THEN try_strptime(expr, '%Y') END
+         ) AS DATE) END AS norm_date,
+         CASE WHEN kind = 'relative' THEN CAST(
+           CASE WHEN expr = 'yesterday' THEN -1
+                WHEN expr = 'today' THEN 0
+                WHEN expr = 'tomorrow' THEN 1
+                WHEN regexp_matches(expr, 'ago$')
+                  OR regexp_matches(expr, '^last ')
+                THEN -(COALESCE(n, 1) * unit)
+                ELSE COALESCE(n, 1) * unit END AS BIGINT) END AS offset_days,
+         CASE WHEN kind = 'duration'
+              THEN CAST(COALESCE(n, 1) * unit AS BIGINT) END AS duration_days
+  FROM k
+)"""
+
+
+def _timex_oracle_sql() -> str:
+    """A8 explicit-date view (the original tag_timex surface)."""
+    return (
+        _timex_base_sql()
+        + """
+SELECT doc_id, expr, CAST(norm_date AS VARCHAR) AS norm_date
+FROM nd WHERE kind = 'explicit'"""
+    )
+
+
+def _timedelta_oracle_sql() -> str:
+    """A9/A10 oracle: every timex resolved against the same hash-derived
+    per-doc reference date (portable md5-60bit hash): explicit → date
+    diff, relative → doc_date + offset, duration → day count only."""
+    return (
+        _timex_base_sql()
+        + f""",
 dt AS (
   SELECT doc_id,
          DATE '2020-06-15' + CAST(
            {_H60.format(x="doc_id")} % 365 AS INT) AS doc_date
   FROM d
+),
+res AS (
+  SELECT nd.doc_id, nd.expr, nd.kind, nd.duration_days,
+         CASE WHEN nd.kind = 'relative'
+              THEN dt.doc_date + CAST(nd.offset_days AS INT)
+              ELSE nd.norm_date END AS norm_date,
+         dt.doc_date
+  FROM nd JOIN dt ON dt.doc_id = nd.doc_id
 )
-SELECT nd.doc_id, nd.expr, CAST(nd.norm_date AS VARCHAR) AS norm_date,
-       CAST(nd.norm_date - dt.doc_date AS BIGINT) AS tdelta_days
-FROM nd JOIN dt ON dt.doc_id = nd.doc_id"""
+SELECT doc_id, expr, kind, CAST(norm_date AS VARCHAR) AS norm_date,
+       CAST(norm_date - doc_date AS BIGINT) AS tdelta_days, duration_days
+FROM res"""
+    )
 
 
 def _abbrev_oracle_sql() -> str:
@@ -430,39 +487,174 @@ FROM g"""
 
 def negex_oracle_sql(battery: list[tuple[str, int, str, str, int]]) -> str:
     """A1 full-NegEx oracle: trigger occurrences in directional windows;
-    negated ⇔ a definite/probable cue (label 1) fired AND no pseudo
-    phrase (label 3) fired."""
+    a cue occurrence is cancelled iff its token span is CONTAINED in a
+    pseudo-negation (label 3) occurrence — Chapman's per-phrase exception
+    semantics; negated ⇔ any surviving cue fires in the window."""
     trig_rows = [
         (i, lbl, trig.lower(), side, window, len(trig.split()))
         for i, (_name, lbl, trig, side, window) in enumerate(battery)
     ]
+    max_n = max(r[5] for r in trig_rows)
     return (
         kg_cte_prefix()
         + f""", {_values(trig_rows, "trigs", "lf_id, label, trig, side, win, n")},
 n_occ AS (
-  SELECT t.doc_id, t.tok AS trig_start, t.tok AS trig_end,
-         g.lf_id, g.label, g.side, g.win
-  FROM toks t JOIN trigs g ON g.n = 1 AND lower(t.word) = g.trig
-  UNION ALL
-  SELECT a.doc_id, a.tok, b.tok, g.lf_id, g.label, g.side, g.win
-  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.tok = a.tok + 1
-  JOIN trigs g ON g.n = 2 AND lower(a.word) || ' ' || lower(b.word) = g.trig
+{_trigger_occ_sql(max_n)}
+),
+n_live AS (
+  SELECT n.* FROM n_occ n
+  WHERE n.label != 3 AND NOT EXISTS (
+    SELECT 1 FROM n_occ p
+    WHERE p.label = 3 AND p.doc_id = n.doc_id
+      AND p.trig_start <= n.trig_start AND p.trig_end >= n.trig_end)
 ),
 n_fired AS (
-  SELECT t.doc_id, t.s, t.e, t.term_id,
-         MAX(CASE WHEN o.label = 1 THEN 1 ELSE 0 END) AS neg_cue,
-         MAX(CASE WHEN o.label = 3 THEN 1 ELSE 0 END) AS pseudo
-  FROM typed t JOIN n_occ o ON o.doc_id = t.doc_id
+  SELECT t.doc_id, t.s, t.e, t.term_id, 1 AS neg_cue
+  FROM typed t JOIN n_live o ON o.doc_id = t.doc_id
   WHERE (o.side = 'left' AND o.trig_end >= t.s - o.win AND o.trig_end < t.s)
      OR (o.side = 'right' AND o.trig_start > t.e AND o.trig_start <= t.e + o.win)
   GROUP BY 1, 2, 3, 4
 )
 SELECT t.doc_id, CAST(t.s AS BIGINT) AS tok_start, CAST(t.e AS BIGINT) AS tok_end,
-       tm.term, COALESCE(f.neg_cue = 1 AND f.pseudo = 0, FALSE) AS negated
+       tm.term, COALESCE(f.neg_cue = 1, FALSE) AS negated
 FROM typed t
 JOIN terms tm ON tm.term_id = t.term_id
 LEFT JOIN n_fired f ON f.doc_id = t.doc_id AND f.s = t.s AND f.e = t.e
                    AND f.term_id = t.term_id"""
+    )
+
+
+def laterality_oracle_sql(lat_map: dict[str, str], window: int = 3) -> str:
+    """A6 closest-cue laterality oracle: in-span cues at distance 0, else
+    nearest left-window cue; tie-break (dist, lat_idx, norm) mirrors the
+    engine's min-struct agg."""
+    lat_rows = sorted(lat_map.items())
+    return (
+        kg_cte_prefix()
+        + f""", {_values(lat_rows, "lat", "w, norm")},
+l_occ AS (
+  SELECT t.doc_id, t.tok AS lat_idx, lv.norm
+  FROM toks t JOIN lat lv ON lower(t.word) = lv.w
+),
+l_scored AS (
+  SELECT t.doc_id, t.s, t.e, t.term_id, o.norm, o.lat_idx,
+         CASE WHEN o.lat_idx BETWEEN t.s AND t.e THEN 0
+              ELSE t.s - o.lat_idx END AS dist
+  FROM typed t JOIN l_occ o ON o.doc_id = t.doc_id
+  WHERE (o.lat_idx BETWEEN t.s AND t.e)
+     OR (o.lat_idx < t.s AND o.lat_idx >= t.s - {window})
+),
+l_best AS (
+  SELECT doc_id, s, e, term_id, norm FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, s, e, term_id
+                                 ORDER BY dist, lat_idx, norm) AS rn
+    FROM l_scored) WHERE rn = 1
+)
+SELECT t.doc_id, CAST(t.s AS BIGINT) AS tok_start, CAST(t.e AS BIGINT) AS tok_end,
+       tm.term, b.norm AS laterality
+FROM typed t
+JOIN terms tm ON tm.term_id = t.term_id
+LEFT JOIN l_best b ON b.doc_id = t.doc_id AND b.s = t.s AND b.e = t.e
+                  AND b.term_id = t.term_id"""
+    )
+
+
+def label_model_oracle_sql(n_iter: int = 3, scale: int = 1_000_000_000) -> str:
+    """G3 generative label model (Dawid-Skene EM) oracle — the FULL fit
+    replayed in SQL, one CTE block per EM iteration, generated for the
+    same n_iter the engine runs.
+
+    This is only possible because the engine's fit is deterministic-replay
+    (label_model.fit_label_model): responsibilities quantize to integer
+    1e-9 quanta before the order-sensitive M-step sums (BIGINT sums are
+    exact and order-free) and θ/π round to 9 decimals each iteration, so
+    both engines walk the identical parameter trajectory; the output
+    proba rounds to 6 decimals on both sides to absorb last-ulp exp/log
+    differences between the JVM and glibc."""
+    s = float(scale)
+
+    def _estep(i: int, th: str, pr: str) -> str:
+        return f"""
+lm_sv{i} AS (
+  SELECT v.doc_id, v.token_idx, c.y AS y_hyp,
+         SUM(LN(GREATEST(t.p, 1e-9))) AS sv
+  FROM votes v
+  CROSS JOIN lm_classes c
+  JOIN {th} t ON t.sab = v.sab AND t.label = v.label AND t.y_hyp = c.y
+  GROUP BY 1, 2, 3
+),
+lm_post{i} AS (
+  SELECT l.doc_id, l.token_idx, l.y_hyp,
+         l.sv + LN(GREATEST(p.p, 1e-9)) AS ll
+  FROM lm_sv{i} l JOIN {pr} p ON p.y_hyp = l.y_hyp
+),
+lm_mx{i} AS (
+  SELECT *, MAX(ll) OVER (PARTITION BY doc_id, token_idx) AS mx
+  FROM lm_post{i}
+)"""
+
+    blocks = [
+        """
+lm_lfs AS (SELECT DISTINCT sab FROM votes),
+lm_classes AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT))) c(y)),
+lm_th0 AS (
+  SELECT l.sab, v.y AS label, c.y AS y_hyp,
+         CASE WHEN v.y = c.y THEN 0.7 ELSE 0.3 END AS p
+  FROM lm_lfs l CROSS JOIN lm_classes v CROSS JOIN lm_classes c
+),
+lm_pr0 AS (SELECT y AS y_hyp, 0.5 AS p FROM lm_classes)"""
+    ]
+    for i in range(1, n_iter + 1):
+        blocks.append(_estep(i, f"lm_th{i - 1}", f"lm_pr{i - 1}"))
+        blocks.append(f"""
+lm_g{i} AS (
+  SELECT doc_id, token_idx, y_hyp,
+         CAST(ROUND((EXP(ll - mx) /
+              SUM(EXP(ll - mx)) OVER (PARTITION BY doc_id, token_idx))
+              * {s}) AS BIGINT) AS q
+  FROM lm_mx{i}
+),
+lm_s{i} AS (
+  SELECT v.sab, v.label, g.y_hyp, SUM(g.q) AS wq
+  FROM votes v JOIN lm_g{i} g
+    ON g.doc_id = v.doc_id AND g.token_idx = v.token_idx
+  GROUP BY 1, 2, 3
+),
+lm_acc{i} AS (
+  SELECT t.sab, t.label, t.y_hyp,
+         1.0 + COALESCE(sx.wq, 0) / {s} AS a
+  FROM (SELECT l.sab, v.y AS label, c.y AS y_hyp
+        FROM lm_lfs l CROSS JOIN lm_classes v CROSS JOIN lm_classes c) t
+  LEFT JOIN lm_s{i} sx
+    ON sx.sab = t.sab AND sx.label = t.label AND sx.y_hyp = t.y_hyp
+),
+lm_th{i} AS (
+  SELECT sab, label, y_hyp,
+         ROUND(a / SUM(a) OVER (PARTITION BY sab, y_hyp), 9) AS p
+  FROM lm_acc{i}
+),
+lm_prs{i} AS (SELECT y_hyp, SUM(q) AS wq FROM lm_g{i} GROUP BY 1),
+lm_pr{i} AS (
+  SELECT y_hyp,
+         ROUND((wq / {s} + 1.0) /
+               ((SELECT SUM(wq) FROM lm_prs{i}) / {s} + 2.0), 9) AS p
+  FROM lm_prs{i}
+)""")
+    blocks.append(_estep("_fin", f"lm_th{n_iter}", f"lm_pr{n_iter}"))
+    body = ",".join(blocks)
+    return (
+        kg_cte_prefix()
+        + ", "
+        + body
+        + """
+SELECT doc_id, token_idx, y, proba FROM (
+  SELECT doc_id, token_idx, CAST(y_hyp AS BIGINT) AS y,
+         ROUND(EXP(ll - mx) /
+               SUM(EXP(ll - mx)) OVER (PARTITION BY doc_id, token_idx), 6) AS proba,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, token_idx
+                            ORDER BY ll DESC, y_hyp) AS rn
+  FROM lm_mx_fin
+) WHERE rn = 1"""
     )
 
 
@@ -482,8 +674,16 @@ GROUP BY doc_id, token_idx""",
         ),
         "tag_negex": negex_oracle_sql(synth.NEGEX_TESTDATA_BATTERY),
         "tag_historical": battery_oracle_sql(
-            synth.HISTORICAL_BATTERY, "historical", "or",
-            or_label=1, default_label=2,
+            synth.HISTORICAL_BATTERY, "historical", "or", or_label=1,
+        ),
+        "tag_hypothetical": battery_oracle_sql(
+            synth.HYPOTHETICAL_BATTERY, "hypothetical", "or", or_label=1,
+        ),
+        "tag_family": battery_oracle_sql(
+            synth.FAMILY_BATTERY, "subject", "or", or_label=2,
+        ),
+        "tag_laterality": laterality_oracle_sql(
+            synth.LATERALITY_MAP_TESTDATA, window=3,
         ),
         "tag_timex": _timex_oracle_sql(),
         "tag_timedelta": _timedelta_oracle_sql(),

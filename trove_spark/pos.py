@@ -1,0 +1,86 @@
+"""Optional NLP layers (POS tags, lemmas) for the sentences table.
+
+The reference's Sentence record carries optional spaCy layers —
+``pos_tags`` / ``lemmas`` (preprocessing/pipes/tokenizers.py:367-380) —
+consumed by e.g. Schwartz-Hearst's noun-phrase fallback
+(trove/labelers/abbreviations.py:119-141).  spaCy is not available here
+and would be a per-row Python cost anyway; this module populates the same
+layer shape with a deterministic rule-based tagger expressed ENTIRELY as
+JVM array expressions (``F.transform`` + ``rlike``/``when`` chains): the
+layers are added by whole-stage codegen, zero Python, zero shuffles.
+
+Tagset is a documented reduction of Penn Treebank (DT/IN/CC/PRP/CD/VBG/
+VBD/JJ/NNS/NNP/NN) — enough to drive every layer consumer in the engine
+(noun-phrase chunking wants NN*/JJ distinctions, not full PTB fidelity).
+Lemmas are lowercase + plural-strip (matching the match-variant semantics
+the automaton already uses, automaton.py:30-40).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_DT = "^(the|a|an|this|that|these|those)$"
+_IN = "^(of|in|on|at|by|for|with|from|to|into|over|under)$"
+_CC = "^(and|or|but|nor)$"
+_PRP = "^(he|she|it|they|you|i|we|him|her|them|us)$"
+
+
+def pos_tag_expr(w: Column) -> Column:
+    """One token → reduced-PTB tag, as a codegen'd CASE chain."""
+    lw = F.lower(w)
+    return (
+        F.when(lw.rlike(_DT), F.lit("DT"))
+        .when(lw.rlike(_IN), F.lit("IN"))
+        .when(lw.rlike(_CC), F.lit("CC"))
+        .when(lw.rlike(_PRP), F.lit("PRP"))
+        .when(w.rlike(r"^[0-9]+([.,][0-9]+)*$"), F.lit("CD"))
+        .when(w.rlike(r"^[^\w\s]$"), F.lit("PUNCT"))
+        .when((F.length(w) > 4) & lw.rlike("ing$"), F.lit("VBG"))
+        .when((F.length(w) > 3) & lw.rlike("ed$"), F.lit("VBD"))
+        .when((F.length(w) > 4) & lw.rlike("(ous|ful|ive|ical|able|ible)$"), F.lit("JJ"))
+        .when(w.rlike("^[A-Z]"), F.lit("NNP"))
+        .when((F.length(w) > 3) & lw.rlike("[^s]s$"), F.lit("NNS"))
+        .otherwise(F.lit("NN"))
+    )
+
+
+def lemma_expr(w: Column) -> Column:
+    """Lowercase + plural-strip lemma (reduced; mirrors the automaton's
+    plural variant semantics so layer-aware and layer-free matching
+    agree)."""
+    lw = F.lower(w)
+    return F.when(
+        (F.length(lw) > 3) & lw.rlike("[^s]s$"),
+        lw.substr(F.lit(1), F.length(lw) - 1),
+    ).otherwise(lw)
+
+
+def add_pos_layers(sentences: DataFrame) -> DataFrame:
+    """sentences(..., words) → same + pos_tags, lemmas arrays (aligned
+    with words).  Pure array-expression stage: shows up inside the scan's
+    WholeStageCodegen span, not as a Python worker."""
+    return sentences.withColumn(
+        "pos_tags", F.transform("words", pos_tag_expr)
+    ).withColumn("lemmas", F.transform("words", lemma_expr))
+
+
+# ---------------------------------------------------------------------------
+# Layer consumers: noun-phrase chunk (Schwartz-Hearst fallback support)
+# ---------------------------------------------------------------------------
+
+
+def noun_phrase_fallback(
+    words: list[str], tags: list[str], paren_idx: int
+) -> list[str] | None:
+    """Longest contiguous NN*/JJ run immediately left of ``paren_idx``
+    (reference abbreviations.py:119-141: when Schwartz-Hearst char
+    matching fails, back off to the adjacent noun phrase)."""
+    np: list[str] = []
+    for j in range(paren_idx - 1, -1, -1):
+        if tags[j] in ("NN", "NNS", "NNP", "JJ"):
+            np.append(words[j])
+        else:
+            break
+    np.reverse()
+    return np or None

@@ -233,13 +233,18 @@ def read_jsonl_documents(
         .option("columnNameOfCorruptRecord", "_corrupt")
         .json(path)
     )
-    # cache so the corrupt/good split doesn't re-parse (and because Spark
-    # requires referencing the full row when filtering on the corrupt col)
-    raw = raw.cache()
     if corrupt_out is not None:
+        # cache ONLY for the quarantine write (Spark forbids a query that
+        # references nothing but the corrupt column on a fresh scan), then
+        # unpersist eagerly — a session-lifetime cache per loader call is
+        # a real executor-storage leak at 100-TB scale (ADVICE r2 #4); the
+        # good-rows path below simply re-scans, which is one extra pass,
+        # not pinned memory
+        raw = raw.cache()
         raw.filter(F.col("_corrupt").isNotNull()).select("_corrupt").write.mode(
             "overwrite"
         ).json(corrupt_out)
+        raw.unpersist()
     good = raw.filter(F.col("_corrupt").isNull() & F.col("sentences").isNotNull())
     s = F.explode("sentences").alias("s")
     return good.select(F.col("name").alias("doc_id"), s).select(
@@ -248,6 +253,36 @@ def read_jsonl_documents(
         F.col("s.words").alias("words"),
         F.col("s.abs_char_offsets").alias("char_offsets"),
     )
+
+
+def write_jsonl_documents(sentences: DataFrame, path: str) -> None:
+    """S16: reference-shaped JSONL document sink — the exact inverse of
+    :func:`read_jsonl_documents` (dataloaders.py:28-43 record layout:
+    one ``{"name", "metadata", "sentences": [{"i", "words",
+    "abs_char_offsets"}]}`` object per line).  Doc assembly is one
+    groupBy(doc_id) with an array_sort on (i, ...) structs — JSON field
+    order is irrelevant to the reader (schema-by-name), so the sort key
+    leads the struct."""
+    nested = (
+        sentences.groupBy(F.col("doc_id").alias("name"))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("sent_idx").alias("i"),
+                        F.col("words"),
+                        F.col("char_offsets").alias("abs_char_offsets"),
+                    )
+                )
+            ).alias("sentences")
+        )
+        .select(
+            "name",
+            F.create_map(F.lit("source"), F.lit("trove_spark")).alias("metadata"),
+            "sentences",
+        )
+    )
+    nested.write.mode("overwrite").json(path)
 
 
 def read_tsv_corpus(

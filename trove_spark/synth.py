@@ -118,12 +118,35 @@ NEGEX_TESTDATA_BATTERY: list[tuple[str, int, str, str, int]] = [
 
 # A3 HistoricalTagger battery over the testdata vocabulary — exercises the
 # 'or' reduction path (reference historical.py:167-217: any past-placing
-# cue fires → historical(1); a reject cue alone → 2)
+# cue fires → historical(1); reject-cue-only votes leave the prop UNSET,
+# matching the reference's `if 1 in L` path) and a TRIGRAM trigger (the
+# oracle's occurrence CTE is generated to the battery's max n-gram width)
 HISTORICAL_BATTERY: list[tuple[str, int, str, str, int]] = [
     ("hist_order", 1, "order", "left", 4),
     ("hist_the_part", 1, "the part", "left", 5),
+    ("hist_smj", 1, "sort merge join", "left", 4),
     ("reject_fast", 2, "fast", "left", 3),
 ]
+
+# A4 HypotheticalTagger battery (hypothetical.py:12-81 shape): speculative
+# cues vote 1, reject cues vote 2; 'or' reduction on or_label=1
+HYPOTHETICAL_BATTERY: list[tuple[str, int, str, str, int]] = [
+    ("hyp_window", 1, "window", "left", 4),
+    ("hyp_big_query", 1, "big query", "left", 5),
+    ("reject_scan", 2, "scan", "left", 3),
+]
+
+# A5 FamilyTagger battery (family.py:80-131 shape): subject cues anywhere
+# in the sentence; 'or' reduction with or_label=2 (family/other)
+FAMILY_BATTERY: list[tuple[str, int, str, str, int]] = [
+    ("fam_customer", 2, "customer", "sentence", 0),
+    ("fam_key_value", 2, "key value", "sentence", 0),
+]
+
+# A6 LateralityTagger cue map over the testdata vocabulary (the clinical
+# L/R/B lexicon re-keyed to corpus words so the closest-cue resolution —
+# in-span first, then nearest left token — is oracle-checkable)
+LATERALITY_MAP_TESTDATA: dict[str, str] = {"sort": "L", "scan": "R", "stream": "B"}
 
 
 def concepts_values_sql() -> str:

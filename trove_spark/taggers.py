@@ -169,63 +169,73 @@ def attach_spans_to_sentences(
     )
 
 
+TRIGGER_OCC_SCHEMA = (
+    "doc_id string, sent_idx int, trig_start int, trig_end int, "
+    "lf_id int, label int, side string, window int"
+)
+
+
 def trigger_occurrences(
-    tokens: DataFrame,
+    sentences: DataFrame,
     battery: list[tuple[str, int, str, str, int]],
 ) -> DataFrame:
-    """Locate every battery-trigger occurrence in the token stream.
+    """Locate every battery-trigger occurrence, sentence-locally.
 
     battery rows: (lf_name, label, trigger_phrase, side, window); phrases
-    are 1-3 lowercase tokens.  Unigrams are an equi-join of tokens against
-    the broadcast trigger table; bi/trigrams are (doc, sent, idx+k)
-    self-equi-joins first — no window functions, no regex scans, all
-    broadcast-hash-join-able at any corpus size."""
-    spark = tokens.sparkSession
-    rows = [
-        (i, name, label, trig.lower(), side, window, len(trig.split()))
-        for i, (name, label, trig, side, window) in enumerate(battery)
-    ]
-    trigs = spark.createDataFrame(
-        rows, schema="lf_id int, lf string, label int, trig string, side string, window int, n int"
-    )
-    toks = tokens.select(
-        "doc_id", "sent_idx", "token_idx", F.lower(F.col("word")).alias("w")
-    )
-    uni = toks.join(
-        F.broadcast(trigs.filter("n = 1")), F.col("w") == F.col("trig")
-    ).select(
-        "doc_id", "sent_idx",
-        F.col("token_idx").alias("trig_start"),
-        F.col("token_idx").alias("trig_end"),
-        "lf_id", "label", "side", "window",
-    )
-    out = uni
-    max_n = max((r[6] for r in rows), default=1)
-    for n in range(2, max_n + 1):
-        grams = toks
-        surface = [F.col("w")]
-        for k in range(1, n):
-            nxt = toks.select(
-                "doc_id", "sent_idx",
-                (F.col("token_idx") - k).alias("token_idx"),
-                F.col("w").alias(f"w{k}"),
+    are 1..n lowercase tokens.  All phrases are compiled into ONE broadcast
+    Aho-Corasick automaton (the same machinery as mention detection,
+    matching.py) and each sentence's token array streams through it in a
+    single narrow ``mapInPandas`` pass — ZERO joins and ZERO shuffles,
+    independent of corpus size and of the n-gram widths in the battery.
+    This replaces the earlier token-table self-join formulation, which
+    shuffled the full token table once per n-gram width (the plan you do
+    NOT want at 100 TB)."""
+    from .automaton import AhoCorasick
+
+    spark = sentences.sparkSession
+    ac = AhoCorasick()
+    meta: list[tuple[int, str, int]] = []
+    for i, (_name, label, trig, side, window) in enumerate(battery):
+        ac.add(tuple(trig.lower().split()), i)
+        meta.append((label, side, window))
+    ac.finalize()
+    bc = spark.sparkContext.broadcast((ac, meta))
+
+    def _kernel(batches):
+        import pandas as pd
+
+        ac_l, meta_l = bc.value
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k: []
+                for k in ("doc_id", "sent_idx", "trig_start", "trig_end",
+                          "lf_id", "label", "side", "window")
+            }
+            for doc_id, sent_idx, words in zip(
+                pdf["doc_id"], pdf["sent_idx"], pdf["words"]
+            ):
+                for s, e, lf_id in ac_l.match(list(words)):
+                    label, side, window = meta_l[lf_id]
+                    rows["doc_id"].append(doc_id)
+                    rows["sent_idx"].append(sent_idx)
+                    rows["trig_start"].append(s)
+                    rows["trig_end"].append(e)
+                    rows["lf_id"].append(lf_id)
+                    rows["label"].append(label)
+                    rows["side"].append(side)
+                    rows["window"].append(window)
+            yield pd.DataFrame(
+                {
+                    c: pd.Series(
+                        v, dtype=(object if c in ("doc_id", "side") else "int32")
+                    )
+                    for c, v in rows.items()
+                }
             )
-            grams = grams.join(nxt, ["doc_id", "sent_idx", "token_idx"])
-            surface.append(F.col(f"w{k}"))
-        ngram = (
-            grams.join(
-                F.broadcast(trigs.filter(F.col("n") == n)),
-                F.concat_ws(" ", *surface) == F.col("trig"),
-            )
-            .select(
-                "doc_id", "sent_idx",
-                F.col("token_idx").alias("trig_start"),
-                (F.col("token_idx") + n - 1).alias("trig_end"),
-                "lf_id", "label", "side", "window",
-            )
-        )
-        out = out.unionByName(ngram)
-    return out
+
+    return sentences.select("doc_id", "sent_idx", "words").mapInPandas(
+        _kernel, schema=TRIGGER_OCC_SCHEMA
+    )
 
 
 MENTION_KEY = ["doc_id", "sent_idx", "tok_start", "tok_end", "term"]
@@ -233,13 +243,12 @@ MENTION_KEY = ["doc_id", "sent_idx", "tok_start", "tok_end", "term"]
 
 def trigger_battery_tagger(
     mentions: DataFrame,
-    tokens: DataFrame,
+    sentences: DataFrame,
     battery: list[tuple[str, int, str, str, int]],
     reduction: str = "mv",
     tie_label: int = 2,
     prop_col: str = "prop",
     or_label: int = 1,
-    default_label: int = 2,
 ) -> DataFrame:
     """A2-A6 generic engine: each battery LF fires (at most once per
     mention) when a trigger occurrence lands in its directional window;
@@ -247,15 +256,18 @@ def trigger_battery_tagger(
 
     Reference semantics (PolarityTagger.tag / HistoricalTagger.tag etc.):
       * reduction='mv'  — mode of fired votes, tie → ``tie_label``;
-      * reduction='or'  — ``or_label`` if any LF voted it, else
-        ``default_label`` if anything fired;
+      * reduction='or'  — ``or_label`` iff any LF voted it (the reference's
+        ``if 1 in L: span.props[...] = 1`` path); votes that exist but
+        never equal ``or_label`` leave the property UNSET (NULL), exactly
+        like the reference;
       * nothing fired — property NULL (reference leaves the prop unset).
 
-    Plan shape: one equi-join mentions⋈occurrences on (doc_id, sent_idx)
-    with the window predicate as a post-filter (sentence-bounded groups),
-    then a windowless collect-of-≤k-structs reduction — the same two
-    shuffles as A1 negation regardless of battery size."""
-    occ = trigger_occurrences(tokens, battery)
+    Plan shape: one narrow broadcast-automaton kernel for occurrences, one
+    equi-join mentions⋈occurrences on (doc_id, sent_idx) with the window
+    predicate as a post-filter (sentence-bounded groups), then a windowless
+    collect-of-≤k-structs reduction — the same two shuffles as A1 negation
+    regardless of battery size or trigger n-gram width."""
+    occ = trigger_occurrences(sentences, battery)
     j = mentions.join(occ, ["doc_id", "sent_idx"], "inner")
     in_window = (
         F.when(
@@ -282,13 +294,12 @@ def trigger_battery_tagger(
         .distinct()
     )
     if reduction == "or":
+        # no .otherwise(): votes that never equal or_label → NULL (unset)
         reduced = votes.groupBy(*MENTION_KEY).agg(
             F.when(
                 F.max(F.when(F.col("label") == or_label, 1).otherwise(0)) == 1,
                 F.lit(or_label),
-            )
-            .otherwise(F.lit(default_label))
-            .alias(prop_col)
+            ).alias(prop_col)
         )
     else:  # mv: mode of votes, tie → tie_label (no per-mention window)
         counts = votes.groupBy(*MENTION_KEY, "label").agg(F.count("*").alias("n"))
@@ -315,84 +326,143 @@ def trigger_battery_tagger(
 
 
 # -- A2-A6 configured batteries (reference trigger semantics reduced to
-#    word/bigram triggers; regex variants collapse to their head phrases) --
+#    token-phrase triggers; regex alternations expand to their phrases) --
 
-# A2 polarity (polarity.py:462-532): negation cues left, affirmations
-# right/pseudo-negations; mv reduction, tie → affirmative(2)
-CLINICAL_POLARITY_BATTERY = [
-    ("definite_left_no", 1, "no", "left", 3),
-    ("definite_left_denies", 1, "denies", "left", 6),
-    ("definite_left_without", 1, "without", "left", 3),
-    ("probable_left_unlikely", 1, "unlikely", "left", 3),
-    ("definite_right_ruled_out", 1, "ruled out", "right", 4),
-    ("affirm_positive_left", 2, "positive for", "left", 3),
-    ("affirm_no_change", 2, "no change", "left", 3),
-]
+# A2 polarity (polarity.py:462-532: NegEx definite/probable LFs +
+# LF_denies_list/LF_positive_left head phrases): negation cues left,
+# affirmations right; mv reduction, tie → affirmative(2)
+CLINICAL_POLARITY_BATTERY = (
+    [("definite_left_" + t.replace(" ", "_").replace("/", "_"), 1, t, "left", 6)
+     for t in ("no", "not", "denies", "denied", "denying", "without",
+               "absence of", "negative for", "never had", "never developed",
+               "free of", "no evidence of", "no sign of", "no signs of",
+               "declines", "declined")]
+    + [("probable_left_" + t.replace(" ", "_").replace("/", "_"), 1, t, "left", 6)
+       for t in ("unlikely", "doubt", "rule out", "r/o")]
+    + [("definite_right_" + t.replace(" ", "_"), 1, t, "right", 4)
+       for t in ("ruled out", "was negative", "were negative")]
+    + [("affirm_" + t.replace(" ", "_").replace("/", "_"), 2, t, "left", 4)
+       for t in ("positive for", "presents with", "presented with", "p/w",
+                 "no change")]
+)
 
-# A3 historical (historical.py:167-217): past-placing cues; 'or' reduction
-CLINICAL_HISTORICAL_BATTERY = [
-    ("history_of", 1, "history of", "left", 6),
-    ("h_o", 1, "h/o", "left", 6),
-    ("status_post", 1, "status post", "left", 6),
-    ("s_p", 1, "s/p", "left", 6),
-    ("prior", 1, "prior", "left", 3),
-    ("previous", 1, "previous", "left", 3),
-]
+# A3 historical (historical.py:95-111 accept/reject regex phrases):
+# past-placing cues vote 1, present-placing reject cues vote 2;
+# 'or' reduction (reject-only → prop unset, the reference's `if 1 in L`)
+CLINICAL_HISTORICAL_BATTERY = (
+    [(f"hist_{i}", 1, t, "left", 6)
+     for i, t in enumerate((
+         "history of", "h/o", "hx", "s/p", "status post", "status-post",
+         "recent", "previous", "prior", "in the past",
+         "in the distant past"))]
+    + [(f"hist_rej_{i}", 2, t, "left", 6)
+       for i, t in enumerate((
+           "history of present illness", "chief complaint", "indication",
+           "p/w", "presents with", "presented with", "new onset"))]
+)
 
-# A4 hypothetical (hypothetical.py:12-81): future/speculative cues left;
-# reject cues vote 2; 'or' reduction
-CLINICAL_HYPOTHETICAL_BATTERY = [
-    ("if", 1, "if", "left", 10),
-    ("chance_of", 1, "chance of", "left", 10),
-    ("possibility_of", 1, "possibility of", "left", 10),
-    ("recommend", 1, "recommend", "left", 10),
-    ("consider", 1, "consider", "left", 10),
-    ("pending", 1, "pending", "left", 10),
-    ("scheduled_for", 1, "scheduled for", "left", 10),
-    ("reject_status_post", 2, "status post", "left", 10),
-    ("reject_post_op", 2, "post op", "left", 10),
-]
+# A4 hypothetical (hypothetical.py:29-46 accept/reject regex phrases):
+# future/speculative cues left vote 1, post-op reject cues vote 2;
+# 'or' reduction
+CLINICAL_HYPOTHETICAL_BATTERY = (
+    [(f"hyp_{i}", 1, t, "left", 10)
+     for i, t in enumerate((
+         "if", "if need be", "possibility of", "possibility for",
+         "potential for", "chance of", "chance for", "need for",
+         "potentially", "candidate for", "pending", "recommendation",
+         "planned procedure", "evaluated for", "upcoming",
+         "would benefit from", "undergo a", "requires a", "discussed",
+         "discussion", "recommended", "recommendation made",
+         "proceed with", "consider", "to undergo", "scheduled for",
+         "recommend", "please call or return if"))]
+    + [(f"hyp_rej_{i}", 2, t, "left", 10)
+       for i, t in enumerate((
+           "postop", "post op", "post-op", "out from", "days post",
+           "months post", "years post", "status post"))]
+)
 
-# A5 family/subject (family.py:80-131): family-member cues anywhere in
-# the sentence; 'or' reduction with or_label=2 → 'family/other',
-# default 1 → 'patient'
+# A5 family/subject (family.py:20-77: rgx_relatives alternation +
+# LF_family_header/LF_ext_family/LF_donor phrases): family-member cues
+# anywhere in the sentence; 'or' reduction with or_label=2 →
+# 'family/other' (no cue → prop unset = patient by default)
 CLINICAL_FAMILY_BATTERY = [
     ("relative", 2, t, "sentence", 0)
-    for t in ("mother", "father", "brother", "sister", "aunt", "uncle",
-              "grandmother", "grandfather", "cousin", "donor")
-] + [("family_history", 2, "family history", "sentence", 0)]
+    for t in ("mother", "father", "grandmother", "grandfather", "grandma",
+              "grandpa", "parent", "parents", "daughter", "daughters",
+              "son", "sons", "sister", "sisters", "brother", "brothers",
+              "cousin", "cousins", "aunt", "uncle", "spouse", "wife",
+              "husband", "donor")
+] + [
+    ("family_history", 2, "family history", "sentence", 0),
+    ("family_hx", 2, "family hx", "sentence", 0),
+]
 
 
-# A1 NegEx full category battery (negex.py:10-185 / Chapman 2001):
-# definite + probable cues in both directions vote NEGATED(1); pseudo-
-# negation phrases (vote 3) cancel — they are the lexicon's "looks like
-# negation but isn't" exceptions (e.g. 'no increase', 'not certain if').
+# A1 NegEx full category battery (negex.py:10-185 loads Chapman's
+# published multilingual trigger lexicon; the English subset below is
+# from Chapman et al. 2001 + the public NegEx distribution): definite +
+# probable cues in both directions vote NEGATED(1); pseudo-negation
+# phrases (vote 3) cancel cues contained in them — the lexicon's "looks
+# like negation but isn't" exceptions (e.g. 'no increase', 'not certain').
 NEGEX_BATTERY = (
     [("definite_left", 1, t, "left", 3)
-     for t in ("no", "not", "denies", "denied", "without", "absence of",
-               "negative for", "never had", "free of")]
+     for t in ("no", "not", "denies", "denied", "denying", "without",
+               "absence of", "negative for", "never had", "never developed",
+               "free of", "no evidence of", "no sign of", "no signs of",
+               "no history of", "no new", "resolved", "declines",
+               "declined", "fails to reveal", "cannot see", "checked for",
+               "ruled out for", "unremarkable for")]
     + [("definite_right", 1, t, "right", 3)
-       for t in ("was ruled out", "is ruled out", "unlikely",)]
+       for t in ("was ruled out", "is ruled out", "are ruled out",
+                 "were ruled out", "has been ruled out",
+                 "have been ruled out", "unlikely", "was negative",
+                 "were negative", "free")]
     + [("probable_left", 1, t, "left", 3)
-       for t in ("rule out", "doubt", "versus", "vs")]
+       for t in ("rule out", "r/o", "doubt", "doubtful", "suspect",
+                 "versus", "vs", "questionable", "rule him out",
+                 "rule her out", "rule the patient out")]
     + [("pseudo_left", 3, t, "left", 3)
-       for t in ("no increase", "no change", "not only", "gram negative",
-                 "not certain")]
+       for t in ("no increase", "no change", "no significant change",
+                 "no interval change", "no definite change",
+                 "no suspicious change", "not only", "not certain if",
+                 "not certain whether", "not necessarily",
+                 "gram negative", "without difficulty", "not rule out",
+                 "not ruled out", "no further")]
 )
 
 
 def negex_tagger(
     mentions: DataFrame,
-    tokens: DataFrame,
+    sentences: DataFrame,
     battery: list[tuple[str, int, str, str, int]] = NEGEX_BATTERY,
 ) -> DataFrame:
     """A1 NegEx, full semantics: a mention is negated iff a definite or
-    probable cue fires in its directional window AND no pseudo-negation
-    phrase fires (pseudo phrases are NegEx's exception list — checked
-    first in Chapman's algorithm, expressed here as a cancelling vote).
-    Same two-shuffle plan as every battery tagger."""
-    occ = trigger_occurrences(tokens, battery)
-    j = mentions.join(occ, ["doc_id", "sent_idx"], "inner")
+    probable cue fires in its directional window, where a cue is first
+    CANCELLED per-occurrence if its token span is contained in a
+    pseudo-negation phrase occurrence (Chapman's exception list: a pseudo
+    phrase like 'no increase' neutralizes only the 'no' inside itself —
+    a separate 'without' in the same window still negates, matching the
+    reference where pseudo LFs merely out-vote, never veto globally).
+    Plan: one broadcast-automaton kernel, a broadcast anti-join of cue
+    occurrences against the (tiny) pseudo occurrences, then the same
+    mentions⋈occurrences window join as every battery tagger."""
+    occ = trigger_occurrences(sentences, battery)
+    pseudo = occ.filter(F.col("label") == 3).select(
+        F.col("doc_id").alias("p_doc"),
+        F.col("sent_idx").alias("p_sent"),
+        F.col("trig_start").alias("p_start"),
+        F.col("trig_end").alias("p_end"),
+    )
+    neg = occ.filter(F.col("label") != 3)
+    live = neg.join(
+        F.broadcast(pseudo),
+        (F.col("doc_id") == F.col("p_doc"))
+        & (F.col("sent_idx") == F.col("p_sent"))
+        & (F.col("p_start") <= F.col("trig_start"))
+        & (F.col("p_end") >= F.col("trig_end")),
+        "left_anti",
+    )
+    j = mentions.join(live, ["doc_id", "sent_idx"], "inner")
     in_window = (
         F.when(
             F.col("side") == "left",
@@ -407,27 +477,32 @@ def negex_tagger(
         .otherwise(F.lit(True))
     )
     fired = j.filter(in_window).groupBy(*MENTION_KEY).agg(
-        (F.max((F.col("label") == 1).cast("int")) == 1).alias("neg_cue"),
-        (F.max((F.col("label") == 3).cast("int")) == 1).alias("pseudo"),
+        F.lit(True).alias("neg_cue")
     )
     out = mentions.join(fired, MENTION_KEY, "left")
     return out.withColumn(
-        "negated",
-        F.coalesce(F.col("neg_cue") & ~F.col("pseudo"), F.lit(False)),
-    ).drop("neg_cue", "pseudo")
+        "negated", F.coalesce(F.col("neg_cue"), F.lit(False))
+    ).drop("neg_cue")
+
+
+CLINICAL_LATERALITY_MAP = {
+    "left": "L", "lt": "L", "l": "L", "left-sided": "L",
+    "right": "R", "rt": "R", "r": "R", "right-sided": "R",
+    "bilateral": "B", "r/l": "B", "b/l": "B", "bilat": "B",
+}
 
 
 def laterality_tagger(
-    mentions: DataFrame, tokens: DataFrame, window: int = 3
+    mentions: DataFrame,
+    tokens: DataFrame,
+    window: int = 3,
+    lat_map: dict[str, str] | None = None,
 ) -> DataFrame:
     """A6 LateralityTagger (laterality.py:10-83): closest laterality cue —
     inside the span first, then the nearest left-window token — normalized
-    to L/R/B.  Windowless: distance-keyed min-struct agg."""
-    lat_map = {
-        "left": "L", "lt": "L", "l": "L", "left-sided": "L",
-        "right": "R", "rt": "R", "r": "R", "right-sided": "R",
-        "bilateral": "B", "r/l": "B", "b/l": "B", "bilat": "B",
-    }
+    to L/R/B.  Windowless: distance-keyed min-struct agg; the cue table is
+    a broadcast map-side join on tokens (no token-table shuffle)."""
+    lat_map = lat_map if lat_map is not None else CLINICAL_LATERALITY_MAP
     spark = tokens.sparkSession
     lat = spark.createDataFrame(sorted(lat_map.items()), schema="w string, norm string")
     occ = tokens.select(

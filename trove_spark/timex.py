@@ -1,62 +1,218 @@
-"""Date/time expression normalization (A8 Timex shape) + doc-time deltas (A9).
+"""Date/time expression extraction + normalization (A8 Timex) and
+doc-time deltas (A9/A10).
 
 The reference's Timex3 machinery is a 600-line clinical regex battery
-(/root/reference/trove/contrib/labelers/clinical/timex.py:72-600); the
-transferable operator is: regex-extract date expressions from text →
-normalize to DATE with ``to_date`` per format → attach signed day deltas
-against a reference date (timedeltas.py:11-97).  All built-ins.
+(/root/reference/trove/contrib/labelers/clinical/timex.py:72-600) that
+normalizes explicit dates AND relative expressions ("three days ago",
+"last week"), durations ("for 5 days"), and partial dates ("March 2020",
+"2019").  The transferable operator: ONE ordered-alternation regex scan
+over text → typed timex rows (kind ∈ explicit|relative|duration) →
+normalization per kind — explicit forms to DATE, relative forms to a
+signed day offset resolved against the document's reference time,
+durations to a day count (timedeltas.py:11-97).  All built-in JVM
+expressions; zero Python kernels.
+
+Offset conventions (documented deviation: the reference uses
+pandas.Timedelta with the same day-granular arithmetic): day=1, week=7,
+month=30, year=365 for RELATIVE offsets and durations; month-year /
+year-only partial dates normalize calendar-exactly to the first day.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# the explicit-date shapes the reference's battery normalizes most often
-# (timex.py:72-600): ISO, slashed/dashed US dates (4- and 2-digit years),
-# written-out "Month D, YYYY" and "D Mon YYYY"
 _MONTHS = (
     "January|February|March|April|May|June|July|August"
     "|September|October|November|December"
 )
 _MONS = "Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec"
-_DATE_RE = (
+_UNITS = r"(?:day|week|month|year)s?"
+
+# ONE ordered alternation (leftmost-first in both Java regex and RE2, so
+# Spark and the DuckDB oracle consume identical spans): explicit full
+# dates first, then partial dates, then relative/duration shapes, then
+# bare years LAST so "March 5, 2020" never leaks a separate "2020".
+_TIMEX_RE = (
     r"\b(\d{4}-\d{2}-\d{2}"
     r"|\d{1,2}[/-]\d{1,2}[/-]\d{4}"
     r"|\d{1,2}/\d{1,2}/\d{2}"
     rf"|(?:{_MONTHS}) \d{{1,2}}, \d{{4}}"
-    rf"|\d{{1,2}} (?:{_MONS}) \d{{4}})\b"
+    rf"|\d{{1,2}} (?:{_MONS}) \d{{4}}"
+    rf"|(?:{_MONTHS}) \d{{4}}"
+    rf"|\d{{1,3}} {_UNITS} (?:ago|from now)"
+    rf"|in \d{{1,3}} {_UNITS}"
+    rf"|for \d{{1,3}} {_UNITS}"
+    r"|yesterday|today|tomorrow"
+    r"|(?:last|next) (?:week|month|year)"
+    r"|(?:19|20)\d{2})\b"
 )
 
+# legacy alias (explicit-date-only callers/tests)
+_DATE_RE = _TIMEX_RE
 
-def extract_dates(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataFrame:
-    """→ (doc_id, expr, norm_date): every date expression with its
-    normalized DATE (null if unparseable — kept, like the reference keeps
-    un-normalizable timexes as spans without values).
 
-    NOTE on 2-digit years: Spark's 'yy' pattern pivots to 2000-2099; use
-    the same convention downstream (the DuckDB oracle's %y pivots at 69 —
-    fixtures therefore stay below 69)."""
-    exprs = df.select(
-        F.col(id_col).cast("string").alias("doc_id"),
-        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(_DATE_RE), 1)).alias("expr"),
-    )
-    # try_to_date: ANSI mode makes to_date THROW on a non-matching format,
-    # so per-format fallbacks must use the try_ variant
-    norm = F.coalesce(
+def _norm_explicit():
+    """Per-format try_to_date chain (ANSI mode: to_date THROWS on
+    mismatch, so try_ variants).  Order mirrors the oracle's chain."""
+    return F.coalesce(
         F.expr("try_to_date(expr, 'yyyy-MM-dd')"),
         F.expr("try_to_date(expr, 'M/d/yyyy')"),
         F.expr("try_to_date(expr, 'M-d-yyyy')"),
         F.expr("try_to_date(expr, 'M/d/yy')"),
         F.expr("try_to_date(expr, 'MMMM d, yyyy')"),
         F.expr("try_to_date(expr, 'd MMM yyyy')"),
+        F.expr("try_to_date(expr, 'MMMM yyyy')"),
+        F.expr("try_to_date(expr, 'yyyy')"),
     )
-    return exprs.withColumn("norm_date", norm)
 
 
-def day_deltas(dated: DataFrame, doc_times: DataFrame) -> DataFrame:
-    """A9: signed day delta between each normalized date and its document's
-    reference time (doc_times: doc_id, doc_date).  Broadcast join — the
-    doc-time side is one row per doc."""
-    return dated.join(doc_times, "doc_id").withColumn(
-        "tdelta_days", F.datediff(F.col("norm_date"), F.col("doc_date"))
+def extract_timex(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, expr, kind, norm_date, offset_days, duration_days):
+    every timex occurrence typed and normalized.
+
+      * kind='explicit' — norm_date set (NULL if unparseable, kept as a
+        span like the reference keeps un-normalizable timexes);
+      * kind='relative' — offset_days signed vs doc time;
+      * kind='duration' — duration_days.
+
+    NOTE on 2-digit years: Spark's 'yy' pattern pivots to 2000-2099; the
+    DuckDB oracle's %y pivots at 69 — fixtures therefore stay below 69."""
+    exprs = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(_TIMEX_RE), 1)
+        ).alias("expr"),
+    )
+    e = F.col("expr")
+    kind = (
+        F.when(e.rlike("^for "), F.lit("duration"))
+        .when(
+            e.rlike("(ago|from now)$")
+            | e.rlike(r"^in \d")
+            | e.rlike("^(last|next) ")
+            | e.rlike("^(yesterday|today|tomorrow)$"),
+            F.lit("relative"),
+        )
+        .otherwise(F.lit("explicit"))
+    )
+    n = F.expr("try_cast(regexp_extract(expr, '([0-9]+)', 1) AS INT)")
+    unit = (
+        F.when(e.rlike("day"), F.lit(1))
+        .when(e.rlike("week"), F.lit(7))
+        .when(e.rlike("month"), F.lit(30))
+        .when(e.rlike("year"), F.lit(365))
+    )
+    magnitude = F.coalesce(n, F.lit(1)) * unit
+    offset = (
+        F.when(e == "yesterday", F.lit(-1))
+        .when(e == "today", F.lit(0))
+        .when(e == "tomorrow", F.lit(1))
+        .when(e.rlike("ago$") | e.rlike("^last "), -magnitude)
+        .otherwise(magnitude)  # 'in N units', 'N units from now', 'next X'
+    )
+    out = exprs.withColumn("kind", kind)
+    return out.select(
+        "doc_id",
+        "expr",
+        "kind",
+        F.when(F.col("kind") == "explicit", _norm_explicit()).alias("norm_date"),
+        F.when(F.col("kind") == "relative", offset)
+        .cast("long")
+        .alias("offset_days"),
+        F.when(F.col("kind") == "duration", magnitude)
+        .cast("long")
+        .alias("duration_days"),
+    )
+
+
+def extract_dates(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataFrame:
+    """Explicit-date view of :func:`extract_timex` (the original A8
+    surface): (doc_id, expr, norm_date) for kind='explicit' rows."""
+    return extract_timex(df, text_col, id_col).filter(
+        F.col("kind") == "explicit"
+    ).select("doc_id", "expr", "norm_date")
+
+
+# ---------------------------------------------------------------------------
+# A10 doc-time taggers (contrib/labelers/clinical/doctimes.py:11-82)
+# ---------------------------------------------------------------------------
+
+
+def doc_time_from_metadata(
+    docs: DataFrame,
+    prop_col: str = "doctime",
+    fmt: str = "yyyy-MM-dd HH:mm:ss",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DocTimeTagger (doctimes.py:11-22): parse a per-document metadata
+    string field into the doc's reference timestamp; unparseable/missing →
+    NULL (the reference stores None)."""
+    return docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.expr(f"try_to_timestamp({prop_col}, '{fmt}')").alias("doc_time"),
+    )
+
+
+def doc_time_from_text(
+    dates: DataFrame,
+    headers: DataFrame,
+    field: str = "T",
+    max_ts_default: bool = True,
+) -> DataFrame:
+    """TextFieldDocTimeTagger (doctimes.py:24-67): prefer the max
+    normalized timex under a section whose header is '{field}:' (the
+    note's sign date); else, when ``max_ts_default``, the max timex
+    anywhere in the doc; else NULL.
+
+    dates: (doc_id, sent_idx, norm_date); headers: (doc_id, sent_idx,
+    header|null) — both doc-bounded, so every join/agg here groups by
+    doc."""
+    sign = (
+        dates.join(
+            headers.filter(F.col("header").rlike(f"^{field}:")),
+            ["doc_id", "sent_idx"],
+        )
+        .groupBy("doc_id")
+        .agg(F.max("norm_date").alias("sign_date"))
+    )
+    allmax = dates.groupBy("doc_id").agg(F.max("norm_date").alias("max_date"))
+    out = allmax.join(sign, "doc_id", "left")
+    fallback = F.col("max_date") if max_ts_default else F.lit(None)
+    return out.select(
+        "doc_id", F.coalesce(F.col("sign_date"), fallback).alias("doc_time")
+    )
+
+
+def doc_time_mapped(docs: DataFrame, mapping: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """MappedDocTimeTagger (doctimes.py:70-82): broadcast-join a provided
+    (doc_id, doc_time) map; unmapped docs → NULL."""
+    return docs.select(F.col(id_col).cast("string").alias("doc_id")).join(
+        F.broadcast(mapping), "doc_id", "left"
+    )
+
+
+def day_deltas(timex: DataFrame, doc_times: DataFrame) -> DataFrame:
+    """A9/A10: resolve every timex against its document's reference time
+    (doc_times: doc_id, doc_date; broadcast join — one row per doc).
+
+    explicit → tdelta = norm_date − doc_date; relative → norm_date =
+    doc_date + offset and tdelta = offset; duration → no anchor (NULL
+    norm/tdelta, duration_days carried through)."""
+    cols = set(timex.columns)
+    if "offset_days" not in cols:  # explicit-only legacy input
+        return timex.join(F.broadcast(doc_times), "doc_id").withColumn(
+            "tdelta_days", F.datediff(F.col("norm_date"), F.col("doc_date"))
+        )
+    j = timex.join(F.broadcast(doc_times), "doc_id")
+    resolved = F.when(
+        F.col("kind") == "relative",
+        F.expr("date_add(doc_date, CAST(offset_days AS INT))"),
+    ).otherwise(F.col("norm_date"))
+    return (
+        j.withColumn("norm_date", resolved)
+        .withColumn(
+            "tdelta_days",
+            F.datediff(F.col("norm_date"), F.col("doc_date")).cast("long"),
+        )
     )
