@@ -212,6 +212,45 @@ def test_negex_full_battery(spark):
     assert p["n3"] is True      # 'without' survives the unrelated pseudo
 
 
+def test_trigger_occurrences_equiv_brute_force(spark):
+    """The automaton occurrence kernel ≡ brute-force n-gram comparison on
+    a seeded random corpus over a tiny alphabet (dense overlaps: 'a',
+    'a a', 'a a b' all present — overlapping + nested matches must all
+    surface, like the old join-based enumeration did)."""
+    import random
+
+    rng = random.Random(13)
+    alpha = ["a", "b", "c"]
+    sents_rows = [
+        (f"d{i}", s, [rng.choice(alpha) for _ in range(rng.randint(1, 9))])
+        for i in range(40)
+        for s in range(rng.randint(1, 2))
+    ]
+    battery = [
+        ("u1", 1, "a", "left", 2),
+        ("u2", 2, "c", "right", 3),
+        ("b1", 1, "a a", "left", 2),
+        ("b2", 3, "c b", "sentence", 0),
+        ("t1", 1, "a a b", "left", 4),
+    ]
+    df = spark.createDataFrame(
+        sents_rows, schema="doc_id string, sent_idx int, words array<string>"
+    )
+    got = {
+        (r["doc_id"], r["sent_idx"], r["trig_start"], r["trig_end"], r["lf_id"])
+        for r in trigger_occurrences(df, battery).collect()
+    }
+    want = set()
+    for doc_id, sent_idx, words in sents_rows:
+        lw = [w.lower() for w in words]
+        for lf_id, (_n, _l, trig, _s, _w) in enumerate(battery):
+            tt = trig.split()
+            for i in range(len(lw) - len(tt) + 1):
+                if lw[i : i + len(tt)] == tt:
+                    want.add((doc_id, sent_idx, i, i + len(tt) - 1, lf_id))
+    assert got == want and len(want) > 50
+
+
 def test_trigger_occurrences_plan_has_no_joins(spark, sents):
     """VERDICT r2 weak #3 regression: trigger matching must be a pure
     narrow kernel — no joins, no exchanges — regardless of n-gram width."""

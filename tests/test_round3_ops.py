@@ -139,6 +139,36 @@ def test_timex_no_double_extraction(timex_out):
     assert t10_exprs.count("2020") == 0
 
 
+def test_timex_reference_battery_shapes(timex_out):
+    """Round-3b shapes from the reference battery (timex.py:31-70):
+    clock times, decades, word-number relatives, day parts, month-day."""
+    assert timex_out[("t12", "11:30")]["kind"] == "time"
+    assert timex_out[("t12", "7:45 PM")]["kind"] == "time"
+    assert timex_out[("t13", "September 16")]["kind"] == "md"
+    assert str(timex_out[("t14", "the 80s")]["norm_date"]) == "1980-01-01"
+    assert str(timex_out[("t14", "mid-1990s")]["norm_date"]) == "1990-01-01"
+    assert timex_out[("t15", "three days ago")]["offset_days"] == -3
+    assert timex_out[("t15", "a week back")]["offset_days"] == -7
+    assert timex_out[("t16", "this morning")]["offset_days"] == 0
+    assert timex_out[("t16", "tonight")]["offset_days"] == 0
+    assert timex_out[("t16", "currently")]["offset_days"] == 0
+    assert timex_out[("t17", "five weeks back")]["offset_days"] == -35
+    assert timex_out[("t17", "two months prior")]["offset_days"] == -60
+
+
+def test_timex_md_resolves_to_doc_year(spark):
+    from trove_spark.timex import day_deltas, extract_timex
+
+    docs = spark.createDataFrame(
+        [("m0", "seen September 16 here")], schema="doc_id string, text string"
+    )
+    doc_times = spark.createDataFrame(
+        [("m0", "2021-09-01")], schema="doc_id string, doc_date string"
+    ).withColumn("doc_date", F.col("doc_date").cast("date"))
+    out = day_deltas(extract_timex(docs, "text"), doc_times).collect()[0]
+    assert str(out["norm_date"]) == "2021-09-16" and out["tdelta_days"] == 15
+
+
 # ---------------------------------------------------------------------------
 # A10 doc-time variants (doctimes.py:11-82)
 # ---------------------------------------------------------------------------

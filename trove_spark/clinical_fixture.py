@@ -52,6 +52,13 @@ TIMEX_DOCS: list[tuple[str, str]] = [
     ("t9", "last month was stable but next year needs review"),
     ("t10", "treated for 10 days with antibiotics since March 2020"),
     ("t11", "initial injury in 2019 reported 6 months ago"),
+    # r3b: reference battery shapes (timex.py:31-70 sub-patterns)
+    ("t12", "checked at 11:30 and again at 7:45 PM"),
+    ("t13", "seen September 16 for follow-up"),
+    ("t14", "symptoms since the 80s and surgery in mid-1990s"),
+    ("t15", "started three days ago and a week back felt worse"),
+    ("t16", "reviewed this morning and again tonight and currently stable"),
+    ("t17", "five weeks back and two months prior noted"),
 ]
 
 # L8 Schwartz-Hearst fixture: mined '(long form ( SF )' definitions label

@@ -380,31 +380,46 @@ def _timex_base_sql() -> str:
     parsing, and explicit-date normalization with per-format
     try_strptime fallbacks mirroring the engine's try_to_date chain."""
     from .clinical_fixture import TIMEX_DOCS
-    from .timex import _TIMEX_RE
+    from .timex import _MONTHS, _TIMEX_RE, _WORDNUM_MAP
 
     pat = _TIMEX_RE.replace("'", "''")
+    wordnum_sql = " ".join(
+        f"WHEN regexp_matches(expr, '^{w} ') THEN {v}"
+        for w, v in sorted(_WORDNUM_MAP.items())
+    )
     return f"""
 WITH {_values(list(TIMEX_DOCS), "d", "doc_id, text")},
 x AS (SELECT doc_id, unnest(regexp_extract_all(text, '{pat}', 1)) AS expr FROM d),
 k AS (
   SELECT doc_id, expr,
          CASE WHEN regexp_matches(expr, '^for ') THEN 'duration'
-              WHEN regexp_matches(expr, '(ago|from now)$')
+              WHEN regexp_matches(expr, '^[0-9]{{1,2}}:') THEN 'time'
+              WHEN regexp_matches(expr, '(ago|back|prior|from now)$')
                 OR regexp_matches(expr, '^in [0-9]')
                 OR regexp_matches(expr, '^(last|next) ')
-                OR regexp_matches(expr, '^(yesterday|today|tomorrow)$')
+                OR regexp_matches(expr, '^(yesterday|today|tomorrow|tonight|tonite)$')
+                OR regexp_matches(expr, '^this (morning|afternoon|evening)$')
+                OR regexp_matches(expr, '^(now|currently|presently)$')
               THEN 'relative'
+              WHEN regexp_matches(expr, '^({_MONTHS}) [0-9]{{1,2}}$') THEN 'md'
               ELSE 'explicit' END AS kind,
          try_cast(regexp_extract(expr, '([0-9]+)', 1) AS INT) AS n,
+         CASE {wordnum_sql} END AS wordnum,
          CASE WHEN regexp_matches(expr, 'day') THEN 1
               WHEN regexp_matches(expr, 'week') THEN 7
               WHEN regexp_matches(expr, 'month') THEN 30
-              WHEN regexp_matches(expr, 'year') THEN 365 END AS unit
+              WHEN regexp_matches(expr, 'year') THEN 365 END AS unit,
+         CASE WHEN regexp_matches(expr, '^the ')
+              THEN '19' || regexp_extract(expr, '([0-9]0)s$', 1)
+              ELSE regexp_extract(expr, '((19|20)[0-9]{{2}})s$', 1) END AS decade_y
   FROM x
 ),
 nd AS (
   SELECT doc_id, expr, kind,
-         CASE WHEN kind = 'explicit' THEN CAST(COALESCE(
+         CASE WHEN kind = 'explicit' THEN
+           CASE WHEN regexp_matches(expr, '[0-9]0?s$')
+                THEN CAST(try_strptime(decade_y, '%Y') AS DATE)
+                ELSE CAST(COALESCE(
            try_strptime(expr, '%Y-%m-%d'),
            -- DuckDB %Y leniently accepts 2-digit years (0021-03-04), so
            -- the 2-digit form is dispatched by shape, not fallback order
@@ -418,17 +433,19 @@ nd AS (
                 THEN try_strptime(expr, '%B %Y') END,
            CASE WHEN regexp_matches(expr, '^(19|20)[0-9]{{2}}$')
                 THEN try_strptime(expr, '%Y') END
-         ) AS DATE) END AS norm_date,
+         ) AS DATE) END END AS norm_date,
          CASE WHEN kind = 'relative' THEN CAST(
            CASE WHEN expr = 'yesterday' THEN -1
-                WHEN expr = 'today' THEN 0
                 WHEN expr = 'tomorrow' THEN 1
-                WHEN regexp_matches(expr, 'ago$')
+                WHEN regexp_matches(expr, '^(today|tonight|tonite|now|currently|presently)$')
+                  OR regexp_matches(expr, '^this (morning|afternoon|evening)$')
+                THEN 0
+                WHEN regexp_matches(expr, '(ago|back|prior)$')
                   OR regexp_matches(expr, '^last ')
-                THEN -(COALESCE(n, 1) * unit)
-                ELSE COALESCE(n, 1) * unit END AS BIGINT) END AS offset_days,
+                THEN -(COALESCE(n, wordnum, 1) * unit)
+                ELSE COALESCE(n, wordnum, 1) * unit END AS BIGINT) END AS offset_days,
          CASE WHEN kind = 'duration'
-              THEN CAST(COALESCE(n, 1) * unit AS BIGINT) END AS duration_days
+              THEN CAST(COALESCE(n, wordnum, 1) * unit AS BIGINT) END AS duration_days
   FROM k
 )"""
 
@@ -460,6 +477,15 @@ res AS (
   SELECT nd.doc_id, nd.expr, nd.kind, nd.duration_days,
          CASE WHEN nd.kind = 'relative'
               THEN dt.doc_date + CAST(nd.offset_days AS INT)
+              WHEN nd.kind = 'md'
+              -- month-day with implied year: leap-year sentinel parse,
+              -- then the doc's year; try_cast mirrors try_make_date NULL
+              THEN try_cast(
+                CAST(year(dt.doc_date) AS VARCHAR) || '-' ||
+                lpad(CAST(month(try_strptime(nd.expr || ' 2000', '%B %d %Y')) AS VARCHAR), 2, '0')
+                || '-' ||
+                lpad(CAST(day(try_strptime(nd.expr || ' 2000', '%B %d %Y')) AS VARCHAR), 2, '0')
+                AS DATE)
               ELSE nd.norm_date END AS norm_date,
          dt.doc_date
   FROM nd JOIN dt ON dt.doc_id = nd.doc_id

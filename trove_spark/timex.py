@@ -28,11 +28,19 @@ _MONTHS = (
 )
 _MONS = "Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec"
 _UNITS = r"(?:day|week|month|year)s?"
+# written-out small numbers (timex.py:129-135 number battery) + the
+# reference's 'a'/'few' indefinite counts
+_WORDNUMS = (
+    "one|two|three|four|five|six|seven|eight|nine|ten"
+    "|eleven|twelve|thirteen|fourteen|fifteen|sixteen|seventeen"
+    "|eighteen|nineteen|a|few"
+)
 
 # ONE ordered alternation (leftmost-first in both Java regex and RE2, so
 # Spark and the DuckDB oracle consume identical spans): explicit full
-# dates first, then partial dates, then relative/duration shapes, then
-# bare years LAST so "March 5, 2020" never leaks a separate "2020".
+# dates first, then partial dates (month-year before month-day), clock
+# times, decades, relative/duration shapes, and bare years LAST so
+# "March 5, 2020" never leaks a separate "2020".
 _TIMEX_RE = (
     r"\b(\d{4}-\d{2}-\d{2}"
     r"|\d{1,2}[/-]\d{1,2}[/-]\d{4}"
@@ -40,13 +48,27 @@ _TIMEX_RE = (
     rf"|(?:{_MONTHS}) \d{{1,2}}, \d{{4}}"
     rf"|\d{{1,2}} (?:{_MONS}) \d{{4}}"
     rf"|(?:{_MONTHS}) \d{{4}}"
-    rf"|\d{{1,3}} {_UNITS} (?:ago|from now)"
+    rf"|(?:{_MONTHS}) \d{{1,2}}"
+    r"|\d{1,2}:\d{2}(?::\d{2})?(?: ?[APap][Mm])?"
+    r"|(?:mid-)?(?:19|20)\d{2}s|the \d0s"
+    rf"|\d{{1,3}} {_UNITS} (?:ago|back|prior|from now)"
+    rf"|(?:{_WORDNUMS}) {_UNITS} (?:ago|back|prior)"
     rf"|in \d{{1,3}} {_UNITS}"
     rf"|for \d{{1,3}} {_UNITS}"
-    r"|yesterday|today|tomorrow"
+    r"|yesterday|today|tomorrow|tonight|tonite"
+    r"|this (?:morning|afternoon|evening)"
     r"|(?:last|next) (?:week|month|year)"
+    r"|now|currently|presently"
     r"|(?:19|20)\d{2})\b"
 )
+
+_WORDNUM_MAP = {
+    "one": 1, "two": 2, "three": 3, "four": 4, "five": 5, "six": 6,
+    "seven": 7, "eight": 8, "nine": 9, "ten": 10, "eleven": 11,
+    "twelve": 12, "thirteen": 13, "fourteen": 14, "fifteen": 15,
+    "sixteen": 16, "seventeen": 17, "eighteen": 18, "nineteen": 19,
+    "a": 1, "few": 3,
+}
 
 # legacy alias (explicit-date-only callers/tests)
 _DATE_RE = _TIMEX_RE
@@ -71,9 +93,15 @@ def extract_timex(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataF
     """→ (doc_id, expr, kind, norm_date, offset_days, duration_days):
     every timex occurrence typed and normalized.
 
-      * kind='explicit' — norm_date set (NULL if unparseable, kept as a
-        span like the reference keeps un-normalizable timexes);
-      * kind='relative' — offset_days signed vs doc time;
+      * kind='explicit' — norm_date set (decades → decade start; NULL if
+        unparseable, kept as a span like the reference keeps
+        un-normalizable timexes);
+      * kind='md' — month-day with implied year, resolved against the
+        document year in :func:`day_deltas` (rgx_month_d);
+      * kind='time' — clock time, span only (date-granular engine);
+      * kind='relative' — offset_days signed vs doc time (digit and
+        written-out counts, 'ago/back/prior/from now', named day parts,
+        'now/currently', last/next periods);
       * kind='duration' — duration_days.
 
     NOTE on 2-digit years: Spark's 'yy' pattern pivots to 2000-2099; the
@@ -87,36 +115,55 @@ def extract_timex(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataF
     e = F.col("expr")
     kind = (
         F.when(e.rlike("^for "), F.lit("duration"))
+        .when(e.rlike(r"^\d{1,2}:"), F.lit("time"))
         .when(
-            e.rlike("(ago|from now)$")
+            e.rlike("(ago|back|prior|from now)$")
             | e.rlike(r"^in \d")
             | e.rlike("^(last|next) ")
-            | e.rlike("^(yesterday|today|tomorrow)$"),
+            | e.rlike("^(yesterday|today|tomorrow|tonight|tonite)$")
+            | e.rlike("^this (morning|afternoon|evening)$")
+            | e.rlike("^(now|currently|presently)$"),
             F.lit("relative"),
         )
+        .when(e.rlike(rf"^(?:{_MONTHS}) \d{{1,2}}$"), F.lit("md"))
         .otherwise(F.lit("explicit"))
     )
     n = F.expr("try_cast(regexp_extract(expr, '([0-9]+)', 1) AS INT)")
+    wordnum = None
+    for w, v in sorted(_WORDNUM_MAP.items()):
+        cond = e.rlike(rf"^{w} ")
+        wordnum = F.when(cond, F.lit(v)) if wordnum is None else wordnum.when(cond, F.lit(v))
     unit = (
         F.when(e.rlike("day"), F.lit(1))
         .when(e.rlike("week"), F.lit(7))
         .when(e.rlike("month"), F.lit(30))
         .when(e.rlike("year"), F.lit(365))
     )
-    magnitude = F.coalesce(n, F.lit(1)) * unit
+    magnitude = F.coalesce(n, wordnum, F.lit(1)) * unit
     offset = (
         F.when(e == "yesterday", F.lit(-1))
-        .when(e == "today", F.lit(0))
         .when(e == "tomorrow", F.lit(1))
-        .when(e.rlike("ago$") | e.rlike("^last "), -magnitude)
+        .when(
+            e.rlike("^(today|tonight|tonite|now|currently|presently)$")
+            | e.rlike("^this (morning|afternoon|evening)$"),
+            F.lit(0),
+        )
+        .when(e.rlike("(ago|back|prior)$") | e.rlike("^last "), -magnitude)
         .otherwise(magnitude)  # 'in N units', 'N units from now', 'next X'
     )
-    out = exprs.withColumn("kind", kind)
+    # decades: mid-1990s / 1980s / the 80s → decade start (the 80s ⇒ 19X0)
+    decade_year = F.when(
+        e.rlike("^the "), F.concat(F.lit("19"), F.regexp_extract(e, r"(\d0)s$", 1))
+    ).otherwise(F.regexp_extract(e, r"((?:19|20)\d{2})s$", 1))
+    norm = F.when(
+        e.rlike(r"\d0?s$"), F.expr("try_to_date(decade_y, 'yyyy')")
+    ).otherwise(_norm_explicit())
+    out = exprs.withColumn("kind", kind).withColumn("decade_y", decade_year)
     return out.select(
         "doc_id",
         "expr",
         "kind",
-        F.when(F.col("kind") == "explicit", _norm_explicit()).alias("norm_date"),
+        F.when(F.col("kind") == "explicit", norm).alias("norm_date"),
         F.when(F.col("kind") == "relative", offset)
         .cast("long")
         .alias("offset_days"),
@@ -205,10 +252,24 @@ def day_deltas(timex: DataFrame, doc_times: DataFrame) -> DataFrame:
             "tdelta_days", F.datediff(F.col("norm_date"), F.col("doc_date"))
         )
     j = timex.join(F.broadcast(doc_times), "doc_id")
-    resolved = F.when(
-        F.col("kind") == "relative",
-        F.expr("date_add(doc_date, CAST(offset_days AS INT))"),
-    ).otherwise(F.col("norm_date"))
+    # kind='md' (rgx_month_d, month-day with implied year): parse against
+    # a leap-year sentinel, then adopt the document's year
+    resolved = (
+        F.when(
+            F.col("kind") == "relative",
+            F.expr("date_add(doc_date, CAST(offset_days AS INT))"),
+        )
+        .when(
+            F.col("kind") == "md",
+            F.expr(
+                "try_to_date(concat(year(doc_date), '-', "
+                "lpad(month(try_to_date(concat(expr, ' 2000'), 'MMMM d yyyy')), 2, '0'), '-', "
+                "lpad(day(try_to_date(concat(expr, ' 2000'), 'MMMM d yyyy')), 2, '0')), "
+                "'yyyy-MM-dd')"
+            ),
+        )
+        .otherwise(F.col("norm_date"))
+    )
     return (
         j.withColumn("norm_date", resolved)
         .withColumn(
