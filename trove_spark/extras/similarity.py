@@ -157,6 +157,153 @@ def embedding_near_dup_pairs(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path next to LSH bucketing
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    n_iter: int = 3,
+    sample_mod: int = 1,
+    max_sample: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical k-means coarse quantizer, trained DRIVER-SIDE on a
+    deterministic sample (`id % sample_mod == 0`, first ``max_sample`` by
+    id) — the standard IVF practice (FAISS trains the coarse quantizer on
+    a sample, not the corpus): centroids are tiny, the corpus-sized work
+    (assignment, search) stays distributed.  Deterministic: init is the
+    ``n_lists`` smallest sampled ids, Lloyd updates are numpy float64 on
+    a fixed-order sample, ties break to the lowest list id."""
+    import numpy as np
+
+    sample = (
+        corpus.filter((F.col(id_col).cast("long") % sample_mod) == 0)
+        .select(F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("emb"))
+        .orderBy("vid")
+        .limit(max_sample)
+        .collect()
+    )
+    x = np.array([list(r["emb"]) for r in sample], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cents = x[:n_lists].copy()
+    for _ in range(n_iter):
+        cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(x @ cents.T, axis=1)  # argmax → lowest index on ties
+        for j in range(n_lists):
+            members = x[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    return [[float(v) for v in c] for c in cents]
+
+
+def _ivf_assign_kernel(centroids: list[list[float]], top_n: int, out_col: str):
+    """mapInPandas kernel factory: rows (vid, emb) → (vid, list_id) for
+    the ``top_n`` nearest centroids (spherical distance), numpy-batched."""
+
+    def _kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        c = np.array(centroids, dtype=np.float64).T  # dim × n_lists
+        for pdf in batches:
+            vids, lists = [], []
+            if len(pdf):
+                x = np.array([list(v) for v in pdf["emb"]], dtype=np.float64)
+                x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+                dots = x @ c
+                for vid, row in zip(pdf["vid"], dots):
+                    order = np.argsort(-row, kind="stable")[:top_n]
+                    for li in order:
+                        vids.append(vid)
+                        lists.append(int(li))
+            yield pd.DataFrame(
+                {
+                    "vid": pd.Series(vids, dtype="int64"),
+                    out_col: pd.Series(lists, dtype="int32"),
+                }
+            )
+
+    return _kernel
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vid, list_id): every vector assigned to its nearest coarse
+    centroid — one NARROW numpy-batched kernel, no shuffle, no join."""
+    e = corpus.select(
+        F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("emb")
+    )
+    return e.mapInPandas(
+        _ivf_assign_kernel(centroids, 1, "list_id"), schema="vid long, list_id int"
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    n_probe: int = 3,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: queries probe their ``n_probe`` nearest inverted lists
+    and score exact cosine ONLY against vectors in those lists.
+
+    Plan shape at scale: corpus assignment is a narrow kernel; the search
+    is an EQUI-join on list_id (never a crossJoin) followed by the same
+    JVM-side cosine + per-query top-k window as brute force — so with
+    n_probe = n_lists the result is IDENTICAL to brute_force_topk (the
+    equivalence test), and smaller n_probe trades recall for touching
+    ~n_probe/n_lists of the corpus.  A hot list (skewed data) is the
+    documented trade-off — AQE skew-join splitting applies."""
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"), F.col(vec_col).alias("emb")
+    )
+    assigned = c.withColumnRenamed("neighbor_id", "vid").mapInPandas(
+        _ivf_assign_kernel(centroids, 1, "list_id"), schema="vid long, list_id int"
+    )
+    corpus_lists = c.join(
+        assigned.withColumnRenamed("vid", "neighbor_id"), "neighbor_id"
+    )
+    q = queries.select(
+        F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("emb")
+    )
+    q_probes = q.mapInPandas(
+        _ivf_assign_kernel(centroids, n_probe, "list_id"), schema="vid long, list_id int"
+    ).withColumnRenamed("vid", "query_id")
+    q_emb = q.select(F.col("vid").alias("query_id"), F.col("emb").alias("emb_q"))
+    scored = (
+        F.broadcast(q_probes)
+        .join(corpus_lists, "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(q_emb), "query_id")
+        .withColumn(
+            "cosine",
+            _dot(F.col("emb_q"), F.col("emb"))
+            / (_norm(F.col("emb_q")) * _norm(F.col("emb"))),
+        )
+    )
+    # each corpus vector lives in exactly ONE inverted list, so a
+    # (query, neighbor) pair can only surface once — no dedup needed
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", "cosine")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     k: int = 5,
