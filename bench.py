@@ -49,6 +49,7 @@ HEADLINE = [
     "kg_mentions_longest",
     "kg_majority_vote",
     "kg_triples",
+    "tag_polarity",  # r3: broadcast-automaton trigger path (was 2 SMJs)
     "dedup_minhash_lsh_pairs",
     "ann_brute_topk",
 ]

@@ -212,6 +212,78 @@ def test_negex_full_battery(spark):
     assert p["n3"] is True      # 'without' survives the unrelated pseudo
 
 
+def test_expanded_clinical_cue_lists(spark):
+    """r3 cue expansion toward reference/Chapman fidelity: multi-word and
+    slash cues, reject phrases, pseudo containment with the full list."""
+    from trove_spark.taggers import (
+        NEGEX_BATTERY,
+        negex_tagger,
+    )
+
+    s = _sents_df(
+        spark,
+        [
+            ("e0", 0, "no evidence of pneumonia seen"),
+            ("e1", 0, "patient presents with fever"),
+            ("e2", 0, "s/p hip replacement"),
+            ("e3", 0, "spouse has diabetes"),
+            ("e4", 0, "would benefit from surgery"),
+            ("e5", 0, "infection has been ruled out"),
+            ("e6", 0, "no interval change effusion"),
+        ],
+    )
+    m = spark.createDataFrame(
+        [
+            ("e0", 0, 3, 3, "pneumonia"),
+            ("e1", 0, 3, 3, "fever"),
+            ("e2", 0, 2, 2, "replacement"),
+            ("e3", 0, 2, 2, "diabetes"),
+            ("e4", 0, 3, 3, "surgery"),
+            ("e5", 0, 0, 0, "infection"),
+            ("e6", 0, 3, 3, "effusion"),
+        ],
+        schema="doc_id string, sent_idx int, tok_start int, tok_end int, term string",
+    )
+    pol = _props(
+        trigger_battery_tagger(
+            m, s, CLINICAL_POLARITY_BATTERY, reduction="mv",
+            tie_label=2, prop_col="polarity",
+        ),
+        "polarity",
+    )
+    assert pol[("e0", 3)] == 1        # 'no evidence of' (+ bare 'no')
+    assert pol[("e1", 3)] == 2        # 'presents with' affirms
+    hist = _props(
+        trigger_battery_tagger(
+            m, s, CLINICAL_HISTORICAL_BATTERY, reduction="or",
+            or_label=1, prop_col="historical",
+        ),
+        "historical",
+    )
+    assert hist[("e2", 2)] == 1       # 's/p' slash cue
+    assert hist[("e1", 3)] is None    # 'presents with' reject-only → unset
+    hyp = _props(
+        trigger_battery_tagger(
+            m, s, CLINICAL_HYPOTHETICAL_BATTERY, reduction="or",
+            or_label=1, prop_col="hypothetical",
+        ),
+        "hypothetical",
+    )
+    assert hyp[("e4", 3)] == 1        # trigram 'would benefit from'
+    fam = _props(
+        trigger_battery_tagger(
+            m, s, CLINICAL_FAMILY_BATTERY, reduction="or",
+            or_label=2, prop_col="subject",
+        ),
+        "subject",
+    )
+    assert fam[("e3", 2)] == 2        # 'spouse' (LF_ext_family cue)
+    neg = {r["doc_id"]: r["negated"] for r in negex_tagger(m, s, NEGEX_BATTERY).collect()}
+    assert neg["e5"] is True          # 'has been ruled out' right cue
+    assert neg["e6"] is False         # 'no' inside pseudo 'no interval change'
+    assert neg["e0"] is True
+
+
 def test_trigger_occurrences_equiv_brute_force(spark):
     """The automaton occurrence kernel ≡ brute-force n-gram comparison on
     a seeded random corpus over a tiny alphabet (dense overlaps: 'a',
