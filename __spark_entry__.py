@@ -262,15 +262,21 @@ def q_kg_label_model(spark, sf_dir):
     (integer-quantized M-step statistics + 9-decimal parameter rounding,
     label_model.fit_label_model), so the DuckDB oracle replays the SAME
     3-iteration trajectory CTE-by-CTE (oracle.label_model_oracle_sql);
-    output proba rounds to 6 decimals on both engines."""
+    output proba is emitted in integer micro-units on both engines."""
     from trove_spark.label_model import fit_label_model, predict_label_model
 
     p = _pipe(spark, sf_dir)
     labels = p.labels()
     params = fit_label_model(labels, n_classes=2, n_iter=3, spark=spark)
+    # proba in integer MICRO-units: BIGINT compares bit-exactly across
+    # engines (a rounded double could still differ in the last ulp
+    # between Spark's BigDecimal ROUND and DuckDB's multiply-round)
     return _long(
         predict_label_model(labels, params, spark=spark).select(
-            "doc_id", "token_idx", "y", F.round("proba", 6).alias("proba")
+            "doc_id",
+            "token_idx",
+            "y",
+            F.round(F.col("proba") * 1_000_000).cast("long").alias("proba_micro"),
         ),
         "token_idx",
         "y",

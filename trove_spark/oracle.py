@@ -595,8 +595,9 @@ def label_model_oracle_sql(n_iter: int = 3, scale: int = 1_000_000_000) -> str:
     1e-9 quanta before the order-sensitive M-step sums (BIGINT sums are
     exact and order-free) and θ/π round to 9 decimals each iteration, so
     both engines walk the identical parameter trajectory; the output
-    proba rounds to 6 decimals on both sides to absorb last-ulp exp/log
-    differences between the JVM and glibc."""
+    proba is emitted as integer MICRO-units on both sides (BIGINT
+    compares bit-exactly) to absorb last-ulp exp/log differences between
+    the JVM and glibc."""
     s = float(scale)
 
     def _estep(i: int, th: str, pr: str) -> str:
@@ -673,10 +674,11 @@ lm_pr{i} AS (
         + ", "
         + body
         + """
-SELECT doc_id, token_idx, y, proba FROM (
+SELECT doc_id, token_idx, y, proba_micro FROM (
   SELECT doc_id, token_idx, CAST(y_hyp AS BIGINT) AS y,
-         ROUND(EXP(ll - mx) /
-               SUM(EXP(ll - mx)) OVER (PARTITION BY doc_id, token_idx), 6) AS proba,
+         CAST(ROUND((EXP(ll - mx) /
+               SUM(EXP(ll - mx)) OVER (PARTITION BY doc_id, token_idx))
+               * 1000000.0) AS BIGINT) AS proba_micro,
          ROW_NUMBER() OVER (PARTITION BY doc_id, token_idx
                             ORDER BY ll DESC, y_hyp) AS rn
   FROM lm_mx_fin
