@@ -40,7 +40,7 @@ sys.path.insert(0, HERE)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-SCALING_FACTOR = int(os.environ.get("BENCH_SCALING_FACTOR", "60"))  # 300k docs
+SCALING_FACTOR = int(os.environ.get("BENCH_SCALING_FACTOR", "100"))  # 500k docs
 SMALL = int(os.environ.get("BENCH_SCALING_SMALL", "4"))
 BIG = int(os.environ.get("BENCH_SCALING_BIG", "16"))
 
@@ -131,13 +131,18 @@ def main() -> None:
         # enough samples that the median reflects capability rather than
         # whichever round a throttle burst happened to land on.
         n_rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "3"))
-        max_rounds = int(os.environ.get("BENCH_SCALING_MAX_ROUNDS", "6"))
-        env = dict(
-            os.environ,
-            BENCH_SCALING_TRIALS=os.environ.get("BENCH_SCALING_TRIALS", "3"),
-        )
+        max_rounds = int(os.environ.get("BENCH_SCALING_MAX_ROUNDS", "5"))
+        # ASYMMETRIC trial counts: calibration probes show the host's
+        # contention bursts are SHORT (single-core speed steady while
+        # 16-wide trials swing 12.7→98 s within one block), and they hit
+        # the wide level almost exclusively — so the big level gets more
+        # trials for its best-of to find a burst-free slot, while the
+        # stable small level doesn't pay for them.
+        small_trials = os.environ.get("BENCH_SCALING_TRIALS", "3")
+        big_trials = os.environ.get("BENCH_SCALING_TRIALS_BIG", "5")
 
-        def _run(cores: int) -> dict:
+        def _run(cores: int, trials: str) -> dict:
+            env = dict(os.environ, BENCH_SCALING_TRIALS=trials)
             out = subprocess.run(
                 [sys.executable, os.path.join(HERE, "scripts", "scaling_run.py"),
                  str(cores), str(SCALING_FACTOR)],
@@ -150,8 +155,8 @@ def main() -> None:
             len(rounds) < max_rounds
             and max(speedups) / max(min(speedups), 1e-9) > 1.4
         ):
-            rs = _run(SMALL)
-            rb = _run(BIG)
+            rs = _run(SMALL, small_trials)
+            rb = _run(BIG, big_trials)
             rounds.append({"small": rs, "big": rb})
             speedups.append(round(rs["sec"] / rb["sec"], 3))
 
