@@ -747,6 +747,20 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir), bits=32)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: driver-trained spherical coarse quantizer (deterministic
+    sample, shared pure-numpy k-means), corpus assigned by a narrow
+    Arrow kernel, search = equi-join on list_id probing 3 of 8 lists —
+    never a crossJoin.  Oracle-checked: the DuckDB side replays the same
+    centroids as exact literals and the same 9-decimal-rounded
+    assignment (oracle._ann_ivf_sql)."""
+    from trove_spark.extras.similarity import ivf_topk, train_ivf_centroids
+
+    embs = _embs(spark, sf_dir)
+    cents = train_ivf_centroids(embs, n_lists=8, n_iter=3)
+    return ivf_topk(embs, embs.filter("vec_id < 10"), cents, n_probe=3, k=5)
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
     """SimHash hamming-≤3 near-dup pairs: pigeonhole byte-block banding
     then exact Hamming verify — fully deterministic, oracle-checked."""
@@ -827,7 +841,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     kg_mentions_longest (same kernel, is_longest filter), kg_typed_mentions
     ⊂ kg_linked, tag_negation ⊂ tag_negex, dedup_minhash_sigs ⊂
     dedup_minhash_lsh_pairs, tag_timex ⊂ tag_timedelta, kg_remap (G4,
-    pytest-covered).  The trimmed callables remain importable + tested."""
+    pytest-covered), dedup_simhash ⊂ dedup_simhash_pairs (its fingerprint
+    CTE — slot yielded to ann_ivf_topk in r4).  The trimmed callables
+    remain importable + tested."""
     return {
         "kg_tokens": q_kg_tokens,
         "kg_tokens_clinical": q_kg_tokens_clinical,
@@ -870,11 +886,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
-        "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "text_token_counts": q_text_token_counts,
         "text_language_id": q_text_language_id,
         "text_quality": q_text_quality,

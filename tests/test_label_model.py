@@ -74,6 +74,77 @@ def test_model_search_mv_floor(spark, fixture):
     assert best is not None  # on this fixture EM clears the floor
 
 
+def test_model_search_samples_25_configs(spark, fixture, monkeypatch):
+    """X2 reference protocol (model_search.py:177): candidates are a
+    SEEDED SAMPLE of the Cartesian grid capped at n_model_search=25, with
+    MV-floor checkpointing across them.  Fits are stubbed — this asserts
+    the search protocol, not EM itself (covered above)."""
+    import itertools
+
+    from trove_spark import label_model as lm
+
+    gold, labels = fixture
+    calls: list[dict] = []
+    acc_seq = iter([0.6] + [0.5 + i / 100 for i in range(25)])  # MV first
+
+    monkeypatch.setattr(
+        lm, "fit_label_model",
+        lambda labels, n_classes, n_iter, smoothing: calls.append(
+            {"n_iter": n_iter, "smoothing": smoothing}
+        ) or ("params", n_iter, smoothing),
+    )
+    monkeypatch.setattr(lm, "predict_label_model", lambda labels, params: params)
+    monkeypatch.setattr(lm, "accuracy_vs_gold", lambda pred, gold: next(acc_seq))
+
+    best, report = lm.model_search(labels, labels, gold, n_classes=2)
+    assert len(calls) == 25 and len(report["trials"]) == 25
+    # sampled WITHOUT replacement from the declared Cartesian grid
+    full = [
+        {"n_iter": n, "smoothing": s}
+        for n, s in itertools.product(
+            lm.DEFAULT_PARAM_GRID["n_iter"], lm.DEFAULT_PARAM_GRID["smoothing"]
+        )
+    ]
+    assert all(c in full for c in calls)
+    assert len({tuple(sorted(c.items())) for c in calls}) == 25
+    # MV floor: best is the strictly-best trial above the 0.6 MV baseline
+    assert report["mv_acc"] == 0.6
+    assert report["best_acc"] == max(t["dev_acc"] for t in report["trials"])
+    assert best == ("params", calls[-1]["n_iter"], calls[-1]["smoothing"])
+    # seeded sampling is deterministic: a second search visits the same order
+    calls2: list[dict] = []
+    acc_seq = iter([0.6] + [0.5] * 25)
+    monkeypatch.setattr(
+        lm, "fit_label_model",
+        lambda labels, n_classes, n_iter, smoothing: calls2.append(
+            {"n_iter": n_iter, "smoothing": smoothing}
+        ) or None,
+    )
+    lm.model_search(labels, labels, gold, n_classes=2)
+    assert calls2 == calls
+
+
+def test_e_step_persisted_per_iteration(spark, fixture):
+    """VERDICT r3 #2: the per-iteration responsibility frame (gq) feeds two
+    actions (M-step stats + prior stats); it must be persisted while both
+    run — one E-step execution per round, not two — and released after, so
+    an n_iter fit leaves no cached RDDs behind."""
+    _, labels = fixture
+    seen = []
+
+    def hook(gq):
+        seen.append(gq.storageLevel.useMemory or gq.storageLevel.useDisk)
+
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    params = fit_label_model(labels, n_classes=2, n_iter=3, debug_hook=hook)
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert seen == [True, True, True]
+    assert after == before  # every iteration's cache was unpersisted
+    # persist must not change the deterministic-replay trajectory
+    ref = fit_label_model(labels, n_classes=2, n_iter=3)
+    assert params.theta == ref.theta and params.prior == ref.prior
+
+
 def test_prediction_probabilities_valid(spark, fixture):
     _, labels = fixture
     params = fit_label_model(labels, n_classes=2, n_iter=3)

@@ -1,10 +1,13 @@
 """Lexicon scale proof (VERDICT r2 #6): the real build path at 100k
 synthetic concept rows — build time sane, interned automaton compact,
-matching functional at that size."""
+matching functional at that size.  Plus the SHARDED build path (VERDICT
+r3 #3): distributed per-shard automatons must reproduce the monolithic
+path's mentions row-for-row."""
 
 from __future__ import annotations
 
 import pickle
+import random
 import time
 
 from scripts.lexicon_scale import synthetic_concepts
@@ -27,3 +30,73 @@ def test_lexicon_build_100k_terms():
     two_tok = next(t for t in lex.terms if " " in t)
     hits = list(lex.automaton.match(two_tok.split()))
     assert any(lex.terms[tid] == two_tok for _s, _e, tid in hits)
+
+
+def _sentences_df(spark, rows, terms, n_sents=200, seed=13):
+    """Synthetic sentences sprinkling real lexicon terms (incl. plural
+    variants) between filler words, as (doc_id, sent_idx, words,
+    char_offsets) — the detect_mentions input contract."""
+    rng = random.Random(seed)
+    sents = []
+    for i in range(n_sents):
+        words: list[str] = []
+        for _ in range(rng.randint(3, 10)):
+            r = rng.random()
+            if r < 0.5:
+                t = rng.choice(terms)
+                toks = t.split()
+                if r < 0.1:  # plural variant form
+                    toks = toks[:-1] + [toks[-1] + "s"]
+                words.extend(toks)
+            else:
+                words.append(f"filler{rng.randint(0, 50)}")
+        offs, pos = [], 0
+        for w in words:
+            offs.append(pos)
+            pos += len(w) + 1
+        sents.append((f"d{i % 40}", i // 40, words, offs))
+    return spark.createDataFrame(
+        sents,
+        schema="doc_id string, sent_idx int, words array<string>, char_offsets array<int>",
+    )
+
+
+def test_sharded_build_matches_monolithic(spark):
+    """VERDICT r3 #3: the distributed (hash-sharded, executor-built,
+    N-broadcast) lexicon must produce the SAME mentions — spans, terms,
+    longest-match flags — as the monolithic driver-side build."""
+    from trove_spark.lexicon import build_lexicon_sharded, broadcast_lexicon
+    from trove_spark.matching import detect_mentions, detect_mentions_sharded
+
+    rows = synthetic_concepts(3000, n_words=300)  # dense term reuse → collisions
+    class_map = {f"T{i:03d}": (i % 5) + 1 for i in range(40)}
+    filters = LexiconFilters(max_tok_len=8, min_dict_size=2)
+    mono = build_lexicon(rows, class_map, filters)
+    concepts = spark.createDataFrame(
+        rows, schema="sab string, tui string, cui string, term string"
+    )
+    sharded = build_lexicon_sharded(concepts, class_map, filters, n_shards=4)
+
+    assert sharded.n_terms == len(mono.terms)
+    assert sharded.sabs == mono.sabs
+    assert len(sharded.broadcasts) == 4 and sharded.max_shard_pickle_mb > 0
+
+    sents = _sentences_df(spark, rows, mono.terms)
+    key = ["doc_id", "sent_idx", "tok_start", "tok_end", "char_start",
+           "char_end", "term", "is_longest"]
+    got_mono = sorted(
+        tuple(r[c] for c in key)
+        for r in detect_mentions(sents, broadcast_lexicon(spark.sparkContext, mono)).collect()
+    )
+    got_shard = sorted(
+        tuple(r[c] for c in key)
+        for r in detect_mentions_sharded(sents, sharded).collect()
+    )
+    assert len(got_mono) > 100  # non-trivial corpus
+    assert got_mono == got_shard
+    # global term ids resolve back to the right shard-local term
+    for r in detect_mentions_sharded(sents, sharded).limit(50).collect():
+        gid = r["term_id"]
+        shard = max(i for i, off in enumerate(sharded.offsets) if off <= gid)
+        local = gid - sharded.offsets[shard]
+        assert sharded.broadcasts[shard].value.terms[local] == r["term"]

@@ -94,17 +94,31 @@ def ngram_jaccard_pairs(
     return out.select("doc_a", "doc_b", "co", "na", "nb")
 
 
-def minhash_signatures(
+def capped_shingles(
     docs: DataFrame,
-    n_hashes: int = 16,
     k: int = 5,
+    max_shingle_freq: int = 100,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """MinHash signature rows (doc_id, seed, mh): mh = min over the doc's
-    shingles of h60(shingle ‖ ':' ‖ seed).  Explode-by-seed then min-agg —
-    one shuffle keyed (doc_id, seed); fully codegen'd."""
+    """Shingle table with the boilerplate cap applied: shingles whose
+    document frequency exceeds ``max_shingle_freq`` are dropped (they
+    blow up any pair join and carry no discrimination signal).  One freq
+    shuffle + one equi-join; the raw shingle projection is narrow (no
+    shuffle) so its two in-plan references cost only a second source
+    scan, not a second shuffle."""
     sh = shingles(docs, k, id_col, text_col)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    return sh.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle").select(
+        "doc_id", "shingle"
+    )
+
+
+def _signatures_from_shingles(sh: DataFrame, n_hashes: int) -> DataFrame:
+    """(doc_id, shingle) → MinHash signature rows (doc_id, seed, mh):
+    mh = min over the doc's shingles of h60(shingle ‖ ':' ‖ seed).
+    Explode-by-seed then min-agg — one shuffle keyed (doc_id, seed);
+    fully codegen'd."""
     seeded = sh.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
@@ -113,6 +127,17 @@ def minhash_signatures(
     return seeded.groupBy("doc_id", "seed").agg(
         F.min(_h60(F.concat_ws(":", F.col("shingle"), F.col("seed")))).alias("mh")
     )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signature rows over the full (uncapped) shingle set."""
+    return _signatures_from_shingles(shingles(docs, k, id_col, text_col), n_hashes)
 
 
 def minhash_lsh_pairs(
@@ -130,14 +155,26 @@ def minhash_lsh_pairs(
     are verified by exact Jaccard computed ONLY over candidate docs.
 
     Scale invariant (the reason LSH exists): no global shingle self-join
-    ever happens.  The shingle table is LEFT-SEMI-joined to the candidate
-    doc-id set before the pair join, so the quadratic step is bounded by
+    ever happens.  The shingle table is joined to the candidate pair set
+    before any co-occurrence counting, so the quadratic step is bounded by
     the LSH candidate volume, and the ``max_shingle_freq`` boilerplate cap
-    stays active during verification (a shingle in 10^6 docs would
-    contribute ~5·10^11 pair rows and zero signal).
+    is applied ONCE, up front (a shingle in 10^6 docs would contribute
+    ~5·10^11 pair rows and zero signal — and pollutes minhash values with
+    boilerplate just as badly, so the cap belongs before signatures too).
+
+    Shared lineage (VERDICT r3 #1): Spark does not CSE across DataFrame
+    references, so the one capped shingle table is ``persist()``-ed and
+    feeds BOTH the signature branch and the verification branch — the
+    corpus is scanned during cache population only.  The cache is
+    partition-grain and LRU-evictable; at 100 TB the same role is played
+    by writing the capped shingle table to parquet once and reading it
+    back (graph.TripleStore-style checkpoint).  The persisted frame rides
+    on the result as ``result._shingle_cache`` so callers can unpersist
+    after materializing.
 
     Output: (doc_a, doc_b) candidate pairs verified at ≥ threshold."""
-    sig = minhash_signatures(docs, n_hashes, k, id_col, text_col)
+    sh = capped_shingles(docs, k, max_shingle_freq, id_col, text_col).persist()
+    sig = _signatures_from_shingles(sh, n_hashes)
     bands = (
         sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
         .groupBy("doc_id", "band")
@@ -162,16 +199,11 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact-Jaccard verification restricted to LSH candidates: join the
-    # candidate PAIRS to per-doc shingle sets (cand ⋈ shingles(doc_a) ⋈
-    # shingles(doc_b) on the shared shingle) — intersections are computed
-    # ONLY for candidate pairs, the hot-shingle cap stays active, and the
-    # expensive minhash/banding lineage (`cand`) is consumed exactly once
-    # (a second reference would recompute the whole signature DAG).
-    sh = shingles(docs, k, id_col, text_col)
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    sh = sh.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle").select(
-        "doc_id", "shingle"
-    )
+    # candidate PAIRS to the SAME persisted shingle table (cand ⋈
+    # sh(doc_a) ⋈ sh(doc_b) on the shared shingle) — intersections are
+    # computed ONLY for candidate pairs, and the expensive minhash/banding
+    # lineage (`cand`) is consumed exactly once (a second reference would
+    # recompute the whole signature DAG).
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     co = (
         cand.join(
@@ -184,12 +216,14 @@ def minhash_lsh_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("co"))
     )
-    return (
+    out = (
         co.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
         .filter(F.col("co") / (F.col("na") + F.col("nb") - F.col("co")) >= threshold)
         .select("doc_a", "doc_b")
     )
+    out._shingle_cache = sh  # handle for callers to unpersist after use
+    return out
 
 
 def simhash(

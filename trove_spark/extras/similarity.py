@@ -162,32 +162,16 @@ def embedding_near_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
-def train_ivf_centroids(
-    corpus: DataFrame,
-    n_lists: int = 16,
-    n_iter: int = 3,
-    sample_mod: int = 1,
-    max_sample: int = 100_000,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> list[list[float]]:
-    """Spherical k-means coarse quantizer, trained DRIVER-SIDE on a
-    deterministic sample (`id % sample_mod == 0`, first ``max_sample`` by
-    id) — the standard IVF practice (FAISS trains the coarse quantizer on
-    a sample, not the corpus): centroids are tiny, the corpus-sized work
-    (assignment, search) stays distributed.  Deterministic: init is the
-    ``n_lists`` smallest sampled ids, Lloyd updates are numpy float64 on
-    a fixed-order sample, ties break to the lowest list id."""
+def spherical_kmeans(x, n_lists: int = 16, n_iter: int = 3) -> list[list[float]]:
+    """Pure-numpy spherical k-means on a fixed-order float64 sample —
+    shared by the Spark query side (sample collected via Spark) and the
+    DuckDB oracle generator (sample loaded via pyarrow), so both produce
+    bit-identical centroid literals.  Deterministic: init is the first
+    ``n_lists`` rows, Lloyd updates are float64 in fixed order, argmax
+    ties break to the lowest list id."""
     import numpy as np
 
-    sample = (
-        corpus.filter((F.col(id_col).cast("long") % sample_mod) == 0)
-        .select(F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("emb"))
-        .orderBy("vid")
-        .limit(max_sample)
-        .collect()
-    )
-    x = np.array([list(r["emb"]) for r in sample], dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     cents = x[:n_lists].copy()
     for _ in range(n_iter):
@@ -201,9 +185,39 @@ def train_ivf_centroids(
     return [[float(v) for v in c] for c in cents]
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    n_iter: int = 3,
+    sample_mod: int = 1,
+    max_sample: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical k-means coarse quantizer, trained DRIVER-SIDE on a
+    deterministic sample (`id % sample_mod == 0`, first ``max_sample`` by
+    id) — the standard IVF practice (FAISS trains the coarse quantizer on
+    a sample, not the corpus): centroids are tiny, the corpus-sized work
+    (assignment, search) stays distributed."""
+    sample = (
+        corpus.filter((F.col(id_col).cast("long") % sample_mod) == 0)
+        .select(F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("emb"))
+        .orderBy("vid")
+        .limit(max_sample)
+        .collect()
+    )
+    return spherical_kmeans([list(r["emb"]) for r in sample], n_lists, n_iter)
+
+
 def _ivf_assign_kernel(centroids: list[list[float]], top_n: int, out_col: str):
     """mapInPandas kernel factory: rows (vid, emb) → (vid, list_id) for
-    the ``top_n`` nearest centroids (spherical distance), numpy-batched."""
+    the ``top_n`` nearest centroids (spherical distance), numpy-batched.
+
+    Cross-engine determinism: the normalized dot is ROUNDED to 9 decimals
+    before ranking — numpy's BLAS matmul and a sequential SQL fold differ
+    in the low bits (~1e-16 relative), and an unrounded near-tie could
+    flip a list assignment between this kernel and the DuckDB oracle's
+    replay.  Rounded ties break to the lowest list id on both engines."""
 
     def _kernel(batches):
         import numpy as np
@@ -214,8 +228,8 @@ def _ivf_assign_kernel(centroids: list[list[float]], top_n: int, out_col: str):
             vids, lists = [], []
             if len(pdf):
                 x = np.array([list(v) for v in pdf["emb"]], dtype=np.float64)
-                x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-                dots = x @ c
+                norms = np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+                dots = np.round((x @ c) / norms, 9)
                 for vid, row in zip(pdf["vid"], dots):
                     order = np.argsort(-row, kind="stable")[:top_n]
                     for li in order:

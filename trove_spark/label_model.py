@@ -117,6 +117,7 @@ def fit_label_model(
     n_iter: int = 10,
     smoothing: float = 1.0,
     spark=None,
+    debug_hook=None,
 ) -> LabelModelParams:
     """EM fit; labels must be cached by the caller (it is scanned 2×/round).
 
@@ -141,9 +142,15 @@ def fit_label_model(
         prior={y: 1.0 / n_classes for y in classes},
     )
     for _ in range(n_iter):
+        # the E-step DAG (expand × classes, broadcast θ join, two aggs)
+        # feeds TWO actions below; without the persist the whole lineage
+        # re-executes for the prior statistics every iteration (VERDICT
+        # r3 #2) — persist per round, release after the M-step collects
         gq = _e_step(labels, params, spark).withColumn(
             "q", F.round(F.col("gamma") * QUANTIZE_SCALE).cast("long")
-        )
+        ).persist()
+        if debug_hook is not None:
+            debug_hook(gq)
         stats = (
             labels.join(gq, TOKEN_KEY)
             .groupBy("lf_id", "label", "y_hyp")
@@ -151,6 +158,7 @@ def fit_label_model(
             .collect()
         )
         prior_stats = gq.groupBy("y_hyp").agg(F.sum("q").alias("wq")).collect()
+        gq.unpersist()
         # M-step on the driver (tiny)
         acc: dict[int, dict[int, dict[int, float]]] = {
             lf: {v: {y: smoothing for y in classes} for v in classes} for lf in lf_ids
@@ -206,22 +214,41 @@ def accuracy_vs_gold(pred: DataFrame, gold: DataFrame) -> float:
     return float(row["acc"] or 0.0)
 
 
+# default hyperparameter grid for sampled search — the EM analogue of the
+# reference's 768-point torch grid (lr × l2 × epochs × ...); EM's knobs are
+# iteration count and Dirichlet smoothing (48 points, sampled to 25)
+DEFAULT_PARAM_GRID: dict[str, list] = {
+    "n_iter": [3, 5, 10, 15, 20, 30],
+    "smoothing": [0.01, 0.05, 0.1, 0.25, 0.5, 0.75, 1.0, 2.0],
+}
+
+
 def model_search(
     labels_train: DataFrame,
     labels_dev: DataFrame,
     gold_dev: DataFrame,
     n_classes: int,
     grid: list[dict] | None = None,
+    param_grid: dict[str, list] | None = None,
+    n_model_search: int = 25,
+    seed: int = 1234,
 ) -> tuple[LabelModelParams | None, dict]:
     """X2 grid search with MV-floor checkpointing (model_search.py:142-280):
     fit each config on train, score on dev, keep only configs beating the
-    majority-vote baseline; returns (best params or None, report)."""
-    grid = grid or [
-        {"n_iter": 5, "smoothing": 1.0},
-        {"n_iter": 10, "smoothing": 1.0},
-        {"n_iter": 10, "smoothing": 0.1},
-        {"n_iter": 20, "smoothing": 0.5},
-    ]
+    majority-vote baseline; returns (best params or None, report).
+
+    Reference protocol (model_search.py:177 + the paper's 25-config
+    budget): candidate configs are a SEEDED SAMPLE of the Cartesian
+    hyperparameter grid — ``sample_param_grid(param_grid, n_model_search,
+    seed)`` — not the full sweep.  Pass ``grid`` (an explicit config list)
+    to bypass sampling; otherwise ``param_grid`` (default
+    :data:`DEFAULT_PARAM_GRID`) is sampled to ``n_model_search`` configs."""
+    if grid is None:
+        from .analysis import sample_param_grid
+
+        grid = sample_param_grid(
+            param_grid or DEFAULT_PARAM_GRID, n_model_search, seed
+        )
     mv_acc = accuracy_vs_gold(
         majority_vote(labels_dev, break_ties="min"), gold_dev
     )

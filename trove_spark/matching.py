@@ -112,3 +112,67 @@ def detect_mentions(sentences: DataFrame, lex_bc: Broadcast) -> DataFrame:
             yield out
 
     return sentences.mapInPandas(_kernel, schema=MENTIONS_SCHEMA)
+
+
+def detect_mentions_sharded(sentences: DataFrame, sharded) -> DataFrame:
+    """sentences → mentions against a :class:`~trove_spark.lexicon.
+    ShardedLexicon`: every shard automaton scans the token stream, hits
+    union into one candidate set, and ONE longest-match sweep runs across
+    shards.  The sweep keys on the term STRING — bit-compatible with the
+    monolithic path, whose integer term_ids are assigned in sorted-term
+    order (int order ≡ string order) — so sharded output equals mono
+    output row-for-row (tests/test_lexicon_scale.py).
+
+    Scale shape: n_shards broadcasts of ~1/n_shards the monolithic pickle
+    each; per-sentence cost is n_shards automaton passes over the same
+    token array (O(n_shards × tokens)), traded for a bounded max
+    broadcast and a parallel build."""
+    shard_bcs = list(sharded.broadcasts)
+    offsets = list(sharded.offsets)
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lexes = [bc.value for bc in shard_bcs]
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in (
+                "doc_id", "sent_idx", "tok_start", "tok_end",
+                "char_start", "char_end", "term_id", "term", "is_longest")}
+            for doc_id, sent_idx, words, offs in zip(
+                pdf["doc_id"], pdf["sent_idx"], pdf["words"], pdf["char_offsets"]
+            ):
+                words = list(words)
+                offs = list(offs)
+                cand: list[tuple[int, int, str, int]] = []
+                for lex, base in zip(lexes, offsets):
+                    stop = lex.stopwords
+                    for s, e, tid in lex.automaton.match(words):
+                        if s == e and words[s].lower() in stop:
+                            continue
+                        cand.append((s, e, lex.terms[tid], base + tid))
+                longest_set = set(
+                    longest_match_filter([(s, e, t) for s, e, t, _g in cand])
+                )
+                for s, e, term, gid in cand:
+                    rows["doc_id"].append(doc_id)
+                    rows["sent_idx"].append(sent_idx)
+                    rows["tok_start"].append(s)
+                    rows["tok_end"].append(e)
+                    rows["char_start"].append(offs[s])
+                    rows["char_end"].append(offs[e] + len(words[e]) - 1)
+                    rows["term_id"].append(gid)
+                    rows["term"].append(term)
+                    rows["is_longest"].append((s, e, term) in longest_set)
+            yield pd.DataFrame(
+                {
+                    c: pd.Series(
+                        v,
+                        dtype=(
+                            object
+                            if c in ("doc_id", "term")
+                            else "bool" if c == "is_longest" else "int32"
+                        ),
+                    )
+                    for c, v in rows.items()
+                }
+            )
+
+    return sentences.mapInPandas(_kernel, schema=MENTIONS_SCHEMA)

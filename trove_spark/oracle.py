@@ -872,6 +872,27 @@ shingles AS (
 )
 """
 
+_CAPPED = """filt AS (
+  SELECT s.* FROM shingles s
+  JOIN (SELECT shingle FROM shingles GROUP BY 1 HAVING COUNT(*) <= {max_freq}) f
+    USING (shingle)
+)"""
+
+# pair verification over an already-defined `filt` CTE
+_JACCARD_TAIL = """
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM filt GROUP BY 1),
+co AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS co
+  FROM filt a JOIN filt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b, co, sa.n_sh AS na, sb.n_sh AS nb
+  FROM co JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE co * 1.0 / (sa.n_sh + sb.n_sh - co) >= {threshold}
+)
+"""
+
 _JACCARD_BODY = """
 filt AS (
   SELECT s.* FROM shingles s
@@ -929,6 +950,75 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+def _ann_ivf_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    n_lists: int = 8,
+    n_iter: int = 3,
+    n_probe: int = 3,
+    k: int = 5,
+) -> str:
+    """IVF ANN oracle: the coarse-quantizer centroids are produced by the
+    SAME pure-numpy spherical k-means the engine trains driver-side
+    (extras.similarity.spherical_kmeans), on the SAME deterministic sample
+    (all vectors ordered by vec_id) — here loaded via DuckDB from the
+    sf0.01 parquet the driver's correctness gate runs at — and rendered
+    as exact double literals.  Assignment/probing mirrors the engine's
+    kernel: normalized dot ROUNDED to 9 decimals (so numpy-BLAS vs
+    SQL-fold low-bit noise cannot flip a list), ties to the lowest list
+    id; search cosine is the same raw list_dot_product expression as the
+    brute-force oracle."""
+    import duckdb
+
+    from .extras.similarity import spherical_kmeans
+
+    rows = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        "ORDER BY vec_id LIMIT 100000"
+    ).fetchall()
+    cents = spherical_kmeans([list(r[0]) for r in rows], n_lists, n_iter)
+    cent_rows = ", ".join(
+        "(" + str(i) + ", [" + ", ".join(repr(x) for x in c) + "])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cents(list_id, c) AS (SELECT * FROM (VALUES {cent_rows})),
+e AS (SELECT CAST(vec_id AS BIGINT) AS vid, embedding::DOUBLE[] AS emb FROM embeddings),
+nd AS (
+  SELECT e.vid, ct.list_id,
+         round(list_dot_product(e.emb, ct.c)
+               / greatest(sqrt(list_dot_product(e.emb, e.emb)), 1e-12), 9) AS d
+  FROM e, cents ct
+),
+assign AS (
+  SELECT vid, list_id FROM (
+    SELECT vid, list_id,
+           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d DESC, list_id) AS rn
+    FROM nd) WHERE rn = 1
+),
+probes AS (
+  SELECT vid AS query_id, list_id FROM (
+    SELECT vid, list_id,
+           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d DESC, list_id) AS rn
+    FROM nd WHERE vid < 10) WHERE rn <= {n_probe}
+),
+scored AS (
+  SELECT p.query_id, a.vid AS neighbor_id,
+         list_dot_product(eq.emb, ec.emb)
+           / (sqrt(list_dot_product(eq.emb, eq.emb)) * sqrt(list_dot_product(ec.emb, ec.emb))) AS cosine
+  FROM probes p
+  JOIN assign a ON a.list_id = p.list_id AND a.vid != p.query_id
+  JOIN e eq ON eq.vid = p.query_id
+  JOIN e ec ON ec.vid = a.vid
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def _embedding_near_dup_sql(
     threshold: float = 0.4, dim: int = 64, n_planes: int = 4, n_tables: int = 8
 ) -> str:
@@ -969,6 +1059,7 @@ def extras_oracles() -> dict[str, str]:
     h_w = _H60.format(x="w")
     return {
         "ann_lsh_topk": _ann_lsh_sql(dim=64, n_planes=6, k=5),
+        "ann_ivf_topk": _ann_ivf_sql(n_lists=8, n_iter=3, n_probe=3, k=5),
         "dedup_embedding_pairs": _embedding_near_dup_sql(
             threshold=0.4, dim=64, n_planes=4, n_tables=8
         ),
@@ -989,12 +1080,17 @@ SELECT doc_id, seed, CAST(MIN({h_sh}) AS BIGINT) AS mh
 FROM shingles, (SELECT unnest(range(0, 16)) AS seed) s
 GROUP BY doc_id, seed
 """,
+        # the boilerplate cap (filt) is applied BEFORE signatures — one
+        # shared capped shingle table feeds minhash AND verification,
+        # mirroring the Spark side's single persisted lineage
         "dedup_minhash_lsh_pairs": "WITH "
         + _SHINGLES.strip()
+        + ",\n"
+        + _CAPPED.format(max_freq=100)
         + f""",
 sig AS (
   SELECT doc_id, seed, MIN({h_sh}) AS mh
-  FROM shingles, (SELECT unnest(range(0, 16)) AS seed) s
+  FROM filt, (SELECT unnest(range(0, 16)) AS seed) s
   GROUP BY doc_id, seed
 ),
 bands AS (
@@ -1008,7 +1104,7 @@ cand AS (
   WHERE a.doc_id < b.doc_id
 ),
 """
-        + _JACCARD_BODY.format(max_freq=100, threshold=0.5)
+        + _JACCARD_TAIL.format(threshold=0.5)
         + "SELECT c.doc_a, c.doc_b FROM cand c JOIN jac USING (doc_a, doc_b)",
         "dedup_simhash": f"""
 WITH wc AS (
