@@ -60,7 +60,48 @@ def measure(n_terms: int) -> dict:
     }
 
 
+def measure_sharded(n_terms: int, n_shards: int = 8, cpus: int = 16) -> dict:
+    """Distributed build path (VERDICT r3 #3): same synthetic lexicon
+    through build_lexicon_sharded on a local Spark session — wall time
+    includes Spark-side filtering, executor-side automaton builds, the
+    pickled-shard collect, and all broadcasts; max_shard_pickle_mb is the
+    largest SINGLE broadcast (the quantity the monolithic path cannot
+    bound)."""
+    from pyspark.sql import SparkSession
+
+    from trove_spark.lexicon import build_lexicon_sharded
+
+    rows = synthetic_concepts(n_terms)
+    class_map = {f"T{i:03d}": (i % 5) + 1 for i in range(40)}
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    concepts = spark.createDataFrame(
+        rows, schema="sab string, tui string, cui string, term string"
+    )
+    t0 = time.time()
+    sharded = build_lexicon_sharded(
+        concepts, class_map, LexiconFilters(max_tok_len=8), n_shards=n_shards
+    )
+    build_sec = time.time() - t0
+    out = {
+        "mode": "sharded",
+        "terms": sharded.n_terms,
+        "n_shards": n_shards,
+        "build_sec": round(build_sec, 2),
+        "max_shard_pickle_mb": sharded.max_shard_pickle_mb,
+    }
+    spark.stop()
+    return out
+
+
 if __name__ == "__main__":
-    sizes = [int(a) for a in sys.argv[1:]] or [100_000, 1_000_000]
+    args = [a for a in sys.argv[1:] if a != "--sharded"]
+    sharded = "--sharded" in sys.argv[1:]
+    sizes = [int(a) for a in args] or [100_000, 1_000_000]
     for n in sizes:
-        print(json.dumps(measure(n)))
+        print(json.dumps(measure_sharded(n) if sharded else measure(n)))

@@ -131,6 +131,31 @@ def test_simhash_pairs_hamming_bound(docs):
         assert bin(xor).count("1") == r["hamming"] <= 3
 
 
+def test_near_dup_clusters_group_planted(docs):
+    """pairs→clusters: every planted near-dup pair must land in one
+    cluster whose id is the smallest member; singletons cluster to
+    themselves; output covers every doc exactly once."""
+    from trove_spark.extras.dedup import near_dup_clusters, simhash_near_pairs
+
+    pairs = simhash_near_pairs(docs, bits=32, max_hamming=3)
+    edge_set = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    out = near_dup_clusters(pairs, docs)
+    rows = out.collect()
+    lab = {r["doc_id"]: r["cluster_id"] for r in rows}
+    assert len(rows) == docs.count() == len(lab)  # total, no dup rows
+    for a, b in edge_set:
+        assert lab[a] == lab[b], (a, b)
+    # cluster id = smallest member of the component
+    members: dict[str, list[str]] = {}
+    for d, c in lab.items():
+        members.setdefault(c, []).append(d)
+    for c, ms in members.items():
+        assert c == min(ms)
+    # docs with no edges are singletons
+    in_pairs = {d for e in edge_set for d in e}
+    assert all(lab[d] == d for d in lab if d not in in_pairs)
+
+
 def test_exact_dedup_no_collisions(docs):
     from trove_spark.extras.dedup import exact_dup_groups
 

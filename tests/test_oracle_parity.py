@@ -6,6 +6,8 @@ values) at sf0.001 so regressions surface in pytest before the round gate.
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pytest
 
@@ -13,6 +15,9 @@ import __spark_entry__ as entrymod
 from tests.conftest import normalize_rows
 
 SF_DIR = "/root/testdata/sf0.001"
+# data-dependent oracle generators (IVF centroid literals) must read the
+# scale THIS gate compares at, not the driver's sf0.01 default
+os.environ["TROVE_ORACLE_SF_DIR"] = SF_DIR
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",

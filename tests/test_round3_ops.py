@@ -156,6 +156,83 @@ def test_timex_reference_battery_shapes(timex_out):
     assert timex_out[("t17", "two months prior")]["offset_days"] == -60
 
 
+def test_timex_residual_forms(timex_out):
+    """Round-4 shapes (reference timex.py:23,50-53,63,68,70): weekday
+    names/relatives, ordinal + concatenated + inverted dates, range and
+    .5-decimal ago-counts, hour/wk units, hyphenated-tens word numbers,
+    operative expressions."""
+    assert timex_out[("t18", "next monday")]["kind"] == "wd_rel"
+    assert timex_out[("t18", "last friday")]["kind"] == "wd_rel"
+    assert timex_out[("t19", "Wednesday")]["kind"] == "weekday"
+    assert timex_out[("t19", "this sunday")]["kind"] == "wd_rel"
+    assert str(timex_out[("t20", "20th of July 2010")]["norm_date"]) == "2010-07-20"
+    assert str(timex_out[("t20", "July 30th, 2019")]["norm_date"]) == "2019-07-30"
+    assert str(timex_out[("t21", "30Jan2019")]["norm_date"]) == "2019-01-30"
+    assert str(timex_out[("t21", "05-Oct-2010")]["norm_date"]) == "2010-10-05"
+    assert str(timex_out[("t22", "January of 2018")]["norm_date"]) == "2018-01-01"
+    assert str(timex_out[("t22", "2005 in April")]["norm_date"]) == "2005-04-01"
+    assert timex_out[("t23", "2 to 3 weeks ago")]["offset_days"] == -18  # midpoint
+    assert timex_out[("t23", "1.5 years ago")]["offset_days"] == -548
+    assert timex_out[("t24", "post-op")]["kind"] == "operative"
+    assert timex_out[("t24", "intraoperative")]["kind"] == "operative"
+    assert timex_out[("t24", "pre-op")]["kind"] == "operative"
+    assert timex_out[("t25", "twenty-five years ago")]["offset_days"] == -9125
+    assert timex_out[("t25", "this month")]["offset_days"] == 0
+    assert timex_out[("t26", "four hours ago")]["offset_days"] == 0  # sub-day
+    assert timex_out[("t26", "2 wks back")]["offset_days"] == -14
+    assert timex_out[("t27", "3rd of December")]["kind"] == "md"
+
+
+def test_timex_weekday_resolution(spark):
+    """next = strictly future, last = strictly past, this = current-week
+    occurrence, resolved against the doc's ISO day-of-week; bare weekday
+    names stay span-only (the reference never normalizes them)."""
+    from trove_spark.timex import day_deltas, extract_timex
+
+    docs = spark.createDataFrame(
+        [("w0", "seen next monday and last monday and this friday on Tuesday")],
+        schema="doc_id string, text string",
+    )
+    # 2021-03-15 is a Monday
+    doc_times = spark.createDataFrame(
+        [("w0", "2021-03-15")], schema="doc_id string, doc_date string"
+    ).withColumn("doc_date", F.col("doc_date").cast("date"))
+    out = {
+        r["expr"]: r for r in day_deltas(extract_timex(docs, "text"), doc_times).collect()
+    }
+    assert out["next monday"]["tdelta_days"] == 7  # same day → strictly next
+    assert out["last monday"]["tdelta_days"] == -7
+    assert out["this friday"]["tdelta_days"] == 4
+    assert str(out["next monday"]["norm_date"]) == "2021-03-22"
+    assert out["Tuesday"]["norm_date"] is None and out["Tuesday"]["kind"] == "weekday"
+
+
+def test_negex_clinical_fixture_expected_flags(spark):
+    """The real Chapman battery over the frozen clinical fixture: five
+    distinct real cues fire, both pseudo-negation phrases cancel."""
+    from trove_spark.clinical_fixture import (
+        NEGEX_CLINICAL_DOCS,
+        NEGEX_CLINICAL_MENTIONS,
+    )
+    from trove_spark.taggers import NEGEX_BATTERY, negex_tagger
+    from trove_spark.tokenize import tokenize_documents
+
+    docs = spark.createDataFrame(NEGEX_CLINICAL_DOCS, schema="doc_id string, text string")
+    sents = tokenize_documents(docs, text_col="text", id_col="doc_id", mode="whitespace")
+    mentions = spark.createDataFrame(
+        NEGEX_CLINICAL_MENTIONS,
+        schema="doc_id string, sent_idx int, tok_start int, tok_end int, term string",
+    )
+    got = {
+        r["doc_id"]: r["negated"]
+        for r in negex_tagger(mentions, sents, list(NEGEX_BATTERY)).collect()
+    }
+    assert got == {
+        "nx0": True, "nx1": True, "nx2": True, "nx3": False,
+        "nx4": True, "nx5": True, "nx6": False, "nx7": False,
+    }
+
+
 def test_timex_md_resolves_to_doc_year(spark):
     from trove_spark.timex import day_deltas, extract_timex
 

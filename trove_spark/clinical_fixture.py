@@ -59,6 +59,51 @@ TIMEX_DOCS: list[tuple[str, str]] = [
     ("t15", "started three days ago and a week back felt worse"),
     ("t16", "reviewed this morning and again tonight and currently stable"),
     ("t17", "five weeks back and two months prior noted"),
+    # r4: residual reference forms (timex.py:23,50-53,63,68,70 —
+    # weekday relatives, ordinal/concatenated/inverted dates, range and
+    # decimal ago-counts, hour/wk units, tens word-numbers, operative)
+    ("t18", "follow up next monday after surgery last friday"),
+    ("t19", "seen on Wednesday and again this sunday"),
+    ("t20", "surgery on 20th of July 2010 and again July 30th, 2019"),
+    ("t21", "admitted 30Jan2019 discharged 05-Oct-2010"),
+    ("t22", "diagnosed January of 2018 and 2005 in April"),
+    ("t23", "pain started 2 to 3 weeks ago and 1.5 years ago roughly"),
+    ("t24", "post-op check done, intraoperative findings, pre-op clearance"),
+    ("t25", "twenty-five years ago and this month it improved"),
+    ("t26", "felt dizzy four hours ago and 2 wks back"),
+    ("t27", "seen 3rd of December for injection"),
+]
+
+# A1 clinical NegEx fixture (r4): single-sentence docs exercising the
+# REAL Chapman battery (taggers.NEGEX_BATTERY) end-to-end — definite
+# left ('denies', trigram 'no evidence of'), probable left ('r/o'),
+# definite right ('was ruled out', 'unlikely'), and BOTH pseudo-negation
+# cancels ('without difficulty', 'no change') — joined to the frozen
+# mention spans below; the oracle replays the same battery over a VALUES
+# CTE (oracle.negex_fixture_oracle_sql).
+NEGEX_CLINICAL_DOCS: list[tuple[str, str]] = [
+    ("nx0", "patient denies chest pain today"),
+    ("nx1", "no evidence of acute fracture"),
+    ("nx2", "pneumonia was ruled out yesterday"),
+    ("nx3", "moving without difficulty since surgery"),
+    ("nx4", "r/o sepsis given fever spike"),
+    ("nx5", "recurrence is unlikely at this point"),
+    ("nx6", "patient has fever and chills"),
+    ("nx7", "no change in effusion noted"),
+]
+
+# (doc_id, sent_idx, tok_start, tok_end, term) mention spans for the docs
+# above; expected negation: nx0/nx1/nx2/nx4/nx5 True, nx3/nx7 False (cue
+# cancelled by its containing pseudo phrase), nx6 False (no cue)
+NEGEX_CLINICAL_MENTIONS: list[tuple[str, int, int, int, str]] = [
+    ("nx0", 0, 2, 3, "chest pain"),
+    ("nx1", 0, 4, 4, "fracture"),
+    ("nx2", 0, 0, 0, "pneumonia"),
+    ("nx3", 0, 4, 4, "surgery"),
+    ("nx4", 0, 1, 1, "sepsis"),
+    ("nx5", 0, 0, 0, "recurrence"),
+    ("nx6", 0, 2, 2, "fever"),
+    ("nx7", 0, 3, 3, "effusion"),
 ]
 
 # L8 Schwartz-Hearst fixture: mined '(long form ( SF )' definitions label

@@ -71,12 +71,12 @@ def ngram_jaccard_pairs(
     shingle → docs → co-occurrence counts → |A∩B| / (|A|+|B|−|A∩B|).
 
     The self-join key is the shingle; ``max_shingle_freq`` caps its
-    fan-out (skew defense).  Output: (doc_a, doc_b, co, na, nb) with
-    doc_a < doc_b and jaccard ≥ threshold."""
-    sh = shingles(docs, k, id_col, text_col)
-    # drop boilerplate shingles: they blow up the pair join and carry no signal
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    sh = sh.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle")
+    fan-out (skew defense).  The capped shingle table feeds THREE
+    consumers (sizes + both sides of the co-occurrence join), so it is
+    persisted — without it each reference re-scans and re-shingles the
+    corpus (no cross-reference CSE).  Output: (doc_a, doc_b, co, na, nb)
+    with doc_a < doc_b and jaccard ≥ threshold."""
+    sh = capped_shingles(docs, k, max_shingle_freq, id_col, text_col).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -91,7 +91,9 @@ def ngram_jaccard_pairs(
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
         .filter(F.col("co") / (F.col("na") + F.col("nb") - F.col("co")) >= threshold)
     )
-    return out.select("doc_a", "doc_b", "co", "na", "nb")
+    out = out.select("doc_a", "doc_b", "co", "na", "nb")
+    out._shingle_cache = sh  # handle for callers to unpersist after use
+    return out
 
 
 def capped_shingles(
@@ -224,6 +226,64 @@ def minhash_lsh_pairs(
     )
     out._shingle_cache = sh  # handle for callers to unpersist after use
     return out
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    docs: DataFrame,
+    max_iter: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate CLUSTERS from pair edges: connected components by
+    iterative min-label propagation — the step a real training-data
+    pipeline needs after any pair generator (keep one canonical doc per
+    component, drop the rest).
+
+    Semantics: cluster_id = the lexicographically-smallest doc_id
+    reachable through the pair graph (deterministic canonical
+    representative); singletons cluster to themselves.
+
+    Scale shape: each round is ONE equi-join (edges ⋈ labels) + ONE
+    min-agg shuffle.  The label frame is ``localCheckpoint``-ed eagerly
+    every round — a persist() is NOT enough for iterative plans: the
+    analyzed plan still embeds the previous round's tree twice (union +
+    join), doubling per iteration until planning itself OOMs; the
+    checkpoint truncates lineage to the materialized data (on a real
+    cluster with lineage-loss concerns, swap in reliable
+    ``checkpoint()`` against the checkpoint dir).  Convergence is
+    checked with a changed-label count; dedup components are
+    near-cliques (diameter ~1-3), so rounds stay in single digits.  For
+    adversarial long-chain graphs at 10^9+ edges the same loop accepts
+    the large-star/small-star edge rewrite; ``max_iter`` bounds the
+    worst case either way.
+
+    pairs: (doc_a, doc_b) — any of the pair generators in this module.
+    Output: (doc_id, cluster_id)."""
+    e = pairs.select(
+        F.col("doc_a").cast("string").alias("u"), F.col("doc_b").cast("string").alias("v")
+    )
+    edges = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = docs.select(
+        F.col(id_col).cast("string").alias("u"), F.col(id_col).cast("string").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor = edges.join(
+            labels.withColumnRenamed("u", "v"), "v"
+        ).select("u", "label")
+        new_labels = (
+            labels.union(neighbor).groupBy("u").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "u")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
 def simhash(

@@ -377,15 +377,42 @@ def _timex_base_sql() -> str:
     """Shared A8 CTE chain: one ordered-alternation extraction (the SAME
     timex._TIMEX_RE — RE2 and Java regex both scan leftmost-first, so
     both engines consume identical spans), kind classification, magnitude
-    parsing, and explicit-date normalization with per-format
-    try_strptime fallbacks mirroring the engine's try_to_date chain."""
+    parsing (range midpoints, .5 decimals, hyphenated-tens word numbers),
+    and explicit-date normalization with per-format try_strptime
+    fallbacks mirroring the engine's try_to_date chain (incl. the
+    ordinal-strip / of-in-collapse / concat-rewrite cleaned forms)."""
     from .clinical_fixture import TIMEX_DOCS
-    from .timex import _MONTHS, _TIMEX_RE, _WORDNUM_MAP
+    from .timex import (
+        _MONS,
+        _MONTHS,
+        _TIMEX_RE,
+        _WEEKDAYS,
+        _WORDNUM_MAP,
+        _WORDTENS_MAP,
+    )
 
     pat = _TIMEX_RE.replace("'", "''")
     wordnum_sql = " ".join(
         f"WHEN regexp_matches(expr, '^{w} ') THEN {v}"
         for w, v in sorted(_WORDNUM_MAP.items())
+    )
+    tens_sql = " ".join(
+        f"WHEN regexp_matches(expr, '^{w}[ -]') THEN {v}"
+        for w, v in sorted(_WORDTENS_MAP.items())
+    )
+    ones_sql = " ".join(
+        f"WHEN regexp_matches(expr, '^[a-z]+-{w} ') THEN {v}"
+        for w, v in sorted(_WORDNUM_MAP.items())
+        if w not in ("a", "few")
+    )
+    # cleaned rewrites, mirrored from timex._CLEAN_SQL/_CONCAT_SQL
+    clean = (
+        r"regexp_replace(regexp_replace(regexp_replace(expr,"
+        r" '(\d{1,2})(st|nd|rd|th)\b', '\1'), ' of ', ' '), ' in ', ' ')"
+    )
+    concat = (
+        r"regexp_replace(expr,"
+        rf" '^(\d{{1,2}})-?({_MONS})-?(\d{{4}})$', '\1 \2 \3')"
     )
     return f"""
 WITH {_values(list(TIMEX_DOCS), "d", "doc_id, text")},
@@ -394,25 +421,44 @@ k AS (
   SELECT doc_id, expr,
          CASE WHEN regexp_matches(expr, '^for ') THEN 'duration'
               WHEN regexp_matches(expr, '^[0-9]{{1,2}}:') THEN 'time'
+              WHEN regexp_matches(expr, '^(pre|post|intra)-?(op|operative)') THEN 'operative'
+              WHEN regexp_matches(expr, '^(last|next|this) (?i:{_WEEKDAYS})$') THEN 'wd_rel'
+              WHEN regexp_matches(expr, '^(?i:{_WEEKDAYS})$') THEN 'weekday'
               WHEN regexp_matches(expr, '(ago|back|prior|from now)$')
                 OR regexp_matches(expr, '^in [0-9]')
                 OR regexp_matches(expr, '^(last|next) ')
+                OR regexp_matches(expr, '^this (week|month|year)$')
                 OR regexp_matches(expr, '^(yesterday|today|tomorrow|tonight|tonite)$')
                 OR regexp_matches(expr, '^this (morning|afternoon|evening)$')
                 OR regexp_matches(expr, '^(now|currently|presently)$')
               THEN 'relative'
-              WHEN regexp_matches(expr, '^({_MONTHS}) [0-9]{{1,2}}$') THEN 'md'
+              WHEN regexp_matches(expr, '^({_MONTHS}) [0-9]{{1,2}}(st|nd|rd|th)?$')
+                OR regexp_matches(expr, '^[0-9]{{1,2}}(st|nd|rd|th)? of ({_MONTHS})$')
+              THEN 'md'
               ELSE 'explicit' END AS kind,
-         try_cast(regexp_extract(expr, '([0-9]+)', 1) AS INT) AS n,
+         try_cast(regexp_extract(expr, '^([0-9]+(\\.5)?) ', 1) AS DOUBLE) AS lo,
+         try_cast(regexp_extract(expr, '^[0-9]+ ?(?:to|-) ?([0-9]+) ', 1) AS DOUBLE) AS hi,
+         try_cast(regexp_extract(expr, '^(?:in|for) ([0-9]+) ', 1) AS DOUBLE) AS n_prep,
          CASE {wordnum_sql} END AS wordnum,
+         CASE {tens_sql} END AS tens,
+         CASE {ones_sql} END AS ones,
          CASE WHEN regexp_matches(expr, 'day') THEN 1
-              WHEN regexp_matches(expr, 'week') THEN 7
+              WHEN regexp_matches(expr, 'week|wk') THEN 7
               WHEN regexp_matches(expr, 'month') THEN 30
-              WHEN regexp_matches(expr, 'year') THEN 365 END AS unit,
+              WHEN regexp_matches(expr, 'year') THEN 365
+              WHEN regexp_matches(expr, 'hour') THEN 0 END AS unit,
          CASE WHEN regexp_matches(expr, '^the ')
               THEN '19' || regexp_extract(expr, '([0-9]0)s$', 1)
               ELSE regexp_extract(expr, '((19|20)[0-9]{{2}})s$', 1) END AS decade_y
   FROM x
+),
+km AS (
+  SELECT *, CAST(ROUND(COALESCE(
+           CASE WHEN hi IS NOT NULL THEN (COALESCE(lo, 0) + hi) / 2 END, lo, n_prep,
+           CASE WHEN tens IS NOT NULL THEN CAST(tens + COALESCE(ones, 0) AS DOUBLE)
+                ELSE CAST(wordnum AS DOUBLE) END,
+           1.0) * unit) AS BIGINT) AS magnitude
+  FROM k
 ),
 nd AS (
   SELECT doc_id, expr, kind,
@@ -429,6 +475,12 @@ nd AS (
            try_strptime(expr, '%m-%d-%Y'),
            try_strptime(expr, '%B %d, %Y'),
            try_strptime(expr, '%d %b %Y'),
+           try_strptime({concat}, '%d %b %Y'),
+           try_strptime({clean}, '%d %B %Y'),
+           try_strptime({clean}, '%B %d, %Y'),
+           CASE WHEN regexp_matches({clean}, '^[A-Za-z]+ [0-9]{{4}}$')
+                THEN try_strptime({clean}, '%B %Y') END,
+           try_strptime({clean}, '%Y %B'),
            CASE WHEN regexp_matches(expr, '^[A-Za-z]+ [0-9]{{4}}$')
                 THEN try_strptime(expr, '%B %Y') END,
            CASE WHEN regexp_matches(expr, '^(19|20)[0-9]{{2}}$')
@@ -439,14 +491,14 @@ nd AS (
                 WHEN expr = 'tomorrow' THEN 1
                 WHEN regexp_matches(expr, '^(today|tonight|tonite|now|currently|presently)$')
                   OR regexp_matches(expr, '^this (morning|afternoon|evening)$')
+                  OR regexp_matches(expr, '^this (week|month|year)$')
                 THEN 0
                 WHEN regexp_matches(expr, '(ago|back|prior)$')
                   OR regexp_matches(expr, '^last ')
-                THEN -(COALESCE(n, wordnum, 1) * unit)
-                ELSE COALESCE(n, wordnum, 1) * unit END AS BIGINT) END AS offset_days,
-         CASE WHEN kind = 'duration'
-              THEN CAST(COALESCE(n, wordnum, 1) * unit AS BIGINT) END AS duration_days
-  FROM k
+                THEN -magnitude
+                ELSE magnitude END AS BIGINT) END AS offset_days,
+         CASE WHEN kind = 'duration' THEN magnitude END AS duration_days
+  FROM km
 )"""
 
 
@@ -463,7 +515,20 @@ FROM nd WHERE kind = 'explicit'"""
 def _timedelta_oracle_sql() -> str:
     """A9/A10 oracle: every timex resolved against the same hash-derived
     per-doc reference date (portable md5-60bit hash): explicit → date
-    diff, relative → doc_date + offset, duration → day count only."""
+    diff, relative → doc_date + offset, wd_rel → next/last/this weekday
+    vs the doc's ISO day-of-week, md → leap-year-sentinel month-day in
+    the doc's year, duration → day count only."""
+    from .timex import _WEEKDAY_MAP
+
+    wd_sql = " ".join(
+        f"WHEN '{w}' THEN {v}" for w, v in sorted(_WEEKDAY_MAP.items())
+    )
+    # ordinal strip + 'D of M' → 'M D' reorder (timex._MD_CLEAN mirror)
+    md_clean = (
+        r"regexp_replace(regexp_replace(nd.expr,"
+        r" '(\d{1,2})(st|nd|rd|th)\b', '\1'),"
+        r" '^(\d{1,2}) of (.*)$', '\2 \1')"
+    )
     return (
         _timex_base_sql()
         + f""",
@@ -477,18 +542,31 @@ res AS (
   SELECT nd.doc_id, nd.expr, nd.kind, nd.duration_days,
          CASE WHEN nd.kind = 'relative'
               THEN dt.doc_date + CAST(nd.offset_days AS INT)
+              WHEN nd.kind = 'wd_rel'
+              -- ((target − isodow) mod 7): 'next' strictly future
+              -- (0 → +7), 'last' strictly past, 'this' current week
+              THEN dt.doc_date + CAST(
+                CASE WHEN regexp_matches(nd.expr, '^next ')
+                     THEN CASE WHEN wd.diff = 0 THEN 7 ELSE wd.diff END
+                     WHEN regexp_matches(nd.expr, '^last ')
+                     THEN CASE WHEN wd.diff = 0 THEN -7 ELSE wd.diff - 7 END
+                     ELSE wd.diff END AS INT)
               WHEN nd.kind = 'md'
               -- month-day with implied year: leap-year sentinel parse,
               -- then the doc's year; try_cast mirrors try_make_date NULL
               THEN try_cast(
                 CAST(year(dt.doc_date) AS VARCHAR) || '-' ||
-                lpad(CAST(month(try_strptime(nd.expr || ' 2000', '%B %d %Y')) AS VARCHAR), 2, '0')
+                lpad(CAST(month(try_strptime({md_clean} || ' 2000', '%B %d %Y')) AS VARCHAR), 2, '0')
                 || '-' ||
-                lpad(CAST(day(try_strptime(nd.expr || ' 2000', '%B %d %Y')) AS VARCHAR), 2, '0')
+                lpad(CAST(day(try_strptime({md_clean} || ' 2000', '%B %d %Y')) AS VARCHAR), 2, '0')
                 AS DATE)
               ELSE nd.norm_date END AS norm_date,
          dt.doc_date
   FROM nd JOIN dt ON dt.doc_id = nd.doc_id
+  LEFT JOIN LATERAL (
+    SELECT ((CASE lower(regexp_extract(nd.expr, ' ([A-Za-z]+)$', 1))
+             {wd_sql} END - isodow(dt.doc_date)) % 7 + 7) % 7 AS diff
+  ) wd ON TRUE
 )
 SELECT doc_id, expr, kind, CAST(norm_date AS VARCHAR) AS norm_date,
        CAST(norm_date - doc_date AS BIGINT) AS tdelta_days, duration_days
@@ -547,6 +625,67 @@ FROM typed t
 JOIN terms tm ON tm.term_id = t.term_id
 LEFT JOIN n_fired f ON f.doc_id = t.doc_id AND f.s = t.s AND f.e = t.e
                    AND f.term_id = t.term_id"""
+    )
+
+
+def negex_fixture_oracle_sql(
+    battery: list[tuple[str, int, str, str, int]],
+    docs: list[tuple[str, str]],
+    mentions: list[tuple[str, int, int, int, str]],
+) -> str:
+    """Full-NegEx semantic replay over a FIXTURE corpus: the same
+    occurrence-CTE / pseudo-containment / directional-window logic as
+    :func:`negex_oracle_sql`, but sourced from VALUES CTEs (docs
+    whitespace-tokenized in SQL, mention spans term-keyed) — this is what
+    lets the driver gate exercise the REAL Chapman battery end-to-end
+    (the testdata vocabulary contains no clinical cues)."""
+    trig_rows = [
+        (i, lbl, trig.lower(), side, window, len(trig.split()))
+        for i, (_name, lbl, trig, side, window) in enumerate(battery)
+    ]
+    max_n = max(r[5] for r in trig_rows)
+    mention_rows = [(d, s, e, t) for (d, _si, s, e, t) in mentions]
+    return f"""
+WITH {_values(list(docs), "d", "doc_id, text")},
+toks AS (
+  SELECT d.doc_id, i.i AS tok, string_split(d.text, ' ')[i.i + 1] AS word
+  FROM d, (SELECT unnest(range(0, 64)) AS i) i
+  WHERE i.i < len(string_split(d.text, ' '))
+),
+{_values(trig_rows, "trigs", "lf_id, label, trig, side, win, n")},
+{_values(mention_rows, "typed", "doc_id, s, e, term")},
+n_occ AS (
+{_trigger_occ_sql(max_n)}
+),
+n_live AS (
+  SELECT n.* FROM n_occ n
+  WHERE n.label != 3 AND NOT EXISTS (
+    SELECT 1 FROM n_occ p
+    WHERE p.label = 3 AND p.doc_id = n.doc_id
+      AND p.trig_start <= n.trig_start AND p.trig_end >= n.trig_end)
+),
+n_fired AS (
+  SELECT t.doc_id, t.s, t.e, t.term, 1 AS neg_cue
+  FROM typed t JOIN n_live o ON o.doc_id = t.doc_id
+  WHERE (o.side = 'left' AND o.trig_end >= t.s - o.win AND o.trig_end < t.s)
+     OR (o.side = 'right' AND o.trig_start > t.e AND o.trig_start <= t.e + o.win)
+  GROUP BY 1, 2, 3, 4
+)
+SELECT t.doc_id, CAST(t.s AS BIGINT) AS tok_start, CAST(t.e AS BIGINT) AS tok_end,
+       t.term, COALESCE(f.neg_cue = 1, FALSE) AS negated
+FROM typed t
+LEFT JOIN n_fired f ON f.doc_id = t.doc_id AND f.s = t.s AND f.e = t.e
+                   AND f.term = t.term"""
+
+
+def _clinical_negex_fixture_sql() -> str:
+    """The real Chapman battery (taggers.NEGEX_BATTERY) replayed over the
+    clinical NegEx fixture — deferred imports avoid a module cycle."""
+    from .clinical_fixture import NEGEX_CLINICAL_DOCS, NEGEX_CLINICAL_MENTIONS
+    from .taggers import NEGEX_BATTERY
+
+    return negex_fixture_oracle_sql(
+        list(NEGEX_BATTERY), NEGEX_CLINICAL_DOCS, NEGEX_CLINICAL_MENTIONS
     )
 
 
@@ -700,7 +839,14 @@ GROUP BY doc_id, token_idx""",
             synth.POLARITY_BATTERY, "polarity", "mv",
             tie_label=synth.POLARITY_TIE_LABEL,
         ),
-        "tag_negex": negex_oracle_sql(synth.NEGEX_TESTDATA_BATTERY),
+        # testdata-vocabulary battery at corpus scale UNIONed with the
+        # REAL Chapman battery replayed over the clinical fixture (r4 —
+        # the testdata vocab has no clinical cues, so this is the only
+        # oracle row exercising NEGEX_BATTERY end-to-end)
+        "tag_negex": negex_oracle_sql(synth.NEGEX_TESTDATA_BATTERY)
+        + "\nUNION ALL\nSELECT * FROM (\n"
+        + _clinical_negex_fixture_sql()
+        + "\n)",
         "tag_historical": battery_oracle_sql(
             synth.HISTORICAL_BATTERY, "historical", "or", or_label=1,
         ),
@@ -951,7 +1097,7 @@ SELECT query_id, neighbor_id, rank FROM (
 
 
 def _ann_ivf_sql(
-    sf_dir: str = "/root/testdata/sf0.01",
+    sf_dir: str | None = None,
     n_lists: int = 8,
     n_iter: int = 3,
     n_probe: int = 3,
@@ -961,16 +1107,22 @@ def _ann_ivf_sql(
     SAME pure-numpy spherical k-means the engine trains driver-side
     (extras.similarity.spherical_kmeans), on the SAME deterministic sample
     (all vectors ordered by vec_id) — here loaded via DuckDB from the
-    sf0.01 parquet the driver's correctness gate runs at — and rendered
-    as exact double literals.  Assignment/probing mirrors the engine's
+    parquet at the scale the comparison runs at (the driver's correctness
+    gate is sf0.01, the default; the pytest parity gate overrides via
+    $TROVE_ORACLE_SF_DIR) — and rendered as exact double literals.  Assignment/probing mirrors the engine's
     kernel: normalized dot ROUNDED to 9 decimals (so numpy-BLAS vs
     SQL-fold low-bit noise cannot flip a list), ties to the lowest list
     id; search cosine is the same raw list_dot_product expression as the
     brute-force oracle."""
+    import os
+
     import duckdb
 
     from .extras.similarity import spherical_kmeans
 
+    sf_dir = sf_dir or os.environ.get(
+        "TROVE_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
     rows = duckdb.sql(
         f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
         "ORDER BY vec_id LIMIT 100000"
@@ -1054,6 +1206,34 @@ WHERE list_dot_product(ea.emb, eb.emb)
 """
 
 
+def _simhash_pairs_ctes(h_w: str) -> str:
+    """SimHash fingerprint + pigeonhole-banded candidate CTE chain,
+    shared by the pairs oracle and the clusters oracle."""
+    return f"""wc AS (
+  SELECT doc_id, w, COUNT(*) AS cnt FROM (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, unnest(string_split(text, ' ')) AS w
+    FROM documents) GROUP BY 1, 2
+),
+pb AS (
+  SELECT doc_id, bp, SUM(CASE WHEN ({h_w} >> bp) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+  FROM wc, (SELECT unnest(range(0, 32)) AS bp) b GROUP BY 1, 2
+),
+sh AS (
+  SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << bp ELSE 0 END) AS BIGINT) AS simhash
+  FROM pb GROUP BY 1
+),
+blocks AS (
+  SELECT doc_id, simhash, blk, (simhash >> (blk * 8)) & 255 AS blk_val
+  FROM sh, (SELECT unnest(range(0, 4)) AS blk) nb
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.blk_val = b.blk_val
+  WHERE a.doc_id < b.doc_id
+)"""
+
+
 def extras_oracles() -> dict[str, str]:
     h_sh = _H60.format(x="shingle || ':' || seed")
     h_w = _H60.format(x="w")
@@ -1119,32 +1299,28 @@ pb AS (
 SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << bp ELSE 0 END) AS BIGINT) AS simhash
 FROM pb GROUP BY 1
 """,
-        "dedup_simhash_pairs": f"""
-WITH wc AS (
-  SELECT doc_id, w, COUNT(*) AS cnt FROM (
-    SELECT CAST(doc_id AS VARCHAR) AS doc_id, unnest(string_split(text, ' ')) AS w
-    FROM documents) GROUP BY 1, 2
-),
-pb AS (
-  SELECT doc_id, bp, SUM(CASE WHEN ({h_w} >> bp) & 1 = 1 THEN cnt ELSE -cnt END) AS s
-  FROM wc, (SELECT unnest(range(0, 32)) AS bp) b GROUP BY 1, 2
-),
-sh AS (
-  SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << bp ELSE 0 END) AS BIGINT) AS simhash
-  FROM pb GROUP BY 1
-),
-blocks AS (
-  SELECT doc_id, simhash, blk, (simhash >> (blk * 8)) & 255 AS blk_val
-  FROM sh, (SELECT unnest(range(0, 4)) AS blk) nb
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.simhash AS ha, b.simhash AS hb
-  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.blk_val = b.blk_val
-  WHERE a.doc_id < b.doc_id
-)
+        "dedup_simhash_pairs": "WITH "
+        + _simhash_pairs_ctes(h_w)
+        + """
 SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+""",
+        # connected components over the simhash near-dup edges: transitive
+        # min-label closure (recursive CTE) ≡ the engine's iterative
+        # min-label propagation — cluster_id = smallest reachable doc_id
+        "dedup_clusters": "WITH RECURSIVE "
+        + _simhash_pairs_ctes(h_w)
+        + """,
+pr AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
+sym AS (SELECT doc_a AS u, doc_b AS v FROM pr
+        UNION ALL SELECT doc_b, doc_a FROM pr),
+reach AS (
+  SELECT CAST(doc_id AS VARCHAR) AS u, CAST(doc_id AS VARCHAR) AS label
+  FROM documents
+  UNION
+  SELECT s.u, r.label FROM sym s JOIN reach r ON r.u = s.v
+)
+SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u
 """,
         "ann_brute_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS emb_q FROM embeddings WHERE vec_id < 10),

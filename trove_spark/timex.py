@@ -28,36 +28,50 @@ _MONTHS = (
 )
 _MONS = "Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec"
 _UNITS = r"(?:day|week|month|year)s?"
+# the reference's ago-family allows wk/hour units too (rgx_timex_ago)
+_AGO_UNITS = r"(?:day|week|wk|month|year|hour)s?"
+_WEEKDAYS = "monday|tuesday|wednesday|thursday|friday|saturday|sunday"
 # written-out small numbers (timex.py:129-135 number battery) + the
-# reference's 'a'/'few' indefinite counts
+# reference's 'a'/'few' indefinite counts; tens (incl. the reference's
+# 'fourty'/'ninty' spelling variants) compose with a hyphenated ones digit
 _WORDNUMS = (
     "one|two|three|four|five|six|seven|eight|nine|ten"
     "|eleven|twelve|thirteen|fourteen|fifteen|sixteen|seventeen"
     "|eighteen|nineteen|a|few"
 )
+_WORDTENS = "twenty|thirty|forty|fourty|fifty|sixty|seventy|eighty|ninety|ninty"
+_WORDNUM_FULL = rf"(?:(?:{_WORDTENS})(?:-(?:{_WORDNUMS}))?|{_WORDNUMS})"
 
 # ONE ordered alternation (leftmost-first in both Java regex and RE2, so
 # Spark and the DuckDB oracle consume identical spans): explicit full
-# dates first, then partial dates (month-year before month-day), clock
-# times, decades, relative/duration shapes, and bare years LAST so
-# "March 5, 2020" never leaks a separate "2020".
+# dates first, then partial/ordinal/concatenated dates (month-year before
+# month-day), clock times, decades, relative/duration shapes (ranges and
+# .5-decimals per the reference's rgx_timex_ago), weekday relatives,
+# operative expressions, and bare years LAST so "March 5, 2020" never
+# leaks a separate "2020".
 _TIMEX_RE = (
     r"\b(\d{4}-\d{2}-\d{2}"
     r"|\d{1,2}[/-]\d{1,2}[/-]\d{4}"
     r"|\d{1,2}/\d{1,2}/\d{2}"
-    rf"|(?:{_MONTHS}) \d{{1,2}}, \d{{4}}"
+    rf"|(?:{_MONTHS}) \d{{1,2}}(?:st|nd|rd|th)?, \d{{4}}"
     rf"|\d{{1,2}} (?:{_MONS}) \d{{4}}"
+    rf"|\d{{1,2}}-?(?:{_MONS})-?\d{{4}}"
+    rf"|\d{{1,2}}(?:st|nd|rd|th)? of (?:{_MONTHS})(?: \d{{4}})?"
+    rf"|(?:{_MONTHS}) of (?:19|20)\d{{2}}"
+    rf"|(?:19|20)\d{{2}} in (?:{_MONTHS})"
     rf"|(?:{_MONTHS}) \d{{4}}"
-    rf"|(?:{_MONTHS}) \d{{1,2}}"
+    rf"|(?:{_MONTHS}) \d{{1,2}}(?:st|nd|rd|th)?"
     r"|\d{1,2}:\d{2}(?::\d{2})?(?: ?[APap][Mm])?"
     r"|(?:mid-)?(?:19|20)\d{2}s|the \d0s"
-    rf"|\d{{1,3}} {_UNITS} (?:ago|back|prior|from now)"
-    rf"|(?:{_WORDNUMS}) {_UNITS} (?:ago|back|prior)"
+    rf"|(?:\d{{1,3}} ?(?:to|-) ?\d{{1,3}}|\d{{1,3}}(?:\.5)?) {_AGO_UNITS} (?:ago|back|prior|from now)"
+    rf"|{_WORDNUM_FULL} {_AGO_UNITS} (?:ago|back|prior)"
     rf"|in \d{{1,3}} {_UNITS}"
     rf"|for \d{{1,3}} {_UNITS}"
     r"|yesterday|today|tomorrow|tonight|tonite"
     r"|this (?:morning|afternoon|evening)"
-    r"|(?:last|next) (?:week|month|year)"
+    rf"|(?:last|next|this) (?:(?i:{_WEEKDAYS})|week|month|year)"
+    rf"|(?i:{_WEEKDAYS})"
+    r"|(?:pre|post|intra)-?(?:operative(?:ly)?|op)"
     r"|now|currently|presently"
     r"|(?:19|20)\d{2})\b"
 )
@@ -69,14 +83,37 @@ _WORDNUM_MAP = {
     "sixteen": 16, "seventeen": 17, "eighteen": 18, "nineteen": 19,
     "a": 1, "few": 3,
 }
+_WORDTENS_MAP = {
+    "twenty": 20, "thirty": 30, "forty": 40, "fourty": 40, "fifty": 50,
+    "sixty": 60, "seventy": 70, "eighty": 80, "ninety": 90, "ninty": 90,
+}
+_WEEKDAY_MAP = {
+    "monday": 1, "tuesday": 2, "wednesday": 3, "thursday": 4,
+    "friday": 5, "saturday": 6, "sunday": 7,
+}
 
 # legacy alias (explicit-date-only callers/tests)
 _DATE_RE = _TIMEX_RE
 
 
+# ordinal-suffix strip + of/in collapse: "20th of July 2010"→"20 July 2010",
+# "July 30th, 2019"→"July 30, 2019", "January of 2018"→"January 2018",
+# "2005 in April"→"2005 April"; concat/dash rewrite: "30Jan2019"/"05-Oct-2010"
+# →"30 Jan 2019" — all pure regexp_replace, mirrored verbatim in the oracle
+_CLEAN_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(expr,"
+    " '(\\\\d{1,2})(st|nd|rd|th)\\\\b', '$1'), ' of ', ' '), ' in ', ' ')"
+)
+_CONCAT_SQL = (
+    "regexp_replace(expr,"
+    f" '^(\\\\d{{1,2}})-?({_MONS})-?(\\\\d{{4}})$', '$1 $2 $3')"
+)
+
+
 def _norm_explicit():
     """Per-format try_to_date chain (ANSI mode: to_date THROWS on
-    mismatch, so try_ variants).  Order mirrors the oracle's chain."""
+    mismatch, so try_ variants).  Order mirrors the oracle's chain;
+    ordinal/of/in/concatenated forms parse via the cleaned rewrites."""
     return F.coalesce(
         F.expr("try_to_date(expr, 'yyyy-MM-dd')"),
         F.expr("try_to_date(expr, 'M/d/yyyy')"),
@@ -84,6 +121,11 @@ def _norm_explicit():
         F.expr("try_to_date(expr, 'M/d/yy')"),
         F.expr("try_to_date(expr, 'MMMM d, yyyy')"),
         F.expr("try_to_date(expr, 'd MMM yyyy')"),
+        F.expr(f"try_to_date({_CONCAT_SQL}, 'd MMM yyyy')"),
+        F.expr(f"try_to_date({_CLEAN_SQL}, 'd MMMM yyyy')"),
+        F.expr(f"try_to_date({_CLEAN_SQL}, 'MMMM d, yyyy')"),
+        F.expr(f"try_to_date({_CLEAN_SQL}, 'MMMM yyyy')"),
+        F.expr(f"try_to_date({_CLEAN_SQL}, 'yyyy MMMM')"),
         F.expr("try_to_date(expr, 'MMMM yyyy')"),
         F.expr("try_to_date(expr, 'yyyy')"),
     )
@@ -99,9 +141,15 @@ def extract_timex(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataF
       * kind='md' — month-day with implied year, resolved against the
         document year in :func:`day_deltas` (rgx_month_d);
       * kind='time' — clock time, span only (date-granular engine);
-      * kind='relative' — offset_days signed vs doc time (digit and
-        written-out counts, 'ago/back/prior/from now', named day parts,
-        'now/currently', last/next periods);
+      * kind='relative' — offset_days signed vs doc time (digit,
+        decimal-.5, range-midpoint, and written-out counts incl.
+        hyphenated tens; 'ago/back/prior/from now'; hour/wk units;
+        named day parts, 'now/currently', last/next/this periods);
+      * kind='wd_rel' — next/last/this + weekday, resolved against the
+        doc's day-of-week in :func:`day_deltas`;
+      * kind='weekday' — bare weekday name, span only (the reference
+        tags but never normalizes these);
+      * kind='operative' — pre/post/intra-op(erative), span only;
       * kind='duration' — duration_days.
 
     NOTE on 2-digit years: Spark's 'yy' pattern pivots to 2000-2099; the
@@ -116,36 +164,72 @@ def extract_timex(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataF
     kind = (
         F.when(e.rlike("^for "), F.lit("duration"))
         .when(e.rlike(r"^\d{1,2}:"), F.lit("time"))
+        .when(e.rlike("^(pre|post|intra)-?(op|operative)"), F.lit("operative"))
+        .when(e.rlike(rf"^(last|next|this) (?i:{_WEEKDAYS})$"), F.lit("wd_rel"))
+        .when(e.rlike(rf"^(?i:{_WEEKDAYS})$"), F.lit("weekday"))
         .when(
             e.rlike("(ago|back|prior|from now)$")
             | e.rlike(r"^in \d")
             | e.rlike("^(last|next) ")
+            | e.rlike("^this (week|month|year)$")
             | e.rlike("^(yesterday|today|tomorrow|tonight|tonite)$")
             | e.rlike("^this (morning|afternoon|evening)$")
             | e.rlike("^(now|currently|presently)$"),
             F.lit("relative"),
         )
-        .when(e.rlike(rf"^(?:{_MONTHS}) \d{{1,2}}$"), F.lit("md"))
+        .when(
+            e.rlike(rf"^(?:{_MONTHS}) \d{{1,2}}(st|nd|rd|th)?$")
+            | e.rlike(rf"^\d{{1,2}}(st|nd|rd|th)? of (?:{_MONTHS})$"),
+            F.lit("md"),
+        )
         .otherwise(F.lit("explicit"))
     )
-    n = F.expr("try_cast(regexp_extract(expr, '([0-9]+)', 1) AS INT)")
+    # count value: range midpoint ("2 to 3") > leading decimal/int count
+    # ("1.5", "3") > written-out number (tens-hyphen compose: twenty-five)
+    lo = F.expr(r"try_cast(regexp_extract(expr, '^([0-9]+(\\.5)?) ', 1) AS DOUBLE)")
+    hi = F.expr(
+        r"try_cast(regexp_extract(expr, '^[0-9]+ ?(?:to|-) ?([0-9]+) ', 1) AS DOUBLE)"
+    )
+    # 'in N units' / 'for N units': the count sits after the preposition
+    n_prep = F.expr(
+        r"try_cast(regexp_extract(expr, '^(?:in|for) ([0-9]+) ', 1) AS DOUBLE)"
+    )
     wordnum = None
     for w, v in sorted(_WORDNUM_MAP.items()):
         cond = e.rlike(rf"^{w} ")
         wordnum = F.when(cond, F.lit(v)) if wordnum is None else wordnum.when(cond, F.lit(v))
+    tens = None
+    for w, v in sorted(_WORDTENS_MAP.items()):
+        cond = e.rlike(rf"^{w}[ -]")
+        tens = F.when(cond, F.lit(v)) if tens is None else tens.when(cond, F.lit(v))
+    ones = None
+    for w, v in sorted(_WORDNUM_MAP.items()):
+        if w in ("a", "few"):
+            continue
+        cond = e.rlike(rf"^[a-z]+-{w} ")
+        ones = F.when(cond, F.lit(v)) if ones is None else ones.when(cond, F.lit(v))
+    word_val = F.when(
+        tens.isNotNull(), tens + F.coalesce(ones, F.lit(0))
+    ).otherwise(wordnum)
     unit = (
         F.when(e.rlike("day"), F.lit(1))
-        .when(e.rlike("week"), F.lit(7))
+        .when(e.rlike("week|wk"), F.lit(7))
         .when(e.rlike("month"), F.lit(30))
         .when(e.rlike("year"), F.lit(365))
+        .when(e.rlike("hour"), F.lit(0))  # sub-day: day-granular engine
     )
-    magnitude = F.coalesce(n, wordnum, F.lit(1)) * unit
+    count = F.coalesce(
+        F.when(hi.isNotNull(), (F.coalesce(lo, F.lit(0)) + hi) / 2), lo,
+        n_prep, word_val.cast("double"), F.lit(1.0),
+    )
+    magnitude = F.round(count * unit).cast("int")
     offset = (
         F.when(e == "yesterday", F.lit(-1))
         .when(e == "tomorrow", F.lit(1))
         .when(
             e.rlike("^(today|tonight|tonite|now|currently|presently)$")
-            | e.rlike("^this (morning|afternoon|evening)$"),
+            | e.rlike("^this (morning|afternoon|evening)$")
+            | e.rlike("^this (week|month|year)$"),
             F.lit(0),
         )
         .when(e.rlike("(ago|back|prior)$") | e.rlike("^last "), -magnitude)
@@ -252,28 +336,55 @@ def day_deltas(timex: DataFrame, doc_times: DataFrame) -> DataFrame:
             "tdelta_days", F.datediff(F.col("norm_date"), F.col("doc_date"))
         )
     j = timex.join(F.broadcast(doc_times), "doc_id")
-    # kind='md' (rgx_month_d, month-day with implied year): parse against
-    # a leap-year sentinel, then adopt the document's year
+    # kind='wd_rel' (rgx_day_rela): resolve next/last/this + weekday
+    # against the document's ISO day-of-week — 'next' is strictly future
+    # (same-day → +7), 'last' strictly past, 'this' the current-week
+    # occurrence (0..6 ahead).  The reference tags these without
+    # normalizing (TimexNormalizer covers dates only); the resolution
+    # convention here is documented, deterministic, and oracle-mirrored.
+    target = None
+    tw = F.lower(F.expr("regexp_extract(expr, ' ([A-Za-z]+)$', 1)"))
+    for w, v in _WEEKDAY_MAP.items():
+        cond = tw == w
+        target = F.when(cond, F.lit(v)) if target is None else target.when(cond, F.lit(v))
+    docdow = F.expr("weekday(doc_date) + 1")  # ISO: 1=Mon .. 7=Sun
+    diff = F.pmod(target - docdow, F.lit(7))
+    wd_off = (
+        F.when(F.col("expr").rlike("^next "), F.when(diff == 0, F.lit(7)).otherwise(diff))
+        .when(F.col("expr").rlike("^last "), F.when(diff == 0, F.lit(-7)).otherwise(diff - 7))
+        .otherwise(diff)  # 'this W'
+    )
+    # kind='md' (rgx_month_d / rgx_d_of_my without year): strip ordinal
+    # suffix, reorder 'D of M' → 'M D', parse against a leap-year
+    # sentinel, then adopt the document's year
+    _MD_CLEAN = (
+        "regexp_replace(regexp_replace(expr,"
+        " '(\\\\d{1,2})(st|nd|rd|th)\\\\b', '$1'),"
+        " '^(\\\\d{1,2}) of (.*)$', '$2 $1')"
+    )
     resolved = (
         F.when(
             F.col("kind") == "relative",
             F.expr("date_add(doc_date, CAST(offset_days AS INT))"),
         )
+        .when(F.col("kind") == "wd_rel", F.expr("date_add(doc_date, CAST(wd_off AS INT))"))
         .when(
             F.col("kind") == "md",
             F.expr(
                 "try_to_date(concat(year(doc_date), '-', "
-                "lpad(month(try_to_date(concat(expr, ' 2000'), 'MMMM d yyyy')), 2, '0'), '-', "
-                "lpad(day(try_to_date(concat(expr, ' 2000'), 'MMMM d yyyy')), 2, '0')), "
+                f"lpad(month(try_to_date(concat({_MD_CLEAN}, ' 2000'), 'MMMM d yyyy')), 2, '0'), '-', "
+                f"lpad(day(try_to_date(concat({_MD_CLEAN}, ' 2000'), 'MMMM d yyyy')), 2, '0')), "
                 "'yyyy-MM-dd')"
             ),
         )
         .otherwise(F.col("norm_date"))
     )
+    j = j.withColumn("wd_off", wd_off)
     return (
         j.withColumn("norm_date", resolved)
         .withColumn(
             "tdelta_days",
             F.datediff(F.col("norm_date"), F.col("doc_date")).cast("long"),
         )
+        .drop("wd_off")
     )
