@@ -61,6 +61,33 @@ def _sentences_df(spark, rows, terms, n_sents=200, seed=13):
     )
 
 
+def test_sharded_build_100k_terms(spark):
+    """The sharded path at the same 100k-row scale the monolithic test
+    gates: identical surviving term set, bounded per-shard broadcasts."""
+    from trove_spark.lexicon import build_lexicon_sharded
+
+    rows = synthetic_concepts(100_000)
+    class_map = {f"T{i:03d}": (i % 5) + 1 for i in range(40)}
+    mono = build_lexicon(rows, class_map, LexiconFilters(max_tok_len=8))
+    concepts = spark.createDataFrame(
+        rows, schema="sab string, tui string, cui string, term string"
+    )
+    t0 = time.time()
+    sharded = build_lexicon_sharded(
+        concepts, class_map, LexiconFilters(max_tok_len=8), n_shards=8
+    )
+    build_sec = time.time() - t0
+    assert sharded.n_terms == len(mono.terms) > 50_000
+    assert build_sec < 120  # distributed build, generous CI bound
+    # shard balance: hash-sharding keeps every broadcast well under the
+    # monolithic pickle (measured ~8 MB/shard at 420k terms)
+    assert sharded.max_shard_pickle_mb < 8
+    shard_terms = sorted(
+        t for bc in sharded.broadcasts for t in bc.value.terms
+    )
+    assert shard_terms == mono.terms  # same surviving term set, disjoint
+
+
 def test_sharded_build_matches_monolithic(spark):
     """VERDICT r3 #3: the distributed (hash-sharded, executor-built,
     N-broadcast) lexicon must produce the SAME mentions — spans, terms,
