@@ -105,3 +105,35 @@ def test_real_decode_and_resize_are_honest_stubs():
         decode_image(b"xx")
     with _pytest.raises(NotImplementedError):
         resize_image(b"xx", 2, 2)
+
+
+def test_probe_image_headers_real_formats(spark):
+    """REAL (codec-free) container-header parsing: PNG/GIF/BMP/JPEG
+    dimensions from actual format headers; unknown blobs → NULLs."""
+    import struct
+
+    from trove_spark.extras.multimodal import probe_image_headers
+
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00" + b"\x00" * 8)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 8
+    bmp = (b"BM" + b"\x00" * 16 + struct.pack("<ii", 100, -50) + b"\x00" * 8)
+    # JPEG: SOI, APP0 (16-byte JFIF segment), SOF0 with height 33 width 44
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 33, 44) + b"\x03" + b"\x00" * 2)
+    junk = b"not an image at all, just bytes"
+
+    media = spark.createDataFrame(
+        [("p", bytearray(png)), ("g", bytearray(gif)), ("b", bytearray(bmp)),
+         ("j", bytearray(jpeg)), ("x", bytearray(junk))],
+        schema="doc_id string, media binary",
+    )
+    rows = {r["doc_id"]: r for r in probe_image_headers(media).collect()}
+    assert (rows["p"]["format"], rows["p"]["width"], rows["p"]["height"]) == ("png", 640, 480)
+    assert (rows["g"]["format"], rows["g"]["width"], rows["g"]["height"]) == ("gif", 320, 200)
+    assert (rows["b"]["format"], rows["b"]["width"], rows["b"]["height"]) == ("bmp", 100, 50)
+    assert (rows["j"]["format"], rows["j"]["width"], rows["j"]["height"]) == ("jpeg", 44, 33)
+    assert rows["x"]["format"] is None and rows["x"]["width"] is None
+    assert rows["x"]["n_bytes"] == len(junk)

@@ -86,3 +86,81 @@ def test_sample_param_grid_deterministic():
     assert a == b and len(a) == 4
     assert sample_param_grid(grid, 4, seed=8) != a
     assert all(c["lr"] in (1, 2, 3) and c["epochs"] in (10, 20) for c in a)
+
+
+def test_load_json_ner_dataset(spark, tmp_path):
+    """S2 load_json_dataset as a first-class adapter: sentences + gold
+    entities + token tags in IO/IOB/IOBES, contiguous_only filtering,
+    first-fragment anchoring for discontiguous spans."""
+    from trove_spark.sources import load_json_ner_dataset
+
+    docs = [
+        {
+            "name": "d0",
+            "metadata": {"src": "unit"},
+            "sentences": [
+                {"i": 0, "words": ["aspirin", "helps", "chest", "pain"],
+                 "abs_char_offsets": [0, 8, 14, 20]},
+                {"i": 1, "words": ["no", "fever"],
+                 "abs_char_offsets": [25, 28]},
+            ],
+            "entities": [
+                {"doc_name": "d0", "span": [[0, 6]], "text": "aspirin",
+                 "etype": "Chemical", "cid": "C1"},
+                {"doc_name": "d0", "span": [[14, 23]], "text": "chest pain",
+                 "etype": "Disease", "cid": "C2"},
+                {"doc_name": "d0", "span": [[28, 32], [40, 44]],
+                 "text": "fever", "etype": "Disease", "cid": "C3"},
+            ],
+        },
+        {"name": "d1", "metadata": {},
+         "sentences": [{"i": 0, "words": ["plain"], "abs_char_offsets": [0]}],
+         "entities": []},
+    ]
+    p = tmp_path / "ner.jsonl"
+    p.write_text("\n".join(json.dumps(d) for d in docs))
+
+    out = load_json_ner_dataset(spark, str(p), tag_fmt="IOB")
+    sents = {(r["doc_id"], r["sent_idx"]): r for r in out["sentences"].collect()}
+    assert sents[("d0", 0)]["words"] == ["aspirin", "helps", "chest", "pain"]
+    assert sents[("d1", 0)]["char_offsets"] == [0]
+
+    ents = sorted(
+        (r["doc_id"], r["etype"], r["abs_char_start"], r["abs_char_end"], r["n_frags"])
+        for r in out["entities"].collect()
+    )
+    # discontiguous span anchors to its FIRST fragment (contexts.py:183)
+    assert ents == [
+        ("d0", "Chemical", 0, 6, 1),
+        ("d0", "Disease", 14, 23, 1),
+        ("d0", "Disease", 28, 32, 2),
+    ]
+
+    tags = {
+        (r["doc_id"], r["sent_idx"], r["token_idx"]): r["tag"]
+        for r in out["tags"].collect()
+    }
+    assert tags[("d0", 0, 0)] == "B-Chemical"
+    assert tags[("d0", 0, 1)] == "O"
+    assert tags[("d0", 0, 2)] == "B-Disease"
+    assert tags[("d0", 0, 3)] == "I-Disease"
+    assert tags[("d0", 1, 1)] == "B-Disease"  # 'fever' via first fragment
+    assert tags[("d1", 0, 0)] == "O"
+
+    # IO + IOBES variants and the contiguous_only filter
+    io = load_json_ner_dataset(spark, str(p), tag_fmt="IO")
+    io_tags = {
+        (r["doc_id"], r["sent_idx"], r["token_idx"]): r["tag"]
+        for r in io["tags"].collect()
+    }
+    assert io_tags[("d0", 0, 2)] == "I-Disease" == io_tags[("d0", 0, 3)]
+    es = load_json_ner_dataset(spark, str(p), tag_fmt="IOBES")
+    es_tags = {
+        (r["doc_id"], r["sent_idx"], r["token_idx"]): r["tag"]
+        for r in es["tags"].collect()
+    }
+    assert es_tags[("d0", 0, 0)] == "S-Chemical"
+    assert es_tags[("d0", 0, 2)] == "B-Disease"
+    assert es_tags[("d0", 0, 3)] == "E-Disease"
+    cont = load_json_ner_dataset(spark, str(p), contiguous_only=True)
+    assert cont["entities"].count() == 2

@@ -325,3 +325,142 @@ def read_brat_annotations(spark: SparkSession, ann_dir: str) -> DataFrame:
         (span[2].cast("int") - 1).alias("abs_char_end"),  # brat end is exclusive
         parts[2].alias("text"),
     )
+
+
+# the reference's NER dataset JSONL: document records (as above) plus gold
+# entity annotations (dataloaders.py:46-87 load_json_dataset; Annotation
+# field layout contexts.py:169-190 — span is a list of [start, end]
+# fragments, char ends INCLUSIVE, abs_char_start/end derived from the
+# FIRST fragment)
+JSONL_NER_SCHEMA = JSONL_DOC_SCHEMA + (
+    ", entities array<struct<doc_name:string, span:array<array<int>>, "
+    "text:string, etype:string, cid:string>>"
+)
+
+
+def load_json_ner_dataset(
+    spark: SparkSession,
+    path: str,
+    tag_fmt: str = "IO",
+    contiguous_only: bool = False,
+) -> dict[str, DataFrame]:
+    """S2 ``load_json_dataset`` (dataloaders.py:46-87) as ONE first-class
+    adapter: pre-tokenized documents + gold entities → the three frames a
+    sequence-labeling consumer needs, all Spark-native (gzip-transparent
+    like the reference's loader):
+
+      * ``sentences`` — (doc_id, sent_idx, words, char_offsets), the
+        engine's standard sentence table;
+      * ``entities``  — (doc_id, etype, cid, text, abs_char_start,
+        abs_char_end, n_frags): char ends INCLUSIVE, anchored to the
+        FIRST span fragment exactly like ``Annotation.__init__``
+        (contexts.py:183-184); ``contiguous_only`` drops multi-fragment
+        annotations (dataloaders.py:79-80);
+      * ``tags``      — every token tagged in ``tag_fmt`` ∈
+        {IO, IOB, IOBES} (entity_tag semantics, dataloaders.py:96-130):
+        gold spans attached to sentences via the doc-bounded range join
+        (taggers.attach_spans_to_sentences), covered tokens tagged
+        positionally, uncovered 'O'.  When entities overlap on a token
+        the (earliest-start, then longest, then etype) one wins —
+        deterministic where the reference's per-doc overwrite order is
+        dict-iteration-dependent.
+    """
+    raw = (
+        spark.read.schema(JSONL_NER_SCHEMA + ", _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+        .filter(F.col("_corrupt").isNull() & F.col("sentences").isNotNull())
+    )
+    s = F.explode("sentences").alias("s")
+    sentences = raw.select(F.col("name").alias("doc_id"), s).select(
+        "doc_id",
+        F.col("s.i").alias("sent_idx"),
+        F.col("s.words").alias("words"),
+        F.col("s.abs_char_offsets").alias("char_offsets"),
+    )
+    e = F.explode("entities").alias("e")
+    entities = raw.filter(F.col("entities").isNotNull()).select(
+        F.col("name").alias("doc_id"), e
+    ).select(
+        "doc_id",
+        F.col("e.etype").alias("etype"),
+        F.col("e.cid").alias("cid"),
+        F.col("e.text").alias("text"),
+        F.element_at(F.element_at("e.span", 1), 1).alias("abs_char_start"),
+        F.element_at(F.element_at("e.span", 1), -1).alias("abs_char_end"),
+        F.size("e.span").alias("n_frags"),
+    )
+    if contiguous_only:
+        entities = entities.filter(F.col("n_frags") == 1)
+
+    from .tags import entity_tag  # noqa: F401  (semantics reference)
+    from .taggers import attach_spans_to_sentences
+
+    placed = attach_spans_to_sentences(
+        entities.select("doc_id", "etype", "abs_char_start", "abs_char_end"),
+        sentences,
+    ).filter(F.col("sent_idx").isNotNull())
+    toks = sentences.select(
+        "doc_id",
+        "sent_idx",
+        F.posexplode(F.arrays_zip("words", "char_offsets")).alias("token_idx", "z"),
+    ).select(
+        "doc_id", "sent_idx", "token_idx",
+        F.col("z.words").alias("word"),
+        F.col("z.char_offsets").alias("tok_char"),
+    )
+    cover = toks.join(placed, ["doc_id", "sent_idx"]).filter(
+        (F.col("tok_char") >= F.col("abs_char_start"))
+        & (F.col("tok_char") <= F.col("abs_char_end"))
+    )
+    # per-entity token extent (for B/E/S positions) — the agg key is the
+    # entity span, doc-bounded and tiny; then one deterministic winner per
+    # token: earliest start, then longest, then etype
+    ext = cover.groupBy(
+        "doc_id", "sent_idx", "etype", "abs_char_start", "abs_char_end"
+    ).agg(F.min("token_idx").alias("t0"), F.max("token_idx").alias("t1"))
+    cov2 = cover.join(
+        ext, ["doc_id", "sent_idx", "etype", "abs_char_start", "abs_char_end"]
+    )
+    pick = cov2.groupBy("doc_id", "sent_idx", "token_idx").agg(
+        F.min(
+            F.struct(
+                "abs_char_start",
+                (-F.col("abs_char_end")).alias("neg_end"),
+                "etype",
+                "t0",
+                "t1",
+            )
+        ).alias("w")
+    )
+    tag = (
+        F.when(F.lit(tag_fmt) == "IO", F.concat(F.lit("I-"), F.col("w.etype")))
+        .when(
+            F.lit(tag_fmt) == "IOB",
+            F.concat(
+                F.when(F.col("token_idx") == F.col("w.t0"), F.lit("B-")).otherwise(
+                    F.lit("I-")
+                ),
+                F.col("w.etype"),
+            ),
+        )
+        .otherwise(  # IOBES
+            F.concat(
+                F.when(F.col("w.t0") == F.col("w.t1"), F.lit("S-"))
+                .when(F.col("token_idx") == F.col("w.t0"), F.lit("B-"))
+                .when(F.col("token_idx") == F.col("w.t1"), F.lit("E-"))
+                .otherwise(F.lit("I-")),
+                F.col("w.etype"),
+            )
+        )
+    )
+    tagged = pick.select("doc_id", "sent_idx", "token_idx", tag.alias("tag"))
+    tags = toks.join(tagged, ["doc_id", "sent_idx", "token_idx"], "left").select(
+        "doc_id",
+        "sent_idx",
+        "token_idx",
+        "word",
+        F.coalesce(F.col("tag"), F.lit("O")).alias("tag"),
+    )
+    return {"sentences": sentences, "entities": entities, "tags": tags}
