@@ -1,0 +1,93 @@
+"""Property tests (hypothesis) for round-4 pure-python surfaces:
+tag-format conversions are span-preserving, and the image-header probe
+is total (never throws) on arbitrary bytes."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from trove_spark.extras.multimodal import _probe_header
+from trove_spark.tags import convert_tag_fmt, entity_tag, tags_to_spans
+
+ETYPES = st.sampled_from(["Chem", "Dis", "Gene"])
+
+
+@st.composite
+def span_layouts(draw):
+    """Non-overlapping, non-adjacent-same-type entity spans over a
+    bounded token range (adjacent same-type spans are genuinely
+    ambiguous in IO — excluded by construction, as in real gold data)."""
+    n = draw(st.integers(min_value=1, max_value=30))
+    spans, pos = [], 0
+    while pos < n:
+        gap = draw(st.integers(min_value=0, max_value=3))
+        start = pos + gap
+        if start >= n:
+            break
+        length = draw(st.integers(min_value=1, max_value=min(4, n - start)))
+        etype = draw(ETYPES)
+        if spans and spans[-1][1] + 1 == start and spans[-1][2] == etype:
+            etype = "Other"  # force distinct type when adjacent
+        spans.append((start, start + length - 1, etype))
+        pos = start + length + 1  # ≥1-token gap unless types differ
+    return n, spans
+
+
+def render(n, spans, fmt):
+    tags = ["O"] * n
+    for s, e, t in spans:
+        for off, tag in enumerate(entity_tag(e - s + 1, t, fmt)):
+            tags[s + off] = tag
+    return tags
+
+
+@given(span_layouts(), st.sampled_from(["IO", "IOB", "IOBES"]))
+@settings(max_examples=200, deadline=None)
+def test_tag_render_roundtrips_spans(layout, fmt):
+    """render(spans) → tags_to_spans recovers exactly the input spans,
+    for every tag format (IO relies on the type-distinct construction)."""
+    n, spans = layout
+    tags = render(n, spans, fmt)
+    assert tags_to_spans(tags) == spans
+
+
+@given(span_layouts(), st.sampled_from(["IO", "IOB", "IOBES"]),
+       st.sampled_from(["IO", "IOB", "IOBES"]))
+@settings(max_examples=200, deadline=None)
+def test_convert_tag_fmt_is_span_preserving(layout, src, dst):
+    """Q5 convert_tag_fmt: converting between any two formats preserves
+    the underlying span set exactly."""
+    n, spans = layout
+    converted = convert_tag_fmt(render(n, spans, src), dst)
+    assert tags_to_spans(converted) == spans
+    assert converted == render(n, spans, dst)
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=500, deadline=None)
+def test_probe_header_is_total(blob):
+    """The header probe must never raise on arbitrary (adversarial/
+    truncated) bytes — a 100-TB media corpus WILL contain garbage."""
+    fmt, w, h = _probe_header(blob)
+    assert fmt in (None, "png", "gif", "bmp", "jpeg")
+    if fmt is None:
+        assert w is None and h is None
+
+
+@given(st.sampled_from(["png", "gif", "bmp"]),
+       st.integers(min_value=0, max_value=2**15),
+       st.integers(min_value=0, max_value=2**15))
+@settings(max_examples=200, deadline=None)
+def test_probe_header_reads_back_dimensions(fmt, w, h):
+    """Synthesized valid headers read back their exact dimensions."""
+    import struct
+
+    if fmt == "png":
+        b = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + struct.pack(">II", w, h)
+    elif fmt == "gif":
+        b = b"GIF89a" + struct.pack("<HH", w % 65536, h % 65536)
+        w, h = w % 65536, h % 65536
+    else:
+        b = b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h)
+    got = _probe_header(b)
+    assert got == (fmt, w, h)
