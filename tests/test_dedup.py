@@ -156,6 +156,27 @@ def test_near_dup_clusters_group_planted(docs):
     assert all(lab[d] == d for d in lab if d not in in_pairs)
 
 
+def test_near_dup_clusters_chain_converges_logarithmically(spark):
+    """Pointer jumping (L(L(v)) min-reduce) must collapse a 40-node PATH
+    graph within 8 rounds — neighbor-only propagation needs 39, so
+    converging under max_iter=8 proves the O(log diameter) jump works."""
+    from pyspark.sql import functions as F
+
+    from trove_spark.extras.dedup import near_dup_clusters
+
+    n = 40
+    pairs = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(n - 1)],
+        schema="doc_a string, doc_b string",
+    )
+    docs = spark.createDataFrame(
+        [(f"n{i:02d}",) for i in range(n)], schema="doc_id string"
+    )
+    out = near_dup_clusters(pairs, docs, max_iter=8)
+    assert out.filter(F.col("cluster_id") != "n00").count() == 0
+    assert out.count() == n
+
+
 def test_exact_dedup_no_collisions(docs):
     from trove_spark.extras.dedup import exact_dup_groups
 

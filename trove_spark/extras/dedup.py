@@ -250,12 +250,18 @@ def near_dup_clusters(
     join), doubling per iteration until planning itself OOMs; the
     checkpoint truncates lineage to the materialized data (on a real
     cluster with lineage-loss concerns, swap in reliable
-    ``checkpoint()`` against the checkpoint dir).  Convergence is
-    checked with a changed-label count; dedup components are
-    near-cliques (diameter ~1-3), so rounds stay in single digits.  For
-    adversarial long-chain graphs at 10^9+ edges the same loop accepts
-    the large-star/small-star edge rewrite; ``max_iter`` bounds the
-    worst case either way.
+    ``checkpoint()`` against the checkpoint dir).
+
+    Each round min-reduces over three monotone sources — the node's own
+    label, its NEIGHBORS' labels (edge propagation), and its LABEL'S
+    label (pointer jumping: L(L(v)), one labels-to-labels equi-join) —
+    so convergence is O(log component-diameter), not O(diameter): long
+    chains and the giant components aggressive pair generators produce
+    collapse in a handful of rounds.  Monotonicity makes the jump safe:
+    L(v) is always a member of v's component, so L(L(v)) can only pull
+    labels further toward the component minimum, never across
+    components.  Convergence is detected by a changed-label count;
+    ``max_iter`` bounds the worst case.
 
     pairs: (doc_a, doc_b) — any of the pair generators in this module.
     Output: (doc_id, cluster_id)."""
@@ -272,8 +278,20 @@ def near_dup_clusters(
         neighbor = edges.join(
             labels.withColumnRenamed("u", "v"), "v"
         ).select("u", "label")
+        jump = (
+            labels.alias("a")
+            .join(
+                labels.select(
+                    F.col("u").alias("label"), F.col("label").alias("label2")
+                ).alias("b"),
+                "label",
+            )
+            .select(F.col("u"), F.col("label2").alias("label"))
+        )
         new_labels = (
-            labels.union(neighbor).groupBy("u").agg(F.min("label").alias("label"))
+            labels.union(neighbor).union(jump)
+            .groupBy("u")
+            .agg(F.min("label").alias("label"))
         ).localCheckpoint(eager=True)
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "u")
