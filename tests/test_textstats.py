@@ -1,0 +1,50 @@
+"""Text-analysis operators: the four oracle-checked stats are gated by
+test_oracle_parity; this file covers the r4 Gopher-style repetition
+signals and the canonical keep-list, which have no driver slot."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            ("rep_lines", "nav home\nnav home\nnav home\ncontent line one"),
+            ("rep_gram", "buy now buy now buy now buy now"),
+            ("clean", "a perfectly ordinary sentence with varied words"),
+            ("empty_lines", "first\n\n\nsecond"),
+        ],
+        schema="doc_id string, text string",
+    )
+
+
+def test_repetition_stats(docs):
+    from trove_spark.extras.textstats import repetition_stats
+
+    r = {row["doc_id"]: row for row in repetition_stats(docs).collect()}
+    # 4 non-empty lines, 2 duplicates of an earlier line → 500 permille
+    assert r["rep_lines"]["n_lines"] == 4
+    assert r["rep_lines"]["dup_line_permille"] == 500
+    # modal bigram 'buy now' appears 4× over 8 token positions → 1000
+    assert r["rep_gram"]["top_bigram_permille"] == 1000
+    assert r["rep_gram"]["dup_line_permille"] == 0
+    # clean text: no dup lines; modal-bigram floor is 2/n_words
+    assert r["clean"]["dup_line_permille"] == 0
+    assert r["clean"]["top_bigram_permille"] == 2000 // 7
+    # blank lines are not counted as duplicates of each other
+    assert r["empty_lines"]["n_lines"] == 2
+    assert r["empty_lines"]["dup_line_permille"] == 0
+
+
+def test_keep_canonical_filters_to_cluster_reps(spark, docs):
+    from trove_spark.extras.dedup import keep_canonical, near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [("clean", "rep_gram")], schema="doc_a string, doc_b string"
+    )
+    clusters = near_dup_clusters(pairs, docs)
+    kept = sorted(r["doc_id"] for r in keep_canonical(docs, clusters).collect())
+    # 'clean' < 'rep_gram' lexicographically → clean is the canonical
+    assert kept == ["clean", "empty_lines", "rep_lines"]

@@ -304,6 +304,20 @@ def near_dup_clusters(
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def keep_canonical(
+    docs: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The last dedup step: filter the corpus to one canonical document
+    per cluster (the cluster representative = the doc whose id IS the
+    cluster_id, i.e. the smallest member).  One equi-join on the id —
+    at scale this is the map-side-filterable join every training-data
+    pipeline runs before tokenization."""
+    keep = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    return docs.join(
+        keep, docs[id_col].cast("string") == keep["doc_id"], "left_semi"
+    )
+
+
 def simhash(
     docs: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

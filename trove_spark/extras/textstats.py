@@ -92,3 +92,56 @@ def fingerprint(docs: DataFrame, k: int = 5, id_col: str = "doc_id", text_col: s
         F.sha2(F.col(text_col), 256).alias("content_sha256"),
     )
     return base.join(minsh, "doc_id", "left")
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1 quality
+    battery; also C4's dedup-within-doc rule): the fraction of LINES
+    that are duplicates of an earlier line, and the fraction of token
+    positions covered by the single most-frequent word 2-gram.  Heavily
+    repeated boilerplate (nav bars, log spam, keyword stuffing) scores
+    high on both.  Pure array higher-order functions — codegen, no
+    shuffle, no Python; scaled-integer permille outputs."""
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda x: F.length(F.trim(x)) > 0
+    )
+    words = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
+    )
+    # modal 2-gram count WITHOUT a quadratic distinct×filter scan: sort
+    # the gram array and fold once, tracking the longest equal-run —
+    # O(G log G) per doc, safe for long documents
+    sorted_grams = F.array_sort(grams)
+    top2 = F.aggregate(
+        sorted_grams,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    n_grams = F.greatest(F.size(grams), F.lit(1))
+    return docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.floor(
+            (F.size(lines) - F.size(F.array_distinct(lines))) * 1000 / n_lines
+        )
+        .cast("long")
+        .alias("dup_line_permille"),
+        F.floor(F.coalesce(top2, F.lit(0)) * 2 * 1000 / F.greatest(F.size(words), F.lit(1)))
+        .cast("long")
+        .alias("top_bigram_permille"),
+    )
