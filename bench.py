@@ -150,15 +150,31 @@ def main() -> None:
             )
             return json.loads(out.stdout.strip().splitlines()[-1])
 
+        # WALL-CLOCK BUDGET: in a badly throttled window a single round
+        # can take 10+ min (observed 16-core trials 155 s → 23 s inside
+        # one block), and the adaptive growth then risks outliving the
+        # harness's overall timeout — which would lose the ENTIRE
+        # contract line, not just the late rounds.  Stop ADDING rounds
+        # once the budget is spent (≥2 rounds always complete so a
+        # median exists); a budget-truncated run is flagged in the
+        # artifact.
+        budget_sec = float(os.environ.get("BENCH_SCALING_BUDGET", "1500"))
+        scaling_t0 = time.time()
         rounds, speedups = [], []
         while len(rounds) < n_rounds or (
             len(rounds) < max_rounds
             and max(speedups) / max(min(speedups), 1e-9) > 1.4
         ):
+            if len(rounds) >= 2 and time.time() - scaling_t0 > budget_sec:
+                break
             rs = _run(SMALL, small_trials)
             rb = _run(BIG, big_trials)
             rounds.append({"small": rs, "big": rb})
             speedups.append(round(rs["sec"] / rb["sec"], 3))
+        budget_truncated = len(rounds) < n_rounds or (
+            len(rounds) < max_rounds
+            and max(speedups) / max(min(speedups), 1e-9) > 1.4
+        )
 
         n_scale_docs = rounds[-1]["big"]["docs"]
         speedup_med = round(statistics.median(speedups), 3)
@@ -176,6 +192,7 @@ def main() -> None:
             ],
             "round_speedups": speedups,
             "rounds_run": len(rounds),
+            "budget_truncated": budget_truncated,
         }
         # HEADLINE keys are the MEDIAN-of-rounds claim; best under *_best
         result["scaling_speedup"] = speedup_med
