@@ -1,0 +1,111 @@
+"""T6 optional sentence layers round 4: ner_tags + dep_parents/dep_labels
+(reference preprocessing/pipes/tokenizers.py:367-380 — the spaCy parse
+attaches per-token ent types with 'O' default and head indices with the
+0-root / 1-based-head convention).  The repo's layers are deterministic
+rule reductions with the SAME shape and conventions; these tests pin the
+shape invariants, the head-index convention, gazetteer projection, and
+the zero-Python-stage plan claim."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trove_spark.pos import add_dep_layers, add_ner_layer, add_pos_layers
+
+
+@pytest.fixture(scope="module")
+def sents(spark):
+    return spark.createDataFrame(
+        [
+            (
+                "d1",
+                0,
+                ["The", "red", "dog", "chased", "a", "cat", "in", "the", "park", "."],
+                [0, 4, 8, 12, 19, 21, 25, 28, 32, 37],
+            ),
+            ("d1", 1, ["Aspirin", "therapy", "works"], [0, 8, 16]),
+            ("d2", 0, ["Hello"], [0]),
+        ],
+        "doc_id string, sent_idx int, words array<string>, "
+        "char_offsets array<int>",
+    )
+
+
+def test_dep_layers_shape_and_conventions(spark, sents):
+    rows = {
+        (r.doc_id, r.sent_idx): r
+        for r in add_dep_layers(add_pos_layers(sents)).collect()
+    }
+    for r in rows.values():
+        n = len(r.words)
+        assert len(r.dep_parents) == n and len(r.dep_labels) == n
+        # exactly one root per sentence, encoded as head 0 (tokenizers.py:377)
+        assert r.dep_parents.count(0) == 1
+        assert r.dep_labels[r.dep_parents.index(0)] == "ROOT"
+        # all other heads are 1-based indices of real tokens, never self
+        for i, (p, lab) in enumerate(zip(r.dep_parents, r.dep_labels)):
+            assert 0 <= p <= n
+            if p != 0:
+                assert p - 1 != i, f"self-headed token {i} ({lab})"
+
+    r = rows[("d1", 0)]
+    assert r.dep_labels[3] == "ROOT"  # 'chased' (VBD)
+    # 'The' heads to the nearest following NN — 'red' is tagged NN by the
+    # reduced tagger, so parent is 2 (1-based), not 'dog'
+    assert r.dep_labels[0] == "det" and r.dep_parents[0] == 2
+    assert r.dep_labels[8] == "pobj" and r.dep_parents[8] == 7  # park -> in
+    assert r.dep_labels[9] == "punct" and r.dep_parents[9] == 4
+    # single-token sentence: the lone token is the root
+    assert rows[("d2", 0)].dep_parents == [0]
+
+
+def test_dep_layers_deterministic(spark, sents):
+    a = add_dep_layers(add_pos_layers(sents)).orderBy("doc_id", "sent_idx")
+    b = add_dep_layers(add_pos_layers(sents)).orderBy("doc_id", "sent_idx")
+    assert [r.asDict() for r in a.collect()] == [r.asDict() for r in b.collect()]
+
+
+def test_ner_layer_projection_and_default(spark, sents):
+    ments = spark.createDataFrame(
+        [
+            ("d1", 0, 2, 2, "ANIMAL", True),
+            ("d1", 0, 5, 5, "ANIMAL", True),
+            ("d1", 1, 0, 1, "DRUG", True),
+            ("d1", 1, 1, 1, "IGNORED", False),  # longest_only drops this
+        ],
+        "doc_id string, sent_idx int, tok_start int, tok_end int, "
+        "cls string, is_longest boolean",
+    )
+    rows = {
+        (r.doc_id, r.sent_idx): r.ner_tags
+        for r in add_ner_layer(sents, ments, type_col="cls").collect()
+    }
+    assert rows[("d1", 0)] == ["O", "O", "ANIMAL", "O", "O", "ANIMAL", "O", "O", "O", "O"]
+    assert rows[("d1", 1)] == ["DRUG", "DRUG", "O"]
+    # sentence with no mentions at all still carries an aligned all-'O' layer
+    assert rows[("d2", 0)] == ["O"]
+
+
+def test_ner_layer_overlap_resolves_longest_first(spark, sents):
+    ments = spark.createDataFrame(
+        [("d1", 0, 1, 3, "LONG", True), ("d1", 0, 2, 2, "SHORT", True)],
+        "doc_id string, sent_idx int, tok_start int, tok_end int, "
+        "cls string, is_longest boolean",
+    )
+    tags = {
+        (r.doc_id, r.sent_idx): r.ner_tags
+        for r in add_ner_layer(sents, ments, type_col="cls").collect()
+    }[("d1", 0)]
+    # token 2 is covered by both; earliest-start-longest wins deterministically
+    assert tags[1:4] == ["LONG", "LONG", "LONG"]
+
+
+def test_dep_layer_plan_has_no_python_stage(spark, sents):
+    plan = (
+        add_dep_layers(add_pos_layers(sents))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

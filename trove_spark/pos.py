@@ -66,6 +66,175 @@ def add_pos_layers(sentences: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# NER + dependency layers (reference tokenizers.py:367-380 — the spaCy
+# parse attaches per-token ``ner_tags`` ('O' default), ``dep_parents``
+# (head index, 0 = root, otherwise 1-based) and ``dep_labels``)
+# ---------------------------------------------------------------------------
+
+
+def _idx(n: Column) -> Column:
+    """0-based index array for a sentence of ``n`` tokens (empty-safe:
+    ``sequence(0, -1)`` would yield a DESCENDING array, so guard)."""
+    return F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
+def add_ner_layer(
+    sentences: DataFrame,
+    mentions: DataFrame,
+    type_col: str = "term_id",
+    longest_only: bool = True,
+) -> DataFrame:
+    """Attach the reference's ``ner_tags`` sentence layer
+    (preprocessing/pipes/tokenizers.py:371-374: ``token.ent_type_`` or
+    ``'O'``) from a gazetteer mention table instead of a spaCy model.
+
+    ``mentions`` is the output of :func:`matching.detect_mentions`
+    (doc_id, sent_idx, tok_start, tok_end INCLUSIVE, is_longest, +
+    ``type_col`` carrying the entity type to project).  Tokens covered by
+    a mention get its type; everything else gets ``'O'``.  Overlaps
+    resolve deterministically to the earliest-start, longest mention
+    (``array_sort`` on (tok_start, -len) before the per-token lookup —
+    ``collect_list`` order is NOT deterministic on its own).
+
+    Plan shape: one per-sentence aggregation + one equi-join on the
+    sentence key, then pure higher-order array expressions — no Python
+    stage, no window functions.
+    """
+    m = mentions
+    if longest_only and "is_longest" in m.columns:
+        m = m.filter(F.col("is_longest"))
+    ents = m.groupBy("doc_id", "sent_idx").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("tok_start").alias("s"),
+                    (F.col("tok_start") - F.col("tok_end")).alias("nlen"),
+                    F.col("tok_end").alias("e"),
+                    F.col(type_col).cast("string").alias("etype"),
+                )
+            )
+        ).alias("_ents")
+    )
+    out = sentences.join(ents, ["doc_id", "sent_idx"], "left")
+    ner = F.transform(
+        _idx(F.size("words")),
+        lambda i: F.coalesce(
+            F.try_element_at(
+                F.filter("_ents", lambda mm: (mm["s"] <= i) & (i <= mm["e"])), F.lit(1)
+            )["etype"],
+            F.lit("O"),
+        ),
+    )
+    return out.withColumn(
+        "ner_tags",
+        F.when(F.col("_ents").isNotNull(), ner).otherwise(
+            F.transform("words", lambda _: F.lit("O"))
+        ),
+    ).drop("_ents")
+
+
+def add_dep_layers(sentences: DataFrame) -> DataFrame:
+    """Attach ``dep_parents`` / ``dep_labels`` (reference
+    tokenizers.py:375-380; head convention: 0 for the root token,
+    otherwise the head's 1-based sentence index) with a deterministic
+    rule grammar over the reduced-PTB layer — a documented reduction of
+    the spaCy parser, same shape, same head-index convention.
+
+    Grammar (per token, 0-based ``i``; ``nf_nn`` = nearest following
+    NN*/PRP, ``np_nn``/``np_in`` = nearest preceding NN*-or-verb / IN):
+
+    * root = first VB* token, else first NN*, else token 0 → ``ROOT``/0
+    * DT → ``det``, JJ → ``amod``, CD → ``nummod``: head = nf_nn else root
+    * NNP immediately before another NN* → ``compound``, head = nf_nn
+    * IN → ``prep``, head = np_nn else root
+    * NN*/PRP: ``pobj`` of the nearest preceding IN when no other
+      NN*/verb intervenes; ``nsubj`` of the root when left of it; else
+      ``dobj`` of the root
+    * CC → ``cc``, PUNCT → ``punct``, non-root VB* → ``dep`` — all
+      headed by the root
+
+    Entirely higher-order array expressions (nested ``transform`` /
+    ``filter`` / ``element_at``) — O(n²) in sentence length, zero
+    Python stages, zero shuffles; sentences are bounded by the
+    tokenizer's ``max_sentence_len`` so the quadratic term is a
+    constant at scale.
+    """
+    df = sentences
+    if "pos_tags" not in df.columns:
+        df = add_pos_layers(df)
+    n = F.size("words")
+    idx = _idx(n)
+    tags = F.col("pos_tags")
+
+    def tag_at(j):
+        return F.try_element_at(tags, j + 1)
+
+    def first_where(pred):
+        return F.try_element_at(F.filter(idx, pred), F.lit(1))
+
+    root0 = F.coalesce(
+        first_where(lambda j: tag_at(j).rlike("^VB")),
+        first_where(lambda j: tag_at(j).rlike("^NN")),
+        F.lit(0),
+    )
+
+    def nf_nn(i):  # nearest following NN*/PRP
+        return F.try_element_at(
+            F.filter(idx, lambda j: (j > i) & tag_at(j).rlike("^(NN|PRP)")), F.lit(1)
+        )
+
+    def np_nn(i):  # nearest preceding NN*/PRP/VB*
+        return F.try_element_at(
+            F.filter(idx, lambda j: (j < i) & tag_at(j).rlike("^(NN|PRP|VB)")), F.lit(-1)
+        )
+
+    def np_in(i):  # nearest preceding IN
+        return F.try_element_at(F.filter(idx, lambda j: (j < i) & (tag_at(j) == "IN")), F.lit(-1))
+
+    def head_label(i):
+        t = tag_at(i)
+        p_in, p_nn, f_nn = np_in(i), np_nn(i), nf_nn(i)
+        is_pobj = p_in.isNotNull() & (p_nn.isNull() | (p_nn < p_in))
+        pair = (
+            F.when(i == root0, F.struct(F.lit(-1).alias("h"), F.lit("ROOT").alias("l")))
+            .when(t == "DT", F.struct(F.coalesce(f_nn, root0).alias("h"), F.lit("det").alias("l")))
+            .when(t == "JJ", F.struct(F.coalesce(f_nn, root0).alias("h"), F.lit("amod").alias("l")))
+            .when(t == "CD", F.struct(F.coalesce(f_nn, root0).alias("h"), F.lit("nummod").alias("l")))
+            .when(
+                (t == "NNP") & F.coalesce(tag_at(i + 1).rlike("^NN"), F.lit(False)),
+                F.struct(F.coalesce(f_nn, root0).alias("h"), F.lit("compound").alias("l")),
+            )
+            .when(t == "IN", F.struct(F.coalesce(p_nn, root0).alias("h"), F.lit("prep").alias("l")))
+            .when(
+                t.rlike("^(NN|PRP)") & is_pobj,
+                F.struct(p_in.alias("h"), F.lit("pobj").alias("l")),
+            )
+            .when(
+                t.rlike("^(NN|PRP)") & (i < root0),
+                F.struct(root0.alias("h"), F.lit("nsubj").alias("l")),
+            )
+            .when(t.rlike("^(NN|PRP)"), F.struct(root0.alias("h"), F.lit("dobj").alias("l")))
+            .when(t == "CC", F.struct(root0.alias("h"), F.lit("cc").alias("l")))
+            .when(t == "PUNCT", F.struct(root0.alias("h"), F.lit("punct").alias("l")))
+            .otherwise(F.struct(root0.alias("h"), F.lit("dep").alias("l")))
+        )
+        return pair
+
+    pairs = F.transform(idx, head_label)
+    return (
+        df.withColumn("_dep", pairs)
+        .withColumn(
+            "dep_parents",
+            F.transform("_dep", lambda p: p["h"] + 1),  # -1 root → 0; else 1-based
+        )
+        .withColumn("dep_labels", F.transform("_dep", lambda p: p["l"]))
+        .drop("_dep")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Layer consumers: noun-phrase chunk (Schwartz-Hearst fallback support)
 # ---------------------------------------------------------------------------
 
