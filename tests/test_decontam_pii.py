@@ -1,0 +1,168 @@
+"""Benchmark decontamination + PII scrub: semantics, plan shape, and a
+full DuckDB replay (the modules are written engine-portable — 60-bit md5
+hashes, RE2-safe regexes — exactly so this parity gate can exist)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import normalize_rows
+from trove_spark.extras.decontam import contamination, decontaminate, ngram_hash_table
+from trove_spark.extras.pii import PII_PATTERNS, pii_stats, redact_pii
+
+BENCH = [
+    ("b1", "the quick brown fox jumps over the lazy dog near the river bank"),
+    ("b2", "a completely different benchmark question about spark internals"),
+]
+CORPUS = [
+    # c1 embeds b1 verbatim (contaminated at n=5)
+    ("c1", "prefix words here the quick brown fox jumps over the lazy dog near the river bank and suffix"),
+    # c2 shares only a 3-gram with b2 (clean at n=5)
+    ("c2", "spark internals matter but this text shares nothing long enough"),
+    ("c3", "entirely unrelated document about cooking pasta with garlic and olive oil today"),
+    # c4 repeats the contaminated span twice — distinct-per-doc counts once per gram
+    ("c4", "the quick brown fox jumps over the lazy dog near the river bank again the quick brown fox jumps over the lazy dog near the river bank"),
+]
+
+PII_DOCS = [
+    ("p1", "contact john.doe+spam@example.co.uk or visit https://example.com/a?b=1 now"),
+    ("p2", "server at 192.168.0.1 and ssn 123-45-6789 plus phone (555) 123-4567 ok"),
+    ("p3", "no pii here at all, just words and the number 42"),
+    ("p4", "two emails a@b.io c@d.org and bare 555-123-4567"),
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    corpus = spark.createDataFrame(CORPUS, "doc_id string, text string")
+    bench = spark.createDataFrame(BENCH, "doc_id string, text string")
+    return corpus, bench
+
+
+def _vals(rows):
+    return ",".join("('%s','%s')" % r for r in rows)
+
+
+def _duck_grams(con, rows, name, n):
+    con.execute(
+        f"""CREATE OR REPLACE VIEW {name} AS
+        WITH raw(doc_id, text) AS (VALUES {_vals(rows)}),
+        toks AS (SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+            FROM raw),
+        grams AS (SELECT doc_id, CASE WHEN len(w) >= {n} THEN
+            list_distinct(list_transform(range(1, len(w) - {n} + 2),
+                i -> array_to_string(w[i:i+{n}-1], ' ')))
+            ELSE [] END AS g FROM toks)
+        SELECT doc_id,
+               cast('0x' || substr(md5(gram), 1, 15) AS bigint) AS gram_h
+        FROM grams, unnest(g) AS t(gram)"""
+    )
+
+
+def test_contamination_semantics(spark, frames):
+    corpus, bench = frames
+    got = {r.doc_id: r for r in contamination(corpus, bench, n=5).collect()}
+    assert set(got) == {"c1", "c2", "c3", "c4"}
+    assert got["c1"].contaminated and got["c1"].n_hit_ngrams >= 8
+    assert not got["c2"].contaminated and got["c2"].n_hit_ngrams == 0
+    assert not got["c3"].contaminated
+    # repeated span counts once per distinct gram: same hit count as c1's
+    # shared portion — in particular NOT doubled
+    assert got["c4"].contaminated
+    assert got["c4"].n_hit_ngrams == 9  # the 13-token bench sentence at n=5
+
+    kept = sorted(r.doc_id for r in decontaminate(corpus, bench, n=5).collect())
+    assert kept == ["c2", "c3"]
+
+
+def test_contamination_duckdb_parity(spark, frames):
+    corpus, bench = frames
+    n = 5
+    con = duckdb.connect()
+    _duck_grams(con, CORPUS, "cg", n)
+    _duck_grams(con, BENCH, "bg", n)
+    oracle = con.execute(
+        """WITH bhits AS (SELECT gram_h, count(DISTINCT doc_id) AS n_bench_docs
+                          FROM bg GROUP BY gram_h),
+        hits AS (SELECT cg.doc_id, count(*) AS n_hit_ngrams,
+                        sum(n_bench_docs) AS n_bench_doc_hits
+                 FROM cg JOIN bhits USING (gram_h) GROUP BY cg.doc_id),
+        base(doc_id) AS (VALUES ('c1'),('c2'),('c3'),('c4'))
+        SELECT base.doc_id,
+               cast(coalesce(n_hit_ngrams, 0) AS bigint) AS n_hit_ngrams,
+               cast(coalesce(n_bench_doc_hits, 0) AS bigint) AS n_bench_doc_hits,
+               coalesce(n_hit_ngrams, 0) >= 1 AS contaminated
+        FROM base LEFT JOIN hits USING (doc_id)"""
+    ).fetchall()
+    got = contamination(corpus, bench, n=n).collect()
+    assert normalize_rows([tuple(r) for r in got]) == normalize_rows(oracle)
+    # and the gram tables themselves agree hash-for-hash
+    sg = ngram_hash_table(corpus, n).collect()
+    dg = con.execute("SELECT doc_id, gram_h FROM cg").fetchall()
+    assert normalize_rows([tuple(r) for r in sg]) == normalize_rows(dg)
+
+
+def test_contamination_plan_is_broadcast(spark, frames):
+    corpus, bench = frames
+    plan = (
+        contamination(corpus, bench, n=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pii_stats_and_redaction(spark):
+    docs = spark.createDataFrame(PII_DOCS, "doc_id string, text string")
+    got = {r.doc_id: r for r in pii_stats(docs).collect()}
+    assert got["p1"].n_email == 1 and got["p1"].n_url == 1 and got["p1"].n_pii_total == 2
+    assert (got["p2"].n_ipv4, got["p2"].n_ssn, got["p2"].n_phone) == (1, 1, 1)
+    assert got["p3"].n_pii_total == 0
+    assert got["p4"].n_email == 2 and got["p4"].n_phone == 1
+
+    red = {r.doc_id: r.text for r in redact_pii(docs).collect()}
+    assert "<EMAIL>" in red["p1"] and "<URL>" in red["p1"]
+    assert "john.doe" not in red["p1"] and "example.com" not in red["p1"]
+    assert "<IPV4>" in red["p2"] and "<SSN>" in red["p2"] and "<PHONE>" in red["p2"]
+    assert "123-45-6789" not in red["p2"]
+    assert red["p3"] == PII_DOCS[2][1]  # clean text untouched
+
+
+def test_pii_duckdb_parity(spark):
+    """The RE2-safe pattern claim, enforced: every pattern produces the
+    same per-doc match counts and the same redacted text in DuckDB."""
+    docs = spark.createDataFrame(PII_DOCS, "doc_id string, text string")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE OR REPLACE VIEW d AS SELECT * FROM (VALUES "
+        + _vals(PII_DOCS)
+        + ") AS t(doc_id, text)"
+    )
+    red_expr = "text"
+    cnt_cols = []
+    for name, pat in PII_PATTERNS:
+        cnt_cols.append(
+            f"cast(len(regexp_extract_all({red_expr}, '{pat}')) AS bigint) AS n_{name}"
+        )
+        red_expr = f"regexp_replace({red_expr}, '{pat}', '<{name.upper()}>', 'g')"
+    oracle_stats = con.execute(
+        f"SELECT doc_id, {', '.join(cnt_cols)} FROM d"
+    ).fetchall()
+    got = pii_stats(docs).drop("n_pii_total").collect()
+    assert normalize_rows([tuple(r) for r in got]) == normalize_rows(oracle_stats)
+    oracle_red = con.execute(f"SELECT doc_id, {red_expr} FROM d").fetchall()
+    got_red = redact_pii(docs).collect()
+    assert normalize_rows([tuple(r) for r in got_red]) == normalize_rows(oracle_red)
+
+
+def test_pii_plan_has_no_python_and_no_shuffle(spark):
+    docs = spark.createDataFrame(PII_DOCS, "doc_id string, text string")
+    for df in (pii_stats(docs), redact_pii(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "Exchange" not in plan  # pure map pass

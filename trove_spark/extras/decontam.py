@@ -1,0 +1,134 @@
+"""Benchmark decontamination: flag training documents that share long
+word n-grams with a held-out evaluation set.
+
+The standard pretraining-hygiene operator (GPT-3 appendix C / PaLM §7 use
+13-gram overlap; The Pile and Dolma ship the same check): any document
+whose text contains an n-gram that also appears in a benchmark document
+is "contaminated" and either dropped or audited.
+
+Scale shape (100 TB corpus, benchmark ≤ millions of n-grams):
+
+* the CORPUS side is one scan → per-doc distinct n-gram hash explode
+  (a flatMap — no shuffle);
+* the BENCHMARK side is aggregated to a distinct-hash table and
+  broadcast, so the membership probe is a map-side broadcast hash join
+  — the corpus is never shuffled by n-gram;
+* the only shuffle is the final per-doc hit aggregation, which sees
+  ONLY matching rows (sparse by construction).
+
+Hashes are the engine-portable 60-bit md5 prefix (`dedup._h60`,
+CLAUDE.md portable-hash recipe) so the whole operator replays exactly in
+DuckDB for the parity gate (tests/test_decontam_pii.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import _h60
+
+__ref__ = "no reference counterpart (LLM-data-pipeline extension)"
+
+
+def _ngram_array(text_col: str, n: int):
+    """Word n-grams of ``text_col`` as an array (empty when < n words)."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_hash_table(
+    docs: DataFrame, n: int = 13, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, gram_h): per-doc DISTINCT word-n-gram 60-bit hashes.
+    Distinct is taken inside the array (``array_distinct`` before the
+    explode) so repeated boilerplate inside one doc costs one row."""
+    grams = F.array_distinct(_ngram_array(text_col, n))
+    return docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.explode(F.transform(grams, _h60)).alias("gram_h"),
+    )
+
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Per-corpus-doc contamination report against ``benchmark``:
+    (doc_id, n_hit_ngrams, n_bench_docs_hit, contaminated).
+
+    Every corpus doc appears exactly once; clean docs carry zeros.  The
+    benchmark n-gram table is broadcast (it is the small side by
+    definition — an eval set, not a corpus), so the probe adds no
+    corpus shuffle."""
+    c = ngram_hash_table(corpus, n, id_col, text_col)
+    b = (
+        ngram_hash_table(benchmark, n, bench_id_col, bench_text_col)
+        .groupBy("gram_h")
+        .agg(F.countDistinct("doc_id").alias("n_bench_docs"))
+    )
+    hits = (
+        c.join(F.broadcast(b), "gram_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_ngrams"),
+            # upper bound by construction (per-gram bench-doc counts can
+            # overlap); exact distinct-doc attribution would need the
+            # bench doc ids carried through — deliberately not done, the
+            # curation decision only needs "how contaminated"
+            F.sum("n_bench_docs").alias("n_bench_doc_hits"),
+        )
+    )
+    base = corpus.select(F.col(id_col).cast("string").alias("doc_id"))
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_hit_ngrams", F.lit(0)).cast("long").alias("n_hit_ngrams"),
+        F.coalesce("n_bench_doc_hits", F.lit(0)).cast("long").alias("n_bench_doc_hits"),
+        (F.coalesce("n_hit_ngrams", F.lit(0)) >= min_hits).alias("contaminated"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The filter form: corpus rows whose doc is NOT contaminated —
+    a broadcast anti-join against the hit set (no corpus shuffle at
+    all: explode → broadcast probe → anti-join are all map-side)."""
+    hit_ids = (
+        ngram_hash_table(corpus, n, id_col, text_col)
+        .join(
+            F.broadcast(
+                ngram_hash_table(benchmark, n, id_col, text_col)
+                .select("gram_h")
+                .distinct()
+            ),
+            "gram_h",
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_hits)
+        .select("doc_id")
+    )
+    return corpus.join(
+        F.broadcast(hit_ids),
+        corpus[id_col].cast("string") == hit_ids["doc_id"],
+        "left_anti",
+    )

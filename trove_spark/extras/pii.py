@@ -1,0 +1,61 @@
+"""PII detection and redaction for corpus curation.
+
+The C4 / Dolma-style scrub pass: count and mask emails, URLs, IPv4
+addresses, US-SSN-shaped ids, and phone-shaped numbers with typed
+placeholder tokens before training.  All patterns are deliberately
+RE2-safe (no backreferences, no lookaround) so the SAME pattern strings
+run identically under Java regex (Spark codegen) and DuckDB's RE2 —
+pinned by the cross-engine parity test (tests/test_decontam_pii.py).
+
+Everything is built-in `regexp_*` expressions: whole-stage codegen, one
+scan, zero Python, zero shuffles — a pure map pass at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__ref__ = "no reference counterpart (LLM-data-pipeline extension)"
+
+# Redaction ORDER matters: URLs first (they contain digits/dots that the
+# narrower patterns would chew on), then emails, then the digit shapes.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("url", r"https?://[^\s]+"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("phone", r"\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b"),
+]
+
+
+def _count(col: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0))).cast("long")
+
+
+def pii_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_url, n_email, n_ipv4, n_ssn, n_phone, n_pii_total) —
+    counts are taken on the progressively-redacted text (same order as
+    :func:`redact_pii`) so one char span is never double-counted."""
+    out = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"), F.col(text_col).alias("_t")
+    )
+    total = F.lit(0).cast("long")
+    cols = []
+    for name, pat in PII_PATTERNS:
+        cnt = _count(F.col("_t"), pat)
+        out = out.withColumn(f"n_{name}", cnt).withColumn(
+            "_t", F.regexp_replace("_t", pat, f"<{name.upper()}>")
+        )
+        cols.append(f"n_{name}")
+        total = total + F.col(f"n_{name}")
+    return out.withColumn("n_pii_total", total).select("doc_id", *cols, "n_pii_total")
+
+
+def redact_pii(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Same rows with ``text`` rewritten: every PII span replaced by its
+    typed placeholder (``<URL>``, ``<EMAIL>``, ...), applied in
+    :data:`PII_PATTERNS` order."""
+    red = F.col(text_col)
+    for name, pat in PII_PATTERNS:
+        red = F.regexp_replace(red, F.lit(pat), F.lit(f"<{name.upper()}>"))
+    return docs.withColumn(text_col, red)
