@@ -1,0 +1,127 @@
+"""End-to-end curation pipeline (extras/curate.py): PII redact →
+quality/repetition/language screens → exact dedup → near dedup →
+benchmark decontamination, composed from the individually-tested
+operators.  Checks the composition semantics: stage ordering, survivor
+sets, determinism, and that the output text is the REDACTED text."""
+
+from __future__ import annotations
+
+import pytest
+
+from trove_spark.extras.curate import (
+    CurateConfig,
+    curate,
+    curation_report,
+    exact_keep_ids,
+    quality_keep_ids,
+)
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then the fox "
+    "runs back home with a bone for the old hound dog to share"
+)
+# distinct bases so b1/f1 are NOT near-duplicates of a1 (Jaccard ≈ 0)
+B_TEXT = (
+    "a small ship sailed across the wide sea while two sailors watched "
+    "the distant storm and hoped for calm water before the long night "
+    "so please contact me at alice@example.com for the full details"
+)
+F_TEXT = (
+    "in an old test of trivia knowledge one question asked what is the "
+    "capital city of the ancient kingdom of lydia answer sardis and "
+    "many players found it hard to recall"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        # survives everything
+        ("a1", GOOD),
+        # exact duplicate of a1 (larger id → dropped at exact dedup)
+        ("a2", GOOD),
+        # near-duplicate of a1: last word changed → only ONE 5-shingle
+        # differs (J = 21/23 ≈ 0.91, far above threshold AND collides in
+        # the 4×4 LSH banding with near-certainty) — dropped at near dedup
+        ("a3", GOOD.replace("share", "keep")),
+        # PII-bearing but otherwise good: kept, text redacted
+        ("b1", B_TEXT),
+        # fails repetition screen: one line duplicated many times
+        ("c1", "\n".join(["the same line appears here again and again"] * 20)),
+        # fails quality screen: too short
+        ("d1", "tiny doc"),
+        # fails language screen: no English stopwords
+        ("e1", "zzz qqq vvv kkk xxx www yyy nnn mmm ppp rrr sss ttt uuu"),
+        # contaminated: contains the benchmark 13-gram verbatim
+        ("f1", F_TEXT),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+@pytest.fixture(scope="module")
+def eval_set(spark):
+    return spark.createDataFrame(
+        [("q1", "what is the capital city of the ancient kingdom of lydia answer sardis")],
+        "doc_id string, text string",
+    )
+
+
+def test_quality_screen_ids(spark, corpus):
+    ids = {r.doc_id for r in quality_keep_ids(corpus).collect()}
+    assert "c1" not in ids  # repetition
+    assert "d1" not in ids  # too short
+    assert "e1" not in ids  # not English
+    assert {"a1", "a2", "a3", "b1", "f1"} <= ids
+
+
+def test_exact_keep_min_id(spark, corpus):
+    ids = {r.doc_id for r in exact_keep_ids(corpus).collect()}
+    assert "a1" in ids and "a2" not in ids  # min-id canonical
+
+
+def test_full_pipeline_kept_set_and_redaction(spark, corpus, eval_set):
+    out = curate(corpus, eval_set)
+    rows = {r.doc_id: r.text for r in out.collect()}
+    out._curate_cache.unpersist()
+    # a1 canonical; a2 exact-dup; a3 near-dup; c1/d1/e1 screened; f1 contaminated
+    assert set(rows) == {"a1", "b1"}
+    assert "<EMAIL>" in rows["b1"] and "alice@example.com" not in rows["b1"]
+    assert rows["b1"] == B_TEXT.replace("alice@example.com", "<EMAIL>")
+    assert rows["a1"] == GOOD
+
+
+def test_pipeline_deterministic(spark, corpus, eval_set):
+    a = curate(corpus, eval_set)
+    ra = sorted((r.doc_id, r.text) for r in a.collect())
+    a._curate_cache.unpersist()
+    b = curate(corpus, eval_set)
+    rb = sorted((r.doc_id, r.text) for r in b.collect())
+    b._curate_cache.unpersist()
+    assert ra == rb
+
+
+def test_report_counts_monotone(spark, corpus, eval_set):
+    report = curation_report(corpus, eval_set)
+    stages = [s for s, _ in report]
+    counts = [n for _, n in report]
+    assert stages == ["input", "quality_filter", "exact_dedup", "near_dedup", "decontaminated"]
+    assert counts[0] == 8
+    assert all(a >= b for a, b in zip(counts, counts[1:]))  # filters only drop
+    assert counts[-1] == 2
+
+
+def test_no_benchmark_skips_decontam(spark, corpus):
+    out = curate(corpus, benchmark=None)
+    ids = {r.doc_id for r in out.collect()}
+    out._curate_cache.unpersist()
+    assert "f1" in ids  # contaminated doc survives without a benchmark
+    assert ids == {"a1", "b1", "f1"}
+
+
+def test_near_dup_screen_respects_threshold(spark, corpus):
+    # with an impossible threshold the near-dup stage keeps a3
+    cfg = CurateConfig(jaccard_threshold=1.01)
+    out = curate(corpus, benchmark=None, cfg=cfg)
+    ids = {r.doc_id for r in out.collect()}
+    out._curate_cache.unpersist()
+    assert "a3" in ids

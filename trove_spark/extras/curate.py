@@ -1,0 +1,212 @@
+"""End-to-end corpus curation: the composed pass a pretraining-data
+pipeline runs between "raw crawl" and "tokenize" (C4 §2.1 / Gopher
+§A1.1 / Dolma's mixer), built entirely from this package's operators:
+
+    1. PII redaction               (pii.redact_pii — map-only codegen)
+    2. language / quality / repetition filter
+                                   (textstats.* — map-only codegen)
+    3. exact dedup                 (one sha256 shuffle, keep min-id doc)
+    4. near dedup                  (minhash_lsh_pairs → near_dup_clusters
+                                    → keep_canonical)
+    5. benchmark decontamination   (decontam.decontaminate — broadcast
+                                    probe, no corpus shuffle)
+
+Every stage consumes the previous stage's *filtered* frame, so the
+expensive operators (minhash, clustering) see only the docs that
+survived the cheap map-side screens — the same ordering argument the
+published pipelines make: run O(1)-per-doc filters before anything
+that shuffles.
+
+The surviving-corpus frame produced by stage 2 is persisted inside
+:func:`curate` because stages 3-5 each re-reference it (Spark does not
+CSE across DataFrame references — CLAUDE.md gotcha); at 100 TB the same
+role is played by checkpointing the filtered corpus to parquet and
+reading it back.  The handle rides on the result as
+``result._curate_cache`` so callers can unpersist after materializing.
+
+No reference counterpart (LLM-data-pipeline extension).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import minhash_lsh_pairs, near_dup_clusters, keep_canonical
+from .decontam import decontaminate
+from .pii import redact_pii
+from .textstats import language_id, quality_score, repetition_stats
+
+__ref__ = "no reference counterpart (LLM-data-pipeline extension)"
+
+
+@dataclass(frozen=True)
+class CurateConfig:
+    """Thresholds for the map-side screens (stage 2) and the near-dup
+    pass (stage 4).  Defaults follow the published pipelines: Gopher's
+    ~30% duplicate-line drop rule, C4's English gate, MinHash at
+    Jaccard ≥ 0.5."""
+
+    require_english: bool = True
+    stopword_threshold_permille: int = 30
+    max_dup_line_permille: int = 300
+    max_top_bigram_permille: int = 180
+    minhash_n_hashes: int = 16
+    minhash_band_size: int = 4
+    shingle_k: int = 5
+    jaccard_threshold: float = 0.5
+    decontam_ngram: int = 13
+    decontam_min_hits: int = 1
+
+
+def quality_keep_ids(
+    docs: DataFrame,
+    cfg: CurateConfig = CurateConfig(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id) surviving the stage-2 screens: quality_score's composite
+    keep flag ∧ language gate ∧ Gopher repetition caps.  Three map-side
+    passes joined on the uniform doc_id key — no corpus-wide skew
+    possible, and at scale the three screens fuse into one scan when
+    expressed over the same input (Catalyst collapses the projections
+    after the join is rewritten; the join inputs are tiny permille
+    frames, not the text)."""
+    q = quality_score(docs, id_col, text_col).filter("keep").select("doc_id")
+    r = (
+        repetition_stats(docs, id_col, text_col)
+        .filter(
+            (F.col("dup_line_permille") <= cfg.max_dup_line_permille)
+            & (F.col("top_bigram_permille") <= cfg.max_top_bigram_permille)
+        )
+        .select("doc_id")
+    )
+    keep = q.join(r, "doc_id")
+    if cfg.require_english:
+        lang = (
+            language_id(
+                docs,
+                threshold_permille=cfg.stopword_threshold_permille,
+                id_col=id_col,
+                text_col=text_col,
+            )
+            .filter(F.col("lang_pred") == "en")
+            .select("doc_id")
+        )
+        keep = keep.join(lang, "doc_id")
+    return keep
+
+
+def exact_keep_ids(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id) after exact dedup: the lexicographically-smallest doc of
+    every sha256 content group.  One uniform shuffle."""
+    return (
+        docs.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.sha2(F.col(text_col), 256).alias("h"),
+        )
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
+def curate(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    cfg: CurateConfig = CurateConfig(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The full pass.  Returns the curated corpus (same schema as
+    ``docs``, ``text`` PII-redacted) — one row per kept document.
+
+    Deterministic end to end: every tie-break is min-id, every stage is
+    a pure function of content — rerunning on the same input yields the
+    same kept set (resume/bucketing safe)."""
+    redacted = redact_pii(docs, id_col, text_col)
+
+    keep2 = quality_keep_ids(redacted, cfg, id_col, text_col)
+    stage2 = redacted.join(
+        keep2, redacted[id_col].cast("string") == keep2["doc_id"], "left_semi"
+    ).persist()
+
+    keep3 = exact_keep_ids(stage2, id_col, text_col)
+    stage3 = stage2.join(
+        keep3, stage2[id_col].cast("string") == keep3["doc_id"], "left_semi"
+    )
+
+    pairs = minhash_lsh_pairs(
+        stage3,
+        n_hashes=cfg.minhash_n_hashes,
+        band_size=cfg.minhash_band_size,
+        k=cfg.shingle_k,
+        threshold=cfg.jaccard_threshold,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    clusters = near_dup_clusters(pairs, stage3, id_col=id_col)
+    stage4 = keep_canonical(stage3, clusters, id_col=id_col)
+
+    out = (
+        stage4
+        if benchmark is None
+        else decontaminate(
+            stage4,
+            benchmark,
+            n=cfg.decontam_ngram,
+            min_hits=cfg.decontam_min_hits,
+            id_col=id_col,
+            text_col=text_col,
+        )
+    )
+    out._curate_cache = stage2  # caller unpersists after materializing
+    return out
+
+
+def curation_report(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    cfg: CurateConfig = CurateConfig(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[tuple[str, int]]:
+    """Per-stage survivor counts [(stage, n_docs), ...] — the audit trail
+    a curation run reports.  Runs the same plan as :func:`curate` with
+    one count action per stage boundary (each count reuses the persisted
+    stage-2 cache, so the corpus text is scanned once)."""
+    redacted = redact_pii(docs, id_col, text_col)
+    keep2 = quality_keep_ids(redacted, cfg, id_col, text_col)
+    stage2 = redacted.join(
+        keep2, redacted[id_col].cast("string") == keep2["doc_id"], "left_semi"
+    ).persist()
+    keep3 = exact_keep_ids(stage2, id_col, text_col)
+    stage3 = stage2.join(
+        keep3, stage2[id_col].cast("string") == keep3["doc_id"], "left_semi"
+    )
+    pairs = minhash_lsh_pairs(
+        stage3,
+        n_hashes=cfg.minhash_n_hashes,
+        band_size=cfg.minhash_band_size,
+        k=cfg.shingle_k,
+        threshold=cfg.jaccard_threshold,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    clusters = near_dup_clusters(pairs, stage3, id_col=id_col)
+    stage4 = keep_canonical(stage3, clusters, id_col=id_col)
+    report = [
+        ("input", docs.count()),
+        ("quality_filter", stage2.count()),
+        ("exact_dedup", stage3.count()),
+        ("near_dedup", stage4.count()),
+    ]
+    if benchmark is not None:
+        stage5 = decontaminate(
+            stage4, benchmark, n=cfg.decontam_ngram,
+            min_hits=cfg.decontam_min_hits, id_col=id_col, text_col=text_col,
+        )
+        report.append(("decontaminated", stage5.count()))
+    stage2.unpersist()
+    return report
