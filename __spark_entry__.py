@@ -855,6 +855,21 @@ def q_text_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def q_dedup_paragraphs(spark, sf_dir):
+    """Cross-doc paragraph dedup (RefinedWeb/Dolma shape).  The synthetic
+    corpus is single-line, so paragraphs are first materialized
+    deterministically — split on the common token ' value ' — with the
+    SAME left-to-right non-overlapping regexp_replace in both engines."""
+    from pyspark.sql import functions as F
+
+    from trove_spark.extras.dedup import dedup_paragraphs
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.regexp_replace("text", " (value|table) ", "\n")
+    )
+    return dedup_paragraphs(docs, min_chars=1)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -877,7 +892,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CTE — slot yielded to ann_ivf_topk in r4), text_token_counts (token
     counting is also evidenced inside text_quality/text_language_id;
     n_subtokens stays pytest-covered — slot yielded to dedup_clusters in
-    r4).  The trimmed callables remain importable + tested."""
+    r4), text_fingerprint (sha256 + min-shingle map pass, DuckDB-parity
+    pytest-gated in test_textstats — slot yielded to dedup_paragraphs,
+    the RefinedWeb/C4-style paragraph dedup, in r4).  The trimmed
+    callables remain importable + tested."""
     return {
         "kg_tokens": q_kg_tokens,
         "kg_tokens_clinical": q_kg_tokens_clinical,
@@ -928,7 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_language_id": q_text_language_id,
         "text_quality": q_text_quality,
-        "text_fingerprint": q_text_fingerprint,
+        "dedup_paragraphs": q_dedup_paragraphs,
     }
 
 

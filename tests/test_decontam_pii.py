@@ -166,3 +166,59 @@ def test_pii_plan_has_no_python_and_no_shuffle(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "Exchange" not in plan  # pure map pass
+
+
+URL_DOCS = [
+    ("u1", "see https://www.Example.com/page and also http://sub.example.com/x"),
+    ("u2", "links to https://notexample.com/a only"),
+    ("u3", "plain text with no links at all"),
+    ("u4", "mixed https://good.org/ok then https://bad.example.com/y end"),
+]
+
+
+def test_url_hosts_extraction(spark):
+    from trove_spark.extras.pii import url_hosts
+
+    docs = spark.createDataFrame(URL_DOCS, "doc_id string, text string")
+    got = sorted((r.doc_id, r.host) for r in url_hosts(docs).collect())
+    assert got == [
+        ("u1", "sub.example.com"),
+        ("u1", "www.example.com"),
+        ("u2", "notexample.com"),
+        ("u4", "bad.example.com"),
+        ("u4", "good.org"),
+    ]
+
+
+def test_url_hosts_duckdb_parity(spark):
+    from trove_spark.extras.pii import _HOST_PATTERN, url_hosts
+
+    docs = spark.createDataFrame(URL_DOCS, "doc_id string, text string")
+    con = duckdb.connect()
+    oracle = con.execute(
+        "WITH raw(doc_id, text) AS (VALUES "
+        + _vals(URL_DOCS)
+        + f""") SELECT doc_id, lower(h) AS host
+        FROM raw, unnest(regexp_extract_all(text, '{_HOST_PATTERN}', 1)) AS t(h)"""
+    ).fetchall()
+    got = url_hosts(docs).collect()
+    assert normalize_rows([tuple(r) for r in got]) == normalize_rows(oracle)
+
+
+def test_filter_blocked_domains(spark):
+    from trove_spark.extras.pii import filter_blocked_domains
+
+    docs = spark.createDataFrame(URL_DOCS, "doc_id string, text string")
+    bl = spark.createDataFrame([("Example.com",)], "domain string")
+    kept = sorted(r.doc_id for r in filter_blocked_domains(docs, bl).collect())
+    # u1 hits example.com via www./sub. subdomains; u4 via bad.example.com;
+    # u2's notexample.com is NOT a subdomain match; u3 has no URLs
+    assert kept == ["u2", "u3"]
+
+    plan = (
+        filter_blocked_domains(docs, bl)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -1,0 +1,93 @@
+"""Cross-document paragraph-level exact dedup (extras/dedup.py
+`dedup_paragraphs` — RefinedWeb/Dolma paragraph dedup, C4's span
+dedup shape): first-occurrence semantics, short-paragraph passthrough,
+document reassembly, and a full DuckDB replay of the operator."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from tests.conftest import normalize_rows
+from trove_spark.extras.dedup import dedup_paragraphs
+
+DOCS = [
+    # d1 is first in (doc_id, pos) order: keeps both paragraphs
+    ("d1", "shared boilerplate header\nunique one content"),
+    # d2 repeats the header (dropped) and has its own paragraph
+    ("d2", "shared boilerplate header\nunique two content"),
+    # d3 is ONLY the duplicate header → reassembles to nothing → dropped
+    ("d3", "shared boilerplate header"),
+    # d4 repeats a paragraph WITHIN itself: second occurrence dropped;
+    # blank separator (< min_chars after trim) passes through untouched
+    ("d4", "repeated inside\n\nrepeated inside\ntail text"),
+    # d5 short one-char lines pass through even when duplicated
+    ("d5", "x\nx\nreal paragraph five"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id string, text string")
+
+
+def test_first_occurrence_and_reassembly(spark, docs):
+    got = {r.doc_id: r.text for r in dedup_paragraphs(docs, min_chars=2).collect()}
+    assert got["d1"] == "shared boilerplate header\nunique one content"
+    assert got["d2"] == "unique two content"
+    assert "d3" not in got  # every paragraph was a duplicate
+    assert got["d4"] == "repeated inside\n\ntail text"
+    assert got["d5"] == "x\nx\nreal paragraph five"
+
+
+def test_deterministic_rerun(spark, docs):
+    a = sorted(tuple(r) for r in dedup_paragraphs(docs, min_chars=2).collect())
+    b = sorted(tuple(r) for r in dedup_paragraphs(docs, min_chars=2).collect())
+    assert a == b
+
+
+def test_idempotent(spark, docs):
+    """Deduping an already-deduped corpus is the identity (no paragraph
+    occurs twice anymore above min_chars)."""
+    once = dedup_paragraphs(docs, min_chars=2)
+    twice = dedup_paragraphs(once, min_chars=2)
+    assert sorted(tuple(r) for r in once.collect()) == sorted(
+        tuple(r) for r in twice.collect()
+    )
+
+
+def test_duckdb_parity(spark, docs):
+    min_chars = 2
+    con = duckdb.connect()
+    vals = ",".join("('%s','%s')" % (d, t.replace("\n", "' || chr(10) || '")) for d, t in DOCS)
+    oracle = con.execute(
+        f"""WITH raw(doc_id, text) AS (VALUES {vals}),
+        split AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM raw),
+        paras AS (
+          SELECT doc_id, g.i AS pos, l[g.i + 1] AS para,
+                 CASE WHEN length(trim(l[g.i + 1])) >= {min_chars}
+                      THEN cast('0x' || substr(md5(l[g.i + 1]), 1, 15) AS bigint)
+                 END AS h
+          FROM split, (SELECT unnest(range(1000)) AS i) g
+          WHERE g.i < len(l)),
+        ranked AS (
+          SELECT doc_id, pos, para, h,
+                 row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+          FROM paras),
+        kept AS (SELECT doc_id, pos, para FROM ranked WHERE h IS NULL OR rn = 1)
+        SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
+        FROM kept GROUP BY doc_id"""
+    ).fetchall()
+    got = dedup_paragraphs(docs, min_chars=min_chars).collect()
+    assert normalize_rows([tuple(r) for r in got]) == normalize_rows(oracle)
+
+
+def test_plan_no_python_single_para_shuffle(spark, docs):
+    plan = (
+        dedup_paragraphs(docs, min_chars=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan

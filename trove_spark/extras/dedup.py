@@ -389,3 +389,64 @@ def simhash_near_pairs(
     return cand.withColumn(
         "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     ).filter(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    min_chars: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document PARAGRAPH-level exact dedup (RefinedWeb §3.3 /
+    Dolma's paragraph dedup; C4 does the same at three-sentence spans):
+    every newline-delimited paragraph that occurs in more than one place
+    in the corpus is kept only at its FIRST occurrence (smallest
+    (doc_id, position)) and removed everywhere else; documents are then
+    reassembled in original paragraph order.  Docs whose every paragraph
+    was removed disappear from the output.
+
+    Scale shape: explode paragraphs with position (flatMap, no shuffle)
+    → ONE shuffle on the uniform 60-bit paragraph hash to pick the
+    min-(doc_id, pos) winner → equi-join back (right side is DISTINCT by
+    hash, so no fan-out; boilerplate hot keys skew only the left side,
+    which AQE splits) → ONE groupBy doc to reassemble.  Everything is
+    codegen; determinism is total order on (doc_id, pos).
+
+    Paragraphs shorter than ``min_chars`` (after trim) are passed
+    through untouched — blank separators and one-character lines carry
+    no signal and would otherwise all collapse to one survivor.
+
+    Output: (doc_id, text) with duplicate paragraphs removed."""
+    paras = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "para"),
+    ).withColumn(
+        "h",
+        F.when(F.length(F.trim("para")) >= min_chars, _h60(F.col("para"))),
+    )
+    winners = (
+        paras.filter(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("w"))
+        .select("h", F.col("w.doc_id").alias("w_doc"), F.col("w.pos").alias("w_pos"))
+    )
+    kept = (
+        paras.join(winners, "h", "left")
+        .filter(
+            F.col("h").isNull()
+            | ((F.col("doc_id") == F.col("w_doc")) & (F.col("pos") == F.col("w_pos")))
+        )
+        .select("doc_id", "pos", "para")
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"],
+                ),
+                "\n",
+            ).alias(text_col)
+        )
+    )

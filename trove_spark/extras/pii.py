@@ -59,3 +59,54 @@ def redact_pii(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     for name, pat in PII_PATTERNS:
         red = F.regexp_replace(red, F.lit(pat), F.lit(f"<{name.upper()}>"))
     return docs.withColumn(text_col, red)
+
+
+# Host extraction for URL/domain screening: RE2-safe (no lookaround),
+# capture group 1 = the bare host, lowercased by the caller.
+_HOST_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+
+
+def url_hosts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, host) — one row per URL occurrence in the text (a doc
+    linking the same host twice yields two rows; aggregate as needed).
+    Pure regexp_extract_all: map-side, codegen, engine-portable."""
+    return docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(_HOST_PATTERN), F.lit(1))
+        ).alias("host"),
+    ).withColumn("host", F.lower(F.col("host")))
+
+
+def filter_blocked_domains(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style domain screening: drop every document that links to a
+    blocklisted domain (matching the registered domain OR any
+    subdomain — ``host = domain`` or ``host LIKE '%.' || domain``).
+
+    Scale shape: hosts are extracted map-side; the blocklist (small by
+    definition — a curated list, not a corpus) is BROADCAST into a
+    suffix-match theta-join producing only hit doc_ids, and the corpus
+    is filtered with a broadcast anti-join — the corpus itself never
+    shuffles.  blocklist: one ``domain`` column, bare registered
+    domains, lowercase."""
+    hosts = url_hosts(docs, id_col, text_col)
+    bl = F.broadcast(blocklist.select(F.lower(F.col("domain")).alias("domain")))
+    hit_ids = (
+        hosts.join(
+            bl,
+            (hosts["host"] == bl["domain"])
+            | hosts["host"].endswith(F.concat(F.lit("."), bl["domain"])),
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    return docs.join(
+        F.broadcast(hit_ids),
+        docs[id_col].cast("string") == hit_ids["doc_id"],
+        "left_anti",
+    )

@@ -145,3 +145,71 @@ def repetition_stats(
         .cast("long")
         .alias("top_bigram_permille"),
     )
+
+
+def filter_blocked_words(
+    docs: DataFrame,
+    blocked: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style word blocklist screen: drop any document containing at
+    least one blocked WORD (exact token match after lowercasing, the C4
+    rule — not substring, so 'class' never trips a 'lass' entry).
+
+    The list ships as a literal array in the plan (curated lists are
+    ~10³ entries), so this is a pure map pass — codegen, no shuffle, no
+    broadcast variable even."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    hit = F.arrays_overlap(words, F.array(*[F.lit(w.lower()) for w in blocked]))
+    return docs.filter(~F.coalesce(hit, F.lit(False)))
+
+
+def unigram_surprisal(
+    docs: DataFrame,
+    lm_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet/KenLM-style LM quality signal, reduced to a unigram model
+    the engine can train in ONE aggregation: mean per-token surprisal
+    -log2 p(w) against a unigram LM fitted on ``lm_docs`` (default: the
+    scored corpus itself), add-1 smoothed over the observed vocabulary.
+    Gibberish and boilerplate-stuffed docs score high/low respectively
+    relative to the corpus; the standard use is dropping both tails.
+
+    Scale shape: the LM is a (word, count) agg — partial/final combine,
+    uniform after the combine even for 'the'.  Scoring explodes tokens
+    and equi-joins the LM table (unique right side → no fan-out; left
+    skew on hot words is AQE-split), then one per-doc mean agg.  Output
+    is micro-bit integers (floor(×10⁶)) for stable comparisons; note
+    log2 is NOT bit-portable across engines (JVM vs glibc ±1 ulp), so
+    cross-engine checks must allow ±1 µbit — this operator is
+    pytest-gated, not a DuckDB-hash driver row.
+
+    Output: (doc_id, n_tokens, surprisal_microbits)."""
+    lm_src = lm_docs if lm_docs is not None else docs
+    toks = lambda df: df.select(  # noqa: E731
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+        ).alias("w"),
+    )
+    lm = toks(lm_src).groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    # add-1 smoothing: denom = total tokens + vocab size (computed in-plan
+    # via a tiny 1-row cross join, not a driver collect)
+    denom = lm.agg(
+        (F.sum("cnt") + F.count(F.lit(1))).cast("double").alias("denom")
+    )
+    scored = (
+        toks(docs)
+        .join(lm, "w", "left")
+        .crossJoin(F.broadcast(denom))
+        .withColumn(
+            "bits", -F.log2((F.coalesce(F.col("cnt"), F.lit(0)) + 1) / F.col("denom"))
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.floor(F.avg("bits") * 1_000_000).cast("long").alias("surprisal_microbits"),
+    )

@@ -1384,4 +1384,27 @@ minsh AS (SELECT doc_id, CAST(MIN({_H60.format(x="shingle")}) AS BIGINT) AS min_
 SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, sha256(d.text) AS content_sha256, m.min_shingle_h
 FROM documents d LEFT JOIN minsh m ON m.doc_id = CAST(d.doc_id AS VARCHAR)
 """,
+        # paragraph dedup (extras/dedup.py dedup_paragraphs): the query
+        # side materializes paragraphs with the SAME regexp_replace, then
+        # keeps each paragraph only at its min-(doc_id, pos) occurrence;
+        # row_number replays the min-struct winner pick exactly
+        "dedup_paragraphs": f"""
+WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     regexp_replace(text, ' (value|table) ', chr(10), 'g') AS text
+              FROM documents),
+split AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM base),
+paras AS (
+  SELECT doc_id, g.i AS pos, l[g.i + 1] AS para,
+         CASE WHEN length(trim(l[g.i + 1])) >= 1
+              THEN {_H60.format(x="l[g.i + 1]")}
+         END AS h
+  FROM split, (SELECT unnest(range((SELECT MAX(len(l)) FROM split))) AS i) g
+  WHERE g.i < len(l)),
+ranked AS (SELECT doc_id, pos, para, h,
+                  row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+           FROM paras),
+kept AS (SELECT doc_id, pos, para FROM ranked WHERE h IS NULL OR rn = 1)
+SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
+FROM kept GROUP BY doc_id
+""",
     }
