@@ -125,3 +125,46 @@ def test_near_dup_screen_respects_threshold(spark, corpus):
     ids = {r.doc_id for r in out.collect()}
     out._curate_cache.unpersist()
     assert "a3" in ids
+
+
+def test_blocklist_screens_in_curate(spark, corpus):
+    cfg = CurateConfig(blocked_words=("hound",))
+    out = curate(corpus, benchmark=None, cfg=cfg)
+    ids = {r.doc_id for r in out.collect()}
+    out._curate_cache.unpersist()
+    # 'hound' appears in GOOD → a1 (and its near-dups) screened out
+    assert "a1" not in ids and ids == {"b1", "f1"}
+
+
+def test_domain_blocklist_in_curate(spark):
+    docs = spark.createDataFrame(
+        [
+            ("l1", GOOD + " see https://spam.example.net/offer now"),
+            ("l2", B_TEXT),
+        ],
+        "doc_id string, text string",
+    )
+    cfg = CurateConfig(blocked_domains=("example.net",))
+    out = curate(docs, benchmark=None, cfg=cfg)
+    ids = {r.doc_id for r in out.collect()}
+    out._curate_cache.unpersist()
+    assert ids == {"l2"}
+
+
+def test_paragraph_dedup_in_curate(spark):
+    shared = "this exact paragraph shows up in both documents tonight"
+    docs = spark.createDataFrame(
+        [
+            ("p1", GOOD + "\n" + shared),
+            # different base (not a near-dup of p1) but repeats the paragraph
+            ("p2", B_TEXT.replace(" alice@example.com", "") + "\n" + shared),
+        ],
+        "doc_id string, text string",
+    )
+    cfg = CurateConfig(paragraph_dedup=True)
+    out = curate(docs, benchmark=None, cfg=cfg)
+    rows = {r.doc_id: r.text for r in out.collect()}
+    out._curate_cache.unpersist()
+    assert set(rows) == {"p1", "p2"}
+    assert shared in rows["p1"]  # first occurrence kept
+    assert shared not in rows["p2"]  # later occurrence removed

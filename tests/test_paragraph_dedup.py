@@ -91,3 +91,42 @@ def test_plan_no_python_single_para_shuffle(spark, docs):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_randomized_invariants(spark):
+    """Randomized corpus (deterministic seed): after dedup every distinct
+    long-enough paragraph occurs EXACTLY once corpus-wide, at its
+    min-(doc_id, pos) occurrence, and each doc's surviving paragraphs are
+    a subsequence of its original paragraph list."""
+    import random
+
+    rng = random.Random(11)
+    pool = [f"paragraph number {i} with shared content" for i in range(12)]
+    docs = [
+        (f"d{j:02d}", "\n".join(rng.choice(pool) for _ in range(rng.randint(1, 6))))
+        for j in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {r.doc_id: r.text.split("\n") for r in dedup_paragraphs(df, 2).collect()}
+
+    # global uniqueness + first-occurrence position
+    first = {}
+    for doc_id, text in docs:
+        for pos, p in enumerate(text.split("\n")):
+            first.setdefault(p, (doc_id, pos))
+    seen = {}
+    for doc_id, paras in got.items():
+        for p in paras:
+            assert p not in seen, f"paragraph kept twice: {p!r}"
+            seen[p] = doc_id
+    assert set(seen) == set(first)
+    for p, keeper in seen.items():
+        assert keeper == first[p][0]
+
+    # per-doc order preservation: output is a subsequence of the input
+    for doc_id, text in docs:
+        if doc_id not in got:
+            continue
+        orig = text.split("\n")
+        it = iter(orig)
+        assert all(p in it for p in got[doc_id])

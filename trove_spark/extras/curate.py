@@ -33,10 +33,20 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import minhash_lsh_pairs, near_dup_clusters, keep_canonical
+from .dedup import (
+    dedup_paragraphs,
+    keep_canonical,
+    minhash_lsh_pairs,
+    near_dup_clusters,
+)
 from .decontam import decontaminate
-from .pii import redact_pii
-from .textstats import language_id, quality_score, repetition_stats
+from .pii import filter_blocked_domains, redact_pii
+from .textstats import (
+    filter_blocked_words,
+    language_id,
+    quality_score,
+    repetition_stats,
+)
 
 __ref__ = "no reference counterpart (LLM-data-pipeline extension)"
 
@@ -58,6 +68,14 @@ class CurateConfig:
     jaccard_threshold: float = 0.5
     decontam_ngram: int = 13
     decontam_min_hits: int = 1
+    # optional screens (empty = off): C4's word blocklist (exact-token)
+    # and domain blocklist (registered domain or any subdomain)
+    blocked_words: tuple[str, ...] = ()
+    blocked_domains: tuple[str, ...] = ()
+    # RefinedWeb-style paragraph dedup applied AFTER doc-level near-dedup
+    # (their order: fuzzy doc dedup, then exact substring/paragraph pass)
+    paragraph_dedup: bool = False
+    paragraph_min_chars: int = 1
 
 
 def quality_keep_ids(
@@ -124,8 +142,24 @@ def curate(
 
     Deterministic end to end: every tie-break is min-id, every stage is
     a pure function of content — rerunning on the same input yields the
-    same kept set (resume/bucketing safe)."""
-    redacted = redact_pii(docs, id_col, text_col)
+    same kept set (resume/bucketing safe).
+
+    With ``cfg.paragraph_dedup`` the RefinedWeb-style exact paragraph
+    pass runs after near-dedup; the rewritten text replaces ``text_col``
+    with all other columns preserved (inner join back on the id)."""
+    # blocklist screens run on the RAW text — PII redaction rewrites
+    # URLs to <URL>, so the domain screen must look first
+    screened = docs
+    if cfg.blocked_words:
+        screened = filter_blocked_words(
+            screened, list(cfg.blocked_words), id_col, text_col
+        )
+    if cfg.blocked_domains:
+        bl = docs.sparkSession.createDataFrame(
+            [(d,) for d in cfg.blocked_domains], "domain string"
+        )
+        screened = filter_blocked_domains(screened, bl, id_col, text_col)
+    redacted = redact_pii(screened, id_col, text_col)
 
     keep2 = quality_keep_ids(redacted, cfg, id_col, text_col)
     stage2 = redacted.join(
@@ -148,6 +182,15 @@ def curate(
     )
     clusters = near_dup_clusters(pairs, stage3, id_col=id_col)
     stage4 = keep_canonical(stage3, clusters, id_col=id_col)
+
+    if cfg.paragraph_dedup:
+        deduped = dedup_paragraphs(
+            stage4, cfg.paragraph_min_chars, id_col=id_col, text_col=text_col
+        )
+        stage4 = stage4.drop(text_col).join(
+            deduped.withColumnRenamed("doc_id", "__pd_id"),
+            F.col("__pd_id") == F.col(id_col).cast("string"),
+        ).drop("__pd_id")
 
     out = (
         stage4
