@@ -1,0 +1,146 @@
+"""Deterministic corpus mixing: domain-weighted up/down-sampling, hash
+split assignment, and a seeded global shuffle.
+
+The last mile of a pretraining-data pipeline (Dolma's mixer, The Pile's
+per-set "epochs", GPT-3 table 2.2): after curation each source/domain is
+mixed at a target weight — weight 0.3 keeps a 30% sample, weight 2.5
+replicates every doc twice and samples half the docs once more — then
+the corpus is split train/val/test and globally shuffled for the
+sequential trainer read.
+
+Everything here is a pure function of ``(seed, doc_id)`` via the
+engine-portable 60-bit md5 hash (CLAUDE.md recipe), which buys:
+
+* determinism — reruns and resumed runs keep exactly the same docs, no
+  RNG state to checkpoint (``F.rand`` is NOT task-deterministic under
+  retries; a content hash is);
+* auditability — "why is this doc in val?" is answerable from the id;
+* cross-engine replay — the sampling decision replays bit-for-bit in
+  DuckDB (tests/test_mixing.py parity gate).
+
+Scale shape (100 TB): weighting and split assignment are MAP-ONLY (a
+literal weight map, a hash compare, an explode bounded by ceil(weight)
+— no shuffle, no driver state). The only shuffle in the module is the
+one the user explicitly asks for: the global shuffle's range-partitioned
+sort (or the cheaper one-shuffle sharded variant for epoch-local order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import _h60
+
+__ref__ = "no reference counterpart (LLM-data-pipeline extension)"
+
+_H60_MAX = float(1 << 60)
+
+
+def _u01(seed: int, tag: str, id_col: str):
+    """Deterministic uniform [0,1) from (seed, tag, doc_id) — the 60-bit
+    portable hash scaled down. Distinct tags give independent streams
+    (sampling vs splitting must not correlate)."""
+    key = F.concat_ws(":", F.lit(str(seed)), F.lit(tag), F.col(id_col).cast("string"))
+    return _h60(key) / F.lit(_H60_MAX)
+
+
+def domain_weighted_mix(
+    docs: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "domain",
+    seed: int = 0,
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Mix domains at target weights: each doc appears ``floor(w)`` times
+    plus once more with probability ``frac(w)`` (so E[copies] = w exactly,
+    per-doc variance ≤ 1/4 — the Pile/Dolma "epochs" semantics, applied
+    per-document instead of per-source so a 0.3-epoch source is a true
+    random 30% sample, not a prefix).
+
+    Output schema = input + ``copy`` (0-based replica index, so
+    downstream shuffling/packing treats replicas as distinct rows).
+    Map-only: literal weight map, hash compare, explode fan-out bounded
+    by ``ceil(max(weights))``."""
+    if not weights and default_weight == 1.0:
+        return docs.withColumn("copy", F.lit(0))
+    pairs: list = []
+    for d, w in sorted(weights.items()):
+        if w < 0:
+            raise ValueError(f"negative weight for domain {d!r}: {w}")
+        pairs += [F.lit(d), F.lit(float(w))]
+    wmap = F.create_map(*pairs) if pairs else F.create_map()
+    w = F.coalesce(
+        wmap[F.col(domain_col).cast("string")], F.lit(float(default_weight))
+    )
+    n_copies = (
+        F.floor(w) + (_u01(seed, "mix", id_col) < (w - F.floor(w))).cast("long")
+    ).cast("int")
+    return docs.withColumn(
+        "copy",
+        F.explode(
+            F.when(n_copies >= 1, F.sequence(F.lit(0), n_copies - 1)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ),
+    )
+
+
+def assign_splits(
+    docs: DataFrame,
+    splits: dict[str, float] | None = None,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: one ``split`` column,
+    each doc in exactly one split, fractions honored in expectation.
+    Insertion order of ``splits`` defines the hash-interval order, so a
+    given (seed, fractions) prefix is stable even if later splits are
+    re-cut. Map-only CASE chain — no shuffle, no sampling job."""
+    splits = splits or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(splits.values())
+    if total <= 0:
+        raise ValueError("split fractions must sum to a positive value")
+    u = _u01(seed, "split", id_col)
+    expr, acc = None, 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name] / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    return docs.withColumn(
+        "split", last if expr is None else expr.otherwise(last)
+    )
+
+
+def deterministic_shuffle(
+    docs: DataFrame,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Seeded global shuffle for the trainer's sequential read.
+
+    ``n_shards=None``: total order by the per-doc hash — ONE
+    range-partitioned sort (Spark samples boundaries; hash keys are
+    uniform so the ranges are balanced by construction). ``n_shards=N``:
+    the cheaper one-hash-shuffle variant — rows land in ``shard =
+    hash % N`` and are sorted only WITHIN shards; a trainer that reads
+    shards in any fixed order sees a deterministic epoch permutation
+    without the global sort's boundary-sampling job (how Dolma/WebDataset
+    shard shuffles work). Replicas from :func:`domain_weighted_mix` get
+    distinct keys via the ``copy`` column when present."""
+    cols = [F.lit(str(seed)), F.lit("shuf"), F.col(id_col).cast("string")]
+    if "copy" in docs.columns:
+        cols.append(F.col("copy").cast("string"))
+    key = _h60(F.concat_ws(":", *cols))
+    out = docs.withColumn("shuffle_key", key)
+    if n_shards is None:
+        return out.orderBy("shuffle_key")
+    out = out.withColumn(
+        "shard", F.pmod(F.col("shuffle_key"), F.lit(n_shards)).cast("int")
+    )
+    return out.repartition(n_shards, "shard").sortWithinPartitions(
+        "shard", "shuffle_key"
+    )
