@@ -1,0 +1,129 @@
+"""Sequence packing (extras/packing.py): round-trip stream equality,
+window/segment invariants, bucket-count invariance (the distributed
+prefix sum ≡ the sequential one), DuckDB parity, and plan assertions."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from trove_spark.extras.mixing import deterministic_shuffle
+from trove_spark.extras.packing import pack_sequences
+
+L = 16
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # variable lengths incl. > L (spans multiple windows), == L, and 0
+    rows = []
+    for i in range(120):
+        n = (i * 7) % 45  # 0..44 tokens
+        rows.append((f"d{i:03d}", [f"t{i}_{j}" for j in range(n)]))
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<string>")
+    return deterministic_shuffle(df, seed=4)
+
+
+def _stream(docs):
+    """The expected virtual token stream: docs concatenated in
+    (shuffle_key, doc_id) order."""
+    ordered = sorted(
+        ((r.shuffle_key, r.doc_id, r.tokens) for r in docs.collect())
+    )
+    out = []
+    for _, _, toks in ordered:
+        out.extend(toks)
+    return out
+
+
+def test_round_trip_and_invariants(docs):
+    packed = pack_sequences(docs, L)
+    rows = sorted(packed.collect(), key=lambda r: r.window_id)
+    packed._pack_cache.unpersist()
+    stream = _stream(docs)
+    n_full = len(stream) // L
+    assert [r.window_id for r in rows] == list(range(n_full))
+    got = [t for r in rows for t in r.tokens]
+    assert got == stream[: n_full * L]
+    for r in rows:
+        assert r.n_tokens == L and len(r.tokens) == L
+        # segments tile [0, L) contiguously, lens match, ids real
+        pos = 0
+        for seg in r.segments:
+            assert seg.start == pos and seg.len > 0
+            assert r.tokens[seg.start][: len(f"t{int(seg.doc_id[1:])}_")] == f"t{int(seg.doc_id[1:])}_"
+            pos += seg.len
+        assert pos == L
+
+
+def test_keep_last_partial(docs):
+    packed = pack_sequences(docs, L, drop_last=False)
+    rows = sorted(packed.collect(), key=lambda r: r.window_id)
+    packed._pack_cache.unpersist()
+    stream = _stream(docs)
+    assert [t for r in rows for t in r.tokens] == stream
+    assert all(r.n_tokens == L for r in rows[:-1])
+    assert rows[-1].n_tokens == len(stream) % L or len(stream) % L == 0
+
+
+def test_bucket_count_invariance(docs):
+    """The packing is a pure function of the order — the prefix-sum
+    bucket count (the parallelism knob) must not change one token."""
+    a = pack_sequences(docs, L, log2_buckets=2)
+    b = pack_sequences(docs, L, log2_buckets=8)
+    ra = sorted((r.window_id, tuple(r.tokens)) for r in a.collect())
+    rb = sorted((r.window_id, tuple(r.tokens)) for r in b.collect())
+    a._pack_cache.unpersist()
+    b._pack_cache.unpersist()
+    assert ra == rb
+
+
+def test_duckdb_parity(docs):
+    """DuckDB replays the packing with a sequential global window
+    function — the distributed two-phase prefix sum must agree exactly."""
+    packed = pack_sequences(docs, L)
+    got = sorted(
+        (r.window_id, tuple(r.tokens), tuple((s.doc_id, s.start, s.len) for s in r.segments))
+        for r in packed.collect()
+    )
+    packed._pack_cache.unpersist()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id text, okey bigint, toks text[])")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?)",
+        [(r.doc_id, r.shuffle_key, list(r.tokens)) for r in docs.collect()],
+    )
+    want = con.execute(f"""
+        WITH base AS (
+          SELECT doc_id, okey, toks, len(toks)::bigint AS n FROM t WHERE len(toks) > 0
+        ), ord AS (
+          SELECT *, sum(n) OVER (ORDER BY okey, doc_id) - n AS gstart FROM base
+        ), pieces AS (
+          SELECT win, doc_id,
+                 greatest(gstart - win * {L}, 0) AS start_in_win,
+                 toks[greatest(win * {L} - gstart, 0) + 1 :
+                      greatest(win * {L} - gstart, 0)
+                      + least((win + 1) * {L}, gstart + n) - greatest(win * {L}, gstart)] AS piece
+          FROM ord, (SELECT unnest(range(0, 100000)) AS win) wins
+          WHERE win BETWEEN gstart // {L} AND (gstart + n - 1) // {L}
+        )
+        SELECT win AS window_id,
+               flatten(list(piece ORDER BY start_in_win)) AS tokens,
+               list((doc_id, start_in_win, len(piece)) ORDER BY start_in_win) AS segments
+        FROM pieces GROUP BY win HAVING len(flatten(list(piece))) = {L}
+        ORDER BY win
+    """).fetchall()
+    want = sorted(
+        (w, tuple(toks), tuple((d, int(s), int(n)) for (d, s, n) in segs))
+        for w, toks, segs in want
+    )
+    assert got == want
+
+
+def test_plan_no_single_partition(docs):
+    packed = pack_sequences(docs, L)
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    packed._pack_cache.unpersist()
+    assert "SinglePartition" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

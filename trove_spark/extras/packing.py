@@ -1,0 +1,151 @@
+"""Sequence packing: concatenate an ordered token stream and chunk it
+into fixed-length training windows ("concat-and-chunk", the packing
+every GPT/LLaMA-style pretraining pipeline runs after shuffling).
+
+Semantics: documents are laid end-to-end in a deterministic global
+order (the ``shuffle_key`` from :mod:`.mixing`, ties broken by doc id);
+the virtual token stream is cut every ``seq_len`` tokens regardless of
+document boundaries; each window carries both its tokens and the
+``segments`` table (doc_id, start, len) a trainer needs to reset
+attention masks at document boundaries.
+
+Scale shape (100 TB): the textbook formulation — a running total via a
+window function over the GLOBAL order — is a single-partition sort, the
+canonical Spark scale-killer. This module does the two-phase parallel
+prefix sum instead:
+
+1. bucket by the high bits of the (uniform) order key — deterministic
+   equal-width ranges, no sampled boundaries, ~n/P rows each;
+2. per-bucket running totals: ONE hash shuffle + bounded per-bucket
+   sorts (``Window.partitionBy(bucket)``, never ``SinglePartition``);
+3. bucket totals (P rows, P ≈ parallelism) come to the driver for the
+   exclusive prefix — P longs, not data — and rejoin as a broadcast.
+
+Window assembly is then embarrassingly parallel: each doc explodes to
+the ≤ ceil(n_tok/seq_len)+1 windows it touches (linear in tokens), and
+the groupBy(window) reassembly collects ≤ seq_len tokens per group —
+bounded by construction, skew-free because window ids are sequential.
+
+Everything is a pure function of (order key, doc id), so the packing
+replays bit-for-bit in DuckDB with a global window function — the
+parity test (tests/test_packing.py) proves the distributed prefix sum
+equals the sequential one, and that the output is invariant to the
+bucket count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__ref__ = "no reference counterpart (LLM-data-pipeline extension)"
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    order_col: str = "shuffle_key",
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    log2_buckets: int = 6,
+    drop_last: bool = True,
+) -> DataFrame:
+    """Pack ``docs`` (id, order key, token array) into fixed ``seq_len``
+    windows → (window_id, tokens, segments, n_tokens).
+
+    ``order_col`` must be a non-negative long < 2^60 — the contract of
+    ``mixing.deterministic_shuffle``'s ``shuffle_key`` (any uniform
+    60-bit hash works; uniformity is what balances the prefix-sum
+    buckets). ``log2_buckets`` sets P = 2^k buckets — pick k so n/P rows
+    fit one task comfortably (the default 64 is right for local tests;
+    a 1000-executor job wants 2^12+). ``drop_last`` drops the final
+    partial window (the standard trainer behavior).
+
+    Calling this runs one small job (the P bucket totals) before
+    returning; the per-doc running-total frame is persisted across that
+    job and the returned plan, and rides on the result as
+    ``result._pack_cache`` for the caller to unpersist."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    base = (
+        docs.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.col(order_col).cast("long").alias("okey"),
+            F.col(tokens_col).alias("toks"),
+        )
+        .withColumn("n_tok", F.size("toks").cast("long"))
+        .filter(F.col("n_tok") > 0)
+        .withColumn("bucket", F.expr(f"shiftright(okey, {60 - log2_buckets})"))
+    )
+    w = Window.partitionBy("bucket").orderBy("okey", "doc_id")
+    local = base.withColumn("local_end", F.sum("n_tok").over(w)).persist()
+
+    # phase 2→3: P bucket totals to the driver, exclusive prefix, back
+    # as a broadcast map (P longs — never corpus data)
+    totals = {
+        r.bucket: r.total
+        for r in local.groupBy("bucket").agg(F.max("local_end").alias("total")).collect()
+    }
+    acc, offsets = 0, {}
+    for b in sorted(totals):
+        offsets[b] = acc
+        acc += totals[b]
+    off_map = (
+        F.create_map(*[F.lit(v) for kv in sorted(offsets.items()) for v in kv])
+        if offsets
+        else F.create_map()
+    )
+
+    g = local.withColumn("gstart", off_map[F.col("bucket")] + F.col("local_end") - F.col("n_tok"))
+    L = F.lit(seq_len).cast("long")
+    pieces = (
+        g.withColumn(
+            "win",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("gstart") / L),
+                    F.floor((F.col("gstart") + F.col("n_tok") - 1) / L),
+                )
+            ),
+        )
+        .withColumn("start_in_win", F.greatest(F.col("gstart") - F.col("win") * L, F.lit(0)))
+        .withColumn(
+            "take",
+            F.least((F.col("win") + 1) * L, F.col("gstart") + F.col("n_tok"))
+            - F.greatest(F.col("win") * L, F.col("gstart")),
+        )
+        .withColumn(
+            "piece",
+            F.slice(
+                "toks",
+                (F.greatest(F.col("win") * L - F.col("gstart"), F.lit(0)) + 1).cast("int"),
+                F.col("take").cast("int"),
+            ),
+        )
+    )
+    # segment starts tile each window contiguously → distinct → the
+    # struct sort below is a total order (deterministic reassembly)
+    out = (
+        pieces.groupBy(F.col("win").alias("window_id"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("start_in_win", "doc_id", "piece"))
+            ).alias("parts")
+        )
+        .select(
+            "window_id",
+            F.flatten(F.transform("parts", lambda p: p["piece"])).alias("tokens"),
+            F.transform(
+                "parts",
+                lambda p: F.struct(
+                    p["doc_id"].alias("doc_id"),
+                    p["start_in_win"].cast("int").alias("start"),
+                    F.size(p["piece"]).alias("len"),
+                ),
+            ).alias("segments"),
+        )
+        .withColumn("n_tokens", F.size("tokens"))
+    )
+    if drop_last:
+        out = out.filter(F.col("n_tokens") == seq_len)
+    out._pack_cache = local  # handle for callers to unpersist after use
+    return out
