@@ -1,0 +1,102 @@
+"""Measure the trainer-handoff tail of the pipeline at sf0.1:
+word-histogram BPE training, map-only encode, deterministic mix/shuffle,
+and two-phase-prefix-sum sequence packing (extras/{bpe,mixing,packing}).
+
+Usage: python scripts/handoff_bench.py [replicate] [n_merges] [seq_len]
+
+The sf0.1 documents table is small (5,000 docs); ``replicate`` (default
+20) fans each doc out to N deterministic copies with distinct ids so the
+measured corpus is ~100k docs / ~30M chars — big enough that per-doc work,
+not fixed stage overhead, dominates. Prints one JSON line per stage plus
+the end-to-end total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from trove_spark.session import get_spark
+from trove_spark.extras import bpe
+from trove_spark.extras.mixing import assign_splits, deterministic_shuffle
+from trove_spark.extras.packing import pack_sequences
+
+
+def main() -> None:
+    replicate = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    n_merges = int(sys.argv[2]) if len(sys.argv) > 2 else 4000
+    seq_len = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="handoff_bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))))
+        .select(F.concat_ws("#", "doc_id", "rep").alias("doc_id"), "text")
+        .persist()
+    )
+    n_docs = docs.count()
+    n_chars = docs.agg(F.sum(F.length("text"))).collect()[0][0]
+    stages: dict[str, float] = {}
+    t_all = time.time()
+
+    t = time.time()
+    hist = bpe.word_histogram(docs)
+    model = bpe.train_bpe(hist, n_merges=n_merges, min_count=2)
+    stages["train_bpe"] = round(time.time() - t, 2)
+
+    t = time.time()
+    enc = bpe.encode(docs, model).persist()
+    n_tokens = enc.agg(F.sum(F.size("token_ids"))).collect()[0][0]
+    stages["encode"] = round(time.time() - t, 2)
+
+    t = time.time()
+    mixed = deterministic_shuffle(
+        assign_splits(enc, seed=7).filter(F.col("split") == "train"),
+        seed=7,
+        n_shards=int(cpus),
+    )
+    packed = pack_sequences(mixed, seq_len=seq_len, tokens_col="token_ids")
+    n_windows = packed.count()
+    stages["mix_pack"] = round(time.time() - t, 2)
+    packed._pack_cache.unpersist()
+
+    total = round(time.time() - t_all, 2)
+    print(
+        json.dumps(
+            {
+                "sf": sf_dir,
+                "cpus": cpus,
+                "replicate": replicate,
+                "n_docs": n_docs,
+                "n_chars": int(n_chars),
+                "n_merges_learned": len(model.merges),
+                "vocab_size": len(model.vocab),
+                "kept_words": model.kept_words,
+                "dropped_words": model.dropped_words,
+                "n_tokens": int(n_tokens),
+                "seq_len": seq_len,
+                "n_windows": int(n_windows),
+                "stages_sec": stages,
+                "total_sec": total,
+                "tokens_per_sec": round(n_tokens / total),
+                "docs_per_sec": round(n_docs / total),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+"""BPE (extras/bpe.py): incremental trainer ≡ quadratic reference,
+distributed encode ≡ sequential reference, histogram correctness, cap
+accounting, unk handling, plan assertions, packing integration."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trove_spark.extras import bpe
+from trove_spark.extras.bpe import BPEModel, encode, encode_word, train_bpe, word_histogram
+
+
+def naive_train(word_counts, n_merges, min_count=1):
+    """From-scratch reference: recount every pair each round (quadratic),
+    same argmax tie-break (count desc, pair lexicographic asc)."""
+    words = {}
+    for w, c in word_counts:
+        if c >= min_count and w:
+            words[tuple(w)] = words.get(tuple(w), 0) + c
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, c in words.items():
+            for p in zip(syms, syms[1:]):
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        merges.append(best)
+        words = {bpe._merge_word(s, best): c for s, c in words.items()}
+    return merges
+
+
+CORPUS = [
+    ("d0", "the cat sat on the mat, the cat sat."),
+    ("d1", "low lower lowest newer newest wide widest"),
+    ("d2", "aaaa aa aaa banana bandana"),
+    ("d3", "the the the and and or"),
+    ("d4", ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id string, text string")
+
+
+def py_words(text):
+    import re
+
+    return re.findall(r"[^\W\d_]+|\d+|[^\w\s]+", text, flags=re.UNICODE)
+
+
+def test_word_histogram(spark, docs):
+    got = {r.word: r["count"] for r in word_histogram(docs).collect()}
+    want = {}
+    for _, t in CORPUS:
+        for w in py_words(t):
+            want[w] = want.get(w, 0) + 1
+    assert got == want
+
+
+def test_histogram_plan_one_shuffle(docs):
+    plan = word_histogram(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1 + plan.count("AQEShuffleRead"), plan
+    assert "partial_count" in plan, plan  # map-side combine
+
+
+def test_trainer_matches_naive_reference(spark, docs):
+    hist = [(r.word, r["count"]) for r in word_histogram(docs).collect()]
+    for n in (1, 5, 20, 200):
+        model = train_bpe(hist, n)
+        assert list(model.merges) == naive_train(hist, n), n
+    # and the DataFrame entry point agrees with the list entry point
+    m_df = train_bpe(word_histogram(docs), 20)
+    m_ls = train_bpe(hist, 20)
+    assert m_df.merges == m_ls.merges and m_df.vocab == m_ls.vocab
+
+
+def test_trainer_exhausts_and_caps():
+    hist = [("ab", 5), ("abab", 2), ("zzz", 1)]
+    model = train_bpe(hist, 1000)
+    assert len(model.merges) < 1000  # ran dry, no padding merges
+    # every merge fully reduces: encoding training words is ≤ the naive
+    ranks = model.ranks
+    assert encode_word("abab", ranks) == ["abab"] or len(encode_word("abab", ranks)) <= 4
+    capped = train_bpe(hist, 10, min_count=2)
+    assert capped.dropped_words == 1 and capped.dropped_mass == 1
+    assert capped.kept_words == 2 and capped.kept_mass == 7
+    top1 = train_bpe(hist, 10, max_words=1)
+    assert top1.kept_words == 1 and top1.kept_mass == 5
+
+
+def test_vocab_deterministic(spark, docs):
+    hist = [(r.word, r["count"]) for r in word_histogram(docs).collect()]
+    a, b = train_bpe(hist, 30), train_bpe(list(reversed(hist)), 30)
+    assert a.merges == b.merges and a.vocab == b.vocab
+    assert a.vocab[bpe.UNK] == 0
+    ids = sorted(a.vocab.values())
+    assert ids == list(range(len(ids)))  # dense, no gaps
+
+
+def test_encode_matches_reference(spark, docs):
+    model = train_bpe(word_histogram(docs), 30)
+    out = {r.doc_id: (list(r.tokens), list(r.token_ids)) for r in encode(docs, model).collect()}
+    assert set(out) == {d for d, _ in CORPUS}
+    for did, text in CORPUS:
+        want_toks = [t for w in py_words(text) for t in encode_word(w, model.ranks)]
+        assert out[did][0] == want_toks, did
+        assert out[did][1] == [model.vocab.get(t, 0) for t in want_toks], did
+    # concatenated tokens reconstruct the pre-tokenized text exactly
+    for did, text in CORPUS:
+        assert "".join(out[did][0]) == "".join(py_words(text)), did
+
+
+def test_encode_unk(spark):
+    model = train_bpe([("abc", 3)], 5)
+    df = spark.createDataFrame([("q", "abc xyz")], "doc_id string, text string")
+    row = encode(df, model).collect()[0]
+    assert row.tokens == ["abc", "x", "y", "z"]
+    assert row.token_ids[0] > 0 and row.token_ids[1:] == [0, 0, 0]
+
+
+def test_encode_plan_map_only(spark, docs):
+    model = train_bpe(word_histogram(docs), 10)
+    plan = encode(docs, model)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_encode_empty_batches(spark):
+    # force empty Arrow batches through the kernel (dtype-inference trap)
+    model = train_bpe([("hello", 2)], 4)
+    df = spark.createDataFrame([("d", "hello hello")], "doc_id string, text string").repartition(8)
+    rows = encode(df, model).collect()
+    assert len(rows) == 1 and rows[0].tokens == ["hello", "hello"]
+
+
+def test_feeds_packing(spark, docs):
+    from trove_spark.extras.mixing import deterministic_shuffle
+    from trove_spark.extras.packing import pack_sequences
+
+    model = train_bpe(word_histogram(docs), 15)
+    toks = encode(docs, model).filter(F.size("token_ids") > 0)
+    packed = pack_sequences(
+        deterministic_shuffle(toks, seed=1), seq_len=8, tokens_col="token_ids"
+    )
+    rows = sorted(packed.collect(), key=lambda r: r.window_id)
+    packed._pack_cache.unpersist()
+    n_total = sum(len(r.token_ids) for r in toks.collect())
+    assert len(rows) == n_total // 8
+    assert all(r.n_tokens == 8 and all(isinstance(t, int) for t in r.tokens) for r in rows)

@@ -1,0 +1,274 @@
+"""Distributed BPE tokenizer: histogram-based training + broadcast-merge
+encoding — the tokenize step between corpus mixing (:mod:`.mixing`) and
+sequence packing (:mod:`.packing`) in a pretraining-data pipeline.
+
+Scale shape (100 TB) follows how real trainers (HF tokenizers,
+SentencePiece) are actually run:
+
+* **pre-tokenization and the word histogram are distributed** — one
+  JVM-side ``regexp_extract_all`` + explode + hash-agg wordcount (the
+  canonical map-side-combine shuffle; the corpus is scanned once and only
+  (word, count) rows — a bounded set — survive the shuffle);
+* **the merge loop is driver-side over the HISTOGRAM**, never the corpus
+  — exactly what single-node HF/SentencePiece trainers do too, because
+  classic BPE needs one global argmax per merge.  The histogram is capped
+  (``min_count`` + ``max_words`` by frequency) and the dropped mass is
+  reported, so the driver never holds corpus-scale state;
+* **encoding is map-only** — the merge ranks broadcast to an
+  Arrow-batched kernel with a per-batch word cache (distinct words repeat
+  massively; each distinct word is encoded once per batch).  No shuffle,
+  no join, no driver round-trip.
+
+The trainer uses incremental pair-count maintenance (only words containing
+the merged pair are touched per iteration — O(changes), not O(vocab) per
+merge); tests/test_bpe.py proves it merge-for-merge identical to the
+quadratic from-scratch formulation, and the Spark encode row-identical to
+a sequential reference encode.
+
+Determinism: the merge argmax tie-breaks by (count desc, pair lexicographic
+asc); token ids are (specials, sorted base alphabet, merges in order) — a
+pure function of the histogram, so retrained/resumed runs agree exactly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+__ref__ = "no reference counterpart (LLM-data-pipeline extension)"
+
+# Java regex, evaluated JVM-side (codegen) — the ONLY pre-tokenizer in the
+# module; the Python kernel receives already-split word arrays so both the
+# histogram and the encode path share one definition.
+PRETOKEN_RE = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+"
+
+UNK = "<unk>"
+
+
+def pretokenize(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, words array<string>): letter-runs, digit-runs and
+    punctuation-runs, in document order. Pure map (codegen regex)."""
+    return docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.regexp_extract_all(F.col(text_col), F.lit(PRETOKEN_RE), F.lit(0)).alias(
+            "words"
+        ),
+    )
+
+
+def word_histogram(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = False,
+) -> DataFrame:
+    """(word, count) over the corpus — one wordcount shuffle with map-side
+    partial aggregation; the only corpus-wide job in BPE training."""
+    w = pretokenize(docs, text_col, id_col).select(F.explode("words").alias("word"))
+    if lowercase:
+        w = w.select(F.lower("word").alias("word"))
+    return w.groupBy("word").agg(F.count("*").alias("count"))
+
+
+@dataclass(frozen=True)
+class BPEModel:
+    """Trained model: ``merges`` in rank order, ``vocab`` token→id
+    (id 0 = <unk>, then the sorted base alphabet, then merges), and the
+    histogram mass kept/dropped by the training caps (auditability)."""
+
+    merges: tuple  # tuple[tuple[str, str], ...]
+    vocab: dict  # dict[str, int]
+    kept_words: int
+    kept_mass: int
+    dropped_words: int
+    dropped_mass: int
+
+    @property
+    def ranks(self) -> dict:
+        return {pair: i for i, pair in enumerate(self.merges)}
+
+
+def _adjacent_pairs(syms: tuple) -> list:
+    return list(zip(syms, syms[1:]))
+
+
+def _merge_word(syms: tuple, pair: tuple) -> tuple:
+    """Merge every (non-overlapping, left-to-right) occurrence of pair."""
+    a, b = pair
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def train_bpe(
+    word_counts,
+    n_merges: int,
+    min_count: int = 1,
+    max_words: int | None = None,
+) -> BPEModel:
+    """Train ``n_merges`` BPE merges on a word histogram.
+
+    ``word_counts`` is either the (word, count) DataFrame from
+    :func:`word_histogram` — capped by ``min_count`` / ``max_words``
+    (top by count, ties by word) BEFORE the driver collect, so the
+    driver holds the bounded histogram, never corpus-scale state — or a
+    plain ``[(word, count), ...]`` list (tests / offline use).
+
+    Merge selection: argmax of count-weighted adjacent-pair frequency
+    (multiplicity within a word counts), tie-broken by lexicographically
+    smallest pair.  Pair counts are maintained incrementally: each merge
+    touches only the words indexed under the merged pair."""
+    if isinstance(word_counts, DataFrame):
+        df = word_counts.filter(F.col("count") >= min_count)
+        if max_words is not None:
+            df = df.orderBy(F.desc("count"), "word").limit(max_words)
+        kept = [(r["word"], int(r["count"])) for r in df.collect()]
+        tot = word_counts.agg(
+            F.count("*").alias("w"), F.sum("count").alias("m")
+        ).collect()[0]
+        all_words, all_mass = int(tot["w"]), int(tot["m"] or 0)
+    else:
+        pairs = [(w, int(c)) for w, c in word_counts]
+        kept = [(w, c) for w, c in pairs if c >= min_count]
+        if max_words is not None:
+            kept = sorted(kept, key=lambda wc: (-wc[1], wc[0]))[:max_words]
+        all_words, all_mass = len(pairs), sum(c for _, c in pairs)
+    kept.sort()  # collect order is nondeterministic; the trainer's is not
+    kept_mass = sum(c for _, c in kept)
+
+    words = [(tuple(w), c) for w, c in kept if w]
+    pair_counts: dict = {}
+    pair_index: dict = {}
+    for wi, (syms, cnt) in enumerate(words):
+        for p in _adjacent_pairs(syms):
+            pair_counts[p] = pair_counts.get(p, 0) + cnt
+            pair_index.setdefault(p, set()).add(wi)
+
+    merges = []
+    for _ in range(n_merges):
+        best, best_cnt = None, 0
+        for p, c in pair_counts.items():
+            if c > best_cnt or (c == best_cnt and best is not None and p < best):
+                best, best_cnt = p, c
+        if best is None or best_cnt < 1:
+            break
+        merges.append(best)
+        for wi in sorted(pair_index.get(best, ())):
+            syms, cnt = words[wi]
+            new_syms = _merge_word(syms, best)
+            for p in _adjacent_pairs(syms):
+                pair_counts[p] -= cnt
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+            old_pairs, new_pairs = set(_adjacent_pairs(syms)), set(
+                _adjacent_pairs(new_syms)
+            )
+            for p in old_pairs - new_pairs:
+                s = pair_index.get(p)
+                if s is not None:
+                    s.discard(wi)
+                    if not s:
+                        del pair_index[p]
+            for p in new_pairs:
+                pair_index.setdefault(p, set()).add(wi)
+            for p in _adjacent_pairs(new_syms):
+                pair_counts[p] = pair_counts.get(p, 0) + cnt
+            words[wi] = (new_syms, cnt)
+
+    alphabet = sorted({ch for w, _ in kept for ch in w})
+    vocab = {UNK: 0}
+    for ch in alphabet:
+        vocab[ch] = len(vocab)
+    for a, b in merges:
+        tok = a + b
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    return BPEModel(
+        merges=tuple(merges),
+        vocab=dict(vocab),
+        kept_words=len(kept),
+        kept_mass=kept_mass,
+        dropped_words=all_words - len(kept),
+        dropped_mass=all_mass - kept_mass,
+    )
+
+
+def encode_word(word: str, ranks: dict) -> list:
+    """Canonical greedy BPE encode: repeatedly apply the lowest-rank
+    (leftmost on ties) merge present in the symbol sequence."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def encode(
+    docs: DataFrame,
+    model: BPEModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = False,
+) -> DataFrame:
+    """(doc_id, tokens array<string>, token_ids array<int>): map-only
+    distributed encode — JVM pre-tokenize feeds an Arrow kernel holding
+    the broadcast merge ranks + vocab, with a per-batch distinct-word
+    cache (natural-language word frequency is Zipfian; most batch words
+    hit the cache).  Unknown characters encode to <unk> (id 0)."""
+    ranks, vocab = model.ranks, model.vocab
+    pre = pretokenize(docs, text_col, id_col)
+    if lowercase:
+        pre = pre.select(
+            "doc_id", F.transform("words", lambda w: F.lower(w)).alias("words")
+        )
+
+    def _kernel(batches):
+        import pandas as pd
+
+        cache: dict = {}
+
+        def enc(word):
+            hit = cache.get(word)
+            if hit is None:
+                toks = encode_word(word, ranks)
+                hit = (toks, [vocab.get(t, 0) for t in toks])
+                cache[word] = hit
+            return hit
+
+        for pdf in batches:
+            ids, tok_col, tid_col = [], [], []
+            for did, words in zip(pdf["doc_id"], pdf["words"]):
+                toks, tids = [], []
+                for w in words:
+                    t, i = enc(w)
+                    toks.extend(t)
+                    tids.extend(i)
+                ids.append(did)
+                tok_col.append(toks)
+                tid_col.append(tids)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="object"),
+                    "tokens": pd.Series(tok_col, dtype="object"),
+                    "token_ids": pd.Series(tid_col, dtype="object"),
+                }
+            )
+
+    return pre.mapInPandas(
+        _kernel, schema="doc_id string, tokens array<string>, token_ids array<int>"
+    )
