@@ -168,3 +168,23 @@ def test_paragraph_dedup_in_curate(spark):
     assert set(rows) == {"p1", "p2"}
     assert shared in rows["p1"]  # first occurrence kept
     assert shared not in rows["p2"]  # later occurrence removed
+
+
+def test_substring_dedup_in_curate(spark):
+    run = "one two three four five six seven eight"  # 8-word repeated run
+    docs = spark.createDataFrame(
+        [
+            ("s1", GOOD + " " + run),
+            # different base (not a near-dup of s1) but repeats the run
+            ("s2", B_TEXT.replace(" alice@example.com", "") + " " + run),
+        ],
+        "doc_id string, text string",
+    )
+    cfg = CurateConfig(substring_dedup_k=6)
+    out = curate(docs, benchmark=None, cfg=cfg)
+    rows = {r.doc_id: r.text for r in out.collect()}
+    out._curate_cache.unpersist()
+    assert set(rows) == {"s1", "s2"}
+    assert run in rows["s1"]  # first occurrence kept
+    assert run not in rows["s2"]  # later occurrence cut
+    assert rows["s2"].endswith("details")  # surrounding text intact

@@ -1,0 +1,132 @@
+"""Exact-substring dedup (extras/dedup.py duplicate_kgram_spans /
+dedup_substrings): semantics vs a sequential reference, first-occurrence
+winner rule, span merging, thresholds, and a pure-codegen plan check."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from trove_spark.extras.dedup import dedup_substrings, duplicate_kgram_spans
+
+
+def ref_spans(corpus, k):
+    """Sequential reference: k-gram occurrence lists, min-(doc,pos)
+    winner, merged [pos, pos+k) intervals for every other occurrence."""
+    words = {d: t.split() for d, t in corpus.items()}
+    grams = {}
+    for d in sorted(words):
+        w = words[d]
+        for i in range(len(w) - k + 1):
+            grams.setdefault(tuple(w[i : i + k]), []).append((d, i))
+    raw = {}
+    for occs in grams.values():
+        if len(occs) > 1:
+            winner = min(occs)
+            for d, p in occs:
+                if (d, p) != winner:
+                    raw.setdefault(d, []).append((p, p + k))
+    out = {}
+    for d, spans in raw.items():
+        spans.sort()
+        merged = [list(spans[0])]
+        for s, e in spans[1:]:
+            if s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        out[d] = [tuple(m) for m in merged]
+    return out
+
+
+def ref_dedup(corpus, k):
+    spans = ref_spans(corpus, k)
+    out = {}
+    for d, t in corpus.items():
+        w = t.split()
+        if not w:
+            continue
+        cut = set()
+        for s, e in spans.get(d, []):
+            cut.update(range(s, e))
+        kept = [x for i, x in enumerate(w) if i not in cut]
+        if kept:
+            out[d] = " ".join(kept)
+    return out
+
+
+def run_spark(spark, corpus, k):
+    df = spark.createDataFrame(list(corpus.items()), "doc_id string, text string")
+    got_spans = {}
+    for r in duplicate_kgram_spans(df, k).collect():
+        got_spans.setdefault(r.doc_id, []).append((r.start, r.end))
+    for v in got_spans.values():
+        v.sort()
+    got_text = {r.doc_id: r.text for r in dedup_substrings(df, k).collect()}
+    return got_spans, got_text
+
+
+REGION = " ".join(f"r{i}" for i in range(7))  # 7-word repeated region
+
+
+def test_cross_doc_region(spark):
+    corpus = {
+        "a": f"alpha {REGION} beta",
+        "b": f"gamma delta {REGION} epsilon",
+        "c": "unrelated words only here",
+    }
+    k = 5
+    got_spans, got_text = run_spark(spark, corpus, k)
+    assert got_spans == ref_spans(corpus, k)
+    assert got_text == ref_dedup(corpus, k)
+    # doc a (first occurrence) keeps the region; doc b loses exactly it
+    assert REGION in got_text["a"] and REGION not in got_text["b"]
+    assert got_text["b"].startswith("gamma delta") and got_text["b"].endswith("epsilon")
+    assert got_text["c"] == corpus["c"]
+
+
+def test_within_doc_repeat_and_merge(spark):
+    corpus = {"d": f"x {REGION} y {REGION} z", "e": "a a a a a"}
+    k = 4
+    got_spans, got_text = run_spark(spark, corpus, k)
+    assert got_spans == ref_spans(corpus, k)
+    assert got_text == ref_dedup(corpus, k)
+    # second occurrence removed, overlapping k-gram spans merged to ONE
+    assert len(got_spans["d"]) == 1
+    assert got_text["d"] == f"x {REGION} y z"
+
+
+def test_thresholds(spark):
+    shared4 = "s1 s2 s3 s4"
+    corpus = {"p": f"one {shared4} two", "q": f"three {shared4} four", "r": "tiny"}
+    got_spans, got_text = run_spark(spark, corpus, 5)  # shared run < k
+    assert got_spans == {} and got_text == {d: t for d, t in corpus.items()}
+
+
+def test_whole_doc_duplicate_disappears(spark):
+    t = " ".join(f"w{i}" for i in range(10))
+    corpus = {"a1": t, "a2": t}
+    got_spans, got_text = run_spark(spark, corpus, 5)
+    assert got_text == {"a1": t}
+    assert got_spans == {"a2": [(0, 10)]}
+
+
+def test_randomized_vs_reference(spark):
+    rng = random.Random(7)
+    vocab = [f"v{i}" for i in range(12)]  # tiny vocab -> dense repeats
+    corpus = {
+        f"d{i:02d}": " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40)))
+        for i in range(30)
+    }
+    for k in (3, 6):
+        got_spans, got_text = run_spark(spark, corpus, k)
+        assert got_spans == ref_spans(corpus, k), k
+        assert got_text == ref_dedup(corpus, k), k
+
+
+def test_plan_pure_codegen(spark):
+    df = spark.createDataFrame([("a", "x y z")], "doc_id string, text string")
+    for frame in (duplicate_kgram_spans(df, 2), dedup_substrings(df, 2)):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

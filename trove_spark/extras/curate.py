@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .dedup import (
     dedup_paragraphs,
+    dedup_substrings,
     keep_canonical,
     minhash_lsh_pairs,
     near_dup_clusters,
@@ -76,6 +77,10 @@ class CurateConfig:
     # (their order: fuzzy doc dedup, then exact substring/paragraph pass)
     paragraph_dedup: bool = False
     paragraph_min_chars: int = 1
+    # Lee-et-al. exact-substring dedup (word-level k-gram spans), same
+    # after-near-dedup slot; 0 = off.  Runs after paragraph dedup when
+    # both are on (coarse-to-fine: paragraphs, then sub-paragraph runs).
+    substring_dedup_k: int = 0
 
 
 def quality_keep_ids(
@@ -191,6 +196,15 @@ def curate(
             deduped.withColumnRenamed("doc_id", "__pd_id"),
             F.col("__pd_id") == F.col(id_col).cast("string"),
         ).drop("__pd_id")
+
+    if cfg.substring_dedup_k > 0:
+        cut = dedup_substrings(
+            stage4, k=cfg.substring_dedup_k, id_col=id_col, text_col=text_col
+        )
+        stage4 = stage4.drop(text_col).join(
+            cut.withColumnRenamed("doc_id", "__sd_id"),
+            F.col("__sd_id") == F.col(id_col).cast("string"),
+        ).drop("__sd_id")
 
     out = (
         stage4

@@ -450,3 +450,140 @@ def dedup_paragraphs(
             ).alias(text_col)
         )
     )
+
+
+def duplicate_kgram_spans(
+    docs: DataFrame,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"), at word granularity:
+    every word-level k-gram that occurs more than once in the corpus is
+    kept only at its FIRST occurrence (smallest (doc_id, position)); all
+    other occurrences are duplicate spans.  Overlapping spans are merged
+    per doc, so a repeated region of any length ≥ k words comes back as
+    one (start, end) interval — the distributed stand-in for the paper's
+    suffix-array maximal repeats (regions shorter than k words are below
+    the threshold by construction, as in the paper's 50-token cutoff).
+
+    Scale shape: per-doc k-gram hashing is a pure map (higher-order
+    transform over the word array — O(n·k) char work, all codegen); ONE
+    shuffle on the uniform 60-bit k-gram hash picks each gram's winner
+    (agg → partial-combine-safe, skew-free); winners join back DISTINCT
+    by hash (no fan-out); span merging is a per-doc fold.  Never O(n²),
+    never a suffix array over the concatenated corpus.
+
+    Output: (doc_id, start, end) — merged word-index intervals
+    [start, end) of duplicated text, one row per interval."""
+    grams = (
+        docs.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("ws"),
+        )
+        .filter(F.size("ws") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - k),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        _h60(
+                            F.concat_ws("\x1f", F.slice(F.col("ws"), i + 1, k))
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    )
+    winners = (
+        grams.groupBy("h")
+        .agg(F.count("*").alias("n"), F.min(F.struct("doc_id", "pos")).alias("w"))
+        .filter(F.col("n") > 1)
+        .select("h", F.col("w.doc_id").alias("w_doc"), F.col("w.pos").alias("w_pos"))
+    )
+    dup = grams.join(winners, "h").filter(
+        (F.col("doc_id") != F.col("w_doc")) | (F.col("pos") != F.col("w_pos"))
+    )
+    merged = (
+        dup.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("starts"))
+        .select(
+            "doc_id",
+            F.aggregate(
+                "starts",
+                F.array().cast("array<struct<start:long,end:long>>"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0) & (F.element_at(acc, -1)["end"] >= s),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(
+                            F.struct(
+                                F.element_at(acc, -1)["start"].alias("start"),
+                                (s + k).cast("long").alias("end"),
+                            )
+                        ),
+                    ),
+                ).otherwise(
+                    F.concat(
+                        acc,
+                        F.array(
+                            F.struct(
+                                s.cast("long").alias("start"),
+                                (s + k).cast("long").alias("end"),
+                            )
+                        ),
+                    )
+                ),
+            ).alias("spans"),
+        )
+        .select("doc_id", F.explode("spans").alias("sp"))
+        .select("doc_id", F.col("sp.start").alias("start"), F.col("sp.end").alias("end"))
+    )
+    return merged
+
+
+def dedup_substrings(
+    docs: DataFrame,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut every duplicate k-gram span (:func:`duplicate_kgram_spans`)
+    out of the corpus and reassemble the surviving words.
+
+    Whitespace is normalized to single spaces in the output (the
+    operator works on the word stream, as the reference method works on
+    the token stream).  Docs that drop every word disappear; docs with
+    no duplicated span pass through (word-rejoined) untouched.
+
+    Output: (doc_id, text) — same contract as :func:`dedup_paragraphs`."""
+    spans = duplicate_kgram_spans(docs, k, id_col, text_col).groupBy("doc_id").agg(
+        F.collect_list(F.struct("start", "end")).alias("cuts")
+    )
+    base = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("ws"),
+    ).filter(F.size("ws") > 0)
+    kept = (
+        base.join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("cuts").isNull(), F.col("ws"))
+            .otherwise(
+                F.filter(
+                    "ws",
+                    lambda w, i: ~F.exists(
+                        F.col("cuts"),
+                        lambda c: (c["start"] <= i) & (i < c["end"]),
+                    ),
+                )
+            )
+            .alias("kept"),
+        )
+        .filter(F.size("kept") > 0)
+    )
+    return kept.select("doc_id", F.array_join("kept", " ").alias(text_col))
