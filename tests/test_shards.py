@@ -1,0 +1,81 @@
+"""Shard sink (extras/shards.py): round-trip, manifest stats, resume
+(only manifest-less shards rewritten), idempotent rerun, verify()
+catching count and content drift."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from trove_spark.extras.shards import ShardWriter
+
+N, PER = 23, 5  # 23 windows, 5/shard -> shards 0..4 (last partial)
+
+
+@pytest.fixture()
+def packed(spark):
+    rows = [(i, [f"t{i}_{j}" for j in range(4)]) for i in range(N)]
+    return spark.createDataFrame(rows, "window_id long, tokens array<string>")
+
+
+def test_write_read_verify(spark, packed, tmp_path):
+    w = ShardWriter(spark, str(tmp_path), PER)
+    out = w.write(packed)
+    assert out == {"written_shards": 5, "skipped_shards": 0}
+    man = w.committed_shards()
+    assert sorted(man) == [0, 1, 2, 3, 4]
+    assert [man[s]["n_windows"] for s in sorted(man)] == [5, 5, 5, 5, 3]
+    got = sorted(
+        (r.window_id, tuple(r.tokens), r.shard) for r in w.read().collect()
+    )
+    assert [g[0] for g in got] == list(range(N))
+    assert all(s == wid // PER for wid, _, s in got)
+    assert w.verify()
+
+
+def test_resume_rewrites_only_pending(spark, packed, tmp_path):
+    w = ShardWriter(spark, str(tmp_path), PER)
+    w.write(packed.filter(F.col("window_id") < 10))  # shards 0,1 committed
+    marker = os.path.join(str(tmp_path), "shards", "shard=0")
+    mtime = max(os.path.getmtime(os.path.join(marker, f)) for f in os.listdir(marker))
+    out = w.write(packed)
+    assert out == {"written_shards": 3, "skipped_shards": 2}
+    # committed shard 0's files untouched by the resume write
+    assert mtime == max(
+        os.path.getmtime(os.path.join(marker, f)) for f in os.listdir(marker)
+    )
+    assert w.verify()
+    again = w.write(packed)
+    assert again == {"written_shards": 0, "skipped_shards": 5}
+
+
+def test_verify_catches_drift(spark, packed, tmp_path):
+    w = ShardWriter(spark, str(tmp_path), PER)
+    w.write(packed)
+    path = os.path.join(str(tmp_path), "_manifests", "shard_000002.json")
+    with open(path) as f:
+        row = json.load(f)
+    row["fingerprint"] += 1
+    with open(path, "w") as f:
+        json.dump(row, f)
+    assert not w.verify()
+
+
+def test_int_tokens_and_full_chain(spark, tmp_path):
+    from trove_spark.extras.mixing import deterministic_shuffle
+    from trove_spark.extras.packing import pack_sequences
+
+    rows = [(f"d{i}", list(range(i % 7 + 1))) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id string, token_ids array<int>")
+    packed = pack_sequences(
+        deterministic_shuffle(docs, seed=2), seq_len=6, tokens_col="token_ids"
+    )
+    w = ShardWriter(spark, str(tmp_path), 4)
+    w.write(packed)
+    packed._pack_cache.unpersist()
+    assert w.verify()
+    back = w.read()
+    assert back.agg(F.sum(F.size("tokens"))).collect()[0][0] == back.count() * 6

@@ -1,0 +1,143 @@
+"""Training-shard sink: packed windows → numbered parquet shards with
+per-shard manifests — the final artifact a sequential trainer reads
+(WebDataset/Megatron-style shard files).
+
+Shard assignment is ``window_id // windows_per_shard``: map-only,
+contiguous (a trainer reading shards in numeric order replays the exact
+packed/shuffled window order), and size-balanced by construction (every
+full window is exactly seq_len tokens).  The write is ONE
+``partitionBy("shard")`` job — all shards in parallel across the cluster,
+never a per-shard filter loop over the corpus.
+
+The commit protocol mirrors :class:`trove_spark.graph.TripleStore`: a
+shard's manifest (row count + portable 60-bit token fingerprint) is
+json-written and atomically renamed AFTER its data lands; a crashed run
+resumes by rewriting only manifest-less shards (dynamic partition
+overwrite touches exactly those ``shard=<s>/`` dirs).  ``verify_shards``
+re-derives both stats from the files on disk — corruption and partial
+writes are detectable without any driver state.
+
+Everything here is deterministic given the packed input, so a resumed
+write is byte-stable; the fingerprint is the ANSI-safe reduced hash sum
+(graph.py gotcha: raw 60-bit sums overflow long under Spark 4 ANSI mode).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..graph import _h60
+
+__ref__ = "no reference counterpart (LLM-data-pipeline extension)"
+
+
+def _fingerprint_col(tokens_col: str):
+    return F.sum(
+        _h60(F.concat_ws("\x1f", F.col("window_id").cast("string"),
+                         F.concat_ws(",", F.col(tokens_col).cast("array<string>"))))
+    ).cast("long")
+
+
+class ShardWriter:
+    """Resume-aware shard sink under ``base_dir`` (``shards/`` data +
+    ``_manifests/`` commit records)."""
+
+    def __init__(self, spark: SparkSession, base_dir: str, windows_per_shard: int):
+        if windows_per_shard <= 0:
+            raise ValueError("windows_per_shard must be positive")
+        self.spark = spark
+        self.base_dir = base_dir
+        self.windows_per_shard = windows_per_shard
+        self.data_dir = os.path.join(base_dir, "shards")
+        self.manifest_dir = os.path.join(base_dir, "_manifests")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # -- manifests -----------------------------------------------------------
+
+    def committed_shards(self) -> dict:
+        out = {}
+        for name in sorted(os.listdir(self.manifest_dir)):
+            if name.endswith(".json"):
+                with open(os.path.join(self.manifest_dir, name)) as f:
+                    row = json.load(f)
+                out[row["shard"]] = row
+        return out
+
+    def _commit(self, row: dict) -> None:
+        path = os.path.join(self.manifest_dir, f"shard_{row['shard']:06d}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(row, f, sort_keys=True)
+        os.replace(tmp, path)
+
+    # -- write ---------------------------------------------------------------
+
+    def write(self, packed: DataFrame, tokens_col: str = "tokens") -> dict:
+        """Write ``packed`` (window_id + token column) as shards; skip
+        already-committed shards.  One partitionBy job for all pending
+        shards, one agg for all manifests.  Returns summary stats."""
+        sharded = packed.withColumn(
+            "shard",
+            (F.col("window_id") / F.lit(self.windows_per_shard)).cast("long"),
+        )
+        done = set(self.committed_shards())
+        pending = sharded
+        if done:
+            pending = sharded.filter(~F.col("shard").isin(sorted(done)))
+        stats = {
+            int(r["shard"]): r
+            for r in pending.groupBy("shard")
+            .agg(
+                F.count("*").cast("long").alias("n_windows"),
+                _fingerprint_col(tokens_col).alias("fingerprint"),
+            )
+            .collect()
+        }
+        if not stats:
+            return {"written_shards": 0, "skipped_shards": len(done)}
+        (
+            pending.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("shard")
+            .parquet(self.data_dir)
+        )
+        for s in sorted(stats):
+            r = stats[s]
+            self._commit(
+                {
+                    "shard": s,
+                    "n_windows": int(r["n_windows"]),
+                    "fingerprint": int(r["fingerprint"]),
+                }
+            )
+        return {"written_shards": len(stats), "skipped_shards": len(done)}
+
+    # -- read / verify ---------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.data_dir)
+
+    def verify(self, tokens_col: str = "tokens") -> bool:
+        """Recompute every committed shard's stats from the parquet on
+        disk and compare to the manifests (count AND fingerprint)."""
+        want = self.committed_shards()
+        got = {
+            int(r["shard"]): r
+            for r in self.read()
+            .groupBy("shard")
+            .agg(
+                F.count("*").cast("long").alias("n_windows"),
+                _fingerprint_col(tokens_col).alias("fingerprint"),
+            )
+            .collect()
+        }
+        if set(want) != set(got):
+            return False
+        return all(
+            int(got[s]["n_windows"]) == want[s]["n_windows"]
+            and int(got[s]["fingerprint"]) == want[s]["fingerprint"]
+            for s in want
+        )
