@@ -167,3 +167,42 @@ def test_stateful_carry_forward_across_batches_and_restart(spark, dirs):
     assert rows[11] == 10
     assert rows[20] == 10      # state carried across the restart
     assert rows[21] is None    # user 2 never viewed
+
+
+def test_stream_curate_screens_and_dedup(spark, dirs):
+    from trove_spark.streaming import stream_curate
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then the fox "
+        "runs back home with a bone for the old hound dog to share"
+    )
+    other = (
+        "a small ship sailed across the wide sea while two sailors watched "
+        "the distant storm and hoped for calm water before the long night"
+    )
+    batch1 = [
+        ("g1", good + " reach me at bob@example.com today"),
+        ("g2", other),
+        ("dup", good + " reach me at bob@example.com today"),  # exact dup of g1
+        ("junk", "!!! ??? !!! ??? !!!"),  # fails quality screen
+        ("rep", "same line\nsame line\nsame line\nsame line"),  # dup-line cap
+    ]
+    spark.createDataFrame(batch1, "doc_id string, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(dirs["in"])
+    q = stream_curate(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    q.awaitTermination()
+
+    # restart with a new file: a dup of g2 (state must survive restart)
+    # and one genuinely new doc
+    batch2 = [("dup2", other), ("g3", good + " but with a different tail here")]
+    spark.createDataFrame(batch2, "doc_id string, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(dirs["in"])
+    q2 = stream_curate(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    q2.awaitTermination()
+
+    out = spark.read.option("basePath", dirs["out"]).parquet(dirs["out"] + "/batch=*")
+    rows = {r.doc_id: r.text for r in out.collect()}
+    assert set(rows) == {"g1", "g2", "g3"}  # dups + junk + rep screened out
+    assert "bob@example.com" not in rows["g1"] and "<EMAIL>" in rows["g1"]

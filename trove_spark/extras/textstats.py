@@ -29,6 +29,15 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+def stopword_permille_col(text_col: str, stopwords: list[str] | None = None):
+    """Column: share of tokens that are English function words (permille).
+    Exposed so streaming curation can apply the screen as a pure map."""
+    stopwords = stopwords or EN_STOPWORDS
+    words = F.split(F.col(text_col), " ")
+    n_stop = F.size(F.filter(words, lambda w: F.lower(w).isin(stopwords)))
+    return F.floor(n_stop * 1000 / F.greatest(F.size(words), F.lit(1))).cast("long")
+
+
 def language_id(
     docs: DataFrame,
     stopwords: list[str] | None = None,
@@ -40,11 +49,7 @@ def language_id(
     words, in permille (integer).  pred = 'en' iff ≥ threshold.
     (The reference has no lang-ID; this is the standard n-gram/stopword
     heuristic a corpus pipeline needs, kept deterministic + SQL-exact.)"""
-    stopwords = stopwords or EN_STOPWORDS
-    words = F.split(F.col(text_col), " ")
-    n = F.size(words)
-    n_stop = F.size(F.filter(words, lambda w: F.lower(w).isin(stopwords)))
-    permille = F.floor(n_stop * 1000 / F.greatest(n, F.lit(1))).cast("long")
+    permille = stopword_permille_col(text_col, stopwords)
     return docs.select(
         F.col(id_col).cast("string").alias("doc_id"),
         permille.alias("stopword_permille"),
@@ -52,10 +57,10 @@ def language_id(
     )
 
 
-def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Corpus-quality features, all scaled-integer: mean word length (×100),
-    distinct-token ratio (permille), punctuation ratio (permille of chars),
-    plus a composite keep/drop flag with the usual curation thresholds."""
+def quality_cols(text_col: str) -> dict:
+    """The quality features + composite keep flag as named Columns —
+    shared by :func:`quality_score` (batch frame) and streaming curation
+    (pure-map filter on a stream)."""
     words = F.split(F.col(text_col), " ")
     n = F.greatest(F.size(words), F.lit(1))
     n_chars = F.greatest(F.length(text_col), F.lit(1))
@@ -69,13 +74,23 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
         & (distinct_permille >= 200)
         & (punct_permille <= 200)
     )
+    return {
+        "n_tokens": F.size(words).cast("long"),
+        "mean_wlen_x100": mean_wlen_x100,
+        "distinct_permille": distinct_permille,
+        "punct_permille": punct_permille,
+        "keep": keep,
+    }
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus-quality features, all scaled-integer: mean word length (×100),
+    distinct-token ratio (permille), punctuation ratio (permille of chars),
+    plus a composite keep/drop flag with the usual curation thresholds."""
+    cols = quality_cols(text_col)
     return docs.select(
         F.col(id_col).cast("string").alias("doc_id"),
-        F.size(words).cast("long").alias("n_tokens"),
-        mean_wlen_x100.alias("mean_wlen_x100"),
-        distinct_permille.alias("distinct_permille"),
-        punct_permille.alias("punct_permille"),
-        keep.alias("keep"),
+        *[c.alias(name) for name, c in cols.items()],
     )
 
 
@@ -104,6 +119,16 @@ def repetition_stats(
     repeated boilerplate (nav bars, log spam, keyword stuffing) scores
     high on both.  Pure array higher-order functions — codegen, no
     shuffle, no Python; scaled-integer permille outputs."""
+    cols = repetition_cols(text_col)
+    return docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        *[c.alias(name) for name, c in cols.items()],
+    )
+
+
+def repetition_cols(text_col: str) -> dict:
+    """The Gopher repetition signals as named Columns — shared by
+    :func:`repetition_stats` and streaming curation."""
     lines = F.filter(
         F.split(F.col(text_col), "\n"), lambda x: F.length(F.trim(x)) > 0
     )
@@ -132,19 +157,15 @@ def repetition_stats(
         lambda acc: acc["best"],
     )
     n_lines = F.greatest(F.size(lines), F.lit(1))
-    n_grams = F.greatest(F.size(grams), F.lit(1))
-    return docs.select(
-        F.col(id_col).cast("string").alias("doc_id"),
-        F.size(lines).cast("long").alias("n_lines"),
-        F.floor(
+    return {
+        "n_lines": F.size(lines).cast("long"),
+        "dup_line_permille": F.floor(
             (F.size(lines) - F.size(F.array_distinct(lines))) * 1000 / n_lines
-        )
-        .cast("long")
-        .alias("dup_line_permille"),
-        F.floor(F.coalesce(top2, F.lit(0)) * 2 * 1000 / F.greatest(F.size(words), F.lit(1)))
-        .cast("long")
-        .alias("top_bigram_permille"),
-    )
+        ).cast("long"),
+        "top_bigram_permille": F.floor(
+            F.coalesce(top2, F.lit(0)) * 2 * 1000 / F.greatest(F.size(words), F.lit(1))
+        ).cast("long"),
+    }
 
 
 def filter_blocked_words(

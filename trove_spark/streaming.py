@@ -170,3 +170,93 @@ def stateful_session_carry_forward(events_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus curation
+# ---------------------------------------------------------------------------
+
+
+def stream_curate(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    require_english: bool = True,
+    stopword_threshold_permille: int = 30,
+    max_dup_line_permille: int = 300,
+    max_top_bigram_permille: int = 180,
+    dedup_retention: str = "24 hours",
+    max_files_per_trigger: int = 4,
+) -> StreamingQuery:
+    """Incremental corpus curation: newly landed document files are PII-
+    redacted, quality/repetition/language screened, and exact-deduped —
+    without reprocessing the corpus (the streaming twin of
+    ``extras.curate``'s map-side + exact stages).
+
+    Composition per micro-batch:
+      * redact + screens — the SAME column expressions as the batch pass
+        (textstats.quality_cols / repetition_cols / stopword_permille_col),
+        applied as one pure-map filter on the stream (no keep-id joins:
+        stream-stream joins need watermarks the screens don't);
+      * exact dedup — ``dropDuplicatesWithinWatermark`` on the sha256
+        content hash keyed by ingest time: state holds one hash per doc
+        seen in the last ``dedup_retention`` and is dropped after, so
+        state is bounded by ingest rate × retention, not corpus size.
+        (Which duplicate survives is arrival order — the streaming
+        trade-off vs the batch pass's deterministic min-id winner;
+        re-deduping the landed output in batch restores determinism.)
+      * sink — batch-id-keyed parquet directories (idempotent under
+        replay, same protocol as stream_documents_to_triples).
+
+    NEAR-dup (MinHash/LSH) stays batch-only by design: banding needs a
+    corpus-wide shuffle that has no bounded-state streaming formulation.
+    """
+    from pyspark.sql import functions as F
+
+    from .extras.pii import redact_pii
+    from .extras.textstats import (
+        quality_cols,
+        repetition_cols,
+        stopword_permille_col,
+    )
+
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    red = redact_pii(stream, "doc_id", "text")
+    q = quality_cols("text")
+    r = repetition_cols("text")
+    keep = (
+        q["keep"]
+        & (r["dup_line_permille"] <= max_dup_line_permille)
+        & (r["top_bigram_permille"] <= max_top_bigram_permille)
+    )
+    if require_english:
+        keep = keep & (
+            stopword_permille_col("text") >= stopword_threshold_permille
+        )
+    screened = red.filter(keep)
+    deduped = (
+        screened.withColumn("content_hash", F.sha2(F.col("text"), 256))
+        .withColumn("ingest_ts", F.current_timestamp())
+        .withWatermark("ingest_ts", dedup_retention)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+        .drop("ingest_ts")
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(output_dir, f"batch={batch_id}")
+            )
+        )
+
+    return (
+        deduped.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
