@@ -127,3 +127,80 @@ def test_plan_no_single_partition(docs):
     packed._pack_cache.unpersist()
     assert "SinglePartition" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def ref_ffd(items, seq_len):
+    """Sequential FFD reference over [(doc_id, n_tok), ...]."""
+    order = sorted(items, key=lambda x: (-x[1], x[0]))
+    bins = []
+    for did, n in order:
+        for b in bins:
+            if b[0] >= n:
+                b[0] -= n
+                b[1].append(did)
+                break
+        else:
+            bins.append([seq_len - n, [did]])
+    return [tuple(b[1]) for b in bins]
+
+
+def test_greedy_pack_matches_ffd_reference(docs):
+    from trove_spark.extras.packing import pack_documents_greedy
+
+    SL, NS = 48, 4
+    packed = pack_documents_greedy(docs, SL, n_shards=NS)
+    rows = packed.collect()
+    base = {
+        r.doc_id: (r.shuffle_key, len(r.tokens))
+        for r in docs.collect()
+        if 0 < len(r.tokens) <= SL
+    }
+    # every eligible doc exactly once, whole, contiguous
+    seen = [d for r in rows for d in r.doc_ids]
+    assert sorted(seen) == sorted(base)
+    for r in rows:
+        assert r.n_tokens == len(r.tokens) <= SL
+        assert sum(base[d][1] for d in r.doc_ids) == r.n_tokens
+        pos = 0
+        for d in r.doc_ids:  # each doc's tokens contiguous and intact
+            n = base[d][1]
+            assert all(t.startswith(f"t{int(d[1:])}_") for t in r.tokens[pos : pos + n])
+            pos += n
+    # per-shard window sets equal the sequential FFD reference
+    by_shard = {}
+    for d, (k, n) in base.items():
+        by_shard.setdefault(k % NS, []).append((d, n))
+    want = {s: sorted(ref_ffd(items, SL)) for s, items in by_shard.items()}
+    got = {}
+    for r in rows:
+        got.setdefault(r.window_id >> 40, []).append(tuple(r.doc_ids))
+    assert {s: sorted(v) for s, v in got.items()} == want
+    # deterministic across runs
+    again = sorted(
+        (r.window_id, tuple(r.doc_ids)) for r in pack_documents_greedy(docs, SL, n_shards=NS).collect()
+    )
+    assert again == sorted((r.window_id, tuple(r.doc_ids)) for r in rows)
+
+
+def test_greedy_pack_drops_oversize_and_plan(spark, docs):
+    from trove_spark.extras.packing import pack_documents_greedy
+
+    packed = pack_documents_greedy(docs, 10, n_shards=2)
+    eligible = {r.doc_id for r in docs.collect() if 0 < len(r.tokens) <= 10}
+    assert {d for r in packed.collect() for d in r.doc_ids} == eligible
+    # plan: the operator itself adds exactly ONE shuffle (shard hash) —
+    # measured on an input with no upstream exchange in its lineage
+    flat = spark.createDataFrame(
+        [(f"d{i}", i * 7919, [f"t{j}" for j in range(i % 5 + 1)]) for i in range(20)],
+        "doc_id string, shuffle_key long, tokens array<string>",
+    )
+    plan = (
+        pack_documents_greedy(flat, 10, n_shards=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_shuffles = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n_shuffles == 1, plan

@@ -149,3 +149,85 @@ def pack_sequences(
         out = out.filter(F.col("n_tokens") == seq_len)
     out._pack_cache = local  # handle for callers to unpersist after use
     return out
+
+
+def pack_documents_greedy(
+    docs: DataFrame,
+    seq_len: int,
+    order_col: str = "shuffle_key",
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Whole-document packing (the other standard mode: no document ever
+    crosses a window boundary — for trainers without attention-mask
+    resets): first-fit-decreasing within hash shards.
+
+    Global FFD is inherently sequential, so the distributed form shards
+    docs by the uniform order key (≈n/P docs each), runs exact FFD
+    INSIDE each shard (one Arrow kernel per shard, state = the open-bin
+    table, ≤ shard size), and makes window ids unique by (shard, local
+    bin).  Utilization loss vs global FFD is O(1) windows per shard —
+    negligible when shards hold thousands of docs; `n_shards` trades
+    that against per-task memory.  One hash shuffle total.
+
+    Docs longer than ``seq_len`` are dropped (callers chunk them first
+    via :func:`pack_sequences` semantics or truncate upstream); docs are
+    never split.  Deterministic: shard = hash bits, FFD order =
+    (n_tok desc, doc_id) within shard.
+
+    Output: (window_id, doc_ids array<string>, tokens (concatenated),
+    n_tokens ≤ seq_len)."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    base = (
+        docs.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.col(order_col).cast("long").alias("okey"),
+            F.col(tokens_col).alias("toks"),
+        )
+        .withColumn("n_tok", F.size("toks"))
+        .filter((F.col("n_tok") > 0) & (F.col("n_tok") <= seq_len))
+        .withColumn("shard", F.pmod(F.col("okey"), F.lit(n_shards)).cast("int"))
+    )
+
+    def _ffd(key, pdf):
+        import pandas as pd
+
+        (shard,) = key
+        order = sorted(
+            range(len(pdf)),
+            key=lambda i: (-int(pdf["n_tok"].iloc[i]), pdf["doc_id"].iloc[i]),
+        )
+        bins = []  # (remaining, [row_idx, ...])
+        for i in order:
+            n = int(pdf["n_tok"].iloc[i])
+            placed = False
+            for b in bins:
+                if b[0] >= n:
+                    b[0] -= n
+                    b[1].append(i)
+                    placed = True
+                    break
+            if not placed:
+                bins.append([seq_len - n, [i]])
+        wids, dids, toks, ns = [], [], [], []
+        for local, (_, rows) in enumerate(bins):
+            wids.append(int(shard) * (1 << 40) + local)
+            dids.append([pdf["doc_id"].iloc[i] for i in rows])
+            toks.append([t for i in rows for t in pdf["toks"].iloc[i]])
+            ns.append(len(toks[-1]))
+        return pd.DataFrame(
+            {
+                "window_id": pd.Series(wids, dtype="int64"),
+                "doc_ids": pd.Series(dids, dtype="object"),
+                "tokens": pd.Series(toks, dtype="object"),
+                "n_tokens": pd.Series(ns, dtype="int32"),
+            }
+        )
+
+    toks_type = dict(zip(base.schema.names, base.schema))["toks"].dataType.simpleString()
+    return base.groupBy("shard").applyInPandas(
+        _ffd,
+        schema=f"window_id long, doc_ids array<string>, tokens {toks_type}, n_tokens int",
+    )
