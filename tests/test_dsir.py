@@ -1,0 +1,127 @@
+"""DSIR data selection (extras/dsir.py): featurizer/score parity with a
+sequential reference (shared md5 hash), exact Gumbel-top-k selection
+machinery, determinism, seed sensitivity, and ranking sanity."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter
+
+import pytest
+
+from trove_spark.extras.dsir import dsir_keys, dsir_select, hashed_ngram_counts
+
+B = 256
+ALPHA = 1.0
+SEED = 3
+
+
+def h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def feats(text: str) -> Counter:
+    ws = [w for w in re.split(r"\s+", text.lower()) if w]
+    grams = list(ws)
+    if len(ws) >= 2:
+        grams += [" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)]
+    return Counter(h60(g) % B for g in grams)
+
+
+def model(corpus: dict) -> tuple[dict, float]:
+    c = Counter()
+    for t in corpus.values():
+        c.update(feats(t))
+    tot = sum(c.values())
+    logp = {b: math.log((n + ALPHA) / (tot + ALPHA * B)) for b, n in c.items()}
+    return logp, math.log(ALPHA / (tot + ALPHA * B))
+
+
+def ref_logweights(raw: dict, target: dict) -> dict:
+    p, p_floor = model(target)
+    q, _ = model(raw)
+    out = {}
+    for d, t in raw.items():
+        f = feats(t)
+        if f:
+            out[d] = sum(n * (p.get(b, p_floor) - q[b]) for b, n in f.items())
+    return out
+
+
+TARGET = {
+    "t0": "the patient denies chest pain and shortness of breath",
+    "t1": "patient reports chest pain radiating to the left arm",
+    "t2": "no acute distress the patient is alert and oriented",
+}
+RAW = {
+    "m0": "the patient denies any chest pain today",
+    "m1": "patient alert oriented no acute distress noted",
+    "m2": "chest pain and shortness of breath on exertion",
+    "j0": "buy cheap widgets online free shipping best prices",
+    "j1": "lorem ipsum dolor sit amet consectetur adipiscing elit",
+    "j2": "zx qv wk jj pq mn tt rr ss uu",
+}
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    raw = spark.createDataFrame(list(RAW.items()), "doc_id string, text string")
+    tgt = spark.createDataFrame(list(TARGET.items()), "doc_id string, text string")
+    return raw, tgt
+
+
+def test_featurizer_matches_reference(spark, frames):
+    raw, _ = frames
+    got = {}
+    for r in hashed_ngram_counts(raw, B).collect():
+        got.setdefault(r.doc_id, Counter())[r.bucket] = r.cnt
+    assert got == {d: feats(t) for d, t in RAW.items()}
+
+
+def test_logweights_match_reference(spark, frames):
+    raw, tgt = frames
+    want = {d: round(w * 1e9) for d, w in ref_logweights(RAW, TARGET).items()}
+    got = {r.doc_id: r.logweight_q for r in dsir_keys(raw, tgt, B, ALPHA, SEED).collect()}
+    assert set(got) == set(want)
+    for d in want:
+        assert abs(got[d] - want[d]) <= 1, d  # float assoc / rounding ulp
+
+
+def test_ranking_sanity(spark, frames):
+    raw, tgt = frames
+    w = {r.doc_id: r.logweight_q for r in dsir_keys(raw, tgt, B, ALPHA, SEED).collect()}
+    top3 = sorted(w, key=lambda d: -w[d])[:3]
+    assert set(top3) == {"m0", "m1", "m2"}  # target-like docs outrank junk
+
+
+def test_select_is_exact_gumbel_topk(spark, frames):
+    raw, tgt = frames
+    keys = {
+        r.doc_id: r.key_q for r in dsir_keys(raw, tgt, B, ALPHA, SEED).collect()
+    }
+    order = sorted(keys, key=lambda d: (-keys[d], d))
+    for n in (1, 3, 5, 6, 10):
+        sel = dsir_select(raw, tgt, n, B, ALPHA, SEED, n_bins=4)
+        got = sorted(r.doc_id for r in sel.collect())
+        sel._dsir_cache.unpersist()
+        assert got == sorted(order[: min(n, len(order))]), n
+
+
+def test_deterministic_and_seed_sensitive(spark, frames):
+    raw, tgt = frames
+    a = {r.doc_id: r.key_q for r in dsir_keys(raw, tgt, B, ALPHA, SEED).collect()}
+    b = {r.doc_id: r.key_q for r in dsir_keys(raw, tgt, B, ALPHA, SEED).collect()}
+    assert a == b
+    c = {r.doc_id: r.key_q for r in dsir_keys(raw, tgt, B, ALPHA, SEED + 1).collect()}
+    assert a != c  # noise moves with the seed
+    w_a = {r.doc_id: r.logweight_q for r in dsir_keys(raw, tgt, B, ALPHA, SEED).collect()}
+    w_c = {r.doc_id: r.logweight_q for r in dsir_keys(raw, tgt, B, ALPHA, SEED + 1).collect()}
+    assert w_a == w_c  # ...but the importance weights do not
+
+
+def test_score_join_is_broadcast(spark, frames):
+    raw, tgt = frames
+    plan = dsir_keys(raw, tgt, B)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan

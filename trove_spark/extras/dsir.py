@@ -1,0 +1,199 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169): select raw-corpus documents whose hashed-n-gram
+distribution looks like a small target domain, the standard "make the
+pretraining mix resemble the eval domain" pass.
+
+Method (as published): featurize every doc as counts over ``n_buckets``
+hashed uni+bigram buckets; fit two smoothed bucket-probability models —
+``p`` on the target sample, ``q`` on the raw corpus — and score each doc
+with the importance log-weight  Σ_b c_b · (ln p_b − ln q_b);  then
+resample with Gumbel-top-k so selection is ∝ importance weight rather
+than a hard argmax (which would pick near-duplicates of the target).
+
+Spark shape (100 TB):
+  * featurize: explode uni+bigrams → md5-bucket — a map + ONE per-(doc,
+    bucket) count agg (partial combine; bucket hashing spreads hot words);
+  * models: per-bucket count aggs (B rows each) + the corpus total via a
+    1-row cross join — never a driver collect of corpus state;
+  * score: equi-join the B-row log-ratio table (broadcast — B ≈ 10⁴) and
+    ONE per-doc sum;
+  * select: exact distributed top-k WITHOUT driver-side k rows — a
+    4096-bin histogram of quantized keys finds the threshold bin on the
+    driver (4096 longs), everything above the bin passes by filter, and
+    only the boundary bin (≈n/4096 rows) is exactly sorted for the
+    remainder.  Ties break on (key, doc_id); keys are quantized to 1e-9
+    so the cut is reproducible.
+
+Determinism: the Gumbel noise is the portable 60-bit hash of (seed,
+doc_id) mapped through −ln(−ln u) — task-retry-safe and replayable (the
+same trick as :mod:`.mixing`); ln() itself is JVM-libm, so cross-engine
+parity tests quantize scores (CLAUDE.md: log/exp differ ±1 ulp across
+engines — this module is pytest-gated, not a DuckDB-hash driver row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import _h60
+
+__ref__ = "no reference counterpart (LLM-data-pipeline extension)"
+
+_H60_MAX = float(1 << 60)
+
+
+def hashed_ngram_counts(
+    docs: DataFrame,
+    n_buckets: int = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, bucket, cnt): hashed unigram+bigram bucket counts per doc
+    (the DSIR featurizer). Lowercased whitespace words; bigrams joined
+    with a space; bucket = h60(ngram) mod n_buckets."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
+    )
+    grams = F.when(F.size(words) >= 2, F.concat(words, bigrams)).otherwise(words)
+    return (
+        docs.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.explode(grams).alias("g"),
+        )
+        .select("doc_id", F.pmod(_h60(F.col("g")), F.lit(n_buckets)).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _bucket_logprobs(feats: DataFrame, n_buckets: int, alpha: float = 1.0) -> DataFrame:
+    """(bucket, logp): add-alpha-smoothed bucket log-probabilities from
+    (doc_id, bucket, cnt) features.  Buckets unseen in the fit corpus are
+    NOT rows here — scorers must coalesce to the smoothing floor
+    ln(alpha / (total + alpha·B)) for them."""
+    per_bucket = feats.groupBy("bucket").agg(F.sum("cnt").alias("c"))
+    tot = feats.agg(F.sum("cnt").alias("t"))
+    return per_bucket.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.log((F.col("c") + F.lit(alpha)) / (F.col("t") + F.lit(alpha * n_buckets))).alias(
+            "logp"
+        ),
+    )
+
+
+def dsir_keys(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    n_buckets: int = 10_000,
+    alpha: float = 1.0,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, logweight_q, key_q): per-doc importance log-weight and the
+    Gumbel-perturbed selection key, both quantized ×1e9 to BIGINT (stable
+    ordering; CLAUDE.md float-portability rule).
+
+    logweight = Σ_b c_b (ln p_b − ln q_b) with p fit on ``target_docs``
+    and q on ``docs``;  key = logweight + Gumbel(h60(seed:doc_id))."""
+    raw = hashed_ngram_counts(docs, n_buckets, id_col, text_col)
+    tgt = hashed_ngram_counts(target_docs, n_buckets, id_col, text_col)
+    p = _bucket_logprobs(tgt, n_buckets, alpha)
+    q = _bucket_logprobs(raw, n_buckets, alpha)
+    # q covers every bucket that occurs in `raw` (it was fit on it); p
+    # needs the smoothing floor for target-unseen buckets.  The p floor
+    # is a scalar — carried on the q rows via a 1-row cross join.
+    p_floor = tgt.agg(
+        F.log(F.lit(alpha) / (F.sum("cnt") + F.lit(alpha * n_buckets))).alias("p_floor")
+    )
+    ratio = (
+        q.join(p.select("bucket", F.col("logp").alias("logp_p")), "bucket", "left")
+        .crossJoin(F.broadcast(p_floor))
+        .select(
+            "bucket",
+            (F.coalesce(F.col("logp_p"), F.col("p_floor")) - F.col("logp")).alias(
+                "logratio"
+            ),
+        )
+    )
+    scored = (
+        raw.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("logratio")).alias("logweight"))
+    )
+    u = _h60(F.concat_ws(":", F.lit(str(seed)), F.lit("dsir"), F.col("doc_id"))) / F.lit(
+        _H60_MAX
+    )
+    # u in [0, 1): shift by half a ulp of the hash grid so ln(u) is finite
+    gumbel = -F.log(-F.log(u + F.lit(0.5 / _H60_MAX)))
+    return scored.select(
+        "doc_id",
+        F.round(F.col("logweight") * 1e9).cast("long").alias("logweight_q"),
+        F.round((F.col("logweight") + gumbel) * 1e9).cast("long").alias("key_q"),
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    n_select: int,
+    n_buckets: int = 10_000,
+    alpha: float = 1.0,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bins: int = 4096,
+) -> DataFrame:
+    """(doc_id) of the ``n_select`` docs chosen by Gumbel-top-k on the
+    DSIR importance weight — exact, deterministic, and never more than
+    the boundary histogram bin on any single sort path.
+
+    Two jobs: (1) a ``n_bins`` equal-width histogram over key_q (driver
+    sees n_bins longs, picks the threshold bin); (2) filter above-bin
+    rows through, exact-sort ONLY the boundary bin for the remainder.
+    Ties break on (key_q desc, doc_id asc)."""
+    keys = dsir_keys(
+        docs, target_docs, n_buckets, alpha, seed, id_col, text_col
+    ).persist()
+    bounds = keys.agg(
+        F.min("key_q").alias("lo"), F.max("key_q").alias("hi"), F.count("*").alias("n")
+    ).collect()[0]
+    if bounds["n"] <= n_select:
+        out = keys.select("doc_id")
+        out._dsir_cache = keys  # caller unpersists after materializing
+        return out
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    width = max((hi - lo) // n_bins + 1, 1)
+    hist = {
+        int(r["bin"]): int(r["c"])
+        for r in keys.select(
+            F.floor((F.col("key_q") - F.lit(lo)) / F.lit(width)).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    taken, cut_bin = 0, max(hist)
+    for b in sorted(hist, reverse=True):
+        if taken + hist[b] >= n_select:
+            cut_bin = b
+            break
+        taken += hist[b]
+    cut_lo = lo + cut_bin * width  # key_q >= cut_lo is the boundary bin
+    above = keys.filter(F.col("key_q") >= F.lit(cut_lo + width)).select("doc_id")
+    need = n_select - taken
+    boundary = (
+        keys.filter(
+            (F.col("key_q") >= F.lit(cut_lo)) & (F.col("key_q") < F.lit(cut_lo + width))
+        )
+        .orderBy(F.desc("key_q"), "doc_id")
+        .limit(need)
+        .select("doc_id")
+    )
+    out = above.unionByName(boundary)
+    out._dsir_cache = keys  # caller unpersists after materializing
+    return out
