@@ -130,3 +130,42 @@ def test_plan_pure_codegen(spark):
     for frame in (duplicate_kgram_spans(df, 2), dedup_substrings(df, 2)):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rolling_hasher_identical_decisions(spark):
+    """The O(n) rolling-hash kernel must produce byte-identical spans and
+    output text to the codegen hasher (hash values differ; decisions
+    cannot)."""
+    rng = random.Random(11)
+    vocab = [f"v{i}" for i in range(10)]
+    corpus = {
+        f"d{i:02d}": " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 60)))
+        for i in range(25)
+    }
+    df = spark.createDataFrame(list(corpus.items()), "doc_id string, text string")
+    for k in (3, 7):
+        spans_c = sorted(tuple(r) for r in duplicate_kgram_spans(df, k).collect())
+        spans_r = sorted(
+            tuple(r) for r in duplicate_kgram_spans(df, k, hasher="rolling").collect()
+        )
+        assert spans_c == spans_r, k
+        text_c = sorted(tuple(r) for r in dedup_substrings(df, k).collect())
+        text_r = sorted(
+            tuple(r) for r in dedup_substrings(df, k, hasher="rolling").collect()
+        )
+        assert text_c == text_r, k
+    # and both match the sequential reference
+    got = {}
+    for r in duplicate_kgram_spans(df, 3, hasher="rolling").collect():
+        got.setdefault(r.doc_id, []).append((r.start, r.end))
+    for v in got.values():
+        v.sort()
+    assert got == ref_spans(corpus, 3)
+
+
+def test_rolling_hasher_rejects_unknown(spark):
+    df = spark.createDataFrame([("a", "x y z")], "doc_id string, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        duplicate_kgram_spans(df, 2, hasher="nope")

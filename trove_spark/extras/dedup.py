@@ -452,11 +452,75 @@ def dedup_paragraphs(
     )
 
 
+def _rolling_kgram_kernel(k: int):
+    """Arrow kernel: (doc_id, ws) rows → (doc_id, pos, h) k-gram hash
+    rows via an O(n)-per-doc polynomial rolling hash.
+
+    Per-word 64-bit digests (blake2b-8) roll through
+    H(i) = Σ_j wh[i+j]·b^(k-1-j) mod 2^64, computed vectorized with the
+    modular-inverse prefix trick: S = cumsum(wh[m]·b^(-m)), then
+    H(i) = (S[i+k-1] − S[i-1])·b^(k-1+i) — numpy uint64 wraparound does
+    the mod for free, and b odd makes b^(-1) exist mod 2^64."""
+    B = 0x9E3779B97F4A7C15  # odd golden-ratio multiplier
+    BINV = pow(B, -1, 1 << 64)
+
+    def _kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        def h64(w: str) -> int:
+            return int.from_bytes(
+                hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
+            )
+
+        for pdf in batches:
+            ids, poss, hs = [], [], []
+            for did, ws in zip(pdf["doc_id"], pdf["ws"]):
+                n = len(ws)
+                if n < k:
+                    continue
+                m = n - k + 1
+                wh = np.fromiter((h64(w) for w in ws), dtype=np.uint64, count=n)
+                binv_pows = np.empty(n, dtype=np.uint64)
+                binv_pows[0] = 1
+                if n > 1:
+                    np.multiply.accumulate(
+                        np.full(n - 1, BINV, dtype=np.uint64), out=binv_pows[1:]
+                    )
+                S = np.cumsum(wh * binv_pows, dtype=np.uint64)
+                b_pows = np.empty(m, dtype=np.uint64)
+                b_pows[0] = pow(B, k - 1, 1 << 64)
+                if m > 1:
+                    acc = np.empty(m - 1, dtype=np.uint64)
+                    np.multiply.accumulate(
+                        np.full(m - 1, B, dtype=np.uint64), out=acc
+                    )
+                    b_pows[1:] = b_pows[0] * acc
+                windows = S[k - 1 :].copy()
+                windows[1:] -= S[: n - k]
+                H = (windows * b_pows) >> np.uint64(4)  # 60-bit like _h60
+                ids.extend([did] * m)
+                poss.extend(range(m))
+                hs.extend(int(x) for x in H)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="object"),
+                    "pos": pd.Series(poss, dtype="int64"),
+                    "h": pd.Series(hs, dtype="int64"),
+                }
+            )
+
+    return _kernel
+
+
 def duplicate_kgram_spans(
     docs: DataFrame,
     k: int = 50,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hasher: str = "codegen",
 ) -> DataFrame:
     """Exact-substring duplicate spans (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"), at word granularity:
@@ -475,15 +539,32 @@ def duplicate_kgram_spans(
     by hash (no fan-out); span merging is a per-doc fold.  Never O(n²),
     never a suffix array over the concatenated corpus.
 
+    ``hasher='codegen'`` (default) hashes each k-gram by concatenation —
+    pure JVM expressions, engine-portable, but O(n·k) chars md5'd per
+    doc (~k× the corpus bytes).  ``hasher='rolling'`` is the 100-TB
+    path: an Arrow kernel computing all n k-gram hashes in O(n) via a
+    polynomial rolling hash over per-word 64-bit digests (numpy uint64
+    wraparound arithmetic, vectorized — no per-position rescan).  Both
+    produce identical SPANS (hash values differ; equality of the
+    decision is tested in test_substring_dedup.py) — the rolling hash is
+    64-bit, so astronomically-rare collisions can over-mark a span
+    (data loss, never corruption), same trade Lee et al. make.
+
     Output: (doc_id, start, end) — merged word-index intervals
     [start, end) of duplicated text, one row per interval."""
-    grams = (
+    base = (
         docs.select(
             F.col(id_col).cast("string").alias("doc_id"),
             F.split(F.trim(F.col(text_col)), r"\s+").alias("ws"),
         )
         .filter(F.size("ws") >= k)
-        .select(
+    )
+    if hasher == "rolling":
+        grams = base.mapInPandas(
+            _rolling_kgram_kernel(k), schema="doc_id string, pos long, h long"
+        )
+    elif hasher == "codegen":
+        grams = base.select(
             "doc_id",
             F.explode(
                 F.transform(
@@ -496,9 +577,9 @@ def duplicate_kgram_spans(
                     ),
                 )
             ).alias("g"),
-        )
-        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
-    )
+        ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    else:
+        raise ValueError(f"unknown hasher: {hasher!r}")
     winners = (
         grams.groupBy("h")
         .agg(F.count("*").alias("n"), F.min(F.struct("doc_id", "pos")).alias("w"))
@@ -551,6 +632,7 @@ def dedup_substrings(
     k: int = 50,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hasher: str = "codegen",
 ) -> DataFrame:
     """Cut every duplicate k-gram span (:func:`duplicate_kgram_spans`)
     out of the corpus and reassemble the surviving words.
@@ -561,9 +643,9 @@ def dedup_substrings(
     no duplicated span pass through (word-rejoined) untouched.
 
     Output: (doc_id, text) — same contract as :func:`dedup_paragraphs`."""
-    spans = duplicate_kgram_spans(docs, k, id_col, text_col).groupBy("doc_id").agg(
-        F.collect_list(F.struct("start", "end")).alias("cuts")
-    )
+    spans = duplicate_kgram_spans(docs, k, id_col, text_col, hasher).groupBy(
+        "doc_id"
+    ).agg(F.collect_list(F.struct("start", "end")).alias("cuts"))
     base = docs.select(
         F.col(id_col).cast("string").alias("doc_id"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("ws"),
