@@ -66,11 +66,40 @@ def main() -> None:
         assign_splits(enc, seed=7).filter(F.col("split") == "train"),
         seed=7,
         n_shards=int(cpus),
-    )
+    ).persist()
     packed = pack_sequences(mixed, seq_len=seq_len, tokens_col="token_ids")
     n_windows = packed.count()
     stages["mix_pack"] = round(time.time() - t, 2)
+
+    t = time.time()
+    import shutil
+    import tempfile
+
+    from trove_spark.extras.packing import pack_documents_greedy
+    from trove_spark.extras.shards import ShardWriter
+
+    out_dir = tempfile.mkdtemp(prefix="handoff_shards_")
+    try:
+        w = ShardWriter(spark, out_dir, windows_per_shard=256)
+        shard_stats = w.write(packed, tokens_col="tokens")
+        ok = w.verify(tokens_col="tokens")
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    stages["shard_write"] = round(time.time() - t, 2)
     packed._pack_cache.unpersist()
+
+    t = time.time()
+    greedy = pack_documents_greedy(
+        mixed, seq_len=seq_len, tokens_col="token_ids", n_shards=int(cpus)
+    )
+    g = greedy.agg(
+        F.count("*").alias("w"), F.sum("n_tokens").alias("tok")
+    ).collect()[0]
+    greedy_windows, greedy_util = int(g["w"]), round(
+        int(g["tok"]) / (int(g["w"]) * seq_len), 4
+    )
+    stages["greedy_pack"] = round(time.time() - t, 2)
+    mixed.unpersist()
 
     total = round(time.time() - t_all, 2)
     print(
@@ -88,6 +117,10 @@ def main() -> None:
                 "n_tokens": int(n_tokens),
                 "seq_len": seq_len,
                 "n_windows": int(n_windows),
+                "shards_written": shard_stats["written_shards"],
+                "shards_verified": bool(ok),
+                "greedy_windows": greedy_windows,
+                "greedy_utilization": greedy_util,
                 "stages_sec": stages,
                 "total_sec": total,
                 "tokens_per_sec": round(n_tokens / total),
