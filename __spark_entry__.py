@@ -749,6 +749,21 @@ def q_dedup_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), k=5, threshold=0.6, max_shingle_freq=100)
 
 
+def q_dedup_substring_spans(spark, sf_dir):
+    """Lee-et-al. exact-substring duplicate spans (extras/dedup.py
+    duplicate_kgram_spans, k=5 words): first-occurrence winners, merged
+    [start, end) intervals; oracle replays the gram hash, the
+    min-(doc_id,pos) winner rule, and the gaps-and-islands span merge."""
+    from trove_spark.extras.dedup import duplicate_kgram_spans
+
+    s = duplicate_kgram_spans(_docs(spark, sf_dir), k=5)
+    return s.select(
+        "doc_id",
+        F.col("start").alias("span_start"),
+        F.col("end").alias("span_end"),
+    )
+
+
 def q_dedup_minhash_sigs(spark, sf_dir):
     from trove_spark.extras.dedup import minhash_signatures
 
@@ -894,8 +909,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     n_subtokens stays pytest-covered — slot yielded to dedup_clusters in
     r4), text_fingerprint (sha256 + min-shingle map pass, DuckDB-parity
     pytest-gated in test_textstats — slot yielded to dedup_paragraphs,
-    the RefinedWeb/C4-style paragraph dedup, in r4).  The trimmed
-    callables remain importable + tested."""
+    the RefinedWeb/C4-style paragraph dedup, in r4), dedup_jaccard_pairs
+    (its inverted-index + exact-Jaccard shape is exercised verbatim as
+    the verification tail INSIDE dedup_minhash_lsh_pairs' oracle — slot
+    yielded to dedup_substring_spans, the Lee-et-al. exact-substring
+    operator, late r4).  The trimmed callables remain importable +
+    tested."""
     return {
         "kg_tokens": q_kg_tokens,
         "kg_tokens_clinical": q_kg_tokens_clinical,
@@ -936,7 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_rollup": q_rel_rollup,
         "rel_sql_interface": q_rel_sql_interface,
         "dedup_exact": q_dedup_exact,
-        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "dedup_substring_spans": q_dedup_substring_spans,
         "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,

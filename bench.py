@@ -51,6 +51,7 @@ HEADLINE = [
     "kg_triples",
     "tag_polarity",  # r3: broadcast-automaton trigger path (was 2 SMJs)
     "dedup_minhash_lsh_pairs",
+    "dedup_substring_spans",  # r4: Lee-et-al. exact-substring dedup
     "ann_brute_topk",
 ]
 

@@ -1407,4 +1407,47 @@ kept AS (SELECT doc_id, pos, para FROM ranked WHERE h IS NULL OR rn = 1)
 SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
 FROM kept GROUP BY doc_id
 """,
+        # exact-substring duplicate spans (extras/dedup.py
+        # duplicate_kgram_spans, k=5): the portable 60-bit hash of the
+        # chr(31)-joined word 5-gram replays the Spark gram hash exactly;
+        # row_number replays the min-(doc_id, pos) winner; the merged
+        # intervals come from the classic gaps-and-islands windows (new
+        # island iff start > max prior end — identical to the Spark-side
+        # fold's `prev_end >= s` merge rule)
+        "dedup_substring_spans": """
+WITH words AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split_regex(trim(text), '\\s+') AS ws
+  FROM documents
+),
+eligible AS (SELECT doc_id, ws, len(ws) AS n FROM words WHERE len(ws) >= 5),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         CAST('0x' || substr(md5(array_to_string(ws[i : i + 4], chr(31))), 1, 15) AS BIGINT) AS h
+  FROM eligible, LATERAL (SELECT unnest(range(1, n - 3)) AS i) t
+),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY h) AS c
+  FROM grams
+),
+dup AS (SELECT doc_id, pos FROM ranked WHERE c > 1 AND rn > 1),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + 5) OVER (
+              PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM dup
+),
+islands AS (
+  SELECT doc_id, pos,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM flagged
+)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 5 AS BIGINT) AS span_end
+FROM islands GROUP BY doc_id, island
+""",
     }
