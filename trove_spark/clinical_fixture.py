@@ -72,6 +72,9 @@ TIMEX_DOCS: list[tuple[str, str]] = [
     ("t25", "twenty-five years ago and this month it improved"),
     ("t26", "felt dizzy four hours ago and 2 wks back"),
     ("t27", "seen 3rd of December for injection"),
+    # r4b: rgx_recent_now residual forms (reference timex.py:69)
+    ("t28", "recently seen, current meds reviewed at this time"),
+    ("t29", "stable at this point and recent labs unremarkable"),
 ]
 
 # A1 clinical NegEx fixture (r4): single-sentence docs exercising the

@@ -430,7 +430,9 @@ k AS (
                 OR regexp_matches(expr, '^this (week|month|year)$')
                 OR regexp_matches(expr, '^(yesterday|today|tomorrow|tonight|tonite)$')
                 OR regexp_matches(expr, '^this (morning|afternoon|evening)$')
-                OR regexp_matches(expr, '^(now|currently|presently)$')
+                OR regexp_matches(expr, '^(now|presently)$')
+                OR regexp_matches(expr, '^(current|recent)(ly)?$')
+                OR regexp_matches(expr, '^at this (point|time)$')
               THEN 'relative'
               WHEN regexp_matches(expr, '^({_MONTHS}) [0-9]{{1,2}}(st|nd|rd|th)?$')
                 OR regexp_matches(expr, '^[0-9]{{1,2}}(st|nd|rd|th)? of ({_MONTHS})$')
@@ -489,7 +491,9 @@ nd AS (
          CASE WHEN kind = 'relative' THEN CAST(
            CASE WHEN expr = 'yesterday' THEN -1
                 WHEN expr = 'tomorrow' THEN 1
-                WHEN regexp_matches(expr, '^(today|tonight|tonite|now|currently|presently)$')
+                WHEN regexp_matches(expr, '^(today|tonight|tonite|now|presently)$')
+                  OR regexp_matches(expr, '^(current|recent)(ly)?$')
+                  OR regexp_matches(expr, '^at this (point|time)$')
                   OR regexp_matches(expr, '^this (morning|afternoon|evening)$')
                   OR regexp_matches(expr, '^this (week|month|year)$')
                 THEN 0

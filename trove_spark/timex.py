@@ -72,7 +72,7 @@ _TIMEX_RE = (
     rf"|(?:last|next|this) (?:(?i:{_WEEKDAYS})|week|month|year)"
     rf"|(?i:{_WEEKDAYS})"
     r"|(?:pre|post|intra)-?(?:operative(?:ly)?|op)"
-    r"|now|currently|presently"
+    r"|at this (?:point|time)|(?:current|recent)(?:ly)?|now|presently"
     r"|(?:19|20)\d{2})\b"
 )
 
@@ -174,7 +174,9 @@ def extract_timex(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataF
             | e.rlike("^this (week|month|year)$")
             | e.rlike("^(yesterday|today|tomorrow|tonight|tonite)$")
             | e.rlike("^this (morning|afternoon|evening)$")
-            | e.rlike("^(now|currently|presently)$"),
+            | e.rlike("^(now|presently)$")
+            | e.rlike("^(current|recent)(ly)?$")
+            | e.rlike("^at this (point|time)$"),
             F.lit("relative"),
         )
         .when(
@@ -227,7 +229,9 @@ def extract_timex(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataF
         F.when(e == "yesterday", F.lit(-1))
         .when(e == "tomorrow", F.lit(1))
         .when(
-            e.rlike("^(today|tonight|tonite|now|currently|presently)$")
+            e.rlike("^(today|tonight|tonite|now|presently)$")
+            | e.rlike("^(current|recent)(ly)?$")
+            | e.rlike("^at this (point|time)$")
             | e.rlike("^this (morning|afternoon|evening)$")
             | e.rlike("^this (week|month|year)$"),
             F.lit(0),
