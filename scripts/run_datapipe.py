@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""spark-submit entry point: raw documents → training shards.
+
+The production composition of the extras operators — curation, optional
+DSIR selection, deterministic mix/split/shuffle, BPE tokenization,
+sequence packing, manifest-committed shard write:
+
+    zip -r /tmp/trove_spark.zip trove_spark
+    spark-submit --master <cluster> --py-files /tmp/trove_spark.zip \
+        scripts/run_datapipe.py --input <docs parquet> --output <dir> \
+        [--benchmark <eval parquet>] [--target <target-domain parquet>] \
+        [--n-select N] [--seq-len 2048] [--n-merges 32000] [--seed 0] \
+        [--windows-per-shard 1024] [--substring-k 0] [--split train=0.98,val=0.01,test=0.01]
+
+Resume-aware at the shard sink (re-running after a kill rewrites only
+manifest-less shards — trove_spark/extras/shards.py); every upstream
+stage is a deterministic pure function of (seed, content), so the
+recomputed windows are byte-identical on resume.  Prints one JSON
+summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> dict:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="raw documents parquet")
+    ap.add_argument("--output", required=True, help="output dir (shards + manifests)")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--benchmark", default=None, help="eval-set parquet to decontaminate against")
+    ap.add_argument("--target", default=None, help="target-domain parquet for DSIR selection")
+    ap.add_argument("--n-select", type=int, default=0, help="DSIR: docs to keep (0 = no selection)")
+    ap.add_argument("--seq-len", type=int, default=2048)
+    ap.add_argument("--n-merges", type=int, default=32000)
+    ap.add_argument("--bpe-min-count", type=int, default=2)
+    ap.add_argument("--bpe-max-words", type=int, default=1_000_000)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--windows-per-shard", type=int, default=1024)
+    ap.add_argument("--substring-k", type=int, default=0,
+                    help="exact-substring dedup k (0 = off)")
+    ap.add_argument("--split", default="train=0.98,val=0.01,test=0.01")
+    ap.add_argument("--pack-split", default="train",
+                    help="which split reaches the packed shards")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from trove_spark.extras import bpe
+    from trove_spark.extras.curate import CurateConfig, curate
+    from trove_spark.extras.mixing import assign_splits, deterministic_shuffle
+    from trove_spark.extras.packing import pack_sequences
+    from trove_spark.extras.shards import ShardWriter
+
+    spark = SparkSession.builder.appName("trove_spark_datapipe").getOrCreate()
+    t0 = time.time()
+    docs = spark.read.parquet(args.input)
+    bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+
+    cfg = CurateConfig(substring_dedup_k=args.substring_k)
+    curated = curate(docs, benchmark=bench, cfg=cfg,
+                     id_col=args.id_col, text_col=args.text_col)
+    curate_cache = curated._curate_cache
+    stats = {"input_docs": docs.count()}
+
+    if args.n_select and args.target:
+        from trove_spark.extras.dsir import dsir_select
+
+        target = spark.read.parquet(args.target)
+        sel = dsir_select(curated, target, args.n_select, seed=args.seed,
+                          id_col=args.id_col, text_col=args.text_col)
+        curated = curated.join(
+            sel.withColumnRenamed("doc_id", "__sel_id"),
+            F.col("__sel_id") == F.col(args.id_col).cast("string"),
+            "left_semi",
+        )
+        sel._dsir_cache.unpersist()
+
+    splits = dict(
+        (name, float(frac))
+        for name, frac in (kv.split("=") for kv in args.split.split(","))
+    )
+    mixed = assign_splits(curated, splits, seed=args.seed, id_col=args.id_col)
+    train = mixed.filter(F.col("split") == args.pack_split).persist()
+    stats["curated_docs"] = train.count()
+    curate_cache.unpersist()
+
+    model = bpe.train_bpe(
+        bpe.word_histogram(train, text_col=args.text_col, id_col=args.id_col),
+        n_merges=args.n_merges, min_count=args.bpe_min_count,
+        max_words=args.bpe_max_words,
+    )
+    stats["vocab_size"] = len(model.vocab)
+    stats["dropped_histogram_mass"] = model.dropped_mass
+
+    enc = bpe.encode(train, model, text_col=args.text_col, id_col=args.id_col)
+    shuffled = deterministic_shuffle(enc, seed=args.seed)
+    packed = pack_sequences(shuffled, seq_len=args.seq_len, tokens_col="token_ids")
+
+    writer = ShardWriter(spark, args.output, args.windows_per_shard)
+    wstats = writer.write(packed, tokens_col="tokens")
+    packed._pack_cache.unpersist()
+    train.unpersist()
+    stats.update(wstats)
+    stats["verified"] = writer.verify(tokens_col="tokens")
+    stats["wall_sec"] = round(time.time() - t0, 2)
+    print(json.dumps(stats))
+    return stats
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""End-to-end smoke of the production datapipe entry
+(scripts/run_datapipe.py): raw docs → curated → split → BPE → packed →
+verified shards, including resume (second run writes nothing)."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+SCRIPT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "scripts",
+    "run_datapipe.py",
+)
+spec = importlib.util.spec_from_file_location("run_datapipe", SCRIPT)
+run_datapipe = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(run_datapipe)
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then the fox "
+    "runs back home with a bone for the old hound dog to share"
+)
+
+
+def test_datapipe_end_to_end(spark, tmp_path):
+    # unique words interspersed every ~2 tokens so no two docs share a
+    # 5-word shingle (the curate near-dedup must NOT collapse these)
+    rows = [
+        (
+            f"d{i:02d}",
+            f"the w{i}a quick w{i}b brown w{i}c fox and w{i}d dog "
+            f"of w{i}e house near w{i}f barn",
+        )
+        for i in range(30)
+    ]
+    rows += [("dup_a", GOOD), ("dup_b", GOOD)]  # exact dups → one survives
+    rows += [("junk", "!!! ??? !!! ??? !!!")]  # screened out
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    inp = str(tmp_path / "in.parquet")
+    out = str(tmp_path / "out")
+    docs.write.parquet(inp)
+
+    argv = [
+        "--input", inp, "--output", out,
+        "--seq-len", "16", "--n-merges", "40",
+        "--windows-per-shard", "8", "--seed", "1",
+        "--split", "train=1.0", "--bpe-min-count", "1",
+    ]
+    stats = run_datapipe.main(argv)
+    assert stats["input_docs"] == 33
+    assert stats["curated_docs"] == 31  # one dup + junk removed
+    assert stats["written_shards"] >= 1 and stats["verified"]
+    assert stats["vocab_size"] > 10
+
+    shards = spark.read.parquet(os.path.join(out, "shards"))
+    n_windows = shards.count()
+    assert n_windows > 0
+    assert shards.filter("size(tokens) <> 16").count() == 0
+
+    # resume: nothing pending, nothing rewritten
+    stats2 = run_datapipe.main(argv)
+    assert stats2["written_shards"] == 0
+    assert stats2["skipped_shards"] == stats["written_shards"]
+    assert stats2["verified"]
