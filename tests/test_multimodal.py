@@ -137,3 +137,76 @@ def test_probe_image_headers_real_formats(spark):
     assert (rows["j"]["format"], rows["j"]["width"], rows["j"]["height"]) == ("jpeg", 44, 33)
     assert rows["x"]["format"] is None and rows["x"]["width"] is None
     assert rows["x"]["n_bytes"] == len(junk)
+
+
+def _bmp(w, h, fn):
+    """Build a real uncompressed 24-bit BMP with pixel (y,x) = fn(y,x)."""
+    import numpy as np
+
+    from trove_spark.extras.multimodal import encode_bmp
+
+    arr = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            arr[y, x] = fn(y, x)
+    return arr, encode_bmp(arr)
+
+
+def test_bmp_roundtrip_and_stride():
+    import numpy as np
+
+    from trove_spark.extras.multimodal import decode_bmp
+
+    # width 3 -> 9-byte rows padded to 12 (stride exercise)
+    arr, blob = _bmp(3, 2, lambda y, x: (y * 50 + x, x * 90, 255 - y))
+    back = decode_bmp(blob)
+    assert back.shape == (2, 3, 3) and np.array_equal(back, arr)
+    # top-down variant (negative height) decodes to the same pixels
+    neg = bytearray(blob)
+    neg[22:26] = (-2).to_bytes(4, "little", signed=True)
+    rows = blob[54:]
+    flipped = rows[12:24] + rows[0:12]  # reorder rows for top-down
+    assert np.array_equal(decode_bmp(bytes(neg[:54]) + flipped), arr)
+
+
+def test_bmp_rejects_non_bmp_and_unsupported():
+    import pytest as _pytest
+
+    from trove_spark.extras.multimodal import decode_bmp
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"\x89PNG" + b"\x00" * 60)
+    _, blob = _bmp(2, 2, lambda y, x: (1, 2, 3))
+    rle = bytearray(blob)
+    rle[30:34] = (1).to_bytes(4, "little")  # BI_RLE8
+    with _pytest.raises(NotImplementedError):
+        decode_bmp(bytes(rle))
+
+
+def test_resize_nearest_exact():
+    import numpy as np
+
+    from trove_spark.extras.multimodal import resize_nearest
+
+    arr, _ = _bmp(4, 4, lambda y, x: (y * 60, x * 60, 0))
+    half = resize_nearest(arr, 2, 2)
+    assert half.shape == (2, 2, 3)
+    assert np.array_equal(half, arr[::2, ::2])
+
+
+def test_extract_pixel_stats_real_decode(spark):
+    from trove_spark.extras.multimodal import extract_pixel_stats
+
+    arr, blob = _bmp(8, 4, lambda y, x: (100, 50, 200))
+    media = spark.createDataFrame(
+        [("ok1", bytearray(blob)), ("bad", bytearray(b"\xff\xd8\xffJPEGJUNK")), ("n", None)],
+        "doc_id string, media binary",
+    )
+    rows = {r.doc_id: r for r in extract_pixel_stats(media, resize_to=4).collect()}
+    assert set(rows) == {"ok1", "bad"}  # None blob skipped
+    ok = rows["ok1"]
+    assert (ok.width, ok.height, ok.decoded) == (4, 4, "ok")
+    assert (ok.mean_r_x1000, ok.mean_g_x1000, ok.mean_b_x1000) == (
+        100000, 50000, 200000,
+    )
+    assert rows["bad"].decoded == "unsupported" and rows["bad"].width is None
