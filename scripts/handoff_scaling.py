@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""One handoff-tail scaling measurement at a given core count — run as
+its OWN pinned process (same protocol as scripts/scaling_run.py: fresh
+JVM per level, sched_setaffinity so the JVM/Arrow/python workers cannot
+leak onto idle cores, single-core calibration probe making host
+throttle visible in the artifact).
+
+The measured job is the corpus-proportional part of the trainer
+handoff: BPE ENCODE (Arrow kernel over every doc) → deterministic
+sharded shuffle → two-phase prefix-sum PACK → count.  BPE training is
+done once per process, untimed — it is driver-bound over the capped
+histogram by design (BENCH.md "Trainer handoff").
+
+Usage: python scripts/handoff_scaling.py <cores> [factor]
+Prints one JSON line {"cores", "docs", "tokens", "sec_best", "sec_median",
+"trials", "calib_mops"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    cores = sys.argv[1] if len(sys.argv) > 1 else "16"
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        os.sched_setaffinity(0, set(range(int(cores))))
+    except (AttributeError, OSError):
+        pass
+
+    def calibrate() -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            s = 0
+            for i in range(2_000_000):
+                s += i * i
+            best = min(best, time.time() - t0)
+        return round(2.0 / best, 1)
+
+    calib = calibrate()
+
+    from pyspark.sql import functions as F
+
+    from trove_spark.extras import bpe
+    from trove_spark.extras.mixing import deterministic_shuffle
+    from trove_spark.extras.packing import pack_sequences
+    from trove_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"handoff_scaling_{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(int(cores), 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    big = (
+        docs.crossJoin(spark.range(factor).select(F.col("id").alias("rep")))
+        .select(
+            F.concat_ws("_", F.col("doc_id").cast("string"), "rep").alias("doc_id"),
+            "text",
+        )
+        .repartition(128)
+        .cache()
+    )
+    n = big.count()
+    model = bpe.train_bpe(bpe.word_histogram(big), n_merges=4000, min_count=2)
+    n_tokens = int(
+        bpe.encode(big, model).agg(F.sum(F.size("token_ids"))).collect()[0][0]
+    )
+
+    stage = os.environ.get("HANDOFF_STAGE", "full")  # full | encode
+
+    def job() -> None:
+        enc = bpe.encode(big, model)
+        if stage == "encode":
+            enc.agg(F.sum(F.size("token_ids"))).collect()
+            return
+        packed = pack_sequences(
+            deterministic_shuffle(enc, seed=5, n_shards=int(cores)),
+            seq_len=512,
+            tokens_col="token_ids",
+        )
+        packed.count()
+        packed._pack_cache.unpersist()
+
+    job()  # warm JVM/JIT/python workers (excluded)
+    trials = []
+    for _ in range(3):
+        t0 = time.time()
+        job()
+        trials.append(round(time.time() - t0, 2))
+    print(
+        json.dumps(
+            {
+                "cores": int(cores),
+                "docs": n,
+                "tokens": n_tokens,
+                "sec_best": min(trials),
+                "sec_median": statistics.median(trials),
+                "trials": trials,
+                "calib_mops": calib,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
