@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from trove_spark.session import get_spark
 from trove_spark.extras import bpe
-from trove_spark.extras.mixing import assign_splits, deterministic_shuffle
+from trove_spark.extras.mixing import assign_splits, with_shuffle_key
 from trove_spark.extras.packing import pack_sequences
 
 
@@ -62,10 +62,8 @@ def main() -> None:
     stages["encode"] = round(time.time() - t, 2)
 
     t = time.time()
-    mixed = deterministic_shuffle(
-        assign_splits(enc, seed=7).filter(F.col("split") == "train"),
-        seed=7,
-        n_shards=int(cpus),
+    mixed = with_shuffle_key(
+        assign_splits(enc, seed=7).filter(F.col("split") == "train"), seed=7
     ).persist()
     packed = pack_sequences(mixed, seq_len=seq_len, tokens_col="token_ids")
     n_windows = packed.count()

@@ -51,7 +51,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from trove_spark.extras import bpe
-    from trove_spark.extras.mixing import deterministic_shuffle
+    from trove_spark.extras.mixing import with_shuffle_key
     from trove_spark.extras.packing import pack_sequences
     from trove_spark.session import get_spark
 
@@ -85,7 +85,7 @@ def main() -> None:
             enc.agg(F.sum(F.size("token_ids"))).collect()
             return
         packed = pack_sequences(
-            deterministic_shuffle(enc, seed=5, n_shards=int(cores)),
+            with_shuffle_key(enc, seed=5),
             seq_len=512,
             tokens_col="token_ids",
         )

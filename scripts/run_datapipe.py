@@ -56,7 +56,7 @@ def main(argv: list[str] | None = None) -> dict:
 
     from trove_spark.extras import bpe
     from trove_spark.extras.curate import CurateConfig, curate
-    from trove_spark.extras.mixing import assign_splits, deterministic_shuffle
+    from trove_spark.extras.mixing import assign_splits, with_shuffle_key
     from trove_spark.extras.packing import pack_sequences
     from trove_spark.extras.shards import ShardWriter
 
@@ -102,7 +102,7 @@ def main(argv: list[str] | None = None) -> dict:
     stats["dropped_histogram_mass"] = model.dropped_mass
 
     enc = bpe.encode(train, model, text_col=args.text_col, id_col=args.id_col)
-    shuffled = deterministic_shuffle(enc, seed=args.seed)
+    shuffled = with_shuffle_key(enc, seed=args.seed)
     packed = pack_sequences(shuffled, seq_len=args.seq_len, tokens_col="token_ids")
 
     writer = ShardWriter(spark, args.output, args.windows_per_shard)

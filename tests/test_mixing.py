@@ -116,3 +116,35 @@ def test_plan_map_only(corpus):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_with_shuffle_key_map_only_and_equivalent(spark):
+    from pyspark.sql import functions as F
+
+    from trove_spark.extras.mixing import deterministic_shuffle, with_shuffle_key
+
+    df = spark.createDataFrame(
+        [(f"d{i}", f"text {i}") for i in range(50)], "doc_id string, text string"
+    )
+    a = with_shuffle_key(df, seed=9)
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan  # pure map
+    # identical keys to the physically-shuffled variant
+    ka = {r.doc_id: r.shuffle_key for r in a.collect()}
+    kb = {r.doc_id: r.shuffle_key for r in deterministic_shuffle(df, seed=9).collect()}
+    assert ka == kb
+
+
+def test_pack_over_map_only_key_equals_shuffled(spark):
+    from trove_spark.extras.mixing import deterministic_shuffle, with_shuffle_key
+    from trove_spark.extras.packing import pack_sequences
+
+    rows = [(f"d{i:02d}", [f"t{i}_{j}" for j in range(i % 9 + 1)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<string>")
+    a = pack_sequences(with_shuffle_key(df, seed=3), 16)
+    b = pack_sequences(deterministic_shuffle(df, seed=3, n_shards=4), 16)
+    ra = sorted((r.window_id, tuple(r.tokens)) for r in a.collect())
+    rb = sorted((r.window_id, tuple(r.tokens)) for r in b.collect())
+    a._pack_cache.unpersist()
+    b._pack_cache.unpersist()
+    assert ra == rb  # packing is a pure function of the key

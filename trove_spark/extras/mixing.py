@@ -114,6 +114,21 @@ def assign_splits(
     )
 
 
+def with_shuffle_key(docs: DataFrame, seed: int = 0, id_col: str = "doc_id") -> DataFrame:
+    """MAP-ONLY: add the deterministic ``shuffle_key`` column without any
+    physical shuffle — for consumers that define order LOGICALLY from the
+    key instead of needing rows physically ordered.  The main case is
+    :func:`trove_spark.extras.packing.pack_sequences`, which orders by
+    the key inside its own bucketed window: feeding it a physically
+    pre-shuffled frame wastes a full token-array shuffle (measured ~27%
+    of the 4-core tail wall in BENCH.md).  Replicas from
+    :func:`domain_weighted_mix` get distinct keys via ``copy``."""
+    cols = [F.lit(str(seed)), F.lit("shuf"), F.col(id_col).cast("string")]
+    if "copy" in docs.columns:
+        cols.append(F.col("copy").cast("string"))
+    return docs.withColumn("shuffle_key", _h60(F.concat_ws(":", *cols)))
+
+
 def deterministic_shuffle(
     docs: DataFrame,
     seed: int = 0,
@@ -130,12 +145,12 @@ def deterministic_shuffle(
     shards in any fixed order sees a deterministic epoch permutation
     without the global sort's boundary-sampling job (how Dolma/WebDataset
     shard shuffles work). Replicas from :func:`domain_weighted_mix` get
-    distinct keys via the ``copy`` column when present."""
-    cols = [F.lit(str(seed)), F.lit("shuf"), F.col(id_col).cast("string")]
-    if "copy" in docs.columns:
-        cols.append(F.col("copy").cast("string"))
-    key = _h60(F.concat_ws(":", *cols))
-    out = docs.withColumn("shuffle_key", key)
+    distinct keys via the ``copy`` column when present.
+
+    When the consumer is :func:`packing.pack_sequences`, use the map-only
+    :func:`with_shuffle_key` instead — packing orders by the key itself,
+    so the physical shuffle here would be wasted."""
+    out = with_shuffle_key(docs, seed, id_col)
     if n_shards is None:
         return out.orderBy("shuffle_key")
     out = out.withColumn(
