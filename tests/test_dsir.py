@@ -72,6 +72,15 @@ def frames(spark):
     return raw, tgt
 
 
+
+def collect_keys(raw, tgt, seed=SEED):
+    kdf = dsir_keys(raw, tgt, B, ALPHA, seed)
+    rows = kdf.collect()
+    for c in kdf._dsir_feat_caches:
+        c.unpersist()
+    return rows
+
+
 def test_featurizer_matches_reference(spark, frames):
     raw, _ = frames
     got = {}
@@ -83,7 +92,7 @@ def test_featurizer_matches_reference(spark, frames):
 def test_logweights_match_reference(spark, frames):
     raw, tgt = frames
     want = {d: round(w * 1e9) for d, w in ref_logweights(RAW, TARGET).items()}
-    got = {r.doc_id: r.logweight_q for r in dsir_keys(raw, tgt, B, ALPHA, SEED).collect()}
+    got = {r.doc_id: r.logweight_q for r in collect_keys(raw, tgt)}
     assert set(got) == set(want)
     for d in want:
         assert abs(got[d] - want[d]) <= 1, d  # float assoc / rounding ulp
@@ -91,16 +100,14 @@ def test_logweights_match_reference(spark, frames):
 
 def test_ranking_sanity(spark, frames):
     raw, tgt = frames
-    w = {r.doc_id: r.logweight_q for r in dsir_keys(raw, tgt, B, ALPHA, SEED).collect()}
+    w = {r.doc_id: r.logweight_q for r in collect_keys(raw, tgt)}
     top3 = sorted(w, key=lambda d: -w[d])[:3]
     assert set(top3) == {"m0", "m1", "m2"}  # target-like docs outrank junk
 
 
 def test_select_is_exact_gumbel_topk(spark, frames):
     raw, tgt = frames
-    keys = {
-        r.doc_id: r.key_q for r in dsir_keys(raw, tgt, B, ALPHA, SEED).collect()
-    }
+    keys = {r.doc_id: r.key_q for r in collect_keys(raw, tgt)}
     order = sorted(keys, key=lambda d: (-keys[d], d))
     for n in (1, 3, 5, 6, 10):
         sel = dsir_select(raw, tgt, n, B, ALPHA, SEED, n_bins=4)
@@ -111,17 +118,29 @@ def test_select_is_exact_gumbel_topk(spark, frames):
 
 def test_deterministic_and_seed_sensitive(spark, frames):
     raw, tgt = frames
-    a = {r.doc_id: r.key_q for r in dsir_keys(raw, tgt, B, ALPHA, SEED).collect()}
-    b = {r.doc_id: r.key_q for r in dsir_keys(raw, tgt, B, ALPHA, SEED).collect()}
+    a = {r.doc_id: r.key_q for r in collect_keys(raw, tgt)}
+    b = {r.doc_id: r.key_q for r in collect_keys(raw, tgt)}
     assert a == b
-    c = {r.doc_id: r.key_q for r in dsir_keys(raw, tgt, B, ALPHA, SEED + 1).collect()}
+    c = {r.doc_id: r.key_q for r in collect_keys(raw, tgt, SEED + 1)}
     assert a != c  # noise moves with the seed
-    w_a = {r.doc_id: r.logweight_q for r in dsir_keys(raw, tgt, B, ALPHA, SEED).collect()}
-    w_c = {r.doc_id: r.logweight_q for r in dsir_keys(raw, tgt, B, ALPHA, SEED + 1).collect()}
+    w_a = {r.doc_id: r.logweight_q for r in collect_keys(raw, tgt)}
+    w_c = {r.doc_id: r.logweight_q for r in collect_keys(raw, tgt, SEED + 1)}
     assert w_a == w_c  # ...but the importance weights do not
 
 
 def test_score_join_is_broadcast(spark, frames):
     raw, tgt = frames
-    plan = dsir_keys(raw, tgt, B)._jdf.queryExecution().executedPlan().toString()
+    kdf = dsir_keys(raw, tgt, B)
+    plan = kdf._jdf.queryExecution().executedPlan().toString()
+    for c in kdf._dsir_feat_caches:
+        c.unpersist()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_select_releases_caches(spark, frames):
+    raw, tgt = frames
+    base = len(spark.sparkContext._jsc.getPersistentRDDs())
+    sel = dsir_select(raw, tgt, 3, B, ALPHA, SEED, n_bins=4)
+    sel.collect()
+    sel._dsir_cache.unpersist()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == base

@@ -30,16 +30,17 @@ from .dedup import _h60
 __ref__ = "no reference counterpart (LLM-data-pipeline extension)"
 
 
-def _ngram_array(text_col: str, n: int):
-    """Word n-grams of ``text_col`` as an array (empty when < n words)."""
-    words = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
-    )
+def _ngram_array(ws, n: int):
+    """Word n-grams of the BOUND array column ``ws`` (empty when < n
+    words).  ``ws`` must be a materialized column attribute, never a raw
+    ``split(...)`` expression: a higher-order-function lambda that
+    references an unbound expression re-evaluates it PER ELEMENT (no CSE
+    inside HOF lambdas) — O(words²) per doc (the dsir.py finding)."""
     return F.when(
-        F.size(words) >= n,
+        F.size(ws) >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            F.sequence(F.lit(0), F.size(ws) - n),
+            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
@@ -50,9 +51,15 @@ def ngram_hash_table(
     """(doc_id, gram_h): per-doc DISTINCT word-n-gram 60-bit hashes.
     Distinct is taken inside the array (``array_distinct`` before the
     explode) so repeated boilerplate inside one doc costs one row."""
-    grams = F.array_distinct(_ngram_array(text_col, n))
-    return docs.select(
+    ws = docs.select(
         F.col(id_col).cast("string").alias("doc_id"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+        ).alias("ws"),
+    )
+    grams = F.array_distinct(_ngram_array(F.col("ws"), n))
+    return ws.select(
+        "doc_id",
         F.explode(F.transform(grams, _h60)).alias("gram_h"),
     )
 

@@ -47,14 +47,21 @@ def shingles(
     docs: DataFrame, k: int = 5, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Distinct word k-shingles per doc, computed with array higher-order
-    functions (JVM-side, no UDF)."""
-    words = F.split(F.col(text_col), " ")
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
-    )
-    return docs.select(
+    functions (JVM-side, no UDF).  The word array is projected to a bound
+    column BEFORE the shingle lambda references it — an HOF lambda over a
+    raw split() expression re-evaluates the split per element (no CSE
+    inside lambdas; O(words²) per doc, the dsir.py finding)."""
+    ws = docs.select(
         F.col(id_col).cast("string").alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("ws"),
+    )
+    w = F.col("ws")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
+    )
+    return ws.select(
+        "doc_id",
         F.explode(F.array_distinct(sh)).alias("shingle"),
     )
 

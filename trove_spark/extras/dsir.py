@@ -50,20 +50,27 @@ def hashed_ngram_counts(
 ) -> DataFrame:
     """(doc_id, bucket, cnt): hashed unigram+bigram bucket counts per doc
     (the DSIR featurizer). Lowercased whitespace words; bigrams joined
-    with a space; bucket = h60(ngram) mod n_buckets."""
-    words = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+    with a space; bucket = h60(ngram) mod n_buckets.
+
+    The word array is materialized as a COLUMN in its own projection
+    before the bigram lambda runs: a higher-order-function lambda that
+    references the raw ``split(lower(text))`` expression re-evaluates it
+    per element (no CSE inside HOF lambdas) — O(words²) per doc,
+    measured 95 s → 8 s at 100k docs for this one restructure."""
+    ws = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+        ).alias("ws"),
     )
+    w = F.col("ws")
     bigrams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - 2, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
+        F.sequence(F.lit(0), F.greatest(F.size(w) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, 2)),
     )
-    grams = F.when(F.size(words) >= 2, F.concat(words, bigrams)).otherwise(words)
+    grams = F.when(F.size(w) >= 2, F.concat(w, bigrams)).otherwise(w)
     return (
-        docs.select(
-            F.col(id_col).cast("string").alias("doc_id"),
-            F.explode(grams).alias("g"),
-        )
+        ws.select("doc_id", F.explode(grams).alias("g"))
         .select("doc_id", F.pmod(_h60(F.col("g")), F.lit(n_buckets)).alias("bucket"))
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -99,9 +106,16 @@ def dsir_keys(
     ordering; CLAUDE.md float-portability rule).
 
     logweight = Σ_b c_b (ln p_b − ln q_b) with p fit on ``target_docs``
-    and q on ``docs``;  key = logweight + Gumbel(h60(seed:doc_id))."""
-    raw = hashed_ngram_counts(docs, n_buckets, id_col, text_col)
-    tgt = hashed_ngram_counts(target_docs, n_buckets, id_col, text_col)
+    and q on ``docs``;  key = logweight + Gumbel(h60(seed:doc_id)).
+
+    The corpus feature table feeds BOTH the q-model fit and the scoring
+    join (and the target table both the p fit and its floor), so each is
+    persisted — Spark does not CSE across DataFrame references
+    (CLAUDE.md gotcha; measured 150 s → 55 s at 100k docs).  The handles
+    ride on the result as ``result._dsir_feat_caches`` for the caller to
+    unpersist (dsir_select releases them itself)."""
+    raw = hashed_ngram_counts(docs, n_buckets, id_col, text_col).persist()
+    tgt = hashed_ngram_counts(target_docs, n_buckets, id_col, text_col).persist()
     p = _bucket_logprobs(tgt, n_buckets, alpha)
     q = _bucket_logprobs(raw, n_buckets, alpha)
     # q covers every bucket that occurs in `raw` (it was fit on it); p
@@ -130,11 +144,13 @@ def dsir_keys(
     )
     # u in [0, 1): shift by half a ulp of the hash grid so ln(u) is finite
     gumbel = -F.log(-F.log(u + F.lit(0.5 / _H60_MAX)))
-    return scored.select(
+    out = scored.select(
         "doc_id",
         F.round(F.col("logweight") * 1e9).cast("long").alias("logweight_q"),
         F.round((F.col("logweight") + gumbel) * 1e9).cast("long").alias("key_q"),
     )
+    out._dsir_feat_caches = (raw, tgt)
+    return out
 
 
 def dsir_select(
@@ -158,10 +174,16 @@ def dsir_select(
     Ties break on (key_q desc, doc_id asc)."""
     keys = dsir_keys(
         docs, target_docs, n_buckets, alpha, seed, id_col, text_col
-    ).persist()
+    )
+    feat_caches = keys._dsir_feat_caches
+    keys = keys.persist()
     bounds = keys.agg(
         F.min("key_q").alias("lo"), F.max("key_q").alias("hi"), F.count("*").alias("n")
     ).collect()[0]
+    # keys is now materialized in the cache — the feature tables behind
+    # it can be released before the remaining two actions
+    for c in feat_caches:
+        c.unpersist()
     if bounds["n"] <= n_select:
         out = keys.select("doc_id")
         out._dsir_cache = keys  # caller unpersists after materializing

@@ -133,10 +133,18 @@ def repetition_cols(text_col: str) -> dict:
         F.split(F.col(text_col), "\n"), lambda x: F.length(F.trim(x)) > 0
     )
     words = F.split(F.col(text_col), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - 2, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
+    # bigrams via zip_with (lambda args are BOUND, unlike an index-
+    # transform whose lambda would re-evaluate the unbound split() per
+    # element — O(words²) per doc, the dsir.py finding); semantics are
+    # identical to the index form incl. the single-word degenerate case
+    zw = F.zip_with(
+        words,
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
+    grams = F.when(
+        F.size(words) >= 2, F.slice(zw, 1, F.size(words) - 1)
+    ).otherwise(words)
     # modal 2-gram count WITHOUT a quadratic distinct×filter scan: sort
     # the gram array and fold once, tracking the longest equal-run —
     # O(G log G) per doc, safe for long documents
