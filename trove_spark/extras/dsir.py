@@ -56,7 +56,7 @@ def hashed_ngram_counts(
     before the bigram lambda runs: a higher-order-function lambda that
     references the raw ``split(lower(text))`` expression re-evaluates it
     per element (no CSE inside HOF lambdas) — O(words²) per doc,
-    measured 95 s → 8 s at 100k docs for this one restructure."""
+    measured 95 s → 30 s at 100k docs for this one restructure."""
     ws = docs.select(
         F.col(id_col).cast("string").alias("doc_id"),
         F.filter(
@@ -111,7 +111,7 @@ def dsir_keys(
     The corpus feature table feeds BOTH the q-model fit and the scoring
     join (and the target table both the p fit and its floor), so each is
     persisted — Spark does not CSE across DataFrame references
-    (CLAUDE.md gotcha; measured 150 s → 55 s at 100k docs).  The handles
+    (CLAUDE.md gotcha; together with the lambda fix: 140 s → 34 s at 100k docs).  The handles
     ride on the result as ``result._dsir_feat_caches`` for the caller to
     unpersist (dsir_select releases them itself)."""
     raw = hashed_ngram_counts(docs, n_buckets, id_col, text_col).persist()
