@@ -1,0 +1,72 @@
+"""Model-based quality filter (extras/quality_model.py): separable seed
+sets classify perfectly, scores order sensibly on held-out docs, the
+filter keeps/drops by threshold, scoring plan is shuffle-free."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trove_spark.extras.quality_model import (
+    filter_by_quality,
+    score_quality,
+    train_quality_classifier,
+)
+
+GOOD_WORDS = "insight analysis research method evidence study detail".split()
+BAD_WORDS = "click buy cheap free winner prize casino".split()
+
+
+def _docs(spark, prefix, vocab, n):
+    rows = [
+        (f"{prefix}{i}", " ".join(vocab[(i + j) % len(vocab)] for j in range(12)))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    good = _docs(spark, "g", GOOD_WORDS, 30)
+    bad = _docs(spark, "b", BAD_WORDS, 30)
+    return train_quality_classifier(good, bad, max_iter=30)
+
+
+def test_separable_training_classifies_held_out(spark, model):
+    held_good = _docs(spark, "hg", GOOD_WORDS, 10)
+    held_bad = _docs(spark, "hb", BAD_WORDS, 10)
+    sg = {r.doc_id: r.quality_microprob for r in score_quality(held_good, model).collect()}
+    sb = {r.doc_id: r.quality_microprob for r in score_quality(held_bad, model).collect()}
+    assert all(v > 600_000 for v in sg.values()), sg
+    assert all(v < 400_000 for v in sb.values()), sb
+
+
+def test_mixed_doc_scores_between(spark, model):
+    mixed = spark.createDataFrame(
+        [("m0", " ".join(GOOD_WORDS[:4] + BAD_WORDS[:4]))], "doc_id string, text string"
+    )
+    v = score_quality(mixed, model).collect()[0].quality_microprob
+    lo = max(
+        r.quality_microprob
+        for r in score_quality(_docs(spark, "x", BAD_WORDS, 3), model).collect()
+    )
+    hi = min(
+        r.quality_microprob
+        for r in score_quality(_docs(spark, "y", GOOD_WORDS, 3), model).collect()
+    )
+    assert lo < v < hi
+
+
+def test_filter_by_quality(spark, model):
+    corpus = _docs(spark, "g", GOOD_WORDS, 5).unionByName(_docs(spark, "b", BAD_WORDS, 5))
+    kept = {r.doc_id for r in filter_by_quality(corpus, model).collect()}
+    assert kept == {f"g{i}" for i in range(5)}
+    # schema preserved
+    out = filter_by_quality(corpus, model)
+    assert out.columns == corpus.columns
+
+
+def test_scoring_is_map_only(spark, model):
+    docs = _docs(spark, "p", GOOD_WORDS, 4)
+    plan = score_quality(docs, model)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

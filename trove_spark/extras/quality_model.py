@@ -1,0 +1,111 @@
+"""Model-based quality filtering: a fastText-style linear classifier over
+hashed bag-of-words features — the DCLM / FineWeb-edu approach (train a
+cheap classifier on "good" vs "bad" seed sets, score the whole corpus,
+keep the top fraction), replacing hand-tuned heuristic thresholds for
+the final quality cut.
+
+Built entirely on ``pyspark.ml`` (no new dependencies): pre-tokenized
+words → ``HashingTF`` (2^18 hashed unigram counts — the same hashing
+trick fastText uses) → ``LogisticRegression``.  Training runs
+distributed L-BFGS over the seed sets (small by construction — seed
+sets are curated samples, not the corpus); SCORING is the part that
+must scale and it is a pure map: the fitted coefficient vector ships in
+the plan and each doc costs one sparse dot product.
+
+Determinism: L-BFGS on a fixed dataset converges to the same optimum
+(convex objective) — coefficients are reproducible to float tolerance,
+and the per-doc score ordering is stable; the keep decision uses a
+caller-supplied probability threshold (quantized scores, not hash
+compares — this operator is pytest-gated, not a DuckDB driver row,
+because logistic scores are log/exp float math; CLAUDE.md portability
+rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__ref__ = "no reference counterpart (LLM-data-pipeline extension)"
+
+N_FEATURES = 1 << 18
+
+
+def _tokenized(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+        ).alias("words"),
+    )
+
+
+def train_quality_classifier(
+    good_docs: DataFrame,
+    bad_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    reg_param: float = 0.01,
+    max_iter: int = 50,
+    n_features: int = N_FEATURES,
+):
+    """Fit the classifier on labeled seed sets (good=1, bad=0).
+    Returns the fitted ``pyspark.ml`` PipelineModel."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+
+    train = (
+        _tokenized(good_docs, id_col, text_col)
+        .withColumn("label", F.lit(1.0))
+        .unionByName(
+            _tokenized(bad_docs, id_col, text_col).withColumn("label", F.lit(0.0))
+        )
+        .filter(F.size("words") > 0)
+    )
+    pipe = Pipeline(
+        stages=[
+            HashingTF(inputCol="words", outputCol="features", numFeatures=n_features),
+            LogisticRegression(
+                maxIter=max_iter, regParam=reg_param, standardization=False
+            ),
+        ]
+    )
+    return pipe.fit(train)
+
+
+def score_quality(
+    docs: DataFrame,
+    model,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, quality_microprob): P(good) per doc as floor(p × 1e6)
+    BIGINT (stable comparisons/thresholds).  Pure map at any corpus
+    size — the coefficients ride inside the plan, no shuffle, no join."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(_tokenized(docs, id_col, text_col))
+    p_good = F.element_at(vector_to_array(F.col("probability")), 2)  # [P(0), P(1)]
+    return scored.select(
+        "doc_id",
+        F.floor(p_good * 1e6).cast("long").alias("quality_microprob"),
+    )
+
+
+def filter_by_quality(
+    docs: DataFrame,
+    model,
+    min_microprob: int = 500_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep docs with P(good) ≥ threshold (default 0.5).  Same schema as
+    the input; the score join is on the unique doc_id (no fan-out)."""
+    keep = score_quality(docs, model, id_col, text_col).filter(
+        F.col("quality_microprob") >= min_microprob
+    )
+    return docs.join(
+        keep.withColumnRenamed("doc_id", "__qm_id"),
+        F.col("__qm_id") == F.col(id_col).cast("string"),
+        "left_semi",
+    )
