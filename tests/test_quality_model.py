@@ -70,3 +70,23 @@ def test_scoring_is_map_only(spark, model):
     docs = _docs(spark, "p", GOOD_WORDS, 4)
     plan = score_quality(docs, model)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_quality_model_in_curate(spark, model):
+    from trove_spark.extras.curate import CurateConfig, curate
+
+    good_text = (
+        "the insight analysis research method evidence study detail and the "
+        "evidence method insight for the old record to keep and share today"
+    )
+    bad_text = (
+        "the click buy cheap free winner prize casino and the prize casino "
+        "winner cheap free click for the old record to keep and share today"
+    )
+    docs = spark.createDataFrame(
+        [("q_good", good_text), ("q_bad", bad_text)], "doc_id string, text string"
+    )
+    out = curate(docs, cfg=CurateConfig(require_english=True), quality_model=model)
+    kept = {r.doc_id for r in out.collect()}
+    out._curate_cache.unpersist()
+    assert kept == {"q_good"}

@@ -141,6 +141,8 @@ def curate(
     cfg: CurateConfig = CurateConfig(),
     id_col: str = "doc_id",
     text_col: str = "text",
+    quality_model=None,
+    quality_min_microprob: int = 500_000,
 ) -> DataFrame:
     """The full pass.  Returns the curated corpus (same schema as
     ``docs``, ``text`` PII-redacted) — one row per kept document.
@@ -151,7 +153,13 @@ def curate(
 
     With ``cfg.paragraph_dedup`` the RefinedWeb-style exact paragraph
     pass runs after near-dedup; the rewritten text replaces ``text_col``
-    with all other columns preserved (inner join back on the id)."""
+    with all other columns preserved (inner join back on the id).
+
+    ``quality_model`` (a fitted quality_model.train_quality_classifier
+    PipelineModel) adds the DCLM/FineWeb-style MODEL-BASED quality cut
+    as an extra map-side screen alongside the heuristic ones — applied
+    to the redacted text before the dedup stages, same ordering argument
+    (cheap map screens before anything that shuffles)."""
     # blocklist screens run on the RAW text — PII redaction rewrites
     # URLs to <URL>, so the domain screen must look first
     screened = docs
@@ -169,7 +177,14 @@ def curate(
     keep2 = quality_keep_ids(redacted, cfg, id_col, text_col)
     stage2 = redacted.join(
         keep2, redacted[id_col].cast("string") == keep2["doc_id"], "left_semi"
-    ).persist()
+    )
+    if quality_model is not None:
+        from .quality_model import filter_by_quality
+
+        stage2 = filter_by_quality(
+            stage2, quality_model, quality_min_microprob, id_col, text_col
+        )
+    stage2 = stage2.persist()
 
     keep3 = exact_keep_ids(stage2, id_col, text_col)
     stage3 = stage2.join(
