@@ -71,6 +71,7 @@ def main(argv: list[str] | None = None) -> dict:
     curate_cache = curated._curate_cache
     stats = {"input_docs": docs.count()}
 
+    dsir_cache = None
     if args.n_select and args.target:
         from trove_spark.extras.dsir import dsir_select
 
@@ -82,7 +83,7 @@ def main(argv: list[str] | None = None) -> dict:
             F.col("__sel_id") == F.col(args.id_col).cast("string"),
             "left_semi",
         )
-        sel._dsir_cache.unpersist()
+        dsir_cache = sel._dsir_cache  # released only after an action consumes it
 
     splits = dict(
         (name, float(frac))
@@ -90,7 +91,13 @@ def main(argv: list[str] | None = None) -> dict:
     )
     mixed = assign_splits(curated, splits, seed=args.seed, id_col=args.id_col)
     train = mixed.filter(F.col("split") == args.pack_split).persist()
+    # train.count() is the FIRST action over the selection join — the
+    # upstream caches must stay persisted until it (and train's own
+    # persist) have materialized, else the whole curate+DSIR lineage
+    # recomputes (r4 advice item)
     stats["curated_docs"] = train.count()
+    if dsir_cache is not None:
+        dsir_cache.unpersist()
     curate_cache.unpersist()
 
     model = bpe.train_bpe(

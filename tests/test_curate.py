@@ -14,6 +14,7 @@ from trove_spark.extras.curate import (
     curation_report,
     exact_keep_ids,
     quality_keep_ids,
+    screen_keep_expr,
 )
 
 GOOD = (
@@ -74,6 +75,20 @@ def test_quality_screen_ids(spark, corpus):
     assert {"a1", "a2", "a3", "b1", "f1"} <= ids
 
 
+def test_stage2_screens_single_scan_no_joins(spark, corpus):
+    # the r4 verdict finding: the screens used to be 3 corpus scans +
+    # 2 keep-id joins; they are now ONE fused map filter (the same plan
+    # shape stream_curate applies per micro-batch)
+    plan = (
+        corpus.filter(screen_keep_expr(CurateConfig()))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
 def test_exact_keep_min_id(spark, corpus):
     ids = {r.doc_id for r in exact_keep_ids(corpus).collect()}
     assert "a1" in ids and "a2" not in ids  # min-id canonical
@@ -108,6 +123,26 @@ def test_report_counts_monotone(spark, corpus, eval_set):
     assert counts[0] == 8
     assert all(a >= b for a, b in zip(counts, counts[1:]))  # filters only drop
     assert counts[-1] == 2
+
+
+def test_report_covers_optional_stages(spark, corpus, eval_set):
+    # r4 advice: the report must run the SAME staged plan as curate,
+    # optional stages included — counts correspond to the actual kept set
+    cfg = CurateConfig(blocked_words=("hound",), paragraph_dedup=True)
+    report = curation_report(corpus, eval_set, cfg=cfg)
+    stages = [s for s, _ in report]
+    assert stages == [
+        "input", "blocklist", "quality_filter", "exact_dedup",
+        "near_dedup", "paragraph_dedup", "decontaminated",
+    ]
+    counts = dict(report)
+    assert counts["input"] == 8
+    # 'hound' appears in GOOD → a1/a2/a3 blocked up front
+    assert counts["blocklist"] == 5
+    out = curate(corpus, eval_set, cfg=cfg)
+    n_kept = out.count()
+    out._curate_cache.unpersist()
+    assert counts["decontaminated"] == n_kept
 
 
 def test_no_benchmark_skips_decontam(spark, corpus):

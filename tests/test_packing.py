@@ -182,6 +182,45 @@ def test_greedy_pack_matches_ffd_reference(docs):
     assert again == sorted((r.window_id, tuple(r.doc_ids)) for r in rows)
 
 
+def test_first_fit_bins_matches_linear_scan():
+    # the segment-tree leftmost-fit must equal the naive earliest-opened
+    # first-fit scan for arbitrary size streams (incl. tree regrowth)
+    import random
+
+    from trove_spark.extras.packing import _first_fit_bins
+
+    rng = random.Random(7)
+    for seq_len in (1, 5, 48, 257):
+        sizes = [rng.randint(1, seq_len) for _ in range(300)]
+        got, nbins = _first_fit_bins(sizes, seq_len)
+        rem, want = [], []
+        for n in sizes:
+            for b, r in enumerate(rem):
+                if r >= n:
+                    rem[b] -= n
+                    want.append(b)
+                    break
+            else:
+                want.append(len(rem))
+                rem.append(seq_len - n)
+        assert list(got) == want
+        assert nbins == len(rem)
+
+
+def test_greedy_pack_shard_size_guard(spark):
+    import pytest as _pytest
+
+    from trove_spark.extras.packing import pack_documents_greedy
+
+    flat = spark.createDataFrame(
+        [(f"d{i}", i * 7919, ["t"]) for i in range(40)],
+        "doc_id string, shuffle_key long, tokens array<string>",
+    )
+    out = pack_documents_greedy(flat, 10, n_shards=2, max_shard_docs=5)
+    with _pytest.raises(Exception, match="max_shard_docs"):
+        out.collect()
+
+
 def test_greedy_pack_drops_oversize_and_plan(spark, docs):
     from trove_spark.extras.packing import pack_documents_greedy
 

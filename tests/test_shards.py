@@ -64,6 +64,26 @@ def test_verify_catches_drift(spark, packed, tmp_path):
     assert not w.verify()
 
 
+def test_write_executes_input_lineage_once(spark, packed, tmp_path):
+    # the r4 verdict finding: manifest stats + parquet write were two
+    # actions over the unpersisted pack lineage.  A mapInPandas tap in
+    # the lineage counts row-visits: one write call must visit each row
+    # exactly once (the old double-action form visited 2N).
+    calls = spark.sparkContext.accumulator(0)
+
+    def _tap(it):
+        for pdf in it:
+            calls.add(len(pdf))
+            yield pdf
+
+    tapped = packed.mapInPandas(_tap, schema="window_id long, tokens array<string>")
+    w = ShardWriter(spark, str(tmp_path), PER)
+    out = w.write(tapped)
+    assert out == {"written_shards": 5, "skipped_shards": 0}
+    assert calls.value == N
+    assert w.verify()
+
+
 def test_int_tokens_and_full_chain(spark, tmp_path):
     from trove_spark.extras.mixing import deterministic_shuffle
     from trove_spark.extras.packing import pack_sequences

@@ -4,7 +4,11 @@ pipeline runs between "raw crawl" and "tokenize" (C4 §2.1 / Gopher
 
     1. PII redaction               (pii.redact_pii — map-only codegen)
     2. language / quality / repetition filter
-                                   (textstats.* — map-only codegen)
+                                   (ONE fused map filter over the
+                                    textstats column builders — a single
+                                    corpus scan, no keep-id joins; the
+                                    same expressions streaming.stream_curate
+                                    applies per micro-batch)
     3. exact dedup                 (one sha256 shuffle, keep min-id doc)
     4. near dedup                  (minhash_lsh_pairs → near_dup_clusters
                                     → keep_canonical)
@@ -23,6 +27,10 @@ CSE across DataFrame references — CLAUDE.md gotcha); at 100 TB the same
 role is played by checkpointing the filtered corpus to parquet and
 reading it back.  The handle rides on the result as
 ``result._curate_cache`` so callers can unpersist after materializing.
+The minhash shingle cache, by contrast, is released INSIDE the pass:
+``near_dup_clusters`` eagerly checkpoints the pair edges, so the
+shingle lineage is fully consumed before :func:`curate` returns and
+would otherwise stay pinned for the rest of the job.
 
 No reference counterpart (LLM-data-pipeline extension).
 """
@@ -44,9 +52,9 @@ from .decontam import decontaminate
 from .pii import filter_blocked_domains, redact_pii
 from .textstats import (
     filter_blocked_words,
-    language_id,
-    quality_score,
-    repetition_stats,
+    quality_cols,
+    repetition_cols,
+    stopword_permille_col,
 )
 
 __ref__ = "no reference counterpart (LLM-data-pipeline extension)"
@@ -69,6 +77,10 @@ class CurateConfig:
     jaccard_threshold: float = 0.5
     decontam_ngram: int = 13
     decontam_min_hits: int = 1
+    # benchmark column names (the eval set need not share the corpus
+    # schema — threaded through to decontam.decontaminate)
+    bench_id_col: str = "doc_id"
+    bench_text_col: str = "text"
     # optional screens (empty = off): C4's word blocklist (exact-token)
     # and domain blocklist (registered domain or any subdomain)
     blocked_words: tuple[str, ...] = ()
@@ -83,42 +95,38 @@ class CurateConfig:
     substring_dedup_k: int = 0
 
 
+def screen_keep_expr(cfg: CurateConfig = CurateConfig(), text_col: str = "text"):
+    """The stage-2 screens as ONE boolean Column: quality_score's
+    composite keep flag ∧ Gopher repetition caps ∧ language gate — a
+    single fused map over the corpus (one scan, no joins), built from
+    the same textstats column builders streaming curation applies per
+    micro-batch."""
+    q = quality_cols(text_col)
+    r = repetition_cols(text_col)
+    keep = (
+        q["keep"]
+        & (r["dup_line_permille"] <= cfg.max_dup_line_permille)
+        & (r["top_bigram_permille"] <= cfg.max_top_bigram_permille)
+    )
+    if cfg.require_english:
+        keep = keep & (
+            stopword_permille_col(text_col) >= cfg.stopword_threshold_permille
+        )
+    return keep
+
+
 def quality_keep_ids(
     docs: DataFrame,
     cfg: CurateConfig = CurateConfig(),
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(doc_id) surviving the stage-2 screens: quality_score's composite
-    keep flag ∧ language gate ∧ Gopher repetition caps.  Three map-side
-    passes joined on the uniform doc_id key — no corpus-wide skew
-    possible, and at scale the three screens fuse into one scan when
-    expressed over the same input (Catalyst collapses the projections
-    after the join is rewritten; the join inputs are tiny permille
-    frames, not the text)."""
-    q = quality_score(docs, id_col, text_col).filter("keep").select("doc_id")
-    r = (
-        repetition_stats(docs, id_col, text_col)
-        .filter(
-            (F.col("dup_line_permille") <= cfg.max_dup_line_permille)
-            & (F.col("top_bigram_permille") <= cfg.max_top_bigram_permille)
-        )
-        .select("doc_id")
+    """(doc_id) surviving the stage-2 screens — the id-frame view of
+    :func:`screen_keep_expr` (one fused scan; the r4 three-scan-plus-
+    joins form is gone)."""
+    return docs.filter(screen_keep_expr(cfg, text_col)).select(
+        F.col(id_col).cast("string").alias("doc_id")
     )
-    keep = q.join(r, "doc_id")
-    if cfg.require_english:
-        lang = (
-            language_id(
-                docs,
-                threshold_permille=cfg.stopword_threshold_permille,
-                id_col=id_col,
-                text_col=text_col,
-            )
-            .filter(F.col("lang_pred") == "en")
-            .select("doc_id")
-        )
-        keep = keep.join(lang, "doc_id")
-    return keep
 
 
 def exact_keep_ids(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -133,6 +141,114 @@ def exact_keep_ids(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
+
+
+def _curate_stages(
+    docs: DataFrame,
+    benchmark: DataFrame | None,
+    cfg: CurateConfig,
+    id_col: str,
+    text_col: str,
+    quality_model=None,
+    quality_min_microprob: int = 500_000,
+) -> tuple[list[tuple[str, DataFrame]], DataFrame]:
+    """The full pass as an ordered [(stage_name, frame)] list plus the
+    persisted stage-2 handle — shared by :func:`curate` (which returns
+    the last frame) and :func:`curation_report` (which counts every
+    boundary), so the audit trail always matches the actual kept set,
+    optional stages included."""
+    stages: list[tuple[str, DataFrame]] = []
+
+    # blocklist screens run on the RAW text — PII redaction rewrites
+    # URLs to <URL>, so the domain screen must look first
+    screened = docs
+    if cfg.blocked_words:
+        screened = filter_blocked_words(
+            screened, list(cfg.blocked_words), id_col, text_col
+        )
+    if cfg.blocked_domains:
+        bl = docs.sparkSession.createDataFrame(
+            [(d,) for d in cfg.blocked_domains], "domain string"
+        )
+        screened = filter_blocked_domains(screened, bl, id_col, text_col)
+    if cfg.blocked_words or cfg.blocked_domains:
+        stages.append(("blocklist", screened))
+    redacted = redact_pii(screened, id_col, text_col)
+
+    # stage 2: all heuristic screens fused into one map filter — a
+    # single corpus scan, no keep-id joins (the streaming pass and this
+    # batch pass now share the exact same plan shape)
+    stage2 = redacted.filter(screen_keep_expr(cfg, text_col))
+    if quality_model is not None:
+        from .quality_model import filter_by_quality
+
+        stage2 = filter_by_quality(
+            stage2, quality_model, quality_min_microprob, id_col, text_col
+        )
+    stage2 = stage2.persist()
+    stages.append(("quality_filter", stage2))
+
+    keep3 = exact_keep_ids(stage2, id_col, text_col)
+    stage3 = stage2.join(
+        keep3, stage2[id_col].cast("string") == keep3["doc_id"], "left_semi"
+    )
+    stages.append(("exact_dedup", stage3))
+
+    pairs = minhash_lsh_pairs(
+        stage3,
+        n_hashes=cfg.minhash_n_hashes,
+        band_size=cfg.minhash_band_size,
+        k=cfg.shingle_k,
+        threshold=cfg.jaccard_threshold,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    clusters = near_dup_clusters(pairs, stage3, id_col=id_col)
+    # near_dup_clusters eagerly localCheckpoints the edge set, so the
+    # pairs lineage — and the persisted capped-shingle table riding on
+    # it — is fully consumed here.  Release it now instead of pinning
+    # corpus-sized storage memory for the rest of the job.
+    pairs._shingle_cache.unpersist()
+    stage4 = keep_canonical(stage3, clusters, id_col=id_col)
+    stages.append(("near_dedup", stage4))
+
+    if cfg.paragraph_dedup:
+        deduped = dedup_paragraphs(
+            stage4, cfg.paragraph_min_chars, id_col=id_col, text_col=text_col
+        )
+        stage4 = stage4.drop(text_col).join(
+            deduped.withColumnRenamed("doc_id", "__pd_id"),
+            F.col("__pd_id") == F.col(id_col).cast("string"),
+        ).drop("__pd_id")
+        stages.append(("paragraph_dedup", stage4))
+
+    if cfg.substring_dedup_k > 0:
+        cut = dedup_substrings(
+            stage4, k=cfg.substring_dedup_k, id_col=id_col, text_col=text_col
+        )
+        stage4 = stage4.drop(text_col).join(
+            cut.withColumnRenamed("doc_id", "__sd_id"),
+            F.col("__sd_id") == F.col(id_col).cast("string"),
+        ).drop("__sd_id")
+        stages.append(("substring_dedup", stage4))
+
+    if benchmark is not None:
+        stages.append(
+            (
+                "decontaminated",
+                decontaminate(
+                    stage4,
+                    benchmark,
+                    n=cfg.decontam_ngram,
+                    min_hits=cfg.decontam_min_hits,
+                    id_col=id_col,
+                    text_col=text_col,
+                    bench_id_col=cfg.bench_id_col,
+                    bench_text_col=cfg.bench_text_col,
+                ),
+            )
+        )
+    return stages, stage2
 
 
 def curate(
@@ -160,79 +276,10 @@ def curate(
     as an extra map-side screen alongside the heuristic ones — applied
     to the redacted text before the dedup stages, same ordering argument
     (cheap map screens before anything that shuffles)."""
-    # blocklist screens run on the RAW text — PII redaction rewrites
-    # URLs to <URL>, so the domain screen must look first
-    screened = docs
-    if cfg.blocked_words:
-        screened = filter_blocked_words(
-            screened, list(cfg.blocked_words), id_col, text_col
-        )
-    if cfg.blocked_domains:
-        bl = docs.sparkSession.createDataFrame(
-            [(d,) for d in cfg.blocked_domains], "domain string"
-        )
-        screened = filter_blocked_domains(screened, bl, id_col, text_col)
-    redacted = redact_pii(screened, id_col, text_col)
-
-    keep2 = quality_keep_ids(redacted, cfg, id_col, text_col)
-    stage2 = redacted.join(
-        keep2, redacted[id_col].cast("string") == keep2["doc_id"], "left_semi"
+    stages, stage2 = _curate_stages(
+        docs, benchmark, cfg, id_col, text_col, quality_model, quality_min_microprob
     )
-    if quality_model is not None:
-        from .quality_model import filter_by_quality
-
-        stage2 = filter_by_quality(
-            stage2, quality_model, quality_min_microprob, id_col, text_col
-        )
-    stage2 = stage2.persist()
-
-    keep3 = exact_keep_ids(stage2, id_col, text_col)
-    stage3 = stage2.join(
-        keep3, stage2[id_col].cast("string") == keep3["doc_id"], "left_semi"
-    )
-
-    pairs = minhash_lsh_pairs(
-        stage3,
-        n_hashes=cfg.minhash_n_hashes,
-        band_size=cfg.minhash_band_size,
-        k=cfg.shingle_k,
-        threshold=cfg.jaccard_threshold,
-        id_col=id_col,
-        text_col=text_col,
-    )
-    clusters = near_dup_clusters(pairs, stage3, id_col=id_col)
-    stage4 = keep_canonical(stage3, clusters, id_col=id_col)
-
-    if cfg.paragraph_dedup:
-        deduped = dedup_paragraphs(
-            stage4, cfg.paragraph_min_chars, id_col=id_col, text_col=text_col
-        )
-        stage4 = stage4.drop(text_col).join(
-            deduped.withColumnRenamed("doc_id", "__pd_id"),
-            F.col("__pd_id") == F.col(id_col).cast("string"),
-        ).drop("__pd_id")
-
-    if cfg.substring_dedup_k > 0:
-        cut = dedup_substrings(
-            stage4, k=cfg.substring_dedup_k, id_col=id_col, text_col=text_col
-        )
-        stage4 = stage4.drop(text_col).join(
-            cut.withColumnRenamed("doc_id", "__sd_id"),
-            F.col("__sd_id") == F.col(id_col).cast("string"),
-        ).drop("__sd_id")
-
-    out = (
-        stage4
-        if benchmark is None
-        else decontaminate(
-            stage4,
-            benchmark,
-            n=cfg.decontam_ngram,
-            min_hits=cfg.decontam_min_hits,
-            id_col=id_col,
-            text_col=text_col,
-        )
-    )
+    out = stages[-1][1]
     out._curate_cache = stage2  # caller unpersists after materializing
     return out
 
@@ -243,42 +290,19 @@ def curation_report(
     cfg: CurateConfig = CurateConfig(),
     id_col: str = "doc_id",
     text_col: str = "text",
+    quality_model=None,
+    quality_min_microprob: int = 500_000,
 ) -> list[tuple[str, int]]:
     """Per-stage survivor counts [(stage, n_docs), ...] — the audit trail
-    a curation run reports.  Runs the same plan as :func:`curate` with
-    one count action per stage boundary (each count reuses the persisted
-    stage-2 cache, so the corpus text is scanned once)."""
-    redacted = redact_pii(docs, id_col, text_col)
-    keep2 = quality_keep_ids(redacted, cfg, id_col, text_col)
-    stage2 = redacted.join(
-        keep2, redacted[id_col].cast("string") == keep2["doc_id"], "left_semi"
-    ).persist()
-    keep3 = exact_keep_ids(stage2, id_col, text_col)
-    stage3 = stage2.join(
-        keep3, stage2[id_col].cast("string") == keep3["doc_id"], "left_semi"
+    a curation run reports.  Built from the SAME staged plan as
+    :func:`curate` (every optional stage included — blocklist screens,
+    model quality cut, paragraph/substring dedup, decontamination), with
+    one count action per stage boundary; each count past stage 2 reuses
+    the persisted stage-2 cache, so the corpus text is scanned once."""
+    stages, stage2 = _curate_stages(
+        docs, benchmark, cfg, id_col, text_col, quality_model, quality_min_microprob
     )
-    pairs = minhash_lsh_pairs(
-        stage3,
-        n_hashes=cfg.minhash_n_hashes,
-        band_size=cfg.minhash_band_size,
-        k=cfg.shingle_k,
-        threshold=cfg.jaccard_threshold,
-        id_col=id_col,
-        text_col=text_col,
-    )
-    clusters = near_dup_clusters(pairs, stage3, id_col=id_col)
-    stage4 = keep_canonical(stage3, clusters, id_col=id_col)
-    report = [
-        ("input", docs.count()),
-        ("quality_filter", stage2.count()),
-        ("exact_dedup", stage3.count()),
-        ("near_dedup", stage4.count()),
-    ]
-    if benchmark is not None:
-        stage5 = decontaminate(
-            stage4, benchmark, n=cfg.decontam_ngram,
-            min_hits=cfg.decontam_min_hits, id_col=id_col, text_col=text_col,
-        )
-        report.append(("decontaminated", stage5.count()))
+    report = [("input", docs.count())]
+    report += [(name, frame.count()) for name, frame in stages]
     stage2.unpersist()
     return report

@@ -115,15 +115,20 @@ def decontaminate(
     min_hits: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
 ) -> DataFrame:
     """The filter form: corpus rows whose doc is NOT contaminated —
     a broadcast anti-join against the hit set (no corpus shuffle at
-    all: explode → broadcast probe → anti-join are all map-side)."""
+    all: explode → broadcast probe → anti-join are all map-side).
+    The benchmark's columns are named independently of the corpus's
+    (``bench_id_col`` / ``bench_text_col``, mirroring
+    :func:`contamination`)."""
     hit_ids = (
         ngram_hash_table(corpus, n, id_col, text_col)
         .join(
             F.broadcast(
-                ngram_hash_table(benchmark, n, id_col, text_col)
+                ngram_hash_table(benchmark, n, bench_id_col, bench_text_col)
                 .select("gram_h")
                 .distinct()
             ),

@@ -151,6 +151,48 @@ def pack_sequences(
     return out
 
 
+def _first_fit_bins(sizes: list, seq_len: int):
+    """Exact first-fit bin assignment: for each size (in the given
+    order), the EARLIEST-OPENED bin with enough remaining capacity —
+    found in O(log bins) per doc via a power-of-two max segment tree
+    over bin remainders (leaf order = bin open order, so "leftmost leaf
+    with remainder ≥ n" IS first-fit).  Returns (bin index per size,
+    n_bins).  Replaces the r4 O(docs × bins) linear rescans."""
+    import numpy as np
+
+    cap = 1
+    tree = np.zeros(2, dtype=np.int64)  # 1-indexed heap; leaves at [cap, 2*cap)
+    nbins = 0
+    out = np.empty(len(sizes), dtype=np.int64)
+    for j, n in enumerate(sizes):
+        if tree[1] >= n:
+            i = 1
+            while i < cap:  # descend to the leftmost fitting leaf
+                i *= 2
+                if tree[i] < n:
+                    i += 1
+            b = i - cap
+        else:
+            b = nbins
+            nbins += 1
+            if nbins > cap:  # grow: double the leaf space, rebuild internals
+                new_cap = cap * 2
+                new_tree = np.zeros(2 * new_cap, dtype=np.int64)
+                new_tree[new_cap : new_cap + cap] = tree[cap : 2 * cap]
+                for i in range(new_cap - 1, 0, -1):
+                    new_tree[i] = max(new_tree[2 * i], new_tree[2 * i + 1])
+                tree, cap = new_tree, new_cap
+            tree[cap + b] = seq_len
+        i = cap + b
+        tree[i] -= n
+        i //= 2
+        while i:
+            tree[i] = max(tree[2 * i], tree[2 * i + 1])
+            i //= 2
+        out[j] = b
+    return out, nbins
+
+
 def pack_documents_greedy(
     docs: DataFrame,
     seq_len: int,
@@ -158,6 +200,7 @@ def pack_documents_greedy(
     tokens_col: str = "tokens",
     id_col: str = "doc_id",
     n_shards: int = 64,
+    max_shard_docs: int = 4_000_000,
 ) -> DataFrame:
     """Whole-document packing (the other standard mode: no document ever
     crosses a window boundary — for trainers without attention-mask
@@ -170,6 +213,13 @@ def pack_documents_greedy(
     bin).  Utilization loss vs global FFD is O(1) windows per shard —
     negligible when shards hold thousands of docs; `n_shards` trades
     that against per-task memory.  One hash shuffle total.
+
+    Each shard's Arrow kernel materializes the whole shard (all token
+    arrays) in one pandas frame — ``max_shard_docs`` guards that with a
+    clear error telling the caller to raise ``n_shards`` instead of
+    letting an executor OOM opaquely.  The first-fit scan itself is
+    O(docs · log bins) (segment-tree leftmost-fit, see
+    :func:`_first_fit_bins`), so shard CPU is never the bottleneck.
 
     Docs longer than ``seq_len`` are dropped (callers chunk them first
     via :func:`pack_sequences` semantics or truncate upstream); docs are
@@ -195,24 +245,25 @@ def pack_documents_greedy(
         import pandas as pd
 
         (shard,) = key
+        if len(pdf) > max_shard_docs:
+            raise ValueError(
+                f"pack_documents_greedy: shard {int(shard)} holds {len(pdf)} docs "
+                f"> max_shard_docs={max_shard_docs}; the per-shard FFD kernel "
+                f"materializes the whole shard in memory — increase n_shards "
+                f"(currently {n_shards}) or raise max_shard_docs deliberately"
+            )
         order = sorted(
             range(len(pdf)),
             key=lambda i: (-int(pdf["n_tok"].iloc[i]), pdf["doc_id"].iloc[i]),
         )
-        bins = []  # (remaining, [row_idx, ...])
-        for i in order:
-            n = int(pdf["n_tok"].iloc[i])
-            placed = False
-            for b in bins:
-                if b[0] >= n:
-                    b[0] -= n
-                    b[1].append(i)
-                    placed = True
-                    break
-            if not placed:
-                bins.append([seq_len - n, [i]])
+        assignment, nbins = _first_fit_bins(
+            [int(pdf["n_tok"].iloc[i]) for i in order], seq_len
+        )
+        bin_rows = [[] for _ in range(nbins)]
+        for j, i in enumerate(order):
+            bin_rows[assignment[j]].append(i)
         wids, dids, toks, ns = [], [], [], []
-        for local, (_, rows) in enumerate(bins):
+        for local, rows in enumerate(bin_rows):
             wids.append(int(shard) * (1 << 40) + local)
             dids.append([pdf["doc_id"].iloc[i] for i in rows])
             toks.append([t for i in rows for t in pdf["toks"].iloc[i]])

@@ -77,8 +77,12 @@ class ShardWriter:
 
     def write(self, packed: DataFrame, tokens_col: str = "tokens") -> dict:
         """Write ``packed`` (window_id + token column) as shards; skip
-        already-committed shards.  One partitionBy job for all pending
-        shards, one agg for all manifests.  Returns summary stats."""
+        already-committed shards.  The input lineage executes exactly
+        ONCE (the partitionBy write job); the per-shard manifests are
+        then derived from the files just written — a cheap disk-side agg
+        over only the new ``shard=`` dirs (partition-pruned) that
+        fingerprints the bytes actually on disk rather than a
+        recomputation, doubling as write-time verification."""
         sharded = packed.withColumn(
             "shard",
             (F.col("window_id") / F.lit(self.windows_per_shard)).cast("long"),
@@ -87,23 +91,32 @@ class ShardWriter:
         pending = sharded
         if done:
             pending = sharded.filter(~F.col("shard").isin(sorted(done)))
-        stats = {
-            int(r["shard"]): r
-            for r in pending.groupBy("shard")
-            .agg(
-                F.count("*").cast("long").alias("n_windows"),
-                _fingerprint_col(tokens_col).alias("fingerprint"),
-            )
-            .collect()
-        }
-        if not stats:
-            return {"written_shards": 0, "skipped_shards": len(done)}
         (
             pending.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("shard")
             .parquet(self.data_dir)
         )
+        new_shards = sorted(
+            int(name.split("=", 1)[1])
+            for name in (
+                os.listdir(self.data_dir) if os.path.isdir(self.data_dir) else ()
+            )
+            if name.startswith("shard=") and int(name.split("=", 1)[1]) not in done
+        )
+        if not new_shards:
+            return {"written_shards": 0, "skipped_shards": len(done)}
+        stats = {
+            int(r["shard"]): r
+            for r in self.read()
+            .filter(F.col("shard").isin(new_shards))
+            .groupBy("shard")
+            .agg(
+                F.count("*").cast("long").alias("n_windows"),
+                _fingerprint_col(tokens_col).alias("fingerprint"),
+            )
+            .collect()
+        }
         for s in sorted(stats):
             r = stats[s]
             self._commit(
