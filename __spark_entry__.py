@@ -404,13 +404,38 @@ def q_tag_relations(spark, sf_dir):
     return relation_pairs(_pipe(spark, sf_dir).typed_mentions(), 1, 2, max_token_dist=5)
 
 
+def _clinical_battery_half(spark, docs, mentions, battery, prop_col, **kw):
+    """Fixture half of the A2-A5 driver rows: single-sentence clinical
+    docs + frozen mention spans run through the SAME trigger_battery_tagger
+    engine with the REAL published cue battery (r5 — the testdata
+    vocabulary contains no clinical cues, so this half is what
+    oracle-checks the published lists end-to-end)."""
+    from trove_spark.taggers import trigger_battery_tagger
+    from trove_spark.tokenize import tokenize_documents
+
+    d = spark.createDataFrame(docs, schema="doc_id string, text string")
+    sents = tokenize_documents(d, text_col="text", id_col="doc_id", mode="whitespace")
+    m = spark.createDataFrame(
+        mentions,
+        schema="doc_id string, sent_idx int, tok_start int, tok_end int, term string",
+    )
+    return trigger_battery_tagger(m, sents, battery, prop_col=prop_col, **kw)
+
+
 def q_tag_polarity(spark, sf_dir):
     """A2 PolarityTagger shape: generic trigger-battery engine (one LF
     vote per directional-window hit, majority vote with tie→affirmative)
-    configured with the testdata-vocabulary battery; the clinical
-    batteries (A2-A5 reference lexicons) share this exact engine."""
+    — testdata-vocabulary battery at corpus scale UNIONed with the REAL
+    published polarity cues (taggers.CLINICAL_POLARITY_BATTERY, from
+    reference polarity.py:462-532) over the clinical fixture: denies /
+    negative-for / were-negative(right) / ruled-out(right) / unlikely /
+    r/o / presents-with(affirm) plus an mv TIE row."""
     from trove_spark import synth
-    from trove_spark.taggers import trigger_battery_tagger
+    from trove_spark.clinical_fixture import (
+        POLARITY_CLINICAL_DOCS,
+        POLARITY_CLINICAL_MENTIONS,
+    )
+    from trove_spark.taggers import CLINICAL_POLARITY_BATTERY, trigger_battery_tagger
 
     p = _pipe(spark, sf_dir)
     out = trigger_battery_tagger(
@@ -421,8 +446,13 @@ def q_tag_polarity(spark, sf_dir):
         tie_label=synth.POLARITY_TIE_LABEL,
         prop_col="polarity",
     )
+    clin = _clinical_battery_half(
+        spark, POLARITY_CLINICAL_DOCS, POLARITY_CLINICAL_MENTIONS,
+        CLINICAL_POLARITY_BATTERY, "polarity", reduction="mv", tie_label=2,
+    )
+    cols = ["doc_id", "tok_start", "tok_end", "term", "polarity"]
     return _long(
-        out.select("doc_id", "tok_start", "tok_end", "term", "polarity"),
+        out.select(*cols).unionByName(clin.select(*cols)),
         "tok_start",
         "tok_end",
         "polarity",
@@ -468,9 +498,17 @@ def q_tag_negex(spark, sf_dir):
 def q_tag_historical(spark, sf_dir):
     """A3 HistoricalTagger shape: the same trigger-battery engine under
     'or' reduction (any past-placing cue → historical) — covers the
-    reduction path tag_polarity's mv does not."""
+    reduction path tag_polarity's mv does not.  UNIONed with the REAL
+    published historical cues (taggers.CLINICAL_HISTORICAL_BATTERY, from
+    reference historical.py:95-111) over the clinical fixture: history
+    of / s/p / prior / hx / recent / in-the-past plus a reject-only
+    (presents-with + new-onset → prop unset) row."""
     from trove_spark import synth
-    from trove_spark.taggers import trigger_battery_tagger
+    from trove_spark.clinical_fixture import (
+        HISTORICAL_CLINICAL_DOCS,
+        HISTORICAL_CLINICAL_MENTIONS,
+    )
+    from trove_spark.taggers import CLINICAL_HISTORICAL_BATTERY, trigger_battery_tagger
 
     p = _pipe(spark, sf_dir)
     out = trigger_battery_tagger(
@@ -481,8 +519,13 @@ def q_tag_historical(spark, sf_dir):
         or_label=1,
         prop_col="historical",
     )
+    clin = _clinical_battery_half(
+        spark, HISTORICAL_CLINICAL_DOCS, HISTORICAL_CLINICAL_MENTIONS,
+        CLINICAL_HISTORICAL_BATTERY, "historical", reduction="or", or_label=1,
+    )
+    cols = ["doc_id", "tok_start", "tok_end", "term", "historical"]
     return _long(
-        out.select("doc_id", "tok_start", "tok_end", "term", "historical"),
+        out.select(*cols).unionByName(clin.select(*cols)),
         "tok_start",
         "tok_end",
         "historical",
@@ -492,9 +535,21 @@ def q_tag_historical(spark, sf_dir):
 def q_tag_hypothetical(spark, sf_dir):
     """A4 HypotheticalTagger shape: speculative cues vote 1, reject cues
     vote 2, 'or' reduction — reject-only votes leave the prop unset
-    (reference hypothetical.py:12-81 `if 1 in L` semantics)."""
+    (reference hypothetical.py:12-81 `if 1 in L` semantics).  UNIONed
+    with the REAL published hypothetical cues
+    (taggers.CLINICAL_HYPOTHETICAL_BATTERY, from reference
+    hypothetical.py:29-46) over the clinical fixture: if / candidate for
+    / scheduled for / recommend / chance of, a days-post reject-only
+    row, and a status-post+consider mixed row."""
     from trove_spark import synth
-    from trove_spark.taggers import trigger_battery_tagger
+    from trove_spark.clinical_fixture import (
+        HYPOTHETICAL_CLINICAL_DOCS,
+        HYPOTHETICAL_CLINICAL_MENTIONS,
+    )
+    from trove_spark.taggers import (
+        CLINICAL_HYPOTHETICAL_BATTERY,
+        trigger_battery_tagger,
+    )
 
     p = _pipe(spark, sf_dir)
     out = trigger_battery_tagger(
@@ -505,8 +560,13 @@ def q_tag_hypothetical(spark, sf_dir):
         or_label=1,
         prop_col="hypothetical",
     )
+    clin = _clinical_battery_half(
+        spark, HYPOTHETICAL_CLINICAL_DOCS, HYPOTHETICAL_CLINICAL_MENTIONS,
+        CLINICAL_HYPOTHETICAL_BATTERY, "hypothetical", reduction="or", or_label=1,
+    )
+    cols = ["doc_id", "tok_start", "tok_end", "term", "hypothetical"]
     return _long(
-        out.select("doc_id", "tok_start", "tok_end", "term", "hypothetical"),
+        out.select(*cols).unionByName(clin.select(*cols)),
         "tok_start",
         "tok_end",
         "hypothetical",
@@ -517,7 +577,11 @@ def q_tag_family(spark, sf_dir):
     """A5 FamilyTagger shape: subject cues anywhere in the sentence
     ('sentence' scope), 'or' reduction on family(2)."""
     from trove_spark import synth
-    from trove_spark.taggers import trigger_battery_tagger
+    from trove_spark.clinical_fixture import (
+        FAMILY_CLINICAL_DOCS,
+        FAMILY_CLINICAL_MENTIONS,
+    )
+    from trove_spark.taggers import CLINICAL_FAMILY_BATTERY, trigger_battery_tagger
 
     p = _pipe(spark, sf_dir)
     out = trigger_battery_tagger(
@@ -528,8 +592,15 @@ def q_tag_family(spark, sf_dir):
         or_label=2,
         prop_col="subject",
     )
+    # + the REAL published family cues (reference family.py:20-77) over
+    # the clinical fixture: relative names, family-history bigram, donor
+    clin = _clinical_battery_half(
+        spark, FAMILY_CLINICAL_DOCS, FAMILY_CLINICAL_MENTIONS,
+        CLINICAL_FAMILY_BATTERY, "subject", reduction="or", or_label=2,
+    )
+    cols = ["doc_id", "tok_start", "tok_end", "term", "subject"]
     return _long(
-        out.select("doc_id", "tok_start", "tok_end", "term", "subject"),
+        out.select(*cols).unionByName(clin.select(*cols)),
         "tok_start",
         "tok_end",
         "subject",

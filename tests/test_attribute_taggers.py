@@ -350,3 +350,115 @@ def test_battery_tagger_plan_has_no_token_self_join(mentions, sents):
     assert plan.count("Join") <= 2
     out.count()  # let AQE finalize before reading the physical plan
     assert "SortMergeJoin" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+# -- r5: published clinical cue batteries over their frozen fixtures ---------
+# The driver rows cross-check engine vs oracle; these tests pin the
+# HAND-DERIVED expected outcomes, so both sides can't drift together.
+
+
+def _fixture_props(spark, docs, mentions, battery, prop, **kw):
+    from trove_spark.taggers import trigger_battery_tagger
+    from trove_spark.tokenize import tokenize_documents
+
+    d = spark.createDataFrame(docs, schema="doc_id string, text string")
+    sents = tokenize_documents(d, text_col="text", id_col="doc_id", mode="whitespace")
+    m = spark.createDataFrame(
+        mentions,
+        schema="doc_id string, sent_idx int, tok_start int, tok_end int, term string",
+    )
+    out = trigger_battery_tagger(m, sents, battery, prop_col=prop, **kw)
+    return {
+        (r["doc_id"], r["tok_start"], r["tok_end"]): r[prop] for r in out.collect()
+    }
+
+
+def test_clinical_polarity_battery_expected(spark):
+    from trove_spark.clinical_fixture import (
+        POLARITY_CLINICAL_DOCS,
+        POLARITY_CLINICAL_MENTIONS,
+    )
+    from trove_spark.taggers import CLINICAL_POLARITY_BATTERY
+
+    got = _fixture_props(
+        spark, POLARITY_CLINICAL_DOCS, POLARITY_CLINICAL_MENTIONS,
+        CLINICAL_POLARITY_BATTERY, "polarity", reduction="mv", tie_label=2,
+    )
+    assert got == {
+        ("px0", 2, 3): 1,   # denies (definite left)
+        ("px1", 0, 1): 1,   # were negative (definite right)
+        ("px1", 5, 5): 1,   # negative for (definite left)
+        ("px2", 0, 0): 1,   # ruled out (definite right)
+        ("px3", 1, 1): 1,   # unlikely (probable left)
+        ("px4", 3, 3): 2,   # presents with (affirmative)
+        ("px5", 4, 4): 2,   # MV TIE 'no' vs 'presents with' → affirmative
+        ("px6", 1, 1): None,  # no cue
+        ("px7", 1, 1): 1,   # r/o (probable left)
+    }
+
+
+def test_clinical_historical_battery_expected(spark):
+    from trove_spark.clinical_fixture import (
+        HISTORICAL_CLINICAL_DOCS,
+        HISTORICAL_CLINICAL_MENTIONS,
+    )
+    from trove_spark.taggers import CLINICAL_HISTORICAL_BATTERY
+
+    got = _fixture_props(
+        spark, HISTORICAL_CLINICAL_DOCS, HISTORICAL_CLINICAL_MENTIONS,
+        CLINICAL_HISTORICAL_BATTERY, "historical", reduction="or", or_label=1,
+    )
+    assert got == {
+        ("hx0", 2, 2): 1,     # history of
+        ("hx1", 1, 1): 1,     # s/p
+        ("hx2", 1, 1): 1,     # prior
+        ("hx3", 5, 6): None,  # reject-only: presents-with + new-onset → unset
+        ("hx4", 2, 2): 1,     # hx
+        ("hx4", 5, 5): 1,     # recent
+        ("hx5", 4, 4): 1,     # in the past
+        ("hx6", 2, 2): None,  # no cue
+    }
+
+
+def test_clinical_hypothetical_battery_expected(spark):
+    from trove_spark.clinical_fixture import (
+        HYPOTHETICAL_CLINICAL_DOCS,
+        HYPOTHETICAL_CLINICAL_MENTIONS,
+    )
+    from trove_spark.taggers import CLINICAL_HYPOTHETICAL_BATTERY
+
+    got = _fixture_props(
+        spark, HYPOTHETICAL_CLINICAL_DOCS, HYPOTHETICAL_CLINICAL_MENTIONS,
+        CLINICAL_HYPOTHETICAL_BATTERY, "hypothetical", reduction="or", or_label=1,
+    )
+    assert got == {
+        ("hy0", 1, 1): 1,     # if
+        ("hy1", 2, 3): 1,     # candidate for
+        ("hy2", 2, 2): 1,     # scheduled for
+        ("hy3", 2, 3): 1,     # recommend
+        ("hy4", 3, 3): None,  # reject-only: days post → unset
+        ("hy5", 2, 2): 1,     # chance of
+        ("hy6", 0, 0): None,  # no cue
+        ("hy7", 4, 4): 1,     # status-post reject + consider accept → 1
+    }
+
+
+def test_clinical_family_battery_expected(spark):
+    from trove_spark.clinical_fixture import (
+        FAMILY_CLINICAL_DOCS,
+        FAMILY_CLINICAL_MENTIONS,
+    )
+    from trove_spark.taggers import CLINICAL_FAMILY_BATTERY
+
+    got = _fixture_props(
+        spark, FAMILY_CLINICAL_DOCS, FAMILY_CLINICAL_MENTIONS,
+        CLINICAL_FAMILY_BATTERY, "subject", reduction="or", or_label=2,
+    )
+    assert got == {
+        ("fm0", 2, 3): 2,     # mother
+        ("fm1", 3, 4): 2,     # family history bigram
+        ("fm2", 3, 3): None,  # no cue → patient by default
+        ("fm3", 3, 3): 2,     # sister
+        ("fm4", 0, 0): 2,     # donor (sentence scope)
+        ("fm5", 5, 5): 2,     # father + brother
+    }

@@ -109,6 +109,110 @@ NEGEX_CLINICAL_MENTIONS: list[tuple[str, int, int, int, str]] = [
     ("nx7", 0, 3, 3, "effusion"),
 ]
 
+# A2-A5 clinical trigger-battery fixtures (r5): single-sentence docs +
+# frozen mention spans exercising the REAL published cue lists
+# (taggers.CLINICAL_*_BATTERY, transcribed from reference
+# polarity.py:462-532 / historical.py:95-111 / hypothetical.py:29-46 /
+# family.py:20-77) end-to-end through the SAME trigger_battery_tagger
+# engine the testdata batteries drive — union halves of the
+# tag_polarity / tag_historical / tag_hypothetical / tag_family driver
+# rows, oracle-replayed by oracle.battery_fixture_oracle_sql.
+
+# A2 polarity (mv, tie→affirmative 2).  Expected: px0/px1a/px1b/px2/px3/
+# px7 → 1 (denies, were-negative right, negative-for, ruled-out right,
+# unlikely, r/o), px4 → 2 (presents with), px5 → 2 (MV TIE: 'no' vs
+# 'presents with'), px6 → NULL (no cue).
+POLARITY_CLINICAL_DOCS: list[tuple[str, str]] = [
+    ("px0", "patient denies chest pain today"),
+    ("px1", "blood cultures were negative for mrsa"),
+    ("px2", "infection was ruled out last week"),
+    ("px3", "unlikely recurrence of tumor noted"),
+    ("px4", "patient presents with fever and chills"),
+    ("px5", "patient presents with no cough today"),
+    ("px6", "stable vitals this morning"),
+    ("px7", "r/o pneumonia given cough"),
+]
+POLARITY_CLINICAL_MENTIONS: list[tuple[str, int, int, int, str]] = [
+    ("px0", 0, 2, 3, "chest pain"),
+    ("px1", 0, 0, 1, "blood cultures"),
+    ("px1", 0, 5, 5, "mrsa"),
+    ("px2", 0, 0, 0, "infection"),
+    ("px3", 0, 1, 1, "recurrence"),
+    ("px4", 0, 3, 3, "fever"),
+    ("px5", 0, 4, 4, "cough"),
+    ("px6", 0, 1, 1, "vitals"),
+    ("px7", 0, 1, 1, "pneumonia"),
+]
+
+# A3 historical ('or', or_label=1).  Expected: hx0/hx1/hx2/hx4a/hx4b/hx5
+# → 1 (history of, s/p, prior, hx, recent, in the past), hx3 → NULL
+# (REJECT-ONLY: presents-with + new-onset vote 2, never 1 → prop unset),
+# hx6 → NULL (no cue).
+HISTORICAL_CLINICAL_DOCS: list[tuple[str, str]] = [
+    ("hx0", "history of diabetes noted"),
+    ("hx1", "s/p appendectomy in 2010"),
+    ("hx2", "prior stroke with residual weakness"),
+    ("hx3", "patient presents with new onset chest pain"),
+    ("hx4", "hx of copd and recent exacerbation"),
+    ("hx5", "in the past felt dizziness often"),
+    ("hx6", "no relevant findings today"),
+]
+HISTORICAL_CLINICAL_MENTIONS: list[tuple[str, int, int, int, str]] = [
+    ("hx0", 0, 2, 2, "diabetes"),
+    ("hx1", 0, 1, 1, "appendectomy"),
+    ("hx2", 0, 1, 1, "stroke"),
+    ("hx3", 0, 5, 6, "chest pain"),
+    ("hx4", 0, 2, 2, "copd"),
+    ("hx4", 0, 5, 5, "exacerbation"),
+    ("hx5", 0, 4, 4, "dizziness"),
+    ("hx6", 0, 2, 2, "findings"),
+]
+
+# A4 hypothetical ('or', or_label=1).  Expected: hy0/hy1/hy2/hy3/hy5 → 1
+# (if, candidate for, scheduled for, recommend, chance of), hy4 → NULL
+# (REJECT-ONLY: days-post votes 2), hy6 → NULL (no cue), hy7 → 1
+# (status-post reject PLUS consider accept — any-1 wins under 'or').
+HYPOTHETICAL_CLINICAL_DOCS: list[tuple[str, str]] = [
+    ("hy0", "if fever recurs return to clinic"),
+    ("hy1", "candidate for liver transplant evaluation"),
+    ("hy2", "scheduled for colonoscopy next month"),
+    ("hy3", "we recommend repeat imaging soon"),
+    ("hy4", "three days post surgery doing well"),
+    ("hy5", "chance of recurrence discussed today"),
+    ("hy6", "wound healing well after surgery"),
+    ("hy7", "status post repair consider revision"),
+]
+HYPOTHETICAL_CLINICAL_MENTIONS: list[tuple[str, int, int, int, str]] = [
+    ("hy0", 0, 1, 1, "fever"),
+    ("hy1", 0, 2, 3, "liver transplant"),
+    ("hy2", 0, 2, 2, "colonoscopy"),
+    ("hy3", 0, 2, 3, "repeat imaging"),
+    ("hy4", 0, 3, 3, "surgery"),
+    ("hy5", 0, 2, 2, "recurrence"),
+    ("hy6", 0, 0, 0, "wound"),
+    ("hy7", 0, 4, 4, "revision"),
+]
+
+# A5 family/subject ('or', or_label=2, sentence scope).  Expected:
+# fm0/fm1/fm3/fm4/fm5 → 2 (mother, family-history bigram, sister, donor,
+# father+brother), fm2 → NULL (no cue → patient by default).
+FAMILY_CLINICAL_DOCS: list[tuple[str, str]] = [
+    ("fm0", "mother had breast cancer"),
+    ("fm1", "family history of colon cancer noted"),
+    ("fm2", "patient reports chronic headaches"),
+    ("fm3", "her sister has lupus"),
+    ("fm4", "kidney donor evaluation underway"),
+    ("fm5", "father and brother both with cad"),
+]
+FAMILY_CLINICAL_MENTIONS: list[tuple[str, int, int, int, str]] = [
+    ("fm0", 0, 2, 3, "breast cancer"),
+    ("fm1", 0, 3, 4, "colon cancer"),
+    ("fm2", 0, 3, 3, "headaches"),
+    ("fm3", 0, 3, 3, "lupus"),
+    ("fm4", 0, 0, 0, "kidney"),
+    ("fm5", 0, 5, 5, "cad"),
+]
+
 # L8 Schwartz-Hearst fixture: mined '(long form ( SF )' definitions label
 # every SF occurrence in the doc; rejection branches covered (pure-number
 # SF, long-form char match failure).

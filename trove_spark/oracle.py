@@ -693,6 +693,105 @@ def _clinical_negex_fixture_sql() -> str:
     )
 
 
+def battery_fixture_oracle_sql(
+    battery: list[tuple[str, int, str, str, int]],
+    docs: list[tuple[str, str]],
+    mentions: list[tuple[str, int, int, int, str]],
+    prop: str,
+    reduction: str = "mv",
+    tie_label: int = 2,
+    or_label: int = 1,
+) -> str:
+    """A2-A5 trigger-battery replay over a FIXTURE corpus: the same
+    occurrence-CTE / directional-window / reduction logic as
+    :func:`battery_oracle_sql`, sourced from VALUES CTEs (docs
+    whitespace-tokenized in SQL, mention spans term-keyed) — the fixture
+    half of the tag_polarity/historical/hypothetical/family driver rows,
+    which is what oracle-checks the REAL published clinical cue lists
+    end-to-end (the testdata vocabulary contains no clinical cues)."""
+    trig_rows = [
+        (i, lbl, trig.lower(), side, window, len(trig.split()))
+        for i, (_name, lbl, trig, side, window) in enumerate(battery)
+    ]
+    max_n = max(r[5] for r in trig_rows)
+    mention_rows = [(d, s, e, t) for (d, _si, s, e, t) in mentions]
+    if reduction == "mv":
+        reduce_sql = f"""
+p_counts AS (
+  SELECT doc_id, s, e, term, label, COUNT(*) AS n
+  FROM p_votes GROUP BY 1, 2, 3, 4, 5
+),
+p_red AS (
+  SELECT doc_id, s, e, term,
+         CASE WHEN COUNT(*) = 1 THEN CAST(MIN(label) AS BIGINT)
+              ELSE CAST({tie_label} AS BIGINT) END AS {prop}
+  FROM (SELECT *, MAX(n) OVER (PARTITION BY doc_id, s, e, term) AS mx
+        FROM p_counts) WHERE n = mx
+  GROUP BY 1, 2, 3, 4
+)"""
+    else:
+        # no ELSE branch: votes that never equal or_label → NULL (the
+        # reference leaves the property unset in that case)
+        reduce_sql = f"""
+p_red AS (
+  SELECT doc_id, s, e, term,
+         CASE WHEN MAX(CASE WHEN label = {or_label} THEN 1 ELSE 0 END) = 1
+              THEN CAST({or_label} AS BIGINT) END AS {prop}
+  FROM p_votes GROUP BY 1, 2, 3, 4
+)"""
+    return f"""
+WITH {_values(list(docs), "d", "doc_id, text")},
+toks AS (
+  SELECT d.doc_id, i.i AS tok, string_split(d.text, ' ')[i.i + 1] AS word
+  FROM d, (SELECT unnest(range(0, 64)) AS i) i
+  WHERE i.i < len(string_split(d.text, ' '))
+),
+{_values(trig_rows, "trigs", "lf_id, label, trig, side, win, n")},
+{_values(mention_rows, "typed", "doc_id, s, e, term")},
+p_occ AS (
+{_trigger_occ_sql(max_n)}
+),
+p_votes AS (
+  SELECT DISTINCT t.doc_id, t.s, t.e, t.term, o.lf_id, o.label
+  FROM typed t JOIN p_occ o ON o.doc_id = t.doc_id
+  WHERE (o.side = 'left' AND o.trig_end >= t.s - o.win AND o.trig_end < t.s)
+     OR (o.side = 'right' AND o.trig_start > t.e AND o.trig_start <= t.e + o.win)
+     OR (o.side = 'span' AND o.trig_start >= t.s AND o.trig_end <= t.e)
+     OR o.side = 'sentence'
+),{reduce_sql}
+SELECT t.doc_id, CAST(t.s AS BIGINT) AS tok_start, CAST(t.e AS BIGINT) AS tok_end,
+       t.term, m.{prop}
+FROM typed t
+LEFT JOIN p_red m ON m.doc_id = t.doc_id AND m.s = t.s AND m.e = t.e
+                 AND m.term = t.term"""
+
+
+def _clinical_battery_fixture_sqls() -> dict[str, str]:
+    """The four published clinical batteries replayed over their fixtures
+    — deferred imports avoid a module cycle."""
+    from . import clinical_fixture as cf
+    from . import taggers as tg
+
+    return {
+        "tag_polarity": battery_fixture_oracle_sql(
+            tg.CLINICAL_POLARITY_BATTERY, cf.POLARITY_CLINICAL_DOCS,
+            cf.POLARITY_CLINICAL_MENTIONS, "polarity", "mv", tie_label=2,
+        ),
+        "tag_historical": battery_fixture_oracle_sql(
+            tg.CLINICAL_HISTORICAL_BATTERY, cf.HISTORICAL_CLINICAL_DOCS,
+            cf.HISTORICAL_CLINICAL_MENTIONS, "historical", "or", or_label=1,
+        ),
+        "tag_hypothetical": battery_fixture_oracle_sql(
+            tg.CLINICAL_HYPOTHETICAL_BATTERY, cf.HYPOTHETICAL_CLINICAL_DOCS,
+            cf.HYPOTHETICAL_CLINICAL_MENTIONS, "hypothetical", "or", or_label=1,
+        ),
+        "tag_family": battery_fixture_oracle_sql(
+            tg.CLINICAL_FAMILY_BATTERY, cf.FAMILY_CLINICAL_DOCS,
+            cf.FAMILY_CLINICAL_MENTIONS, "subject", "or", or_label=2,
+        ),
+    }
+
+
 def laterality_oracle_sql(lat_map: dict[str, str], window: int = 3) -> str:
     """A6 closest-cue laterality oracle: in-span cues at distance 0, else
     nearest left-window cue; tie-break (dist, lat_idx, norm) mirrors the
@@ -839,27 +938,41 @@ def analysis_oracles() -> dict[str, str]:
 FROM suite WHERE lf IN ('dict_structures', 'regex_b')
 GROUP BY doc_id, token_idx""",
         ),
+        # A1-A5 rows are each the testdata-vocabulary battery at corpus
+        # scale UNIONed with the REAL published clinical battery replayed
+        # over its fixture (negex r4, polarity/historical/hypothetical/
+        # family r5 — the testdata vocab has no clinical cues, so the
+        # fixture halves are what oracle-check the published cue lists
+        # end-to-end)
         "tag_polarity": battery_oracle_sql(
             synth.POLARITY_BATTERY, "polarity", "mv",
             tie_label=synth.POLARITY_TIE_LABEL,
-        ),
-        # testdata-vocabulary battery at corpus scale UNIONed with the
-        # REAL Chapman battery replayed over the clinical fixture (r4 —
-        # the testdata vocab has no clinical cues, so this is the only
-        # oracle row exercising NEGEX_BATTERY end-to-end)
+        )
+        + "\nUNION ALL\nSELECT * FROM (\n"
+        + _clinical_battery_fixture_sqls()["tag_polarity"]
+        + "\n)",
         "tag_negex": negex_oracle_sql(synth.NEGEX_TESTDATA_BATTERY)
         + "\nUNION ALL\nSELECT * FROM (\n"
         + _clinical_negex_fixture_sql()
         + "\n)",
         "tag_historical": battery_oracle_sql(
             synth.HISTORICAL_BATTERY, "historical", "or", or_label=1,
-        ),
+        )
+        + "\nUNION ALL\nSELECT * FROM (\n"
+        + _clinical_battery_fixture_sqls()["tag_historical"]
+        + "\n)",
         "tag_hypothetical": battery_oracle_sql(
             synth.HYPOTHETICAL_BATTERY, "hypothetical", "or", or_label=1,
-        ),
+        )
+        + "\nUNION ALL\nSELECT * FROM (\n"
+        + _clinical_battery_fixture_sqls()["tag_hypothetical"]
+        + "\n)",
         "tag_family": battery_oracle_sql(
             synth.FAMILY_BATTERY, "subject", "or", or_label=2,
-        ),
+        )
+        + "\nUNION ALL\nSELECT * FROM (\n"
+        + _clinical_battery_fixture_sqls()["tag_family"]
+        + "\n)",
         "tag_laterality": laterality_oracle_sql(
             synth.LATERALITY_MAP_TESTDATA, window=3,
         ),
