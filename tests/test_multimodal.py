@@ -210,3 +210,94 @@ def test_extract_pixel_stats_real_decode(spark):
         100000, 50000, 200000,
     )
     assert rows["bad"].decoded == "unsupported" and rows["bad"].width is None
+
+
+def test_png_roundtrip_all_filters():
+    import numpy as np
+
+    from trove_spark.extras.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(13, 7, 3), dtype=np.uint8)
+    for ft in range(5):  # none / sub / up / average / paeth
+        out = decode_png(encode_png(arr, filter_type=ft))
+        assert out.shape == arr.shape and np.array_equal(out, arr), ft
+
+
+def _png_chunks(w, h, ctype, raw, plte=None):
+    import struct
+    import zlib
+
+    from trove_spark.extras.multimodal import PNG_MAGIC
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    body = chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+    if plte is not None:
+        body += chunk(b"PLTE", plte)
+    return PNG_MAGIC + body + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_png_color_types_decode_to_rgb():
+    import numpy as np
+
+    from trove_spark.extras.multimodal import decode_png
+
+    # grayscale 2x2 (one filter-0 byte per row)
+    out = decode_png(_png_chunks(2, 2, 0, bytes([0, 10, 20, 0, 30, 40])))
+    assert out.shape == (2, 2, 3)
+    assert np.array_equal(out[0, 0], [10, 10, 10]) and np.array_equal(out[1, 1], [40, 40, 40])
+    # palette 2x1: indices 1, 0 against a 2-entry PLTE
+    out = decode_png(_png_chunks(2, 1, 3, bytes([0, 1, 0]), plte=bytes([255, 0, 0, 0, 255, 0])))
+    assert np.array_equal(out[0, 0], [0, 255, 0]) and np.array_equal(out[0, 1], [255, 0, 0])
+    # gray+alpha 1x1 → gray replicated, alpha dropped
+    out = decode_png(_png_chunks(1, 1, 4, bytes([0, 77, 200])))
+    assert np.array_equal(out[0, 0], [77, 77, 77])
+    # RGBA 1x1 → alpha dropped
+    out = decode_png(_png_chunks(1, 1, 6, bytes([0, 1, 2, 3, 9])))
+    assert np.array_equal(out[0, 0], [1, 2, 3])
+
+
+def test_png_rejects_unsupported_and_truncated():
+    import numpy as np
+    import pytest as _pytest
+
+    from trove_spark.extras.multimodal import decode_png, encode_png
+
+    blob = bytearray(encode_png(np.zeros((2, 2, 3), np.uint8)))
+    interlaced = bytes(blob[:28]) + b"\x01" + bytes(blob[29:])
+    with _pytest.raises(NotImplementedError, match="interlace"):
+        decode_png(interlaced)
+    depth16 = bytes(blob[:24]) + b"\x10" + bytes(blob[25:])
+    with _pytest.raises(NotImplementedError, match="depth"):
+        decode_png(depth16)
+    with _pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+    with _pytest.raises(ValueError):  # truncated chunk
+        decode_png(bytes(blob[:20]))
+    corrupt = bytes(blob).replace(b"IDAT", b"IDAT", 1)[:-24] + b"\x00" * 24
+    with _pytest.raises(ValueError):
+        decode_png(corrupt)
+
+
+def test_extract_pixel_stats_png(spark):
+    import numpy as np
+
+    from trove_spark.extras.multimodal import encode_png, extract_pixel_stats
+
+    arr = np.zeros((4, 4, 3), np.uint8)
+    arr[..., 0], arr[..., 1] = 200, 100
+    media = spark.createDataFrame(
+        [("p1", bytearray(encode_png(arr, filter_type=4))),
+         ("g1", bytearray(b"GIF89a" + b"\x00" * 32))],
+        "doc_id string, media binary",
+    )
+    rows = {r.doc_id: r for r in extract_pixel_stats(media).collect()}
+    p = rows["p1"]
+    assert (p.decoded, p.width, p.height) == ("ok", 4, 4)
+    assert (p.mean_r_x1000, p.mean_g_x1000, p.mean_b_x1000) == (200000, 100000, 0)
+    assert rows["g1"].decoded == "unsupported"  # GIF stays honestly codec-gated
