@@ -10,7 +10,8 @@ sequence packing, manifest-committed shard write:
         scripts/run_datapipe.py --input <docs parquet> --output <dir> \
         [--benchmark <eval parquet>] [--target <target-domain parquet>] \
         [--n-select N] [--seq-len 2048] [--n-merges 32000] [--seed 0] \
-        [--windows-per-shard 1024] [--substring-k 0] [--split train=0.98,val=0.01,test=0.01]
+        [--windows-per-shard 1024] [--substring-k 0] [--substring-hasher codegen|rolling]
+        [--split train=0.98,val=0.01,test=0.01]
 
 Resume-aware at the shard sink (re-running after a kill rewrites only
 manifest-less shards — trove_spark/extras/shards.py); every upstream
@@ -47,6 +48,10 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--windows-per-shard", type=int, default=1024)
     ap.add_argument("--substring-k", type=int, default=0,
                     help="exact-substring dedup k (0 = off)")
+    ap.add_argument("--substring-hasher", default="codegen",
+                    choices=("codegen", "rolling"),
+                    help="k-gram hasher: codegen (engine-portable, O(n*k)) "
+                         "or rolling (O(n) Arrow kernel, the 100-TB path)")
     ap.add_argument("--split", default="train=0.98,val=0.01,test=0.01")
     ap.add_argument("--pack-split", default="train",
                     help="which split reaches the packed shards")
@@ -65,7 +70,10 @@ def main(argv: list[str] | None = None) -> dict:
     docs = spark.read.parquet(args.input)
     bench = spark.read.parquet(args.benchmark) if args.benchmark else None
 
-    cfg = CurateConfig(substring_dedup_k=args.substring_k)
+    cfg = CurateConfig(
+        substring_dedup_k=args.substring_k,
+        substring_hasher=args.substring_hasher,
+    )
     curated = curate(docs, benchmark=bench, cfg=cfg,
                      id_col=args.id_col, text_col=args.text_col)
     curate_cache = curated._curate_cache

@@ -150,3 +150,40 @@ def test_feeds_packing(spark, docs):
     n_total = sum(len(r.token_ids) for r in toks.collect())
     assert len(rows) == n_total // 8
     assert all(r.n_tokens == 8 and all(isinstance(t, int) for t in r.tokens) for r in rows)
+
+
+def test_seed_encodings_match_greedy_encode(spark, docs):
+    # the trainer's end state (merges applied in rank order) must equal
+    # the greedy lowest-rank encode for every seeded histogram word —
+    # the classic BPE equivalence the encode-cache seeding relies on
+    model = train_bpe(word_histogram(docs), n_merges=30)
+    ranks = model.ranks
+    assert model.seed_encodings  # populated by default
+    assert len(model.seed_encodings) == model.kept_words
+    for word, toks in model.seed_encodings:
+        assert list(toks) == encode_word(word, ranks), word
+
+
+def test_encode_identical_with_and_without_seed(spark, docs):
+    import dataclasses
+
+    model = train_bpe(word_histogram(docs), n_merges=30)
+    cold = dataclasses.replace(model, seed_encodings=())
+    a = sorted(
+        (r.doc_id, tuple(r.tokens), tuple(r.token_ids))
+        for r in encode(docs, model).collect()
+    )
+    b = sorted(
+        (r.doc_id, tuple(r.tokens), tuple(r.token_ids))
+        for r in encode(docs, cold).collect()
+    )
+    assert a == b
+
+
+def test_seed_top_k_caps_broadcast():
+    counts = [(f"w{i}", 100 - i) for i in range(50)]
+    model = train_bpe(counts, n_merges=5, seed_top_k=7)
+    assert len(model.seed_encodings) == 7
+    # top-by-count words seeded first
+    seeded = {w for w, _ in model.seed_encodings}
+    assert seeded == {f"w{i}" for i in range(7)}

@@ -222,3 +222,22 @@ def test_filter_blocked_domains(spark):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_blocked_domain_hit_col_matches_join_form(spark):
+    # the pure-map literal-list twin (streaming curation) must keep the
+    # exact same doc set as the broadcast-anti-join batch form, and
+    # compile to a map-only plan (no joins, no exchanges)
+    from pyspark.sql import functions as F
+
+    from trove_spark.extras.pii import blocked_domain_hit_col, filter_blocked_domains
+
+    docs = spark.createDataFrame(URL_DOCS, "doc_id string, text string")
+    bl = spark.createDataFrame([("Example.com",)], "domain string")
+    want = sorted(r.doc_id for r in filter_blocked_domains(docs, bl).collect())
+    mapform = docs.filter(
+        ~F.coalesce(blocked_domain_hit_col("text", ["Example.com"]), F.lit(False))
+    )
+    assert sorted(r.doc_id for r in mapform.collect()) == want
+    plan = mapform._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan, plan

@@ -206,3 +206,31 @@ def test_stream_curate_screens_and_dedup(spark, dirs):
     rows = {r.doc_id: r.text for r in out.collect()}
     assert set(rows) == {"g1", "g2", "g3"}  # dups + junk + rep screened out
     assert "bob@example.com" not in rows["g1"] and "<EMAIL>" in rows["g1"]
+
+
+def test_stream_curate_blocklist_screens(spark, dirs):
+    from trove_spark.streaming import stream_curate
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then the fox "
+        "runs back home with a bone for the old hound dog to share"
+    )
+    other = (
+        "a small ship sailed across the wide sea while two sailors watched "
+        "the distant storm and hoped for calm water before the long night"
+    )
+    batch = [
+        ("w1", good),                                         # blocked word 'hound'
+        ("d1", other + " see https://spam.example.net/x now"),  # blocked domain
+        ("ok", other),
+    ]
+    spark.createDataFrame(batch, "doc_id string, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(dirs["in"])
+    q = stream_curate(
+        spark, dirs["in"], dirs["out"], dirs["ckpt"],
+        blocked_words=["hound"], blocked_domains=["example.net"],
+    )
+    q.awaitTermination()
+    out = spark.read.option("basePath", dirs["out"]).parquet(dirs["out"] + "/batch=*")
+    assert {r.doc_id for r in out.collect()} == {"ok"}

@@ -76,8 +76,14 @@ def word_histogram(
 @dataclass(frozen=True)
 class BPEModel:
     """Trained model: ``merges`` in rank order, ``vocab`` token→id
-    (id 0 = <unk>, then the sorted base alphabet, then merges), and the
-    histogram mass kept/dropped by the training caps (auditability)."""
+    (id 0 = <unk>, then the sorted base alphabet, then merges), the
+    histogram mass kept/dropped by the training caps (auditability), and
+    ``seed_encodings`` — the top-``seed_top_k`` histogram words with
+    their FINAL merged symbol sequences, read off the trainer's end
+    state for free (applying the merges in rank order to a word is
+    exactly the greedy lowest-rank encode — the classic BPE equivalence,
+    test-asserted).  Encoding broadcasts these so the per-batch word
+    cache starts hot and only out-of-histogram words pay encode_word."""
 
     merges: tuple  # tuple[tuple[str, str], ...]
     vocab: dict  # dict[str, int]
@@ -85,6 +91,7 @@ class BPEModel:
     kept_mass: int
     dropped_words: int
     dropped_mass: int
+    seed_encodings: tuple = ()  # tuple[tuple[str, tuple[str, ...]], ...]
 
     @property
     def ranks(self) -> dict:
@@ -114,6 +121,7 @@ def train_bpe(
     n_merges: int,
     min_count: int = 1,
     max_words: int | None = None,
+    seed_top_k: int = 65536,
 ) -> BPEModel:
     """Train ``n_merges`` BPE merges on a word histogram.
 
@@ -192,6 +200,17 @@ def train_bpe(
         tok = a + b
         if tok not in vocab:
             vocab[tok] = len(vocab)
+    # the trainer's end state IS the encoding of every kept word (merges
+    # applied in rank order ≡ greedy lowest-rank encode); keep the top-K
+    # by count as a bounded encode-cache seed (Zipf: a few 10^4 words
+    # cover most token mass, so the broadcast stays small at any corpus
+    # size — words beyond the cap just fall back to encode_word)
+    by_count = sorted(
+        range(len(words)), key=lambda wi: (-words[wi][1], "".join(words[wi][0]))
+    )[: max(seed_top_k, 0)]
+    seed_encodings = tuple(
+        ("".join(words[wi][0]), tuple(words[wi][0])) for wi in by_count
+    )
     return BPEModel(
         merges=tuple(merges),
         vocab=dict(vocab),
@@ -199,6 +218,7 @@ def train_bpe(
         kept_mass=kept_mass,
         dropped_words=all_words - len(kept),
         dropped_mass=all_mass - kept_mass,
+        seed_encodings=seed_encodings,
     )
 
 
@@ -227,10 +247,22 @@ def encode(
 ) -> DataFrame:
     """(doc_id, tokens array<string>, token_ids array<int>): map-only
     distributed encode — JVM pre-tokenize feeds an Arrow kernel holding
-    the broadcast merge ranks + vocab, with a per-batch distinct-word
-    cache (natural-language word frequency is Zipfian; most batch words
-    hit the cache).  Unknown characters encode to <unk> (id 0)."""
+    the broadcast merge ranks + vocab, with a distinct-word cache
+    PRE-SEEDED from the model's histogram encodings (computed once at
+    train time), so hot Zipf-mass words never pay encode_word at all and
+    only out-of-histogram words are encoded per partition.  Unknown
+    characters encode to <unk> (id 0)."""
     ranks, vocab = model.ranks, model.vocab
+    # ship the seed table as a Spark BROADCAST, not closure capture: a
+    # closure-captured dict re-deserializes per TASK (measured to eat
+    # most of the seeding win at 28k words × 64 tasks); a broadcast is
+    # materialized once per worker process and shared across its tasks
+    seed_bc = docs.sparkSession.sparkContext.broadcast(
+        {
+            w: (list(toks), [vocab.get(t, 0) for t in toks])
+            for w, toks in model.seed_encodings
+        }
+    )
     pre = pretokenize(docs, text_col, id_col)
     if lowercase:
         pre = pre.select(
@@ -240,13 +272,16 @@ def encode(
     def _kernel(batches):
         import pandas as pd
 
+        seed = seed_bc.value
         cache: dict = {}
 
         def enc(word):
             hit = cache.get(word)
             if hit is None:
-                toks = encode_word(word, ranks)
-                hit = (toks, [vocab.get(t, 0) for t in toks])
+                hit = seed.get(word)
+                if hit is None:
+                    toks = encode_word(word, ranks)
+                    hit = (toks, [vocab.get(t, 0) for t in toks])
                 cache[word] = hit
             return hit
 

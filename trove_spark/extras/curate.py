@@ -92,7 +92,11 @@ class CurateConfig:
     # Lee-et-al. exact-substring dedup (word-level k-gram spans), same
     # after-near-dedup slot; 0 = off.  Runs after paragraph dedup when
     # both are on (coarse-to-fine: paragraphs, then sub-paragraph runs).
+    # 'codegen' hashes k-grams JVM-side (engine-portable, O(n·k) chars);
+    # 'rolling' is the O(n) Arrow rolling-hash kernel — the 100-TB path
+    # (span-identical, dedup.duplicate_kgram_spans docstring).
     substring_dedup_k: int = 0
+    substring_hasher: str = "codegen"
 
 
 def screen_keep_expr(cfg: CurateConfig = CurateConfig(), text_col: str = "text"):
@@ -224,7 +228,8 @@ def _curate_stages(
 
     if cfg.substring_dedup_k > 0:
         cut = dedup_substrings(
-            stage4, k=cfg.substring_dedup_k, id_col=id_col, text_col=text_col
+            stage4, k=cfg.substring_dedup_k, id_col=id_col, text_col=text_col,
+            hasher=cfg.substring_hasher,
         )
         stage4 = stage4.drop(text_col).join(
             cut.withColumnRenamed("doc_id", "__sd_id"),

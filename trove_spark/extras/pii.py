@@ -78,6 +78,30 @@ def url_hosts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     ).withColumn("host", F.lower(F.col("host")))
 
 
+def blocked_domain_hit_col(text_col: str, domains: list[str]):
+    """Boolean Column: text links a blocklisted domain (registered
+    domain or any subdomain) — the pure-MAP literal-list twin of
+    :func:`filter_blocked_domains` for streaming curation and fused
+    screens (a stream cannot run the broadcast-anti-join form: the hit
+    set needs a distinct).  Extraction semantics are identical: hosts
+    pulled from the raw text, lowercased, suffix-matched.  One regexp
+    pass per row regardless of list size (the domain OR-chain lives
+    inside a single ``exists`` lambda over the bound hosts array)."""
+    hosts = F.transform(
+        F.regexp_extract_all(F.col(text_col), F.lit(_HOST_PATTERN), F.lit(1)),
+        lambda h: F.lower(h),
+    )
+
+    def _match(h):
+        cond = F.lit(False)
+        for d in domains:
+            dl = F.lit(d.lower())
+            cond = cond | (h == dl) | h.endswith(F.concat(F.lit("."), dl))
+        return cond
+
+    return F.exists(hosts, _match)
+
+
 def filter_blocked_domains(
     docs: DataFrame,
     blocklist: DataFrame,

@@ -188,6 +188,8 @@ def stream_curate(
     max_top_bigram_permille: int = 180,
     dedup_retention: str = "24 hours",
     max_files_per_trigger: int = 4,
+    blocked_words: list[str] | None = None,
+    blocked_domains: list[str] | None = None,
 ) -> StreamingQuery:
     """Incremental corpus curation: newly landed document files are PII-
     redacted, quality/repetition/language screened, and exact-deduped —
@@ -195,6 +197,12 @@ def stream_curate(
     ``extras.curate``'s map-side + exact stages).
 
     Composition per micro-batch:
+      * optional C4 blocklist screens on the RAW text (word blocklist +
+        domain blocklist via the pure-map
+        ``pii.blocked_domain_hit_col`` — the batch pass's broadcast
+        anti-join form needs a distinct a stream cannot run) — same
+        order as ``extras.curate``: blocklists look before redaction
+        rewrites URLs;
       * redact + screens — the SAME column expressions as the batch pass
         (textstats.quality_cols / repetition_cols / stopword_permille_col),
         applied as one pure-map filter on the stream (no keep-id joins:
@@ -214,8 +222,9 @@ def stream_curate(
     """
     from pyspark.sql import functions as F
 
-    from .extras.pii import redact_pii
+    from .extras.pii import blocked_domain_hit_col, redact_pii
     from .extras.textstats import (
+        filter_blocked_words,
         quality_cols,
         repetition_cols,
         stopword_permille_col,
@@ -226,6 +235,12 @@ def stream_curate(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
+    if blocked_words:
+        stream = filter_blocked_words(stream, list(blocked_words), "doc_id", "text")
+    if blocked_domains:
+        stream = stream.filter(
+            ~F.coalesce(blocked_domain_hit_col("text", list(blocked_domains)), F.lit(False))
+        )
     red = redact_pii(stream, "doc_id", "text")
     q = quality_cols("text")
     r = repetition_cols("text")
