@@ -1,0 +1,164 @@
+"""Baseline JPEG codec (extras/jpeg.py): round-trip error bounds at
+several qualities/subsamplings, plus SPEC ANCHORS that pin the
+building blocks to published T.81 values independently of
+encoder/decoder symmetry (a symmetric bug would round-trip cleanly;
+the anchors catch it)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from trove_spark.extras.jpeg import (
+    _canonical_codes,
+    _DCT,
+    _receive_extend,
+    AC_LUMA_BITS,
+    AC_LUMA_VALS,
+    DC_LUMA_BITS,
+    DC_LUMA_VALS,
+    decode_jpeg,
+    encode_jpeg,
+    ZIGZAG,
+)
+
+
+def _gradient(h, w):
+    img = np.zeros((h, w, 3), np.uint8)
+    img[..., 0] = np.linspace(0, 255, w)[None, :].astype(np.uint8)
+    img[..., 1] = np.linspace(255, 0, h)[:, None].astype(np.uint8)
+    img[..., 2] = 96
+    return img
+
+
+# -- spec anchors -------------------------------------------------------------
+
+
+def test_dct_matrix_is_orthonormal():
+    assert np.allclose(_DCT @ _DCT.T, np.eye(8), atol=1e-12)
+
+
+def test_zigzag_is_a_permutation_with_spec_corners():
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+    # first row of the published scan: 0,1,8,16,9,2,3,10 — and it ends at 63
+    assert ZIGZAG[:8].tolist() == [0, 1, 8, 16, 9, 2, 3, 10]
+    assert ZIGZAG[63] == 63
+
+
+def test_canonical_huffman_matches_published_codes():
+    # T.81 Annex K.3.1: the DC luminance code WORDS are fully determined
+    # by the BITS/HUFFVAL lists — category 0 → '00', 5 → '110', 11 → 9×1,0
+    dc = {v: (ln, code) for (ln, code), v in
+          _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS).items()}
+    assert dc[0] == (2, 0b00)
+    assert dc[1] == (3, 0b010)
+    assert dc[5] == (3, 0b110)
+    assert dc[6] == (4, 0b1110)
+    assert dc[11] == (9, 0b111111110)
+    # AC luminance landmarks: EOB=1010, (0,1)=00, (0,2)=01, ZRL=11111111001
+    ac = {v: (ln, code) for (ln, code), v in
+          _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS).items()}
+    assert ac[0x00] == (4, 0b1010)
+    assert ac[0x01] == (2, 0b00)
+    assert ac[0x02] == (2, 0b01)
+    assert ac[0xF0] == (11, 0b11111111001)
+
+
+def test_receive_extend_spec_examples():
+    # T.81 F.12: size-3 raw values 0..3 map to -7..-4, 4..7 stay positive
+    assert [_receive_extend(r, 3) for r in range(8)] == [-7, -6, -5, -4, 4, 5, 6, 7]
+    assert _receive_extend(0, 0) == 0
+    assert [_receive_extend(r, 1) for r in (0, 1)] == [-1, 1]
+
+
+def test_entropy_stream_is_byte_stuffed():
+    # every 0xFF inside the scan must be followed by 0x00 (or be a marker)
+    rng = np.random.default_rng(2)
+    blob = encode_jpeg(rng.integers(0, 256, (32, 32, 3), np.uint8), 95)
+    sos = blob.index(b"\xff\xda")
+    scan = blob[sos + 2 :]
+    i = 0
+    while i < len(scan) - 2:  # exclude trailing EOI
+        if scan[i] == 0xFF:
+            assert scan[i + 1] in (0x00,), f"bare 0xFF{scan[i+1]:02x} in scan"
+            i += 2
+        else:
+            i += 1
+
+
+# -- round trips --------------------------------------------------------------
+
+
+def test_roundtrip_error_bounds():
+    img = _gradient(48, 64)
+    for quality, sub, bound in [(95, "444", 4), (90, "420", 8), (75, "444", 8)]:
+        out = decode_jpeg(encode_jpeg(img, quality, sub))
+        assert out.shape == img.shape
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.max() <= bound, (quality, sub, err.max())
+
+
+def test_flat_color_near_exact_any_quality():
+    flat = np.full((16, 24, 3), 77, np.uint8)
+    for q in (30, 50, 90):
+        out = decode_jpeg(encode_jpeg(flat, q))
+        assert np.abs(out.astype(int) - 77).max() <= 1, q
+
+
+def test_grayscale_and_odd_dimensions():
+    g = np.tile(np.linspace(0, 255, 31).astype(np.uint8), (17, 1))
+    out = decode_jpeg(encode_jpeg(g, 90))
+    assert out.shape == (17, 31, 3)
+    assert np.abs(out[..., 0].astype(int) - g.astype(int)).max() <= 3
+    assert np.array_equal(out[..., 0], out[..., 1])  # gray replicated
+    # odd dims under 4:2:0 (padding + chroma alignment)
+    img = _gradient(19, 21)
+    out = decode_jpeg(encode_jpeg(img, 90, "420"))
+    assert out.shape == (19, 21, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 6
+
+
+def test_rejects_and_quarantine_paths():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xe0 truncated")
+    blob = bytearray(encode_jpeg(_gradient(16, 16), 80))
+    sof = bytes(blob).index(b"\xff\xc0")
+    blob[sof + 1] = 0xC2  # rewrite to progressive SOF2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(blob))
+
+
+def test_pixel_stats_jpeg_end_to_end(spark):
+    from trove_spark.extras.multimodal import encode_bmp, extract_pixel_stats
+
+    img = np.full((8, 8, 3), 0, np.uint8)
+    img[..., 0] = 200
+    media = spark.createDataFrame(
+        [("jp", bytearray(encode_jpeg(img, 95))),
+         ("bm", bytearray(encode_bmp(img)))],
+        "doc_id string, media binary",
+    )
+    rows = {r.doc_id: r for r in extract_pixel_stats(media).collect()}
+    jp, bm = rows["jp"], rows["bm"]
+    assert jp.decoded == "ok" and (jp.width, jp.height) == (8, 8)
+    # JPEG is lossy: stats within ~2% of the exact BMP stats
+    assert abs(jp.mean_r_x1000 - bm.mean_r_x1000) <= 4000
+    assert abs(jp.mean_g_x1000 - bm.mean_g_x1000) <= 4000
+    assert abs(jp.mean_b_x1000 - bm.mean_b_x1000) <= 4000
+
+
+def test_restart_markers_roundtrip():
+    # DRI + RSTn every 2 MCUs: the decoder must resync and reset DC
+    # predictors exactly where the encoder did
+    img = _gradient(40, 56)  # 5x7 MCUs at 4:4:4
+    blob = encode_jpeg(img, 90, restart_interval=2)
+    assert b"\xff\xdd" in blob  # DRI segment present
+    assert any(bytes([0xFF, 0xD0 + i]) in blob for i in range(8))
+    out = decode_jpeg(blob)
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 8
+    # and under 4:2:0 too
+    out = decode_jpeg(encode_jpeg(img, 90, "420", restart_interval=3))
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 6

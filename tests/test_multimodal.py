@@ -293,11 +293,162 @@ def test_extract_pixel_stats_png(spark):
     arr[..., 0], arr[..., 1] = 200, 100
     media = spark.createDataFrame(
         [("p1", bytearray(encode_png(arr, filter_type=4))),
-         ("g1", bytearray(b"GIF89a" + b"\x00" * 32))],
+         ("j1", bytearray(b"\xff\xd8\xff\xe0 jpeg junk"))],
         "doc_id string, media binary",
     )
     rows = {r.doc_id: r for r in extract_pixel_stats(media).collect()}
     p = rows["p1"]
     assert (p.decoded, p.width, p.height) == ("ok", 4, 4)
     assert (p.mean_r_x1000, p.mean_g_x1000, p.mean_b_x1000) == (200000, 100000, 0)
-    assert rows["g1"].decoded == "unsupported"  # GIF stays honestly codec-gated
+    assert rows["j1"].decoded == "unsupported"  # JPEG stays honestly codec-gated
+
+
+def test_wav_roundtrip_and_stats_math():
+    import numpy as np
+
+    from trove_spark.extras.multimodal import decode_wav, encode_wav
+
+    t = np.arange(8000, dtype=np.float32) / 8000.0
+    sig = np.stack([0.5 * np.sin(2 * np.pi * 440 * t), 0.25 * np.cos(2 * np.pi * 220 * t)], axis=1)
+    back, rate = decode_wav(encode_wav(sig, 8000))
+    assert rate == 8000 and back.shape == (8000, 2)
+    assert np.abs(back - sig).max() < 1 / 32000  # 16-bit quantization bound
+    # mono 1-D input becomes (n, 1)
+    mono, rate = decode_wav(encode_wav(np.zeros(100, np.float32), 16000))
+    assert mono.shape == (100, 1) and rate == 16000
+
+
+def test_wav_8bit_and_rejects():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from trove_spark.extras.multimodal import decode_wav
+
+    # hand-built 8-bit unsigned mono WAV: 128 = silence, 255 ≈ +1
+    pcm = bytes([128, 255, 0, 128])
+    hdr = struct.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(pcm), b"WAVE",
+                      b"fmt ", 16, 1, 1, 8000, 8000, 1, 8, b"data", len(pcm))
+    x, rate = decode_wav(hdr + pcm)
+    assert rate == 8000 and x.shape == (4, 1)
+    assert abs(x[0, 0]) < 1e-6 and x[1, 0] > 0.9 and x[2, 0] < -0.9
+    with _pytest.raises(ValueError):
+        decode_wav(b"ID3\x03 an mp3-ish blob")
+    # float-PCM (format 3) stays honestly unsupported
+    f32 = struct.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36, b"WAVE",
+                      b"fmt ", 16, 3, 1, 8000, 32000, 4, 32, b"data", 0)
+    with _pytest.raises(NotImplementedError):
+        decode_wav(f32)
+    with _pytest.raises(ValueError):  # truncated data chunk
+        decode_wav((hdr + pcm)[:-2])
+
+
+def test_extract_audio_stats(spark):
+    import numpy as np
+
+    from trove_spark.extras.multimodal import encode_wav, extract_audio_stats
+
+    full = encode_wav(np.full(16000, 0.5, np.float32), 16000)       # 1s, RMS 0.5
+    quiet = encode_wav(np.zeros((8000, 2), np.float32), 8000)        # 1s stereo silence
+    media = spark.createDataFrame(
+        [("a1", bytearray(full)), ("a2", bytearray(quiet)),
+         ("x1", bytearray(b"\xff\xfb junk mp3 frame"))],
+        "doc_id string, media binary",
+    )
+    rows = {r.doc_id: r for r in extract_audio_stats(media).collect()}
+    a1 = rows["a1"]
+    assert (a1.decoded, a1.sample_rate, a1.n_channels, a1.duration_ms) == ("ok", 16000, 1, 1000)
+    assert a1.rms_x1000 == 500 and a1.peak_x1000 == 500
+    a2 = rows["a2"]
+    assert (a2.decoded, a2.n_channels, a2.duration_ms, a2.rms_x1000) == ("ok", 2, 1000, 0)
+    assert rows["x1"].decoded == "unsupported"
+
+
+def test_gif_roundtrip_rgb_and_gray():
+    import numpy as np
+
+    from trove_spark.extras.multimodal import decode_gif, encode_gif
+
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, size=(200, 3), dtype=np.uint8)
+    # 50x37 random indices: LZW table crosses the 9->10->11 bit widths
+    arr = pal[rng.integers(0, 200, size=(37, 50))]
+    out = decode_gif(encode_gif(arr))
+    assert out.shape == arr.shape and np.array_equal(out, arr)
+    # 100x100 pushes past 4096 codes -> exercises the clear/reset path
+    big = pal[rng.integers(0, 200, size=(100, 100))]
+    assert np.array_equal(decode_gif(encode_gif(big)), big)
+    # grayscale index mode
+    g = rng.integers(0, 256, size=(9, 11), dtype=np.uint8)
+    out = decode_gif(encode_gif(g))
+    assert out.shape == (9, 11, 3) and np.array_equal(out[..., 0], g)
+
+
+def test_gif_spec_vector_decodes():
+    # hand-packed per the GIF89a spec (NOT produced by encode_gif):
+    # 3x1, 2-color table, min_code=2 -> codes [clear=4, 1, 1, 0, end=5]
+    # at width 3, LSB-first = bytes 0x4C 0x50; pixels = white white black
+    import numpy as np
+
+    from trove_spark.extras.multimodal import decode_gif
+
+    blob = (
+        b"GIF89a" + (3).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + bytes([0x80, 0, 0])                      # GCT, 2 colors
+        + bytes([0, 0, 0, 255, 255, 255])          # black, white
+        + b"\x2c" + b"\x00" * 4
+        + (3).to_bytes(2, "little") + (1).to_bytes(2, "little") + b"\x00"
+        + bytes([2])                               # LZW min code size
+        + bytes([2, 0x4C, 0x50, 0])                # one sub-block + terminator
+        + b"\x3b"
+    )
+    out = decode_gif(blob)
+    assert out.shape == (1, 3, 3)
+    assert np.array_equal(out[0], [[255, 255, 255], [255, 255, 255], [0, 0, 0]])
+
+
+def test_gif_interlaced_rows_restored():
+    import numpy as np
+
+    from trove_spark.extras.multimodal import decode_gif, encode_gif
+
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    arr = pal[rng.integers(0, 16, size=(8, 5))]
+    # store rows in 4-pass interlace order, then flip the interlace flag
+    order = [0, 4, 2, 6, 1, 3, 5, 7]
+    blob = bytearray(encode_gif(arr[order]))
+    pal_n = 2 << (blob[10] & 0x07)
+    desc = 13 + 3 * pal_n
+    assert blob[desc] == 0x2C
+    blob[desc + 9] |= 0x40
+    assert np.array_equal(decode_gif(bytes(blob)), arr)
+
+
+def test_gif_rejects_corrupt():
+    import pytest as _pytest
+
+    from trove_spark.extras.multimodal import decode_gif
+
+    with _pytest.raises(ValueError):
+        decode_gif(b"not a gif")
+    with _pytest.raises(ValueError):
+        decode_gif(b"GIF89a" + b"\x00" * 10)  # no image data / bad block
+    with _pytest.raises(ValueError):
+        decode_gif(b"GIF89a\x03\x00")  # truncated header
+
+
+def test_extract_pixel_stats_gif(spark):
+    import numpy as np
+
+    from trove_spark.extras.multimodal import encode_gif, extract_pixel_stats
+
+    arr = np.zeros((4, 4, 3), np.uint8)
+    arr[..., 2] = 200
+    media = spark.createDataFrame(
+        [("gf", bytearray(encode_gif(arr)))], "doc_id string, media binary"
+    )
+    r = extract_pixel_stats(media).collect()[0]
+    assert (r.decoded, r.width, r.height) == ("ok", 4, 4)
+    assert (r.mean_r_x1000, r.mean_g_x1000, r.mean_b_x1000) == (0, 0, 200000)

@@ -1,0 +1,562 @@
+"""Baseline JPEG (JFIF) decode/encode with NO codec library.
+
+JPEG's "codec" is, like GIF's LZW, an algorithm over published constant
+tables: canonical Huffman coding (ITU T.81 Annex K.3), zigzag scan
+order, 8×8 DCT-II (a fixed 8×8 matrix product in numpy), and the
+Annex K quantization matrices.  This module implements the BASELINE
+SEQUENTIAL process (SOF0, 8-bit, Huffman): the format the overwhelming
+majority of web JPEGs use.  Progressive (SOF2), arithmetic coding,
+12-bit and lossless modes raise NotImplementedError; malformed bytes
+raise ValueError (callers quarantine — extras/multimodal.py).
+
+Decoder: marker parse → per-MCU Huffman decode (DC diff + AC
+run-length) → dequantize → inverse zigzag → IDCT → chroma upsample →
+YCbCr→RGB.  Supports 4:4:4 / 4:2:2 / 4:2:0 sampling, grayscale,
+restart intervals (DRI/RSTn).
+
+Encoder (exists so the decoder is round-trip testable in-container):
+4:4:4 or 4:2:0, quality-scaled Annex K tables, standard Huffman tables.
+JPEG is lossy — round-trip asserts bounded error, not equality; the
+decoder's absolute conformance is anchored by hand-computed
+single-block vectors in tests/test_jpeg.py.
+
+Everything is numpy; per-blob work is O(pixels) with small constants —
+used from Arrow kernels (multimodal.extract_pixel_stats), never in a
+JVM plan.
+
+__ref__: no reference counterpart (LLM-data-pipeline extension).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__ref__ = "no reference counterpart (LLM-data-pipeline extension)"
+
+# ITU T.81 zigzag scan order (index: zigzag position → raster position)
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K.1 / K.2 quantization tables (quality 50 reference, raster order)
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K.3 standard Huffman tables: (BITS counts per code length 1-16, values)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    """8×8 DCT-II basis C: forward DCT = C @ block @ C.T (T.81 A.3.3)."""
+    C = np.zeros((8, 8))
+    for u in range(8):
+        a = np.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            C[u, x] = a * np.cos((2 * x + 1) * u * np.pi / 16)
+    return C
+
+
+_DCT = _dct_matrix()
+
+
+def _canonical_codes(bits: list, vals: list) -> dict:
+    """(length, code) → symbol, per the canonical assignment of T.81 C.2."""
+    out = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _encode_codes(bits: list, vals: list) -> dict:
+    """symbol → (code, length), the encoder-side view."""
+    return {sym: (code, ln) for (ln, code), sym in _canonical_codes(bits, vals).items()}
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling of the Annex K tables (the convention every
+    JPEG tool uses): 50 = reference, 1 = coarsest, 100 ≈ lossless-ish."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    ql = np.clip((QUANT_LUMA * scale + 50) // 100, 1, 255)
+    qc = np.clip((QUANT_CHROMA * scale + 50) // 100, 1, 255)
+    return ql, qc
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r, g, b = rgb[..., 0].astype(np.float64), rgb[..., 1].astype(np.float64), rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def align(self) -> None:
+        if self.n:
+            pad = 8 - (self.n % 8)
+            self.put((1 << pad) - 1, pad)  # pad to a byte with 1-bits (T.81 F.1.2.3)
+
+    def marker(self, m: int) -> None:
+        """Byte-align and emit a bare marker (RSTn) — not byte-stuffed."""
+        self.align()
+        self.buf += bytes([0xFF, m])
+
+    def flush(self) -> bytes:
+        self.align()
+        return bytes(self.buf)
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing;
+    RSTn markers are surfaced via ``restart()``."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        while self.n <= 24:
+            if self.pos >= len(self.d):
+                self.acc = (self.acc << 8) | 0xFF  # pad past end (T.81 F.2.2.5 allows)
+                self.n += 8
+                continue
+            b = self.d[self.pos]
+            if b == 0xFF:
+                nxt = self.d[self.pos + 1] if self.pos + 1 < len(self.d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.n += 8
+                    continue
+                # a real marker: stop feeding (pad with 1s)
+                self.acc = (self.acc << 8) | 0xFF
+                self.n += 8
+                continue
+            self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+    def bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        self._fill()
+        v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        self.n -= k
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def huff(self, table: dict) -> int:
+        code, ln = 0, 0
+        for _ in range(16):
+            code = (code << 1) | self.bits(1)
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("corrupt JPEG entropy stream (bad Huffman code)")
+
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker."""
+        self.acc, self.n = 0, 0
+        while self.pos + 1 < len(self.d) and not (
+            self.d[self.pos] == 0xFF and 0xD0 <= self.d[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 1
+        self.pos += 2
+
+
+def _receive_extend(r: int, size: int) -> int:
+    """T.81 F.12: map `size` raw bits to a signed coefficient."""
+    if size == 0:
+        return 0
+    return r if r >= (1 << (size - 1)) else r - (1 << size) + 1
+
+
+def _coeff_bits(v: int) -> tuple[int, int]:
+    size = int(abs(v)).bit_length()
+    return (v if v >= 0 else v + (1 << size) - 1, size)
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 75,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W, 3) uint8 RGB (or (H, W) grayscale) → baseline JFIF bytes.
+    ``subsample``: '444' (no chroma subsampling) or '420' (2×2).
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    N MCUs (what camera JPEGs do — exercises the decoder's resync
+    path)."""
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    h, w = a.shape[0], a.shape[1]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    ql, qc = _quality_tables(quality)
+    ql_r, qc_r = ql.astype(np.float64), qc.astype(np.float64)
+
+    if gray:
+        planes = [a.astype(np.float64)]
+        samp = [(1, 1)]
+        qtab = [ql_r]
+        qids = [0]
+    else:
+        ycc = _rgb_to_ycbcr(a)
+        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if subsample == "420":
+            ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+            yp = np.pad(y, ((0, ph - h), (0, pw - w)), mode="edge")
+            cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+            crp = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb2 = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr2 = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            planes = [yp, cb2, cr2]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        qtab = [ql_r, qc_r, qc_r]
+        qids = [0, 1, 1]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+
+    # pad every plane to its own MCU-aligned size
+    padded = []
+    for p, (sh, sv) in zip(planes, samp):
+        th = mcus_y * 8 * sv
+        tw = mcus_x * 8 * sh
+        padded.append(np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"))
+
+    dc_enc = [_encode_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+              _encode_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    ac_enc = [_encode_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+              _encode_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+
+    bw = _BitWriter()
+    pred = [0] * len(planes)
+    inv_zz = ZIGZAG  # raster index per zigzag position
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.marker(0xD0 + (mcu_count // restart_interval - 1) % 8)
+                pred = [0] * len(planes)
+            mcu_count += 1
+            for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
+                tsel = 0 if ci == 0 else 1
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        block = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        coeffs = _DCT @ block @ _DCT.T
+                        q = np.round(coeffs / qtab[ci].reshape(8, 8)).astype(np.int64)
+                        zz = q.ravel()[inv_zz]
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        rb, size = _coeff_bits(diff)
+                        code, ln = dc_enc[tsel][size]
+                        bw.put(code, ln)
+                        if size:
+                            bw.put(rb, size)
+                        run = 0
+                        last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+                        for k in range(1, 64):
+                            v = int(zz[k])
+                            if v == 0:
+                                if k > last_nz:
+                                    code, ln = ac_enc[tsel][0x00]  # EOB
+                                    bw.put(code, ln)
+                                    break
+                                run += 1
+                                continue
+                            while run >= 16:
+                                code, ln = ac_enc[tsel][0xF0]  # ZRL
+                                bw.put(code, ln)
+                                run -= 16
+                            rb, size = _coeff_bits(v)
+                            code, ln = ac_enc[tsel][(run << 4) | size]
+                            bw.put(code, ln)
+                            bw.put(rb, size)
+                            run = 0
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(v) for v in ql[ZIGZAG]))
+    if not gray:
+        out += seg(0xDB, bytes([0x01]) + bytes(int(v) for v in qc[ZIGZAG]))
+    ncomp = 1 if gray else 3
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, qids[ci]])
+    out += seg(0xC0, bytes(sof))
+    out += seg(0xC4, bytes([0x00] + DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    out += seg(0xC4, bytes([0x10] + AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    if not gray:
+        out += seg(0xC4, bytes([0x01] + DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS))
+        out += seg(0xC4, bytes([0x11] + AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytearray([ncomp])
+    for ci in range(ncomp):
+        t = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, bytes(sos))
+    out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def decode_jpeg(blob: bytes) -> np.ndarray:
+    """Baseline JFIF bytes → (H, W, 3) uint8 RGB (grayscale replicated).
+    Raises NotImplementedError for progressive/arithmetic/12-bit JPEGs,
+    ValueError for non-JPEG or corrupt bytes."""
+    if len(blob) < 4 or blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG file")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    sof = None
+    restart_interval = 0
+    try:
+        while pos + 4 <= len(blob):
+            if blob[pos] != 0xFF:
+                raise ValueError("bad JPEG marker stream")
+            marker = blob[pos + 1]
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            ln = struct.unpack(">H", blob[pos + 2 : pos + 4])[0]
+            body = blob[pos + 4 : pos + 2 + ln]
+            if marker == 0xDB:  # DQT (possibly several tables per segment)
+                i = 0
+                while i < len(body):
+                    prec, tid = body[i] >> 4, body[i] & 0x0F
+                    if prec != 0:
+                        raise NotImplementedError("16-bit quantization tables")
+                    zz = np.frombuffer(body[i + 1 : i + 65], np.uint8).astype(np.int64)
+                    raster = np.zeros(64, np.int64)
+                    raster[ZIGZAG] = zz
+                    qtabs[tid] = raster
+                    i += 65
+            elif marker == 0xC4:  # DHT
+                i = 0
+                while i < len(body):
+                    cls, tid = body[i] >> 4, body[i] & 0x0F
+                    bits = list(body[i + 1 : i + 17])
+                    n = sum(bits)
+                    vals = list(body[i + 17 : i + 17 + n])
+                    htabs[(cls, tid)] = _canonical_codes(bits, vals)
+                    i += 17 + n
+            elif marker == 0xC0 or marker == 0xC1:  # baseline / ext. sequential
+                if body[0] != 8:
+                    raise NotImplementedError(f"JPEG precision {body[0]}")
+                h, w = struct.unpack(">HH", body[1:5])
+                ncomp = body[5]
+                comps = []
+                for c in range(ncomp):
+                    cid, sampb, qid = body[6 + 3 * c : 9 + 3 * c]
+                    comps.append((cid, sampb >> 4, sampb & 0x0F, qid))
+                sof = (h, w, comps)
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                            0xCD, 0xCE, 0xCF):
+                raise NotImplementedError("non-baseline JPEG process")
+            elif marker == 0xDD:  # DRI
+                restart_interval = struct.unpack(">H", body[:2])[0]
+            elif marker == 0xDA:  # SOS — entropy data follows
+                if sof is None:
+                    raise ValueError("JPEG SOS before SOF")
+                ns = body[0]
+                sel = {}
+                for c in range(ns):
+                    cid, tsel = body[1 + 2 * c], body[2 + 2 * c]
+                    sel[cid] = (tsel >> 4, tsel & 0x0F)
+                return _decode_scan(
+                    blob, pos + 2 + ln, sof, sel, qtabs, htabs, restart_interval
+                )
+            elif marker == 0xD9:
+                break
+            pos += 2 + ln
+        raise ValueError("JPEG contains no scan data")
+    except (struct.error, IndexError) as e:
+        raise ValueError("truncated JPEG") from e
+
+
+def _decode_scan(blob, data_pos, sof, sel, qtabs, htabs, restart_interval):
+    h, w, comps = sof
+    if h == 0 or w == 0:
+        raise ValueError("empty JPEG frame")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for cid, sh, sv, qid in comps:
+        planes.append(np.zeros((mcus_y * 8 * sv, mcus_x * 8 * sh), np.float64))
+
+    br = _BitReader(blob, data_pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.restart()
+                pred = [0] * len(comps)
+            mcu_count += 1
+            for ci, (cid, sh, sv, qid) in enumerate(comps):
+                if qid not in qtabs:
+                    raise ValueError("missing JPEG quantization table")
+                dsel, asel = sel.get(cid, (0, 0))
+                dct_t = htabs.get((0, dsel))
+                act_t = htabs.get((1, asel))
+                if dct_t is None or act_t is None:
+                    raise ValueError("missing JPEG Huffman table")
+                for by in range(sv):
+                    for bx in range(sh):
+                        zz = np.zeros(64, np.int64)
+                        size = br.huff(dct_t)
+                        if size > 11:
+                            raise ValueError("corrupt JPEG DC size")
+                        diff = _receive_extend(br.bits(size), size)
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = br.huff(act_t)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, size = rs >> 4, rs & 0x0F
+                            k += run
+                            if k > 63 or size == 0:
+                                raise ValueError("corrupt JPEG AC run")
+                            zz[k] = _receive_extend(br.bits(size), size)
+                            k += 1
+                        raster = np.zeros(64, np.int64)
+                        raster[ZIGZAG] = zz
+                        coeffs = (raster * qtabs[qid]).reshape(8, 8).astype(np.float64)
+                        block = _DCT.T @ coeffs @ _DCT + 128.0
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+
+    # upsample subsampled planes to full size, crop, color-convert
+    full = []
+    for p, (cid, sh, sv, qid) in zip(planes, comps):
+        if sh != hmax or sv != vmax:
+            p = np.repeat(np.repeat(p, vmax // sv, axis=0), hmax // sh, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    if len(full) != 3:
+        raise NotImplementedError(f"{len(full)}-component JPEG")
+    return _ycbcr_to_rgb(np.stack(full, axis=-1))

@@ -1,12 +1,8 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The container has no compressed-image codec LIBRARIES, so JPEG/GIF pixel
-DECODE stays stubbed (clearly-marked NotImplementedError / deterministic
-fake — their entropy coders are genuinely absent), but everything
-Spark-side is real and tested: the schema convention, the Arrow batch
-shape through ``mapInPandas``, partition sizing for large blobs, and the
-feature-extraction pipeline pattern.  Three paths are fully REAL end to
-end in-container:
+Every mainstream format decodes FOR REAL in this container — none of
+them actually needs a codec library (the r4 "no codecs" assumption was
+wrong format by format):
 
 * container-header METADATA extraction (:func:`probe_image_headers` —
   PNG/JPEG/GIF/BMP format + dimensions, parsed byte-wise with no codec:
@@ -18,7 +14,21 @@ end in-container:
   as rows instead of failing the job);
 * PNG pixel decode/encode (:func:`decode_png` / :func:`encode_png` —
   stdlib zlib inflate + all five per-row byte filters, r5): the most
-  common web-image format needs no codec library at all.
+  common web-image format needs no codec library at all;
+* GIF pixel decode/encode (:func:`decode_gif` / :func:`encode_gif` —
+  pure-python variable-width LZW, palettes, interlacing, r5): LZW is
+  an algorithm, not a library;
+* baseline JPEG decode/encode (extras/jpeg.py — numpy 8×8 DCT +
+  canonical Huffman over the published T.81 Annex K tables, r5):
+  DCT and Huffman are algorithms over spec constants, not a library;
+* PCM WAV audio decode/encode (:func:`decode_wav` / :func:`encode_wav`
+  — RIFF header walk + numpy frombuffer, r5) and the audio-stats
+  kernel (:func:`extract_audio_stats`: rate/channels/duration/RMS/peak
+  with quarantine), extending the real-decode story to audio.
+
+Still honestly stubbed (:func:`decode_image` escape hatch): WebP/AVIF/
+TIFF and progressive JPEG — formats whose decoders genuinely exceed
+what belongs in this repo.  Compressed audio (MP3/AAC) likewise.
 
 Schema convention for a media table:
     (doc_id string, media binary, meta struct<mime string, width int,
@@ -42,6 +52,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
+
     ArrayType,
     BinaryType,
     FloatType,
@@ -50,6 +61,8 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+__ref__ = "no reference counterpart (LLM-data-pipeline extension)"
 
 FEATURES_SCHEMA = StructType(
     [
@@ -62,11 +75,14 @@ FEATURES_SCHEMA = StructType(
 
 
 def decode_image(blob: bytes) -> "object":
-    """REAL decode requires PIL/libjpeg — not present in this container.
-    The Spark plumbing around this stub is what's under test; swap this
-    body for ``PIL.Image.open(io.BytesIO(blob))`` in a full environment."""
+    """Escape hatch for formats OUTSIDE the in-container decoders
+    (:func:`decode_pixels` handles BMP/PNG/GIF/baseline-JPEG for real):
+    WebP, AVIF, TIFF, progressive JPEG etc. need an imaging library this
+    container lacks.  Swap this body for
+    ``PIL.Image.open(io.BytesIO(blob))`` in a full environment."""
     raise NotImplementedError(
-        "image decode needs an imaging library not present in this container"
+        "image decode beyond BMP/PNG/GIF/baseline-JPEG needs an imaging "
+        "library not present in this container"
     )
 
 
@@ -523,15 +539,215 @@ def encode_png(arr: "np.ndarray", filter_type: int = 0) -> bytes:
     return PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw) + chunk(b"IEND", b"")
 
 
+def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> list:
+    """GIF-variant LZW: variable code width (min_code+1 … 12 bits),
+    LSB-first bit packing, clear/end control codes.  Pure python —
+    LZW is an algorithm, not a codec library."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    base = {i: (i,) for i in range(clear)}
+    table = dict(base)
+    next_code, width = end + 1, min_code + 1
+    out: list = []
+    prev = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return out  # missing end code — tolerate (common in the wild)
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = dict(base)
+            next_code, width, prev = end + 1, min_code + 1, None
+            continue
+        if code == end:
+            return out
+        if code in table:
+            entry = table[code]
+        elif prev is not None and code == next_code:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {code})")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+        if len(out) >= n_pixels:
+            return out
+
+
+def decode_gif(blob: bytes) -> "np.ndarray":
+    """REAL GIF pixel decode with no codec library: GIF is palette +
+    LZW, and LZW is ~40 lines of pure python (:func:`_lzw_decode`).
+    Decodes the FIRST image frame (animated GIFs: frame 1), honoring
+    local color tables and Adam-style 4-pass interlacing.  Returns
+    (H, W, 3) uint8 RGB of that frame's region — same contract as
+    :func:`decode_bmp` / :func:`decode_png`.  Raises ValueError for
+    non-GIF or truncated/corrupt bytes."""
+    import numpy as np
+
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF file")
+    try:
+        flags = blob[10]
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            gct = np.frombuffer(blob[pos : pos + 3 * n], np.uint8).reshape(-1, 3)
+            pos += 3 * n
+        while pos < len(blob):
+            b0 = blob[pos]
+            if b0 == 0x21:  # extension: skip sub-blocks
+                pos += 2
+                while blob[pos] != 0:
+                    pos += 1 + blob[pos]
+                pos += 1
+            elif b0 == 0x2C:  # image descriptor
+                w = int.from_bytes(blob[pos + 5 : pos + 7], "little")
+                h = int.from_bytes(blob[pos + 7 : pos + 9], "little")
+                iflags = blob[pos + 9]
+                pos += 10
+                pal = gct
+                if iflags & 0x80:  # local color table
+                    n = 2 << (iflags & 0x07)
+                    pal = np.frombuffer(blob[pos : pos + 3 * n], np.uint8).reshape(-1, 3)
+                    pos += 3 * n
+                if pal is None:
+                    raise ValueError("GIF image without a color table")
+                min_code = blob[pos]
+                pos += 1
+                lzw = bytearray()
+                while blob[pos] != 0:
+                    ln = blob[pos]
+                    lzw += blob[pos + 1 : pos + 1 + ln]
+                    pos += 1 + ln
+                idx = _lzw_decode(bytes(lzw), min_code, w * h)
+                if len(idx) < w * h:
+                    raise ValueError("truncated GIF pixel data")
+                img = np.array(idx[: w * h], np.uint16).reshape(h, w)
+                if iflags & 0x40:  # deinterlace: 4-pass row order
+                    order = (
+                        list(range(0, h, 8)) + list(range(4, h, 8))
+                        + list(range(2, h, 4)) + list(range(1, h, 2))
+                    )
+                    out = np.empty_like(img)
+                    out[order] = img
+                    img = out
+                if int(img.max(initial=0)) >= len(pal):
+                    raise ValueError("GIF pixel index outside color table")
+                return pal[img]
+            elif b0 == 0x3B:  # trailer
+                break
+            else:
+                raise ValueError(f"bad GIF block 0x{b0:02x}")
+        raise ValueError("GIF contains no image data")
+    except IndexError as e:
+        raise ValueError("truncated GIF") from e
+
+
+def encode_gif(arr: "np.ndarray") -> bytes:
+    """(H, W) uint8 palette indices + implicit grayscale palette, or
+    (H, W, 3) RGB quantized to its ≤256 distinct colors → single-frame
+    GIF89a bytes (the inverse of :func:`decode_gif` — round-trip
+    tested, real LZW compression with width growth and 4096-code
+    table resets)."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    if a.ndim == 3:
+        flat = a.reshape(-1, 3)
+        pal, inv = np.unique(flat, axis=0, return_inverse=True)
+        if len(pal) > 256:
+            raise ValueError("encode_gif needs ≤256 distinct colors")
+        idx = inv.reshape(a.shape[0], a.shape[1])
+    else:
+        idx = a.astype(np.int64)
+        pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    h, w = idx.shape
+    bits = max(int(pal.shape[0] - 1).bit_length(), 1)
+    pal_n = 1 << bits
+    pal_full = np.zeros((pal_n, 3), np.uint8)
+    pal_full[: pal.shape[0]] = pal
+    min_code = max(bits, 2)
+    clear, end = 1 << min_code, (1 << min_code) + 1
+
+    codes: list[tuple[int, int]] = []  # (code, width at emission)
+    table = {(i,): i for i in range(clear)}
+    next_code, width = end + 1, min_code + 1
+    codes.append((clear, width))
+    seq: tuple = ()
+    for p in idx.ravel().tolist():
+        cand = seq + (p,)
+        if cand in table:
+            seq = cand
+            continue
+        codes.append((table[seq], width))
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            # encoder grows one add later than the decoder (the decoder
+            # adds its matching entry only on the NEXT received code)
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            codes.append((clear, width))
+            table = {(i,): i for i in range(clear)}
+            next_code, width = end + 1, min_code + 1
+        seq = (p,)
+    if seq:
+        codes.append((table[seq], width))
+    codes.append((end, width))
+
+    acc = nbits = 0
+    stream = bytearray()
+    for code, cw in codes:
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        stream.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (bits - 1), 0, 0])  # GCT present, size 2^bits
+    out += pal_full.tobytes()
+    out += b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    out += bytes([min_code])
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_pixels(blob: bytes) -> "np.ndarray":
     """Magic-byte dispatch to the REAL in-container decoders: BMP
-    (header+reshape) and PNG (stdlib zlib + unfilter).  JPEG/GIF raise
-    NotImplementedError (entropy codecs genuinely absent) — callers
-    quarantine, never crash (see :func:`extract_pixel_stats`)."""
+    (header+reshape), PNG (stdlib zlib + unfilter), GIF (pure-python
+    LZW) and baseline JPEG (numpy DCT + canonical Huffman —
+    extras/jpeg.py).  Exotic formats (WebP/AVIF/TIFF, progressive JPEG)
+    raise NotImplementedError — callers quarantine, never crash (see
+    :func:`extract_pixel_stats`)."""
     if blob[:2] == b"BM":
         return decode_bmp(blob)
     if blob[:8] == PNG_MAGIC:
         return decode_png(blob)
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(blob)
+    if blob[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(blob)
     raise NotImplementedError("no in-container codec for this format")
 
 
@@ -544,6 +760,132 @@ def resize_nearest(arr: "np.ndarray", width: int, height: int) -> "np.ndarray":
     ys = (np.arange(height) * H // height).clip(0, H - 1)
     xs = (np.arange(width) * W // width).clip(0, W - 1)
     return arr[ys][:, xs]
+
+
+def decode_wav(blob: bytes) -> tuple["np.ndarray", int]:
+    """REAL audio decode with no codec library: RIFF/WAVE PCM is a
+    header walk + numpy frombuffer (the audio twin of :func:`decode_bmp`).
+    Supports 16-bit and 8-bit integer PCM, any channel count/rate.
+    Returns ((n_frames, n_channels) float32 in [-1, 1], sample_rate).
+    Raises NotImplementedError for compressed formats (MP3/AAC/float
+    PCM stay codec-gated) and ValueError for non-WAV/truncated bytes."""
+    import struct
+
+    import numpy as np
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid, ln = struct.unpack("<4sI", blob[pos : pos + 8])
+        body = blob[pos + 8 : pos + 8 + ln]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            if len(body) < ln:
+                raise ValueError("truncated WAV data chunk")
+            data = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("truncated WAV (missing fmt/data chunk)")
+    audio_format, n_ch, rate, _byte_rate, _block, bits = fmt
+    if audio_format != 1:  # 1 = integer PCM
+        raise NotImplementedError(f"WAV audio format {audio_format} unsupported")
+    if bits == 16:
+        x = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+    elif bits == 8:  # 8-bit WAV is unsigned
+        x = (np.frombuffer(data, np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"WAV bit depth {bits} unsupported")
+    n_ch = max(n_ch, 1)
+    return x[: len(x) - len(x) % n_ch].reshape(-1, n_ch), int(rate)
+
+
+def encode_wav(samples: "np.ndarray", rate: int) -> bytes:
+    """(n_frames, n_channels) float32 in [-1, 1] → 16-bit PCM WAV bytes
+    (the inverse of :func:`decode_wav` up to quantization — round-trip
+    tested)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.float32)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n_ch = arr.shape[1]
+    pcm = np.clip(arr * 32768.0, -32768, 32767).astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ", 16, 1, n_ch,
+        rate, rate * n_ch * 2, n_ch * 2, 16, b"data", len(pcm),
+    )
+    return hdr + pcm
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+        StructField("rms_x1000", IntegerType(), True),
+        StructField("peak_x1000", IntegerType(), True),
+        StructField("decoded", StringType(), False),
+    ]
+)
+
+
+def extract_audio_stats(media: DataFrame) -> DataFrame:
+    """REAL audio decode → per-blob loudness stats (RMS + peak as
+    floor(×1000) ints, duration, rate, channels) — the validate/filter
+    pass an audio-corpus pipeline runs before feature extraction (drop
+    silence, clipped takes, wrong-rate files).  PCM WAV decodes for real
+    in-container; compressed formats (MP3/AAC — entropy-codec-gated)
+    quarantine as ``decoded='unsupported'`` rows.  Bytes never shuffle."""
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, rates, chs, durs, rms, peak, st = [], [], [], [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                if blob is None:
+                    continue
+                ids.append(doc_id)
+                try:
+                    x, rate = decode_wav(bytes(blob))
+                    rates.append(rate)
+                    chs.append(x.shape[1])
+                    durs.append(int(x.shape[0] * 1000 / max(rate, 1)))
+                    rms.append(
+                        int(float(np.sqrt((x.astype(np.float64) ** 2).mean())) * 1000)
+                        if x.size
+                        else 0
+                    )
+                    peak.append(int(float(np.abs(x).max()) * 1000) if x.size else 0)
+                    st.append("ok")
+                except (ValueError, NotImplementedError):
+                    rates.append(None)
+                    chs.append(None)
+                    durs.append(None)
+                    rms.append(None)
+                    peak.append(None)
+                    st.append("unsupported")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype=object),
+                    "sample_rate": pd.Series(rates, dtype="Int32"),
+                    "n_channels": pd.Series(chs, dtype="Int32"),
+                    "duration_ms": pd.Series(durs, dtype="Int32"),
+                    "rms_x1000": pd.Series(rms, dtype="Int32"),
+                    "peak_x1000": pd.Series(peak, dtype="Int32"),
+                    "decoded": pd.Series(st, dtype=object),
+                }
+            )
+
+    return media.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "media"
+    ).mapInPandas(_kernel, schema=AUDIO_STATS_SCHEMA)
 
 
 PIXEL_STATS_SCHEMA = StructType(
@@ -563,12 +905,13 @@ def extract_pixel_stats(
     media: DataFrame, resize_to: int | None = None
 ) -> DataFrame:
     """REAL decode → (optional nearest-neighbor resize) → per-channel
-    mean stats, end-to-end exercisable in this container on BMP and PNG
-    blobs (:func:`decode_pixels`).  Non-decodable formats (JPEG/GIF —
-    entropy-codec-gated) come back with ``decoded='unsupported'`` and
-    NULL stats instead of failing the job: at corpus scale a decode pass
-    must quarantine, never crash.  Stats are floor(mean×1000) ints
-    (engine-stable).  Bytes never shuffle."""
+    mean stats, end-to-end exercisable in this container on BMP, PNG,
+    GIF and baseline-JPEG blobs (:func:`decode_pixels`).  Undecodable
+    blobs — exotic formats, progressive JPEG, corrupt/truncated bytes —
+    come back with ``decoded='unsupported'`` and NULL stats instead of
+    failing the job: at corpus scale a decode pass must quarantine,
+    never crash.  Stats are floor(mean×1000) ints (engine-stable).
+    Bytes never shuffle."""
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
