@@ -411,10 +411,17 @@ def _clinical_battery_half(spark, docs, mentions, battery, prop_col, **kw):
     vocabulary contains no clinical cues, so this half is what
     oracle-checks the published lists end-to-end)."""
     from trove_spark.taggers import trigger_battery_tagger
-    from trove_spark.tokenize import tokenize_documents
 
     d = spark.createDataFrame(docs, schema="doc_id string, text string")
-    sents = tokenize_documents(d, text_col="text", id_col="doc_id", mode="whitespace")
+    # fixture docs are single-sentence and space-separated by
+    # construction, so whitespace tokenization is a pure split() — no
+    # mapInPandas stage for an 8-row frame (keeps the union's fixed
+    # overhead off the corpus-scale bench timing)
+    sents = d.select(
+        "doc_id",
+        F.lit(0).cast("int").alias("sent_idx"),
+        F.split("text", " ").alias("words"),
+    )
     m = spark.createDataFrame(
         mentions,
         schema="doc_id string, sent_idx int, tok_start int, tok_end int, term string",

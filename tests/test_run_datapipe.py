@@ -65,3 +65,36 @@ def test_datapipe_end_to_end(spark, tmp_path):
     assert stats2["written_shards"] == 0
     assert stats2["skipped_shards"] == stats["written_shards"]
     assert stats2["verified"]
+
+
+def test_datapipe_dsir_selection_and_rolling_hasher(spark, tmp_path):
+    # exercises the DSIR branch (the r4 advice fix: the selection cache
+    # must stay persisted until train.count() consumes the join) and the
+    # rolling-hash substring-dedup flag end-to-end
+    rows = [
+        (
+            f"d{i:02d}",
+            f"the w{i}a quick w{i}b brown w{i}c fox and w{i}d dog "
+            f"of w{i}e house near w{i}f barn",
+        )
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    inp = str(tmp_path / "in.parquet")
+    tgt = str(tmp_path / "target.parquet")
+    out = str(tmp_path / "out")
+    docs.write.parquet(inp)
+    # target domain: the low-numbered docs' vocabulary
+    spark.createDataFrame(rows[:5], "doc_id string, text string").write.parquet(tgt)
+
+    stats = run_datapipe.main([
+        "--input", inp, "--output", out,
+        "--target", tgt, "--n-select", "10",
+        "--substring-k", "6", "--substring-hasher", "rolling",
+        "--seq-len", "16", "--n-merges", "40",
+        "--windows-per-shard", "8", "--seed", "1",
+        "--split", "train=1.0", "--bpe-min-count", "1",
+    ])
+    assert stats["input_docs"] == 30
+    assert stats["curated_docs"] == 10  # DSIR kept exactly n-select docs
+    assert stats["written_shards"] >= 1 and stats["verified"]

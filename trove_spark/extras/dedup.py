@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+__ref__ = "no reference counterpart (LLM-data-pipeline extension)"
+
 # 60-bit portable hash: identical in Spark and DuckDB
 #   spark : conv(substr(md5(x), 1, 15), 16, 10)::long
 #   duckdb: cast('0x' || substr(md5(x), 1, 15) as bigint)

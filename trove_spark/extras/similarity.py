@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+__ref__ = "no reference counterpart (LLM-data-pipeline extension)"
+
 
 def _dot(a, b):
     return F.aggregate(

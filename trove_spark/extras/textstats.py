@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+__ref__ = "no reference counterpart (LLM-data-pipeline extension)"
+
 # tiny English function-word list for the n-gram/stopword heuristic
 EN_STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is", "it", "for"]
 
