@@ -1,0 +1,129 @@
+"""Quarantine-contract fuzzing: extract_pixel_stats / extract_audio_stats
+catch ONLY (ValueError, NotImplementedError), so no decoder may leak any
+other exception (KeyError/IndexError/struct.error/ZeroDivisionError
+would crash a corpus-scale job on one bad blob).  Hypothesis drives both
+arbitrary bytes and single-byte mutations of VALID blobs (structure-aware
+fuzzing reaches far deeper than random bytes)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from trove_spark.extras.jpeg import encode_jpeg
+from trove_spark.extras.multimodal import (
+    decode_pixels,
+    decode_wav,
+    encode_bmp,
+    encode_gif,
+    encode_png,
+    encode_wav,
+)
+
+ALLOWED = (ValueError, NotImplementedError)
+
+
+def _img(h=9, w=7, seed=1):
+    return np.random.default_rng(seed).integers(0, 256, (h, w, 3), np.uint8)
+
+
+BASE_BLOBS = [
+    encode_bmp(_img()),
+    encode_png(_img(), filter_type=4),
+    encode_gif(_img()),
+    encode_jpeg(_img(), 80, "420"),
+]
+BASE_WAV = encode_wav(np.linspace(-0.5, 0.5, 300, dtype=np.float32), 8000)
+
+
+def _check_pixels(blob: bytes) -> None:
+    try:
+        out = decode_pixels(blob)
+        assert out.ndim == 3 and out.shape[2] == 3 and out.dtype == np.uint8
+    except ALLOWED:
+        pass  # quarantined — the contract
+
+
+def _check_wav(blob: bytes) -> None:
+    try:
+        x, rate = decode_wav(blob)
+        assert x.ndim == 2
+    except ALLOWED:
+        pass
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=256))
+def test_arbitrary_bytes_never_crash(blob):
+    _check_pixels(blob)
+    _check_wav(blob)
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    base=st.integers(0, len(BASE_BLOBS) - 1),
+    pos=st.integers(0, 4095),
+    val=st.integers(0, 255),
+)
+def test_mutated_valid_images_never_crash(base, pos, val):
+    blob = bytearray(BASE_BLOBS[base])
+    blob[pos % len(blob)] = val
+    _check_pixels(bytes(blob))
+
+
+@settings(max_examples=200, deadline=None)
+@given(pos=st.integers(0, 4095), val=st.integers(0, 255))
+def test_mutated_valid_wav_never_crashes(pos, val):
+    blob = bytearray(BASE_WAV)
+    blob[pos % len(blob)] = val
+    _check_wav(bytes(blob))
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    base=st.integers(0, len(BASE_BLOBS) - 1),
+    cut=st.integers(0, 4095),
+)
+def test_truncated_valid_images_never_crash(base, cut):
+    blob = BASE_BLOBS[base]
+    _check_pixels(blob[: cut % (len(blob) + 1)])
+
+
+def test_exhaustive_single_byte_mutations_terminate_cleanly():
+    # EVERY byte position × 4 values for each format (≈6k decodes, ~2 s):
+    # must terminate promptly and raise nothing outside the contract.
+    # Found in r5: a mutated GIF LZW min-code byte built a 2^255-entry
+    # dict (hang); a mutated JPEG dimension field looped over millions of
+    # phantom MCUs fed by synthetic bit-padding (hang) — both now
+    # rejected with ValueError.
+    import signal
+
+    class _Hang(Exception):
+        pass
+
+    def _alarm(sig, frame):
+        raise _Hang()
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    try:
+        for blob in BASE_BLOBS:
+            for pos in range(len(blob)):
+                for val in (0x00, 0xFF, blob[pos] ^ 0x55, 0x80):
+                    b = bytearray(blob)
+                    b[pos] = val
+                    signal.alarm(10)
+                    try:
+                        _check_pixels(bytes(b))
+                    finally:
+                        signal.alarm(0)
+        for pos in range(len(BASE_WAV)):
+            for val in (0x00, 0xFF, 0x80):
+                b = bytearray(BASE_WAV)
+                b[pos] = val
+                signal.alarm(10)
+                try:
+                    _check_wav(bytes(b))
+                finally:
+                    signal.alarm(0)
+    finally:
+        signal.signal(signal.SIGALRM, old)

@@ -452,3 +452,77 @@ def test_extract_pixel_stats_gif(spark):
     r = extract_pixel_stats(media).collect()[0]
     assert (r.decoded, r.width, r.height) == ("ok", 4, 4)
     assert (r.mean_r_x1000, r.mean_g_x1000, r.mean_b_x1000) == (0, 0, 200000)
+
+
+def _mp4(duration_ms=5000, w=640, h=360, n_tracks=2):
+    import struct
+
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    ftyp = box(b"ftyp", b"isom" + b"\x00" * 4)
+    mvhd = box(b"mvhd", b"\x00" * 12 + struct.pack(">II", 1000, duration_ms)
+               + b"\x00" * 80)  # v0: ts=1000 -> duration units == ms
+    def trak(tw, th):
+        tkhd = box(b"tkhd", b"\x00" * 76
+                   + struct.pack(">II", tw << 16, th << 16))
+        return box(b"trak", tkhd)
+    moov = box(b"moov", mvhd + b"".join(
+        trak(w if i == 0 else 0, h if i == 0 else 0) for i in range(n_tracks)))
+    return ftyp + moov
+
+
+def _avi(us_per_frame=40000, frames=250, w=320, h=240):
+    import struct
+
+    avih = b"avih" + struct.pack("<I", 56) + struct.pack(
+        "<IIIII", us_per_frame, 0, 0, 0, frames
+    ) + b"\x00" * 12 + struct.pack("<II", w, h) + b"\x00" * 16
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih)) + b"hdrl" + avih
+    return b"RIFF" + struct.pack("<I", 4 + len(hdrl)) + b"AVI " + hdrl
+
+
+def test_probe_video_headers(spark):
+    from trove_spark.extras.multimodal import probe_video_headers
+
+    media = spark.createDataFrame(
+        [("m1", bytearray(_mp4())), ("a1", bytearray(_avi())),
+         ("x1", bytearray(b"not a video at all, just some bytes here")),
+         ("t1", bytearray(_mp4()[:20]))],  # truncated mp4: ftyp only
+        "doc_id string, media binary",
+    )
+    rows = {r.doc_id: r for r in probe_video_headers(media).collect()}
+    m = rows["m1"]
+    assert (m.format, m.duration_ms, m.width, m.height, m.n_tracks) == (
+        "mp4", 5000, 640, 360, 2)
+    a = rows["a1"]
+    # 250 frames x 40ms = 10s at 320x240
+    assert (a.format, a.duration_ms, a.width, a.height) == ("avi", 10000, 320, 240)
+    assert rows["x1"].format is None and rows["x1"].duration_ms is None
+    assert rows["t1"].format is None  # no moov -> not claimed as parsed
+    assert rows["x1"].n_bytes == 40
+
+
+def test_probe_video_never_crashes_on_mutations():
+    import signal
+
+    from trove_spark.extras.multimodal import _probe_video_header
+
+    class _Hang(Exception):
+        pass
+
+    old = signal.signal(signal.SIGALRM, lambda s, f: (_ for _ in ()).throw(_Hang()))
+    try:
+        for base in (_mp4(), _avi()):
+            for pos in range(len(base)):
+                for val in (0x00, 0xFF, base[pos] ^ 0x55):
+                    b = bytearray(base)
+                    b[pos] = val
+                    signal.alarm(10)
+                    try:
+                        out = _probe_video_header(bytes(b))
+                        assert isinstance(out, tuple) and len(out) == 5
+                    finally:
+                        signal.alarm(0)
+    finally:
+        signal.signal(signal.SIGALRM, old)

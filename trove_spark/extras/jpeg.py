@@ -189,18 +189,29 @@ class _BitWriter:
 
 class _BitReader:
     """MSB-first reader over entropy-coded data with 0xFF00 unstuffing;
-    RSTn markers are surfaced via ``restart()``."""
+    RSTn markers are surfaced via ``restart()``.  Synthetic padding
+    (reads past the data end or into a marker) is budgeted: a handful of
+    pad bits legitimately finishes the last MCU, but a scan that keeps
+    consuming padding means the frame header promised more MCUs than the
+    stream encodes (e.g. a corrupted dimension field) — raise instead of
+    looping for hours over garbage."""
+
+    _PAD_BUDGET = 64  # bytes of synthetic 1-padding before declaring corruption
 
     def __init__(self, data: bytes, pos: int):
         self.d = data
         self.pos = pos
         self.acc = 0
         self.n = 0
+        self.pad = 0
 
     def _fill(self) -> None:
         while self.n <= 24:
             if self.pos >= len(self.d):
-                self.acc = (self.acc << 8) | 0xFF  # pad past end (T.81 F.2.2.5 allows)
+                self.pad += 1  # pad past end (T.81 F.2.2.5 allows a little)
+                if self.pad > self._PAD_BUDGET:
+                    raise ValueError("truncated JPEG entropy stream")
+                self.acc = (self.acc << 8) | 0xFF
                 self.n += 8
                 continue
             b = self.d[self.pos]
@@ -211,7 +222,10 @@ class _BitReader:
                     self.acc = (self.acc << 8) | 0xFF
                     self.n += 8
                     continue
-                # a real marker: stop feeding (pad with 1s)
+                # a real marker: stop feeding (budgeted 1-padding)
+                self.pad += 1
+                if self.pad > self._PAD_BUDGET:
+                    raise ValueError("JPEG entropy stream ends before the frame's MCUs")
                 self.acc = (self.acc << 8) | 0xFF
                 self.n += 8
                 continue
@@ -240,7 +254,7 @@ class _BitReader:
 
     def restart(self) -> None:
         """Byte-align and consume an RSTn marker."""
-        self.acc, self.n = 0, 0
+        self.acc, self.n, self.pad = 0, 0, 0
         while self.pos + 1 < len(self.d) and not (
             self.d[self.pos] == 0xFF and 0xD0 <= self.d[self.pos + 1] <= 0xD7
         ):
@@ -413,10 +427,12 @@ def encode_jpeg(
 # ---------------------------------------------------------------------------
 
 
-def decode_jpeg(blob: bytes) -> np.ndarray:
+def decode_jpeg(blob: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
     """Baseline JFIF bytes → (H, W, 3) uint8 RGB (grayscale replicated).
     Raises NotImplementedError for progressive/arithmetic/12-bit JPEGs,
-    ValueError for non-JPEG or corrupt bytes."""
+    ValueError for non-JPEG or corrupt bytes.  ``max_pixels`` (default
+    64 MP) bounds plane allocation so a corrupted dimension field cannot
+    demand gigabytes before the entropy stream is even read."""
     if len(blob) < 4 or blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG file")
     pos = 2
@@ -462,7 +478,12 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 comps = []
                 for c in range(ncomp):
                     cid, sampb, qid = body[6 + 3 * c : 9 + 3 * c]
-                    comps.append((cid, sampb >> 4, sampb & 0x0F, qid))
+                    sh, sv = sampb >> 4, sampb & 0x0F
+                    if not (1 <= sh <= 4 and 1 <= sv <= 4):
+                        raise ValueError(f"bad JPEG sampling factors {sh}x{sv}")
+                    comps.append((cid, sh, sv, qid))
+                if not comps:
+                    raise ValueError("JPEG frame with zero components")
                 sof = (h, w, comps)
             elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                             0xCD, 0xCE, 0xCF):
@@ -478,7 +499,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                     cid, tsel = body[1 + 2 * c], body[2 + 2 * c]
                     sel[cid] = (tsel >> 4, tsel & 0x0F)
                 return _decode_scan(
-                    blob, pos + 2 + ln, sof, sel, qtabs, htabs, restart_interval
+                    blob, pos + 2 + ln, sof, sel, qtabs, htabs,
+                    restart_interval, max_pixels,
                 )
             elif marker == 0xD9:
                 break
@@ -488,10 +510,13 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         raise ValueError("truncated JPEG") from e
 
 
-def _decode_scan(blob, data_pos, sof, sel, qtabs, htabs, restart_interval):
+def _decode_scan(blob, data_pos, sof, sel, qtabs, htabs, restart_interval,
+                 max_pixels=64_000_000):
     h, w, comps = sof
     if h == 0 or w == 0:
         raise ValueError("empty JPEG frame")
+    if h * w > max_pixels:
+        raise ValueError(f"JPEG frame {w}x{h} exceeds max_pixels={max_pixels}")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)

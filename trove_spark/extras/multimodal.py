@@ -311,6 +311,132 @@ def probe_image_headers(media: DataFrame) -> DataFrame:
     ).mapInPandas(_kernel, schema=PROBE_SCHEMA)
 
 
+def _probe_video_header(b: bytes) -> tuple:
+    """Pure-python video CONTAINER probe: (format, duration_ms, width,
+    height, n_tracks) from MP4/QuickTime box structure or AVI RIFF
+    headers — metadata only, no codec (the route/validate/bucket pass a
+    video ingest runs before any ffmpeg-style decode, which genuinely
+    is out of scope here).  None-tuple when unrecognized/truncated."""
+    import struct
+
+    none = (None, None, None, None, None)
+    try:
+        # ---- MP4/QuickTime: walk top-level boxes to moov, then its children
+        if len(b) >= 12 and b[4:8] == b"ftyp":
+            duration_ms = width = height = None
+            n_tracks = 0
+
+            def walk(lo: int, hi: int, depth: int) -> None:
+                nonlocal duration_ms, width, height, n_tracks
+                pos = lo
+                while pos + 8 <= hi:
+                    size = int.from_bytes(b[pos : pos + 4], "big")
+                    typ = b[pos + 4 : pos + 8]
+                    if size == 1 or size < 8:  # 64-bit/degenerate sizes: stop
+                        return
+                    body_end = min(pos + size, hi)
+                    if typ == b"moov" and depth == 0:
+                        walk(pos + 8, body_end, 1)
+                    elif typ == b"mvhd" and depth == 1 and size >= 8 + 20:
+                        ver = b[pos + 8]
+                        if ver == 0:
+                            ts, dur = struct.unpack(">II", b[pos + 20 : pos + 28])
+                        else:  # v1: 64-bit times
+                            ts = int.from_bytes(b[pos + 28 : pos + 32], "big")
+                            dur = int.from_bytes(b[pos + 32 : pos + 40], "big")
+                        if ts:
+                            duration_ms = int(dur * 1000 // ts)
+                    elif typ == b"trak" and depth == 1:
+                        n_tracks += 1
+                        walk(pos + 8, body_end, 2)
+                    elif typ == b"tkhd" and depth == 2 and size >= 92:
+                        # width/height: 16.16 fixed point at payload offset
+                        # 76 (v0) / 88 (v1, 64-bit times) past the 8-byte header
+                        off = pos + (84 if b[pos + 8] == 0 else 96)
+                        if off + 8 <= body_end:
+                            tw = int.from_bytes(b[off : off + 4], "big") >> 16
+                            th = int.from_bytes(b[off + 4 : off + 8], "big") >> 16
+                            if tw and th and width is None:
+                                width, height = tw, th
+                    pos += size
+
+            walk(0, len(b), 0)
+            if n_tracks or duration_ms is not None:
+                return ("mp4", duration_ms, width, height, n_tracks or None)
+            return none
+        # ---- AVI: RIFF....AVI LIST hdrl avih<56-byte main header>
+        if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+            i = b.find(b"avih")
+            if i >= 0 and i + 8 + 40 <= len(b):
+                us_per_frame, _mx, _pad, _flags, total_frames = struct.unpack(
+                    "<IIIII", b[i + 8 : i + 28]
+                )
+                w, h = struct.unpack("<II", b[i + 40 : i + 48])
+                dur = (
+                    int(us_per_frame * total_frames // 1000)
+                    if us_per_frame and total_frames
+                    else None
+                )
+                return ("avi", dur, w or None, h or None, None)
+            return ("avi", None, None, None, None)
+    except (struct.error, IndexError):
+        pass
+    return none
+
+
+VIDEO_PROBE_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("format", StringType(), True),
+        StructField("duration_ms", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_tracks", IntegerType(), True),
+        StructField("n_bytes", IntegerType(), False),
+    ]
+)
+
+
+def probe_video_headers(media: DataFrame) -> DataFrame:
+    """media(doc_id, media binary) → (doc_id, format, duration_ms,
+    width, height, n_tracks, n_bytes): REAL MP4/AVI container metadata
+    (the video analogue of :func:`probe_image_headers`) — duration,
+    dimensions and track count without decoding a single frame.  Narrow
+    Arrow kernel; unknown/corrupt containers surface as NULLs."""
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in ("doc_id", "format", "duration_ms",
+                                    "width", "height", "n_tracks", "n_bytes")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                if blob is None:
+                    continue
+                bts = bytes(blob)
+                fmt, dur, w, h, nt = _probe_video_header(bts)
+                cols["doc_id"].append(doc_id)
+                cols["format"].append(fmt)
+                cols["duration_ms"].append(dur)
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["n_tracks"].append(nt)
+                cols["n_bytes"].append(len(bts))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(cols["doc_id"], dtype=object),
+                    "format": pd.Series(cols["format"], dtype=object),
+                    "duration_ms": pd.Series(cols["duration_ms"], dtype="Int32"),
+                    "width": pd.Series(cols["width"], dtype="Int32"),
+                    "height": pd.Series(cols["height"], dtype="Int32"),
+                    "n_tracks": pd.Series(cols["n_tracks"], dtype="Int32"),
+                    "n_bytes": pd.Series(cols["n_bytes"], dtype="int32"),
+                }
+            )
+
+    return media.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "media"
+    ).mapInPandas(_kernel, schema=VIDEO_PROBE_SCHEMA)
+
+
 def synth_media_table(spark, docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic fake media: utf-8 bytes of the text as the blob +
     plausible metadata — exercises binary columns end-to-end."""
@@ -485,8 +611,10 @@ def decode_png(blob: bytes) -> "np.ndarray":
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")
-        pal = np.frombuffer(plte, np.uint8)
-        return pal.reshape(-1, 3)[img[:, :, 0]]
+        pal = np.frombuffer(plte, np.uint8)[: len(plte) - len(plte) % 3].reshape(-1, 3)
+        if pal.shape[0] == 0 or int(img.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("PNG palette index outside PLTE")
+        return pal[img[:, :, 0]]
     if ctype == 4:
         return np.repeat(img[:, :, :1], 3, axis=2)
     return img[:, :, :3].copy()  # RGBA → drop alpha
@@ -623,6 +751,11 @@ def decode_gif(blob: bytes) -> "np.ndarray":
                 if pal is None:
                     raise ValueError("GIF image without a color table")
                 min_code = blob[pos]
+                # spec range: palette bit depth (2..8); width = min+1 ≤ 12.
+                # An out-of-range byte would make `1 << min_code` astronomically
+                # large (the clear-code dict) — reject, don't hang.
+                if not 2 <= min_code <= 11:
+                    raise ValueError(f"bad GIF LZW minimum code size {min_code}")
                 pos += 1
                 lzw = bytearray()
                 while blob[pos] != 0:
