@@ -776,14 +776,23 @@ def q_rel_sql_interface(spark, sf_dir):
 def q_rel_rollup(spark, sf_dir):
     """Hierarchical ROLLUP aggregate (returnflag → linestatus → grand
     total) — the OLAP subtotal operator; NULL grouping levels mark the
-    subtotal rows on both engines."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.count("*").cast("long").alias("n_rows"),
-            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).cast("long").alias("sum_qty_cents"),
-        )
+    subtotal rows on both engines.  Deliberately phrased through the
+    PURE-SQL surface (spark.sql over a registered temp view, the same
+    Catalyst Expand node as DataFrame .rollup) so the SQL interface
+    stays driver-exercised — this row absorbed rel_sql_interface's role
+    when that slot was yielded to lm_perplexity (r5)."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "li_rollup_v"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_qty_cents
+        FROM li_rollup_v
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """
     )
 
 
@@ -924,6 +933,22 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_bucketed_topk(_embs(spark, sf_dir), k=5, dim=64, n_planes=6)
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM perplexity scoring (extras/ngram_lm.py): a bigram
+    stupid-backoff LM is trained on the even-doc_id half of the corpus
+    (capped-histogram collect, driver-bounded) and every document is
+    scored by integer micro-nat NLL — broadcast log-prob tables + one
+    doc-keyed sum, zero wide shuffles.  Hash-exact cross-engine because
+    ln() runs ONCE in Python at model time; both engines consume the
+    same BIGINT literals (oracle._lm_perplexity_sql, IVF-style
+    $TROVE_ORACLE_SF_DIR-aware replay)."""
+    from trove_spark.extras.ngram_lm import score_perplexity, train_ngram_lm
+
+    docs = _docs(spark, sf_dir)
+    lm = train_ngram_lm(docs.filter(F.col("doc_id").cast("long") % 2 == 0))
+    return score_perplexity(docs, lm)
+
+
 def q_text_token_counts(spark, sf_dir):
     from trove_spark.extras.textstats import token_counts
 
@@ -991,8 +1016,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (its inverted-index + exact-Jaccard shape is exercised verbatim as
     the verification tail INSIDE dedup_minhash_lsh_pairs' oracle — slot
     yielded to dedup_substring_spans, the Lee-et-al. exact-substring
-    operator, late r4).  The trimmed callables remain importable +
-    tested."""
+    operator, late r4), rel_sql_interface (the spark.sql surface is now
+    exercised by rel_rollup's GROUP BY ROLLUP SQL — slot yielded to
+    lm_perplexity, the CCNet perplexity filter, in r5).  The trimmed
+    callables remain importable + tested."""
     return {
         "kg_tokens": q_kg_tokens,
         "kg_tokens_clinical": q_kg_tokens_clinical,
@@ -1031,7 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_set_ops": q_rel_set_ops,
         "rel_range_join": q_rel_range_join,
         "rel_rollup": q_rel_rollup,
-        "rel_sql_interface": q_rel_sql_interface,
+        "lm_perplexity": q_lm_perplexity,
         "dedup_exact": q_dedup_exact,
         "dedup_substring_spans": q_dedup_substring_spans,
         "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,

@@ -1,0 +1,166 @@
+"""CCNet-style n-gram LM perplexity: trainer/scorer parity against a
+pure-python reference scorer, stupid-backoff semantics, cap behavior,
+exact rank-cutpoint bucketing vs DuckDB NTILE, and the score plan's
+broadcast-join shape."""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from trove_spark.extras.ngram_lm import (
+    NgramLM,
+    exact_rank_cutpoints,
+    perplexity_buckets,
+    score_perplexity,
+    train_ngram_lm,
+)
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the dog sat on the log"),
+    (2, ""),
+    (3, "zebra quux xylophone"),
+    (4, "the cat the cat the cat"),
+    (5, "it's   a  quoted 'word' \t tab"),
+    (6, "on the mat the cat sat"),
+    (7, "sat sat sat"),
+]
+
+
+def _py_score(lm: NgramLM, text: str) -> tuple[int, int]:
+    ws = [w for w in re.split(r"\s+", text.lower()) if w]
+    nll = 0
+    for i, w in enumerate(ws):
+        nll -= lm.token_logprob_micro(ws[i - 1] if i else None, w)
+    return len(ws), nll
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def lm(docs):
+    return train_ngram_lm(docs.filter("doc_id % 2 = 0"))
+
+
+def test_score_matches_python_reference(spark, docs, lm):
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["nll_micro"])
+        for r in score_perplexity(docs, lm).collect()
+    }
+    want = {did: _py_score(lm, text) for did, text in DOCS}
+    assert got == want
+
+
+def test_backoff_semantics(lm):
+    # seen bigram -> conditional; seen unigram w/ unseen context -> backoff
+    # + unigram; OOV -> floor
+    assert "the cat" in lm.bigram_lp
+    assert lm.token_logprob_micro("the", "cat") == lm.bigram_lp["the cat"]
+    assert (
+        lm.token_logprob_micro("zebra", "cat")
+        == lm.backoff_micro + lm.unigram_lp["cat"]
+    )
+    assert lm.token_logprob_micro(None, "never-seen") == lm.floor_micro
+    # bigram probs are conditionals: ln p(cat|the) > ln p("the cat" as joint)
+    import math
+
+    c_the_cat = sum(
+        1
+        for _, t in DOCS[::2]
+        for a, b in zip(t.lower().split(), t.lower().split()[1:])
+        if (a, b) == ("the", "cat")
+    )
+    c_the = sum(t.lower().split().count("the") for _, t in DOCS[::2])
+    assert lm.bigram_lp["the cat"] == round(math.log(c_the_cat / c_the) * 1e6)
+
+
+def test_trainer_caps_are_deterministic(spark, docs):
+    # cap to 3 bigrams: rule is (count desc, gram asc); denominators for
+    # kept contexts must survive even when the unigram cap excludes them
+    small = train_ngram_lm(docs, top_k_unigrams=2, top_k_bigrams=3)
+    assert len(small.bigram_lp) == 3
+    # every kept bigram's context word has a unigram count (lp present
+    # or fetched via the semi-join): scoring must never KeyError
+    for pw in small.bigram_lp:
+        assert isinstance(small.bigram_lp[pw], int)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["nll_micro"])
+        for r in score_perplexity(docs, small).collect()
+    }
+    want = {did: _py_score(small, text) for did, text in DOCS}
+    assert got == want
+
+
+def test_empty_and_oov_docs(spark, lm, docs):
+    rows = {r["doc_id"]: r for r in score_perplexity(docs, lm).collect()}
+    assert (rows[2]["n_tokens"], rows[2]["nll_micro"]) == (0, 0)
+    assert rows[3]["nll_micro"] == -3 * lm.floor_micro  # all-OOV doc (odd half)
+
+
+def test_score_plan_is_broadcast_joined(spark, docs, lm):
+    plan = score_perplexity(docs, lm)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the only exchange feeds the final doc-keyed agg (plus the broadcast
+    # exchanges for the two model tables)
+    import re as _re
+
+    wide = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "doc_id" not in ln
+    ]
+    assert wide == [], wide
+
+
+def test_exact_rank_cutpoints(spark):
+    import random
+
+    rng = random.Random(7)
+    vals = [(i, rng.randrange(0, 1_000_000)) for i in range(777)]
+    df = spark.createDataFrame(vals, "doc_id long, nll_micro long")
+    want = sorted((v, i) for i, v in vals)
+    ranks = [1, 100, 259, 518, 777]
+    got = exact_rank_cutpoints(df, ranks, n_bins=16)
+    assert got == [want[r - 1] for r in ranks]
+
+
+def test_buckets_match_duckdb_ntile(spark):
+    import random
+
+    rng = random.Random(11)
+    vals = [(i, rng.randrange(0, 50)) for i in range(101)]  # heavy ties
+    df = spark.createDataFrame(vals, "doc_id long, nll_micro long")
+    out = perplexity_buckets(df, n_buckets=3, n_bins=8)
+    got = {(r["doc_id"]): r["bucket"] for r in out.collect()}
+    out._lm_bucket_cache.unpersist()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {v})" for i, v in vals)
+        + ") v(doc_id, nll_micro)"
+    )
+    want = {
+        r[0]: r[1] - 1
+        for r in con.execute(
+            "SELECT doc_id, ntile(3) OVER (ORDER BY nll_micro, doc_id) FROM t"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_buckets_more_buckets_than_rows(spark):
+    df = spark.createDataFrame([(1, 10), (2, 20)], "doc_id long, nll_micro long")
+    out = perplexity_buckets(df, n_buckets=5)
+    assert sorted((r["doc_id"], r["bucket"]) for r in out.collect()) == [
+        (1, 0),
+        (2, 1),
+    ]
+    out._lm_bucket_cache.unpersist()

@@ -1,0 +1,313 @@
+"""CCNet-style n-gram language-model perplexity scoring (Wenzek et al.
+2020, arXiv:1911.00359): train a count-based LM on a trusted reference
+corpus, score every raw document by per-token negative log-likelihood,
+and bucket the corpus into head / middle / tail quality terciles — the
+classic "keep what reads like Wikipedia" pretraining-data filter (CCNet
+uses a KenLM 5-gram; this is the same pipeline shape with a bigram
+stupid-backoff model, the order being a config knob of the counting
+pass, not a structural limit).
+
+Spark shape (100 TB):
+  * train: explode uni+bigrams → ONE map-side-combined count shuffle per
+    order; only the top-``k`` rows of each histogram are collected (the
+    capped-histogram pattern shared with :mod:`.bpe`) — the model is
+    driver-bounded no matter the corpus size;
+  * score: the model is shipped as two broadcast log-prob tables →
+    token explode + two BROADCAST hash joins + one per-doc sum with
+    map-side partial aggregation — zero wide shuffles beyond the
+    doc-keyed agg, fully whole-stage-codegen;
+  * buckets: exact rank cutpoints via the 4096-bin histogram trick
+    (:func:`exact_rank_cutpoints`, the :mod:`.dsir` selection pattern) —
+    never a global sort — then a map-only struct comparison.
+
+Cross-engine determinism (the reason this CAN be a hash-matched driver
+row even though perplexity is a log-domain quantity): every log-prob the
+scorer can emit is computed ONCE, in Python, at model-build time — the
+tables are finite (capped histograms), so ln() never runs inside either
+engine.  Both Spark and the DuckDB oracle consume the SAME integer
+micro-log-prob literals (round(ln p × 1e6)) and do only exact BIGINT
+sums; CLAUDE.md's "log/exp differ ±1 ulp across engines" has no surface
+to bite.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__ref__ = "no reference counterpart (LLM-data-pipeline extension)"
+
+MICRO = 1_000_000
+
+
+def _words_col(text_col: str):
+    """Lowercased whitespace tokens, empties dropped — the shared
+    corpus tokenization (textstats/dsir convention)."""
+    return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+
+
+@dataclass
+class NgramLM:
+    """Driver-bounded stupid-backoff bigram LM.  All log-probs are
+    integer MICRO-nats fixed at build time (see module docstring)."""
+
+    total_tokens: int
+    unigram_lp: dict[str, int] = field(repr=False)  # w -> round(ln(c/total)*1e6)
+    bigram_lp: dict[str, int] = field(repr=False)  # "prev w" -> round(ln(c2/c1)*1e6)
+    backoff_micro: int = round(math.log(0.4) * MICRO)  # stupid-backoff alpha=0.4
+    floor_micro: int = -20 * MICRO  # OOV floor: ln p = -20
+
+    def token_logprob_micro(self, prev: str | None, w: str) -> int:
+        """Reference scorer for one token (parity tests / oracle)."""
+        if prev is not None and f"{prev} {w}" in self.bigram_lp:
+            return self.bigram_lp[f"{prev} {w}"]
+        if w in self.unigram_lp:
+            return self.backoff_micro + self.unigram_lp[w]
+        return self.floor_micro
+
+
+def _lm_from_counts(
+    total: int, uni: dict[str, int], big: dict[str, int]
+) -> NgramLM:
+    """Counts → micro-log-prob tables.  ONE implementation shared by the
+    Spark trainer and the DuckDB-oracle generator, so the literal tables
+    cannot drift between engines."""
+    unigram_lp = {w: round(math.log(c / total) * MICRO) for w, c in uni.items()}
+    bigram_lp = {
+        pw: round(math.log(c2 / uni[pw.split(" ", 1)[0]]) * MICRO)
+        for pw, c2 in big.items()
+        if pw.split(" ", 1)[0] in uni
+    }
+    return NgramLM(total_tokens=total, unigram_lp=unigram_lp, bigram_lp=bigram_lp)
+
+
+def train_ngram_lm(
+    ref_corpus: DataFrame,
+    top_k_unigrams: int = 100_000,
+    top_k_bigrams: int = 200_000,
+    text_col: str = "text",
+) -> NgramLM:
+    """Count-based bigram LM from a reference corpus.
+
+    Distributed shape: two map-side-combined count aggregations (one per
+    order); the driver sees only the top-``k`` rows of each histogram
+    (deterministic total order: count desc, gram asc) plus the exact
+    unigram counts of every kept bigram's context word — needed for the
+    conditional denominators and fetched with a broadcast semi-join, not
+    an ``isin`` over a 200k-literal plan."""
+    ws = ref_corpus.select(_words_col(text_col).alias("ws"))
+    w = F.col("ws")
+    uni = (
+        ws.select(F.explode(w).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    big_rows = (
+        ws.filter(F.size(w) >= 2)
+        .select(F.explode(bigrams).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("g"))
+        .limit(top_k_bigrams)
+        .collect()
+    )
+    big = {r["g"]: int(r["c"]) for r in big_rows}
+    total = int(uni.agg(F.sum("c").alias("t")).collect()[0]["t"] or 0)
+    top_uni = uni.orderBy(F.desc("c"), F.asc("g")).limit(top_k_unigrams).collect()
+    uni_counts = {r["g"]: int(r["c"]) for r in top_uni}
+    need = {pw.split(" ", 1)[0] for pw in big} - uni_counts.keys()
+    if need:
+        spark = ref_corpus.sparkSession
+        need_df = spark.createDataFrame([(x,) for x in sorted(need)], "g string")
+        for r in uni.join(F.broadcast(need_df), "g", "inner").collect():
+            uni_counts[r["g"]] = int(r["c"])
+    uni.unpersist()
+    return _lm_from_counts(total, uni_counts, big)
+
+
+def _pair_structs():
+    """array<struct<prev,w>> of (previous token, token) per doc — the
+    first token gets prev = NULL.  Built from the BOUND ``_lm_ws`` words
+    column (HOF lambdas re-evaluate unbound expressions per element)."""
+    w = F.col("_lm_ws")
+    first = F.struct(
+        F.lit(None).cast("string").alias("prev"), F.element_at(w, 1).alias("w")
+    )
+    rest = F.zip_with(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("w")),
+    )
+    return F.when(F.size(w) >= 1, F.concat(F.array(first), rest)).otherwise(
+        F.array().cast("array<struct<prev:string,w:string>>")
+    )
+
+
+def score_perplexity(
+    corpus: DataFrame,
+    lm: NgramLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, nll_micro): per-document token count and total
+    negative log-likelihood in micro-nats.  Per-token perplexity is
+    ``exp(nll_micro / 1e6 / n_tokens)`` — left to the consumer so the
+    frame stays integer-exact.
+
+    Plan: explode (prev, w) pairs → LEFT broadcast-join the bigram table
+    → LEFT broadcast-join the unigram table → coalesce(bigram, backoff +
+    unigram, floor) → one doc-keyed sum.  A document's tokens never leave
+    their input partition before the partial agg, so the only shuffle
+    carries one row per document.  Empty documents are kept (0, 0)."""
+    spark = corpus.sparkSession
+    bi_rows = [
+        (pw.split(" ", 1)[0], pw.split(" ", 1)[1], lp)
+        for pw, lp in lm.bigram_lp.items()
+    ]
+    bi = spark.createDataFrame(
+        bi_rows or [("", "", 0)], "prev string, w string, lp_bi long"
+    )
+    if not bi_rows:  # keep the schema, drop the placeholder
+        bi = bi.filter(F.lit(False))
+    un_rows = list(lm.unigram_lp.items())
+    un = spark.createDataFrame(
+        un_rows or [("", 0)], "w string, lp_uni long"
+    )
+    if not un_rows:
+        un = un.filter(F.lit(False))
+    toks = (
+        corpus.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            _words_col(text_col).alias("_lm_ws"),
+        )
+        .select("doc_id", F.explode_outer(_pair_structs()).alias("p"))
+        .select("doc_id", F.col("p.prev").alias("prev"), F.col("p.w").alias("w"))
+    )
+    scored = (
+        toks.join(F.broadcast(bi), ["prev", "w"], "left")
+        .join(F.broadcast(un), ["w"], "left")
+        .select(
+            "doc_id",
+            F.col("w").isNotNull().alias("is_tok"),
+            F.coalesce(
+                F.col("lp_bi"),
+                F.col("lp_uni") + F.lit(lm.backoff_micro),
+                F.when(F.col("w").isNotNull(), F.lit(lm.floor_micro)),
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum(F.col("is_tok").cast("long")).cast("long").alias("n_tokens"),
+        F.coalesce(-F.sum("lp"), F.lit(0)).cast("long").alias("nll_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Head / middle / tail bucketing (CCNet §4.3) — exact, no global sort
+# ---------------------------------------------------------------------------
+
+
+def exact_rank_cutpoints(
+    scored: DataFrame,
+    ranks: list[int],
+    val_col: str = "nll_micro",
+    id_col: str = "doc_id",
+    n_bins: int = 4096,
+) -> list[tuple[int, int]]:
+    """The exact (value, id) pair at each 1-based ascending ``rank`` of
+    the (val, id) lexicographic order — WITHOUT a global sort: one
+    ``n_bins`` equal-width histogram job (driver holds n_bins longs)
+    locates each rank's bin, then only the boundary bins (≈n/n_bins rows
+    each) are exactly sorted.  The same two-job selection pattern as
+    :func:`.dsir.dsir_select`, generalized to arbitrary rank lists."""
+    bounds = scored.agg(
+        F.min(val_col).alias("lo"), F.max(val_col).alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        raise ValueError("exact_rank_cutpoints on an empty frame")
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    width = max((hi - lo) // n_bins + 1, 1)
+    hist = {
+        int(r["bin"]): int(r["c"])
+        for r in scored.select(
+            F.floor((F.col(val_col) - F.lit(lo)) / F.lit(width)).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    cuts: list[tuple[int, int]] = []
+    for rank in ranks:
+        below, cut_bin = 0, None
+        for b in sorted(hist):
+            if below + hist[b] >= rank:
+                cut_bin = b
+                break
+            below += hist[b]
+        if cut_bin is None:
+            raise ValueError(f"rank {rank} exceeds row count {below}")
+        bin_lo = lo + cut_bin * width
+        row = (
+            scored.filter(
+                (F.col(val_col) >= F.lit(bin_lo))
+                & (F.col(val_col) < F.lit(bin_lo + width))
+            )
+            .orderBy(F.asc(val_col), F.asc(id_col))
+            .limit(rank - below)
+            .orderBy(F.desc(val_col), F.desc(id_col))
+            .limit(1)
+            .collect()[0]
+        )
+        cuts.append((int(row[val_col]), int(row[id_col])))
+    return cuts
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    n_buckets: int = 3,
+    val_col: str = "nll_micro",
+    id_col: str = "doc_id",
+    n_bins: int = 4096,
+) -> DataFrame:
+    """scored + ``bucket`` (0 = head = lowest NLL … n-1 = tail): CCNet's
+    quality terciles, computed as exact rank-based quantiles.  Bucket
+    sizes follow the NTILE convention (first ``n mod k`` buckets take the
+    extra row), so the result is row-identical to
+    ``ntile(k) OVER (ORDER BY val, id)`` — but the plan is two bounded
+    histogram jobs plus a MAP-ONLY struct comparison, never a
+    single-partition global sort.
+
+    ``scored`` feeds several bounded actions (count + the histogram
+    jobs) plus the returned frame, so it is persisted here; the cache is
+    exposed as ``out._lm_bucket_cache`` for the caller to unpersist
+    after materializing (the :mod:`.dsir` cache contract)."""
+    scored = scored.persist()
+    n = scored.count()
+    if n == 0:
+        out = scored.withColumn("bucket", F.lit(0).cast("long"))
+        out._lm_bucket_cache = scored
+        return out
+    k = min(n_buckets, n)
+    sizes = [n // k + (1 if b < n % k else 0) for b in range(k)]
+    cum, ranks = 0, []
+    for s in sizes[:-1]:
+        cum += s
+        ranks.append(cum)
+    cuts = exact_rank_cutpoints(scored, ranks, val_col, id_col, n_bins) if ranks else []
+    me = F.struct(F.col(val_col).alias("v"), F.col(id_col).alias("i"))
+    bucket = F.lit(len(cuts)).cast("long")
+    for b in range(len(cuts) - 1, -1, -1):
+        cv, ci = cuts[b]
+        cut = F.struct(F.lit(cv).alias("v"), F.lit(ci).alias("i"))
+        bucket = F.when(me <= cut, F.lit(b).cast("long")).otherwise(bucket)
+    out = scored.withColumn("bucket", bucket)
+    out._lm_bucket_cache = scored
+    return out

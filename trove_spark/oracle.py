@@ -1288,6 +1288,91 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+def _lm_perplexity_sql(
+    sf_dir: str | None = None,
+    top_k_unigrams: int = 100_000,
+    top_k_bigrams: int = 200_000,
+) -> str:
+    """CCNet-style LM perplexity oracle: the micro-log-prob tables are
+    produced by the SAME Python counts→tables function the engine's
+    trainer uses (extras.ngram_lm._lm_from_counts) over the SAME
+    reference split (even doc_id) and top-k rule (count desc, gram asc),
+    with the corpus loaded here via DuckDB at the scale the comparison
+    runs at ($TROVE_ORACLE_SF_DIR-aware, the IVF-centroid pattern).  The
+    SQL itself does ONLY integer joins + BIGINT sums — ln() never runs
+    inside either engine, so the log-domain quantity is hash-exact."""
+    import os
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from .extras.ngram_lm import _lm_from_counts
+
+    sf_dir = sf_dir or os.environ.get(
+        "TROVE_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    rows = duckdb.sql(
+        f"SELECT lower(text) FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE CAST(doc_id AS BIGINT) % 2 = 0"
+    ).fetchall()
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    total = 0
+    for (text,) in rows:
+        ws = [w for w in re.split(r"\s+", text or "") if w]
+        total += len(ws)
+        uni.update(ws)
+        big.update(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+    top_big = dict(sorted(big.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k_bigrams])
+    top_uni = dict(sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k_unigrams])
+    for pw in top_big:  # conditional denominators outside the unigram cap
+        p = pw.split(" ", 1)[0]
+        top_uni.setdefault(p, uni[p])
+    lm = _lm_from_counts(total, top_uni, top_big)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    bi_rows = ", ".join(
+        f"({q(pw.split(' ', 1)[0])}, {q(pw.split(' ', 1)[1])}, {lp})"
+        for pw, lp in sorted(lm.bigram_lp.items())
+    ) or "('', '', 0)"
+    uni_rows = ", ".join(
+        f"({q(w)}, {lp})" for w, lp in sorted(lm.unigram_lp.items())
+    ) or "('', 0)"
+    return f"""
+WITH lp_bi AS (
+  SELECT prev, w, CAST(lp AS BIGINT) AS lp FROM (VALUES {bi_rows}) v(prev, w, lp)
+),
+lp_uni AS (
+  SELECT w, CAST(lp AS BIGINT) AS lp FROM (VALUES {uni_rows}) v(w, lp)
+),
+d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS ws
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, ws, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM d
+),
+lp AS (
+  SELECT t.doc_id, COALESCE(bi.lp, {lm.backoff_micro} + un.lp, {lm.floor_micro}) AS lp
+  FROM (SELECT doc_id, w, CASE WHEN i > 1 THEN ws[i - 1] END AS prev FROM toks) t
+  LEFT JOIN lp_bi bi ON bi.prev = t.prev AND bi.w = t.w
+  LEFT JOIN lp_uni un ON un.w = t.w
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(-SUM(lp) AS BIGINT) AS nll_micro
+  FROM lp GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.nll_micro, 0) AS nll_micro
+FROM d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _embedding_near_dup_sql(
     threshold: float = 0.4, dim: int = 64, n_planes: int = 4, n_tables: int = 8
 ) -> str:
@@ -1356,6 +1441,7 @@ def extras_oracles() -> dict[str, str]:
     h_w = _H60.format(x="w")
     return {
         "ann_lsh_topk": _ann_lsh_sql(dim=64, n_planes=6, k=5),
+        "lm_perplexity": _lm_perplexity_sql(),
         "ann_ivf_topk": _ann_ivf_sql(n_lists=8, n_iter=3, n_probe=3, k=5),
         "dedup_embedding_pairs": _embedding_near_dup_sql(
             threshold=0.4, dim=64, n_planes=4, n_tables=8
