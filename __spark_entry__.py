@@ -883,6 +883,26 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(embs, embs.filter("vec_id < 10"), cents, n_probe=3, k=5)
 
 
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN (extras/similarity.py, the FAISS IndexIVFPQ shape —
+    THE 100-TB embedding path: 32× compression, search over integer
+    codes).  Corpus indexed by ONE fused narrow kernel (coarse assign +
+    PQ encode), search = list_id equi-join + exact-BIGINT ADC fold over
+    broadcast query LUTs.  Oracle-checked: centroids AND codebooks
+    replayed as literals, 9-decimal-rounded encode, integer LUT sums
+    (oracle._ann_ivfpq_sql, $TROVE_ORACLE_SF_DIR-aware)."""
+    from trove_spark.extras.similarity import (
+        ivf_pq_topk,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    embs = _embs(spark, sf_dir)
+    cents = train_ivf_centroids(embs, n_lists=8, n_iter=3)
+    cbs = train_pq_codebooks(embs, m=8, ksub=16, n_iter=3)
+    return ivf_pq_topk(embs, embs.filter("vec_id < 10"), cents, cbs, n_probe=3, k=5)
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
     """SimHash hamming-≤3 near-dup pairs: pigeonhole byte-block banding
     then exact Hamming verify — fully deterministic, oracle-checked."""
@@ -1018,8 +1038,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     yielded to dedup_substring_spans, the Lee-et-al. exact-substring
     operator, late r4), rel_sql_interface (the spark.sql surface is now
     exercised by rel_rollup's GROUP BY ROLLUP SQL — slot yielded to
-    lm_perplexity, the CCNet perplexity filter, in r5).  The trimmed
-    callables remain importable + tested."""
+    lm_perplexity, the CCNet perplexity filter, in r5), ann_lsh_topk
+    (its hyperplane-signature machinery stays driver-exercised inside
+    dedup_embedding_pairs and the probe/equi-join/top-k skeleton inside
+    ann_ivf_topk; DuckDB-parity pytest keeps it end-to-end-checked —
+    slot yielded to ann_ivfpq_topk, the FAISS IVF-PQ path, in r5).  The
+    trimmed callables remain importable + tested."""
     return {
         "kg_tokens": q_kg_tokens,
         "kg_tokens_clinical": q_kg_tokens_clinical,
@@ -1066,7 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "ann_brute_topk": q_ann_brute_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_language_id": q_text_language_id,
         "text_quality": q_text_quality,

@@ -353,3 +353,277 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — product-quantized inverted-file ANN (Jégou et al. 2011, the
+# FAISS IndexIVFPQ shape).  THE 100-TB embedding-search path: a 64-dim
+# float32 vector (256 B) compresses to m uint8 codes (8 B at m=8) — a
+# 32× memory/scan reduction — and search touches only n_probe/n_lists of
+# the corpus, scoring against a per-query lookup table instead of raw
+# vectors (asymmetric distance computation, ADC).
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks_from_sample(
+    x, m: int = 8, ksub: int = 16, n_iter: int = 3
+) -> list[list[list[float]]]:
+    """Per-subspace L2 k-means codebooks on a fixed-order float64 sample
+    of L2-NORMALIZED vectors — shared by the Spark trainer and the
+    DuckDB oracle generator (the spherical_kmeans pattern), so both
+    render bit-identical codebook literals.  Deterministic: init is the
+    first ``ksub`` rows' subvectors, Lloyd updates are float64 in fixed
+    order, argmin ties break to the lowest code; an emptied cluster
+    keeps its previous centroid."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    if x.shape[0] < ksub:
+        raise ValueError(f"PQ training needs >= ksub={ksub} vectors, got {x.shape[0]}")
+    if x.shape[1] % m:
+        raise ValueError(f"dim {x.shape[1]} not divisible by m={m}")
+    dsub = x.shape[1] // m
+    out = []
+    for j in range(m):
+        s = x[:, j * dsub : (j + 1) * dsub]
+        c = s[:ksub].copy()
+        for _ in range(n_iter):
+            d = (
+                np.sum(s * s, axis=1, keepdims=True)
+                - 2.0 * (s @ c.T)
+                + np.sum(c * c, axis=1)[None, :]
+            )
+            a = np.argmin(np.round(d, 9), axis=1)
+            for t in range(ksub):
+                members = s[a == t]
+                if len(members):
+                    c[t] = members.mean(axis=0)
+        out.append([[float(v) for v in row] for row in c])
+    return out
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 3,
+    max_sample: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Driver-side PQ training on the same deterministic sample rule as
+    :func:`train_ivf_centroids` (first ``max_sample`` vectors by id) —
+    the FAISS practice: codebooks are tiny (m·ksub·dsub doubles), the
+    corpus-sized encode stays distributed."""
+    sample = (
+        corpus.select(F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("emb"))
+        .orderBy("vid")
+        .limit(max_sample)
+        .collect()
+    )
+    return pq_codebooks_from_sample([list(r["emb"]) for r in sample], m, ksub, n_iter)
+
+
+def _pq_index_kernel(centroids: list[list[float]], codebooks: list[list[list[float]]]):
+    """Fused mapInPandas kernel: rows (vid, emb) → (vid, list_id, codes)
+    in ONE narrow pass over the corpus — coarse IVF assignment and PQ
+    encode share the normalization and the batch.
+
+    Cross-engine determinism: the coarse dot is rounded to 9 decimals
+    (the _ivf_assign_kernel rule); the per-subspace squared distance
+    ``ss − 2·s·c + c·c`` is rounded to 9 decimals before the argmin so
+    numpy-BLAS vs SQL-fold low-bit noise cannot flip a code, ties to the
+    lowest code on both engines."""
+
+    def _kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        cents = np.array(centroids, dtype=np.float64).T  # dim × n_lists
+        cbs = [np.array(cb, dtype=np.float64) for cb in codebooks]
+        m = len(cbs)
+        dsub = cbs[0].shape[1]
+        for pdf in batches:
+            vids: list[int] = []
+            lists: list[int] = []
+            codes: list[list[int]] = []
+            if len(pdf):
+                x = np.array([list(v) for v in pdf["emb"]], dtype=np.float64)
+                norms = np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+                coarse = np.argmax(np.round((x @ cents) / norms, 9), axis=1)
+                xn = x / norms
+                cmat = np.empty((len(pdf), m), dtype=np.int64)
+                for j in range(m):
+                    s = xn[:, j * dsub : (j + 1) * dsub]
+                    cb = cbs[j]
+                    d = (
+                        np.sum(s * s, axis=1, keepdims=True)
+                        - 2.0 * (s @ cb.T)
+                        + np.sum(cb * cb, axis=1)[None, :]
+                    )
+                    cmat[:, j] = np.argmin(np.round(d, 9), axis=1)
+                vids = [int(v) for v in pdf["vid"]]
+                lists = [int(v) for v in coarse]
+                codes = [[int(c) for c in row] for row in cmat]
+            yield pd.DataFrame(
+                {
+                    "vid": pd.Series(vids, dtype="int64"),
+                    "list_id": pd.Series(lists, dtype="int32"),
+                    "codes": pd.Series(codes, dtype=object),
+                }
+            )
+
+    return _kernel
+
+
+def ivf_pq_index(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vid, list_id, codes): the compressed index — m small ints per
+    vector instead of the raw embedding.  One narrow kernel, no shuffle;
+    at scale this is the frame you persist/bucket BY list_id while the
+    raw vectors stay in cold storage."""
+    e = corpus.select(
+        F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("emb")
+    )
+    return e.mapInPandas(
+        _pq_index_kernel(centroids, codebooks),
+        schema="vid long, list_id int, codes array<int>",
+    )
+
+
+def _pq_lut_kernel(codebooks: list[list[list[float]]]):
+    """mapInPandas kernel: query rows (vid, emb) → (vid, lut) where lut
+    is the FLAT m·ksub inner-product table in integer nano units:
+    lut[j·ksub + c] = floor(q̂_j · codebook[j][c] · 1e9 + 0.5).  Integer
+    micro tables make the downstream ADC sum exact BIGINT arithmetic on
+    both engines (floor(x+0.5) — not banker's rint — matches SQL)."""
+
+    def _kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        cbs = [np.array(cb, dtype=np.float64) for cb in codebooks]
+        m = len(cbs)
+        dsub = cbs[0].shape[1]
+        for pdf in batches:
+            vids: list[int] = []
+            luts: list[list[int]] = []
+            if len(pdf):
+                x = np.array([list(v) for v in pdf["emb"]], dtype=np.float64)
+                xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+                parts = [
+                    np.floor(
+                        (xn[:, j * dsub : (j + 1) * dsub] @ cbs[j].T) * 1e9 + 0.5
+                    ).astype(np.int64)
+                    for j in range(m)
+                ]
+                flat = np.concatenate(parts, axis=1)
+                vids = [int(v) for v in pdf["vid"]]
+                luts = [[int(c) for c in row] for row in flat]
+            yield pd.DataFrame(
+                {
+                    "vid": pd.Series(vids, dtype="int64"),
+                    "lut": pd.Series(luts, dtype=object),
+                }
+            )
+
+    return _kernel
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    n_probe: int = 3,
+    k: int = 5,
+    refine_topn: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search with asymmetric distance computation.
+
+    Plan shape at scale: the corpus is touched ONCE by the fused
+    index kernel (narrow); queries build their probe lists and integer
+    LUTs (narrow, broadcast-sized); search is an EQUI-join on list_id —
+    never a crossJoin — and the ADC score is a JVM-side BIGINT fold
+    ``Σ_j lut[j·ksub + codes[j]]`` over bound array columns (no UDF in
+    the hot loop, no raw vectors read).  With ``refine_topn > 0`` the
+    top candidates are re-ranked by exact cosine against the raw
+    embeddings (the FAISS refine stage: output (query_id, neighbor_id,
+    rank)); with 0 the pure-ADC ranking is returned as (query_id,
+    neighbor_id, approx_micro, rank) — integer-exact cross-engine."""
+    ksub = len(codebooks[0])
+    m = len(codebooks)
+    index = ivf_pq_index(corpus, centroids, codebooks, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("emb")
+    )
+    q_probes = q.mapInPandas(
+        _ivf_assign_kernel(centroids, n_probe, "list_id"), schema="vid long, list_id int"
+    ).withColumnRenamed("vid", "query_id")
+    q_lut = q.mapInPandas(
+        _pq_lut_kernel(codebooks), schema="vid long, lut array<long>"
+    ).withColumnRenamed("vid", "query_id")
+    lut, codes = F.col("lut"), F.col("codes")
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.element_at(lut, j * ksub + F.element_at(codes, j + 1) + 1),
+    )
+    scored = (
+        F.broadcast(q_probes)
+        .join(index, "list_id")
+        .filter(F.col("vid") != F.col("query_id"))
+        .join(F.broadcast(q_lut), "query_id")
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            adc.alias("approx_micro"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_micro"), F.asc("neighbor_id")
+    )
+    if not refine_topn:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "approx_micro",
+                F.col("rank").cast("long").alias("rank"),
+            )
+        )
+    cand = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= refine_topn)
+        .select("query_id", "neighbor_id")
+    )
+    c_emb = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"), F.col(vec_col).alias("emb_n")
+    )
+    q_emb = q.select(F.col("vid").alias("query_id"), F.col("emb").alias("emb_q"))
+    exact = (
+        cand.join(c_emb, "neighbor_id")
+        .join(F.broadcast(q_emb), "query_id")
+        .withColumn(
+            "cosine",
+            _dot(F.col("emb_q"), F.col("emb_n"))
+            / (_norm(F.col("emb_q")) * _norm(F.col("emb_n"))),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    )

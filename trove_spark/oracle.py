@@ -1288,6 +1288,112 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+def _ann_ivfpq_sql(
+    sf_dir: str | None = None,
+    n_lists: int = 8,
+    n_iter: int = 3,
+    m: int = 8,
+    ksub: int = 16,
+    pq_iter: int = 3,
+    n_probe: int = 3,
+    k: int = 5,
+) -> str:
+    """IVF-PQ ANN oracle: coarse centroids AND per-subspace PQ codebooks
+    come from the SAME pure-numpy trainers the engine runs driver-side
+    (spherical_kmeans / pq_codebooks_from_sample) on the SAME
+    deterministic sample ($TROVE_ORACLE_SF_DIR-aware), rendered as exact
+    double literals.  Encode mirrors the fused kernel: squared
+    subspace distance ``s·s − 2·s·c + c·c`` rounded to 9 decimals,
+    argmin ties to the lowest code; the query LUT is
+    ``floor(q̂_j·c · 1e9 + 0.5)`` BIGINTs, so the ADC score is an exact
+    integer SUM on both engines."""
+    import os
+
+    import duckdb
+
+    from .extras.similarity import pq_codebooks_from_sample, spherical_kmeans
+
+    sf_dir = sf_dir or os.environ.get(
+        "TROVE_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    rows = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        "ORDER BY vec_id LIMIT 100000"
+    ).fetchall()
+    sample = [list(r[0]) for r in rows]
+    cents = spherical_kmeans(sample, n_lists, n_iter)
+    cbs = pq_codebooks_from_sample(sample, m, ksub, pq_iter)
+    dsub = len(cbs[0][0])
+    cent_rows = ", ".join(
+        "(" + str(i) + ", [" + ", ".join(repr(x) for x in c) + "])"
+        for i, c in enumerate(cents)
+    )
+    cb_rows = ", ".join(
+        f"({j}, {c}, [" + ", ".join(repr(x) for x in cbs[j][c]) + "])"
+        for j in range(m)
+        for c in range(ksub)
+    )
+    return f"""
+WITH cents(list_id, c) AS (SELECT * FROM (VALUES {cent_rows})),
+cbs(sub, code, cb) AS (SELECT * FROM (VALUES {cb_rows})),
+e AS (SELECT CAST(vec_id AS BIGINT) AS vid, embedding::DOUBLE[] AS emb FROM embeddings),
+en AS (
+  SELECT vid,
+         list_transform(emb, x -> x / greatest(sqrt(list_dot_product(emb, emb)), 1e-12)) AS v
+  FROM e
+),
+nd AS (
+  SELECT e.vid, ct.list_id,
+         round(list_dot_product(e.emb, ct.c)
+               / greatest(sqrt(list_dot_product(e.emb, e.emb)), 1e-12), 9) AS d
+  FROM e, cents ct
+),
+assign AS (
+  SELECT vid, list_id FROM (
+    SELECT vid, list_id,
+           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d DESC, list_id) AS rn
+    FROM nd) WHERE rn = 1
+),
+probes AS (
+  SELECT vid AS query_id, list_id FROM (
+    SELECT vid, list_id,
+           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d DESC, list_id) AS rn
+    FROM nd WHERE vid < 10) WHERE rn <= {n_probe}
+),
+subs AS (
+  SELECT en.vid, sm.sub, list_slice(en.v, sm.sub * {dsub} + 1, (sm.sub + 1) * {dsub}) AS sv
+  FROM en, (SELECT unnest(range(0, {m})) AS sub) sm
+),
+codes AS (
+  SELECT vid, sub, code FROM (
+    SELECT s.vid, s.sub, cb.code,
+           ROW_NUMBER() OVER (PARTITION BY s.vid, s.sub ORDER BY
+             round(list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, cb.cb)
+                   + list_dot_product(cb.cb, cb.cb), 9), cb.code) AS rn
+    FROM subs s JOIN cbs cb ON cb.sub = s.sub) WHERE rn = 1
+),
+lut AS (
+  SELECT s.vid AS query_id, s.sub, cb.code,
+         CAST(floor(list_dot_product(s.sv, cb.cb) * 1e9 + 0.5) AS BIGINT) AS lp
+  FROM subs s JOIN cbs cb ON cb.sub = s.sub WHERE s.vid < 10
+),
+scored AS (
+  SELECT p.query_id, a.vid AS neighbor_id, CAST(SUM(l.lp) AS BIGINT) AS approx_micro
+  FROM probes p
+  JOIN assign a ON a.list_id = p.list_id AND a.vid != p.query_id
+  JOIN codes cn ON cn.vid = a.vid
+  JOIN lut l ON l.query_id = p.query_id AND l.sub = cn.sub AND l.code = cn.code
+  GROUP BY p.query_id, a.vid
+)
+SELECT query_id, neighbor_id, approx_micro, rank FROM (
+  SELECT query_id, neighbor_id, approx_micro,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY approx_micro DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def _lm_perplexity_sql(
     sf_dir: str | None = None,
     top_k_unigrams: int = 100_000,
@@ -1443,6 +1549,9 @@ def extras_oracles() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_sql(dim=64, n_planes=6, k=5),
         "lm_perplexity": _lm_perplexity_sql(),
         "ann_ivf_topk": _ann_ivf_sql(n_lists=8, n_iter=3, n_probe=3, k=5),
+        "ann_ivfpq_topk": _ann_ivfpq_sql(
+            n_lists=8, n_iter=3, m=8, ksub=16, pq_iter=3, n_probe=3, k=5
+        ),
         "dedup_embedding_pairs": _embedding_near_dup_sql(
             threshold=0.4, dim=64, n_planes=4, n_tables=8
         ),
