@@ -164,3 +164,77 @@ def test_buckets_more_buckets_than_rows(spark):
         (2, 1),
     ]
     out._lm_bucket_cache.unpersist()
+
+
+def test_with_nll_cols_equals_score_perplexity(spark, docs, lm):
+    from trove_spark.extras.ngram_lm import with_nll_cols
+
+    kernel = {
+        r["doc_id"]: (r["n_tokens"], r["nll_micro"])
+        for r in with_nll_cols(docs, lm).collect()
+    }
+    join = {
+        r["doc_id"]: (r["n_tokens"], r["nll_micro"])
+        for r in score_perplexity(docs, lm).collect()
+    }
+    assert kernel == join  # map-only filtering form ≡ codegen scoring form
+
+
+def test_with_nll_cols_keeps_all_columns(spark, lm):
+    from trove_spark.extras.ngram_lm import with_nll_cols
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat", "web", 11)],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    out = with_nll_cols(df, lm)
+    assert out.columns == ["doc_id", "text", "source", "n_chars", "n_tokens", "nll_micro"]
+    r = out.collect()[0]
+    assert (r["source"], r["n_chars"], r["n_tokens"]) == ("web", 11, 3)
+
+
+def test_filter_by_perplexity(spark, docs, lm):
+    from trove_spark.extras.ngram_lm import filter_by_perplexity, with_nll_cols
+
+    # threshold between the fluent docs and the OOV doc: the all-OOV doc
+    # (3 tokens x floor) must drop, in-domain docs must survive
+    thr = -lm.floor_micro - 1
+    kept = {r["doc_id"] for r in filter_by_perplexity(docs, lm, thr).collect()}
+    assert 3 not in kept  # all-OOV
+    assert {0, 2, 4} <= kept  # trained-on docs + empty doc (0 <= 0)
+    assert filter_by_perplexity(docs, lm, thr).columns == docs.columns
+    # exact boundary: a doc at exactly the threshold is KEPT (<=)
+    scored = {r["doc_id"]: r for r in with_nll_cols(docs, lm).collect()}
+    d0 = scored[0]
+    per_tok = -(-d0["nll_micro"] // d0["n_tokens"])  # ceil
+    assert 0 in {
+        r["doc_id"] for r in filter_by_perplexity(docs, lm, per_tok).collect()
+    }
+
+
+def test_curate_with_lm_model(spark, lm):
+    from trove_spark.extras.curate import CurateConfig, curate, curation_report
+
+    fluent = (
+        "the cat sat on the mat and the dog sat on the log while the cat "
+        "sat near the mat and the dog sat by the log all day long today"
+    )
+    gibberish = " ".join(f"zz{i}qx wproto{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [(1, fluent), (2, gibberish)], "doc_id long, text string"
+    )
+    cfg = CurateConfig(require_english=False)
+    base = curate(docs, cfg=cfg)
+    base_ids = {r["doc_id"] for r in base.collect()}
+    base._curate_cache.unpersist()
+    assert base_ids == {1, 2}  # heuristic screens alone keep the gibberish
+    lm2 = train_ngram_lm(docs.filter("doc_id = 1"))
+    out = curate(docs, cfg=cfg, lm_model=lm2, lm_max_nll_per_token_micro=3_000_000)
+    ids = {r["doc_id"] for r in out.collect()}
+    out._curate_cache.unpersist()
+    assert ids == {1}  # gibberish dropped by the perplexity cut
+    rep = curation_report(
+        docs, cfg=cfg, lm_model=lm2, lm_max_nll_per_token_micro=3_000_000
+    )
+    d = dict(rep)
+    assert d["input"] == 2 and d["quality_filter"] == 1

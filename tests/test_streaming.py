@@ -234,3 +234,29 @@ def test_stream_curate_blocklist_screens(spark, dirs):
     q.awaitTermination()
     out = spark.read.option("basePath", dirs["out"]).parquet(dirs["out"] + "/batch=*")
     assert {r.doc_id for r in out.collect()} == {"ok"}
+
+
+def test_stream_curate_lm_perplexity_screen(spark, dirs):
+    from trove_spark.extras.ngram_lm import train_ngram_lm
+    from trove_spark.streaming import stream_curate
+
+    fluent = (
+        "the quick brown fox jumps over the lazy dog and then the fox "
+        "runs back home with a bone for the old hound dog to share"
+    )
+    gibberish = " ".join(f"qx{i}zv wk{i}jj" for i in range(14)) + " " + fluent[:40]
+    lm = train_ngram_lm(
+        spark.createDataFrame([("r1", fluent)], "doc_id string, text string")
+    )
+    batch = [("flu", fluent), ("gib", gibberish)]
+    spark.createDataFrame(batch, "doc_id string, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(dirs["in"])
+    q = stream_curate(
+        spark, dirs["in"], dirs["out"], dirs["ckpt"],
+        require_english=False, lm_model=lm,
+        lm_max_nll_per_token_micro=4_000_000,
+    )
+    q.awaitTermination()
+    out = spark.read.option("basePath", dirs["out"]).parquet(dirs["out"] + "/batch=*")
+    assert {r.doc_id for r in out.collect()} == {"flu"}

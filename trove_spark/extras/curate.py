@@ -155,6 +155,8 @@ def _curate_stages(
     text_col: str,
     quality_model=None,
     quality_min_microprob: int = 500_000,
+    lm_model=None,
+    lm_max_nll_per_token_micro: int = 6_900_000,
 ) -> tuple[list[tuple[str, DataFrame]], DataFrame]:
     """The full pass as an ordered [(stage_name, frame)] list plus the
     persisted stage-2 handle — shared by :func:`curate` (which returns
@@ -188,6 +190,15 @@ def _curate_stages(
 
         stage2 = filter_by_quality(
             stage2, quality_model, quality_min_microprob, id_col, text_col
+        )
+    if lm_model is not None:
+        # CCNet's perplexity cut — map-only Arrow kernel with the
+        # broadcast LM, so it fuses into the stage-2 scan like the
+        # heuristic screens (ngram_lm.filter_by_perplexity)
+        from .ngram_lm import filter_by_perplexity
+
+        stage2 = filter_by_perplexity(
+            stage2, lm_model, lm_max_nll_per_token_micro, text_col
         )
     stage2 = stage2.persist()
     stages.append(("quality_filter", stage2))
@@ -264,6 +275,8 @@ def curate(
     text_col: str = "text",
     quality_model=None,
     quality_min_microprob: int = 500_000,
+    lm_model=None,
+    lm_max_nll_per_token_micro: int = 6_900_000,
 ) -> DataFrame:
     """The full pass.  Returns the curated corpus (same schema as
     ``docs``, ``text`` PII-redacted) — one row per kept document.
@@ -280,9 +293,15 @@ def curate(
     PipelineModel) adds the DCLM/FineWeb-style MODEL-BASED quality cut
     as an extra map-side screen alongside the heuristic ones — applied
     to the redacted text before the dedup stages, same ordering argument
-    (cheap map screens before anything that shuffles)."""
+    (cheap map screens before anything that shuffles).
+
+    ``lm_model`` (a ngram_lm.train_ngram_lm NgramLM) adds CCNet's
+    perplexity cut in the same slot: documents whose mean per-token NLL
+    exceeds ``lm_max_nll_per_token_micro`` micro-nats (default 6.9e6 ≈
+    perplexity 1000) are dropped by a map-only broadcast-LM kernel."""
     stages, stage2 = _curate_stages(
-        docs, benchmark, cfg, id_col, text_col, quality_model, quality_min_microprob
+        docs, benchmark, cfg, id_col, text_col, quality_model,
+        quality_min_microprob, lm_model, lm_max_nll_per_token_micro,
     )
     out = stages[-1][1]
     out._curate_cache = stage2  # caller unpersists after materializing
@@ -297,6 +316,8 @@ def curation_report(
     text_col: str = "text",
     quality_model=None,
     quality_min_microprob: int = 500_000,
+    lm_model=None,
+    lm_max_nll_per_token_micro: int = 6_900_000,
 ) -> list[tuple[str, int]]:
     """Per-stage survivor counts [(stage, n_docs), ...] — the audit trail
     a curation run reports.  Built from the SAME staged plan as
@@ -305,7 +326,8 @@ def curation_report(
     one count action per stage boundary; each count past stage 2 reuses
     the persisted stage-2 cache, so the corpus text is scanned once."""
     stages, stage2 = _curate_stages(
-        docs, benchmark, cfg, id_col, text_col, quality_model, quality_min_microprob
+        docs, benchmark, cfg, id_col, text_col, quality_model,
+        quality_min_microprob, lm_model, lm_max_nll_per_token_micro,
     )
     report = [("input", docs.count())]
     report += [(name, frame.count()) for name, frame in stages]

@@ -311,3 +311,81 @@ def perplexity_buckets(
     out = scored.withColumn("bucket", bucket)
     out._lm_bucket_cache = scored
     return out
+
+
+# ---------------------------------------------------------------------------
+# Map-only filtering form (the CCNet curation stage)
+# ---------------------------------------------------------------------------
+
+
+def with_nll_cols(
+    docs: DataFrame,
+    lm: NgramLM,
+    text_col: str = "text",
+) -> DataFrame:
+    """``docs`` + (``n_tokens``, ``nll_micro``): the FILTERING form of
+    the scorer — one map-only Arrow kernel with the model dicts shipped
+    as a Spark broadcast (the bpe.encode shape).  Keeps every input
+    column, so a perplexity cut is ``filter(nll_micro <= thr *
+    n_tokens)`` with NO corpus self-join (``score_perplexity`` is the
+    pure-codegen scoring form when only the score frame is needed; the
+    two are row-identical, equivalence-tested).  Map-only ⇒ also legal
+    on a streaming DataFrame (stream_curate's lm stage)."""
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = docs.sparkSession
+    b = spark.sparkContext.broadcast(
+        (lm.unigram_lp, lm.bigram_lp, lm.backoff_micro, lm.floor_micro)
+    )
+    schema = StructType(
+        list(docs.schema.fields)
+        + [
+            StructField("n_tokens", LongType(), False),
+            StructField("nll_micro", LongType(), False),
+        ]
+    )
+    split = _re.compile(r"\s+").split
+
+    def _kernel(batches):
+        uni, bi, backoff, floor = b.value
+        for pdf in batches:
+            nts, nlls = [], []
+            for text in pdf[text_col]:
+                ws = [w for w in split((text or "").lower()) if w]
+                nll = 0
+                prev = None
+                for w in ws:
+                    lp = bi.get(f"{prev} {w}") if prev is not None else None
+                    if lp is None:
+                        u = uni.get(w)
+                        lp = (backoff + u) if u is not None else floor
+                    nll -= lp
+                    prev = w
+                nts.append(len(ws))
+                nlls.append(nll)
+            pdf = pdf.copy()
+            pdf["n_tokens"] = pd.Series(nts, dtype="int64", index=pdf.index)
+            pdf["nll_micro"] = pd.Series(nlls, dtype="int64", index=pdf.index)
+            yield pdf
+
+    return docs.mapInPandas(_kernel, schema=schema)
+
+
+def filter_by_perplexity(
+    docs: DataFrame,
+    lm: NgramLM,
+    max_nll_per_token_micro: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop documents whose mean per-token NLL exceeds the threshold
+    (CCNet's perplexity cut).  Integer comparison ``nll_micro <= thr ·
+    n_tokens`` — no division, no float.  Empty documents pass (0 ≤ 0);
+    screen them by length first if unwanted.  Map-only: batch or
+    streaming."""
+    scored = with_nll_cols(docs, lm, text_col)
+    return scored.filter(
+        F.col("nll_micro") <= F.lit(max_nll_per_token_micro) * F.col("n_tokens")
+    ).drop("n_tokens", "nll_micro")

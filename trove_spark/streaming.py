@@ -190,6 +190,8 @@ def stream_curate(
     max_files_per_trigger: int = 4,
     blocked_words: list[str] | None = None,
     blocked_domains: list[str] | None = None,
+    lm_model=None,
+    lm_max_nll_per_token_micro: int = 6_900_000,
 ) -> StreamingQuery:
     """Incremental corpus curation: newly landed document files are PII-
     redacted, quality/repetition/language screened, and exact-deduped —
@@ -207,6 +209,8 @@ def stream_curate(
         (textstats.quality_cols / repetition_cols / stopword_permille_col),
         applied as one pure-map filter on the stream (no keep-id joins:
         stream-stream joins need watermarks the screens don't);
+      * optional CCNet perplexity cut (``lm_model``) — the map-only
+        broadcast-LM kernel shared with the batch pass;
       * exact dedup — ``dropDuplicatesWithinWatermark`` on the sha256
         content hash keyed by ingest time: state holds one hash per doc
         seen in the last ``dedup_retention`` and is dropped after, so
@@ -254,6 +258,15 @@ def stream_curate(
             stopword_permille_col("text") >= stopword_threshold_permille
         )
     screened = red.filter(keep)
+    if lm_model is not None:
+        # CCNet perplexity cut — legal on a stream because the scorer is
+        # a MAP-ONLY broadcast-LM kernel (ngram_lm.filter_by_perplexity);
+        # same stage order as the batch pass (extras.curate)
+        from .extras.ngram_lm import filter_by_perplexity
+
+        screened = filter_by_perplexity(
+            screened, lm_model, lm_max_nll_per_token_micro, "text"
+        )
     deduped = (
         screened.withColumn("content_hash", F.sha2(F.col("text"), 256))
         .withColumn("ingest_ts", F.current_timestamp())
