@@ -53,6 +53,8 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "dedup_substring_spans",  # r4: Lee-et-al. exact-substring dedup
     "ann_brute_topk",
+    "ann_ivfpq_topk",  # r5: product-quantized IVF (fused index kernel + ADC)
+    "lm_perplexity",  # r5: CCNet perplexity scorer (broadcast LM, codegen)
 ]
 
 

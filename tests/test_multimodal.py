@@ -526,3 +526,84 @@ def test_probe_video_never_crashes_on_mutations():
                         signal.alarm(0)
     finally:
         signal.signal(signal.SIGALRM, old)
+
+
+def _webp_lossy(w=320, h=240):
+    import struct
+
+    payload = b"\x00\x00\x00" + b"\x9d\x01*" + struct.pack("<HH", w, h) + b"\x00" * 8
+    chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _webp_lossless(w=100, h=60):
+    import struct
+
+    bits = (w - 1) | ((h - 1) << 14)
+    payload = b"\x2f" + struct.pack("<I", bits)
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _webp_extended(w=1920, h=1080):
+    import struct
+
+    payload = (
+        b"\x00\x00\x00\x00"
+        + (w - 1).to_bytes(3, "little")
+        + (h - 1).to_bytes(3, "little")
+    )
+    chunk = b"VP8X" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _tiff(w=640, h=480, little=True, long_type=False):
+    import struct
+
+    eb = "<" if little else ">"
+    head = (b"II*\x00" if little else b"MM\x00*") + struct.pack(eb + "I", 8)
+    typ, fmt = (4, "I") if long_type else (3, "H")
+
+    def entry(tag, v):
+        raw = struct.pack(eb + fmt, v)
+        return struct.pack(eb + "HHI", tag, typ, 1) + raw + b"\x00" * (4 - len(raw))
+
+    ifd = struct.pack(eb + "H", 2) + entry(256, w) + entry(257, h) + b"\x00" * 4
+    return head + ifd
+
+
+def test_probe_webp_and_tiff_headers(spark):
+    from trove_spark.extras.multimodal import probe_image_headers
+
+    media = spark.createDataFrame(
+        [
+            ("w1", bytearray(_webp_lossy())),
+            ("w2", bytearray(_webp_lossless())),
+            ("w3", bytearray(_webp_extended())),
+            ("t1", bytearray(_tiff())),
+            ("t2", bytearray(_tiff(33, 44, little=False, long_type=True))),
+            ("x1", bytearray(b"RIFF\x00\x00\x00\x00WAVEnot-webp")),
+        ],
+        "doc_id string, media binary",
+    )
+    rows = {r.doc_id: r for r in probe_image_headers(media).collect()}
+    assert (rows["w1"].format, rows["w1"].width, rows["w1"].height) == ("webp", 320, 240)
+    assert (rows["w2"].format, rows["w2"].width, rows["w2"].height) == ("webp", 100, 60)
+    assert (rows["w3"].format, rows["w3"].width, rows["w3"].height) == (
+        "webp", 1920, 1080)
+    assert (rows["t1"].format, rows["t1"].width, rows["t1"].height) == ("tiff", 640, 480)
+    assert (rows["t2"].format, rows["t2"].width, rows["t2"].height) == ("tiff", 33, 44)
+    assert rows["x1"].format is None  # RIFF but not WEBP
+
+
+def test_probe_webp_tiff_never_crash_on_mutations():
+    from trove_spark.extras.multimodal import _probe_header
+
+    for base in (_webp_lossy(), _webp_lossless(), _webp_extended(),
+                 _tiff(), _tiff(little=False, long_type=True)):
+        for pos in range(len(base)):
+            for val in (0x00, 0xFF, base[pos] ^ 0x55):
+                b = bytearray(base)
+                b[pos] = val
+                out = _probe_header(bytes(b))
+                assert isinstance(out, tuple) and len(out) == 3

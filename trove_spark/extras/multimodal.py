@@ -259,6 +259,47 @@ def _probe_header(b: bytes) -> tuple[str | None, int | None, int | None]:
                     h, w = struct.unpack(">HH", b[i + 5 : i + 9])
                     return "jpeg", w, h
                 i += 2 + seg_len
+        if b[:4] == b"RIFF" and b[8:12] == b"WEBP" and len(b) >= 20:
+            # first chunk decides the flavor: lossy VP8, lossless VP8L,
+            # or extended VP8X (canvas size in the header)
+            fourcc, payload = b[12:16], b[20:]
+            if fourcc == b"VP8 " and len(payload) >= 10 and payload[3:6] == b"\x9d\x01*":
+                w = struct.unpack("<H", payload[6:8])[0] & 0x3FFF
+                h = struct.unpack("<H", payload[8:10])[0] & 0x3FFF
+                return "webp", w, h
+            if fourcc == b"VP8L" and len(payload) >= 5 and payload[0] == 0x2F:
+                bits = struct.unpack("<I", payload[1:5])[0]
+                return "webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+            if fourcc == b"VP8X" and len(payload) >= 10:
+                w = 1 + int.from_bytes(payload[4:7], "little")
+                h = 1 + int.from_bytes(payload[7:10], "little")
+                return "webp", w, h
+            return "webp", None, None
+        if b[:4] in (b"II*\x00", b"MM\x00*") and len(b) >= 8:
+            # TIFF: walk the first IFD for ImageWidth(256)/ImageLength(257)
+            eb = "<" if b[:2] == b"II" else ">"
+            off = struct.unpack(eb + "I", b[4:8])[0]
+            if off + 2 <= len(b):
+                n = struct.unpack(eb + "H", b[off : off + 2])[0]
+                w = h = None
+                for e in range(min(n, 512)):
+                    ep = off + 2 + 12 * e
+                    if ep + 12 > len(b):
+                        break
+                    tag, typ = struct.unpack(eb + "HH", b[ep : ep + 4])
+                    if tag in (256, 257):
+                        if typ == 3:  # SHORT — value in the first 2 bytes
+                            v = struct.unpack(eb + "H", b[ep + 8 : ep + 10])[0]
+                        elif typ == 4:  # LONG
+                            v = struct.unpack(eb + "I", b[ep + 8 : ep + 12])[0]
+                        else:
+                            continue
+                        if tag == 256:
+                            w = v
+                        else:
+                            h = v
+                return "tiff", w, h
+            return "tiff", None, None
     except (struct.error, IndexError):
         pass
     return None, None, None

@@ -91,45 +91,54 @@ def train_ngram_lm(
 ) -> NgramLM:
     """Count-based bigram LM from a reference corpus.
 
-    Distributed shape: two map-side-combined count aggregations (one per
-    order); the driver sees only the top-``k`` rows of each histogram
+    Distributed shape: ONE corpus scan — unigrams and bigrams explode
+    together into a single map-side-combined count aggregation (a
+    unigram can never contain a space, so the combined histogram splits
+    back by ``contains(' ')``; the :func:`.dsir.hashed_ngram_counts`
+    trick).  The driver sees only the top-``k`` rows of each order
     (deterministic total order: count desc, gram asc) plus the exact
     unigram counts of every kept bigram's context word — needed for the
-    conditional denominators and fetched with a broadcast semi-join, not
-    an ``isin`` over a 200k-literal plan."""
+    conditional denominators and fetched with a broadcast join, not an
+    ``isin`` over a 200k-literal plan."""
     ws = ref_corpus.select(_words_col(text_col).alias("ws"))
     w = F.col("ws")
-    uni = (
-        ws.select(F.explode(w).alias("g"))
-        .groupBy("g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
-    )
     bigrams = F.zip_with(
         F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
         F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    big_rows = (
-        ws.filter(F.size(w) >= 2)
-        .select(F.explode(bigrams).alias("g"))
+    grams = F.when(F.size(w) >= 2, F.concat(w, bigrams)).otherwise(w)
+    counts = (
+        ws.select(F.explode(grams).alias("g"))
         .groupBy("g")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    is_uni = ~F.col("g").contains(" ")
+    big_rows = (
+        counts.filter(~is_uni)
         .orderBy(F.desc("c"), F.asc("g"))
         .limit(top_k_bigrams)
         .collect()
     )
     big = {r["g"]: int(r["c"]) for r in big_rows}
-    total = int(uni.agg(F.sum("c").alias("t")).collect()[0]["t"] or 0)
-    top_uni = uni.orderBy(F.desc("c"), F.asc("g")).limit(top_k_unigrams).collect()
+    total = int(
+        counts.filter(is_uni).agg(F.sum("c").alias("t")).collect()[0]["t"] or 0
+    )
+    top_uni = (
+        counts.filter(is_uni)
+        .orderBy(F.desc("c"), F.asc("g"))
+        .limit(top_k_unigrams)
+        .collect()
+    )
     uni_counts = {r["g"]: int(r["c"]) for r in top_uni}
     need = {pw.split(" ", 1)[0] for pw in big} - uni_counts.keys()
     if need:
         spark = ref_corpus.sparkSession
         need_df = spark.createDataFrame([(x,) for x in sorted(need)], "g string")
-        for r in uni.join(F.broadcast(need_df), "g", "inner").collect():
+        for r in counts.join(F.broadcast(need_df), "g", "inner").collect():
             uni_counts[r["g"]] = int(r["c"])
-    uni.unpersist()
+    counts.unpersist()
     return _lm_from_counts(total, uni_counts, big)
 
 
