@@ -52,6 +52,13 @@ def main(argv: list[str] | None = None) -> dict:
                     choices=("codegen", "rolling"),
                     help="k-gram hasher: codegen (engine-portable, O(n*k)) "
                          "or rolling (O(n) Arrow kernel, the 100-TB path)")
+    ap.add_argument("--lm-ref-mod", type=int, default=0,
+                    help="CCNet perplexity cut: train a bigram LM on docs "
+                         "with id %% MOD == 0 and drop high-NLL docs "
+                         "(0 = off)")
+    ap.add_argument("--lm-max-nll-per-token-micro", type=int, default=6_900_000,
+                    help="perplexity-cut threshold in micro-nats/token "
+                         "(default ~ perplexity 1000)")
     ap.add_argument("--split", default="train=0.98,val=0.01,test=0.01")
     ap.add_argument("--pack-split", default="train",
                     help="which split reaches the packed shards")
@@ -74,8 +81,28 @@ def main(argv: list[str] | None = None) -> dict:
         substring_dedup_k=args.substring_k,
         substring_hasher=args.substring_hasher,
     )
+    lm_model = None
+    if args.lm_ref_mod:
+        from trove_spark.extras.ngram_lm import train_ngram_lm
+
+        # self-trained reference LM on a deterministic corpus fraction —
+        # the "drop statistical outliers" flavor of the CCNet cut.
+        # Hash-based split: id columns may be strings (ANSI cast would
+        # throw), and a hash fraction is unbiased under any id scheme.
+        lm_model = train_ngram_lm(
+            docs.filter(
+                F.pmod(
+                    F.xxhash64(F.col(args.id_col).cast("string")),
+                    F.lit(args.lm_ref_mod),
+                )
+                == 0
+            ),
+            text_col=args.text_col,
+        )
     curated = curate(docs, benchmark=bench, cfg=cfg,
-                     id_col=args.id_col, text_col=args.text_col)
+                     id_col=args.id_col, text_col=args.text_col,
+                     lm_model=lm_model,
+                     lm_max_nll_per_token_micro=args.lm_max_nll_per_token_micro)
     curate_cache = curated._curate_cache
     stats = {"input_docs": docs.count()}
 

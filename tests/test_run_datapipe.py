@@ -98,3 +98,34 @@ def test_datapipe_dsir_selection_and_rolling_hasher(spark, tmp_path):
     assert stats["input_docs"] == 30
     assert stats["curated_docs"] == 10  # DSIR kept exactly n-select docs
     assert stats["written_shards"] >= 1 and stats["verified"]
+
+
+def test_datapipe_lm_perplexity_cut(spark, tmp_path):
+    # --lm-ref-mod 1 trains the reference LM on every doc; a gibberish
+    # doc that passes the heuristic screens must be dropped by the cut
+    rows = [
+        (
+            f"d{i:02d}",
+            f"the w{i}a quick w{i}b brown w{i}c fox and w{i}d dog "
+            f"of w{i}e house near w{i}f barn",
+        )
+        for i in range(12)
+    ]
+    gib = " ".join(f"qq{i}xj vv{i}kk" for i in range(14))
+    docs = spark.createDataFrame(
+        rows + [("gib", gib)], "doc_id string, text string"
+    )
+    inp = str(tmp_path / "in.parquet")
+    out = str(tmp_path / "out")
+    docs.write.parquet(inp)
+    argv = [
+        "--input", inp, "--output", out,
+        "--seq-len", "16", "--n-merges", "40",
+        "--windows-per-shard", "8", "--seed", "1",
+        "--split", "train=1.0", "--bpe-min-count", "1",
+        "--lm-ref-mod", "1", "--lm-max-nll-per-token-micro", "5000000",
+    ]
+    stats = run_datapipe.main(argv)
+    assert stats["input_docs"] == 13
+    assert stats["curated_docs"] == 12  # gibberish dropped by the LM cut
+    assert stats["verified"]
