@@ -607,3 +607,58 @@ def test_probe_webp_tiff_never_crash_on_mutations():
                 b[pos] = val
                 out = _probe_header(bytes(b))
                 assert isinstance(out, tuple) and len(out) == 3
+
+
+def _mp3(n_frames=10, id3=True, br_idx=9, sr_idx=0):
+    import struct
+
+    def frame():
+        h = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0x00])
+        size = 144 * [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                      256, 320][br_idx] * 1000 // 44100
+        return h + b"\x00" * (size - 4)
+
+    tag = b""
+    if id3:
+        tag = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + b"\x00" * 10
+    return tag + b"".join(frame() for _ in range(n_frames))
+
+
+def test_probe_audio_headers(spark):
+    import numpy as np
+
+    from trove_spark.extras.multimodal import encode_wav, probe_audio_headers
+
+    wav = encode_wav(np.linspace(-0.5, 0.5, 16000, dtype=np.float32), 16000)
+    media = spark.createDataFrame(
+        [
+            ("w1", bytearray(wav)),
+            ("m1", bytearray(_mp3())),
+            ("x1", bytearray(b"not audio at all, nope")),
+        ],
+        "doc_id string, media binary",
+    )
+    rows = {r.doc_id: r for r in probe_audio_headers(media).collect()}
+    w = rows["w1"]
+    assert (w.format, w.duration_ms, w.sample_rate, w.channels) == (
+        "wav", 1000, 16000, 1)
+    m = rows["m1"]
+    # 10 frames x 1152 samples at 44100 Hz = 261 ms, CBR 128 kbps stereo
+    assert (m.format, m.duration_ms, m.sample_rate, m.channels,
+            m.bitrate_kbps) == ("mp3", 261, 44100, 2, 128)
+    assert rows["x1"].format is None
+
+
+def test_probe_audio_never_crashes_on_mutations():
+    import numpy as np
+
+    from trove_spark.extras.multimodal import _probe_audio_header, encode_wav
+
+    wav = encode_wav(np.linspace(-0.2, 0.2, 500, dtype=np.float32), 8000)
+    for base in (wav, _mp3(n_frames=3)):
+        for pos in range(len(base)):
+            for val in (0x00, 0xFF, base[pos] ^ 0x55):
+                b = bytearray(base)
+                b[pos] = val
+                out = _probe_audio_header(bytes(b))
+                assert isinstance(out, tuple) and len(out) == 5

@@ -5,8 +5,11 @@ them actually needs a codec library (the r4 "no codecs" assumption was
 wrong format by format):
 
 * container-header METADATA extraction (:func:`probe_image_headers` —
-  PNG/JPEG/GIF/BMP format + dimensions, parsed byte-wise with no codec:
-  the validate/route/size-bucket pass a media ingest runs before decode);
+  PNG/JPEG/GIF/BMP/WebP/TIFF format + dimensions; :func:`probe_video_headers`
+  — MP4/AVI duration+dims+tracks; :func:`probe_audio_headers` — WAV/MP3
+  duration/rate/channels/bitrate via a VBR-correct Layer-III frame walk —
+  all parsed byte-wise with no codec: the validate/route/size-bucket pass
+  a media ingest runs before decode);
 * uncompressed 24-bit BMP pixel decode (:func:`decode_bmp` — header
   parse + numpy reshape), nearest-neighbor resize
   (:func:`resize_nearest`) and the decode→resize→stats kernel
@@ -26,9 +29,10 @@ wrong format by format):
   kernel (:func:`extract_audio_stats`: rate/channels/duration/RMS/peak
   with quarantine), extending the real-decode story to audio.
 
-Still honestly stubbed (:func:`decode_image` escape hatch): WebP/AVIF/
-TIFF and progressive JPEG — formats whose decoders genuinely exceed
-what belongs in this repo.  Compressed audio (MP3/AAC) likewise.
+Still honestly stubbed (:func:`decode_image` escape hatch): PIXEL
+decode of WebP/AVIF/TIFF and progressive JPEG — formats whose decoders
+genuinely exceed what belongs in this repo (their header probes above
+are real).  Compressed-audio SAMPLE decode (MP3/AAC) likewise.
 
 Schema convention for a media table:
     (doc_id string, media binary, meta struct<mime string, width int,
@@ -1127,3 +1131,145 @@ def extract_pixel_stats(
     return media.select(
         F.col("doc_id").cast("string").alias("doc_id"), "media"
     ).mapInPandas(_kernel, schema=PIXEL_STATS_SCHEMA)
+
+
+def _probe_audio_header(b: bytes) -> tuple:
+    """Pure-python audio CONTAINER probe: (format, duration_ms,
+    sample_rate, channels, bitrate_kbps) from WAV fmt-chunks or an MP3
+    Layer-III frame walk (ID3v2-aware, VBR-correct because every frame
+    header is visited; frame count capped so corrupt blobs cannot spin).
+    None-tuple when unrecognized; layers I/II and AAC stay out of scope
+    (surface as unrecognized, never as a crash)."""
+    import struct
+
+    none = (None, None, None, None, None)
+    try:
+        # ---- WAV: RIFF/WAVE fmt chunk (+ data size for duration)
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            pos, rate, ch, bps, data_len = 12, None, None, None, None
+            while pos + 8 <= len(b):
+                cid = b[pos : pos + 4]
+                ln = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+                if cid == b"fmt " and pos + 24 <= len(b):
+                    _fmt, ch, rate = struct.unpack("<HHI", b[pos + 8 : pos + 16])
+                    bps = struct.unpack("<H", b[pos + 22 : pos + 24])[0]
+                elif cid == b"data":
+                    data_len = min(ln, len(b) - pos - 8)
+                pos += 8 + ln + (ln & 1)
+            if rate:
+                dur = None
+                if data_len is not None and ch and bps:
+                    frames = data_len // max(ch * (bps // 8), 1)
+                    dur = int(frames * 1000 // rate)
+                return ("wav", dur, rate, ch, None)
+            return ("wav", None, None, None, None)
+        # ---- MP3: skip ID3v2, then walk Layer-III frame headers
+        pos = 0
+        if b[:3] == b"ID3" and len(b) >= 10:
+            sz = (
+                ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14)
+                | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
+            )
+            pos = 10 + sz
+        BR1 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+        BR2 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
+        SR = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000],
+              0: [11025, 12000, 8000]}
+        frames = samples = 0
+        rate = ch = None
+        br_sum = 0
+        while pos + 4 <= len(b) and frames < 1_000_000:
+            if not (b[pos] == 0xFF and (b[pos + 1] & 0xE0) == 0xE0):
+                if frames:
+                    break  # trailing garbage after a valid run
+                pos += 1
+                continue
+            ver = (b[pos + 1] >> 3) & 3
+            layer = (b[pos + 1] >> 1) & 3
+            if ver == 1 or layer != 1:  # reserved version / not Layer III
+                if frames:
+                    break
+                pos += 1
+                continue
+            bri = b[pos + 2] >> 4
+            sri = (b[pos + 2] >> 2) & 3
+            if bri in (0, 15) or sri == 3:
+                if frames:
+                    break
+                pos += 1
+                continue
+            br = (BR1 if ver == 3 else BR2)[bri]
+            sr = SR[ver][sri]
+            pad = (b[pos + 2] >> 1) & 1
+            spf = 1152 if ver == 3 else 576
+            size = spf // 8 * br * 1000 // sr + pad
+            if size < 4:
+                break
+            if rate is None:
+                rate = sr
+                ch = 1 if (b[pos + 3] >> 6) == 3 else 2
+            frames += 1
+            samples += spf
+            br_sum += br
+            pos += size
+        if frames:
+            dur = int(samples * 1000 // rate)
+            return ("mp3", dur, rate, ch, int(br_sum // frames))
+    except (struct.error, IndexError):
+        pass
+    return none
+
+
+AUDIO_PROBE_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("format", StringType(), True),
+        StructField("duration_ms", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("bitrate_kbps", IntegerType(), True),
+        StructField("n_bytes", IntegerType(), False),
+    ]
+)
+
+
+def probe_audio_headers(media: DataFrame) -> DataFrame:
+    """media(doc_id, media binary) → (doc_id, format, duration_ms,
+    sample_rate, channels, bitrate_kbps, n_bytes): REAL WAV/MP3
+    container metadata — the route/validate/bucket pass before any
+    sample decode (WAV decode is real here; MP3 sample decode genuinely
+    needs a codec and stays out of scope).  Narrow Arrow kernel;
+    unknown/corrupt containers surface as NULLs."""
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in ("doc_id", "format", "duration_ms",
+                                    "sample_rate", "channels",
+                                    "bitrate_kbps", "n_bytes")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                if blob is None:
+                    continue
+                bts = bytes(blob)
+                fmt, dur, sr, ch, br = _probe_audio_header(bts)
+                cols["doc_id"].append(doc_id)
+                cols["format"].append(fmt)
+                cols["duration_ms"].append(dur)
+                cols["sample_rate"].append(sr)
+                cols["channels"].append(ch)
+                cols["bitrate_kbps"].append(br)
+                cols["n_bytes"].append(len(bts))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(cols["doc_id"], dtype=object),
+                    "format": pd.Series(cols["format"], dtype=object),
+                    "duration_ms": pd.Series(cols["duration_ms"], dtype="Int32"),
+                    "sample_rate": pd.Series(cols["sample_rate"], dtype="Int32"),
+                    "channels": pd.Series(cols["channels"], dtype="Int32"),
+                    "bitrate_kbps": pd.Series(cols["bitrate_kbps"], dtype="Int32"),
+                    "n_bytes": pd.Series(cols["n_bytes"], dtype="int32"),
+                }
+            )
+
+    return media.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "media"
+    ).mapInPandas(_kernel, schema=AUDIO_PROBE_SCHEMA)
