@@ -953,6 +953,20 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_bucketed_topk(_embs(spark, sf_dir), k=5, dim=64, n_planes=6)
 
 
+def q_bm25_topk(spark, sf_dir):
+    """Native BM25 retrieval (extras/bm25.py) — the search capability
+    the reference delegates to Elasticsearch (S17/E5), answered by the
+    engine itself.  Ad-hoc path: ONE map-side-combined stats job + a
+    MAP-ONLY scoring pass (per-term tf is a pure column expression, no
+    explode/join) ending in TakeOrdered — zero wide shuffles.  idf and
+    avgdl are Python-computed literals; each term's score quantizes to
+    BIGINT before the sum, so the float chain is hash-exact
+    (oracle._bm25_sql, $TROVE_ORACLE_SF_DIR-aware)."""
+    from trove_spark.extras.bm25 import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), ["value", "table", "spark"], k=10)
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style LM perplexity scoring (extras/ngram_lm.py): a bigram
     stupid-backoff LM is trained on the even-doc_id half of the corpus
@@ -1042,8 +1056,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (its hyperplane-signature machinery stays driver-exercised inside
     dedup_embedding_pairs and the probe/equi-join/top-k skeleton inside
     ann_ivf_topk; DuckDB-parity pytest keeps it end-to-end-checked —
-    slot yielded to ann_ivfpq_topk, the FAISS IVF-PQ path, in r5).  The
-    trimmed callables remain importable + tested."""
+    slot yielded to ann_ivfpq_topk, the FAISS IVF-PQ path, in r5),
+    rel_topk_parts (global sort/limit stays driver-exercised by
+    bm25_topk's TakeOrdered tail and its count-top-k shape by
+    kg_ontology_rank — slot yielded to bm25_topk, the native
+    ES-replacement retrieval op, in r5).  The trimmed callables remain
+    importable + tested."""
     return {
         "kg_tokens": q_kg_tokens,
         "kg_tokens_clinical": q_kg_tokens_clinical,
@@ -1078,7 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_window_top_orders": q_rel_window_top_orders,
         "rel_anti_join": q_rel_anti_join,
         "rel_semi_join": q_rel_semi_join,
-        "rel_topk_parts": q_rel_topk_parts,
+        "bm25_topk": q_bm25_topk,
         "rel_set_ops": q_rel_set_ops,
         "rel_range_join": q_rel_range_join,
         "rel_rollup": q_rel_rollup,

@@ -55,6 +55,7 @@ HEADLINE = [
     "ann_brute_topk",
     "ann_ivfpq_topk",  # r5: product-quantized IVF (fused index kernel + ADC)
     "lm_perplexity",  # r5: CCNet perplexity scorer (broadcast LM, codegen)
+    "bm25_topk",  # r5: native BM25 retrieval (map-only scoring, TakeOrdered)
 ]
 
 

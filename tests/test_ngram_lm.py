@@ -238,3 +238,18 @@ def test_curate_with_lm_model(spark, lm):
     )
     d = dict(rep)
     assert d["input"] == 2 and d["quality_filter"] == 1
+
+
+def test_string_doc_ids_supported(spark, lm):
+    # ANSI mode: a long cast on "d01" would throw — the scorer and the
+    # bucketing must pass string ids through untouched
+    df = spark.createDataFrame(
+        [("d01", "the cat sat"), ("d02", "zebra quux"), ("d03", "")],
+        "doc_id string, text string",
+    )
+    rows = {r["doc_id"]: r["n_tokens"] for r in score_perplexity(df, lm).collect()}
+    assert rows == {"d01": 3, "d02": 2, "d03": 0}
+    out = perplexity_buckets(score_perplexity(df, lm), n_buckets=2)
+    got = {r["doc_id"]: r["bucket"] for r in out.collect()}
+    out._lm_bucket_cache.unpersist()
+    assert set(got) == {"d01", "d02", "d03"} and max(got.values()) == 1

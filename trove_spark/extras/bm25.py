@@ -1,0 +1,288 @@
+"""Native BM25 full-text retrieval (Robertson-Spärck Jones / Okapi,
+with the Lucene smooth-idf variant) — the search capability the
+reference delegates to an Elasticsearch cluster (trove S17 ES sink /
+E5 indexing workers, sanctioned out of scope as external infra): here
+the engine answers ranked keyword queries natively over the corpus
+table, so a reference user loses no capability by not running ES.
+
+    idf(t)      = ln(1 + (N − df + 0.5) / (df + 0.5))
+    score(d, q) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+Two query paths, result-identical (tested):
+
+  * **ad-hoc** (:func:`bm25_topk`) — two corpus passes, ZERO shuffles
+    beyond the driver-bounded top-k: pass 1 aggregates N / total length /
+    per-term document frequencies in ONE job (map-side combined to a
+    single row); pass 2 scores map-only — for a bounded query the
+    per-term tf is ``size(filter(words, w == t))``, a pure column
+    expression, so no explode, no join, no per-token rows.  Top-k is
+    ``orderBy().limit(k)`` = Spark's TakeOrdered (per-partition heaps +
+    driver merge of k·P rows, never a global sort shuffle).
+  * **indexed** (:func:`bm25_index` → :func:`bm25_topk_indexed`) — the
+    100-TB shape: postings (term, doc_id, tf), doc lengths, and df are
+    materialized ONCE (bucket/partition the postings by term at rest);
+    a query then touches only its terms' postings via an equi-join with
+    the broadcast query-term table — no corpus scan at query time.
+
+Cross-engine determinism (DuckDB-parity pytest, the decontam/pii tier):
+idf and avgdl are computed once in Python and inlined as exact double
+literals; the per-term score expression is the same single-rounding
+chain of *,/,+ on both engines (CLAUDE.md: those agree bit-for-bit) and
+is quantized to BIGINT micro units per term BEFORE the per-doc sum, so
+the only multi-operand float reduction — the Σ over query terms — is
+exact integer arithmetic.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__ref__ = (
+    "replaces reference ES search (trove S17/E5) with a native operator; "
+    "no code counterpart"
+)
+
+MICRO = 1_000_000
+
+
+def _words_col(text_col: str):
+    return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+
+
+def _tfnorm(tf, dl, k1: float, b: float, avgdl: float):
+    """The BM25 term-frequency saturation × length normalization as a
+    single-rounding float chain — written ONCE so the ad-hoc path, the
+    indexed path, and the oracle-SQL generator share the expression
+    shape (bit-identical across engines for fixed operand order)."""
+    tf = tf.cast("double")
+    dl = dl.cast("double")
+    return (tf * F.lit(k1 + 1.0)) / (
+        tf + F.lit(k1 * (1.0 - b)) + F.lit(k1 * b) * dl / F.lit(avgdl)
+    )
+
+
+def idf(n_docs: int, df: int) -> float:
+    """Lucene smooth idf — strictly positive, computed driver-side."""
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def corpus_stats(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+) -> tuple[int, float, dict[str, int]]:
+    """(N, avgdl, {term: df}) in ONE map-side-combined aggregation job
+    (a single output row regardless of corpus size): df(t) counts docs
+    where ``size(filter(words, == t)) > 0`` — no explode, no shuffle of
+    token rows."""
+    w = F.col("_bm_ws")
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(w)).alias("len"),
+    ] + [
+        F.sum(
+            (F.size(F.filter(w, lambda x: x == F.lit(t))) > 0).cast("long")
+        ).alias(f"df_{i}")
+        for i, t in enumerate(terms)
+    ]
+    row = docs.select(_words_col(text_col).alias("_bm_ws")).agg(*aggs).collect()[0]
+    n = int(row["n"])
+    avgdl = (int(row["len"] or 0) / n) if n else 1.0
+    return n, avgdl, {t: int(row[f"df_{i}"]) for i, t in enumerate(terms)}
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, score_micro, rank): top-k BM25 over a raw corpus frame —
+    the ad-hoc path (two passes, map-only scoring; see module
+    docstring).  Ties break on ascending doc_id; docs matching no query
+    term are excluded (score 0)."""
+    terms = sorted(set(query))
+    n, avgdl, dfs = corpus_stats(docs, terms, text_col)
+    w = F.col("_bm_ws")
+    score = F.lit(0).cast("long")
+    for t in terms:
+        if dfs[t] == 0:
+            continue
+        tf = F.size(F.filter(w, lambda x: x == F.lit(t)))
+        term_micro = F.floor(
+            F.lit(idf(n, dfs[t])) * _tfnorm(tf, F.size(w), k1, b, avgdl)
+            * F.lit(float(MICRO)) + F.lit(0.5)
+        ).cast("long")
+        score = score + F.when(tf > 0, term_micro).otherwise(F.lit(0))
+    scored = (
+        docs.select(F.col(id_col).alias("doc_id"), _words_col(text_col).alias("_bm_ws"))
+        .select("doc_id", score.alias("score_micro"))
+        .filter(F.col("score_micro") > 0)
+    )
+    return (
+        scored.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(k)
+        .select(
+            "doc_id",
+            "score_micro",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score_micro"), F.asc("doc_id")))
+            .cast("long")
+            .alias("rank"),
+        )
+    )
+
+
+@dataclass
+class Bm25Index:
+    """Materialized index frames: build once, query many.  At rest,
+    write ``postings`` bucketed/partitioned BY TERM so a query's
+    equi-join prunes to its terms' buckets."""
+
+    postings: DataFrame  # (term, doc_id, tf)
+    doclens: DataFrame  # (doc_id, dl)
+    dfreq: DataFrame  # (term, df)
+    n_docs: int
+    avgdl: float
+
+
+def bm25_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Bm25Index:
+    """Build the inverted statistics: one explode + one (doc,term) agg
+    for postings, a map-only doc-length frame, and a term-keyed df agg
+    derived from the postings.  The postings frame is persisted (it
+    feeds df AND queries); callers unpersist via
+    ``index.postings.unpersist()`` when done."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), _words_col(text_col).alias("_bm_ws")
+    )
+    doclens = base.select("doc_id", F.size("_bm_ws").cast("long").alias("dl"))
+    postings = (
+        base.select("doc_id", F.explode("_bm_ws").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .persist()
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    row = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size("_bm_ws")).alias("len")
+    ).collect()[0]
+    n = int(row["n"])
+    avgdl = (int(row["len"] or 0) / n) if n else 1.0
+    return Bm25Index(postings, doclens, dfreq, n, avgdl)
+
+
+def bm25_topk_indexed(
+    index: Bm25Index,
+    query: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(doc_id, score_micro, rank) from the materialized index: the
+    query-term table broadcasts into the postings equi-join (term-
+    pruned scan at rest), doc lengths join on the surviving postings
+    only, per-term quantized scores sum per doc.  Row-identical to
+    :func:`bm25_topk` on the same corpus (equivalence-tested)."""
+    terms = sorted(set(query))
+    spark = index.postings.sparkSession
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in index.dfreq.join(
+            F.broadcast(
+                spark.createDataFrame([(t,) for t in terms], "term string")
+            ),
+            "term",
+        ).collect()
+    }
+    idf_rows = [
+        (t, float(idf(index.n_docs, dfs[t]))) for t in terms if dfs.get(t)
+    ]
+    if not idf_rows:
+        return spark.createDataFrame(
+            [], "doc_id string, score_micro long, rank long"
+        )
+    idf_tbl = spark.createDataFrame(idf_rows, "term string, idf double")
+    scored = (
+        index.postings.join(F.broadcast(idf_tbl), "term")
+        .join(index.doclens, "doc_id")
+        .select(
+            "doc_id",
+            F.floor(
+                F.col("idf") * _tfnorm(F.col("tf"), F.col("dl"), k1, b, index.avgdl)
+                * F.lit(float(MICRO)) + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("term_micro"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("term_micro").cast("long").alias("score_micro"))
+        .filter(F.col("score_micro") > 0)
+    )
+    return (
+        scored.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(k)
+        .select(
+            "doc_id",
+            "score_micro",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score_micro"), F.asc("doc_id")))
+            .cast("long")
+            .alias("rank"),
+        )
+    )
+
+
+def bm25_oracle_sql(
+    n_docs: int,
+    avgdl: float,
+    dfs: dict[str, int],
+    query: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay of :func:`bm25_topk` with the SAME idf/avgdl
+    literals and the SAME single-rounding score chain — parity is exact
+    because each term's score quantizes to BIGINT before the sum."""
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    terms = [t for t in sorted(set(query)) if dfs.get(t)]
+    tf_exprs = []
+    for t in terms:
+        tf = f"len(list_filter(ws, x -> x = {q(t)}))"
+        chain = (
+            f"({tf}::DOUBLE * {k1 + 1.0!r}) / ({tf}::DOUBLE + {k1 * (1.0 - b)!r} "
+            f"+ {k1 * b!r} * len(ws)::DOUBLE / {avgdl!r})"
+        )
+        tf_exprs.append(
+            f"CASE WHEN {tf} > 0 THEN CAST(floor({idf(n_docs, dfs[t])!r} * {chain} "
+            f"* {float(MICRO)!r} + 0.5) AS BIGINT) ELSE 0 END"
+        )
+    score = " + ".join(tf_exprs) if tf_exprs else "0"
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS doc_id,
+         list_filter(string_split_regex(lower({text_col}), '\\s+'), x -> x != '') AS ws
+  FROM {table}
+),
+scored AS (SELECT doc_id, {score} AS score_micro FROM d)
+SELECT doc_id, score_micro,
+       CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+FROM scored WHERE score_micro > 0
+ORDER BY score_micro DESC, doc_id LIMIT {k}
+"""

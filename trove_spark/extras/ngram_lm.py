@@ -194,7 +194,10 @@ def score_perplexity(
         un = un.filter(F.lit(False))
     toks = (
         corpus.select(
-            F.col(id_col).cast("long").alias("doc_id"),
+            # id passes through UNCAST: numeric ids stay numeric (the
+            # driver row's oracle compares BIGINTs) and string ids don't
+            # trip an ANSI cast error
+            F.col(id_col).alias("doc_id"),
             _words_col(text_col).alias("_lm_ws"),
         )
         .select("doc_id", F.explode_outer(_pair_structs()).alias("p"))
@@ -230,7 +233,7 @@ def exact_rank_cutpoints(
     val_col: str = "nll_micro",
     id_col: str = "doc_id",
     n_bins: int = 4096,
-) -> list[tuple[int, int]]:
+) -> list[tuple[int, object]]:
     """The exact (value, id) pair at each 1-based ascending ``rank`` of
     the (val, id) lexicographic order — WITHOUT a global sort: one
     ``n_bins`` equal-width histogram job (driver holds n_bins longs)
@@ -275,7 +278,7 @@ def exact_rank_cutpoints(
             .limit(1)
             .collect()[0]
         )
-        cuts.append((int(row[val_col]), int(row[id_col])))
+        cuts.append((int(row[val_col]), row[id_col]))  # id keeps its type
     return cuts
 
 

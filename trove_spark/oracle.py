@@ -1288,6 +1288,45 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+def _bm25_sql(
+    sf_dir: str | None = None,
+    query: tuple[str, ...] = ("value", "table", "spark"),
+    k: int = 10,
+) -> str:
+    """BM25 oracle: corpus statistics (N, avgdl, per-term df) computed in
+    Python over the DuckDB-loaded corpus with the SAME tokenization and
+    the SAME int arithmetic the engine's one-job aggregation produces
+    ($TROVE_ORACLE_SF_DIR-aware); idf/avgdl inlined as exact double
+    literals into extras.bm25.bm25_oracle_sql's single-rounding score
+    chain, quantized to BIGINT per term — hash-exact despite the floats."""
+    import os
+    import re
+
+    import duckdb
+
+    from .extras.bm25 import bm25_oracle_sql
+
+    sf_dir = sf_dir or os.environ.get(
+        "TROVE_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    rows = duckdb.sql(
+        f"SELECT lower(text) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    terms = sorted(set(query))
+    n = len(rows)
+    total = 0
+    dfs = {t: 0 for t in terms}
+    for (text,) in rows:
+        ws = [w for w in re.split(r"\s+", text or "") if w]
+        total += len(ws)
+        present = set(ws)
+        for t in terms:
+            if t in present:
+                dfs[t] += 1
+    avgdl = (total / n) if n else 1.0
+    return bm25_oracle_sql(n, avgdl, dfs, list(query), k=k, table="documents")
+
+
 def _ann_ivfpq_sql(
     sf_dir: str | None = None,
     n_lists: int = 8,
@@ -1548,6 +1587,7 @@ def extras_oracles() -> dict[str, str]:
     return {
         "ann_lsh_topk": _ann_lsh_sql(dim=64, n_planes=6, k=5),
         "lm_perplexity": _lm_perplexity_sql(),
+        "bm25_topk": _bm25_sql(),
         "ann_ivf_topk": _ann_ivf_sql(n_lists=8, n_iter=3, n_probe=3, k=5),
         "ann_ivfpq_topk": _ann_ivfpq_sql(
             n_lists=8, n_iter=3, m=8, ksub=16, pq_iter=3, n_probe=3, k=5
