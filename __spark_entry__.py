@@ -718,6 +718,30 @@ def q_rel_window_top_orders(spark, sf_dir):
     )
 
 
+def q_rel_asof_join(spark, sf_dir):
+    """AS-OF join (kdb/pandas merge_asof; extras/timeseries.py): each
+    click event picks up the most recent prior view by the same user.
+    Spark lacks the operator — the engine's form is the union-LOCF
+    window (ONE keyed shuffle, zero row amplification; the plan
+    tag_sessions already proves), checked against DuckDB's NATIVE
+    ASOF LEFT JOIN — two different algorithms, same rows."""
+    from trove_spark.extras.timeseries import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    out = asof_join(
+        ev.filter("event_type = 'click'"),
+        ev.filter("event_type = 'view'"),
+        time_col="ts",
+        by=["user_id"],
+        value_cols=["event_id", "value"],
+    )
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("right_event_id").cast("long").alias("right_event_id"),
+        F.col("right_value").alias("right_value"),
+    )
+
+
 def q_rel_anti_join(spark, sf_dir):
     """Anti join: orders with no lineitems (non-empty at every sf)."""
     o = _t(spark, sf_dir, "orders")
@@ -1060,8 +1084,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rel_topk_parts (global sort/limit stays driver-exercised by
     bm25_topk's TakeOrdered tail and its count-top-k shape by
     kg_ontology_rank — slot yielded to bm25_topk, the native
-    ES-replacement retrieval op, in r5).  The trimmed callables remain
-    importable + tested."""
+    ES-replacement retrieval op, in r5), rel_window_top_orders (its
+    per-key rank-window shape is driver-exercised verbatim by the
+    ann_ivf/ann_ivfpq rank windows and tag_sessions' LOCF window —
+    slot yielded to rel_asof_join, the as-of join Spark lacks, in r5).
+    The trimmed callables remain importable + tested."""
     return {
         "kg_tokens": q_kg_tokens,
         "kg_tokens_clinical": q_kg_tokens_clinical,
@@ -1093,7 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_unipolar": q_kg_unipolar,
         "rel_agg_pricing": q_rel_agg_pricing,
         "rel_join_nations": q_rel_join_nations,
-        "rel_window_top_orders": q_rel_window_top_orders,
+        "rel_asof_join": q_rel_asof_join,
         "rel_anti_join": q_rel_anti_join,
         "rel_semi_join": q_rel_semi_join,
         "bm25_topk": q_bm25_topk,

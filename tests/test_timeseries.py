@@ -1,0 +1,84 @@
+"""asof_join: DuckDB ASOF LEFT JOIN parity on the events table, forward
+direction + tolerance semantics vs a python reference, and the
+one-shuffle plan shape."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from trove_spark.extras.timeseries import asof_join
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet").persist()
+
+
+def test_backward_matches_duckdb_asof(spark, events):
+    clicks = events.filter("event_type = 'click'")
+    views = events.filter("event_type = 'view'")
+    out = asof_join(
+        clicks, views, time_col="ts", by=["user_id"], value_cols=["event_id", "value"]
+    )
+    got = sorted(
+        (r["event_id"], r["right_event_id"])
+        for r in out.select("event_id", "right_event_id").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW e AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    want = sorted(
+        (r[0], r[1])
+        for r in con.execute(
+            """
+            SELECT l.event_id, r.event_id
+            FROM (SELECT * FROM e WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT * FROM e WHERE event_type = 'view') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 50
+
+
+def test_forward_and_tolerance(spark):
+    rows_l = [(1, 10.0, "a"), (1, 20.0, "b"), (2, 5.0, "c")]
+    rows_r = [(1, 12.0, 120), (1, 30.0, 300), (2, 1.0, 10)]
+    l = spark.createDataFrame(rows_l, "k long, ts double, tag string")
+    r = spark.createDataFrame(rows_r, "k long, ts double, rv long")
+    fwd = {
+        (row["k"], row["ts"]): row["right_rv"]
+        for row in asof_join(l, r, time_col="ts", by=["k"], direction="forward").collect()
+    }
+    # nearest right row at-or-after: 10→12/120, 20→30/300, 5(k2)→none after? r k2 t=1 < 5 → None
+    assert fwd == {(1, 10.0): 120, (1, 20.0): 300, (2, 5.0): None}
+    back_tol = {
+        (row["k"], row["ts"]): row["right_rv"]
+        for row in asof_join(
+            l, r, time_col="ts", by=["k"], tolerance_s=5.0
+        ).collect()
+    }
+    # backward: 10→none before, 20→12/120 but gap 8 > 5 → nulled, 5→1/10 gap 4 ok
+    assert back_tol == {(1, 10.0): None, (1, 20.0): None, (2, 5.0): 10}
+    # inclusive at equal timestamps
+    eq = asof_join(
+        spark.createDataFrame([(1, 12.0, "x")], "k long, ts double, tag string"),
+        r, time_col="ts", by=["k"],
+    ).collect()[0]
+    assert eq["right_rv"] == 120 and eq["right_ts"] == 12.0
+
+
+def test_left_rows_all_preserved_and_plan(spark, events):
+    clicks = events.filter("event_type = 'click'")
+    views = events.filter("event_type = 'view'")
+    out = asof_join(clicks, views, time_col="ts", by=["user_id"])
+    assert out.count() == clicks.count()  # LEFT semantics
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # ONE hash shuffle (the by-key window); no join operator at all
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

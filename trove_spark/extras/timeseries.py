@@ -1,0 +1,97 @@
+"""Time-series operators Spark's DataFrame API lacks natively — first
+the AS-OF JOIN (kdb/pandas `merge_asof` / DuckDB `ASOF JOIN`): for each
+left row, attach the most recent right row at-or-before its timestamp
+(per key, optionally within a staleness tolerance).
+
+Spark shape (100 TB): the naive formulations both die at scale — a
+range-condition join explodes to O(|L|·|R|) per key before filtering,
+and a per-left-row subquery is a correlated disaster.  The scalable
+form is the UNION-LOCF trick: tag both sides, union them, and run ONE
+keyed window that carries the last right payload forward over the
+merged (time, side) order — a single hash shuffle on the join keys, a
+per-key sort, zero row amplification.  This is also exactly how the
+engine's section carry-forward tagger works (taggers.tag_sessions), so
+the physical plan is a proven one.
+
+Determinism: ties at identical (key, time) order right-before-left
+(inclusive as-of), and multiple right rows at the same instant resolve
+by the packed payload struct's field order — pinned in the sort, so
+results are stable across retries/engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__ref__ = "no reference counterpart (time-series extension)"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    time_col: str = "ts",
+    by: list[str] | None = None,
+    value_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance_s: float | None = None,
+    right_prefix: str = "right_",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row + the nearest ``right`` row
+    at-or-before (``backward``) / at-or-after (``forward``) its
+    ``time_col``, matched within ``by`` keys.  Unmatched (or staler than
+    ``tolerance_s`` seconds) rows keep NULL right columns — LEFT-join
+    semantics, DuckDB ``ASOF LEFT JOIN`` equivalent (parity-tested).
+
+    ``value_cols`` defaults to every right column outside ``by`` +
+    ``time_col``; they arrive prefixed (``right_value``, …) plus the
+    matched ``right_<time_col>``.  One shuffle on ``by``; with no keys
+    the window is a single global sort — legal for small frames, warned
+    against in the docstring rather than silently sharded."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    by = list(by or [])
+    rcols = value_cols or [
+        c for c in right.columns if c not in set(by) | {time_col}
+    ]
+    payload = F.struct(
+        F.col(time_col).alias("__rt"), *[F.col(c).alias(c) for c in rcols]
+    )
+    r2 = right.select(
+        *by,
+        F.col(time_col).alias("__t"),
+        payload.alias("__rv"),
+        F.lit(0).alias("__side"),
+    )
+    l2 = left.select(
+        *left.columns,
+        F.col(time_col).alias("__t"),
+        F.lit(None).cast(r2.schema["__rv"].dataType).alias("__rv"),
+        F.lit(1).alias("__side"),
+    )
+    merged = r2.unionByName(l2, allowMissingColumns=True)
+    order = (
+        [F.asc("__t"), F.asc("__side"), F.asc("__rv")]
+        if direction == "backward"
+        else [F.desc("__t"), F.asc("__side"), F.desc("__rv")]
+    )
+    w = (
+        Window.partitionBy(*by).orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.withColumn("__rvf", F.last("__rv", ignorenulls=True).over(w))
+    out = filled.filter(F.col("__side") == 1)
+    rt = F.col("__rvf.__rt")
+    if tolerance_s is not None:
+        gap = (
+            (F.col("__t").cast("double") - rt.cast("double"))
+            if direction == "backward"
+            else (rt.cast("double") - F.col("__t").cast("double"))
+        )
+        keep = gap <= F.lit(float(tolerance_s))
+    else:
+        keep = F.lit(True)
+    sel = [F.col(c) for c in left.columns]
+    sel.append(F.when(keep, rt).alias(f"{right_prefix}{time_col}"))
+    for c in rcols:
+        sel.append(F.when(keep, F.col(f"__rvf.{c}")).alias(f"{right_prefix}{c}"))
+    return out.select(*sel)

@@ -1588,6 +1588,16 @@ def extras_oracles() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_sql(dim=64, n_planes=6, k=5),
         "lm_perplexity": _lm_perplexity_sql(),
         "bm25_topk": _bm25_sql(),
+        # the engine's union-LOCF as-of join vs DuckDB's NATIVE ASOF JOIN
+        # operator — two entirely different algorithms, same rows
+        "rel_asof_join": """
+SELECT CAST(l.event_id AS BIGINT) AS event_id,
+       CAST(r.event_id AS BIGINT) AS right_event_id,
+       r.value AS right_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
         "ann_ivf_topk": _ann_ivf_sql(n_lists=8, n_iter=3, n_probe=3, k=5),
         "ann_ivfpq_topk": _ann_ivfpq_sql(
             n_lists=8, n_iter=3, m=8, ksub=16, pq_iter=3, n_probe=3, k=5
