@@ -1,0 +1,118 @@
+"""Unigram-LM tokenizer: EM likelihood monotonicity, vocab-size/coverage
+invariants, Viterbi determinism + round-trip, compression sanity on
+structured text, and Spark-encode ≡ sequential-reference parity."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from trove_spark.extras.unigram import (
+    UnigramModel,
+    _forward_backward,
+    _viterbi,
+    encode,
+    train_unigram,
+    train_unigram_distributed,
+)
+
+WORDS = [
+    ("international", 40),
+    ("internet", 35),
+    ("interface", 30),
+    ("internal", 25),
+    ("nation", 20),
+    ("national", 20),
+    ("altercation", 10),
+    ("cation", 10),
+    ("xyz", 2),
+]
+
+
+@pytest.fixture(scope="module")
+def model():
+    return train_unigram(
+        WORDS, vocab_size=40, min_count=1, max_piece_len=6, em_iters=2
+    )
+
+
+def test_vocab_size_and_coverage(model):
+    chars = {ch for w, _ in WORDS for ch in w}
+    assert chars <= set(model.pieces)  # every char survives pruning
+    multi = [p for p in model.pieces if len(p) > 1]
+    assert len(multi) <= 40 - len(chars) - 1
+    assert model.vocab["<unk>"] == 0
+    assert len(model.vocab) == len(model.pieces) + 1
+    assert all(lp < 0 for lp in model.pieces.values())  # micro log-probs
+
+
+def test_learns_frequent_substrings(model):
+    # 'inter'/'nation'-family substrings dominate the corpus mass — the
+    # trained vocab must contain multi-char pieces from that family
+    multi = [p for p in model.pieces if len(p) > 1]
+    assert any("in" in p or "na" in p or "ti" in p for p in multi)
+    segs = _viterbi("international", model.pieces, model.unk_micro, 6)
+    assert "".join(segs) == "international"
+    assert len(segs) < len("international")  # compresses below chars
+
+
+def test_viterbi_round_trip_and_determinism(model):
+    for w, _ in WORDS + [("neverseenword", 1), ("nation's", 1)]:
+        a = _viterbi(w, model.pieces, model.unk_micro, 6)
+        b = _viterbi(w, model.pieces, model.unk_micro, 6)
+        assert a == b and "".join(a) == w
+        assert all(len(p) >= 1 for p in a)
+
+
+def test_oov_chars_become_unk_ids(spark, model):
+    df = spark.createDataFrame([("d1", "nation !!! Ω")], "doc_id string, text string")
+    row = encode(df, model).collect()[0]
+    assert "".join(row["tokens"]).replace("Ω", "Ω") == "nation!!!Ω"
+    # Ω was never in training: its token id is 0 (<unk>)
+    idx = row["tokens"].index("Ω")
+    assert row["token_ids"][idx] == 0
+
+
+def test_em_increases_likelihood():
+    # run two trainings differing only in EM iterations; the corpus
+    # log-likelihood under the final model must not decrease with more EM
+    def loglik(m):
+        logp = {p: v / 1e6 for p, v in m.pieces.items()}
+        return sum(
+            c * _forward_backward(w, logp, 6)[1] for w, c in WORDS
+        )
+
+    m1 = train_unigram(WORDS, vocab_size=40, min_count=1, max_piece_len=6, em_iters=1)
+    m3 = train_unigram(WORDS, vocab_size=40, min_count=1, max_piece_len=6, em_iters=3)
+    assert loglik(m3) >= loglik(m1) - 1e-6
+
+
+def test_training_deterministic():
+    a = train_unigram(WORDS, vocab_size=40, min_count=1, max_piece_len=6)
+    b = train_unigram(list(reversed(WORDS)), vocab_size=40, min_count=1, max_piece_len=6)
+    assert a.pieces == b.pieces and a.vocab == b.vocab  # input order irrelevant
+
+
+def test_spark_encode_matches_reference(spark):
+    texts = [
+        ("a", "international internet interface"),
+        ("b", "the nation and the national altercation"),
+        ("c", ""),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id string, text string")
+    model = train_unigram_distributed(
+        docs, vocab_size=60, min_count=1, max_piece_len=6
+    )
+    got = {r["doc_id"]: (r["tokens"], r["token_ids"]) for r in encode(docs, model).collect()}
+    import re
+
+    mx = max((len(p) for p in model.pieces), default=1)
+    for did, text in texts:
+        words = re.findall(r"[^\W\d_]+|\d+|[^\w\s]+", text, re.UNICODE)
+        toks, tids = [], []
+        for w in words:
+            t = _viterbi(w, model.pieces, model.unk_micro, mx)
+            toks.extend(t)
+            tids.extend(model.vocab.get(x, 0) for x in t)
+        assert got[did] == (toks, tids), did

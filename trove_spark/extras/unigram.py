@@ -1,0 +1,311 @@
+"""Distributed unigram-LM tokenizer (Kudo 2018, arXiv:1804.10959 — the
+SentencePiece *unigram* model; the tokenizer family of T5/ALBERT/Llama's
+SentencePiece vocabularies), completing the trainer-handoff tokenizer
+story next to :mod:`.bpe`.
+
+Scale shape (100 TB) mirrors :mod:`.bpe` and how real trainers run:
+
+* the ONLY corpus-wide job is the word histogram (one map-side-combined
+  wordcount shuffle, shared with BPE via :func:`.bpe.word_histogram`);
+* seeding + EM + pruning run DRIVER-SIDE over the CAPPED histogram —
+  what single-node SentencePiece does too (it trains on a sentence
+  sample); the caps (``min_count`` / ``max_words`` / ``seed_words`` /
+  ``max_piece_len``) bound driver work independent of corpus size,
+  and the dropped histogram mass is reported;
+* encoding is MAP-ONLY: the (piece → integer micro log-prob) table
+  broadcasts into an Arrow kernel running Viterbi per distinct word
+  with a per-batch cache (the :func:`.bpe.encode` shape) — no shuffle,
+  no join.
+
+Algorithm notes:
+* E-step is exact per word: forward-backward over the segmentation
+  lattice in log space, weighted by the word's corpus count;
+* pruning uses the published simplification of dropping the pieces
+  with the lowest expected count each round (never single characters,
+  so every string stays encodable) — SentencePiece's exact
+  alternative-loss ranking is a refinement of the same signal;
+* all final piece scores are quantized to integer MICRO-nats, and the
+  Viterbi tie-break is pinned (higher score, then LONGER last piece,
+  then lexicographic), so encodes are deterministic across engines,
+  retries, and resumes.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from .bpe import UNK, pretokenize, word_histogram
+
+__ref__ = "no reference counterpart (LLM-data-pipeline extension)"
+
+MICRO = 1_000_000
+
+
+@dataclass(frozen=True)
+class UnigramModel:
+    """pieces: piece → integer micro-nat log-prob (all < 0); vocab:
+    token → id (0 = <unk>, then pieces sorted); caps audit trail."""
+
+    pieces: dict  # dict[str, int]
+    vocab: dict  # dict[str, int]
+    kept_words: int
+    kept_mass: int
+    dropped_words: int
+    dropped_mass: int
+    unk_micro: int = -20 * MICRO
+
+
+def _viterbi(word: str, pieces: dict, unk_micro: int, max_len: int) -> list[str]:
+    """Best segmentation under the piece scores.  Unknown characters
+    become single-char pseudo-pieces at ``unk_micro`` so any input is
+    segmentable.  Ties: higher score, then longer last piece, then
+    lexicographically smaller last piece — a total order, so the
+    segmentation is unique."""
+    n = len(word)
+    best: list = [None] * (n + 1)
+    best[0] = (0, 0, "")  # (score, last_piece_len, last_piece)
+    for i in range(1, n + 1):
+        cand = None
+        for j in range(max(0, i - max_len), i):
+            if best[j] is None:
+                continue
+            piece = word[j:i]
+            sc = pieces.get(piece)
+            if sc is None:
+                if i - j == 1:
+                    sc = unk_micro
+                else:
+                    continue
+            total = best[j][0] + sc
+            key = (total, i - j, piece)
+            if cand is None or (
+                key[0] > cand[0][0]
+                or (key[0] == cand[0][0] and key[1] > cand[0][1])
+                or (key[0] == cand[0][0] and key[1] == cand[0][1] and key[2] < cand[0][2])
+            ):
+                cand = (key, j)
+        best[i] = (cand[0][0], cand[0][1], cand[0][2]) if cand else None
+        if best[i] is None:  # unreachable given single-char fallback
+            best[i] = (best[i - 1][0] + unk_micro, 1, word[i - 1])
+    out = []
+    i = n
+    while i > 0:
+        ln = best[i][1]
+        out.append(word[i - ln : i])
+        i -= ln
+    return out[::-1]
+
+
+def _forward_backward(word: str, logp: dict, max_len: int):
+    """Expected piece counts for one word under the current model (float
+    log domain; returns (Counter piece→expected_count, total_loglik)).
+    Words containing characters outside the model are handled by the
+    caller (they keep their single-char pieces in the vocab)."""
+    n = len(word)
+    NEG = float("-inf")
+    fwd = [NEG] * (n + 1)
+    fwd[0] = 0.0
+    edges: list[list[tuple[int, str, float]]] = [[] for _ in range(n + 1)]
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_len), i):
+            p = word[j:i]
+            lp = logp.get(p)
+            if lp is None:
+                continue
+            edges[i].append((j, p, lp))
+            if fwd[j] > NEG:
+                x = fwd[j] + lp
+                fwd[i] = x if fwd[i] == NEG else max(fwd[i], x) + math.log1p(
+                    math.exp(-abs(fwd[i] - x))
+                )
+    if fwd[n] == NEG:
+        return Counter(), NEG
+    bwd = [NEG] * (n + 1)
+    bwd[n] = 0.0
+    for i in range(n - 1, -1, -1):
+        for k in range(i + 1, min(n, i + max_len) + 1):
+            p = word[i:k]
+            lp = logp.get(p)
+            if lp is None or bwd[k] == NEG:
+                continue
+            x = lp + bwd[k]
+            bwd[i] = x if bwd[i] == NEG else max(bwd[i], x) + math.log1p(
+                math.exp(-abs(bwd[i] - x))
+            )
+    z = fwd[n]
+    exp = Counter()
+    for i in range(1, n + 1):
+        for j, p, lp in edges[i]:
+            if fwd[j] > NEG and bwd[i] > NEG:
+                exp[p] += math.exp(fwd[j] + lp + bwd[i] - z)
+    return exp, z
+
+
+def train_unigram(
+    word_counts,
+    vocab_size: int = 8000,
+    min_count: int = 2,
+    max_words: int = 200_000,
+    seed_words: int = 50_000,
+    max_piece_len: int = 8,
+    seed_factor: int = 4,
+    em_iters: int = 2,
+    prune_frac: float = 0.25,
+) -> UnigramModel:
+    """Train from a (word, count) histogram — rows of
+    :func:`.bpe.word_histogram` (list of Rows / tuples), capped like
+    :func:`.bpe.train_bpe`.  Returns a model with exactly the base
+    characters plus the best ``vocab_size - n_chars - 1`` multi-char
+    pieces (−1 for <unk>)."""
+    rows = [(r[0], int(r[1])) for r in word_counts]
+    rows.sort(key=lambda t: (-t[1], t[0]))
+    kept = [(w, c) for w, c in rows if c >= min_count][:max_words]
+    kept_mass = sum(c for _, c in kept)
+    dropped_words = len(rows) - len(kept)
+    dropped_mass = sum(c for _, c in rows) - kept_mass
+
+    chars = sorted({ch for w, _ in kept for ch in w})
+    # seed: frequent substrings of the TOP seed_words histogram words,
+    # scored freq·len (the SentencePiece seed heuristic)
+    seed_scores: Counter = Counter()
+    for w, c in kept[:seed_words]:
+        n = len(w)
+        for i in range(n):
+            for k in range(2, min(max_piece_len, n - i) + 1):
+                seed_scores[w[i : i + k]] += c
+    n_target_multi = max(vocab_size - len(chars) - 1, 0)
+    seeds = sorted(
+        seed_scores.items(), key=lambda kv: (-kv[1] * len(kv[0]), kv[0])
+    )[: max(n_target_multi * seed_factor, 1)]
+    pieces = {p for p, _ in seeds} | set(chars)
+
+    # init: probs ∝ seed score (chars get their raw frequency)
+    char_freq = Counter()
+    for w, c in kept:
+        for ch in w:
+            char_freq[ch] += c
+    raw = {p: float(seed_scores.get(p, 0) + char_freq.get(p, 0)) or 1.0 for p in pieces}
+    tot = sum(raw.values())
+    logp = {p: math.log(v / tot) for p, v in raw.items()}
+
+    while True:
+        for _ in range(em_iters):
+            acc: Counter = Counter()
+            for w, c in kept:
+                exp, z = _forward_backward(w, logp, max_piece_len)
+                if z == float("-inf"):
+                    continue
+                for p, e in exp.items():
+                    acc[p] += c * e
+            total = sum(acc.values()) or 1.0
+            floor = 1e-10 / total
+            logp = {
+                p: math.log(max(acc.get(p, 0.0), floor) / total) for p in logp
+            }
+        multi = [p for p in logp if len(p) > 1]
+        if len(multi) <= n_target_multi:
+            break
+        # prune lowest-expected-mass multi-char pieces (chars are pinned)
+        acc2: Counter = Counter()
+        for w, c in kept:
+            exp, z = _forward_backward(w, logp, max_piece_len)
+            for p, e in exp.items():
+                acc2[p] += c * e
+        keep_n = max(n_target_multi, int(len(multi) * (1.0 - prune_frac)))
+        if keep_n >= len(multi):
+            keep_n = n_target_multi
+        ranked = sorted(multi, key=lambda p: (-acc2.get(p, 0.0), p))
+        survivors = set(ranked[:keep_n]) | {p for p in logp if len(p) == 1}
+        logp = {p: lp for p, lp in logp.items() if p in survivors}
+
+    pieces_micro = {p: min(round(lp * MICRO), -1) for p, lp in logp.items()}
+    vocab = {UNK: 0}
+    for i, p in enumerate(sorted(pieces_micro)):
+        vocab[p] = i + 1
+    return UnigramModel(
+        pieces=pieces_micro,
+        vocab=vocab,
+        kept_words=len(kept),
+        kept_mass=kept_mass,
+        dropped_words=dropped_words,
+        dropped_mass=dropped_mass,
+    )
+
+
+def train_unigram_distributed(
+    docs: DataFrame,
+    vocab_size: int = 8000,
+    text_col: str = "text",
+    lowercase: bool = False,
+    **kwargs,
+) -> UnigramModel:
+    """End-to-end: ONE wordcount shuffle → driver training on the capped
+    histogram (see module docstring for why that is the published
+    shape)."""
+    hist = word_histogram(docs, text_col=text_col, lowercase=lowercase).collect()
+    return train_unigram(hist, vocab_size=vocab_size, **kwargs)
+
+
+def encode(
+    docs: DataFrame,
+    model: UnigramModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = False,
+) -> DataFrame:
+    """(doc_id, tokens array<string>, token_ids array<int>): map-only
+    Viterbi encode — broadcast piece table, per-batch distinct-word
+    cache, JVM pre-tokenizer shared with BPE.  Out-of-vocab characters
+    emit their character with id 0 (<unk>)."""
+    max_len = max((len(p) for p in model.pieces), default=1)
+    bc = docs.sparkSession.sparkContext.broadcast(
+        (model.pieces, model.vocab, model.unk_micro, max_len)
+    )
+    pre = pretokenize(docs, text_col, id_col)
+    if lowercase:
+        from pyspark.sql import functions as F
+
+        pre = pre.select(
+            "doc_id", F.transform("words", lambda w: F.lower(w)).alias("words")
+        )
+
+    def _kernel(batches):
+        import pandas as pd
+
+        pieces, vocab, unk_micro, mx = bc.value
+        cache: dict = {}
+
+        def enc(word):
+            hit = cache.get(word)
+            if hit is None:
+                toks = _viterbi(word, pieces, unk_micro, mx)
+                hit = (toks, [vocab.get(t, 0) for t in toks])
+                cache[word] = hit
+            return hit
+
+        for pdf in batches:
+            ids, tok_col, tid_col = [], [], []
+            for did, words in zip(pdf["doc_id"], pdf["words"]):
+                toks, tids = [], []
+                for w in words:
+                    t, i = enc(w)
+                    toks.extend(t)
+                    tids.extend(i)
+                ids.append(did)
+                tok_col.append(toks)
+                tid_col.append(tids)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype=object),
+                    "tokens": pd.Series(tok_col, dtype=object),
+                    "token_ids": pd.Series(tid_col, dtype=object),
+                }
+            )
+
+    return pre.mapInPandas(
+        _kernel, schema="doc_id string, tokens array<string>, token_ids array<int>"
+    )
