@@ -41,6 +41,11 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--target", default=None, help="target-domain parquet for DSIR selection")
     ap.add_argument("--n-select", type=int, default=0, help="DSIR: docs to keep (0 = no selection)")
     ap.add_argument("--seq-len", type=int, default=2048)
+    ap.add_argument("--tokenizer", default="bpe", choices=("bpe", "unigram"),
+                    help="BPE merges or the SentencePiece-style unigram-LM "
+                         "model (extras/unigram.py)")
+    ap.add_argument("--vocab-size", type=int, default=8000,
+                    help="unigram tokenizer: target vocabulary size")
     ap.add_argument("--n-merges", type=int, default=32000)
     ap.add_argument("--bpe-min-count", type=int, default=2)
     ap.add_argument("--bpe-max-words", type=int, default=1_000_000)
@@ -135,15 +140,25 @@ def main(argv: list[str] | None = None) -> dict:
         dsir_cache.unpersist()
     curate_cache.unpersist()
 
-    model = bpe.train_bpe(
-        bpe.word_histogram(train, text_col=args.text_col, id_col=args.id_col),
-        n_merges=args.n_merges, min_count=args.bpe_min_count,
-        max_words=args.bpe_max_words,
-    )
+    hist = bpe.word_histogram(train, text_col=args.text_col, id_col=args.id_col)
+    if args.tokenizer == "unigram":
+        from trove_spark.extras import unigram
+
+        model = unigram.train_unigram(
+            hist, vocab_size=args.vocab_size, min_count=args.bpe_min_count,
+            max_words=args.bpe_max_words,
+        )
+        enc = unigram.encode(train, model, text_col=args.text_col,
+                             id_col=args.id_col)
+    else:
+        model = bpe.train_bpe(
+            hist, n_merges=args.n_merges, min_count=args.bpe_min_count,
+            max_words=args.bpe_max_words,
+        )
+        enc = bpe.encode(train, model, text_col=args.text_col,
+                         id_col=args.id_col)
     stats["vocab_size"] = len(model.vocab)
     stats["dropped_histogram_mass"] = model.dropped_mass
-
-    enc = bpe.encode(train, model, text_col=args.text_col, id_col=args.id_col)
     shuffled = with_shuffle_key(enc, seed=args.seed)
     packed = pack_sequences(shuffled, seq_len=args.seq_len, tokens_col="token_ids")
 

@@ -8,7 +8,7 @@ import duckdb
 import pytest
 from pyspark.sql import functions as F
 
-from trove_spark.extras.timeseries import asof_join
+from trove_spark.extras.timeseries import asof_join, resample_locf
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -82,3 +82,121 @@ def test_left_rows_all_preserved_and_plan(spark, events):
     # ONE hash shuffle (the by-key window); no join operator at all
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_resample_locf_gapfill(spark):
+    rows = [
+        (1, 3.0, 30.0), (1, 65.0, 650.0), (1, 200.0, 2000.0),
+        (2, 10.0, 100.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts double, v double")
+    out = resample_locf(df, every_s=60, time_col="ts", by=["k"])
+    got = sorted(
+        (r["k"], r["bucket_ts"], r["v"], r["is_gap"]) for r in out.collect()
+    )
+    # k=1 span buckets 0,60,120,180: 120 is a GAP filled with 650.0
+    assert got == [
+        (1, 0, 30.0, False),
+        (1, 60, 650.0, False),
+        (1, 120, 650.0, True),
+        (1, 180, 2000.0, False),
+        (2, 0, 100.0, False),
+    ]
+
+
+def test_resample_locf_matches_duckdb(spark, events):
+    out = resample_locf(
+        events.filter("event_type = 'view'"), every_s=3600,
+        time_col="ts", by=["user_id"], value_cols=["value"],
+    )
+    assert dict(out.dtypes)["bucket_ts"] == "timestamp_ntz"  # input dtype kept
+    got = sorted(
+        (r["user_id"], int(r["bucket_ts"].timestamp()), r["value"], r["is_gap"])
+        for r in out.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW e AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    want = sorted(
+        (r[0], int(r[1]), r[2], r[3])
+        for r in con.execute(
+            """
+WITH v AS (SELECT * FROM e WHERE event_type = 'view'),
+b AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket,
+         max({'__t': ts, 'value': value}) AS payload
+  FROM v GROUP BY 1, 2
+),
+grid AS (
+  SELECT user_id, unnest(range(lo, hi + 1, 3600)) AS bucket
+  FROM (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM b GROUP BY 1) s
+),
+j AS (
+  SELECT g.user_id, g.bucket, b.payload,
+         last_value(b.payload IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.bucket
+           ROWS UNBOUNDED PRECEDING) AS filled
+  FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.bucket = g.bucket
+)
+SELECT user_id, bucket AS bucket_ts,
+       filled['value'] AS value, payload IS NULL AS is_gap
+FROM j
+            """
+        ).fetchall()
+    )
+    assert len(got) > 100 and got == want
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    lrows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=20
+    ),
+    rrows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), max_size=20, unique=True
+    ),
+)
+def test_asof_property_parity_vs_duckdb(lrows, rrows):
+    """Random keyed event sets: the union-LOCF asof must agree with
+    DuckDB's native ASOF LEFT JOIN on every (key, time) draw.  Right
+    rows are unique per (key, time) (the well-defined-asof precondition;
+    duplicates are tie-broken engine-specifically)."""
+    # one shared session (conftest spark fixture is function-scoped via
+    # module, hypothesis re-enters the test body many times)
+    from trove_spark.session import get_spark
+
+    spark = get_spark(app_name="trove_spark_tests", master="local[8]",
+                      shuffle_partitions=8)
+    l = spark.createDataFrame(
+        [(k, float(t), i) for i, (k, t) in enumerate(lrows)], "k long, ts double, lid long"
+    )
+    r = spark.createDataFrame(
+        [(k, float(t), 100 + i) for i, (k, t) in enumerate(rrows)] or [(99, 0.0, 0)],
+        "k long, ts double, rid long",
+    )
+    got = sorted(
+        (row["lid"], row["right_rid"])
+        for row in asof_join(l, r, time_col="ts", by=["k"]).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE lt(k BIGINT, ts DOUBLE, lid BIGINT); "
+        "CREATE TABLE rt(k BIGINT, ts DOUBLE, rid BIGINT)"
+    )
+    for i, (k, t) in enumerate(lrows):
+        con.execute(f"INSERT INTO lt VALUES ({k}, {t}, {i})")
+    for i, (k, t) in enumerate(rrows or [(99, 0)]):
+        con.execute(f"INSERT INTO rt VALUES ({k}, {t}, {100 + i if rrows else 0})")
+    want = sorted(
+        (a, b)
+        for a, b in con.execute(
+            "SELECT l.lid, r.rid FROM lt l ASOF LEFT JOIN rt r "
+            "ON l.k = r.k AND l.ts >= r.ts"
+        ).fetchall()
+    )
+    assert got == want

@@ -26,6 +26,18 @@ from pyspark.sql import DataFrame, Window, functions as F
 __ref__ = "no reference counterpart (time-series extension)"
 
 
+def _epoch_s(df: DataFrame, time_col: str):
+    """Seconds-since-epoch as DOUBLE for numeric OR timestamp[_ntz]
+    time columns (Spark 4 ANSI refuses timestamp→double casts).  An NTZ
+    column is interpreted in the session time zone — run pipelines with
+    ``spark.sql.session.timeZone=UTC`` (the default here) so it agrees
+    with engines that treat NTZ as UTC (DuckDB's ``epoch()``)."""
+    dt = dict(df.dtypes)[time_col]
+    if dt.startswith("timestamp"):
+        return F.unix_micros(F.col(time_col).cast("timestamp")).cast("double") / 1e6
+    return F.col(time_col).cast("double")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -82,11 +94,13 @@ def asof_join(
     out = filled.filter(F.col("__side") == 1)
     rt = F.col("__rvf.__rt")
     if tolerance_s is not None:
-        gap = (
-            (F.col("__t").cast("double") - rt.cast("double"))
-            if direction == "backward"
-            else (rt.cast("double") - F.col("__t").cast("double"))
-        )
+        t_dt = dict(left.dtypes)[time_col]
+        if t_dt.startswith("timestamp"):
+            lt_s = F.unix_micros(F.col("__t").cast("timestamp")).cast("double") / 1e6
+            rt_s = F.unix_micros(rt.cast("timestamp")).cast("double") / 1e6
+        else:
+            lt_s, rt_s = F.col("__t").cast("double"), rt.cast("double")
+        gap = (lt_s - rt_s) if direction == "backward" else (rt_s - lt_s)
         keep = gap <= F.lit(float(tolerance_s))
     else:
         keep = F.lit(True)
@@ -95,3 +109,63 @@ def asof_join(
     for c in rcols:
         sel.append(F.when(keep, F.col(f"__rvf.{c}")).alias(f"{right_prefix}{c}"))
     return out.select(*sel)
+
+
+def resample_locf(
+    df: DataFrame,
+    every_s: int,
+    time_col: str = "ts",
+    by: list[str] | None = None,
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """TimescaleDB-style ``time_bucket_gapfill`` + LOCF: bucket rows
+    into ``every_s``-second bins per key, emit EVERY bin between each
+    key's first and last observation, and carry the last observed
+    values forward into empty bins (``is_gap`` marks them).
+
+    Plan shape: one (key, bucket) aggregation keeps the LAST row per
+    bin (``max`` over the (time, payload) struct — deterministic
+    lexicographic tie-break), one per-key agg builds the bin range, a ``sequence``
+    explode materializes the grid (bounded by span/every per key, never
+    corpus-squared), and one keyed window LOCF-fills — two shuffles
+    plus the grid join, all on the key columns.  Output ``bucket_ts``
+    is the bin's start timestamp."""
+    by = list(by or [])
+    vcols = value_cols or [c for c in df.columns if c not in set(by) | {time_col}]
+    ep = _epoch_s(df, time_col)
+    bucket = (F.floor(ep / F.lit(float(every_s))) * every_s).cast("long")
+    payload = F.struct(
+        F.col(time_col).alias("__t"), *[F.col(c).alias(c) for c in vcols]
+    )
+    per_bin = (
+        df.withColumn("__bucket", bucket)
+        .groupBy(*by, "__bucket")
+        .agg(F.max(payload).alias("__v"))
+    )
+    grid = (
+        per_bin.groupBy(*by)
+        .agg(F.min("__bucket").alias("__lo"), F.max("__bucket").alias("__hi"))
+        .select(
+            *by,
+            F.explode(
+                F.sequence(F.col("__lo"), F.col("__hi"), F.lit(every_s))
+            ).alias("__bucket"),
+        )
+    )
+    joined = grid.join(per_bin, by + ["__bucket"], "left")
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = joined.withColumn("__vf", F.last("__v", ignorenulls=True).over(w))
+    sel = [F.col(c) for c in by]
+    t_dt = dict(df.dtypes)[time_col]
+    sel.append(
+        F.col("__bucket").cast("timestamp").cast(t_dt).alias("bucket_ts")
+        if t_dt.startswith("timestamp")
+        else F.col("__bucket").alias("bucket_ts")
+    )
+    sel += [F.col(f"__vf.{c}").alias(c) for c in vcols]
+    sel.append(F.col("__v").isNull().alias("is_gap"))
+    return filled.select(*sel)

@@ -156,17 +156,32 @@ def train_unigram(
     em_iters: int = 2,
     prune_frac: float = 0.25,
 ) -> UnigramModel:
-    """Train from a (word, count) histogram — rows of
-    :func:`.bpe.word_histogram` (list of Rows / tuples), capped like
-    :func:`.bpe.train_bpe`.  Returns a model with exactly the base
+    """Train from a (word, count) histogram — either the DataFrame from
+    :func:`.bpe.word_histogram` (capped by ``min_count``/``max_words``
+    BEFORE the driver collect, the :func:`.bpe.train_bpe` contract — the
+    driver never holds corpus-scale state) or a plain list of
+    (word, count) rows.  Returns a model with exactly the base
     characters plus the best ``vocab_size - n_chars - 1`` multi-char
     pieces (−1 for <unk>)."""
-    rows = [(r[0], int(r[1])) for r in word_counts]
-    rows.sort(key=lambda t: (-t[1], t[0]))
-    kept = [(w, c) for w, c in rows if c >= min_count][:max_words]
-    kept_mass = sum(c for _, c in kept)
-    dropped_words = len(rows) - len(kept)
-    dropped_mass = sum(c for _, c in rows) - kept_mass
+    if isinstance(word_counts, DataFrame):
+        from pyspark.sql import functions as F
+
+        df = word_counts.filter(F.col("count") >= min_count)
+        df = df.orderBy(F.desc("count"), "word").limit(max_words)
+        kept = [(r["word"], int(r["count"])) for r in df.collect()]
+        tot = word_counts.agg(
+            F.count("*").alias("w"), F.sum("count").alias("m")
+        ).collect()[0]
+        kept_mass = sum(c for _, c in kept)
+        dropped_words = int(tot["w"]) - len(kept)
+        dropped_mass = int(tot["m"] or 0) - kept_mass
+    else:
+        rows = [(r[0], int(r[1])) for r in word_counts]
+        rows.sort(key=lambda t: (-t[1], t[0]))
+        kept = [(w, c) for w, c in rows if c >= min_count][:max_words]
+        kept_mass = sum(c for _, c in kept)
+        dropped_words = len(rows) - len(kept)
+        dropped_mass = sum(c for _, c in rows) - kept_mass
 
     chars = sorted({ch for w, _ in kept for ch in w})
     # seed: frequent substrings of the TOP seed_words histogram words,
@@ -246,7 +261,7 @@ def train_unigram_distributed(
     """End-to-end: ONE wordcount shuffle → driver training on the capped
     histogram (see module docstring for why that is the published
     shape)."""
-    hist = word_histogram(docs, text_col=text_col, lowercase=lowercase).collect()
+    hist = word_histogram(docs, text_col=text_col, lowercase=lowercase)
     return train_unigram(hist, vocab_size=vocab_size, **kwargs)
 
 
