@@ -915,15 +915,10 @@ def q_ann_ivfpq_topk(spark, sf_dir):
     broadcast query LUTs.  Oracle-checked: centroids AND codebooks
     replayed as literals, 9-decimal-rounded encode, integer LUT sums
     (oracle._ann_ivfpq_sql, $TROVE_ORACLE_SF_DIR-aware)."""
-    from trove_spark.extras.similarity import (
-        ivf_pq_topk,
-        train_ivf_centroids,
-        train_pq_codebooks,
-    )
+    from trove_spark.extras.similarity import ivf_pq_topk, train_ivf_pq
 
     embs = _embs(spark, sf_dir)
-    cents = train_ivf_centroids(embs, n_lists=8, n_iter=3)
-    cbs = train_pq_codebooks(embs, m=8, ksub=16, n_iter=3)
+    cents, cbs = train_ivf_pq(embs, n_lists=8, n_iter=3, m=8, ksub=16, pq_iter=3)
     return ivf_pq_topk(embs, embs.filter("vec_id < 10"), cents, cbs, n_probe=3, k=5)
 
 

@@ -94,6 +94,7 @@ def test_resample_locf_gapfill(spark):
     got = sorted(
         (r["k"], r["bucket_ts"], r["v"], r["is_gap"]) for r in out.collect()
     )
+    out._resample_cache.unpersist()
     # k=1 span buckets 0,60,120,180: 120 is a GAP filled with 650.0
     assert got == [
         (1, 0, 30.0, False),
@@ -114,6 +115,7 @@ def test_resample_locf_matches_duckdb(spark, events):
         (r["user_id"], int(r["bucket_ts"].timestamp()), r["value"], r["is_gap"])
         for r in out.collect()
     )
+    out._resample_cache.unpersist()
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW e AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"

@@ -136,6 +136,12 @@ def train_bpe(
     smallest pair.  Pair counts are maintained incrementally: each merge
     touches only the words indexed under the merged pair."""
     if isinstance(word_counts, DataFrame):
+        # two actions (capped collect + totals agg) over the histogram:
+        # persist so the wordcount shuffle runs once (unless the caller
+        # already cached the frame — leave their cache alone then)
+        own_cache = not word_counts.storageLevel.useMemory
+        if own_cache:
+            word_counts = word_counts.persist()
         df = word_counts.filter(F.col("count") >= min_count)
         if max_words is not None:
             df = df.orderBy(F.desc("count"), "word").limit(max_words)
@@ -143,6 +149,8 @@ def train_bpe(
         tot = word_counts.agg(
             F.count("*").alias("w"), F.sum("count").alias("m")
         ).collect()[0]
+        if own_cache:
+            word_counts.unpersist()
         all_words, all_mass = int(tot["w"]), int(tot["m"] or 0)
     else:
         pairs = [(w, int(c)) for w, c in word_counts]

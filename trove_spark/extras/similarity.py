@@ -425,6 +425,36 @@ def train_pq_codebooks(
     return pq_codebooks_from_sample([list(r["emb"]) for r in sample], m, ksub, n_iter)
 
 
+def train_ivf_pq(
+    corpus: DataFrame,
+    n_lists: int = 8,
+    n_iter: int = 3,
+    m: int = 8,
+    ksub: int = 16,
+    pq_iter: int = 3,
+    max_sample: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """(centroids, codebooks) from ONE sample collect — calling the two
+    trainers separately runs the TakeOrdered sample job twice for
+    byte-identical rows.  Results are identical to the separate calls
+    (both trainers consume the same deterministic sample)."""
+    sample = [
+        list(r["emb"])
+        for r in corpus.select(
+            F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("emb")
+        )
+        .orderBy("vid")
+        .limit(max_sample)
+        .collect()
+    ]
+    return (
+        spherical_kmeans(sample, n_lists, n_iter),
+        pq_codebooks_from_sample(sample, m, ksub, pq_iter),
+    )
+
+
 def _pq_index_kernel(centroids: list[list[float]], codebooks: list[list[list[float]]]):
     """Fused mapInPandas kernel: rows (vid, emb) → (vid, list_id, codes)
     in ONE narrow pass over the corpus — coarse IVF assignment and PQ

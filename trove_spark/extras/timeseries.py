@@ -141,6 +141,9 @@ def resample_locf(
         df.withColumn("__bucket", bucket)
         .groupBy(*by, "__bucket")
         .agg(F.max(payload).alias("__v"))
+        .persist()  # feeds BOTH the grid-bounds agg and the fill join —
+        # without this the corpus aggregation runs twice (no auto-CSE
+        # across DataFrame references); exposed as out._resample_cache
     )
     grid = (
         per_bin.groupBy(*by)
@@ -168,4 +171,6 @@ def resample_locf(
     )
     sel += [F.col(f"__vf.{c}").alias(c) for c in vcols]
     sel.append(F.col("__v").isNull().alias("is_gap"))
-    return filled.select(*sel)
+    out = filled.select(*sel)
+    out._resample_cache = per_bin  # caller unpersists after materializing
+    return out

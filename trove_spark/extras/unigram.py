@@ -166,12 +166,20 @@ def train_unigram(
     if isinstance(word_counts, DataFrame):
         from pyspark.sql import functions as F
 
+        # the histogram frame feeds TWO actions (capped collect + totals
+        # agg) — persist so the wordcount shuffle runs once, unless the
+        # caller already cached it (then leave their cache alone)
+        own_cache = not word_counts.storageLevel.useMemory
+        if own_cache:
+            word_counts = word_counts.persist()
         df = word_counts.filter(F.col("count") >= min_count)
         df = df.orderBy(F.desc("count"), "word").limit(max_words)
         kept = [(r["word"], int(r["count"])) for r in df.collect()]
         tot = word_counts.agg(
             F.count("*").alias("w"), F.sum("count").alias("m")
         ).collect()[0]
+        if own_cache:
+            word_counts.unpersist()
         kept_mass = sum(c for _, c in kept)
         dropped_words = int(tot["w"]) - len(kept)
         dropped_mass = int(tot["m"] or 0) - kept_mass
