@@ -1,0 +1,136 @@
+"""Graph analytics over the engine's OWN output — the node/edge tables
+the KG pipeline materializes (graph.py): degree statistics and
+PageRank, so a user can rank canonical concepts by link structure
+without exporting to a graph engine.
+
+PageRank is the INTEGER-EXACT variant: ranks live in micro units
+(node start = 1e6) and every update is pure integer arithmetic —
+``r' = floor((1−d)·1e6) + (85 · Σ_in floor(r_src / out_deg_src)) // 100``
+for d = 0.85 — so iterations are bit-reproducible across engines,
+retries and resumes (the label-model quantized-EM precedent; no float
+sums of ≥3 terms, CLAUDE.md).  Dangling mass is NOT redistributed (the
+common simplified variant; documented, deterministic).
+
+Spark shape (10^12-edge scale): per iteration one (src) equi-join of the
+node-rank table onto the edges + one (dst) aggregation — the canonical
+distributed power iteration; the edge and degree tables persist across
+iterations, and each round's rank table is eagerly
+``localCheckpoint``-ed, because persist() alone does NOT stop the
+analyzed plan from doubling per iteration (plan-growth OOM gotcha;
+reliable checkpoint() on a real cluster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__ref__ = "no reference counterpart (graph-analytics extension)"
+
+MICRO = 1_000_000
+
+
+def degree_stats(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """(node, out_degree, in_degree) — two map-side-combined aggs +
+    one outer merge; nodes appearing on one side only get 0."""
+    out_d = edges.groupBy(F.col(src_col).alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_degree")
+    )
+    in_d = edges.groupBy(F.col(dst_col).alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_degree")
+    )
+    return (
+        out_d.join(in_d, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).cast("long").alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).cast("long").alias("in_degree"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping_pct: int = 85,
+) -> DataFrame:
+    """(node, rank_micro): ``n_iter`` integer-exact power iterations
+    (see module docstring).  ``damping_pct`` is the damping factor in
+    integer percent (85 = the classic 0.85)."""
+    e = edges.select(
+        F.col(src_col).cast("string").alias("src"),
+        F.col(dst_col).cast("string").alias("dst"),
+    ).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_deg")
+    ).persist()
+    base = MICRO - damping_pct * MICRO // 100
+    ranks = nodes.withColumn("rank_micro", F.lit(MICRO).cast("long"))
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_micro div out_deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("s"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+            ).cast("long").alias("rank_micro"),
+        )
+        # truncate lineage EVERY round: persist() does not stop the
+        # analyzed plan doubling per iteration (label-prop gotcha)
+        ranks = ranks.localCheckpoint(eager=True)
+    e.unpersist()
+    deg.unpersist()
+    nodes.unpersist()
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    n_iter: int = 5,
+    damping_pct: int = 85,
+) -> str:
+    """DuckDB replay: the same integer update unrolled as one CTE per
+    iteration (the label-model iteration-replay pattern).
+    ``edges_sql`` must yield (src, dst) VARCHAR columns."""
+    base = MICRO - damping_pct * MICRO // 100
+    ctes = [
+        f"e AS ({edges_sql})",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS out_deg FROM e GROUP BY 1)",
+        f"r0 AS (SELECT node, CAST({MICRO} AS BIGINT) AS rank_micro FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         CAST({base} + ({damping_pct} * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank_micro
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM(r.rank_micro // d.out_deg) AS BIGINT) AS s
+    FROM e
+    JOIN r{i - 1} r ON r.node = e.src
+    JOIN deg d ON d.node = e.src
+    GROUP BY 1) s ON s.node = n.node
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, rank_micro FROM r{n_iter}"
+    )
