@@ -893,13 +893,35 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir), bits=32)
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) semantic dedup: driver-trained
+    spherical k-means clusters (shared pure-numpy trainer), ONE narrow
+    assign kernel stamping the 9-decimal centroid cosine with the
+    embedding passed through, within-cluster self-equi-join on list_id
+    (pairwise work bounded by cluster size — never a crossJoin), keep
+    the doc FARTHEST from its centroid per duplicate pair.  Oracle:
+    centroid literals + identical rounded math, $TROVE_ORACLE_SF_DIR-
+    aware (oracle._dedup_semantic_sql).  Slot note: took ann_ivf_topk's
+    driver slot (r5); IVF's shapes stay oracle-exercised — the coarse-
+    assign kernel here AND in ann_ivfpq_topk, the list_id equi-join
+    probe + window top-k in ann_ivfpq_topk — and ivf_topk keeps a
+    dedicated full engine-vs-DuckDB pytest
+    (test_ivf.test_ivf_topk_still_matches_oracle)."""
+    from trove_spark.extras.similarity import semdedup, train_ivf_centroids
+
+    embs = _embs(spark, sf_dir)
+    cents = train_ivf_centroids(embs, n_lists=8, n_iter=3)
+    return semdedup(embs, cents, tau=0.35)
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF ANN: driver-trained spherical coarse quantizer (deterministic
     sample, shared pure-numpy k-means), corpus assigned by a narrow
     Arrow kernel, search = equi-join on list_id probing 3 of 8 lists —
     never a crossJoin.  Oracle-checked: the DuckDB side replays the same
     centroids as exact literals and the same 9-decimal-rounded
-    assignment (oracle._ann_ivf_sql)."""
+    assignment (oracle._ann_ivf_sql).  Yielded its driver slot to
+    dedup_semantic in r5 — kept registered for the dedicated pytest."""
     from trove_spark.extras.similarity import ivf_topk, train_ivf_centroids
 
     embs = _embs(spark, sf_dir)
@@ -1074,15 +1096,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lm_perplexity, the CCNet perplexity filter, in r5), ann_lsh_topk
     (its hyperplane-signature machinery stays driver-exercised inside
     dedup_embedding_pairs and the probe/equi-join/top-k skeleton inside
-    ann_ivf_topk; DuckDB-parity pytest keeps it end-to-end-checked —
+    ann_ivfpq_topk; DuckDB-parity pytest keeps it end-to-end-checked —
     slot yielded to ann_ivfpq_topk, the FAISS IVF-PQ path, in r5),
     rel_topk_parts (global sort/limit stays driver-exercised by
     bm25_topk's TakeOrdered tail and its count-top-k shape by
     kg_ontology_rank — slot yielded to bm25_topk, the native
     ES-replacement retrieval op, in r5), rel_window_top_orders (its
     per-key rank-window shape is driver-exercised verbatim by the
-    ann_ivf/ann_ivfpq rank windows and tag_sessions' LOCF window —
-    slot yielded to rel_asof_join, the as-of join Spark lacks, in r5).
+    ann_ivfpq rank window and tag_sessions' LOCF window —
+    slot yielded to rel_asof_join, the as-of join Spark lacks, in r5),
+    ann_ivf_topk (the coarse-assign kernel stays driver-exercised by
+    dedup_semantic AND ann_ivfpq_topk, the list_id-probe equi-join +
+    rank window by ann_ivfpq_topk; a full engine-vs-DuckDB pytest in
+    test_ivf keeps it end-to-end-checked — slot yielded to
+    dedup_semantic, the SemDeDup semantic-dedup operator, late r5).
     The trimmed callables remain importable + tested."""
     return {
         "kg_tokens": q_kg_tokens,
@@ -1131,7 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
+        "dedup_semantic": q_dedup_semantic,
         "text_language_id": q_text_language_id,
         "text_quality": q_text_quality,
         "dedup_paragraphs": q_dedup_paragraphs,

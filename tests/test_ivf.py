@@ -84,3 +84,29 @@ def test_ivf_search_plan_is_equi_join(embs, centroids):
     assert "CartesianProduct" not in plan
     physical = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in physical
+
+
+def test_ivf_topk_still_matches_oracle(spark, embs, centroids):
+    """ann_ivf_topk yielded its driver slot to dedup_semantic (late r5)
+    — this test preserves the full engine-vs-DuckDB check it had."""
+    import os
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tests.conftest import normalize_rows
+
+    os.environ["TROVE_ORACLE_SF_DIR"] = SF_DIR
+    sdf = ivf_topk(embs, embs.filter("vec_id < 10"), centroids, n_probe=3, k=5)
+    cols = sorted(sdf.columns)
+    spark_rows = [tuple(r[c] for c in cols) for r in sdf.select(*cols).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    res = con.execute(entrymod.oracle_sql()["ann_ivf_topk"])
+    dcols = [d[0] for d in res.description]
+    order = [dcols.index(c) for c in cols]
+    duck_rows = [tuple(r[i] for i in order) for r in res.fetchall()]
+    assert normalize_rows(spark_rows) == normalize_rows(duck_rows)

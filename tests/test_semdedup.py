@@ -1,0 +1,159 @@
+"""SemDeDup (Abbas et al. 2023): k-means-cluster + within-cluster
+cosine pruning semantic dedup (extras/similarity.py).
+
+Driver-gate parity (engine vs oracle._dedup_semantic_sql) runs in
+test_oracle_parity via the dedup_semantic queries() row; these tests pin
+the operator's SEMANTICS — the keep rule, its boundary cases, and the
+plan shape — independently of the oracle replay.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from trove_spark.extras.similarity import (
+    semdedup,
+    train_ivf_centroids,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+N_LISTS = 8
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def centroids(embs):
+    return train_ivf_centroids(embs, n_lists=N_LISTS, n_iter=3)
+
+
+def _collect(out):
+    rows = {r["vec_id"]: r for r in out.collect()}
+    out._assign_cache.unpersist()
+    return rows
+
+
+def test_output_partitions_corpus(embs, centroids):
+    out = semdedup(embs, centroids, tau=0.35)
+    rows = _collect(out)
+    assert len(rows) == embs.count()  # one verdict per vector
+    assert set(r["kept"] for r in rows.values()) <= {0, 1}
+    assert 0 < sum(r["kept"] for r in rows.values()) < len(rows)
+
+
+def test_tau_above_one_keeps_everything(embs, centroids):
+    # cosine can never reach 1.01 → no edges → nothing dropped
+    out = semdedup(embs, centroids, tau=1.01)
+    rows = _collect(out)
+    assert all(r["kept"] == 1 for r in rows.values())
+
+
+def test_tau_minus_one_keeps_one_per_cluster(embs, centroids):
+    """With tau = -1 every within-cluster pair is a duplicate edge, so
+    exactly ONE vector survives per cluster: the (min centroid_sim, min
+    vec_id) — the paper's 'keep the example farthest from the centroid'
+    rule at its extreme."""
+    out = semdedup(embs, centroids, tau=-1.0)
+    rows = _collect(out)
+    by_list: dict[int, list] = {}
+    for r in rows.values():
+        by_list.setdefault(r["list_id"], []).append(r)
+    for members in by_list.values():
+        kept = [r for r in members if r["kept"] == 1]
+        assert len(kept) == 1
+        expect = min((r["centroid_sim_q"], r["vec_id"]) for r in members)
+        assert (kept[0]["centroid_sim_q"], kept[0]["vec_id"]) == expect
+
+
+def test_keep_rule_matches_numpy_reference(embs, centroids):
+    """Independent numpy recompute of the full rule at tau=0.35."""
+    tau = 0.35
+    out = semdedup(embs, centroids, tau=tau)
+    rows = _collect(out)
+
+    data = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in embs.collect()}
+    c = np.array(centroids, dtype=np.float64).T
+    assign, dsim = {}, {}
+    for vid, x in data.items():
+        dots = np.round(x @ c / max(np.linalg.norm(x), 1e-12), 9)
+        assign[vid] = int(np.argmax(dots))
+        dsim[vid] = float(dots[np.argmax(dots)])
+    dropped = set()
+    vids = sorted(data)
+    for i, va in enumerate(vids):
+        for vb in vids[i + 1:]:
+            if assign[va] != assign[vb]:
+                continue
+            cos = np.dot(data[va], data[vb]) / (
+                np.linalg.norm(data[va]) * np.linalg.norm(data[vb])
+            )
+            if round(cos, 9) >= tau:
+                loser = va if (dsim[va], va) > (dsim[vb], vb) else vb
+                dropped.add(loser)
+    for vid, r in rows.items():
+        assert r["list_id"] == assign[vid], vid
+        assert r["kept"] == (0 if vid in dropped else 1), vid
+
+
+def test_deterministic(embs, centroids):
+    a = semdedup(embs, centroids, tau=0.35)
+    b = semdedup(embs, centroids, tau=0.35)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    a._assign_cache.unpersist()
+    b._assign_cache.unpersist()
+    assert ra == rb
+
+
+def test_plan_no_cartesian(embs, centroids):
+    out = semdedup(embs, centroids, tau=0.35)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    out._assign_cache.unpersist()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_distributed_matches_numpy_replay(spark, embs):
+    """Full-corpus distributed Lloyd (integer partial sums) is
+    LIST-EQUAL to the pure-numpy quantized replay — partitioning cannot
+    perturb the integer reduce."""
+    from trove_spark.extras.similarity import (
+        kmeans_fit_distributed,
+        spherical_kmeans_quantized,
+    )
+
+    got = kmeans_fit_distributed(embs, k=6, n_iter=3)
+    rows = sorted(
+        (r["vec_id"], list(r["embedding"])) for r in embs.collect()
+    )
+    want = spherical_kmeans_quantized([v for _, v in rows], k=6, n_iter=3)
+    assert got == want
+
+
+def test_kmeans_distributed_partitioning_invariant(spark, embs):
+    from trove_spark.extras.similarity import kmeans_fit_distributed
+
+    a = kmeans_fit_distributed(embs.repartition(1), k=5, n_iter=2)
+    b = kmeans_fit_distributed(embs.repartition(13), k=5, n_iter=2)
+    assert a == b
+
+
+def test_semdedup_accepts_distributed_centroids(spark, embs):
+    """The full-corpus trainer drops into semdedup unchanged (the
+    100-TB protocol: cluster EVERY embedding, then prune)."""
+    from trove_spark.extras.similarity import (
+        kmeans_fit_distributed,
+        semdedup,
+    )
+
+    cents = kmeans_fit_distributed(embs, k=N_LISTS, n_iter=3)
+    out = semdedup(embs, cents, tau=0.35)
+    rows = _collect(out)
+    assert len(rows) == embs.count()
+    assert 0 < sum(r["kept"] for r in rows.values()) < len(rows)

@@ -657,3 +657,276 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def _semdedup_assign_kernel(centroids: list[list[float]]):
+    """mapInPandas kernel: (vid, emb) → (vid, emb, list_id, d) — nearest
+    spherical centroid plus the ROUNDED (9-decimal) centroid cosine, with
+    the embedding passed through so the downstream self-join needs NO
+    join-back to the corpus (one narrow map pass, zero extra shuffles).
+
+    Determinism mirrors ``_ivf_assign_kernel``: np.argmax ties resolve to
+    the LOWEST list id, matching the oracle's ``ORDER BY d DESC,
+    list_id`` replay."""
+
+    def _kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        c = np.array(centroids, dtype=np.float64).T  # dim × n_lists
+        for pdf in batches:
+            if len(pdf):
+                x = np.array([list(v) for v in pdf["emb"]], dtype=np.float64)
+                norms = np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+                dots = np.round((x @ c) / norms, 9)
+                best = np.argmax(dots, axis=1)  # first max = lowest list id
+                yield pd.DataFrame(
+                    {
+                        "vid": pd.Series(pdf["vid"].to_numpy(), dtype="int64"),
+                        "emb": pdf["emb"],
+                        "list_id": pd.Series(best, dtype="int32"),
+                        "d": pd.Series(
+                            dots[np.arange(len(x)), best], dtype="float64"
+                        ),
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        "vid": pd.Series([], dtype="int64"),
+                        "emb": pd.Series([], dtype=object),
+                        "list_id": pd.Series([], dtype="int32"),
+                        "d": pd.Series([], dtype="float64"),
+                    }
+                )
+
+    return _kernel
+
+
+def semdedup(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    tau: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering + within-cluster cosine pruning.
+
+    Returns one row per input vector: (``id_col``, list_id,
+    centroid_sim_q, kept) where kept=0 marks a semantic duplicate.  The
+    paper's keep rule, made engine-deterministic: two same-cluster docs
+    with cosine ≥ ``tau`` are duplicates, and the one FARTHER from the
+    cluster centroid survives (low centroid similarity = the "edge"
+    example the paper keeps); ties break to the lower id.  A doc is
+    dropped iff ANY such neighbor outranks it — the pairwise-transitive
+    form of the paper's per-group rule, expressible as joins (no
+    iteration) and hence exactly replayable in the DuckDB oracle.
+
+    Plan shape at scale: ONE narrow Arrow kernel assigns and stamps the
+    centroid cosine (embedding passed through — no corpus join-back),
+    then a self-equi-join on list_id bounds all pairwise work by cluster
+    size (the paper sizes k so clusters stay small: k grows linearly
+    with corpus), one distinct on the losers, one left join back.  The
+    assigned frame feeds three consumers, so it is persisted; callers
+    unpersist via ``result._assign_cache`` after materializing (the
+    minhash `_shingle_cache` contract).
+
+    Cross-engine exactness: centroid cosine rounded to 9 decimals in the
+    kernel (numpy BLAS vs SQL fold low-bit noise), pair cosine rounded
+    to 9 in both engines, output similarity quantized to BIGINT
+    nano-units via floor(d·1e9 + 0.5)."""
+    e = corpus.select(
+        F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("emb")
+    )
+    asg = e.mapInPandas(
+        _semdedup_assign_kernel(centroids),
+        schema="vid long, emb array<float>, list_id int, d double",
+    ).persist()
+    a = asg.select(
+        F.col("vid").alias("vid_a"),
+        F.col("emb").alias("emb_a"),
+        "list_id",
+        F.col("d").alias("d_a"),
+    )
+    b = asg.select(
+        F.col("vid").alias("vid_b"),
+        F.col("emb").alias("emb_b"),
+        "list_id",
+        F.col("d").alias("d_b"),
+    )
+    edges = (
+        a.join(b, "list_id")
+        .filter(F.col("vid_a") < F.col("vid_b"))
+        .withColumn(
+            "cos_q",
+            F.round(
+                _dot(F.col("emb_a"), F.col("emb_b"))
+                / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))),
+                9,
+            ),
+        )
+        .filter(F.col("cos_q") >= F.lit(float(tau)))
+    )
+    dropped = (
+        edges.select(
+            F.when(
+                (F.col("d_a") > F.col("d_b"))
+                | ((F.col("d_a") == F.col("d_b")) & (F.col("vid_a") > F.col("vid_b"))),
+                F.col("vid_a"),
+            )
+            .otherwise(F.col("vid_b"))
+            .alias("vid")
+        )
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    out = (
+        asg.select(
+            "vid",
+            F.col("list_id").cast("long").alias("list_id"),
+            F.floor(F.col("d") * F.lit(1e9) + F.lit(0.5))
+            .cast("long")
+            .alias("centroid_sim_q"),
+        )
+        .join(dropped, "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "list_id",
+            "centroid_sim_q",
+            F.when(F.col("is_dropped").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("kept"),
+        )
+    )
+    out._assign_cache = asg
+    return out
+
+
+def _kmeans_partial_kernel(centroids: list[list[float]]):
+    """mapInPandas kernel: per Arrow batch, assign every vector to its
+    nearest centroid (9-decimal-rounded spherical dot, ties to lowest
+    id — the `_ivf_assign_kernel` convention) and emit PARTIAL integer
+    centroid sums: rows (list_id, dim, s, c) where s = Σ floor(x̂·1e9+0.5)
+    over the batch's members (x̂ = the L2-normalized vector) and c = the
+    member count.  Integer partials are commutative, so the reduce is
+    partitioning-independent — the PageRank determinism trick applied to
+    Lloyd updates."""
+
+    def _kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        c = np.array(centroids, dtype=np.float64).T  # dim × k
+        k, dim = c.shape[1], c.shape[0]
+        for pdf in batches:
+            lid, didx, ssum, cnt = [], [], [], []
+            if len(pdf):
+                x = np.array([list(v) for v in pdf["emb"]], dtype=np.float64)
+                xn = x / np.maximum(
+                    np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+                )
+                q = np.floor(xn * 1e9 + 0.5).astype(np.int64)
+                assign = np.argmax(np.round(xn @ c, 9), axis=1)
+                for j in np.unique(assign):
+                    members = q[assign == j]
+                    s = members.sum(axis=0)
+                    lid.extend([int(j)] * dim)
+                    didx.extend(range(dim))
+                    ssum.extend(int(v) for v in s)
+                    cnt.extend([len(members)] * dim)
+            yield pd.DataFrame(
+                {
+                    "list_id": pd.Series(lid, dtype="int32"),
+                    "dim": pd.Series(didx, dtype="int32"),
+                    "s": pd.Series(ssum, dtype="int64"),
+                    "c": pd.Series(cnt, dtype="int64"),
+                }
+            )
+
+    return _kernel
+
+
+def kmeans_fit_distributed(
+    corpus: DataFrame,
+    k: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical k-means over the FULL corpus, distributed — the
+    clustering SemDeDup actually runs at 100 TB (the paper clusters every
+    embedding; `train_ivf_centroids`' driver-sample trainer is the
+    bounded-sample approximation).
+
+    Per iteration: ONE narrow Arrow kernel assigns vectors and emits
+    per-batch INTEGER partial sums (k·dim rows per batch — normalized
+    components quantized to nano-units), one map-side-combined
+    groupBy(list_id, dim) reduce whose shuffle carries only
+    tasks × k × dim bounded rows, and a k×dim driver collect.  No
+    corpus-sized shuffle, no growing lineage (each iteration's plan is
+    rebuilt from the source frame + new centroid literals, so no
+    localCheckpoint is needed).
+
+    Determinism: integer partials are commutative (partitioning cannot
+    reorder a BIGINT sum), assignments use the shared 9-decimal-rounded
+    dot, and the refreshed centroids are rounded to 9 decimals each
+    round — `spherical_kmeans_quantized` replays the identical math in
+    pure numpy and tests assert list-equality.  Empty clusters keep
+    their previous centroid (Lloyd convention in `spherical_kmeans`)."""
+    import numpy as np
+
+    e = corpus.select(
+        F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("emb")
+    )
+    init = e.orderBy("vid").limit(k).collect()
+    x0 = np.array([list(r["emb"]) for r in init], dtype=np.float64)
+    x0 = x0 / np.maximum(np.linalg.norm(x0, axis=1, keepdims=True), 1e-12)
+    cents = np.round(x0, 9)
+    dim = cents.shape[1]
+    for _ in range(n_iter):
+        rows = (
+            e.mapInPandas(
+                _kmeans_partial_kernel([[float(v) for v in c] for c in cents]),
+                schema="list_id int, dim int, s long, c long",
+            )
+            .groupBy("list_id", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+            .collect()
+        )
+        sums = np.zeros((k, dim), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            sums[r["list_id"], r["dim"]] = float(r["s"])
+            counts[r["list_id"]] = r["c"]
+        new = cents.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] / (counts[nz, None] * 1e9)
+        norms = np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+        cents = np.round(new / norms, 9)
+    return [[float(v) for v in c] for c in cents]
+
+
+def spherical_kmeans_quantized(x, k: int = 16, n_iter: int = 3) -> list[list[float]]:
+    """Pure-numpy replay of :func:`kmeans_fit_distributed` (init = first
+    k rows by id, nano-unit integer member sums, 9-decimal centroid
+    rounding) — the test/oracle reference; bit-identical by
+    construction."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    q = np.floor(xn * 1e9 + 0.5).astype(np.int64)
+    c0 = np.round(xn[:k], 9)
+    cents = c0.copy()
+    for _ in range(n_iter):
+        assign = np.argmax(np.round(xn @ cents.T, 9), axis=1)
+        new = cents.copy()
+        for j in range(len(cents)):
+            members = q[assign == j]
+            if len(members):
+                new[j] = members.sum(axis=0, dtype=np.int64) / (len(members) * 1e9)
+        norms = np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+        cents = np.round(new / norms, 9)
+    return [[float(v) for v in c] for c in cents]

@@ -1213,6 +1213,33 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+def _ivf_cent_literals(
+    sf_dir: str | None, n_lists: int, n_iter: int
+) -> str:
+    """Train the coarse quantizer EXACTLY as the engine does
+    (extras.similarity.spherical_kmeans on the first 100k vectors by
+    vec_id, here loaded via DuckDB at the $TROVE_ORACLE_SF_DIR scale)
+    and render the centroids as exact double VALUES literals."""
+    import os
+
+    import duckdb
+
+    from .extras.similarity import spherical_kmeans
+
+    sf_dir = sf_dir or os.environ.get(
+        "TROVE_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    rows = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        "ORDER BY vec_id LIMIT 100000"
+    ).fetchall()
+    cents = spherical_kmeans([list(r[0]) for r in rows], n_lists, n_iter)
+    return ", ".join(
+        "(" + str(i) + ", [" + ", ".join(repr(x) for x in c) + "])"
+        for i, c in enumerate(cents)
+    )
+
+
 def _ann_ivf_sql(
     sf_dir: str | None = None,
     n_lists: int = 8,
@@ -1231,24 +1258,7 @@ def _ann_ivf_sql(
     SQL-fold low-bit noise cannot flip a list), ties to the lowest list
     id; search cosine is the same raw list_dot_product expression as the
     brute-force oracle."""
-    import os
-
-    import duckdb
-
-    from .extras.similarity import spherical_kmeans
-
-    sf_dir = sf_dir or os.environ.get(
-        "TROVE_ORACLE_SF_DIR", "/root/testdata/sf0.01"
-    )
-    rows = duckdb.sql(
-        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
-        "ORDER BY vec_id LIMIT 100000"
-    ).fetchall()
-    cents = spherical_kmeans([list(r[0]) for r in rows], n_lists, n_iter)
-    cent_rows = ", ".join(
-        "(" + str(i) + ", [" + ", ".join(repr(x) for x in c) + "])"
-        for i, c in enumerate(cents)
-    )
+    cent_rows = _ivf_cent_literals(sf_dir, n_lists, n_iter)
     return f"""
 WITH cents(list_id, c) AS (SELECT * FROM (VALUES {cent_rows})),
 e AS (SELECT CAST(vec_id AS BIGINT) AS vid, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -1285,6 +1295,54 @@ SELECT query_id, neighbor_id, rank FROM (
               ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
   FROM scored
 ) WHERE rank <= {k}
+"""
+
+
+def _dedup_semantic_sql(
+    sf_dir: str | None = None,
+    n_lists: int = 8,
+    n_iter: int = 3,
+    tau: float = 0.35,
+) -> str:
+    """SemDeDup oracle (extras.similarity.semdedup): centroids replayed
+    as exact literals from the shared numpy trainer, assignment = the
+    kernel's 9-decimal-rounded argmax (ties to lowest list id),
+    within-cluster pair cosine rounded to 9 on both engines, keep rule
+    = survive unless a same-cluster neighbor with cosine ≥ tau has a
+    strictly lower (centroid_sim, vid); similarity quantized to BIGINT
+    nano-units with the floor(x·1e9+0.5) convention."""
+    cent_rows = _ivf_cent_literals(sf_dir, n_lists, n_iter)
+    return f"""
+WITH cents(list_id, c) AS (SELECT * FROM (VALUES {cent_rows})),
+e AS (SELECT CAST(vec_id AS BIGINT) AS vid, embedding::DOUBLE[] AS emb FROM embeddings),
+nd AS (
+  SELECT e.vid, e.emb, ct.list_id,
+         round(list_dot_product(e.emb, ct.c)
+               / greatest(sqrt(list_dot_product(e.emb, e.emb)), 1e-12), 9) AS d
+  FROM e, cents ct
+),
+asg AS (
+  SELECT vid, emb, list_id, d FROM (
+    SELECT vid, emb, list_id, d,
+           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d DESC, list_id) AS rn
+    FROM nd) WHERE rn = 1
+),
+edges AS (
+  SELECT x.vid AS va, x.d AS da, y.vid AS vb, y.d AS db
+  FROM asg x JOIN asg y ON x.list_id = y.list_id AND x.vid < y.vid
+  WHERE round(list_dot_product(x.emb, y.emb)
+        / (sqrt(list_dot_product(x.emb, x.emb))
+           * sqrt(list_dot_product(y.emb, y.emb))), 9) >= {tau!r}
+),
+dropped AS (
+  SELECT DISTINCT
+         CASE WHEN da > db OR (da = db AND va > vb) THEN va ELSE vb END AS vid
+  FROM edges
+)
+SELECT a.vid AS vec_id, CAST(a.list_id AS BIGINT) AS list_id,
+       CAST(floor(a.d * 1e9 + 0.5) AS BIGINT) AS centroid_sim_q,
+       CAST(CASE WHEN dr.vid IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM asg a LEFT JOIN dropped dr ON dr.vid = a.vid
 """
 
 
@@ -1599,6 +1657,7 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
   ON l.user_id = r.user_id AND l.ts >= r.ts
 """,
         "ann_ivf_topk": _ann_ivf_sql(n_lists=8, n_iter=3, n_probe=3, k=5),
+        "dedup_semantic": _dedup_semantic_sql(n_lists=8, n_iter=3, tau=0.35),
         "ann_ivfpq_topk": _ann_ivfpq_sql(
             n_lists=8, n_iter=3, m=8, ksub=16, pq_iter=3, n_probe=3, k=5
         ),
