@@ -41,9 +41,11 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--target", default=None, help="target-domain parquet for DSIR selection")
     ap.add_argument("--n-select", type=int, default=0, help="DSIR: docs to keep (0 = no selection)")
     ap.add_argument("--seq-len", type=int, default=2048)
-    ap.add_argument("--tokenizer", default="bpe", choices=("bpe", "unigram"),
-                    help="BPE merges or the SentencePiece-style unigram-LM "
-                         "model (extras/unigram.py)")
+    ap.add_argument("--tokenizer", default="bpe",
+                    choices=("bpe", "unigram", "wordpiece"),
+                    help="BPE merges, the SentencePiece-style unigram-LM "
+                         "model (extras/unigram.py), or BERT-style "
+                         "WordPiece (extras/wordpiece.py)")
     ap.add_argument("--vocab-size", type=int, default=8000,
                     help="unigram tokenizer: target vocabulary size")
     ap.add_argument("--n-merges", type=int, default=32000)
@@ -150,6 +152,15 @@ def main(argv: list[str] | None = None) -> dict:
         )
         enc = unigram.encode(train, model, text_col=args.text_col,
                              id_col=args.id_col)
+    elif args.tokenizer == "wordpiece":
+        from trove_spark.extras import wordpiece
+
+        model = wordpiece.train_wordpiece(
+            hist, n_merges=args.n_merges, min_count=args.bpe_min_count,
+            max_words=args.bpe_max_words,
+        )
+        enc = wordpiece.encode(train, model, text_col=args.text_col,
+                               id_col=args.id_col)
     else:
         model = bpe.train_bpe(
             hist, n_merges=args.n_merges, min_count=args.bpe_min_count,

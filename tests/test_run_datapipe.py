@@ -155,3 +155,29 @@ def test_datapipe_unigram_tokenizer(spark, tmp_path):
     assert stats["written_shards"] >= 1 and stats["verified"]
     shards = spark.read.parquet(os.path.join(out, "shards"))
     assert shards.filter("size(tokens) <> 16").count() == 0
+
+
+def test_datapipe_wordpiece_tokenizer(spark, tmp_path):
+    rows = [
+        (
+            f"d{i:02d}",
+            f"the w{i}a quick w{i}b brown w{i}c fox and w{i}d dog "
+            f"of w{i}e house near w{i}f barn",
+        )
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    inp = str(tmp_path / "in.parquet")
+    out = str(tmp_path / "out")
+    docs.write.parquet(inp)
+    stats = run_datapipe.main([
+        "--input", inp, "--output", out,
+        "--tokenizer", "wordpiece", "--n-merges", "40",
+        "--seq-len", "16", "--windows-per-shard", "8", "--seed", "1",
+        "--split", "train=1.0", "--bpe-min-count", "1",
+    ])
+    assert stats["curated_docs"] == 12
+    assert stats["vocab_size"] > 20
+    assert stats["written_shards"] >= 1 and stats["verified"]
+    shards = spark.read.parquet(os.path.join(out, "shards"))
+    assert shards.filter("size(tokens) <> 16").count() == 0

@@ -1,0 +1,178 @@
+"""WordPiece trainer + MaxMatch encode (extras/wordpiece.py).
+
+The incremental trainer is checked merge-for-merge against a quadratic
+from-scratch reference (Fraction-exact scores), the Spark encode
+row-identical against a sequential reference, and MaxMatch against the
+published BERT examples/properties.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import pytest
+
+from trove_spark.extras.wordpiece import (
+    CONT,
+    UNK,
+    WordPieceModel,
+    _merge_tok,
+    _word_syms,
+    encode,
+    encode_word_greedy,
+    train_wordpiece,
+    train_wordpiece_distributed,
+)
+
+# the HF tokenizers-course WordPiece worked example corpus
+HF_COURSE_COUNTS = [
+    ("hugs", 5), ("pugs", 4), ("pun", 12), ("bun", 4), ("hug", 10),
+]
+
+TINY = [
+    ("low", 5), ("lower", 2), ("newest", 6), ("widest", 3), ("hug", 8),
+    ("pug", 4), ("hugs", 5), ("bun", 4), ("pun", 12),
+]
+
+
+def _reference_train(word_counts, n_merges):
+    """Quadratic from-scratch WordPiece: recompute EVERY symbol/pair
+    count each round, score with exact Fractions."""
+    words = {w: [_word_syms(w), c] for w, c in sorted(word_counts)}
+    merges = []
+    for _ in range(n_merges):
+        sym_counts: dict = {}
+        pair_counts: dict = {}
+        for syms, cnt in words.values():
+            for s in syms:
+                sym_counts[s] = sym_counts.get(s, 0) + cnt
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + cnt
+        if not pair_counts:
+            break
+        best = min(
+            pair_counts,
+            key=lambda p: (
+                -Fraction(pair_counts[p], sym_counts[p[0]] * sym_counts[p[1]]),
+                p,
+            ),
+        )
+        merges.append(best)
+        for w, (syms, cnt) in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(_merge_tok(syms[i], syms[i + 1]))
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = [tuple(out), cnt]
+    return merges
+
+
+@pytest.mark.parametrize("counts", [HF_COURSE_COUNTS, TINY])
+def test_trainer_matches_quadratic_reference(counts):
+    for n in (1, 3, 8, 20):
+        model = train_wordpiece(counts, n_merges=n)
+        assert list(model.merges) == _reference_train(counts, n)
+
+
+def test_first_hf_course_merge_is_likelihood_not_frequency():
+    """On the HF course corpus the FIRST WordPiece merge differs from
+    BPE's most-frequent pair: ('##g','##s') has the best
+    count/(count·count) ratio even though ('##u','##g') is more
+    frequent — the signature difference between the two trainers."""
+    model = train_wordpiece(HF_COURSE_COUNTS, n_merges=1)
+    assert model.merges[0] == ("##g", "##s")
+    from trove_spark.extras.bpe import train_bpe
+
+    bpe = train_bpe(HF_COURSE_COUNTS, n_merges=1)
+    assert bpe.merges[0] != model.merges[0]
+
+
+def test_word_syms_and_merge_tok():
+    assert _word_syms("hugs") == ("h", "##u", "##g", "##s")
+    assert _merge_tok("h", "##u") == "hu"
+    assert _merge_tok("##g", "##s") == "##gs"
+    assert _merge_tok("hu", "##gs") == "hugs"
+
+
+def test_maxmatch_greedy_and_unk():
+    vocab = {UNK: 0, "h": 1, "##u": 2, "##g": 3, "hug": 4, "##s": 5,
+             "hugg": 6}
+    # longest match wins: 'hugg' over 'hug'
+    assert encode_word_greedy("huggs", vocab) == ["hugg", "##s"]
+    assert encode_word_greedy("hugs", vocab) == ["hug", "##s"]
+    # any uncovered char → whole-word UNK
+    assert encode_word_greedy("hugz", vocab) == [UNK]
+    assert encode_word_greedy("", vocab) == []
+    # over-long words are UNK outright
+    assert encode_word_greedy("h" * 101, vocab, max_input_chars=100) == [UNK]
+
+
+def test_roundtrip_property():
+    model = train_wordpiece(TINY, n_merges=30)
+    for w, _ in TINY:
+        toks = encode_word_greedy(w, model.vocab, model.max_input_chars)
+        assert toks and toks != [UNK]
+        joined = toks[0] + "".join(t[len(CONT):] for t in toks[1:])
+        assert joined == w
+        assert all(t in model.vocab for t in toks)
+
+
+def test_vocab_ids_deterministic():
+    a = train_wordpiece(TINY, n_merges=10)
+    b = train_wordpiece(list(reversed(TINY)), n_merges=10)
+    assert a.vocab == b.vocab and a.merges == b.merges
+    assert a.vocab[UNK] == 0
+
+
+def test_seed_encodings_are_maxmatch():
+    model = train_wordpiece(TINY, n_merges=10, seed_top_k=4)
+    assert len(model.seed_encodings) == 4
+    for w, toks in model.seed_encodings:
+        assert list(toks) == encode_word_greedy(w, model.vocab)
+
+
+def test_spark_encode_row_identical(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    model = train_wordpiece_distributed(
+        docs, n_merges=40, lowercase=True, min_count=1, max_words=10_000
+    )
+    out = {
+        r["doc_id"]: (list(r["tokens"]), list(r["token_ids"]))
+        for r in encode(docs, model, lowercase=True).collect()
+    }
+    import re
+
+    ref_re = re.compile(r"[^\W\d_]+|\d+|[^\w\s]+", re.UNICODE)
+    rows = docs.select("doc_id", "text").collect()
+    assert len(out) == len(rows)
+    for r in rows:
+        toks, tids = [], []
+        for w in ref_re.findall(r["text"].lower()):
+            t = encode_word_greedy(w, model.vocab, model.max_input_chars)
+            toks.extend(t)
+            tids.extend(model.vocab.get(x, 0) for x in t)
+        assert out[str(r["doc_id"])] == (toks, tids), r["doc_id"]
+
+
+def test_spark_encode_seed_off_equals_seed_on(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    model = train_wordpiece_distributed(
+        docs, n_merges=25, lowercase=True, min_count=1
+    )
+    bare = WordPieceModel(
+        merges=model.merges,
+        vocab=model.vocab,
+        max_input_chars=model.max_input_chars,
+        kept_words=model.kept_words,
+        kept_mass=model.kept_mass,
+        dropped_words=model.dropped_words,
+        dropped_mass=model.dropped_mass,
+        seed_encodings=(),
+    )
+    a = sorted(map(tuple, encode(docs, model, lowercase=True).collect()))
+    b = sorted(map(tuple, encode(docs, bare, lowercase=True).collect()))
+    assert a == b

@@ -1,0 +1,315 @@
+"""Distributed WordPiece tokenizer (the BERT family): histogram-based
+training + broadcast greedy longest-match encoding — the third tokenizer
+next to BPE (:mod:`.bpe`) and unigram-LM (:mod:`.unigram`).
+
+Scale shape (100 TB) mirrors :mod:`.bpe` exactly:
+
+* the word histogram is the only corpus-wide job (ONE map-side-combine
+  wordcount shuffle, shared ``bpe.word_histogram``);
+* the merge loop is driver-side over the CAPPED histogram — WordPiece,
+  like BPE, needs one global argmax per merge, so even HF's trainer is
+  single-node over word counts;
+* encoding is map-only: the final vocab broadcasts to an Arrow kernel
+  running BERT's greedy longest-prefix MaxMatch with a per-batch
+  distinct-word cache pre-seeded from the histogram's top words.
+
+Algorithmic differences from BPE (both public: Schuster & Nakajima 2012,
+the BERT repo's tokenization.py, the HF tokenizers course):
+
+* non-initial subwords carry the ``##`` continuation prefix;
+* the merge argmax maximizes count(ab) / (count(a) · count(b)) — the
+  likelihood GAIN of the merge, not raw pair frequency.  Scores are
+  compared by integer cross-multiplication, never floats, so training is
+  bit-exact and tie-breaks (score, then lexicographically smallest pair)
+  are engine-independent;
+* encoding is NOT merge-replay: it is greedy longest-match over the
+  final vocab (BERT's WordPieceTokenizer), with whole-word ``[UNK]`` on
+  any uncovered character — so the encode-cache seed is computed by
+  running MaxMatch over the top histogram words at train time (the
+  trainer's merge end-state is NOT guaranteed to equal MaxMatch output,
+  unlike BPE's greedy-rank equivalence).
+
+tests/test_wordpiece.py proves the incremental trainer merge-for-merge
+identical to the quadratic from-scratch formulation, the Spark encode
+row-identical to a sequential reference, and the ``##``-stripped
+round-trip property.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from .bpe import pretokenize, word_histogram  # shared pre-tokenization
+
+__ref__ = "no reference counterpart (LLM-data-pipeline extension)"
+
+UNK = "[UNK]"
+CONT = "##"
+
+
+def _word_syms(word: str) -> tuple:
+    """'hugs' → ('h', '##u', '##g', '##s') — BERT's initial split."""
+    return tuple(c if i == 0 else CONT + c for i, c in enumerate(word))
+
+
+def _merge_tok(a: str, b: str) -> str:
+    """Merging ('h','##u') → 'hu'; ('##g','##s') → '##gs'."""
+    return a + (b[len(CONT):] if b.startswith(CONT) else b)
+
+
+@dataclass(frozen=True)
+class WordPieceModel:
+    """vocab: token → id ([UNK]=0, sorted initial alphabet, then merges
+    in order); merges kept for training audits; seed_encodings = MaxMatch
+    encodings of the top histogram words (bounded broadcast, Zipf-hot
+    cache seed); kept/dropped histogram mass for cap auditability."""
+
+    merges: tuple  # tuple[tuple[str, str], ...]
+    vocab: dict  # dict[str, int]
+    max_input_chars: int
+    kept_words: int
+    kept_mass: int
+    dropped_words: int
+    dropped_mass: int
+    seed_encodings: tuple = ()  # tuple[tuple[str, tuple[str, ...]], ...]
+
+
+def encode_word_greedy(word: str, vocab: dict, max_input_chars: int = 100) -> list:
+    """BERT's WordPiece MaxMatch: repeatedly take the LONGEST vocab entry
+    matching a prefix of the remainder (``##``-prefixed after the first
+    piece); any uncovered position makes the WHOLE word ``[UNK]``."""
+    if not word:
+        return []
+    if len(word) > max_input_chars:
+        return [UNK]
+    out, start, n = [], 0, len(word)
+    while start < n:
+        end, cur = n, None
+        while start < end:
+            sub = word[start:end]
+            if start > 0:
+                sub = CONT + sub
+            if sub in vocab:
+                cur = sub
+                break
+            end -= 1
+        if cur is None:
+            return [UNK]
+        out.append(cur)
+        start = end
+    return out
+
+
+def train_wordpiece(
+    word_counts,
+    n_merges: int,
+    min_count: int = 1,
+    max_words: int | None = None,
+    max_input_chars: int = 100,
+    seed_top_k: int = 65536,
+) -> WordPieceModel:
+    """Train ``n_merges`` WordPiece merges on a word histogram
+    (``(word, count)`` DataFrame from :func:`bpe.word_histogram`, capped
+    BEFORE the driver collect, or a plain list for tests/offline).
+
+    Merge selection: argmax of count(ab) / (count(a)·count(b)) over
+    count-weighted symbol/pair frequencies, compared by INTEGER
+    cross-multiplication (no float scores), ties to the lexicographically
+    smallest pair.  Pair and symbol counts are maintained incrementally —
+    each merge touches only the words indexed under the merged pair."""
+    if isinstance(word_counts, DataFrame):
+        own_cache = not word_counts.storageLevel.useMemory
+        if own_cache:
+            word_counts = word_counts.persist()
+        df = word_counts.filter(F.col("count") >= min_count)
+        if max_words is not None:
+            df = df.orderBy(F.desc("count"), "word").limit(max_words)
+        kept = [(r["word"], int(r["count"])) for r in df.collect()]
+        tot = word_counts.agg(
+            F.count("*").alias("w"), F.sum("count").alias("m")
+        ).collect()[0]
+        if own_cache:
+            word_counts.unpersist()
+        all_words, all_mass = int(tot["w"]), int(tot["m"] or 0)
+    else:
+        pairs = [(w, int(c)) for w, c in word_counts]
+        kept = [(w, c) for w, c in pairs if c >= min_count]
+        if max_words is not None:
+            kept = sorted(kept, key=lambda wc: (-wc[1], wc[0]))[:max_words]
+        all_words, all_mass = len(pairs), sum(c for _, c in pairs)
+    kept.sort()
+    kept_mass = sum(c for _, c in kept)
+
+    words = [(_word_syms(w), c) for w, c in kept if w]
+    pair_counts: dict = {}
+    sym_counts: dict = {}
+    pair_index: dict = {}
+    for wi, (syms, cnt) in enumerate(words):
+        for s in syms:
+            sym_counts[s] = sym_counts.get(s, 0) + cnt
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + cnt
+            pair_index.setdefault(p, set()).add(wi)
+
+    def _better(p, q):
+        """score(p) > score(q), ties to smaller pair — integer-exact:
+        c_p/(f_pa·f_pb) vs c_q/(f_qa·f_qb) cross-multiplied."""
+        lp = pair_counts[p] * sym_counts[q[0]] * sym_counts[q[1]]
+        rq = pair_counts[q] * sym_counts[p[0]] * sym_counts[p[1]]
+        return lp > rq or (lp == rq and p < q)
+
+    merges = []
+    for _ in range(n_merges):
+        best = None
+        for p in pair_counts:
+            if best is None or _better(p, best):
+                best = p
+        if best is None or pair_counts[best] < 1:
+            break
+        merges.append(best)
+        for wi in sorted(pair_index.get(best, ())):
+            syms, cnt = words[wi]
+            new_syms, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == best[0] and syms[i + 1] == best[1]:
+                    new_syms.append(_merge_tok(syms[i], syms[i + 1]))
+                    i += 2
+                else:
+                    new_syms.append(syms[i])
+                    i += 1
+            new_syms = tuple(new_syms)
+            for s in syms:
+                sym_counts[s] -= cnt
+                if sym_counts[s] <= 0:
+                    del sym_counts[s]
+            for s in new_syms:
+                sym_counts[s] = sym_counts.get(s, 0) + cnt
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] -= cnt
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+            old_pairs = set(zip(syms, syms[1:]))
+            new_pairs = set(zip(new_syms, new_syms[1:]))
+            for p in old_pairs - new_pairs:
+                s = pair_index.get(p)
+                if s is not None:
+                    s.discard(wi)
+                    if not s:
+                        del pair_index[p]
+            for p in new_pairs:
+                pair_index.setdefault(p, set()).add(wi)
+            for p in zip(new_syms, new_syms[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + cnt
+            words[wi] = (new_syms, cnt)
+
+    alphabet = sorted({s for w, _ in kept for s in _word_syms(w)})
+    vocab = {UNK: 0}
+    for s in alphabet:
+        vocab[s] = len(vocab)
+    for a, b in merges:
+        tok = _merge_tok(a, b)
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+
+    # encode-cache seed: MaxMatch (NOT merge end-state — WordPiece encode
+    # is longest-match over the final vocab) on the top-K kept words
+    by_count = sorted(kept, key=lambda wc: (-wc[1], wc[0]))[: max(seed_top_k, 0)]
+    seed_encodings = tuple(
+        (w, tuple(encode_word_greedy(w, vocab, max_input_chars))) for w, _ in by_count
+    )
+    return WordPieceModel(
+        merges=tuple(merges),
+        vocab=dict(vocab),
+        max_input_chars=max_input_chars,
+        kept_words=len(kept),
+        kept_mass=kept_mass,
+        dropped_words=all_words - len(kept),
+        dropped_mass=all_mass - kept_mass,
+        seed_encodings=seed_encodings,
+    )
+
+
+def train_wordpiece_distributed(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    min_count: int = 2,
+    max_words: int = 100_000,
+) -> WordPieceModel:
+    """One wordcount shuffle → capped driver histogram → merge loop."""
+    return train_wordpiece(
+        word_histogram(docs, text_col, id_col, lowercase=lowercase),
+        n_merges,
+        min_count=min_count,
+        max_words=max_words,
+    )
+
+
+def encode(
+    docs: DataFrame,
+    model: WordPieceModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = False,
+) -> DataFrame:
+    """(doc_id, tokens array<string>, token_ids array<int>): map-only
+    distributed MaxMatch — JVM pre-tokenize feeds an Arrow kernel holding
+    the broadcast vocab, with the distinct-word cache pre-seeded from the
+    model's histogram encodings.  Shipped as a Spark BROADCAST, not
+    closure capture (a captured dict re-deserializes per task — the same
+    measured trap as the BPE seed)."""
+    vocab, max_chars = model.vocab, model.max_input_chars
+    seed_bc = docs.sparkSession.sparkContext.broadcast(
+        {
+            w: (list(toks), [vocab.get(t, 0) for t in toks])
+            for w, toks in model.seed_encodings
+        }
+    )
+    pre = pretokenize(docs, text_col, id_col)
+    if lowercase:
+        pre = pre.select(
+            "doc_id", F.transform("words", lambda w: F.lower(w)).alias("words")
+        )
+
+    def _kernel(batches):
+        import pandas as pd
+
+        seed = seed_bc.value
+        cache: dict = {}
+
+        def enc(word):
+            hit = cache.get(word)
+            if hit is None:
+                hit = seed.get(word)
+                if hit is None:
+                    toks = encode_word_greedy(word, vocab, max_chars)
+                    hit = (toks, [vocab.get(t, 0) for t in toks])
+                cache[word] = hit
+            return hit
+
+        for pdf in batches:
+            ids, tok_col, tid_col = [], [], []
+            for did, ws in zip(pdf["doc_id"], pdf["words"]):
+                toks, tids = [], []
+                for w in ws:
+                    t, i = enc(w)
+                    toks.extend(t)
+                    tids.extend(i)
+                ids.append(did)
+                tok_col.append(toks)
+                tid_col.append(tids)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="object"),
+                    "tokens": pd.Series(tok_col, dtype="object"),
+                    "token_ids": pd.Series(tid_col, dtype="object"),
+                }
+            )
+
+    return pre.mapInPandas(
+        _kernel, schema="doc_id string, tokens array<string>, token_ids array<int>"
+    )
