@@ -897,8 +897,9 @@ def q_dedup_semantic(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) semantic dedup: driver-trained
     spherical k-means clusters (shared pure-numpy trainer), ONE narrow
     assign kernel stamping the 9-decimal centroid cosine with the
-    embedding passed through, within-cluster self-equi-join on list_id
-    (pairwise work bounded by cluster size — never a crossJoin), keep
+    embedding passed through, ONE hash shuffle on list_id into a
+    per-cluster blocked-BLAS kernel resolving the keep rule (no
+    pairwise row blowup — never a crossJoin or join at all), keep
     the doc FARTHEST from its centroid per duplicate pair.  Oracle:
     centroid literals + identical rounded math, $TROVE_ORACLE_SF_DIR-
     aware (oracle._dedup_semantic_sql).  Slot note: took ann_ivf_topk's

@@ -9,6 +9,7 @@ sequence packing, manifest-committed shard write:
     spark-submit --master <cluster> --py-files /tmp/trove_spark.zip \
         scripts/run_datapipe.py --input <docs parquet> --output <dir> \
         [--benchmark <eval parquet>] [--target <target-domain parquet>] \
+        [--embeddings <per-doc embeddings parquet> --semdedup-tau 0.9 --semdedup-k 256] \
         [--n-select N] [--seq-len 2048] [--n-merges 32000] [--seed 0] \
         [--windows-per-shard 1024] [--substring-k 0] [--substring-hasher codegen|rolling]
         [--split train=0.98,val=0.01,test=0.01]
@@ -39,6 +40,15 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--benchmark", default=None, help="eval-set parquet to decontaminate against")
     ap.add_argument("--target", default=None, help="target-domain parquet for DSIR selection")
+    ap.add_argument("--embeddings", default=None,
+                    help="per-doc embeddings parquet: enables the SemDeDup "
+                         "semantic-dedup stage (extras/similarity.semdedup)")
+    ap.add_argument("--emb-id-col", default="doc_id")
+    ap.add_argument("--emb-col", default="embedding")
+    ap.add_argument("--semdedup-tau", type=float, default=0.9,
+                    help="SemDeDup duplicate-cosine threshold")
+    ap.add_argument("--semdedup-k", type=int, default=256,
+                    help="SemDeDup cluster count (scale linearly with corpus)")
     ap.add_argument("--n-select", type=int, default=0, help="DSIR: docs to keep (0 = no selection)")
     ap.add_argument("--seq-len", type=int, default=2048)
     ap.add_argument("--tokenizer", default="bpe",
@@ -113,6 +123,32 @@ def main(argv: list[str] | None = None) -> dict:
     curate_cache = curated._curate_cache
     stats = {"input_docs": docs.count()}
 
+    sem_cache = None
+    if args.embeddings:
+        from trove_spark.extras.similarity import kmeans_fit_distributed, semdedup
+
+        # ids may be strings: key everything on xxhash64(id) — a pure,
+        # join-back-free mapping (the corpus side recomputes the same
+        # hash; 64-bit collisions are negligible at any corpus size)
+        embs = spark.read.parquet(args.embeddings).select(
+            F.xxhash64(F.col(args.emb_id_col).cast("string")).alias("vec_id"),
+            F.col(args.emb_col).alias("embedding"),
+        )
+        cents = kmeans_fit_distributed(embs, k=args.semdedup_k, n_iter=3)
+        keep = (
+            semdedup(embs, cents, tau=args.semdedup_tau)
+            .filter(F.col("kept") == 1)
+            .select(F.col("vec_id").alias("__sem_id"))
+            .persist()
+        )
+        stats["semdedup_kept"] = keep.count()
+        curated = curated.join(
+            keep,
+            F.col("__sem_id") == F.xxhash64(F.col(args.id_col).cast("string")),
+            "left_semi",
+        )
+        sem_cache = keep  # released only after an action consumes it
+
     dsir_cache = None
     if args.n_select and args.target:
         from trove_spark.extras.dsir import dsir_select
@@ -140,6 +176,8 @@ def main(argv: list[str] | None = None) -> dict:
     stats["curated_docs"] = train.count()
     if dsir_cache is not None:
         dsir_cache.unpersist()
+    if sem_cache is not None:
+        sem_cache.unpersist()
     curate_cache.unpersist()
 
     hist = bpe.word_histogram(train, text_col=args.text_col, id_col=args.id_col)

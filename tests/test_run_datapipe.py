@@ -181,3 +181,39 @@ def test_datapipe_wordpiece_tokenizer(spark, tmp_path):
     assert stats["written_shards"] >= 1 and stats["verified"]
     shards = spark.read.parquet(os.path.join(out, "shards"))
     assert shards.filter("size(tokens) <> 16").count() == 0
+
+
+def test_datapipe_semdedup_stage(spark, tmp_path):
+    rows = [
+        (f"d{i:02d}", f"the quick brown fox w{i}a jumps over w{i}b lazy dog "
+                      f"near w{i}c the old barn")
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    # two tight duplicate groups (0-3 and 4-7) + four singletons
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(6, 8))
+    vecs = []
+    for i in range(12):
+        g = 0 if i < 4 else (1 if i < 8 else 2 + (i - 8))
+        v = base[g] + (0.01 if g < 2 else 0.0) * rng.normal(size=8)
+        vecs.append((f"d{i:02d}", [float(x) for x in v]))
+    embs = spark.createDataFrame(vecs, "doc_id string, embedding array<float>")
+    inp = str(tmp_path / "in.parquet")
+    emb_path = str(tmp_path / "embs.parquet")
+    out = str(tmp_path / "out")
+    docs.write.parquet(inp)
+    embs.write.parquet(emb_path)
+    stats = run_datapipe.main([
+        "--input", inp, "--output", out,
+        "--embeddings", emb_path, "--semdedup-k", "4",
+        "--semdedup-tau", "0.95",
+        "--seq-len", "16", "--windows-per-shard", "8", "--seed", "1",
+        "--split", "train=1.0", "--bpe-min-count", "1", "--n-merges", "20",
+    ])
+    # each 4-doc duplicate group keeps exactly one; singletons survive
+    assert stats["semdedup_kept"] == 6
+    assert stats["curated_docs"] == 6
+    assert stats["written_shards"] >= 1 and stats["verified"]

@@ -33,9 +33,7 @@ def centroids(embs):
 
 
 def _collect(out):
-    rows = {r["vec_id"]: r for r in out.collect()}
-    out._assign_cache.unpersist()
-    return rows
+    return {r["vec_id"]: r for r in out.collect()}
 
 
 def test_output_partitions_corpus(embs, centroids):
@@ -102,21 +100,23 @@ def test_keep_rule_matches_numpy_reference(embs, centroids):
 
 
 def test_deterministic(embs, centroids):
-    a = semdedup(embs, centroids, tau=0.35)
-    b = semdedup(embs, centroids, tau=0.35)
-    ra = sorted(map(tuple, a.collect()))
-    rb = sorted(map(tuple, b.collect()))
-    a._assign_cache.unpersist()
-    b._assign_cache.unpersist()
-    assert ra == rb
+    a = semdedup(embs.repartition(1), centroids, tau=0.35)
+    b = semdedup(embs.repartition(13), centroids, tau=0.35)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
-def test_plan_no_cartesian(embs, centroids):
+def test_plan_one_shuffle_no_join(embs, centroids):
+    """The scale shape: assign kernel → ONE hash exchange on list_id →
+    per-cluster kernel.  No join of any kind, no pairwise row blowup."""
     out = semdedup(embs, centroids, tau=0.35)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    out._assign_cache.unpersist()
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_max_cluster_guard(embs, centroids):
+    with pytest.raises(Exception, match="max_cluster_size"):
+        semdedup(embs, centroids, tau=0.35, max_cluster_size=3).collect()
 
 
 def test_kmeans_distributed_matches_numpy_replay(spark, embs):

