@@ -137,3 +137,61 @@ def test_unigram_surprisal_external_lm_and_oov(spark):
     exp_oov = -math.log2(1 / 9)
     assert abs(got["in_vocab"].surprisal_microbits - int(exp_alpha * 1e6)) <= 1
     assert abs(got["oov"].surprisal_microbits - int(exp_oov * 1e6)) <= 1
+
+
+def test_language_id_ngram_classifies_fixture(spark):
+    from trove_spark.extras.textstats import language_id_ngram
+
+    fixture = spark.createDataFrame(
+        [
+            ("en1", "the cat sat on the mat and it was happy with this"),
+            ("es1", "el gato que estaba en la casa no tiene nada para comer"),
+            ("fr1", "le chat qui était dans la maison ne pouvait pas faire plus"),
+            ("de1", "der hund ist nicht in dem haus und sie werden auch nach"),
+            ("it1", "il gatto che sono nella casa non ha niente per la sera"),
+            ("und1", "12345 67890 !!!"),
+            ("und2", ""),
+        ],
+        schema="doc_id string, text string",
+    )
+    got = {r["doc_id"]: r for r in language_id_ngram(fixture).collect()}
+    assert got["en1"]["lang_pred"] == "en"
+    assert got["es1"]["lang_pred"] == "es"
+    assert got["fr1"]["lang_pred"] == "fr"
+    assert got["de1"]["lang_pred"] == "de"
+    assert got["it1"]["lang_pred"] == "it"
+    assert got["und1"]["lang_pred"] == "und" and got["und1"]["score_micro"] == 0
+    assert got["und2"]["lang_pred"] == "und"
+    assert all(r["score_micro"] >= 0 for r in got.values())
+
+
+def test_language_id_ngram_duckdb_parity(spark):
+    """Engine vs DuckDB replay (identical integer profile literals,
+    identical padded-trigram extraction) over the sf0.001 corpus."""
+    import duckdb
+
+    from tests.conftest import normalize_rows
+    from trove_spark.extras.textstats import (
+        language_id_ngram,
+        language_id_ngram_oracle_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = language_id_ngram(spark.read.parquet(f"{sf}/documents.parquet")).collect()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    oracle = con.execute(language_id_ngram_oracle_sql()).fetchall()
+    assert normalize_rows([tuple(r) for r in got]) == normalize_rows(oracle)
+
+
+def test_language_id_ngram_plan_is_broadcast(spark):
+    from trove_spark.extras.textstats import language_id_ngram
+
+    out = language_id_ngram(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -59,6 +59,150 @@ def language_id(
     )
 
 
+# Function-word lists for the profile-based multi-language classifier —
+# the ~40 most frequent words of each language (public knowledge; the
+# classifier derives its character-trigram profiles from these, so the
+# module stays fully self-contained — no external model files).
+LANG_FUNCTION_WORDS = {
+    "en": ("the of and to in a is that it was for on are as with his they be "
+           "at one have this from or had by but not what all were we when "
+           "your can said there use an each which she do how their if").split(),
+    "es": ("el la de que y a en un ser se no haber por con su para como "
+           "estar tener le lo todo pero hacer o poder decir este ir otro ese "
+           "si me ya ver porque dar cuando muy sin vez mucho saber").split(),
+    "fr": ("le de un il et à ne les en du elle au pour pas que qui dans ce "
+           "son sur se plus pouvoir par je avec tout faire mettre autre on "
+           "mais nous comme ou si leur y dont deux cette").split(),
+    "de": ("der die und in den von zu das mit sich des auf für ist im dem "
+           "nicht ein eine als auch es an werden aus er hat dass sie nach "
+           "wird bei einer um am sind noch wie einem über").split(),
+    "it": ("di e il la che a in un per è non sono da si le con io mi ma lo "
+           "ha gli al se come più anche tutto della questo essere molto fare "
+           "bene ci due volta quando stesso altro").split(),
+}
+
+
+def _char_trigrams(word: str) -> list[str]:
+    p = f"_{word}_"
+    return [p[i : i + 3] for i in range(len(p) - 2)]
+
+
+def language_profiles(langs: dict | None = None) -> list[tuple[str, str, int]]:
+    """(lang, trigram, weight_micro) rows — the Cavnar–Trenkle-style
+    character-trigram profile of each language's function-word list,
+    weights = floor(count·1e6 / total) so both engines consume the SAME
+    integer literals (the ngram_lm convention)."""
+    langs = langs or LANG_FUNCTION_WORDS
+    rows: list[tuple[str, str, int]] = []
+    for lang, words in sorted(langs.items()):
+        counts: dict[str, int] = {}
+        for w in words:
+            for t in _char_trigrams(w.lower()):
+                counts[t] = counts.get(t, 0) + 1
+        total = sum(counts.values())
+        for t, c in sorted(counts.items()):
+            rows.append((lang, t, (c * 1_000_000) // total))
+    return rows
+
+
+def language_id_ngram(
+    docs: DataFrame,
+    langs: dict | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multi-language n-gram classifier (Cavnar & Trenkle 1994 shape):
+    the document's character trigrams (text lowercased, non-letter runs
+    collapsed to the ``_`` boundary marker) vote against each language's
+    broadcast profile; pred = argmax of the integer weight sum (ties to
+    the lexicographically LARGER lang via max(struct) — deterministic on
+    both engines), ``und`` when nothing matches.
+
+    Plan shape: one bound projection (the padded text), trigram explode,
+    ONE broadcast hash join against the tiny profile table, a doc+lang
+    map-side-combined sum, and a max(struct) per doc — the ngram_lm
+    scorer skeleton; no wide shuffle beyond the doc-keyed aggs.  Returns
+    (doc_id, lang_pred, score_micro)."""
+    spark = docs.sparkSession
+    prof = spark.createDataFrame(
+        language_profiles(langs), "lang string, tri string, w long"
+    )
+    p = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("_"),
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^\p{L}]+", "_"),
+            F.lit("_"),
+        ).alias("p"),
+    )
+    tri = p.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.length("p") >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("p") - F.lit(2)),
+                    lambda i: F.col("p").substr(i, F.lit(3)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("tri"),
+    )
+    best = (
+        tri.join(F.broadcast(prof), "tri")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("w").alias("s"))
+        .groupBy("doc_id")
+        .agg(F.max(F.struct(F.col("s"), F.col("lang"))).alias("m"))
+    )
+    return (
+        docs.select(F.col(id_col).cast("string").alias("doc_id"))
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("m.lang"), F.lit("und")).alias("lang_pred"),
+            F.coalesce(F.col("m.s"), F.lit(0)).cast("long").alias("score_micro"),
+        )
+    )
+
+
+def language_id_ngram_oracle_sql(
+    langs: dict | None = None, table: str = "documents"
+) -> str:
+    """DuckDB replay of :func:`language_id_ngram` — identical integer
+    profile literals, identical padded-trigram extraction, identical
+    max(struct) argmax."""
+    prof_rows = ", ".join(
+        f"('{lang}', '{tri}', {w})" for lang, tri, w in language_profiles(langs)
+    )
+    return f"""
+WITH prof(lang, tri, w) AS (SELECT * FROM (VALUES {prof_rows})),
+p AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         '_' || regexp_replace(lower(text), '[^\\p{{L}}]+', '_', 'g') || '_' AS p
+  FROM {table}
+),
+tri AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(length(p) - 1, 1)),
+                               i -> substr(p, i, 3))) AS tri
+  FROM p
+),
+scores AS (
+  SELECT t.doc_id, pr.lang, CAST(SUM(pr.w) AS BIGINT) AS s
+  FROM tri t JOIN prof pr ON pr.tri = t.tri
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, max({{'s': s, 'lang': lang}}) AS m FROM scores GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(b.m['lang'], 'und') AS lang_pred,
+       CAST(COALESCE(b.m['s'], 0) AS BIGINT) AS score_micro
+FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM {table}) d
+LEFT JOIN best b ON b.doc_id = d.doc_id
+"""
+
+
 def quality_cols(text_col: str) -> dict:
     """The quality features + composite keep flag as named Columns —
     shared by :func:`quality_score` (batch frame) and streaming curation
