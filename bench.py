@@ -56,6 +56,7 @@ HEADLINE = [
     "ann_ivfpq_topk",  # r5: product-quantized IVF (fused index kernel + ADC)
     "lm_perplexity",  # r5: CCNet perplexity scorer (broadcast LM, codegen)
     "bm25_topk",  # r5: native BM25 retrieval (map-only scoring, TakeOrdered)
+    "dedup_semantic",  # r5: SemDeDup (k-means + per-cluster BLAS kernel)
 ]
 
 

@@ -243,3 +243,17 @@ def test_greedy_pack_drops_oversize_and_plan(spark, docs):
         "Exchange rangepartitioning"
     )
     assert n_shuffles == 1, plan
+
+
+def test_pack_sequences_empty_input(spark):
+    """An empty (or fully-screened-out) corpus must pack to ZERO windows,
+    not fail analysis — the bucket-offset map has no entries then
+    (surfaced by a run_datapipe corpus whose docs all failed a screen)."""
+    from trove_spark.extras.packing import pack_sequences
+
+    empty = spark.createDataFrame(
+        [], "doc_id string, shuffle_key long, token_ids array<int>"
+    )
+    out = pack_sequences(empty, seq_len=8, tokens_col="token_ids")
+    assert out.count() == 0
+    out._pack_cache.unpersist()

@@ -89,13 +89,17 @@ def pack_sequences(
     for b in sorted(totals):
         offsets[b] = acc
         acc += totals[b]
-    off_map = (
-        F.create_map(*[F.lit(v) for kv in sorted(offsets.items()) for v in kv])
+    # empty input → no buckets: an untyped F.create_map() fails analysis
+    # (map()[bigint]); the lookup value is irrelevant on zero rows
+    off_lookup = (
+        F.create_map(*[F.lit(v) for kv in sorted(offsets.items()) for v in kv])[
+            F.col("bucket")
+        ]
         if offsets
-        else F.create_map()
+        else F.lit(0).cast("long")
     )
 
-    g = local.withColumn("gstart", off_map[F.col("bucket")] + F.col("local_end") - F.col("n_tok"))
+    g = local.withColumn("gstart", off_lookup + F.col("local_end") - F.col("n_tok"))
     L = F.lit(seq_len).cast("long")
     pieces = (
         g.withColumn(
