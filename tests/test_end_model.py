@@ -1,0 +1,162 @@
+"""X3 end model (trove_spark/end_model.py): noise-aware tagger trained on
+label-model posteriors.
+
+The load-bearing property is GENERALIZATION — the reference trains BERT/LSTM
+taggers on the label model's soft labels precisely so that tokens the LFs
+never covered still get predictions (trove/models/taggers.py).  Here the
+word identity determines the class, the LFs cover only half the vocabulary,
+and the end model must label the *uncovered* half correctly from the hashed
+context-window features.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trove_spark.end_model import (
+    FEATURE_COLS,
+    featurize_tokens,
+    fit_end_model,
+    noise_aware_training_frame,
+    predict_end_model,
+)
+from trove_spark.label_model import LabelModelParams, fit_label_model, soft_labels
+from trove_spark.voting import TOKEN_KEY
+
+# class 1 words vs class 2 words; the *_u words never appear in any LF's
+# dictionary — the end model sees them only at prediction time.
+C1 = ["aspirin", "ibuprofen", "statin", "heparin"]
+C2 = ["fracture", "lesion", "stenosis", "edema"]
+FILLER = ["the", "patient", "with", "was", "given", "for"]
+
+
+def _corpus(spark, n_docs=40, seed_words=True):
+    rows = []
+    for d in range(n_docs):
+        words = []
+        for j in range(8):
+            if j == 3:
+                words.append(C1[d % len(C1)])
+            elif j == 6:
+                words.append(C2[(d + 1) % len(C2)])
+            else:
+                words.append(FILLER[(d + j) % len(FILLER)])
+        for t, w in enumerate(words):
+            rows.append((f"d{d}", 0, t, w))
+    return spark.createDataFrame(rows, "doc_id string, sent_idx int, token_idx int, word string")
+
+
+@pytest.fixture(scope="module")
+def tokens(spark):
+    return _corpus(spark).persist()
+
+
+def _lf_labels(tokens, covered_c1, covered_c2):
+    """Two dictionary LFs that vote on the covered vocabulary only."""
+    lf1 = tokens.filter(F.col("word").isin(covered_c1)).select(
+        *TOKEN_KEY, F.lit(1).alias("lf_id"), F.lit(1).alias("label")
+    )
+    lf2 = tokens.filter(F.col("word").isin(covered_c2)).select(
+        *TOKEN_KEY, F.lit(2).alias("lf_id"), F.lit(2).alias("label")
+    )
+    return lf1.unionByName(lf2)
+
+
+def test_featurize_windows_and_shapes(spark):
+    toks = spark.createDataFrame(
+        [("d", 0, 0, "HbA1c"), ("d", 0, 1, "was"), ("d", 0, 2, "7.2")],
+        "doc_id string, sent_idx int, token_idx int, word string",
+    )
+    out = {r.token_idx: r for r in featurize_tokens(toks).collect()}
+    assert set(out) == {0, 1, 2}
+    r0, r1, r2 = out[0], out[1], out[2]
+    assert (r0.w0, r0.w_m1, r0.w_p1) == ("hba1c", "<s>", "was")
+    assert (r0.w_m2, r0.w_p2) == ("<s>", "7.2")
+    assert (r1.w_m1, r1.w_p1) == ("hba1c", "7.2")
+    assert (r2.w_p1, r2.w_p2) == ("</s>", "</s>")
+    assert (r0.pre3, r0.suf3) == ("HbA", "A1c")
+    assert r0.shape == "AaA9a" and r2.shape == "9.9"
+    # short word: substr(-3) on a 3-char word is the word itself
+    assert (r1.pre3, r1.suf3) == ("was", "was")
+
+
+def test_featurize_one_shuffle(spark, tokens):
+    plan = featurize_tokens(tokens)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan and "SortMergeJoin" not in plan
+
+
+def test_training_weights_sum_to_one_per_token(spark, tokens):
+    labels = _lf_labels(tokens, C1[:2], C2[:2]).persist()
+    params = fit_label_model(labels, n_classes=2, n_iter=3)
+    soft = soft_labels(labels, params)
+    train = noise_aware_training_frame(featurize_tokens(tokens), soft)
+    sums = (
+        train.groupBy(*TOKEN_KEY)
+        .agg(F.round(F.sum("weight"), 6).alias("s"))
+        .select("s")
+        .distinct()
+        .collect()
+    )
+    assert [r.s for r in sums] == [1.0]
+    # label space is 0-based for pyspark.ml
+    lbls = {r.label for r in train.select("label").distinct().collect()}
+    assert lbls <= {0.0, 1.0}
+    labels.unpersist()
+
+
+def test_hard_posterior_reduces_to_single_instance(spark, tokens):
+    """gamma=(1,0) must yield exactly one surviving weighted instance."""
+    one = tokens.filter((F.col("doc_id") == "d0") & (F.col("token_idx") == 3))
+    soft = one.select(
+        *TOKEN_KEY, F.lit(1).alias("y_hyp"), F.lit(1.0).alias("gamma")
+    ).unionByName(
+        one.select(*TOKEN_KEY, F.lit(2).alias("y_hyp"), F.lit(0.0).alias("gamma"))
+    )
+    rows = noise_aware_training_frame(featurize_tokens(one), soft).collect()
+    assert len(rows) == 1 and rows[0].label == 0.0 and rows[0].weight == 1.0
+
+
+def test_end_model_generalizes_past_lf_coverage(spark, tokens):
+    """LFs know only half of each class's vocabulary; the fitted tagger must
+    still classify the unseen-word tokens via suffix/shape/context features
+    — the defining property of the reference's stage-4 end models."""
+    covered_c1, covered_c2 = C1[:2], C2[:2]
+    labels = _lf_labels(tokens, covered_c1, covered_c2).persist()
+    params = fit_label_model(labels, n_classes=2, n_iter=3)
+    soft = soft_labels(labels, params)
+    # full sentences go in; the soft join restricts training to covered tokens
+    model = fit_end_model(tokens, soft, n_features=1 << 14, max_iter=40)
+
+    pred = predict_end_model(tokens, model).join(tokens, TOKEN_KEY)
+    # accuracy on entity tokens whose WORD the LFs never saw
+    uncovered = pred.filter(F.col("word").isin(C1[2:] + C2[2:]))
+    want = F.when(F.col("word").isin(C1), 1).otherwise(2)
+    acc = uncovered.select(F.avg((F.col("y") == want).cast("double")).alias("a")).collect()[0].a
+    assert acc >= 0.9, acc
+    # coverage: every token of the corpus is scored, not just the LF slice
+    assert pred.count() == tokens.count()
+    # probabilities are honest posteriors
+    bad = pred.filter((F.col("proba") < 1.0 / 2) | (F.col("proba") > 1.0)).count()
+    assert bad == 0
+    labels.unpersist()
+
+
+def test_predict_is_map_only_after_featurize(spark, tokens):
+    labels = _lf_labels(tokens, C1[:2], C2[:2]).persist()
+    params = LabelModelParams(
+        n_classes=2,
+        theta={
+            1: {1: {1: 0.9, 2: 0.1}, 2: {1: 0.1, 2: 0.9}},
+            2: {1: {1: 0.9, 2: 0.1}, 2: {1: 0.1, 2: 0.9}},
+        },
+        prior={1: 0.5, 2: 0.5},
+    )
+    soft = soft_labels(labels, params)
+    model = fit_end_model(tokens, soft, n_features=1 << 12, max_iter=5)
+    plan = predict_end_model(tokens, model)._jdf.queryExecution().executedPlan().toString()
+    # the single sentence-grouping shuffle from featurize, nothing else
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+    labels.unpersist()

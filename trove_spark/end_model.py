@@ -1,0 +1,195 @@
+"""X3 — discriminative end model trained on probabilistic labels.
+
+The reference's stage 4 trains torch sequence taggers (BERT / LSTM,
+``trove/models/taggers.py:7-170``) on the label model's per-token
+posteriors with the Snorkel noise-aware loss
+
+    L(θ) = − Σ_tokens Σ_y  P_labelmodel(y | votes)  ·  log q_θ(y | x)
+
+so the tagger generalizes past the labeling functions' coverage (the
+whole point of weak supervision: LFs label a slice, the end model labels
+everything).
+
+Spark-native reduction (torch is not in this container, and SURVEY §2
+sanctions X3 out — this module closes it anyway at reduced encoder
+capacity):
+
+* **Encoder**: hashed sparse context-window features — the current word,
+  ±1/±2 neighbors, prefix/suffix, and a word-shape class — hashed by
+  ``pyspark.ml.feature.FeatureHasher`` (JVM MurmurHash3, no Python in the
+  hot path).  This is the classic pre-neural CRF/MEMM feature template.
+* **q_θ**: multinomial logistic regression (``pyspark.ml``, distributed
+  L-BFGS).
+* **Noise-aware loss, EXACT**: every covered token explodes into one
+  training instance per class with ``weight = γ_y`` (the label-model
+  responsibility).  ``LogisticRegression(weightCol=...)`` multiplies each
+  instance's log-loss by its weight, so the weighted dataset's objective
+  is literally L(θ) above — no approximation, no argmax-hardening.
+* **Scoring** is a pure map over the featurized tokens: the fitted
+  coefficient matrix ships in the plan and each token costs one sparse
+  dot product per class.  The only shuffle anywhere is the single
+  sentence-key groupBy that builds context windows (the CLAUDE.md
+  collect-list-of-structs pattern — never a window function).
+
+On a real cluster the BERT encoder drops in via TorchDistributor without
+changing this pipeline's shape (featurize → weighted fit → map-only
+score); the hook is documented, not faked.
+
+Float caveat (same as extras/quality_model.py): L-BFGS optimizes a convex
+objective to reproducible-to-float-tolerance coefficients, but log/exp
+float math is not cross-engine hash-exact, so this module is pytest-gated
+(generalization + loss-exactness tests), not a DuckDB driver row.
+
+__ref__ = trove/models/taggers.py:7-170 (TaggerBERT/TaggerRNN);
+          noise-aware loss per Ratner et al. 2017 (Snorkel, §4.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .voting import TOKEN_KEY
+
+__ref__ = "trove/models/taggers.py:7-170 (reduced encoder: hashed context windows instead of BERT)"
+
+#: feature columns produced by :func:`featurize_tokens` and consumed by the
+#: FeatureHasher stage — all strings, hashed as "col=value" categoricals.
+FEATURE_COLS = [
+    "w0", "w_m1", "w_p1", "w_m2", "w_p2",
+    "pre3", "suf3", "shape",
+]
+
+_BOS = "<s>"
+_EOS = "</s>"
+
+
+def _shape_expr(col):
+    """Word-shape class: collapse letters/digits to A/a/9, cap run length
+    at 1 per class transition — 'HbA1c' → 'AaA9a', '123' → '9'."""
+    s = F.regexp_replace(col, r"[A-Z]", "A")
+    s = F.regexp_replace(s, r"[a-z]", "a")
+    s = F.regexp_replace(s, r"[0-9]", "9")
+    # collapse runs: 'AAaa99' → 'Aa9'
+    for ch in ("A", "a", "9"):
+        s = F.regexp_replace(s, f"{ch}+", ch)
+    return s
+
+
+def featurize_tokens(tokens: DataFrame) -> DataFrame:
+    """(doc_id, sent_idx, token_idx, word) → one row per token with the
+    context-window feature columns (:data:`FEATURE_COLS`).
+
+    ONE shuffle total: sentences are grouped with collect_list-of-structs
+    (sentence cardinality is bounded — tens of tokens), sorted in-array,
+    then posexploded with neighbors read by ``element_at``.  No window
+    functions, no self-joins on token_idx±k (CLAUDE.md anti-pattern)."""
+    sents = tokens.groupBy("doc_id", "sent_idx").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("token_idx", "word"))),
+            lambda s: s["word"],
+        ).alias("ws"),
+        F.array_sort(F.collect_list("token_idx")).alias("idxs"),
+    )
+
+    def nb(offset):
+        # element_at is 1-based; i is the 0-based posexplode position
+        pos = F.col("i") + 1 + offset
+        n = F.size("ws")
+        return (
+            F.when(pos < 1, F.lit(_BOS))
+            .when(pos > n, F.lit(_EOS))
+            .otherwise(F.element_at("ws", pos))
+        )
+
+    w0 = F.lower(F.element_at("ws", F.col("i") + 1))
+    return (
+        sents.select(
+            "doc_id", "sent_idx", "ws",
+            F.posexplode("idxs").alias("i", "token_idx"),
+        )
+        .select(
+            *TOKEN_KEY,
+            w0.alias("w0"),
+            F.lower(nb(-1)).alias("w_m1"),
+            F.lower(nb(+1)).alias("w_p1"),
+            F.lower(nb(-2)).alias("w_m2"),
+            F.lower(nb(+2)).alias("w_p2"),
+            F.substring(F.element_at("ws", F.col("i") + 1), 1, 3).alias("pre3"),
+            F.expr("substr(element_at(ws, i + 1), -3, 3)").alias("suf3"),
+            _shape_expr(F.element_at("ws", F.col("i") + 1)).alias("shape"),
+        )
+    )
+
+
+def noise_aware_training_frame(
+    feats: DataFrame, soft: DataFrame, min_gamma: float = 1e-6
+) -> DataFrame:
+    """Join featurized tokens with label-model responsibilities and explode
+    into weighted per-class instances: (features…, label=y_hyp−1, weight=γ).
+
+    ``Σ_y weight`` per token is 1 by construction (softmax), so every token
+    contributes equally to the objective regardless of class count."""
+    return (
+        feats.join(soft, TOKEN_KEY)
+        .filter(F.col("gamma") > min_gamma)
+        .select(
+            *TOKEN_KEY,
+            *FEATURE_COLS,
+            (F.col("y_hyp") - 1).cast("double").alias("label"),
+            F.col("gamma").cast("double").alias("weight"),
+        )
+    )
+
+
+def fit_end_model(
+    tokens: DataFrame,
+    soft: DataFrame,
+    n_features: int = 1 << 18,
+    reg_param: float = 0.001,
+    max_iter: int = 60,
+):
+    """Fit the noise-aware tagger.
+
+    ``tokens``: the FULL (doc_id, sent_idx, token_idx, word) frame — pass
+    whole sentences, not the LF-covered slice: context windows are built
+    from ``tokens``, and the inner join with ``soft`` already restricts the
+    training instances to covered tokens.  ``soft``: the label-model
+    posterior frame from :func:`trove_spark.label_model.soft_labels`.
+    Returns a fitted ``pyspark.ml`` PipelineModel (FeatureHasher →
+    multinomial LR)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import FeatureHasher
+
+    train = noise_aware_training_frame(featurize_tokens(tokens), soft)
+    pipe = Pipeline(
+        stages=[
+            FeatureHasher(
+                inputCols=FEATURE_COLS,
+                outputCol="features",
+                numFeatures=n_features,
+            ),
+            LogisticRegression(
+                family="multinomial",
+                weightCol="weight",
+                regParam=reg_param,
+                maxIter=max_iter,
+                standardization=False,
+            ),
+        ]
+    )
+    return pipe.fit(train)
+
+
+def predict_end_model(tokens: DataFrame, model) -> DataFrame:
+    """Score EVERY token (coverage no longer limited to the LFs):
+    → (token key, y, proba).  Map-only after the one featurize shuffle —
+    the hasher and the coefficient matrix both live in the plan."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(featurize_tokens(tokens))
+    return scored.select(
+        *TOKEN_KEY,
+        (F.col("prediction").cast("int") + 1).alias("y"),
+        F.array_max(vector_to_array("probability")).alias("proba"),
+    )

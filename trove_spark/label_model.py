@@ -189,6 +189,16 @@ def fit_label_model(
     return params
 
 
+def soft_labels(labels: DataFrame, params: LabelModelParams, spark=None) -> DataFrame:
+    """→ (token key, y_hyp, gamma): the FULL per-class posterior
+    P(y | LF votes) for every covered token — the probabilistic training
+    target the reference feeds its end models (trove/models/taggers.py via
+    the noise-aware loss).  This is exactly the E-step responsibility
+    frame; exposed so :mod:`trove_spark.end_model` can train on it."""
+    spark = spark or labels.sparkSession
+    return _e_step(labels, params, spark)
+
+
 def predict_label_model(labels: DataFrame, params: LabelModelParams, spark=None) -> DataFrame:
     """→ (token key, y, proba): argmax responsibility, deterministic
     tie-break on min y.  Windowless: the argmax is an array_max over the
