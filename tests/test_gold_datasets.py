@@ -1,0 +1,175 @@
+"""S14 gold dataset adapters (trove_spark/gold.py): i2b2-2009 meds markup
+and ShARe/CLEF 2014 pipe-delimited slot rows over synthesized fixtures.
+
+The load-bearing invariant for both: every emitted mention equals the
+document substring at its span (char-exact round trip), so the gold frames
+can feed attach_spans_to_sentences / the P/R scorer without adjustment.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trove_spark.gold import (
+    clef_disorder_spans,
+    read_clef2014_annotations,
+    read_i2b2meds_annotations,
+)
+
+I2B2_DOC = """RECORD #12345
+the patient was given lasix 40mg po daily for edema.
+continue aspirin , and iv heparin drip
+stopped analgesics. resumed b.i.d. dosing"""
+
+# line:token offsets are 1-based lines / 0-based whitespace tokens
+I2B2_ANNO = """m="lasix" 2:4 2:4||do="40mg" 2:5 2:5||mo="po" 2:6 2:6||f="daily" 2:7 2:7||du="nm"||r="edema." 2:9 2:9
+m="aspirin" 3:1 3:1||do="nm"||mo="nm"||f="nm"||du="nm"||r="nm"
+m="iv heparin drip" 3:4 3:6||ln="list"
+m="analgesics." 4:1 4:1||do="nm"||mo="nm"||f="nm"||du="nm"||r="nm"
+"""
+
+
+@pytest.fixture(scope="module")
+def i2b2_dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("i2b2")
+    (root / "docs").mkdir()
+    (root / "annos").mkdir()
+    (root / "docs" / "12345.txt").write_text(I2B2_DOC)
+    (root / "annos" / "12345.m").write_text(I2B2_ANNO)
+    return str(root / "annos"), str(root / "docs")
+
+
+def test_i2b2_char_exact_round_trip(spark, i2b2_dirs):
+    anno_dir, doc_dir = i2b2_dirs
+    gold = read_i2b2meds_annotations(spark, anno_dir, doc_dir).collect()
+    assert all(r.doc_id == "12345" for r in gold)
+    by_key = {(r.etype, r.mention) for r in gold}
+    # every contiguous mention is the doc substring at its anchor span
+    for r in gold:
+        if len(r.span) == 1:
+            s, e = r.span[0]
+            assert I2B2_DOC[s : e + 1] == r.mention, (r.mention, I2B2_DOC[s : e + 1])
+            assert (r.abs_char_start, r.abs_char_end) == (s, e)
+    assert ("drug", "lasix") in by_key
+    assert ("dose", "40mg") in by_key
+    assert ("mode", "po") in by_key
+    assert ("freq", "daily") in by_key
+    # multi-token span
+    assert ("drug", "iv heparin drip") in by_key
+    # trailing-punct strip applies to drug/duration/reason
+    assert ("reason", "edema") in by_key
+    assert ("drug", "analgesics") in by_key
+    # 'nm' designations produce nothing
+    assert not [r for r in gold if r.etype == "duration"]
+
+
+def test_i2b2_entity_type_filter(spark, i2b2_dirs):
+    anno_dir, doc_dir = i2b2_dirs
+    only = read_i2b2meds_annotations(
+        spark, anno_dir, doc_dir, entity_types=["drug"]
+    ).collect()
+    assert {r.etype for r in only} == {"drug"} and len(only) == 4
+
+
+CLEF_DOC = "The patient denies chest pain or shortness of breath at rest today."
+#           0123456789012345678901234567890123456789012345678901234567890123456
+#                     1111111111222222222233333333334444444444555555555566666666
+# "chest pain" = [19, 29); "denies" = [12, 18); "rest" = [56, 60)
+
+
+def _clef_line(spans, cui, neg_val, neg_span, severity="null", sev_span="null",
+               doctime="BEFORE", timex_val="null", timex_span="null"):
+    fields = [
+        "07777-012345-NOTE.txt", spans, cui,
+        neg_val, neg_span,              # negation
+        "patient", "0-3",               # subject
+        "null", "null",                 # uncertainty
+        "null", "null",                 # course
+        severity, sev_span,             # severity
+        "true", "56-60",                # conditional ("at rest")
+        "null", "null",                 # generic
+        "null", "null",                 # bodylocation
+        doctime,
+        timex_val, timex_span,          # timex
+    ]
+    assert len(fields) == 22
+    return "|".join(fields)
+
+
+@pytest.fixture(scope="module")
+def clef_dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("clef")
+    (root / "docs").mkdir()
+    (root / "annos").mkdir()
+    (root / "docs" / "07777-012345-NOTE.txt").write_text(CLEF_DOC)
+    lines = [
+        _clef_line("19-29", "C0008031", "yes", "12-18", severity="moderate",
+                   sev_span="null", timex_val="today", timex_span="61-66"),
+        # discontiguous disorder: "shortness ... rest" fragments
+        _clef_line("33-42,56-60", "CUI-less", "null", "null", doctime="OVERLAP"),
+    ]
+    (root / "annos" / "07777-012345-NOTE.pipe").write_text("\n".join(lines) + "\n")
+    return str(root / "annos"), str(root / "docs")
+
+
+def test_clef_slot_parse_and_mention_text(spark, clef_dirs):
+    anno_dir, doc_dir = clef_dirs
+    rel = read_clef2014_annotations(spark, anno_dir, doc_dir).collect()
+    assert len(rel) == 2
+    by_cui = {r.cui: r for r in rel}
+    r1 = by_cui["C0008031"]
+    assert r1.disorder_text == "chest pain"
+    assert [list(s) for s in r1.disorder_span] == [[19, 28]]  # inclusive end
+    assert r1.negation_value == "yes" and r1.negation_text == "denies"
+    assert r1.severity_value == "moderate"
+    assert r1.subject_text == "The"
+    assert r1.uncertainty_value is None and r1.uncertainty_span is None
+    assert r1.doctime == "BEFORE" and r1.doctime_code == 2
+    assert r1.timex_value == "today" and r1.timex_text == "today"
+    assert CLEF_DOC[61:66] == "today"
+    r2 = by_cui["CUI-less"]
+    assert r2.disorder_text == "shortness...rest"
+    assert r2.negation_value is None
+    assert r2.doctime_code == 0
+
+
+def test_clef_splits_join(spark, clef_dirs):
+    anno_dir, doc_dir = clef_dirs
+    rel = read_clef2014_annotations(
+        spark, anno_dir, doc_dir,
+        splits={"train": ["07777-012345-NOTE"], "dev": ["other-doc"]},
+    )
+    assert {r.split for r in rel.collect()} == {"train"}
+
+
+def test_clef_disorder_span_projection(spark, clef_dirs):
+    anno_dir, doc_dir = clef_dirs
+    rel = read_clef2014_annotations(spark, anno_dir, doc_dir)
+    # ignore: discontiguous disorder dropped
+    spans = clef_disorder_spans(rel, "ignore").collect()
+    assert len(spans) == 1
+    s = spans[0]
+    assert (s.abs_char_start, s.abs_char_end, s.mention) == (19, 28, "chest pain")
+    assert (s.negation, s.subject, s.uncertainty) == (1, 1, 0)
+    assert s.severity == 1 and s.doctime_code == 2
+    # head/tail anchoring keeps both rows
+    head = {r.mention: (r.abs_char_start, r.abs_char_end)
+            for r in clef_disorder_spans(rel, "head").collect()}
+    tail = {r.mention: (r.abs_char_start, r.abs_char_end)
+            for r in clef_disorder_spans(rel, "tail").collect()}
+    assert head["shortness...rest"] == (33, 41)
+    assert tail["shortness...rest"] == (56, 59)
+    assert CLEF_DOC[33:42] == "shortness" and CLEF_DOC[56:60] == "rest"
+    with pytest.raises(ValueError):
+        clef_disorder_spans(rel, "bogus")
+
+
+def test_clef_plan_is_jvm_side(spark, clef_dirs):
+    """The CLEF parse must stay whole-stage-codegen: no Python evals."""
+    anno_dir, doc_dir = clef_dirs
+    plan = (
+        read_clef2014_annotations(spark, anno_dir, doc_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

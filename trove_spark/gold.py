@@ -1,0 +1,328 @@
+"""S14 — gold dataset adapters: i2b2-2009 medications + ShARe/CLEF 2014.
+
+The reference loads these two challenge corpora driver-side, one Python
+loop per file (``trove/contrib/datasets/i2b2meds.py:7-219``,
+``trove/contrib/datasets/clef.py:70-381``).  Here each adapter is a
+distributed scan:
+
+* **i2b2-2009** (`read_i2b2meds_annotations`): documents and annotation
+  files are whole-file text sources joined on their basename key; the
+  ``line:token`` → absolute-char-offset conversion needs the document
+  text, so it runs as ONE Arrow kernel over the joined frame (each doc
+  is independent — embarrassingly parallel, no driver loop).
+* **ShARe/CLEF 2014 Task 2** (`read_clef2014_annotations`): the
+  pipe-delimited slot-filled rows are pure column surgery — `F.split`
+  per field, span-list parsing with `transform`, mention text via
+  `Column.substr` against the joined document text.  No Python in the
+  hot path at all.
+
+Both emit char spans with INCLUSIVE ends and first-fragment anchoring
+(`abs_char_start`/`abs_char_end`), the repo-wide convention
+(sources.read_brat_annotations, load_json_ner_dataset), so the gold
+frames feed `taggers.attach_spans_to_sentences` (Q2/S15) and the P/R
+scorer directly.
+
+Fidelity notes vs the reference:
+- the i2b2 trailing-punctuation strip for drug/duration/reason mentions
+  is replicated (i2b2meds.py:161-171); the six document-specific
+  hardcoded gold patches (i2b2meds.py:140-147) are keyed to individual
+  private corpus documents and are NOT replicated — pass corrected
+  annotation files instead.
+- `'nm'/'list'/'narrative'` value designations are skipped, as are
+  list/narrative `ln` items (i2b2meds.py:87-104).
+- CLEF `null` cues produce NULL columns; `doctime`/`severity` integer
+  class codes and the boolean `negation/subject/uncertainty` props match
+  clef.py:301-379 (`anno_to_spans`).
+
+__ref__ = trove/contrib/datasets/i2b2meds.py:7-219;
+          trove/contrib/datasets/clef.py:70-381
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__ref__ = "trove/contrib/datasets/{i2b2meds.py:7-219, clef.py:70-381}"
+
+# ---------------------------------------------------------------------------
+# i2b2 2009 medication challenge
+# ---------------------------------------------------------------------------
+
+I2B2_ETYPES = {
+    "m": "drug",
+    "do": "dose",
+    "mo": "mode",
+    "f": "freq",
+    "du": "duration",
+    "r": "reason",
+}
+_I2B2_ITEM_RGX = re.compile(
+    r'(m|do|mo|f|du|r|ln)="(nm|list|narrative|.+?)"(\s+((\d+:\d+) (\d+:\d+),?)+)?',
+    re.I | re.S,
+)
+_I2B2_SPAN_RGX = re.compile(r"(\d+):(\d+) (\d+):(\d+)")
+_PUNCT_STRIP_TYPES = {"drug", "duration", "reason"}
+
+I2B2_GOLD_SCHEMA = (
+    "doc_id string, etype string, mention string, span array<array<int>>, "
+    "abs_char_start int, abs_char_end int"
+)
+
+
+def _read_keyed_files(spark: SparkSession, glob: str, col: str) -> DataFrame:
+    """Whole-file reader keyed by basename-before-first-dot (the join key
+    both reference loaders use, i2b2meds.py:53-54)."""
+    return spark.read.text(glob, wholetext=True).select(
+        F.split(F.element_at(F.split(F.input_file_name(), "/"), -1), r"\.")[0].alias(
+            "doc_id"
+        ),
+        F.col("value").alias(col),
+    )
+
+
+def _i2b2_token_index(text: str) -> dict[tuple[int, int], tuple[int, int]]:
+    """(0-based line, 0-based token) → (abs char start, token length).
+    Lines split on '\\n', tokens on whitespace (i2b2meds.py:59-79)."""
+    index: dict[tuple[int, int], tuple[int, int]] = {}
+    pos = 0
+    for line_i, line in enumerate(text.split("\n")):
+        tok_i = 0
+        for part in re.split(r"(\s)", line):
+            if part.strip():
+                index[(line_i, tok_i)] = (pos, len(part))
+                tok_i += 1
+            pos += len(part)
+        pos += 1  # the newline
+    return index
+
+
+def _parse_i2b2_doc(doc_id: str, text: str, anno: str):
+    """→ list of (etype, mention, [[start, end_inclusive], ...]) for one doc."""
+    entities = set()
+    for line in anno.split("\n"):
+        for item in line.strip().split("||"):
+            m = _I2B2_ITEM_RGX.search(item)
+            if not m or m.group(1).lower() == "ln":
+                continue
+            if m.group(2) in ("nm", "list", "narrative") or not m.group(3):
+                continue
+            spans = []
+            for sl, st, el, et in _I2B2_SPAN_RGX.findall(m.group(3)):
+                # lines are 1-based in the markup, tokens 0-based
+                spans.append(((int(sl) - 1, int(st)), (int(el) - 1, int(et))))
+            entities.add((I2B2_ETYPES[m.group(1).lower()], tuple(spans)))
+
+    index = _i2b2_token_index(text)
+    out = []
+    for etype, spans in sorted(entities):
+        frags = []
+        try:
+            for (s_line, s_tok), (e_line, e_tok) in spans:
+                i, _ = index[(s_line, s_tok)]
+                j, len_j = index[(e_line, e_tok)]
+                frags.append([i, j + len_j - 1])  # inclusive end
+        except KeyError:
+            continue  # malformed offsets: dropped, like the reference's try
+        if etype in _PUNCT_STRIP_TYPES:
+            frags = [
+                [s, e - 1] if re.search(r"[.,:;]$", text[s : e + 1]) else [s, e]
+                for s, e in frags
+            ]
+        mention = "...".join(text[s : e + 1] for s, e in frags)
+        out.append((etype, mention, frags))
+    return out
+
+
+def read_i2b2meds_annotations(
+    spark: SparkSession,
+    anno_dir: str,
+    doc_dir: str,
+    entity_types: list[str] | None = None,
+) -> DataFrame:
+    """S14: i2b2-2009 medication gold annotations → one row per entity
+    (doc_id, etype, mention, span fragments, first-fragment anchor).
+    Discontiguous entities keep every fragment in ``span``."""
+    docs = _read_keyed_files(spark, f"{doc_dir}/*", "text")
+    annos = _read_keyed_files(spark, f"{anno_dir}/*", "anno")
+    joined = docs.join(annos, "doc_id")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text, anno in zip(pdf["doc_id"], pdf["text"], pdf["anno"]):
+                for etype, mention, frags in _parse_i2b2_doc(doc_id, text, anno):
+                    rows.append((doc_id, etype, mention, frags, frags[0][0], frags[0][1]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series([r[0] for r in rows], dtype="string"),
+                    "etype": pd.Series([r[1] for r in rows], dtype="string"),
+                    "mention": pd.Series([r[2] for r in rows], dtype="string"),
+                    "span": pd.Series([r[3] for r in rows], dtype="object"),
+                    "abs_char_start": pd.Series([r[4] for r in rows], dtype="int32"),
+                    "abs_char_end": pd.Series([r[5] for r in rows], dtype="int32"),
+                }
+            )
+
+    out = joined.mapInPandas(kernel, schema=I2B2_GOLD_SCHEMA)
+    if entity_types:
+        out = out.filter(F.col("etype").isin(list(entity_types)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ShARe/CLEF 2014 Task 2
+# ---------------------------------------------------------------------------
+
+#: attribute (value, span) column pairs in field order after
+#: DocName|Spans|CUI (clef.py:76-86, 202-213)
+CLEF_ATTRS = [
+    "negation",
+    "subject",
+    "uncertainty",
+    "course",
+    "severity",
+    "conditional",
+    "generic",
+    "bodylocation",
+]
+CLEF_DOCTIME_CODES = {"OVERLAP": 0, "BEFORE_OVERLAPS": 1, "BEFORE": 2, "AFTER": 3}
+CLEF_SEVERITY_CODES = {"slight": 0, "moderate": 1, "severe": 2, "unmarked": 3}
+
+
+def _clef_spans(col):
+    """'s1-e1,s2-e2' (exclusive ends) → array<array<int>> inclusive ends;
+    'null' → NULL."""
+    frag = lambda p: F.array(  # noqa: E731
+        F.split(p, "-")[0].cast("int"), F.split(p, "-")[1].cast("int") - F.lit(1)
+    )
+    return F.when(
+        F.lower(col).isin("null", "nul", "unmarked") | (col == ""), F.lit(None)
+    ).otherwise(F.transform(F.split(col, ","), frag))
+
+
+def _mention_text(span_col, text_col):
+    """'...'-joined fragment substrings (clef.py:37-44)."""
+    return F.when(
+        span_col.isNotNull(),
+        F.array_join(
+            F.transform(
+                span_col,
+                lambda s: text_col.substr(
+                    s[0] + 1, s[1] - s[0] + 1
+                ),
+            ),
+            "...",
+        ),
+    )
+
+
+def read_clef2014_annotations(
+    spark: SparkSession,
+    anno_dir: str,
+    doc_dir: str,
+    splits: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """S14: ShARe/CLEF 2014 Task 2 pipe-delimited slot-filled rows → one
+    row per (disorder, attributes) relation.
+
+    Columns: doc_id, split, cui, doctime (+_code), disorder span/mention,
+    and per attribute in :data:`CLEF_ATTRS` a ``<attr>_value``,
+    ``<attr>_span``, ``<attr>_text`` triple.  Entirely JVM-side: field
+    split, span parse, and mention substring extraction are all column
+    expressions over the annos ⋈ docs join."""
+    annos = spark.read.text(f"{anno_dir}/*").select(
+        F.split(F.element_at(F.split(F.input_file_name(), "/"), -1), r"\.")[0].alias(
+            "doc_id"
+        ),
+        F.split(F.col("value"), r"\|+").alias("f"),
+    )
+    docs = _read_keyed_files(spark, f"{doc_dir}/*", "text")
+    j = annos.join(docs, "doc_id")
+
+    f = F.col("f")
+    cols = [
+        F.col("doc_id"),
+        f[2].alias("cui"),
+        f[19].alias("doctime"),
+        F.coalesce(
+            F.element_at(
+                F.create_map(
+                    *[x for k, v in CLEF_DOCTIME_CODES.items() for x in (F.lit(k), F.lit(v))]
+                ),
+                f[19],
+            ),
+            F.lit(4),  # UNK (clef.py:309, 345)
+        ).alias("doctime_code"),
+        _clef_spans(f[1]).alias("disorder_span"),
+        _mention_text(_clef_spans(f[1]), F.col("text")).alias("disorder_text"),
+    ]
+    for i, attr in enumerate(CLEF_ATTRS):
+        vi, si = 3 + 2 * i, 4 + 2 * i
+        val = F.when(F.lower(f[vi]).isin("null", "nul"), F.lit(None)).otherwise(f[vi])
+        span = _clef_spans(f[si])
+        cols += [
+            val.alias(f"{attr}_value"),
+            span.alias(f"{attr}_span"),
+            _mention_text(span, F.col("text")).alias(f"{attr}_text"),
+        ]
+    # trailing timex (value, span) pair (clef.py:207 — index 20)
+    cols += [
+        F.when(F.lower(f[20]).isin("null", "nul"), F.lit(None)).otherwise(f[20]).alias("timex_value"),
+        _clef_spans(f[21]).alias("timex_span"),
+        _mention_text(_clef_spans(f[21]), F.col("text")).alias("timex_text"),
+    ]
+    out = j.select(*cols)
+
+    if splits:
+        rows = [(d, s) for s, ds in splits.items() for d in ds]
+        split_df = spark.createDataFrame(rows, "doc_id string, split string")
+        out = out.join(F.broadcast(split_df), "doc_id", "left")
+    else:
+        out = out.withColumn("split", F.lit(None).cast("string"))
+    return out
+
+
+def clef_disorder_spans(
+    relations: DataFrame, multi_span_rule: str = "ignore"
+) -> DataFrame:
+    """`anno_to_spans` (clef.py:301-379): project the relation frame to
+    anchor spans with integer-coded props, ready for
+    `attach_spans_to_sentences`.
+
+    ``multi_span_rule``: 'ignore' drops discontiguous disorders, 'head'
+    anchors on the first fragment, 'tail' on the last."""
+    r = relations.filter(F.col("disorder_span").isNotNull())
+    if multi_span_rule == "ignore":
+        r = r.filter(F.size("disorder_span") == 1)
+        anchor = F.element_at("disorder_span", 1)
+    elif multi_span_rule == "head":
+        anchor = F.element_at("disorder_span", 1)
+    elif multi_span_rule == "tail":
+        anchor = F.element_at("disorder_span", -1)
+    else:
+        raise ValueError(multi_span_rule)
+    sev_map = F.create_map(
+        *[x for k, v in CLEF_SEVERITY_CODES.items() for x in (F.lit(k), F.lit(v))]
+    )
+    return r.select(
+        "doc_id",
+        anchor[0].alias("abs_char_start"),
+        anchor[1].alias("abs_char_end"),
+        F.col("disorder_text").alias("mention"),
+        "cui",
+        F.col("negation_value").isNotNull().cast("int").alias("negation"),
+        F.col("subject_value").isNotNull().cast("int").alias("subject"),
+        F.col("uncertainty_value").isNotNull().cast("int").alias("uncertainty"),
+        F.coalesce(
+            F.element_at(sev_map, F.lower("severity_value")),
+            F.lit(CLEF_SEVERITY_CODES["unmarked"]),
+        ).alias("severity"),
+        "doctime_code",
+        "bodylocation_value",
+        "bodylocation_span",
+        "timex_text",
+    )
