@@ -1,0 +1,119 @@
+"""Incremental snapshot updates for the triple store (graph.update_triples):
+doc-level upsert/delete touching only the affected buckets, generation
+directories committed by atomic manifest rename, vacuum GC.
+
+The governing property: a store built from corpus v1 then incrementally
+updated to v2 must read back EXACTLY the one-shot store built from v2 —
+while rewriting only the buckets that contain touched documents.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from trove_spark.graph import TripleStore
+
+N_BUCKETS = 8
+
+
+def _triples(spark, version: int):
+    """Synthetic doc-keyed triples; v2 changes docs 3/4, deletes doc 5,
+    adds doc 90."""
+    rows = []
+    for d in range(30):
+        if version == 2 and d == 5:
+            continue  # deleted doc
+        salt = "x" if (version == 2 and d in (3, 4)) else ""
+        for s in range(3):
+            rows.append((f"doc{d:03d}#s{s}", "MENTIONS", f"term{(d + s) % 7}{salt}"))
+    if version == 2:
+        rows += [(f"doc090#s{s}", "MENTIONS", f"term{s}") for s in range(2)]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+TOUCHED = ["doc003", "doc004", "doc005", "doc090"]
+
+
+def _collect(df):
+    return sorted(tuple(r) for r in df.select("subj", "pred", "obj").collect())
+
+
+@pytest.fixture()
+def stores(spark, tmp_path):
+    v1, v2 = _triples(spark, 1), _triples(spark, 2)
+    inc = TripleStore(spark, str(tmp_path / "inc"), n_buckets=N_BUCKETS)
+    inc.write_triples(v1)
+    ref = TripleStore(spark, str(tmp_path / "ref"), n_buckets=N_BUCKETS)
+    ref.write_triples(v2)
+    return inc, ref, v2
+
+
+def test_incremental_update_equals_one_shot(spark, stores):
+    inc, ref, v2 = stores
+    touched = spark.createDataFrame([(d,) for d in TOUCHED], "doc_id string")
+    new_triples = v2.filter(
+        F.substring_index("subj", "#", 1).isin(TOUCHED)
+    )
+    st = inc.update_triples(new_triples, touched)
+    # only the buckets holding the 4 touched docs were rewritten
+    assert 0 < st["updated_buckets"] <= 4
+    assert _collect(inc.read_triples()) == _collect(ref.read_triples())
+    assert inc.verify_manifests()
+    # untouched buckets still at gen 0 (no 'gen'/'dir' fields), touched at gen 1
+    gens = {b: r.get("gen", 0) for b, r in inc.committed_buckets().items()}
+    assert sorted(gens.values()).count(1) == st["updated_buckets"]
+
+
+def test_second_update_bumps_generation(spark, stores):
+    inc, ref, v2 = stores
+    touched = spark.createDataFrame([("doc003",)], "doc_id string")
+    nt = v2.filter(F.substring_index("subj", "#", 1) == "doc003")
+    inc.update_triples(nt, touched)
+    inc.update_triples(nt, touched)  # idempotent content, new generation
+    row = [r for r in inc.committed_buckets().values() if r.get("gen", 0) == 2]
+    assert len(row) == 1
+    assert inc.verify_manifests()
+
+
+def test_uncommitted_generation_is_invisible_and_vacuumed(spark, stores):
+    """Crash between data write and manifest rename: the staged dir must
+    not affect reads, and vacuum removes it."""
+    inc, _, v2 = stores
+    before = _collect(inc.read_triples())
+    # simulate the crash: a staged generation dir with NO manifest commit
+    staged = os.path.join(inc.edges_dir, "b00000_g7")
+    v2.limit(5).write.mode("overwrite").parquet(staged)
+    assert _collect(inc.read_triples()) == before
+    assert inc.verify_manifests()
+    removed = inc.vacuum()
+    assert "b00000_g7" in removed
+    assert not os.path.exists(staged)
+    assert _collect(inc.read_triples()) == before
+
+
+def test_vacuum_removes_superseded_generations(spark, stores):
+    inc, ref, v2 = stores
+    touched = spark.createDataFrame([(d,) for d in TOUCHED], "doc_id string")
+    nt = v2.filter(F.substring_index("subj", "#", 1).isin(TOUCHED))
+    inc.update_triples(nt, touched)
+    before = _collect(inc.read_triples())
+    removed = inc.vacuum()
+    # superseded gen-0 partition dirs of the touched buckets are GC'd
+    assert removed and all(r.startswith("bucket=") for r in removed)
+    assert _collect(inc.read_triples()) == before
+    assert inc.verify_manifests()
+
+
+def test_pure_deletion(spark, stores):
+    inc, _, _ = stores
+    touched = spark.createDataFrame([("doc007",)], "doc_id string")
+    empty = spark.createDataFrame([], "subj string, pred string, obj string")
+    inc.update_triples(empty, touched)
+    left = inc.read_triples().filter(
+        F.substring_index("subj", "#", 1) == "doc007"
+    )
+    assert left.count() == 0
+    assert inc.verify_manifests()

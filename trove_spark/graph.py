@@ -23,6 +23,25 @@ north rule demands partition-level idempotent commits.  Design:
 
 ``max_buckets`` caps how many buckets a single call commits — the test
 harness uses it to simulate a job killed after k commits.
+
+INCREMENTAL UPDATES (``update_triples``): at 10^12-file scale a daily
+increment (new commits of existing repos, new repos, deletions) touches a
+tiny fraction of buckets; recomputing the full snapshot is not an option.
+The update path is the Iceberg snapshot-commit model in miniature:
+
+  * the unit of replacement is the DOCUMENT — callers pass the touched
+    doc_ids plus the complete new triple set for those docs (empty for
+    deletions), so update = per-bucket (old rows for untouched docs) ∪
+    (new rows);
+  * each touched bucket's merged contents land in a NEW generation
+    directory (``b<bucket>_g<gen>``) while the manifest still points at
+    the old one; the atomic manifest rename is the commit point, so a
+    crash mid-update leaves a fully consistent previous snapshot
+    (readers never see a half-written generation);
+  * ``read_triples`` resolves the current snapshot FROM the manifests
+    (one multi-path parquet scan), never from directory listings;
+  * ``vacuum()`` deletes unreferenced generation directories after
+    commit — the GC half of the snapshot model.
 """
 
 from __future__ import annotations
@@ -176,9 +195,135 @@ class TripleStore:
             pending.unpersist()
         return {"written_buckets": len(todo), "skipped_buckets": len(done)}
 
+    # -- incremental update (snapshot commit per bucket) ---------------------
+
+    def _bucket_col(self):
+        return bucket_of(F.substring_index(F.col("subj"), "#", 1), self.n_buckets)
+
+    def _manifest_dir_of(self, row: dict) -> str:
+        # gen-0 manifests written by write_triples* have no 'dir' field and
+        # live in the legacy partitioned layout
+        return os.path.join(self.edges_dir, row.get("dir", f"bucket={row['bucket']}"))
+
+    def update_triples(self, new_triples: DataFrame, touched_docs: DataFrame) -> dict:
+        """Replace, per document, the triples of ``touched_docs`` (a
+        (doc_id) frame) with ``new_triples`` (the complete new triple set
+        for those docs — pass no rows for a doc to delete it).  Only the
+        buckets containing touched docs are rewritten; each lands in a new
+        generation directory and is committed by atomic manifest rename,
+        so readers always see either the old or the new snapshot of a
+        bucket, never a mix."""
+        manifests = self.committed_buckets()
+        touched = touched_docs.select(F.col("doc_id")).distinct().persist()
+        try:
+            tb = sorted(
+                r["b"]
+                for r in touched.select(
+                    bucket_of(F.col("doc_id"), self.n_buckets).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+            if not tb:
+                return {"updated_buckets": 0}
+
+            doc_of_subj = F.substring_index(F.col("subj"), "#", 1)
+            old_dirs = [self._manifest_dir_of(manifests[b]) for b in tb if b in manifests]
+            kept = None
+            if old_dirs:
+                kept = (
+                    self.spark.read.parquet(*old_dirs)
+                    .select("subj", "pred", "obj")
+                    .join(
+                        F.broadcast(touched.withColumnRenamed("doc_id", "_td")),
+                        doc_of_subj == F.col("_td"),
+                        "left_anti",
+                    )
+                )
+            incoming = (
+                new_triples.select("subj", "pred", "obj")
+                .join(
+                    F.broadcast(touched.withColumnRenamed("doc_id", "_td")),
+                    doc_of_subj == F.col("_td"),
+                    "left_semi",
+                )
+            )
+            merged = incoming if kept is None else kept.unionByName(incoming)
+            merged = (
+                merged.withColumn("bucket", self._bucket_col())
+                .filter(F.col("bucket").isin(tb))
+                .persist()
+            )
+            try:
+                fps = {
+                    r["bucket"]: r
+                    for r in merged.groupBy("bucket")
+                    .agg(
+                        F.count("*").cast("long").alias("n_rows"),
+                        F.sum(_h60(F.concat_ws("\x1f", "subj", "pred", "obj")))
+                        .cast("long")
+                        .alias("triple_fingerprint"),
+                    )
+                    .collect()
+                }
+                for b in tb:
+                    gen = manifests.get(b, {}).get("gen", 0) + 1
+                    rel = f"b{b:05d}_g{gen}"
+                    merged.filter(F.col("bucket") == b).drop("bucket").write.mode(
+                        "overwrite"
+                    ).parquet(os.path.join(self.edges_dir, rel))
+                    stats = fps.get(b)
+                    self._commit_manifest(
+                        {
+                            "bucket": b,
+                            "gen": gen,
+                            "dir": rel,
+                            "n_rows": int(stats["n_rows"]) if stats else 0,
+                            "triple_fingerprint": int(stats["triple_fingerprint"])
+                            if stats
+                            else 0,
+                        }
+                    )
+            finally:
+                merged.unpersist()
+            return {"updated_buckets": len(tb)}
+        finally:
+            touched.unpersist()
+
+    def vacuum(self) -> list[str]:
+        """Delete edge directories no longer referenced by any manifest
+        (superseded generations, crashed uncommitted stagings).  Safe to
+        run any time after commit — the manifests ARE the snapshot."""
+        import shutil
+
+        live = {
+            os.path.basename(self._manifest_dir_of(row))
+            for row in self.committed_buckets().values()
+        }
+        removed = []
+        if os.path.isdir(self.edges_dir):
+            for name in sorted(os.listdir(self.edges_dir)):
+                full = os.path.join(self.edges_dir, name)
+                if os.path.isdir(full) and name not in live:
+                    shutil.rmtree(full)
+                    removed.append(name)
+        return removed
+
     # -- read / verify -------------------------------------------------------
 
     def read_triples(self) -> DataFrame:
+        """Current snapshot: the union of the manifest-pointed bucket
+        directories (ONE multi-path parquet scan), with the bucket column
+        re-derived from the subject — identical to the writers' bucketing,
+        so it is stable across layouts and generations."""
+        manifests = self.committed_buckets()
+        if manifests:
+            dirs = [self._manifest_dir_of(row) for row in manifests.values()]
+            return (
+                self.spark.read.parquet(*dirs)
+                .select("subj", "pred", "obj")
+                .withColumn("bucket", self._bucket_col())
+            )
         return self.spark.read.option("basePath", self.edges_dir).parquet(
             self.edges_dir + "/bucket=*"
         )
