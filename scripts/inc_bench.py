@@ -1,0 +1,64 @@
+"""Incremental KG update vs full rebuild measurement (BENCH.md record).
+
+Pinned 16 cores (CLAUDE.md: unpinned local[N] inflates baselines);
+100k-doc corpus, 1k docs re-committed -> 2k touched doc_ids.
+"""
+import os, time, json, shutil
+os.sched_setaffinity(0, range(16))
+from pyspark.sql import SparkSession
+from trove_spark import synth
+from trove_spark.fused import fused_triples
+from trove_spark.graph import TripleStore, incremental_kg_update
+from trove_spark.ingest import ingest_documents
+from trove_spark.pipeline import default_lexicon
+
+spark = (SparkSession.builder.master("local[16]")
+         .config("spark.sql.shuffle.partitions", "32")
+         .config("spark.driver.memory", "32g")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+import sys
+N = 100_000
+CHANGED = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000
+N_BUCKETS = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+schema = "repo string, path string, commit string, lang string, content string"
+v1_rows = synth.generate_corpus_rows(N, seed=11)
+v2_rows = []
+for i, (repo, path, commit, lang, content) in enumerate(v1_rows):
+    if i < CHANGED:
+        commit = "e" * 40
+        content = content + " merge join revision."
+    v2_rows.append((repo, path, commit, lang, content))
+
+old = ingest_documents(spark.createDataFrame(v1_rows, schema).repartition(32)).persist()
+new = ingest_documents(spark.createDataFrame(v2_rows, schema).repartition(32)).persist()
+old.count(); new.count()
+lex_bc = spark.sparkContext.broadcast(default_lexicon())
+
+base = "/tmp/inc_bench"
+shutil.rmtree(base, ignore_errors=True)
+
+t0 = time.perf_counter()
+store = TripleStore(spark, base + "/full", n_buckets=N_BUCKETS)
+store.write_triples_onepass(fused_triples(
+    old, lex_bc, synth.CLASS_MAP, synth.CLASS_NAMES,
+    text_col="content", tokenizer_mode="standard"))
+t_full = time.perf_counter() - t0
+
+times, r, ok = [], None, None
+for trial in range(2):
+    st = TripleStore(spark, base + f"/inc{trial}", n_buckets=N_BUCKETS)
+    st.write_triples_onepass(fused_triples(
+        old, lex_bc, synth.CLASS_MAP, synth.CLASS_NAMES,
+        text_col="content", tokenizer_mode="standard"))
+    t0 = time.perf_counter()
+    r = incremental_kg_update(st, old, new, lex_bc, synth.CLASS_MAP, synth.CLASS_NAMES)
+    times.append(time.perf_counter() - t0)
+    ok = st.verify_manifests()
+print("RESULT " + json.dumps({
+    "full_build_sec": round(t_full, 2),
+    "incremental_sec": [round(t, 2) for t in times],
+    "updated_buckets": r["updated_buckets"], "verify": ok,
+    "n_docs": N, "touched_doc_ids": 2 * CHANGED, "n_buckets": N_BUCKETS}))
+spark.stop()

@@ -117,3 +117,50 @@ def test_pure_deletion(spark, stores):
     )
     assert left.count() == 0
     assert inc.verify_manifests()
+
+
+def test_incremental_kg_update_end_to_end(spark, tmp_path):
+    """Full maintenance loop: source snapshot v1 → v2 (10 docs re-committed
+    with new content, 5 deleted, 15 added).  Diff → fused re-extraction of
+    ONLY added docs → bucket-level commit must equal a one-shot rebuild."""
+    from trove_spark import synth
+    from trove_spark.fused import fused_triples
+    from trove_spark.graph import incremental_kg_update
+    from trove_spark.ingest import ingest_documents
+    from trove_spark.pipeline import default_lexicon
+
+    schema = "repo string, path string, commit string, lang string, content string"
+    v1_rows = synth.generate_corpus_rows(150, seed=7)
+    v2_rows = []
+    for i, (repo, path, commit, lang, content) in enumerate(v1_rows):
+        if 140 <= i <= 144:
+            continue  # deleted
+        if i < 10:  # re-committed with changed content
+            commit = "f" * 40
+            content = content + " merge join revision."
+        v2_rows.append((repo, path, commit, lang, content))
+    v2_rows += synth.generate_corpus_rows(165, seed=7)[150:]
+
+    old = ingest_documents(spark.createDataFrame(v1_rows, schema)).cache()
+    new = ingest_documents(spark.createDataFrame(v2_rows, schema)).cache()
+    lex_bc = spark.sparkContext.broadcast(default_lexicon())
+
+    ref = TripleStore(spark, str(tmp_path / "ref"), n_buckets=N_BUCKETS)
+    ref.write_triples(
+        fused_triples(new, lex_bc, synth.CLASS_MAP, synth.CLASS_NAMES,
+                      text_col="content", tokenizer_mode="standard")
+    )
+
+    inc = TripleStore(spark, str(tmp_path / "inc"), n_buckets=N_BUCKETS)
+    inc.write_triples(
+        fused_triples(old, lex_bc, synth.CLASS_MAP, synth.CLASS_NAMES,
+                      text_col="content", tokenizer_mode="standard")
+    )
+    st = incremental_kg_update(
+        inc, old, new, lex_bc, synth.CLASS_MAP, synth.CLASS_NAMES
+    )
+    assert 0 < st["updated_buckets"] <= N_BUCKETS
+    assert _collect(inc.read_triples()) == _collect(ref.read_triples())
+    assert inc.verify_manifests()
+    inc.vacuum()
+    assert _collect(inc.read_triples()) == _collect(ref.read_triples())

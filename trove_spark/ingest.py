@@ -32,6 +32,23 @@ def ingest_documents(raw: DataFrame) -> DataFrame:
     )
 
 
+def diff_snapshots(old_docs: DataFrame, new_docs: DataFrame):
+    """Diff two ingested source snapshots → ``(touched_ids, added_docs)``.
+
+    ``doc_id = sha2(repo‖path‖commit)``, so a new commit of an existing
+    file is an ADD of the new doc_id plus a REMOVE of the old one; both
+    land in ``touched_ids`` and ``update_triples`` replaces them in one
+    commit.  Two doc_id anti-joins — at catalog scale you'd read the adds/
+    deletes straight from the table format's commit log (Iceberg
+    incremental scan) instead of diffing snapshots; this is the
+    snapshot-diff fallback that needs nothing but the two tables."""
+    old_ids = old_docs.select("doc_id")
+    added = new_docs.join(old_ids, "doc_id", "left_anti")
+    removed = old_ids.join(new_docs.select("doc_id"), "doc_id", "left_anti")
+    touched = removed.unionByName(added.select("doc_id"))
+    return touched, added
+
+
 def bucket_of(doc_col, n_buckets: int):
     """Deterministic, engine-stable bucket: sha2-derived, NOT murmur hash
     (partition→output mapping must survive Spark version changes and
