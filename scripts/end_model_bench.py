@@ -1,0 +1,91 @@
+"""End-model (X3) scale measurement for BENCH.md.
+
+Synthetic weak-supervision corpus: wide vocabulary (md5-derived words —
+the testdata 31-word vocab is vacuous for feature hashing), 2 classes
+determined by planted word families, LFs covering ~half the entity
+vocabulary.  Pinned 16 cores (CLAUDE.md).
+"""
+import hashlib
+import json
+import os
+import sys
+import time
+
+os.sched_setaffinity(0, range(16))
+from pyspark.sql import SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from trove_spark.end_model import fit_end_model, predict_end_model
+from trove_spark.label_model import fit_label_model, soft_labels
+
+N_SENTS = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+
+spark = (SparkSession.builder.master("local[16]")
+         .config("spark.sql.shuffle.partitions", "32")
+         .config("spark.driver.memory", "32g")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+
+def md5w(prefix, i):
+    return prefix + hashlib.md5(f"{prefix}:{i}".encode()).hexdigest()[:8]
+
+
+# planted vocab: 400 class-1 words (suffix '-in'), 400 class-2 ('-osis');
+# LFs know the first 200 of each
+C1 = [md5w("drug", i) + "in" for i in range(400)]
+C2 = [md5w("find", i) + "osis" for i in range(400)]
+FILL = [md5w("w", i) for i in range(2000)]
+
+sents = spark.range(N_SENTS).select(
+    F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+    F.lit(0).alias("sent_idx"),
+    F.col("id").alias("i"),
+)
+tokens = sents.select(
+    "doc_id", "sent_idx",
+    F.posexplode(F.array(*[F.lit(j) for j in range(10)])).alias("token_idx", "_j"),
+    "i",
+).select(
+    "doc_id", "sent_idx", "token_idx",
+    F.when(F.col("token_idx") == 3, F.element_at(F.array(*map(F.lit, C1)), (F.col("i") % 400 + 1).cast("int")))
+    .when(F.col("token_idx") == 7, F.element_at(F.array(*map(F.lit, C2)), (F.col("i") % 400 + 1).cast("int")))
+    .otherwise(F.element_at(F.array(*map(F.lit, FILL)), ((F.col("i") * 7 + F.col("token_idx")) % 2000 + 1).cast("int")))
+    .alias("word"),
+).persist()
+n_tokens = tokens.count()
+
+lab1 = tokens.filter(F.col("word").isin(C1[:200])).select(
+    "doc_id", "sent_idx", "token_idx", F.lit(1).alias("lf_id"), F.lit(1).alias("label"))
+lab2 = tokens.filter(F.col("word").isin(C2[:200])).select(
+    "doc_id", "sent_idx", "token_idx", F.lit(2).alias("lf_id"), F.lit(2).alias("label"))
+labels = lab1.unionByName(lab2).persist()
+labels.count()
+
+t0 = time.perf_counter()
+params = fit_label_model(labels, n_classes=2, n_iter=3)
+t_lm = time.perf_counter() - t0
+
+soft = soft_labels(labels, params)
+t0 = time.perf_counter()
+model = fit_end_model(tokens, soft, n_features=1 << 18, max_iter=30)
+t_fit = time.perf_counter() - t0
+
+t0 = time.perf_counter()
+pred = predict_end_model(tokens, model)
+joined = pred.join(tokens, ["doc_id", "sent_idx", "token_idx"])
+want = F.when(F.col("word").isin(C1), 1).when(F.col("word").isin(C2), 2)
+acc_unseen = joined.filter(F.col("word").isin(C1[200:] + C2[200:])).select(
+    F.avg((F.col("y") == want).cast("double")).alias("a")).collect()[0].a
+n_scored = pred.count()
+t_pred = time.perf_counter() - t0
+
+print("RESULT " + json.dumps({
+    "n_sents": N_SENTS, "n_tokens": n_tokens,
+    "label_model_fit_sec": round(t_lm, 2),
+    "end_model_fit_sec": round(t_fit, 2),
+    "predict_sec_incl_eval": round(t_pred, 2),
+    "tokens_per_sec_scored": round(n_tokens / t_pred),
+    "unseen_word_accuracy": round(acc_unseen, 4),
+}))
+spark.stop()

@@ -9,6 +9,12 @@ Cluster usage (north rule: spark-submit --py-files on multi-executor):
         [--text-col text] [--id-col doc_id] [--tokenizer whitespace|standard|clinical] \
         [--n-buckets 64] [--fused]
 
+    # incremental maintenance (repo-shaped table only): diff the current
+    # snapshot against the PREVIOUS one, re-extract only added/changed
+    # docs, rewrite only the touched buckets (+ vacuum superseded gens):
+    spark-submit ... scripts/run_pipeline.py --input <docs v2 parquet> \
+        --update-from <docs v1 parquet> --output <existing graph dir>
+
 No module state: the session comes from spark-submit's context
 (``SparkSession.builder.getOrCreate()`` picks up the submitted conf), all
 resources are broadcast, output is resume-aware (re-running after a kill
@@ -40,18 +46,55 @@ def main() -> None:
     ap.add_argument("--onepass-write", action="store_true",
                     help="single partitionBy(bucket) write (cluster-parallel across "
                          "buckets) instead of per-bucket commits")
+    ap.add_argument("--update-from", default=None,
+                    help="previous snapshot parquet: incremental update of an "
+                         "existing graph dir instead of a full build (repo-shaped "
+                         "tables; implies the fused path)")
+    ap.add_argument("--no-vacuum", action="store_true",
+                    help="keep superseded generation dirs after --update-from")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
     from trove_spark import synth
     from trove_spark.fused import fused_triples
-    from trove_spark.graph import TripleStore, write_nodes
+    from trove_spark.graph import TripleStore, incremental_kg_update, write_nodes
+    from trove_spark.ingest import ingest_documents
     from trove_spark.pipeline import KGPipeline, default_lexicon
 
     spark = SparkSession.builder.appName("trove_spark_pipeline").getOrCreate()
     t0 = time.time()
     docs = spark.read.parquet(args.input)
+    # repo-shaped source tables (BASELINE.json input_hint) carry no doc_id:
+    # derive ids + the content sha invariant via the ingest stage
+    if args.id_col not in docs.columns and {"repo", "path", "commit", "content"} <= set(docs.columns):
+        from trove_spark.ingest import ingest_documents as _ing
+        docs = _ing(docs)
+        args.id_col, args.text_col = "doc_id", "content"
+
+    if args.update_from:
+        old = ingest_documents(spark.read.parquet(args.update_from))
+        new = ingest_documents(docs)
+        lex_bc = spark.sparkContext.broadcast(default_lexicon())
+        store = TripleStore(spark, args.output, n_buckets=args.n_buckets)
+        stats = incremental_kg_update(
+            store, old, new, lex_bc, synth.CLASS_MAP, synth.CLASS_NAMES,
+            tokenizer_mode=args.tokenizer,
+        )
+        removed = [] if args.no_vacuum else store.vacuum()
+        nodes = write_nodes(spark, store.read_triples(), args.output)
+        report = {
+            "mode": "incremental",
+            "docs": new.count(),
+            "triples": store.read_triples().count(),
+            "nodes": nodes.count(),
+            "manifests_ok": store.verify_manifests(),
+            "vacuumed_dirs": len(removed),
+            "wall_sec": round(time.time() - t0, 2),
+            **stats,
+        }
+        print(json.dumps(report))
+        return
 
     if args.staged:
         pipe = KGPipeline(

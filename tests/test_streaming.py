@@ -260,3 +260,57 @@ def test_stream_curate_lm_perplexity_screen(spark, dirs):
     q.awaitTermination()
     out = spark.read.option("basePath", dirs["out"]).parquet(dirs["out"] + "/batch=*")
     assert {r.doc_id for r in out.collect()} == {"flu"}
+
+
+def test_stream_update_triple_store(spark, tmp_path):
+    """Continuous KG maintenance: adds, a re-commit, and a tombstone folded
+    into a TripleStore batch-by-batch must equal a one-shot build over the
+    final logical corpus."""
+    from trove_spark.graph import TripleStore
+    from trove_spark.ingest import ingest_documents
+    from trove_spark.streaming import stream_update_triple_store
+
+    schema = ("repo string, path string, commit string, lang string, "
+              "content string, deleted boolean")
+    rows_v1 = [r + (False,) for r in synth.generate_corpus_rows(60, seed=3)]
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    spark.createDataFrame(rows_v1, schema).coalesce(1).write.mode("append").parquet(in_dir)
+
+    lex_bc = spark.sparkContext.broadcast(default_lexicon())
+    store = TripleStore(spark, str(tmp_path / "store"), n_buckets=8)
+    q = stream_update_triple_store(
+        spark, in_dir, store, ckpt, lex_bc, synth.CLASS_MAP, synth.CLASS_NAMES,
+    )
+    q.awaitTermination()
+
+    # second drop: re-commit doc 0 with new content, tombstone doc 1
+    repo0, path0, commit0, lang0, content0, _ = rows_v1[0]
+    repo1, path1, commit1, lang1, _, _ = rows_v1[1]
+    rows_v2 = [
+        (repo0, path0, "e" * 40, lang0, content0 + " merge join revision.", False),
+        (repo0, path0, commit0, lang0, None, True),   # retract old commit of doc 0
+        (repo1, path1, commit1, lang1, None, True),   # delete doc 1
+    ]
+    spark.createDataFrame(rows_v2, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = stream_update_triple_store(
+        spark, in_dir, store, ckpt, lex_bc, synth.CLASS_MAP, synth.CLASS_NAMES,
+    )
+    q2.awaitTermination()
+
+    final_rows = [rows_v1[0][:2] + ("e" * 40,) + (rows_v1[0][3], rows_v1[0][4] + " merge join revision.")]
+    final_rows += [r[:5] for r in rows_v1[2:]]
+    final = ingest_documents(
+        spark.createDataFrame(final_rows, schema.rsplit(", ", 1)[0])
+    )
+    expected = sorted(
+        tuple(r)
+        for r in fused_triples(
+            final, lex_bc, synth.CLASS_MAP, synth.CLASS_NAMES,
+            text_col="content", tokenizer_mode="standard",
+        ).collect()
+    )
+    got = sorted(
+        tuple(r) for r in store.read_triples().select("subj", "pred", "obj").collect()
+    )
+    assert got == expected
+    assert store.verify_manifests()

@@ -397,6 +397,11 @@ def incremental_kg_update(
     from .fused import fused_triples
     from .ingest import diff_snapshots
 
+    if not store.committed_buckets():
+        raise ValueError(
+            "incremental_kg_update requires a store already built from the old "
+            "snapshot (no committed manifests found) — run a full build first"
+        )
     touched, added = diff_snapshots(old_docs, new_docs)
     new_triples = fused_triples(
         added, lex_bc, class_map, class_names,

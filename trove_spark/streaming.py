@@ -24,6 +24,7 @@ from pyspark.broadcast import Broadcast
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import (
+    BooleanType,
     LongType,
     StringType,
     StructField,
@@ -81,6 +82,73 @@ def stream_documents_to_triples(
 
 def read_streamed_triples(spark: SparkSession, output_dir: str) -> DataFrame:
     return spark.read.option("basePath", output_dir).parquet(output_dir + "/batch=*")
+
+
+REPO_STREAM_SCHEMA = StructType(
+    [
+        StructField("repo", StringType(), True),
+        StructField("path", StringType(), True),
+        StructField("commit", StringType(), True),
+        StructField("lang", StringType(), True),
+        StructField("content", StringType(), True),
+        # tombstone: True removes the (repo, path, commit) doc's triples
+        StructField("deleted", BooleanType(), True),
+    ]
+)
+
+
+def stream_update_triple_store(
+    spark: SparkSession,
+    input_dir: str,
+    store,
+    checkpoint_dir: str,
+    lex_bc: Broadcast,
+    class_map: dict[str, int],
+    class_names: dict[int, str],
+    tokenizer_mode: str = "standard",
+    max_files_per_trigger: int = 4,
+) -> StreamingQuery:
+    """Continuous KG maintenance: a stream of repo-shaped document rows
+    (adds / re-commits / ``deleted=true`` tombstones) is folded into a
+    :class:`trove_spark.graph.TripleStore` one micro-batch at a time —
+    each batch = fused re-extraction of its upserts + one
+    ``update_triples`` commit of the touched buckets.
+
+    Exactly-once in content: a replayed batch (post-crash) re-runs the
+    same doc-level replacement, which lands byte-identical bucket contents
+    in a fresh generation (``vacuum()`` GCs the superseded one).
+    Tombstones must carry the exact (repo, path, commit) of the doc to
+    retract, since doc_id hashes all three."""
+    from .ingest import ingest_documents
+
+    stream = (
+        spark.readStream.schema(REPO_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from .fused import fused_triples
+
+        # ingest_documents projects the canonical columns (drops 'deleted'),
+        # so split tombstones from upserts first
+        filled = batch_df.fillna(False, subset=["deleted"])
+        touched = ingest_documents(filled.drop("deleted")).select("doc_id")
+        upserts = ingest_documents(filled.filter(~F.col("deleted")).drop("deleted"))
+        new_triples = fused_triples(
+            upserts, lex_bc, class_map, class_names,
+            text_col="content", tokenizer_mode=tokenizer_mode,
+        )
+        store.update_triples(new_triples, touched)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 # ---------------------------------------------------------------------------
