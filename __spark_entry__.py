@@ -685,6 +685,30 @@ def q_rel_agg_pricing(spark, sf_dir):
     )
 
 
+def q_entity_link_fuzzy(spark, sf_dir):
+    """Fuzzy entity linking (extras/entity_linking.py): every word 1/2-gram
+    of the corpus linked to its best LEXICON concept by idf-weighted
+    char-3-gram Jaccard (integer micro-nat idf fit once in Python, BIGINT
+    sums, one integer DIV — hash-exact vs the DuckDB replay).  Exercises
+    grams→broadcast-idf join→single per-mention agg→postings equi-join→
+    sorted-slice top-k.  Takes the slot of rel_join_nations, whose shape
+    (broadcast dim equi-joins into a fact agg) is exercised by every kg_*
+    row (mention→lexicon broadcast joins) and by rel_agg_pricing's agg."""
+    from trove_spark import synth
+    from trove_spark.extras.entity_linking import (
+        build_alias_index,
+        link_topk,
+        word_ngram_mentions,
+    )
+
+    alias_rows = [(cui, term) for _sab, _tui, cui, term in synth.LEXICON]
+    idx = build_alias_index(spark, alias_rows)
+    mentions = word_ngram_mentions(_docs(spark, sf_dir))
+    return link_topk(
+        spark, mentions, idx, k=1, min_sim_micro=300_000, broadcast_postings=True
+    )
+
+
 def q_rel_join_nations(spark, sf_dir):
     """Multi-way join with BROADCAST dims (customer/nation) into fact agg."""
     o = _t(spark, sf_dir, "orders")
@@ -1142,7 +1166,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_negex": q_tag_negex,
         "kg_unipolar": q_kg_unipolar,
         "rel_agg_pricing": q_rel_agg_pricing,
-        "rel_join_nations": q_rel_join_nations,
+        # slot swapped r5: rel_join_nations' shape (broadcast dim joins +
+        # fact agg) is exercised by every kg_* row; entity_link_fuzzy adds
+        # a previously-unchecked operator (fuzzy linking).
+        "entity_link_fuzzy": q_entity_link_fuzzy,
         "rel_asof_join": q_rel_asof_join,
         "rel_anti_join": q_rel_anti_join,
         "rel_semi_join": q_rel_semi_join,

@@ -57,6 +57,7 @@ HEADLINE = [
     "lm_perplexity",  # r5: CCNet perplexity scorer (broadcast LM, codegen)
     "bm25_topk",  # r5: native BM25 retrieval (map-only scoring, TakeOrdered)
     "dedup_semantic",  # r5: SemDeDup (k-means + per-cluster BLAS kernel)
+    "entity_link_fuzzy",  # r5: QuickUMLS-style char-gram concept linking
 ]
 
 

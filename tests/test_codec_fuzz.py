@@ -30,6 +30,7 @@ def _img(h=9, w=7, seed=1):
 BASE_BLOBS = [
     encode_bmp(_img()),
     encode_png(_img(), filter_type=4),
+    encode_png(_img(), filter_type=2, interlace=True),  # Adam7 offset math
     encode_gif(_img()),
     encode_jpeg(_img(), 80, "420"),
 ]

@@ -1,0 +1,131 @@
+"""Fuzzy entity linking (extras/entity_linking.py) — semantics, the
+Spark↔Python gram twin, index-build equivalence, top-k determinism, and
+the DuckDB hash-exact oracle replay."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from trove_spark import synth
+from trove_spark.extras import entity_linking as el
+
+ALIASES = [(cui, term) for _sab, _tui, cui, term in synth.LEXICON]
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    return el.build_alias_index(spark, ALIASES)
+
+
+def _link(spark, index, mentions, **kw):
+    mdf = spark.createDataFrame([(m,) for m in mentions], schema="mention string")
+    rows = el.link_topk(spark, mdf, index, **kw).collect()
+    return {
+        m: sorted(
+            ((r["cui"], r["alias"], r["sim_micro"]) for r in rows if r["mention"] == m),
+            key=lambda t: (-t[2], t[0], t[1]),
+        )
+        for m in mentions
+    }
+
+
+def test_gram_twin_matches_spark(spark):
+    cases = ["Sort  Merge   Join", "a", "", "hash", "SQL", "  padded  "]
+    df = spark.createDataFrame([(s,) for s in cases], schema="s string")
+    got = {
+        r["s"]: set(r["g"])
+        for r in df.select("s", el.padded_gram_col(F.col("s")).alias("g")).collect()
+    }
+    for s in cases:
+        assert got[s] == el.py_grams(s), s
+
+
+def test_exact_alias_is_perfect_score(spark, index):
+    out = _link(spark, index, ["hash join", "vector"], k=1)
+    assert out["hash join"][0] == ("C0001", "hash join", el.MICRO)
+    assert out["vector"][0] == ("C0104", "vector", el.MICRO)
+
+
+def test_fuzzy_variants_link(spark, index):
+    out = _link(spark, index, ["part", "sorting", "merge joins"], k=1)
+    # plural alias 'parts' is the nearest concept for singular 'part'
+    assert out["part"][0][:2] == ("C0206", "parts")
+    assert out["sorting"][0][:2] == ("C0003", "sort")
+    assert out["merge joins"][0][:2] == ("C0002", "merge join")
+    for m in out:
+        assert 0 < out[m][0][2] < el.MICRO
+
+
+def test_ambiguous_alias_tie_breaks_by_cui(spark, index):
+    # 'stream' is an alias of BOTH C0107 and C0301 with identical grams —
+    # identical scores, deterministic smallest-cui winner.
+    out = _link(spark, index, ["stream"], k=2)
+    assert [c for c, _a, _s in out["stream"][:2]] == ["C0107", "C0301"]
+    assert out["stream"][0][2] == out["stream"][1][2] == el.MICRO
+
+
+def test_topk_and_threshold(spark, index):
+    out = _link(spark, index, ["sort merge"], k=3, min_sim_micro=200_000)
+    cands = out["sort merge"]
+    assert 1 < len(cands) <= 3
+    assert all(s >= 200_000 for _c, _a, s in cands)
+    sims = [s for _c, _a, s in cands]
+    assert sims == sorted(sims, reverse=True)
+    # 'sort merge join' (substring superset) must be among the top hits
+    assert "C0204" in {c for c, _a, _s in cands}
+
+
+def test_no_candidates_for_alien_strings(spark, index):
+    out = _link(spark, index, ["zzzqqq"], k=1, min_sim_micro=300_000)
+    assert out["zzzqqq"] == []
+
+
+def test_dataframe_index_build_matches_list_build(spark, index):
+    adf = spark.createDataFrame(ALIASES, schema="cui string, term string")
+    idx2 = el.build_alias_index(spark, adf)
+    assert idx2.idf_micro == index.idf_micro
+    assert idx2.unseen_micro == index.unseen_micro
+    assert idx2.n_aliases == index.n_aliases
+    p1 = sorted(map(tuple, index.postings.collect()))
+    p2 = sorted(map(tuple, idx2.postings.collect()))
+    assert p1 == p2
+
+
+def test_max_gram_df_cap_prunes_postings(spark):
+    idx = el.build_alias_index(spark, ALIASES, max_gram_df=1)
+    _idf, df, _unseen = el.fit_gram_idf(ALIASES)
+    assert set(idx.idf_micro) == {g for g, d in df.items() if d <= 1}
+    grams = {r["gram"] for r in idx.postings.select("gram").distinct().collect()}
+    assert grams <= set(idx.idf_micro)
+
+
+def test_oracle_parity_on_corpus_mentions(spark):
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = el.build_alias_index(spark, ALIASES)
+    res = el.link_topk(
+        spark,
+        el.word_ngram_mentions(docs),
+        idx,
+        k=2,
+        min_sim_micro=250_000,
+        broadcast_postings=True,
+    )
+    srows = sorted(map(tuple, res.collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    sql = el.linking_oracle_sql(
+        ALIASES, el.word_ngram_mentions_sql(), k=2, min_sim_micro=250_000
+    )
+    drows = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert srows == drows and len(srows) > 0
+
+
+def test_plan_has_no_window_and_broadcasts_idf(spark, index):
+    mdf = spark.createDataFrame([("merge joins",)], schema="mention string")
+    plan = el.link_topk(spark, mdf, index, k=1)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan

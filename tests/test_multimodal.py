@@ -224,6 +224,20 @@ def test_png_roundtrip_all_filters():
         assert out.shape == arr.shape and np.array_equal(out, arr), ft
 
 
+def test_png_adam7_roundtrip_all_filters_and_sizes():
+    import numpy as np
+
+    from trove_spark.extras.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(23)
+    # sizes chosen so some Adam7 passes are empty or partial
+    for h, w in [(1, 1), (2, 3), (7, 7), (8, 8), (9, 10), (1, 9), (9, 1)]:
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for ft in range(5):
+            out = decode_png(encode_png(arr, filter_type=ft, interlace=True))
+            assert out.shape == arr.shape and np.array_equal(out, arr), (h, w, ft)
+
+
 def _png_chunks(w, h, ctype, raw, plte=None):
     import struct
     import zlib
@@ -269,9 +283,14 @@ def test_png_rejects_unsupported_and_truncated():
     from trove_spark.extras.multimodal import decode_png, encode_png
 
     blob = bytearray(encode_png(np.zeros((2, 2, 3), np.uint8)))
+    # flag flipped to Adam7 without re-laying-out the passes: the stream
+    # is now SHORTER than the 7-pass layout needs → truncation error
     interlaced = bytes(blob[:28]) + b"\x01" + bytes(blob[29:])
-    with _pytest.raises(NotImplementedError, match="interlace"):
+    with _pytest.raises(ValueError, match="truncated"):
         decode_png(interlaced)
+    bad_method = bytes(blob[:28]) + b"\x02" + bytes(blob[29:])
+    with _pytest.raises(ValueError, match="interlace"):
+        decode_png(bad_method)
     depth16 = bytes(blob[:24]) + b"\x10" + bytes(blob[25:])
     with _pytest.raises(NotImplementedError, match="depth"):
         decode_png(depth16)

@@ -1,0 +1,390 @@
+"""Fuzzy entity linking / normalization: ground noisy mention strings to
+ontology concepts by approximate string match over a distributed alias
+index (the QuickUMLS / SimString shape — Soldaini & Goharian 2016,
+Okazaki & Tsujii 2010).
+
+The reference grounds mentions only by EXACT dictionary hit (its
+ontology LFs key on the matched term itself — reference
+labelers/umls.py term→CUI maps); `kg_linked` re-expresses that path.
+This module adds what a KG-construction user needs next: linking
+surface forms that are *not* verbatim aliases (plurals, typos, word
+variants) to their nearest concept.
+
+Algorithm (all public): represent every normalized string as the SET of
+its boundary-padded character 3-grams; score mention↔alias pairs with
+idf-weighted Jaccard similarity
+
+    sim(m, a) = Σ_{g ∈ m∩a} idf(g) / ( Σ_{g∈m} idf(g) + Σ_{g∈a} idf(g)
+                                       − Σ_{g∈m∩a} idf(g) )
+
+and keep the top-k aliases per mention above a threshold.  Candidate
+generation is an inverted index: gram → postings of (concept, alias).
+
+100-TB design notes
+-------------------
+* **The gram-idf table is alphabet-bounded, not corpus-bounded**: there
+  are at most |Σ|³ distinct character 3-grams, so collecting the gram
+  document-frequency table to the driver and shipping integer idf
+  weights back as a broadcast join is safe at ANY alias-table scale —
+  the same boundedness argument as BPE's capped histogram.
+* The postings table is built once and reused across queries;
+  ``max_gram_df`` drops stopword-grams whose posting lists explode
+  candidate fan-out while carrying the least idf (the
+  ``max_shingle_freq`` skew defense from minhash dedup).
+* Linking is ONE pass over the mention side: grams → broadcast idf
+  join → a single per-mention aggregation that computes the mention
+  norm AND re-emits the gram list (bounded collect_list — the voting
+  collect-of-structs trick, never a window over per-mention keys) →
+  the gram equi-join against postings → one (mention, concept, alias)
+  aggregation → a sorted-slice top-k reduction.  No self-joins, no
+  windows, no driver loops.
+
+Cross-engine exactness (the bm25/ngram_lm tier): every idf is computed
+ONCE in Python at index-build time and shipped as integer micro-nat
+literals, so both engines do pure BIGINT sums; the only division is a
+single integer ``DIV`` per candidate, identical in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__ref__ = (
+    "no reference counterpart (approximate-linking extension of the "
+    "reference's exact-match grounding, labelers/umls.py)"
+)
+
+MICRO = 1_000_000
+
+# Oracle-side gram positions come from a bounded range table; strings
+# longer than this would silently truncate their gram set (driver
+# mentions are words/bigrams, aliases are short terms — far below it).
+_MAX_PADDED_LEN = 2000
+
+
+# ---------------------------------------------------------------------------
+# char n-grams (same shape as a Spark expression and as DuckDB SQL)
+# ---------------------------------------------------------------------------
+
+
+def _norm_expr(col):
+    """lower + trim + collapse internal whitespace — applied to aliases
+    and mentions alike before gram extraction."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def padded_gram_col(col, n: int = 3):
+    """DISTINCT boundary-padded char n-grams of a normalized string, as a
+    pure column expression (no UDF).  The padded string is bound to a
+    local name before the HOF lambda references it (lambdas re-evaluate
+    unbound expressions per element), and ``Column.substr`` is used for
+    the column-valued slice (the literal-only ``F.substring`` gotcha)."""
+    s2 = F.concat(F.lit("#"), _norm_expr(col), F.lit("#"))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(s2) - (n - 1)),
+            lambda i: s2.substr(i, F.lit(n)),
+        )
+    )
+    # F.sequence(1, x) DESCENDS when x < 1 — guard short strings to an
+    # empty gram set ('##' happens only for the empty mention).
+    return F.when(F.length(s2) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _py_norm(s: str) -> str:
+    return " ".join(s.lower().strip().split())
+
+
+def py_grams(s: str, n: int = 3) -> set[str]:
+    """Driver-side twin of :func:`padded_gram_col` (index fit + tests)."""
+    s2 = "#" + _py_norm(s) + "#"
+    if len(s2) < n:
+        return set()
+    return {s2[i : i + n] for i in range(len(s2) - n + 1)}
+
+
+# ---------------------------------------------------------------------------
+# index build
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class AliasIndex:
+    """Materialized linking index: gram postings + driver idf table."""
+
+    postings: DataFrame  # (gram, w_gram, cui, alias, wa) — distinct per alias
+    idf_micro: dict[str, int]  # gram → integer micro-nat idf (alphabet-bounded)
+    unseen_micro: int  # idf assigned to grams absent from every alias
+    n: int  # gram width
+    n_aliases: int  # distinct normalized alias strings
+
+
+def fit_gram_idf(
+    alias_rows: list[tuple[str, str]], n: int = 3
+) -> tuple[dict[str, int], dict[str, int], int]:
+    """Pure-Python idf fit over (cui, term) alias rows.
+
+    df counts DISTINCT normalized alias strings containing the gram;
+    idf = ln(1 + N/df) in integer micro-nats; unseen grams get the
+    df→0.5 ceiling.  Deterministic — the Spark plan and the DuckDB
+    oracle consume these exact integers.  Returns (idf, df, unseen)."""
+    terms = sorted({_py_norm(t) for _, t in alias_rows})
+    df: dict[str, int] = {}
+    for t in terms:
+        for g in py_grams(t, n):
+            df[g] = df.get(g, 0) + 1
+    n_alias = len(terms)
+    idf = {
+        g: int(round(math.log(1.0 + n_alias / d) * MICRO)) for g, d in df.items()
+    }
+    unseen = int(round(math.log(1.0 + n_alias / 0.5) * MICRO))
+    return idf, df, unseen
+
+
+def build_alias_index(
+    spark: SparkSession,
+    aliases: DataFrame | list[tuple[str, str]],
+    n: int = 3,
+    max_gram_df: int | None = None,
+) -> AliasIndex:
+    """Build the inverted gram index from (cui, term) alias rows.
+
+    For a driver list (bounded lexicons, the oracle path) the idf fit is
+    pure Python.  For a DataFrame at terminology scale the gram df table
+    is aggregated distributed and ONLY the (alphabet-bounded) gram rows
+    are collected — never the aliases themselves."""
+    if isinstance(aliases, DataFrame):
+        norm = (
+            aliases.select(F.col("cui"), _norm_expr(F.col("term")).alias("alias"))
+            .distinct()
+        )
+        exploded = norm.select(
+            "cui", "alias", F.explode(padded_gram_col(F.col("alias"), n)).alias("gram")
+        )
+        df_rows = (
+            exploded.select("alias", "gram")
+            .distinct()
+            .groupBy("gram")
+            .count()
+            .collect()
+        )
+        n_alias = norm.select("alias").distinct().count()
+        df = {r["gram"]: int(r["count"]) for r in df_rows}
+        idf = {
+            g: int(round(math.log(1.0 + n_alias / d) * MICRO)) for g, d in df.items()
+        }
+        unseen = int(round(math.log(1.0 + n_alias / 0.5) * MICRO))
+        alias_df = aliases
+    else:
+        idf, df, unseen = fit_gram_idf(list(aliases), n)
+        n_alias = len({_py_norm(t) for _, t in aliases})
+        alias_df = spark.createDataFrame(
+            sorted(set(aliases)), schema="cui string, term string"
+        )
+    if max_gram_df is not None:
+        idf = {g: w for g, w in idf.items() if df[g] <= max_gram_df}
+    idf_df = spark.createDataFrame(
+        sorted(idf.items()), schema="gram string, w_gram long"
+    )
+    base = (
+        alias_df.select(F.col("cui"), _norm_expr(F.col("term")).alias("alias"))
+        .distinct()
+        .select("cui", "alias", F.explode(padded_gram_col(F.col("alias"), n)).alias("gram"))
+        .join(F.broadcast(idf_df), "gram")
+    )
+    wa = base.groupBy("cui", "alias").agg(F.sum("w_gram").alias("wa"))
+    postings = base.join(wa, ["cui", "alias"]).select(
+        "gram", "w_gram", "cui", "alias", "wa"
+    )
+    return AliasIndex(
+        postings=postings, idf_micro=idf, unseen_micro=unseen, n=n, n_aliases=n_alias
+    )
+
+
+# ---------------------------------------------------------------------------
+# linking
+# ---------------------------------------------------------------------------
+
+
+def link_topk(
+    spark: SparkSession,
+    mentions: DataFrame,
+    index: AliasIndex,
+    k: int = 1,
+    min_sim_micro: int = 0,
+    mention_col: str = "mention",
+    broadcast_postings: bool = False,
+) -> DataFrame:
+    """Rank concept candidates per mention by idf-weighted Jaccard over
+    char n-grams; returns (mention, cui, alias, sim_micro) top-k rows.
+
+    Ties are deterministic: sim descending, then cui, then alias."""
+    idf_df = spark.createDataFrame(
+        sorted(index.idf_micro.items()), schema="gram string, w_m long"
+    )
+    m = (
+        mentions.select(F.col(mention_col).alias("mention"))
+        .distinct()
+        .select(
+            "mention",
+            F.explode(padded_gram_col(F.col("mention"), index.n)).alias("gram"),
+        )
+        .join(F.broadcast(idf_df), "gram", "left")
+        .withColumn("w_m", F.coalesce(F.col("w_m"), F.lit(index.unseen_micro)))
+    )
+    # ONE aggregation yields the mention norm AND re-emits the gram list,
+    # so the norm does not re-scan the mention lineage (gram sets are
+    # bounded per mention — collect-of-structs, never a window).
+    mg = m.groupBy("mention").agg(
+        F.sum("w_m").alias("wm"),
+        F.collect_list("gram").alias("grams"),
+    )
+    me = mg.select("mention", "wm", F.explode("grams").alias("gram"))
+    post = F.broadcast(index.postings) if broadcast_postings else index.postings
+    cand = (
+        me.join(post, "gram")
+        .groupBy("mention", "wm", "cui", "alias", "wa")
+        .agg(F.sum("w_gram").alias("shared"))
+        .withColumn("sim_micro", F.expr(f"({MICRO} * shared) DIV (wm + wa - shared)"))
+        .filter(F.col("sim_micro") >= F.lit(min_sim_micro))
+    )
+    return (
+        cand.select(
+            "mention",
+            F.struct(
+                (-F.col("sim_micro")).alias("ns"),
+                F.col("cui"),
+                F.col("alias"),
+                F.col("sim_micro"),
+            ).alias("c"),
+        )
+        .groupBy("mention")
+        .agg(F.slice(F.sort_array(F.collect_list("c")), 1, k).alias("top"))
+        .select("mention", F.explode("top").alias("c"))
+        .select(
+            "mention",
+            F.col("c.cui").alias("cui"),
+            F.col("c.alias").alias("alias"),
+            F.col("c.sim_micro").alias("sim_micro"),
+        )
+    )
+
+
+def word_ngram_mentions(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct word 1- and 2-grams of a corpus as a mention table — the
+    linker's stress input when no span detector ran (every surface form
+    in the corpus, including ones no alias matches exactly).  Pure
+    column expressions; the word array is bound before the HOF lambda
+    references it."""
+    ws = docs.select(F.split(F.col(text_col), " ").alias("ws"))
+    w = F.col("ws")
+    uni = ws.select(F.explode(w).alias("mention"))
+    bi = ws.select(
+        F.explode(
+            F.when(
+                F.size(w) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - 1),
+                    lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("mention")
+    )
+    return uni.union(bi).distinct()
+
+
+def word_ngram_mentions_sql(max_words: int = 500) -> str:
+    """DuckDB twin of :func:`word_ngram_mentions` (selects `mention`)."""
+    return f"""
+SELECT w AS mention FROM (SELECT unnest(split(text, ' ')) AS w FROM documents) t
+UNION
+SELECT ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT)+1] AS mention
+FROM (SELECT split(text, ' ') AS ws FROM documents) d,
+     (SELECT unnest(range(1, {max_words})) AS i) ix
+WHERE i < len(ws)
+"""
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle (hash-exact: shared integer idf literals, BIGINT sums,
+# one integer division — identical arithmetic on both engines)
+# ---------------------------------------------------------------------------
+
+
+def _gram_positions_sql() -> str:
+    """Bounded 1..N position table (DuckDB unnest(range) needs a named
+    subquery alias)."""
+    return f"(SELECT unnest(range(1, {_MAX_PADDED_LEN})) AS i) ix"
+
+
+def linking_oracle_sql(
+    alias_rows: list[tuple[str, str]],
+    mentions_sql: str,
+    k: int = 1,
+    min_sim_micro: int = 0,
+    n: int = 3,
+) -> str:
+    """DuckDB replay of :func:`link_topk` over a bounded alias table.
+    ``mentions_sql`` must select a column named ``mention``."""
+    idf, _df, unseen = fit_gram_idf(alias_rows, n)
+    idf_values = ",".join(f"('{g}', {w})" for g, w in sorted(idf.items()))
+    aliases = sorted({(c, _py_norm(t)) for c, t in alias_rows})
+    alias_values = ",".join(f"('{c}', '{t}')" for c, t in aliases)
+    pos = _gram_positions_sql()
+    return f"""
+WITH idfv AS (SELECT * FROM (VALUES {idf_values}) AS v(gram, w_gram)),
+mset AS (SELECT DISTINCT mention FROM ({mentions_sql}) src),
+mpad AS (SELECT mention,
+                '#' || regexp_replace(lower(trim(mention)), '\\s+', ' ', 'g') || '#' AS p
+         FROM mset),
+mgram AS (
+  SELECT DISTINCT mention, substr(p, CAST(i AS INT), {n}) AS gram
+  FROM mpad, {pos}
+  WHERE i <= length(p) - {n - 1} AND length(p) >= {n}
+),
+mw AS (
+  SELECT mg.mention, mg.gram, COALESCE(idfv.w_gram, {unseen}) AS w_m
+  FROM mgram mg LEFT JOIN idfv ON mg.gram = idfv.gram
+),
+mnorm AS (SELECT mention, SUM(w_m) AS wm FROM mw GROUP BY 1),
+al AS (SELECT * FROM (VALUES {alias_values}) AS a(cui, alias)),
+apad AS (SELECT cui, alias, '#' || alias || '#' AS p FROM al),
+agram AS (
+  SELECT DISTINCT cui, alias, substr(p, CAST(i AS INT), {n}) AS gram
+  FROM apad, {pos}
+  WHERE i <= length(p) - {n - 1} AND length(p) >= {n}
+),
+aw AS (
+  SELECT ag.cui, ag.alias, ag.gram, idfv.w_gram
+  FROM agram ag JOIN idfv ON ag.gram = idfv.gram
+),
+anorm AS (SELECT cui, alias, SUM(w_gram) AS wa FROM aw GROUP BY 1, 2),
+cand AS (
+  SELECT mw.mention, mn.wm, aw.cui, aw.alias, an.wa, SUM(aw.w_gram) AS shared
+  FROM mw
+  JOIN aw ON mw.gram = aw.gram
+  JOIN mnorm mn ON mn.mention = mw.mention
+  JOIN anorm an ON an.cui = aw.cui AND an.alias = aw.alias
+  GROUP BY 1, 2, 3, 4, 5
+),
+scored AS (
+  SELECT mention, cui, alias,
+         ({MICRO} * shared) // (wm + wa - shared) AS sim_micro
+  FROM cand
+),
+ranked AS (
+  SELECT mention, cui, alias, sim_micro,
+         row_number() OVER (
+           PARTITION BY mention ORDER BY sim_micro DESC, cui, alias
+         ) AS rk
+  FROM scored
+  WHERE sim_micro >= {min_sim_micro}
+)
+SELECT mention, cui, alias, CAST(sim_micro AS BIGINT) AS sim_micro
+FROM ranked WHERE rk <= {k}
+"""

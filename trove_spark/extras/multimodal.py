@@ -561,6 +561,56 @@ def encode_bmp(arr: "np.ndarray") -> bytes:
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+# Adam7 interlace passes: (x0, y0, dx, dy) — pass p covers pixels
+# (x0 + i·dx, y0 + j·dy); each non-empty pass is an independently
+# filtered sub-image in the deflate stream (PNG spec §8.2).
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(raw: "np.ndarray", h: int, stride: int, bpp: int) -> "np.ndarray":
+    """Reverse the five PNG row filters over (h, stride+1) raw scanline
+    bytes (leading filter-type byte per row) → (h, stride) uint8."""
+    import numpy as np
+
+    raw = raw.reshape(h, stride + 1)
+    ftypes, rows = raw[:, 0], raw[:, 1:].astype(np.int32)
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f, line = int(ftypes[y]), rows[y].copy()
+        if f == 0:
+            pass
+        elif f == 1:  # sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif f == 2:  # up
+            line = (line + prior) & 0xFF
+        elif f == 3:  # average
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((a + prior[x]) >> 1)) & 0xFF
+        elif f == 4:  # paeth
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                b, c = prior[x], (prior[x - bpp] if x >= bpp else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[x] = (line[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        recon[y] = line
+        prior = line
+    return recon
+
 
 def decode_png(blob: bytes) -> "np.ndarray":
     """REAL PNG pixel decode with NO codec library: PNG is zlib deflate
@@ -570,11 +620,13 @@ def decode_png(blob: bytes) -> "np.ndarray":
 
     Supports 8-bit depth, color types 0 (gray) / 2 (RGB) / 3 (palette) /
     4 (gray+alpha) / 6 (RGBA), all five filter types (none/sub/up/
-    average/paeth), non-interlaced.  Returns (H, W, 3) uint8 RGB (gray
-    replicated, alpha dropped, palette resolved) — same contract as
-    :func:`decode_bmp`.  Raises NotImplementedError for 16-bit /
-    sub-byte depths and Adam7 interlace, ValueError for non-PNG or
-    truncated bytes."""
+    average/paeth), both non-interlaced and Adam7-interlaced streams
+    (each of the 7 passes is an independently filtered sub-image,
+    scattered back on the (x0+i·dx, y0+j·dy) grid).  Returns (H, W, 3)
+    uint8 RGB (gray replicated, alpha dropped, palette resolved) — same
+    contract as :func:`decode_bmp`.  Raises NotImplementedError for
+    16-bit / sub-byte depths, ValueError for non-PNG or truncated
+    bytes."""
     import struct
     import zlib
 
@@ -604,51 +656,43 @@ def decode_png(blob: bytes) -> "np.ndarray":
     w, h, depth, ctype, comp, filt, interlace = ihdr
     if comp or filt:
         raise ValueError(f"bad PNG compression/filter method {comp}/{filt}")
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG unsupported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if depth != 8:
         raise NotImplementedError(f"PNG bit depth {depth} unsupported")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"bad PNG color type {ctype}")
+    if w == 0 or h == 0:
+        raise ValueError("zero-dimension PNG")
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:  # corrupt deflate stream → quarantine, not crash
         raise ValueError(f"corrupt PNG deflate stream: {e}") from e
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
-        raise ValueError("truncated PNG pixel data")
-    raw = np.frombuffer(raw, np.uint8)[: h * (stride + 1)].reshape(h, stride + 1)
-    ftypes, rows = raw[:, 0], raw[:, 1:].astype(np.int32)
-    recon = np.zeros((h, stride), dtype=np.uint8)
-    prior = np.zeros(stride, dtype=np.int32)
+    raw = np.frombuffer(raw, np.uint8)
     bpp = channels
-    for y in range(h):
-        f, line = int(ftypes[y]), rows[y].copy()
-        if f == 0:
-            pass
-        elif f == 1:  # sub
-            for x in range(bpp, stride):
-                line[x] = (line[x] + line[x - bpp]) & 0xFF
-        elif f == 2:  # up
-            line = (line + prior) & 0xFF
-        elif f == 3:  # average
-            for x in range(stride):
-                a = line[x - bpp] if x >= bpp else 0
-                line[x] = (line[x] + ((a + prior[x]) >> 1)) & 0xFF
-        elif f == 4:  # paeth
-            for x in range(stride):
-                a = line[x - bpp] if x >= bpp else 0
-                b, c = prior[x], (prior[x - bpp] if x >= bpp else 0)
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                line[x] = (line[x] + pr) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {f}")
-        recon[y] = line
-        prior = line
-    img = recon.reshape(h, w, channels)
+    if interlace == 0:
+        stride = w * channels
+        if len(raw) < h * (stride + 1):
+            raise ValueError("truncated PNG pixel data")
+        img = _png_unfilter(raw[: h * (stride + 1)], h, stride, bpp).reshape(
+            h, w, channels
+        )
+    else:  # Adam7: 7 independently filtered sub-images, scattered back
+        img = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # pass empty at this image size
+            pstride = pw * channels
+            need = ph * (pstride + 1)
+            if off + need > len(raw):
+                raise ValueError("truncated PNG pixel data (interlaced)")
+            sub = _png_unfilter(raw[off : off + need], ph, pstride, bpp)
+            off += need
+            img[y0::dy, x0::dx, :] = sub.reshape(ph, pw, channels)
     if ctype == 0:
         return np.repeat(img, 3, axis=2)
     if ctype == 2:
@@ -665,23 +709,15 @@ def decode_png(blob: bytes) -> "np.ndarray":
     return img[:, :, :3].copy()  # RGBA → drop alpha
 
 
-def encode_png(arr: "np.ndarray", filter_type: int = 0) -> bytes:
-    """(H, W, 3) uint8 RGB → non-interlaced 8-bit truecolor PNG bytes
-    using stdlib zlib — the inverse of :func:`decode_png`, with the row
-    filter selectable so round-trip tests cover all five filter types."""
-    import struct
-    import zlib
-
+def _png_filter_rows(flat: "np.ndarray", bpp: int, filter_type: int) -> bytes:
+    """Apply one PNG row filter over (h, stride) int32 samples →
+    filtered scanline bytes (filter-type byte prefix per row)."""
     import numpy as np
 
-    if filter_type not in (0, 1, 2, 3, 4):
-        raise ValueError(f"bad PNG filter type {filter_type}")
-    H, W = arr.shape[0], arr.shape[1]
-    flat = arr.astype(np.int32).reshape(H, W * 3)
-    bpp = 3
-    prior = np.zeros(W * 3, dtype=np.int32)
+    h, stride = flat.shape
+    prior = np.zeros(stride, dtype=np.int32)
     parts = []
-    for y in range(H):
+    for y in range(h):
         line = flat[y]
         left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
         if filter_type == 0:
@@ -700,7 +736,44 @@ def encode_png(arr: "np.ndarray", filter_type: int = 0) -> bytes:
             f = (line - pr) & 0xFF
         parts.append(bytes([filter_type]) + f.astype(np.uint8).tobytes())
         prior = line
-    raw = zlib.compress(b"".join(parts))
+    return b"".join(parts)
+
+
+def encode_png(
+    arr: "np.ndarray", filter_type: int = 0, interlace: bool = False
+) -> bytes:
+    """(H, W, 3) uint8 RGB → 8-bit truecolor PNG bytes using stdlib
+    zlib — the inverse of :func:`decode_png`, with the row filter
+    selectable so round-trip tests cover all five filter types, and
+    optional Adam7 interlacing (each of the 7 passes filtered as its
+    own sub-image, per spec)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"bad PNG filter type {filter_type}")
+    H, W = arr.shape[0], arr.shape[1]
+    bpp = 3
+    if not interlace:
+        raw = _png_filter_rows(arr.astype(np.int32).reshape(H, W * 3), bpp, filter_type)
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx, :]
+            ph, pw = sub.shape[0], sub.shape[1]
+            if ph == 0 or pw == 0:
+                continue
+            parts.append(
+                _png_filter_rows(
+                    np.ascontiguousarray(sub).astype(np.int32).reshape(ph, pw * 3),
+                    bpp,
+                    filter_type,
+                )
+            )
+        raw = b"".join(parts)
+    raw = zlib.compress(raw)
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -708,7 +781,7 @@ def encode_png(arr: "np.ndarray", filter_type: int = 0) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", W, H, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", W, H, 8, 2, 0, 0, int(interlace))
     return PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw) + chunk(b"IEND", b"")
 
 

@@ -1639,10 +1639,27 @@ cand AS (
 )"""
 
 
+def _entity_link_sql(k: int = 1, min_sim_micro: int = 300_000) -> str:
+    """Fuzzy-linking replay: the SAME synth.LEXICON alias rows the Spark
+    side indexes, integer micro-nat idf literals fit once in Python
+    (extras/entity_linking.fit_gram_idf), BIGINT sums + one integer
+    division — hash-exact by construction."""
+    from trove_spark.extras.entity_linking import (
+        linking_oracle_sql,
+        word_ngram_mentions_sql,
+    )
+
+    alias_rows = [(cui, term) for _sab, _tui, cui, term in synth.LEXICON]
+    return linking_oracle_sql(
+        alias_rows, word_ngram_mentions_sql(), k=k, min_sim_micro=min_sim_micro
+    )
+
+
 def extras_oracles() -> dict[str, str]:
     h_sh = _H60.format(x="shingle || ':' || seed")
     h_w = _H60.format(x="w")
     return {
+        "entity_link_fuzzy": _entity_link_sql(k=1, min_sim_micro=300_000),
         "ann_lsh_topk": _ann_lsh_sql(dim=64, n_planes=6, k=5),
         "lm_perplexity": _lm_perplexity_sql(),
         "bm25_topk": _bm25_sql(),
