@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Fuzzy-entity-linking scale measurement (extras/entity_linking.py).
+
+`python scripts/linking_bench.py [cores] [n_aliases] [n_mentions] [tau_micro]`
+
+Pins itself to <cores> CPUs (the scaling_run.py protocol), synthesizes a
+WIDE-VOCAB terminology + mention load — the testdata documents' 31-word
+vocabulary is vacuous for vocabulary-sensitive code (CLAUDE.md), and a
+16-symbol hex alphabet collapses the char-3-gram space to ~5k buckets,
+quadrupling candidate fan-out vs real text; words here are md5→base-36
+strings remapped to a 26-letter alphabet — and times the two production
+paths:
+
+  * index build — gram df agg (alphabet-bounded collect) + postings with
+    canonical tail weights
+  * link_topk   — shuffle-join path (broadcast_postings=False), i.e. the
+    100-TB plan where the postings table is too big to broadcast, with
+    the Vernica-style prefix filter + length filter active at tau.
+
+Mentions are aliases with a deterministic one-char deletion (the fuzzy
+path does real work: the exact-match fast path cannot answer), plus 10%
+never-matching noise.  Default tau = 0.7 — the production typo/variant
+grounding threshold (QuickUMLS-style); low tau over RANDOM short strings
+is inherently candidate-heavy (prefix filtering buys little when gram
+idf is near-uniform — measured and documented in BENCH.md).
+
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    cores = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    n_aliases = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    n_mentions = int(sys.argv[3]) if len(sys.argv) > 3 else 200_000
+    tau = int(sys.argv[4]) if len(sys.argv) > 4 else 700_000
+    try:
+        os.sched_setaffinity(0, set(range(cores)))
+    except (AttributeError, OSError):
+        pass
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from trove_spark.extras import entity_linking as el
+
+    spark = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(2 * cores))
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def word(col, salt: str, ln: int):
+        # md5 hex → base-36 → digits remapped: 26-letter-alphabet word
+        return F.translate(
+            F.lower(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, ln),
+                    16,
+                    36,
+                )
+            ),
+            "0123456789",
+            "ghijklmnop",
+        )
+
+    ali = spark.range(n_aliases).select(
+        F.concat(F.lit("C"), (F.col("id") / 2).cast("long").cast("string")).alias("cui"),
+        F.concat_ws(
+            " ",
+            word(F.col("id"), "a", 12),
+            F.when(F.col("id") % 3 != 0, word(F.col("id"), "b", 10)),
+            F.when(F.col("id") % 5 == 0, word(F.col("id"), "c", 8)),
+        ).alias("term"),
+    )
+    ali.write.mode("overwrite").parquet("/tmp/linking_bench/aliases")
+    aliases = spark.read.parquet("/tmp/linking_bench/aliases")
+
+    t0 = time.time()
+    idx = el.build_alias_index(spark, aliases)
+    n_post = idx.postings.count()  # materializes the persisted sets frame
+    build_sec = time.time() - t0
+    n_grams = len(idx.idf_micro)
+
+    # mentions: aliases with the 3rd char deleted (fuzzy, never exact) +
+    # 10% pure-noise strings
+    m = spark.range(n_mentions).select(
+        (F.col("id") % n_aliases).alias("aid"), F.col("id")
+    )
+    m = (
+        m.join(
+            aliases.withColumn("aid", F.expr("CAST(substr(cui, 2) AS LONG) * 2")),
+            "aid",
+        )
+        .select(
+            F.when(
+                F.col("id") % 10 == 9,
+                F.md5(F.concat(F.lit("noise"), F.col("id").cast("string"))),
+            )
+            .otherwise(F.concat(F.expr("substr(term, 1, 2)"), F.expr("substr(term, 4)")))
+            .alias("mention")
+        )
+    )
+    m.write.mode("overwrite").parquet("/tmp/linking_bench/mentions")
+    mentions = spark.read.parquet("/tmp/linking_bench/mentions")
+
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        res = el.link_topk(
+            spark, mentions, idx, k=1, min_sim_micro=tau, broadcast_postings=False
+        )
+        n_linked = res.count()
+        sec = time.time() - t0
+        res._mention_cache.unpersist()
+        best = sec if best is None else min(best, sec)
+    distinct_mentions = mentions.distinct().count()
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "n_aliases": n_aliases,
+                "n_mentions": n_mentions,
+                "distinct_mentions": distinct_mentions,
+                "tau_micro": tau,
+                "n_grams": n_grams,
+                "n_postings": n_post,
+                "index_build_sec": round(build_sec, 2),
+                "link_sec_best": round(best, 2),
+                "linked_rows": n_linked,
+                "mentions_per_sec": round(distinct_mentions / best, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

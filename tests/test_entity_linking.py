@@ -124,6 +124,24 @@ def test_oracle_parity_on_corpus_mentions(spark):
     assert srows == drows and len(srows) > 0
 
 
+def test_prefix_filter_is_result_preserving(spark, index):
+    # τ=0 runs the UNPRUNED join (every tail kept); thresholding its
+    # output client-side must equal the τ-pruned run exactly — the
+    # Vernica-style prefix filter may drop candidate *pairs*, never
+    # result rows.  Above-τ candidates sort before below-τ ones, so
+    # top-k commutes with the threshold.
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    mentions = el.word_ngram_mentions(docs)
+    tau = 350_000
+    full = el.link_topk(spark, mentions, index, k=3, min_sim_micro=0)
+    full_rows = sorted(
+        tuple(r) for r in full.collect() if r["sim_micro"] >= tau
+    )
+    pruned = el.link_topk(spark, mentions, index, k=3, min_sim_micro=tau)
+    pruned_rows = sorted(map(tuple, pruned.collect()))
+    assert pruned_rows == full_rows and len(pruned_rows) > 0
+
+
 def test_plan_has_no_window_and_broadcasts_idf(spark, index):
     mdf = spark.createDataFrame([("merge joins",)], schema="mention string")
     plan = el.link_topk(spark, mdf, index, k=1)._jdf.queryExecution().executedPlan().toString()

@@ -115,9 +115,12 @@ def py_grams(s: str, n: int = 3) -> set[str]:
 
 @dataclass
 class AliasIndex:
-    """Materialized linking index: gram postings + driver idf table."""
+    """Materialized linking index: prefix-filterable gram postings, the
+    per-alias gram sets (for candidate verification), and the driver idf
+    table."""
 
-    postings: DataFrame  # (gram, w_gram, cui, alias, wa) — distinct per alias
+    postings: DataFrame  # (gram, w_gram, tail_w, cui, alias, wa)
+    alias_sets: DataFrame  # (cui, alias, wa, agrams: array<string>)
     idf_micro: dict[str, int]  # gram → integer micro-nat idf (alphabet-bounded)
     unseen_micro: int  # idf assigned to grams absent from every alias
     n: int  # gram width
@@ -197,18 +200,123 @@ def build_alias_index(
         .select("cui", "alias", F.explode(padded_gram_col(F.col("alias"), n)).alias("gram"))
         .join(F.broadcast(idf_df), "gram")
     )
-    wa = base.groupBy("cui", "alias").agg(F.sum("w_gram").alias("wa"))
-    postings = base.join(wa, ["cui", "alias"]).select(
-        "gram", "w_gram", "cui", "alias", "wa"
+    # ONE aggregation per alias: total weight + the canonically-ordered
+    # gram list with tail-inclusive cumulative weights (rarest-first, so
+    # prefix filtering keeps short posting lists and drops common grams).
+    sets = (
+        base.groupBy("cui", "alias")
+        .agg(
+            F.sum("w_gram").alias("wa"),
+            F.collect_list(F.struct("gram", "w_gram")).alias("gws"),
+        )
+        .withColumn("sarr", _canon_sorted(F.col("gws")))
+        .withColumn("arr", _with_tails(F.col("sarr")))
+        .drop("gws", "sarr")
+        .persist()  # feeds postings AND alias_sets — one lineage execution
     )
-    return AliasIndex(
-        postings=postings, idf_micro=idf, unseen_micro=unseen, n=n, n_aliases=n_alias
+    alias_sets = sets.select(
+        "cui",
+        "alias",
+        "wa",
+        F.transform(F.col("arr"), lambda x: x["gram"]).alias("agrams"),
+    )
+    postings = sets.select(
+        "cui", "alias", "wa", F.explode("arr").alias("x")
+    ).select(
+        F.col("x.gram").alias("gram"),
+        F.col("x.w_gram").alias("w_gram"),
+        F.col("x.tail_w").alias("tail_w"),
+        "cui",
+        "alias",
+        "wa",
+    )
+    idx = AliasIndex(
+        postings=postings,
+        alias_sets=alias_sets,
+        idf_micro=idf,
+        unseen_micro=unseen,
+        n=n,
+        n_aliases=n_alias,
+    )
+    idx._sets_cache = sets  # one-row-per-alias frame backing both views
+    return idx
+
+
+def _canon_sorted(gws_col):
+    """array<struct<gram, w_gram>> → canonically sorted struct array:
+    weight DESC (≡ df ASC, rarest first), then gram ASC — the global
+    order that puts common grams into droppable suffixes."""
+    return F.sort_array(
+        F.transform(
+            gws_col,
+            lambda x: F.struct(
+                (-x["w_gram"]).alias("nw"),
+                x["gram"].alias("gram"),
+                x["w_gram"].alias("w_gram"),
+            ),
+        )
+    )
+
+
+def _with_tails(sorted_col):
+    """Sorted struct array → array<struct<gram, w_gram, tail_w>> with
+    tail-INCLUSIVE cumulative weights.  ``sorted_col`` MUST be a bound
+    column (HOF lambdas re-evaluate unbound expressions per element);
+    the O(k²) slice-sum runs over per-string gram sets (k ≤ a few
+    dozen) and stays JVM-side."""
+    return F.transform(
+        sorted_col,
+        lambda x, i: F.struct(
+            x["gram"].alias("gram"),
+            x["w_gram"].alias("w_gram"),
+            F.aggregate(
+                F.slice(sorted_col, i + 1, F.size(sorted_col) - i),
+                F.lit(0).cast("long"),
+                lambda acc, y: acc + y["w_gram"],
+            ).alias("tail_w"),
+        ),
     )
 
 
 # ---------------------------------------------------------------------------
 # linking
 # ---------------------------------------------------------------------------
+
+
+def _mention_sets(
+    spark: SparkSession,
+    mentions: DataFrame,
+    index: AliasIndex,
+    mention_col: str,
+) -> DataFrame:
+    """(mention, wm, gws sorted-with-tails) — ONE pass over the mention
+    side: grams → broadcast idf join → a single aggregation that yields
+    the norm AND the gram list (collect-of-structs, never a window)."""
+    idf_df = spark.createDataFrame(
+        sorted(index.idf_micro.items()), schema="gram string, w_gram long"
+    )
+    m = (
+        mentions.select(F.col(mention_col).alias("mention"))
+        .distinct()
+        .select(
+            "mention",
+            F.explode(padded_gram_col(F.col("mention"), index.n)).alias("gram"),
+        )
+        .join(F.broadcast(idf_df), "gram", "left")
+        .withColumn(
+            "w_gram", F.coalesce(F.col("w_gram"), F.lit(index.unseen_micro))
+        )
+    )
+    return (
+        m.groupBy("mention")
+        .agg(
+            F.sum("w_gram").alias("wm"),
+            F.collect_list(F.struct("gram", "w_gram")).alias("gws0"),
+        )
+        .withColumn("sarr", _canon_sorted(F.col("gws0")))
+        .withColumn("gws", _with_tails(F.col("sarr")))
+        .drop("gws0", "sarr")
+    )
 
 
 def link_topk(
@@ -222,39 +330,69 @@ def link_topk(
 ) -> DataFrame:
     """Rank concept candidates per mention by idf-weighted Jaccard over
     char n-grams; returns (mention, cui, alias, sim_micro) top-k rows.
+    Ties are deterministic: sim descending, then cui, then alias.
 
-    Ties are deterministic: sim descending, then cui, then alias."""
-    idf_df = spark.createDataFrame(
-        sorted(index.idf_micro.items()), schema="gram string, w_m long"
-    )
-    m = (
-        mentions.select(F.col(mention_col).alias("mention"))
-        .distinct()
-        .select(
-            "mention",
-            F.explode(padded_gram_col(F.col("mention"), index.n)).alias("gram"),
-        )
-        .join(F.broadcast(idf_df), "gram", "left")
-        .withColumn("w_m", F.coalesce(F.col("w_m"), F.lit(index.unseen_micro)))
-    )
-    # ONE aggregation yields the mention norm AND re-emits the gram list,
-    # so the norm does not re-scan the mention lineage (gram sets are
-    # bounded per mention — collect-of-structs, never a window).
-    mg = m.groupBy("mention").agg(
-        F.sum("w_m").alias("wm"),
-        F.collect_list("gram").alias("grams"),
-    )
-    me = mg.select("mention", "wm", F.explode("grams").alias("gram"))
-    post = F.broadcast(index.postings) if broadcast_postings else index.postings
+    The candidate join is PREFIX-FILTERED (Chaudhuri et al. SSJoin /
+    Vernica et al. 2010 distributed set-similarity join): a pair with
+    sim ≥ τ must share a gram inside BOTH sides' prefixes, where a
+    set's prefix is minimal under the global rarest-first order such
+    that the dropped tail t satisfies t·(M+τμ) < τμ·w_set — because if
+    every shared gram fell outside one of the prefixes,
+    shared ≤ t_m + t_a < τμ/(M+τμ)·(wm+wa), below the integer pass
+    condition shared·(M+τμ) ≥ τμ·(wm+wa).  The filter is therefore
+    RESULT-PRESERVING (tested against the naive join and the DuckDB
+    oracle, which replays the unfiltered semantics); with τ = 0 nothing
+    is pruned.  Common grams (heavy posting lists, low idf) land in the
+    dropped tails, so the equi-join touches rare grams — candidate
+    fan-out collapses while recall stays exact.  Verification then
+    computes the full intersection weight map-only from the two bounded
+    gram arrays — no second corpus-scale join."""
+    tau = int(min_sim_micro)
+    msets = _mention_sets(spark, mentions, index, mention_col).persist()
+    gws = F.col("gws")
+    mpref = msets.select(
+        "mention",
+        "wm",
+        F.explode(
+            F.filter(gws, lambda x: x["tail_w"] * (MICRO + tau) >= tau * F.col("wm"))
+        ).alias("x"),
+    ).select("mention", "wm", F.col("x.gram").alias("gram"))
+    post = index.postings.filter(
+        F.col("tail_w") * (MICRO + tau) >= tau * F.col("wa")
+    ).select("gram", "cui", "alias", "wa")
+    if broadcast_postings:
+        post = F.broadcast(post)
+    # length filter (exact): shared ≤ min(wm, wa), so even a full overlap
+    # cannot reach τ unless min(wm,wa)·(M+τμ) ≥ τμ·(wm+wa) — prunes
+    # weight-mismatched pairs at join time, before the pair dedup.
     cand = (
-        me.join(post, "gram")
-        .groupBy("mention", "wm", "cui", "alias", "wa")
-        .agg(F.sum("w_gram").alias("shared"))
-        .withColumn("sim_micro", F.expr(f"({MICRO} * shared) DIV (wm + wa - shared)"))
-        .filter(F.col("sim_micro") >= F.lit(min_sim_micro))
+        mpref.join(post, "gram")
+        .filter(
+            F.least(F.col("wm"), F.col("wa")) * (MICRO + tau)
+            >= tau * (F.col("wm") + F.col("wa"))
+        )
+        .select("mention", "cui", "alias")
+        .distinct()
     )
-    return (
-        cand.select(
+    aset = (
+        F.broadcast(index.alias_sets) if broadcast_postings else index.alias_sets
+    )
+    verified = (
+        cand.join(msets, "mention")
+        .join(aset, ["cui", "alias"])
+        .withColumn(
+            "shared",
+            F.aggregate(
+                F.filter(gws, lambda x: F.array_contains(F.col("agrams"), x["gram"])),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x["w_gram"],
+            ),
+        )
+        .withColumn("sim_micro", F.expr(f"({MICRO} * shared) DIV (wm + wa - shared)"))
+        .filter(F.col("sim_micro") >= F.lit(tau))
+    )
+    res = (
+        verified.select(
             "mention",
             F.struct(
                 (-F.col("sim_micro")).alias("ns"),
@@ -273,6 +411,11 @@ def link_topk(
             F.col("c.sim_micro").alias("sim_micro"),
         )
     )
+    # msets feeds the prefix explode AND the verification join — persisted
+    # above so the mention lineage runs once; caller unpersists after
+    # materializing (or lets LRU eviction reclaim it).
+    res._mention_cache = msets
+    return res
 
 
 def word_ngram_mentions(docs: DataFrame, text_col: str = "text") -> DataFrame:
