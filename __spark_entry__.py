@@ -766,8 +766,29 @@ def q_rel_asof_join(spark, sf_dir):
     )
 
 
+def q_corpus_collocations(spark, sf_dir):
+    """Collocation mining (extras/collocations.py): map-side windowed
+    pair enumeration (bounded HOF over each doc's word array — never a
+    token-table self-join), min-count prune, two broadcast unigram joins,
+    and the EXACT-integer PMI argument lift_micro = 1e6·n_ab·N DIV
+    (n_a·n_b) — hash-exact cross-engine where float PMI cannot be.
+    Slot yielded by rel_anti_join: the left-anti shape stays exercised
+    end-to-end by decontaminate() and ingest.diff_snapshots, both
+    DuckDB-parity pytest-covered (test_decontam_pii,
+    test_graph_incremental)."""
+    from trove_spark.extras import collocations as co
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # _colloc_cache stays persisted: it backs the pairs/unigram/total
+    # subtrees WITHIN the driver's single collect (unpersisting eagerly
+    # would cancel it and re-split the corpus three times); the driver
+    # process is short-lived, same as entity_link_fuzzy's mention cache.
+    return co.collocations(docs, window=3, min_count=5)
+
+
 def q_rel_anti_join(spark, sf_dir):
-    """Anti join: orders with no lineitems (non-empty at every sf)."""
+    """Anti join: orders with no lineitems (non-empty at every sf).
+    (Slot yielded to corpus_collocations — see its docstring.)"""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").select(
@@ -776,12 +797,30 @@ def q_rel_anti_join(spark, sf_dir):
 
 
 def q_rel_semi_join(spark, sf_dir):
-    """Semi join: parts that appear in lineitem."""
+    """Semi join: parts that appear in lineitem.  (Slot yielded to
+    corpus_heavy_hitters — the left-semi shape stays exercised end-to-end
+    by curate()'s keep-filter and dsir_select, both DuckDB-parity
+    pytest-covered in test_curate / test_dsir.)"""
     p = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem")
     return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select(
         F.col("p_partkey").cast("long").alias("p_partkey")
     )
+
+
+def q_corpus_heavy_hitters(spark, sf_dir):
+    """EXACT corpus heavy hitters — words with frequency > N/capacity —
+    via the two-pass plan in extras/sketches.py: per-partition
+    Misra-Gries candidate summaries (mapInPandas, ≤ partitions×capacity
+    rows shuffled) + broadcast-flag exact recount where every
+    non-candidate collapses into one NULL group.  The full-vocabulary
+    histogram is never shuffled; the output is exact and
+    partition-invariant (test_sketches).  Oracle replays the naive
+    GROUP BY/HAVING semantics."""
+    from trove_spark.extras import sketches as sk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sk.heavy_hitters_exact(docs, capacity=40)
 
 
 def q_rel_topk_parts(spark, sf_dir):
@@ -1171,8 +1210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a previously-unchecked operator (fuzzy linking).
         "entity_link_fuzzy": q_entity_link_fuzzy,
         "rel_asof_join": q_rel_asof_join,
-        "rel_anti_join": q_rel_anti_join,
-        "rel_semi_join": q_rel_semi_join,
+        "corpus_collocations": q_corpus_collocations,
+        "corpus_heavy_hitters": q_corpus_heavy_hitters,
         "bm25_topk": q_bm25_topk,
         "rel_set_ops": q_rel_set_ops,
         "rel_range_join": q_rel_range_join,
@@ -1210,8 +1249,13 @@ def oracle_sql() -> dict[str, str]:
     out.update(clinical_oracles())
     # every registered query is oracle-checked — including kg_label_model,
     # whose deterministic-replay EM is replayed iteration-by-iteration
+    from trove_spark.extras.collocations import collocations_oracle_sql
+    from trove_spark.extras.sketches import heavy_hitters_oracle_sql
+
     out.update({
         "kg_label_model": label_model_oracle_sql(n_iter=3),
+        "corpus_heavy_hitters": heavy_hitters_oracle_sql(capacity=40),
+        "corpus_collocations": collocations_oracle_sql(window=3, min_count=5),
         # sent_idx pinned to 0: the testdata corpus is single-sentence by
         # construction; a multi-sentence corpus turns these rows red
         # (detectable) instead of silently colliding token keys

@@ -1,0 +1,101 @@
+"""Collocation mining (extras/collocations.py): hand-derived fixture,
+DuckDB parity, and plan-shape checks."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import SparkSession, functions as F
+
+from trove_spark.extras import collocations as co
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("test_collocations")
+        .getOrCreate()
+    )
+    yield s
+
+
+def test_pair_enumeration_by_hand(spark):
+    docs = spark.createDataFrame(
+        [("a b c b",)], schema="text string"
+    )
+    got = {
+        (r["a"], r["b"]): r["n_ab"]
+        for r in co.cooccurrence_pairs(docs, window=2).collect()
+    }
+    # window=2: a→{b,c}, b→{c,b}, c→{b}
+    assert got == {
+        ("a", "b"): 1,
+        ("a", "c"): 1,
+        ("b", "c"): 1,
+        ("b", "b"): 1,
+        ("c", "b"): 1,
+    }
+
+
+def test_lift_by_hand(spark):
+    # "x y x y": tokens N=4, n_x=2, n_y=2; window=1 pairs: xy, yx, xy
+    docs = spark.createDataFrame([("x y x y",)], schema="text string")
+    out = co.collocations(docs, window=1, min_count=2)
+    rows = {(r["a"], r["b"]): r for r in out.collect()}
+    out._colloc_cache.unpersist()
+    assert rows[("x", "y")]["n_ab"] == 2
+    # lift = 1e6 * 2 * 4 // (2*2) = 2_000_000
+    assert rows[("x", "y")]["lift_micro"] == 2_000_000
+
+
+def test_matches_duckdb_on_corpus(spark):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = co.collocations(docs, window=3, min_count=5)
+    got = sorted(map(tuple, out.collect()))
+    out._colloc_cache.unpersist()
+    want = sorted(
+        map(tuple, con.execute(co.collocations_oracle_sql(3, 5)).fetchall())
+    )
+    con.close()
+    assert got == want and len(got) > 0
+
+
+def test_topk_order_deterministic(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = co.collocations(docs, window=2, min_count=5, k=10)
+    rows = out.collect()
+    out._colloc_cache.unpersist()
+    assert len(rows) == 10
+    keys = [(-r["lift_micro"], -r["n_ab"], r["a"], r["b"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_plan_no_corpus_self_join(spark):
+    # pair enumeration must be map-side: exactly the agg exchanges +
+    # broadcast joins — never a corpus SortMergeJoin (a token-table
+    # self-join would shuffle the corpus twice).
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = co.collocations(docs, window=2, min_count=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    out._colloc_cache.unpersist()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_shuffle_join_mode_row_identical(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = co.collocations(docs, window=2, min_count=5, broadcast_unigrams=True)
+    b = co.collocations(docs, window=2, min_count=5, broadcast_unigrams=False)
+    ra, rb = sorted(map(tuple, a.collect())), sorted(map(tuple, b.collect()))
+    a._colloc_cache.unpersist()
+    b._colloc_cache.unpersist()
+    assert ra == rb

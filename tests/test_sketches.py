@@ -1,0 +1,191 @@
+"""Frequency sketches (extras/sketches.py): exact heavy hitters and the
+Count-Min sketch, both DuckDB-parity-checked."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import SparkSession, functions as F
+
+from trove_spark.extras import sketches as sk
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("test_sketches")
+        .getOrCreate()
+    )
+    yield s
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    yield con
+    con.close()
+
+
+def test_heavy_hitters_exact_matches_duckdb(spark, docs, duck):
+    # small capacity → a real threshold (n > total/capacity) that only
+    # genuinely frequent words clear; result must be EXACT regardless of
+    # the partition-dependent MG pass.
+    cap = 40
+    got = sorted(
+        map(tuple, sk.heavy_hitters_exact(docs, capacity=cap).collect())
+    )
+    want = sorted(
+        map(tuple, duck.execute(sk.heavy_hitters_oracle_sql(cap)).fetchall())
+    )
+    assert got == want and len(got) > 0
+
+
+def test_heavy_hitters_partition_invariance(spark, docs):
+    # exactness must hold under hostile partitioning: 1 partition vs many
+    # tiny ones produce different MG summaries but the SAME final set.
+    cap = 40
+    one = sorted(
+        map(tuple, sk.heavy_hitters_exact(docs.coalesce(1), capacity=cap).collect())
+    )
+    many = sorted(
+        map(
+            tuple,
+            sk.heavy_hitters_exact(docs.repartition(32), capacity=cap).collect(),
+        )
+    )
+    assert one == many and len(one) > 0
+
+
+def test_heavy_hitters_topk_order(spark, docs):
+    rows = sk.heavy_hitters_exact(docs, capacity=40, k=5).collect()
+    assert len(rows) == 5
+    keys = [(-r["n"], r["word"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_mg_summary_superset_guarantee(spark, docs):
+    # any word with global frequency > N/capacity MUST appear in the
+    # union of per-partition MG summaries (the candidate superset).
+    cap = 40
+    words = sk._words(docs, "text")
+    total = words.count()
+    true_heavy = {
+        r["word"]
+        for r in words.groupBy("word")
+        .count()
+        .filter(F.col("count") * cap > total)
+        .collect()
+    }
+    cands = {
+        r["word"]
+        for r in sk._mg_partition_summaries(words, cap).select("word").collect()
+    }
+    assert true_heavy <= cands
+
+
+def test_cms_build_matches_duckdb(spark, docs, duck):
+    d, w = 3, 64
+    got = sorted(map(tuple, sk.cms_build(docs, d=d, w=w).collect()))
+    want = sorted(map(tuple, duck.execute(sk.cms_oracle_sql(d, w)).fetchall()))
+    assert got == want and len(got) > 0
+
+
+def test_cms_estimate_never_underestimates(spark, docs):
+    d, w = 4, 256
+    cms = sk.cms_build(docs, d=d, w=w).persist()
+    cms.count()
+    true_counts = {
+        r["word"]: r["count"]
+        for r in sk._words(docs, "text").groupBy("word").count().limit(40).collect()
+    }
+    terms = list(true_counts)
+    est = {
+        r["term"]: r["est"]
+        for r in sk.cms_estimate(spark, cms, terms, d=d, w=w).collect()
+    }
+    cms.unpersist()
+    assert set(est) == set(terms)
+    for t in terms:
+        assert est[t] >= true_counts[t]
+
+
+def test_cms_mergeable(spark, docs):
+    # sketch(union) == vector-add of the two half sketches
+    d, w = 3, 64
+    h1 = docs.filter(F.crc32(F.col("doc_id").cast("string")) % 2 == 0)
+    h2 = docs.filter(F.crc32(F.col("doc_id").cast("string")) % 2 == 1)
+    merged = (
+        sk.cms_build(h1, d=d, w=w)
+        .unionByName(sk.cms_build(h2, d=d, w=w))
+        .groupBy("seed", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    whole = sk.cms_build(docs, d=d, w=w)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_hll_registers_match_duckdb(spark, docs, duck):
+    p = 7
+    got = sorted(map(tuple, sk.hll_registers(docs, p=p).collect()))
+    want = sorted(map(tuple, duck.execute(sk.hll_oracle_sql(p)).fetchall()))
+    assert got == want and len(got) > 0
+
+
+def test_hll_mergeable_and_estimate_accuracy(spark):
+    # 20k distinct md5 words (wide vocab — the testdata corpus has only
+    # ~31 words, vacuous for cardinality): estimate within the ~3σ
+    # 1.04/sqrt(m) band, and union-of-registers == whole-corpus registers.
+    p = 9
+    n = 20_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.md5(F.col("id").cast("string")), F.lit(" x")).alias("text"),
+    )
+    regs = sk.hll_registers(docs, p=p)
+    est = sk.hll_estimate([tuple(r) for r in regs.collect()], p=p)
+    true = n + 1  # n md5 words + the shared 'x'
+    assert abs(est - true) / true < 3 * 1.04 / (1 << p) ** 0.5
+    h1 = sk.hll_registers(docs.filter(F.col("doc_id") % 2 == 0), p=p)
+    h2 = sk.hll_registers(docs.filter(F.col("doc_id") % 2 == 1), p=p)
+    merged = (
+        h1.unionByName(h2).groupBy("bucket").agg(F.max("rho").alias("rho"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, regs.collect())
+    )
+
+
+def test_hll_small_range_linear_counting(spark):
+    # tiny cardinality → the linear-counting branch; must stay near-exact
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} filler") for i in range(50)], schema="doc_id long, text string"
+    )
+    regs = sk.hll_registers(docs, p=9)
+    est = sk.hll_estimate([tuple(r) for r in regs.collect()], p=9)
+    assert abs(est - 6) < 1.0  # 5 w-words + 'filler'
+
+
+def test_heavy_hitters_shuffle_is_candidate_bounded(spark, docs):
+    # the recount plan must broadcast the candidate flag (no shuffle of
+    # the full vocabulary histogram): exactly one wide exchange for the
+    # <= |candidates|+1 groups, and a BroadcastHashJoin for the flag.
+    out = sk.heavy_hitters_exact(docs, capacity=40)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    out._hh_cache.unpersist()

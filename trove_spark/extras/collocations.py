@@ -1,0 +1,158 @@
+"""Collocation mining: windowed co-occurrence counts and an EXACT
+integer association score.
+
+PMI is ``ln(n_ab·N / (n_a·n_b))`` — a log of a data-dependent ratio, so
+a float PMI can never be hash-exact across engines (JVM vs glibc ``ln``
+differ by ±1 ulp; CLAUDE.md).  We therefore report the MONOTONE
+transform ``lift_micro = 1e6·n_ab·N DIV (n_a·n_b)`` (the PMI argument in
+integer micro-units): rankings and thresholds are identical to PMI's,
+and both engines compute it with exact BIGINT arithmetic.  Callers that
+want nats take ``ln(lift_micro/1e6)`` driver-side.
+
+Shapes (all one-shuffle-per-agg, no windows, no self-joins):
+
+  pair counts   posexplode words → self-equi-join? NO — a join of the
+                token table with itself on doc_id would shuffle the
+                corpus twice and blow up on long docs.  Instead the
+                window pairs are enumerated MAP-SIDE per document with a
+                bounded HOF over the word array (each token pairs with
+                at most ``window`` successors), then one groupBy.
+  unigram counts  one groupBy over the same exploded words.
+  scoring       two broadcast joins of the (small) unigram table onto
+                the (bounded, min-count-filtered) pair table.
+
+The unigram table is only safely broadcastable when the vocabulary is
+bounded; for open web-scale vocabularies pass
+``broadcast_unigrams=False`` and the joins become shuffle hash joins on
+uniformly-distributed word keys — the pair table was already min-count
+pruned, so the shuffle is collocation-sized, not corpus-sized.
+
+__ref__: no reference counterpart (corpus-analytics extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__ref__ = "no reference counterpart (corpus-analytics extension)"
+
+MICRO = 1_000_000
+
+
+def _word_arrays(docs: DataFrame, text_col: str) -> DataFrame:
+    return docs.select(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), " "), lambda w: w != ""
+        ).alias("ws")
+    )
+
+
+def cooccurrence_pairs(
+    docs: DataFrame, window: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Ordered co-occurrence counts: (a, b, n_ab) where b follows a
+    within ``window`` tokens.  Pair enumeration is map-side — a bounded
+    transform over each doc's word array (≤ window pairs per token),
+    with the array projected to a BOUND column first (HOF lambdas
+    re-evaluate unbound expressions per element; CLAUDE.md)."""
+    return _pairs_from_arrays(_word_arrays(docs, text_col), window)
+
+
+def _pairs_from_arrays(wa: DataFrame, window: int) -> DataFrame:
+    ws = F.col("ws")
+    pairs = wa.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    ws,
+                    lambda w, i: F.transform(
+                        F.slice(ws, i + 2, window),
+                        lambda v: F.struct(w.alias("a"), v.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+    )
+
+
+def collocations(
+    docs: DataFrame,
+    window: int = 2,
+    min_count: int = 5,
+    k: int | None = None,
+    text_col: str = "text",
+    broadcast_unigrams: bool = True,
+) -> DataFrame:
+    """Top collocations as (a, b, n_ab, lift_micro BIGINT), lift_micro =
+    1e6·n_ab·N DIV (n_a·n_b) — the exact-integer PMI argument.  Ordered
+    (and optionally truncated to k) by lift DESC, then n_ab DESC, a, b.
+
+    N is the total token count — folded in via a cross-join of the
+    1-row total frame (broadcast; never a collect, so the whole thing
+    stays one lazy plan)."""
+    wa = _word_arrays(docs, text_col).persist()  # feeds pairs AND unigrams
+    words = wa.select(F.explode(F.col("ws")).alias("word"))
+    uni = words.groupBy("word").agg(F.count("*").cast("long").alias("n"))
+    tot = words.agg(F.count("*").cast("long").alias("n_tot"))
+    pairs = _pairs_from_arrays(wa, window).filter(F.col("n_ab") >= min_count)
+    ua = uni.select(F.col("word").alias("a"), F.col("n").alias("n_a"))
+    ub = uni.select(F.col("word").alias("b"), F.col("n").alias("n_b"))
+    if broadcast_unigrams:
+        ua, ub = F.broadcast(ua), F.broadcast(ub)
+    out = (
+        pairs.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.expr(f"({MICRO} * n_ab * n_tot) DIV (n_a * n_b)").alias(
+                "lift_micro"
+            ),
+        )
+    )
+    if k is not None:
+        out = out.orderBy(
+            F.desc("lift_micro"), F.desc("n_ab"), F.asc("a"), F.asc("b")
+        ).limit(k)
+    out._colloc_cache = wa  # caller unpersists after materializing
+    return out
+
+
+def collocations_oracle_sql(
+    window: int = 2, min_count: int = 5, text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`collocations` (no k-cut): same pair
+    enumeration (i pairs with i+1..i+window), same exact BIGINT lift."""
+    return f"""
+WITH docs_ws AS (
+  SELECT list_filter(string_split(lower({text_col}), ' '), x -> x != '') AS ws
+  FROM documents
+),
+toks AS (
+  SELECT ws, unnest(range(1, len(ws) + 1)) AS i FROM docs_ws
+),
+pairs AS (
+  SELECT ws[i] AS a, unnest(ws[i+1 : least(i + {window}, len(ws))]) AS b
+  FROM toks
+),
+pc AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_ab FROM pairs
+  GROUP BY a, b HAVING COUNT(*) >= {min_count}
+),
+w AS (SELECT unnest(ws) AS word FROM docs_ws),
+uni AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY word),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM w)
+SELECT pc.a, pc.b, pc.n_ab,
+       ({MICRO} * pc.n_ab * tot.n_tot) // (ua.n * ub.n) AS lift_micro
+FROM pc
+JOIN uni ua ON ua.word = pc.a
+JOIN uni ub ON ub.word = pc.b
+CROSS JOIN tot
+"""

@@ -1,0 +1,296 @@
+"""Frequency sketches over corpus tokens: EXACT distributed heavy
+hitters (Misra-Gries candidate pass + exact recount — the textbook
+two-pass form) and a Count-Min sketch (Cormode & Muthukrishnan 2005)
+whose build is pure SQL-shaped aggregation, so DuckDB replays it
+bit-for-bit.
+
+Why not just ``groupBy(word).count().orderBy(...).limit(k)``?  That
+shuffles the FULL term histogram — fine when the distinct-term space is
+modest, pathological at web scale where per-partition vocabularies are
+huge and dominated by hapax legomena.  The two-pass form shuffles at
+most ``partitions × capacity`` candidate rows:
+
+  pass 1  per-partition Misra-Gries with ``capacity`` counters
+          (mapInPandas, dict-based, O(1) amortized per token).  The MG
+          merge guarantee: ANY item with global frequency > N/capacity
+          survives in at least one partition's summary, so the union of
+          summaries is a superset of the true heavy hitters.
+  pass 2  exact recount of ONLY the candidate set (broadcast semi-join →
+          map-side-combined count), then threshold/top-k — so the
+          OUTPUT is exact and deterministic even though pass-1 summaries
+          depend on partitioning.
+
+The Count-Min sketch is d hash rows × w buckets of BIGINT counters —
+i.e. d little group-bys on ``h_seed(token) % w`` using the portable
+60-bit md5 hash, one row per (seed, bucket).  Point estimates are the
+min over rows; the sketch is mergeable (vector add) and the DuckDB twin
+is the same GROUP BY, hence hash-exact cross-engine.
+
+The HyperLogLog sketch (Flajolet et al. 2007) keeps its REGISTERS as a
+(bucket, rho_max) DataFrame: bucket = h % 2^p, rho = trailing-zero rank
+of the remaining bits — computed as ``bit_count((r & -r) - 1) + 1``, a
+pure integer expression both engines evaluate identically (trailing and
+leading zero ranks are identically distributed for a uniform hash, and
+the trailing form needs no width bookkeeping).  Registers are mergeable
+(GROUP BY max) and hash-exact cross-engine; the cardinality estimate is
+a driver-side pure function of the ≤ 2^p register rows (bias-corrected
+harmonic mean with the standard small/large-range corrections).
+
+__ref__: no reference counterpart (LLM-data-pipeline / corpus-analytics
+extension).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__ref__ = "no reference counterpart (corpus-analytics extension)"
+
+# portable 60-bit hash (== DuckDB cast('0x'||substr(md5(x),1,15) as bigint))
+def _h60(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _words(docs: DataFrame, text_col: str):
+    # single-space split + empty filter, mirrored EXACTLY by the DuckDB
+    # twins (string_split(lower(text), ' ') + list_filter)
+    return docs.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
+        ).alias("word")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact heavy hitters (Misra-Gries candidates + exact recount)
+# ---------------------------------------------------------------------------
+
+
+def _mg_partition_summaries(words: DataFrame, capacity: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries: ≤ ``capacity`` (word,
+    lower-bound-count) rows per partition, streamed over Arrow batches
+    with a dict carried across batches (state is per PARTITION, not per
+    batch)."""
+    import pandas as pd
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        counters: dict[str, int] = {}
+        for b in batches:
+            for w in b["word"]:
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < capacity:
+                    counters[w] = 1
+                else:
+                    # decrement-all step, dropping zeros (the classic
+                    # O(1)-amortized bookkeeping)
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame(
+            {
+                "word": pd.Series(list(counters.keys()), dtype="string"),
+                "lb": pd.Series(list(counters.values()), dtype="int64"),
+            }
+        )
+
+    return words.mapInPandas(kernel, schema="word string, lb long")
+
+
+def heavy_hitters_exact(
+    docs: DataFrame,
+    capacity: int = 1024,
+    k: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT tokens with frequency > total_tokens/capacity, as
+    (word, n BIGINT), deterministically ordered candidates (ties: word
+    ASC) — optionally truncated to the top ``k``.
+
+    Pass-1 summaries bound the shuffle to partitions × capacity rows.
+    Pass 2 is ONE corpus scan computing the exact candidate counts AND
+    the total token count together: non-candidate words collapse into a
+    single NULL group (broadcast flag join, map-side combine), so the
+    shuffle carries ≤ |candidates|+1 groups and partition-dependence of
+    the MG summaries cannot leak into the result."""
+    words = _words(docs, text_col)
+    cands = (
+        _mg_partition_summaries(words, capacity)
+        .select("word")
+        .distinct()
+        .withColumn("is_cand", F.lit(1))
+    )
+    grouped = (
+        words.join(F.broadcast(cands), "word", "left")
+        .groupBy(
+            F.when(F.col("is_cand").isNotNull(), F.col("word")).alias("word")
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+        .persist()  # ≤ candidates+1 rows; feeds the total AND the filter
+    )
+    total = grouped.agg(F.sum("n")).collect()[0][0] or 0
+    out = grouped.filter(
+        F.col("word").isNotNull() & (F.col("n") * capacity > F.lit(total))
+    )
+    if k is not None:
+        out = out.orderBy(F.col("n").desc(), F.col("word")).limit(k)
+    out._hh_cache = grouped  # caller may unpersist; rows are bounded
+    return out
+
+
+def heavy_hitters_oracle_sql(capacity: int, text_col: str = "text") -> str:
+    """DuckDB exact twin of :func:`heavy_hitters_exact` (no k-cut)."""
+    return f"""
+WITH w AS (
+  SELECT unnest(list_filter(string_split(lower({text_col}), ' '), x -> x != '')) AS word
+  FROM documents
+),
+tot AS (SELECT COUNT(*) AS n_tot FROM w)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+FROM w, tot GROUP BY word, n_tot
+HAVING COUNT(*) * {capacity} > n_tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def cms_build(
+    docs: DataFrame, d: int = 4, w: int = 1024, text_col: str = "text"
+) -> DataFrame:
+    """Count-Min sketch as a (seed, bucket, cnt) DataFrame with d·w rows
+    max — one map-side-combined aggregation over (seed ∈ 0..d-1,
+    h_seed(word) % w).  Mergeable: union two sketches and re-sum."""
+    words = _words(docs, text_col)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("seed")
+    return (
+        words.select("word", seeds)
+        .select(
+            "seed",
+            (
+                F.pmod(_h60(F.concat(F.col("word"), F.lit(":"), F.col("seed"))), F.lit(w))
+            ).alias("bucket"),
+        )
+        .groupBy("seed", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    spark: SparkSession, cms: DataFrame, terms: list[str], d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Point-frequency upper bounds for ``terms``: est = min over the d
+    rows of the addressed counters (missing bucket ⇒ 0).  Never
+    underestimates; overestimate ≤ εN w.h.p. for w = ⌈e/ε⌉."""
+    t = spark.createDataFrame([(x,) for x in terms], schema="term string")
+    probes = t.select(
+        "term", F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("seed")
+    ).select(
+        "term",
+        "seed",
+        F.pmod(_h60(F.concat(F.col("term"), F.lit(":"), F.col("seed"))), F.lit(w)).alias(
+            "bucket"
+        ),
+    )
+    return (
+        probes.join(cms, ["seed", "bucket"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+        .groupBy("term")
+        .agg(F.min("cnt").cast("long").alias("est"))
+    )
+
+
+def cms_oracle_sql(d: int, w: int, text_col: str = "text") -> str:
+    """DuckDB twin of :func:`cms_build` — same portable hash, same
+    GROUP BY, bit-identical counters."""
+    h = "CAST(concat('0x', substr(md5(word || ':' || seed), 1, 15)) AS BIGINT)"
+    return f"""
+WITH words AS (
+  SELECT unnest(list_filter(string_split(lower({text_col}), ' '), x -> x != '')) AS word
+  FROM documents
+),
+probes AS (
+  SELECT word, CAST(seed AS BIGINT) AS seed
+  FROM words, (SELECT unnest(range(0, {d})) AS seed) s
+)
+SELECT seed, {h} % {w} AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM probes GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch
+# ---------------------------------------------------------------------------
+
+
+def hll_registers(
+    docs: DataFrame, p: int = 9, text_col: str = "text"
+) -> DataFrame:
+    """HLL registers over corpus words as (bucket, rho BIGINT), ≤ 2^p
+    rows, one map-side-combined max-aggregation — empty buckets are
+    simply absent (the estimator treats them as rho 0).  Mergeable:
+    union register frames and re-max."""
+    assert 4 <= p <= 18
+    words = _words(docs, text_col)
+    h = _h60(F.col("word"))
+    r = F.expr(f"shiftright(h, {p})")  # 60-p remaining bits
+    return (
+        words.select(h.alias("h"))
+        .select(
+            F.pmod(F.col("h"), F.lit(1 << p)).alias("bucket"),
+            # trailing-zero rank: bit_count((r & -r) - 1) + 1; r == 0
+            # (prob 2^-(60-p)) saturates at the full remaining width + 1
+            F.when(r == 0, F.lit(60 - p + 1))
+            .otherwise(F.bit_count(r.bitwiseAND(-r) - 1) + 1)
+            .cast("long")
+            .alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(registers: list[tuple[int, int]], p: int = 9) -> float:
+    """Cardinality estimate from collected (bucket, rho) rows — the
+    standard bias-corrected harmonic mean with small-range (linear
+    counting) correction.  Pure driver math over ≤ 2^p rows."""
+    m = 1 << p
+    rho = {int(b): int(x) for b, x in registers}
+    s = sum(2.0 ** -rho.get(j, 0) for j in range(m))
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    est = alpha * m * m / s
+    zeros = m - len(rho)
+    if est <= 2.5 * m and zeros > 0:
+        import math
+
+        est = m * math.log(m / zeros)  # linear counting
+    return est
+
+
+def hll_oracle_sql(p: int, text_col: str = "text") -> str:
+    """DuckDB twin of :func:`hll_registers` — same hash, same integer
+    trailing-zero rank, same GROUP BY max: registers are hash-exact."""
+    h = "CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT)"
+    return f"""
+WITH words AS (
+  SELECT unnest(list_filter(string_split(lower({text_col}), ' '), x -> x != '')) AS word
+  FROM documents
+),
+hr AS (SELECT {h} AS h FROM words),
+br AS (
+  SELECT h % {1 << p} AS bucket,
+         CASE WHEN (h >> {p}) = 0 THEN {60 - p + 1}
+              ELSE bit_count(((h >> {p}) & -(h >> {p})) - 1) + 1
+         END AS rho
+  FROM hr
+)
+SELECT bucket, CAST(MAX(rho) AS BIGINT) AS rho FROM br GROUP BY bucket
+"""
