@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Heavy-hitter scale measurement (extras/sketches.py).
+
+`python scripts/sketch_bench.py [cores] [n_docs] [capacity]`
+
+Synthesizes a hapax-heavy wide-vocab corpus — the regime the two-pass
+Misra-Gries plan exists for (the testdata corpus's 31-word vocabulary is
+vacuous: its full histogram is 31 rows, so the naive plan wins there by
+construction).  Each doc is 20 words: ~20% draws from a 64-word hot head
+(the true heavy hitters), ~80% are md5-unique hapax legomena, so the
+full-histogram shuffle carries ~16·n_docs rows while the MG candidate
+shuffle carries ≤ partitions×capacity.
+
+Times, pinned to <cores> CPUs, best of 2 each, SEQUENTIALLY:
+  naive    exact groupBy(word).count() histogram + threshold filter
+  mg2pass  heavy_hitters_exact (MG candidates + broadcast-flag recount)
+and asserts both return the SAME row set.  Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    cores = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+    capacity = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
+    try:
+        os.sched_setaffinity(0, set(range(cores)))
+    except (AttributeError, OSError):
+        pass
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from trove_spark.extras import sketches as sk
+
+    spark = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(2 * cores))
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.range(n_docs).select(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(19)),
+                lambda j: F.when(
+                    (F.col("id") * 31 + j) % 5 == 0,
+                    F.concat(F.lit("hot"), ((F.col("id") * 7 + j) % 64).cast("string")),
+                ).otherwise(
+                    F.md5(F.concat(F.col("id").cast("string"), F.lit(":"), j.cast("string")))
+                ),
+            ),
+        ).alias("text")
+    )
+    docs.write.mode("overwrite").parquet("/tmp/sketch_bench/docs")
+    docs = spark.read.parquet("/tmp/sketch_bench/docs")
+    n_tokens = 20 * n_docs
+
+    def naive():
+        words = sk._words(docs, "text")
+        hist = words.groupBy("word").agg(F.count("*").cast("long").alias("n"))
+        # same output contract: total via one extra agg over the histogram
+        hist = hist.persist()
+        total = hist.agg(F.sum("n")).collect()[0][0]
+        out = hist.filter(F.col("n") * capacity > F.lit(total))
+        rows = sorted(map(tuple, out.collect()))
+        hist.unpersist()
+        return rows
+
+    def mg2pass():
+        out = sk.heavy_hitters_exact(docs, capacity=capacity)
+        rows = sorted(map(tuple, out.collect()))
+        out._hh_cache.unpersist()
+        return rows
+
+    results = {}
+    rowsets = {}
+    for name, fn in [("naive", naive), ("mg2pass", mg2pass)]:
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            rowsets[name] = fn()
+            sec = time.time() - t0
+            best = sec if best is None else min(best, sec)
+        results[name] = round(best, 2)
+    assert rowsets["naive"] == rowsets["mg2pass"], "row sets differ!"
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "n_docs": n_docs,
+                "n_tokens": n_tokens,
+                "capacity": capacity,
+                "n_heavy": len(rowsets["mg2pass"]),
+                "naive_sec_best": results["naive"],
+                "mg2pass_sec_best": results["mg2pass"],
+                "mg_tokens_per_sec": round(n_tokens / results["mg2pass"], 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -70,33 +70,32 @@ def _words(docs: DataFrame, text_col: str):
 
 def _mg_partition_summaries(words: DataFrame, capacity: int) -> DataFrame:
     """Per-partition Misra-Gries summaries: ≤ ``capacity`` (word,
-    lower-bound-count) rows per partition, streamed over Arrow batches
-    with a dict carried across batches (state is per PARTITION, not per
-    batch)."""
+    lower-bound-count) rows per partition, carried across Arrow batches
+    (state is per PARTITION, not per batch).
+
+    Uses the BATCHED/mergeable form (Agarwal et al., Mergeable
+    Summaries): merge the batch's exact ``value_counts`` into the
+    summary, and on overflow subtract the (capacity+1)-th largest
+    counter from all, dropping non-positives — ≤ capacity survive and
+    the classic guarantee is preserved (an item with partition frequency
+    > N_part/(capacity+1) always survives, so any GLOBAL item with
+    frequency > N/capacity appears in some partition's summary by
+    pigeonhole).  Everything is vectorized pandas/numpy — a per-token
+    Python loop would make the kernel the bottleneck instead of the
+    shuffle it exists to avoid."""
     import pandas as pd
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        counters: dict[str, int] = {}
+        counters = pd.Series(dtype="int64")
         for b in batches:
-            for w in b["word"]:
-                if w in counters:
-                    counters[w] += 1
-                elif len(counters) < capacity:
-                    counters[w] = 1
-                else:
-                    # decrement-all step, dropping zeros (the classic
-                    # O(1)-amortized bookkeeping)
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
+            counters = counters.add(b["word"].value_counts(), fill_value=0)
+            if len(counters) > capacity:
+                t = counters.nlargest(capacity + 1).iloc[-1]
+                counters = counters[counters > t] - t
         yield pd.DataFrame(
             {
-                "word": pd.Series(list(counters.keys()), dtype="string"),
-                "lb": pd.Series(list(counters.values()), dtype="int64"),
+                "word": pd.Series(counters.index, dtype="string"),
+                "lb": pd.Series(counters.values, dtype="int64"),
             }
         )
 
