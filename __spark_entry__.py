@@ -670,8 +670,27 @@ def _t(spark, sf_dir, name):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization + per-session rollup
+    (extras/timeseries.sessionize/session_stats): ONE hash shuffle on
+    user_id feeds a per-user window computing lag-gap boundaries and the
+    running session ordinal in a single pass (coarse-key windows — the
+    sanctioned regime, unlike per-token keys), then a map-side-combined
+    session aggregation.  All gap math is integer microseconds and the
+    monetary sum is BIGINT cents, so every column is hash-exact
+    cross-engine.  Slot yielded by rel_agg_pricing: its exact-cents
+    filter→groupBy→multi-agg shape stays driver-exercised by rel_rollup
+    (same ROUND(x*100) BIGINT sums through GROUP BY ROLLUP) and by this
+    row's own value_cents aggregation."""
+    from trove_spark.extras import timeseries as tsx
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return tsx.session_stats(events, gap_s=900.0)
+
+
 def q_rel_agg_pricing(spark, sf_dir):
     """Hash agg with exact integer-cent sums (TPC-H Q1 shape).
+    (Slot yielded to events_sessionize — see its docstring.)
 
     Monetary columns are clean 2-dp doubles, so ROUND(x*100) is an exact
     integer on both engines; summing BIGINT cents sidesteps decimal
@@ -1204,7 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_laterality": q_tag_laterality,
         "tag_negex": q_tag_negex,
         "kg_unipolar": q_kg_unipolar,
-        "rel_agg_pricing": q_rel_agg_pricing,
+        "events_sessionize": q_events_sessionize,
         # slot swapped r5: rel_join_nations' shape (broadcast dim joins +
         # fact agg) is exercised by every kg_* row; entity_link_fuzzy adds
         # a previously-unchecked operator (fuzzy linking).
@@ -1251,11 +1270,13 @@ def oracle_sql() -> dict[str, str]:
     # whose deterministic-replay EM is replayed iteration-by-iteration
     from trove_spark.extras.collocations import collocations_oracle_sql
     from trove_spark.extras.sketches import heavy_hitters_oracle_sql
+    from trove_spark.extras.timeseries import sessionize_oracle_sql
 
     out.update({
         "kg_label_model": label_model_oracle_sql(n_iter=3),
         "corpus_heavy_hitters": heavy_hitters_oracle_sql(capacity=40),
         "corpus_collocations": collocations_oracle_sql(window=3, min_count=5),
+        "events_sessionize": sessionize_oracle_sql(gap_s=900.0),
         # sent_idx pinned to 0: the testdata corpus is single-sentence by
         # construction; a multi-sentence corpus turns these rows red
         # (detectable) instead of silently colliding token keys

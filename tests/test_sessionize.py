@@ -1,0 +1,105 @@
+"""Gap-based sessionization (extras/timeseries.sessionize): hand
+fixtures, DuckDB parity, determinism, plan shape."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pytest
+from pyspark.sql import SparkSession, functions as F
+
+from trove_spark.extras import timeseries as ts
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .appName("test_sessionize")
+        .getOrCreate()
+    )
+    yield s
+
+
+def _fix(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: two sessions split by a 2h gap
+        (0, t0, 1, "a", 1.0),
+        (1, t0 + dt.timedelta(minutes=10), 1, "b", 2.0),
+        (2, t0 + dt.timedelta(hours=2, minutes=20), 1, "a", 3.0),
+        # user 2: one session, includes a tie-timestamp pair
+        (3, t0, 2, "a", 1.5),
+        (4, t0, 2, "b", 2.5),
+    ]
+    return spark.createDataFrame(
+        rows, schema="event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_sessionize_by_hand(spark):
+    out = ts.sessionize(_fix(spark), gap_s=1800.0)
+    got = {r["event_id"]: r["session_idx"] for r in out.collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 0, 4: 0}
+
+
+def test_boundary_gap_is_exclusive(spark):
+    # gap exactly == gap_s keeps the session (strict > starts a new one)
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(0, t0, 1), (1, t0 + dt.timedelta(seconds=1800), 1),
+         (2, t0 + dt.timedelta(seconds=3600, microseconds=1), 1)],
+        schema="event_id long, ts timestamp, user_id long",
+    )
+    got = {r["event_id"]: r["session_idx"] for r in ts.sessionize(df).collect()}
+    assert got == {0: 0, 1: 0, 2: 1}
+
+
+def test_session_stats_by_hand(spark):
+    out = ts.session_stats(_fix(spark), gap_s=1800.0)
+    rows = {(r["user_id"], r["session_idx"]): r for r in out.collect()}
+    s = rows[(1, 0)]
+    assert s["n_events"] == 2 and s["duration_us"] == 600 * 1_000_000
+    assert s["n_types"] == 2 and s["value_cents"] == 300
+    assert rows[(2, 0)]["n_events"] == 2
+    assert rows[(2, 0)]["duration_us"] == 0
+
+
+def test_matches_duckdb_on_events(spark):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'"
+    )
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = ts.session_stats(events, gap_s=900.0)
+    cols = sorted(out.columns)
+    got = sorted(tuple(r[c] for c in cols) for r in out.select(*cols).collect())
+    res = con.execute(ts.sessionize_oracle_sql(gap_s=900.0))
+    dcols = [d[0] for d in res.description]
+    order = [dcols.index(c) for c in cols]
+    want = sorted(tuple(r[i] for i in order) for r in res.fetchall())
+    con.close()
+    assert got == want and len(got) > 0
+
+
+def test_partitioning_invariance(spark):
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    a = sorted(map(tuple, ts.session_stats(events.coalesce(1)).collect()))
+    b = sorted(map(tuple, ts.session_stats(events.repartition(16)).collect()))
+    assert a == b
+
+
+def test_plan_single_user_shuffle_for_sessionize(spark):
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = (
+        ts.sessionize(events)._jdf.queryExecution().executedPlan().toString()
+    )
+    # one hash exchange on user_id feeding the window; no joins
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan

@@ -174,3 +174,118 @@ def resample_locf(
     out = filled.select(*sel)
     out._resample_cache = per_bin  # caller unpersists after materializing
     return out
+
+
+def sessionize(
+    events: DataFrame,
+    gap_s: float = 1800.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Gap-based sessionization: every event gains ``session_idx`` — the
+    0-based per-user session ordinal, where a new session starts when
+    the gap from the previous event exceeds ``gap_s`` seconds.
+
+    Shape: ONE keyed shuffle (hash-partition by ``user_col``) feeding a
+    per-user sort that computes lag + running sum-of-boundaries in a
+    single window pass — the canonical distributed form; per-user
+    partitions are bounded by per-user activity, never corpus-sized
+    (this is the COARSE-key window regime, unlike the banned per-token
+    windows).  All comparisons are integer microseconds, so results are
+    hash-exact cross-engine; ties at identical timestamps order by
+    ``tie_cols`` (pinned, retry-stable)."""
+    us = (F.unix_micros(F.col(ts_col).cast("timestamp"))
+          if dict(events.dtypes)[ts_col].startswith("timestamp")
+          else (F.col(ts_col).cast("double") * 1e6).cast("long"))
+    gap_us = int(round(gap_s * 1e6))
+    w = Window.partitionBy(user_col).orderBy("__us", *tie_cols)
+    return (
+        events.withColumn("__us", us)
+        .withColumn(
+            "__new",
+            F.when(
+                F.lag("__us").over(w).isNull()
+                | (F.col("__us") - F.lag("__us").over(w) > gap_us),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "session_idx",
+            (F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ) - 1).cast("long"),
+        )
+        .drop("__us", "__new")
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    gap_s: float = 1800.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str | None = "value",
+    type_col: str | None = "event_type",
+    tie_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Per-session rollup over :func:`sessionize`: (user, session_idx,
+    n_events, start_us, end_us, duration_us, n_types?, value_cents?).
+    One additional map-side-combined aggregation; monetary sums are
+    exact BIGINT cents (float sums of ≥3 doubles are association-order-
+    dependent and can never be hash-exact; CLAUDE.md)."""
+    s = sessionize(events, gap_s, user_col, ts_col, tie_cols)
+    us = (F.unix_micros(F.col(ts_col).cast("timestamp"))
+          if dict(events.dtypes)[ts_col].startswith("timestamp")
+          else (F.col(ts_col).cast("double") * 1e6).cast("long"))
+    aggs = [
+        F.count("*").cast("long").alias("n_events"),
+        F.min("__us").alias("start_us"),
+        F.max("__us").alias("end_us"),
+        (F.max("__us") - F.min("__us")).alias("duration_us"),
+    ]
+    if type_col is not None:
+        aggs.append(F.countDistinct(type_col).cast("long").alias("n_types"))
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.round(F.col(value_col) * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents")
+        )
+    return (
+        s.withColumn("__us", us)
+        .groupBy(F.col(user_col), F.col("session_idx"))
+        .agg(*aggs)
+    )
+
+
+def sessionize_oracle_sql(
+    gap_s: float = 1800.0, table: str = "events"
+) -> str:
+    """DuckDB twin of :func:`session_stats` over the ``events`` view —
+    same integer-microsecond gap rule, same BIGINT cents."""
+    gap_us = int(round(gap_s * 1e6))
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us FROM {table}
+),
+lagged AS (
+  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > {gap_us}
+            THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sess AS (
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+  FROM lagged
+)
+SELECT user_id, session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(us) AS BIGINT) AS start_us,
+       CAST(MAX(us) AS BIGINT) AS end_us,
+       CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM sess GROUP BY user_id, session_idx
+"""
