@@ -103,3 +103,97 @@ def test_plan_single_user_shuffle_for_sessionize(spark):
     # one hash exchange on user_id feeding the window; no joins
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_funnel_by_hand(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: view -> click -> purchase (full funnel, out-of-funnel
+        # noise interleaved)
+        (0, t0, 1, "view"),
+        (1, t0 + dt.timedelta(minutes=1), 1, "error"),
+        (2, t0 + dt.timedelta(minutes=2), 1, "click"),
+        (3, t0 + dt.timedelta(minutes=3), 1, "purchase"),
+        # user 2: click before view — only 'view' counts (order matters)
+        (4, t0, 2, "click"),
+        (5, t0 + dt.timedelta(minutes=1), 2, "view"),
+        # user 3: funnel split across a session gap — second session
+        # restarts at zero
+        (6, t0, 3, "view"),
+        (7, t0 + dt.timedelta(hours=2), 3, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = ts.funnel_steps(df, ["view", "click", "purchase"], gap_s=1800.0)
+    got = {(r["user_id"], r["session_idx"]): r["steps_reached"] for r in out.collect()}
+    assert got == {(1, 0): 3, (2, 0): 1, (3, 0): 1, (3, 1): 0}
+
+
+def test_funnel_duplicate_steps(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(0, t0, 1, "a"), (1, t0 + dt.timedelta(minutes=1), 1, "a")],
+        schema="event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = ts.funnel_steps(df, ["a", "a", "a"], gap_s=1800.0)
+    assert out.collect()[0]["steps_reached"] == 2
+
+
+def test_funnel_matches_duckdb(spark):
+    steps = ["signup", "view", "purchase"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'"
+    )
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = ts.funnel_steps(events, steps, gap_s=900.0)
+    cols = sorted(out.columns)
+    got = sorted(tuple(r[c] for c in cols) for r in out.select(*cols).collect())
+    res = con.execute(ts.funnel_oracle_sql(steps, gap_s=900.0))
+    dcols = [d[0] for d in res.description]
+    order = [dcols.index(c) for c in cols]
+    want = sorted(tuple(r[i] for i in order) for r in res.fetchall())
+    con.close()
+    assert got == want and len(got) > 0
+    assert any(r[2] > 0 for r in got)  # non-vacuous: some step reached
+
+
+def test_retention_by_hand(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    wk = dt.timedelta(days=7)
+    rows = [
+        (0, t0, 1), (1, t0 + wk, 1), (2, t0 + 2 * wk, 1),  # u1: wks 0,1,2
+        (3, t0, 2), (4, t0 + 2 * wk, 2),                    # u2: wks 0,2
+        (5, t0 + wk, 3),                                     # u3: wk 1 only
+        (6, t0, 1),                                          # dup (same wk)
+    ]
+    df = spark.createDataFrame(
+        rows, schema="event_id long, ts timestamp, user_id long"
+    )
+    out = ts.retention_cohorts(df, period_s=604800.0)
+    got = {(r["cohort"], r["age"]): r["n_users"] for r in out.collect()}
+    out._retention_cache.unpersist()
+    # 2024-01-01 epoch-floored week buckets: cohort c0 = {u1,u2}, c1 = {u3}
+    c0 = min(k[0] for k in got)
+    assert got[(c0, 0)] == 2 and got[(c0, 1)] == 1 and got[(c0, 2)] == 2
+    assert got[(c0 + 1, 0)] == 1
+    assert len(got) == 4
+
+
+def test_retention_matches_duckdb(spark):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'"
+    )
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = ts.retention_cohorts(events, period_s=86400.0)
+    cols = sorted(out.columns)
+    got = sorted(tuple(r[c] for c in cols) for r in out.select(*cols).collect())
+    out._retention_cache.unpersist()
+    res = con.execute(ts.retention_oracle_sql(period_s=86400.0))
+    dcols = [d[0] for d in res.description]
+    order = [dcols.index(c) for c in cols]
+    want = sorted(tuple(r[i] for i in order) for r in res.fetchall())
+    con.close()
+    assert got == want and len(got) > 0

@@ -289,3 +289,182 @@ SELECT user_id, session_idx,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM sess GROUP BY user_id, session_idx
 """
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    gap_s: float = 1800.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tie_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Funnel analysis per (user, session): how many of ``steps`` were
+    completed IN ORDER (greedy earliest-match subsequence over the
+    session's time-ordered event types) — (user, session_idx,
+    steps_reached BIGINT).
+
+    Shape: sessionize's single user-key window, then ONE aggregation
+    collecting the session's (pos, type) structs (bounded by per-session
+    activity — the collect-of-structs regime, never a second window),
+    then a map-only fold: acc advances when the next event matches
+    steps[acc].  Greedy earliest match is EXACT for subsequence
+    reachability (matching a step at its earliest occurrence never
+    forecloses a later step).  The DuckDB twin unrolls the known steps
+    list into a chain of min-position scalar joins — same semantics,
+    recursion-free."""
+    s = sessionize(events, gap_s, user_col, ts_col, tie_cols)
+    us = (F.unix_micros(F.col(ts_col).cast("timestamp"))
+          if dict(events.dtypes)[ts_col].startswith("timestamp")
+          else (F.col(ts_col).cast("double") * 1e6).cast("long"))
+    steps_arr = F.array(*[F.lit(x) for x in steps])
+    evs = (
+        s.withColumn("__us", us)
+        .groupBy(F.col(user_col), F.col("session_idx"))
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("__us").alias("us"),
+                        *[F.col(c).alias(c) for c in tie_cols],
+                        F.col(type_col).alias("t"),
+                    )
+                )
+            ).alias("evs")
+        )
+    )
+    return evs.select(
+        user_col,
+        "session_idx",
+        F.aggregate(
+            F.col("evs"),
+            F.lit(0),
+            lambda acc, x: F.when(
+                (acc < len(steps)) & (x["t"] == F.element_at(steps_arr, acc + 1)),
+                acc + 1,
+            ).otherwise(acc),
+        )
+        .cast("long")
+        .alias("steps_reached"),
+    )
+
+
+def funnel_oracle_sql(
+    steps: list[str], gap_s: float = 1800.0, table: str = "events"
+) -> str:
+    """DuckDB twin of :func:`funnel_steps`: the steps list is known at
+    SQL-generation time, so the greedy subsequence match unrolls into a
+    chain of min-position joins (step k's earliest position strictly
+    after step k-1's)."""
+    gap_us = int(round(gap_s * 1e6))
+    quoted = [x.replace("'", "''") for x in steps]
+    ctes = [f"""
+e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM {table}
+),
+lagged AS (
+  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > {gap_us}
+            THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sess AS (
+  SELECT *,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id) AS pos
+  FROM lagged
+),
+base AS (SELECT DISTINCT user_id, session_idx FROM sess)"""]
+    prev = None
+    for k, step in enumerate(quoted, start=1):
+        gate = f"AND s.pos > s{k-1}.p{k-1}" if prev else ""
+        join = (
+            f"JOIN s{k-1} ON s{k-1}.user_id = s.user_id AND s{k-1}.session_idx = s.session_idx"
+            if prev
+            else ""
+        )
+        ctes.append(f"""
+s{k} AS (
+  SELECT s.user_id, s.session_idx, MIN(s.pos) AS p{k}
+  FROM sess s {join}
+  WHERE s.event_type = '{step}' {gate}
+  GROUP BY s.user_id, s.session_idx
+)""")
+        prev = k
+    reached = " + ".join(
+        f"CASE WHEN s{k}.p{k} IS NOT NULL THEN 1 ELSE 0 END"
+        for k in range(1, len(quoted) + 1)
+    )
+    joins = "\n".join(
+        f"LEFT JOIN s{k} ON s{k}.user_id = b.user_id AND s{k}.session_idx = b.session_idx"
+        for k in range(1, len(quoted) + 1)
+    )
+    return f"""
+WITH {','.join(ctes)}
+SELECT b.user_id, b.session_idx, CAST({reached} AS BIGINT) AS steps_reached
+FROM base b
+{joins}
+"""
+
+
+def retention_cohorts(
+    events: DataFrame,
+    period_s: float = 604800.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix: (cohort, age, n_users BIGINT) — users
+    whose FIRST activity fell in period ``cohort`` (epoch-floored
+    ``period_s`` buckets) and who were active ``age`` periods later.
+
+    Shape: one distinct over (user, period) — map-side combinable —
+    then a per-user min-aggregation and an equi-join back on the user
+    key (both sides hash-partitioned by user, so the join reuses the
+    distinct's shuffle), then one counting aggregation.  n_users counts
+    rows, which ARE distinct users within a (cohort, age) cell because
+    (user, period) was already deduplicated.  All integer math —
+    hash-exact cross-engine."""
+    us = (F.unix_micros(F.col(ts_col).cast("timestamp"))
+          if dict(events.dtypes)[ts_col].startswith("timestamp")
+          else (F.col(ts_col).cast("double") * 1e6).cast("long"))
+    period_us = int(round(period_s * 1e6))
+    acts = (
+        events.withColumn("__us", us)
+        .select(
+            F.col(user_col).alias("u"),
+            # integer DIV, not floor(double /): epoch micros ~1e15 sit
+            # where a 1-ulp double error can flip a period boundary
+            F.expr(f"__us DIV {period_us}").cast("long").alias("period"),
+        )
+        .distinct()
+        .persist()  # feeds the cohort agg AND the join back
+    )
+    first = acts.groupBy("u").agg(F.min("period").alias("cohort"))
+    out = (
+        acts.join(first, "u")
+        .groupBy("cohort", (F.col("period") - F.col("cohort")).alias("age"))
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+    out._retention_cache = acts  # caller unpersists after materializing
+    return out
+
+
+def retention_oracle_sql(
+    period_s: float = 604800.0, table: str = "events"
+) -> str:
+    """DuckDB twin of :func:`retention_cohorts`."""
+    period_us = int(round(period_s * 1e6))
+    return f"""
+WITH acts AS (
+  SELECT DISTINCT user_id AS u, epoch_us(ts) // {period_us} AS period
+  FROM {table}
+),
+first AS (SELECT u, MIN(period) AS cohort FROM acts GROUP BY u)
+SELECT CAST(f.cohort AS BIGINT) AS cohort,
+       CAST(a.period - f.cohort AS BIGINT) AS age,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM acts a JOIN first f USING (u)
+GROUP BY 1, 2
+"""
