@@ -147,3 +147,38 @@ def test_plan_has_no_window_and_broadcasts_idf(spark, index):
     plan = el.link_topk(spark, mdf, index, k=1)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+from hypothesis import given, settings, strategies as st
+
+_word = st.text(alphabet="ab", min_size=1, max_size=5)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    aliases=st.lists(_word, min_size=1, max_size=8, unique=True),
+    mentions=st.lists(_word, min_size=1, max_size=6),
+    tau=st.integers(0, 1_000_000),
+)
+def test_prefix_filter_property(aliases, mentions, tau):
+    """Random tiny-alphabet universes (maximal gram collisions — the
+    adversarial case for prefix pruning): the τ-pruned join must equal
+    the unpruned join thresholded client-side, for ANY τ."""
+    from trove_spark.session import get_spark
+
+    spark = get_spark(app_name="trove_spark_tests", master="local[8]",
+                      shuffle_partitions=8)
+    idx = el.build_alias_index(
+        spark, [(f"C{i}", a) for i, a in enumerate(aliases)]
+    )
+    mdf = spark.createDataFrame([(m,) for m in mentions], "mention string")
+    full = el.link_topk(spark, mdf, idx, k=3, min_sim_micro=0)
+    full_rows = sorted(
+        tuple(r) for r in full.collect() if r["sim_micro"] >= tau
+    )
+    full._mention_cache.unpersist()
+    pruned = el.link_topk(spark, mdf, idx, k=3, min_sim_micro=tau)
+    pruned_rows = sorted(map(tuple, pruned.collect()))
+    pruned._mention_cache.unpersist()
+    idx._sets_cache.unpersist()
+    assert pruned_rows == full_rows
