@@ -189,3 +189,46 @@ def test_heavy_hitters_shuffle_is_candidate_bounded(spark, docs):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     out._hh_cache.unpersist()
+
+
+def test_exact_quantiles_vs_python(spark):
+    import random
+
+    rng = random.Random(7)
+    vals = [rng.randint(-1000, 1000) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99, 1.0]
+    got = sk.exact_quantiles(df, "v", qs, n_bins=64)
+    sv = sorted(vals)
+    import math
+
+    want = [(q, sv[max(1, math.ceil(q * len(vals))) - 1]) for q in qs]
+    assert got == want
+
+
+def test_exact_quantiles_matches_duckdb(spark, duck):
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    cents = events.select(
+        (F.round(F.col("value") * 100)).cast("long").alias("c")
+    )
+    duck.execute(
+        f"CREATE OR REPLACE VIEW ev AS SELECT CAST(ROUND(value*100) AS BIGINT) AS c "
+        f"FROM '{SF_DIR}/events.parquet'"
+    )
+    for q in [0.1, 0.5, 0.9]:
+        (_, got), = sk.exact_quantiles(cents, "c", [q], n_bins=32)
+        want = duck.execute(sk.quantile_oracle_sql(q, "c", "ev")).fetchone()[0]
+        assert got == want
+
+
+def test_exact_quantiles_degenerate(spark):
+    df = spark.createDataFrame([(5,)] * 10, "v long")
+    assert sk.exact_quantiles(df, "v", [0.0, 0.5, 1.0]) == [
+        (0.0, 5),
+        (0.5, 5),
+        (1.0, 5),
+    ]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sk.exact_quantiles(df.filter(F.col("v") > 99), "v", [0.5])

@@ -314,3 +314,65 @@ def test_stream_update_triple_store(spark, tmp_path):
     )
     assert got == expected
     assert store.verify_manifests()
+
+
+def test_streaming_sessionize_merges_and_matches_batch(spark, dirs):
+    """session_window sessions: (a) a session split across TWO
+    micro-batch files merges into one window; (b) session bounds and
+    event counts agree with the batch sessionize over identical rows."""
+    import datetime as dt
+
+    from trove_spark.extras import timeseries as tsx
+    from trove_spark.streaming import EVENTS_STREAM_SCHEMA, streaming_sessionize
+
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+    # file 1: user 1 events at t0, t0+10m; user 2 at t0
+    _write_events(spark, dirs["in"], [
+        (1, 1, "view", t0),
+        (2, 1, "click", t0 + dt.timedelta(minutes=10)),
+        (3, 2, "view", t0),
+    ])
+    # file 2 (separate micro-batch): user 1 at t0+20m — same session as
+    # file 1's events (gap 30m); user 1 at t0+2h — a NEW session
+    _write_events(spark, dirs["in"], [
+        (4, 1, "purchase", t0 + dt.timedelta(minutes=20)),
+        (5, 1, "view", t0 + dt.timedelta(hours=2)),
+    ])
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dirs["in"])
+    )
+    out = streaming_sessionize(stream, gap="30 minutes", watermark_delay="4 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in spark.sql("select * from sess_stream").collect()
+    }
+    gap = dt.timedelta(minutes=30)
+    assert got == {
+        (1, t0, t0 + dt.timedelta(minutes=20) + gap): 3,  # merged across batches
+        (1, t0 + dt.timedelta(hours=2), t0 + dt.timedelta(hours=2) + gap): 1,
+        (2, t0, t0 + gap): 1,
+    }
+
+    # batch equivalence on the same rows: same sessions, same counts,
+    # session_end - gap == batch max event time
+    batch = spark.read.parquet(dirs["in"]).withColumnRenamed("event_time", "ts")
+    bs = tsx.session_stats(
+        batch, gap_s=1800.0, value_col=None, type_col=None
+    ).collect()
+    bmap = {}
+    for r in bs:
+        start = dt.datetime.fromtimestamp(r["start_us"] / 1e6)
+        end = dt.datetime.fromtimestamp(r["end_us"] / 1e6) + gap
+        bmap[(r["user_id"], start, end)] = r["n_events"]
+    assert bmap == got

@@ -302,3 +302,85 @@ br AS (
 )
 SELECT bucket, CAST(MAX(rho) AS BIGINT) AS rho FROM br GROUP BY bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# exact distributed quantiles (no global sort)
+# ---------------------------------------------------------------------------
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: list[float],
+    n_bins: int = 4096,
+) -> list[tuple[float, int]]:
+    """EXACT quantiles of a BIGINT column (quantize floats to integer
+    units first — the repo-wide exactness convention) as [(q, value)],
+    using the discrete convention value = sorted[max(1, ceil(q·n))]
+    (1-based) — replayable in ANY engine as ORDER BY + OFFSET.
+
+    No global sort: one equal-width histogram job (driver holds ≤
+    ``n_bins`` longs), then ONE filter job collecting only the boundary
+    bins that contain requested ranks (≈ n/n_bins rows each, ≤ len(qs)
+    bins) which are sorted driver-side.  The same two-job selection
+    pattern as ngram_lm.exact_rank_cutpoints / dsir's Gumbel-top-k
+    threshold, exposed for arbitrary numeric frames."""
+    import math
+
+    bounds = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
+    if bounds["lo"] is None:
+        raise ValueError("exact_quantiles on an empty frame")
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    width = max((hi - lo) // n_bins + 1, 1)
+    hist = {
+        int(r["bin"]): int(r["c"])
+        for r in df.select(
+            ((F.col(col) - F.lit(lo)).cast("long") / F.lit(width))
+            .cast("long")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    n = sum(hist.values())
+    ranks = [max(1, math.ceil(q * n)) for q in qs]
+    # locate each rank's bin and its in-bin offset
+    order = sorted(hist)
+    located: list[tuple[int, int]] = []  # (bin, offset_within_bin 0-based)
+    for rank in ranks:
+        below = 0
+        for b in order:
+            if below + hist[b] >= rank:
+                located.append((b, rank - below - 1))
+                break
+            below += hist[b]
+    need = sorted({b for b, _ in located})
+    # one job: pull ONLY the boundary bins (bounded driver collect)
+    cond = None
+    for b in need:
+        blo, bhi = lo + b * width, lo + (b + 1) * width
+        c = (F.col(col) >= blo) & (F.col(col) < bhi)
+        cond = c if cond is None else (cond | c)
+    vals = [int(r[0]) for r in df.filter(cond).select(col).collect()]
+    by_bin: dict[int, list[int]] = {b: [] for b in need}
+    for v in vals:
+        by_bin[(v - lo) // width].append(v)
+    for b in need:
+        by_bin[b].sort()
+    return [
+        (q, by_bin[b][off]) for q, (b, off) in zip(qs, located)
+    ]
+
+
+def quantile_oracle_sql(q: float, col: str, table: str) -> str:
+    """DuckDB replay of one :func:`exact_quantiles` entry: ORDER BY +
+    OFFSET at rank max(1, ceil(q·n)) — run it with the same q and
+    compare the scalar."""
+    return f"""
+SELECT CAST({col} AS BIGINT) AS v FROM {table}
+ORDER BY {col}
+OFFSET greatest(1, CAST(ceil({q} * (SELECT COUNT(*) FROM {table})) AS BIGINT)) - 1
+LIMIT 1
+"""

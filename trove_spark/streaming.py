@@ -190,6 +190,40 @@ def windowed_event_counts(
     )
 
 
+def streaming_sessionize(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Gap-based sessionization on a STREAM — the streaming twin of
+    ``extras.timeseries.sessionize`` — via Spark's native
+    ``session_window`` (dynamic-gap windows): state holds one open
+    session per (user, window), windows MERGE as events arrive (including
+    across micro-batches), and a session finalizes — append-emittable —
+    once the watermark passes its close.  Returns (user_id,
+    session_start, session_end, n_events); ``session_end`` is
+    last-event + gap (the session_window convention), so
+    ``session_end - gap`` equals the batch op's max event time.
+
+    State is bounded by OPEN sessions only (closed ones are evicted by
+    the watermark) — the correct 100-TB/continuous shape; the batch op
+    remains the replay/backfill path and the two are equivalence-tested
+    on identical rows."""
+    from pyspark.sql import functions as F
+
+    return (
+        events_stream.withWatermark("event_time", watermark_delay)
+        .groupBy(F.session_window("event_time", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 SESSION_STATE_SCHEMA = StructType([StructField("last_view_id", LongType(), True)])
 SESSION_OUT_SCHEMA = StructType(
     [
