@@ -89,3 +89,88 @@ def test_pagerank_over_kg_triples(spark):
     rows = pr.collect()
     assert len(rows) > 100
     assert all(r["rank_micro"] >= MICRO - 85 * MICRO // 100 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# triangle counting
+# ---------------------------------------------------------------------------
+
+from trove_spark.extras.graph_analytics import triangle_count, triangle_oracle_sql
+
+
+def test_triangles_by_hand(spark):
+    # K4 (4 triangles) + a pendant edge + a duplicate/reversed edge +
+    # a self-loop — the cleanup stages must neutralize all three
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    extra = [("d", "e"), ("b", "a"), ("c", "c")]
+    df = spark.createDataFrame(k4 + extra, "src string, dst string")
+    out = triangle_count(df)
+    assert out.collect()[0]["n_triangles"] == 4
+    out._tri_cache.unpersist()
+    per = triangle_count(df, per_node=True)
+    got = {r["node"]: r["n_triangles"] for r in per.collect()}
+    per._tri_cache.unpersist()
+    # each K4 node is a corner of exactly 3 of the 4 triangles
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def _py_triangles(edges):
+    adj = {}
+    es = set()
+    for s, d in edges:
+        if s == d:
+            continue
+        a, b = min(s, d), max(s, d)
+        if (a, b) in es:
+            continue
+        es.add((a, b))
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    n = 0
+    for i, u in enumerate(nodes):
+        for v in adj[u]:
+            if v <= u:
+                continue
+            for w in adj[u] & adj[v]:
+                if w > v:
+                    n += 1
+    return n
+
+
+def test_triangles_match_python_and_duckdb(spark):
+    import random
+
+    rng = random.Random(42)
+    edges = [
+        (f"n{rng.randint(0, 30)}", f"n{rng.randint(0, 30)}") for _ in range(200)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = triangle_count(df)
+    got = out.collect()[0]["n_triangles"]
+    out._tri_cache.unpersist()
+    assert got == _py_triangles(edges)
+
+    con = duckdb.connect()
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in edges)
+    want = con.execute(
+        triangle_oracle_sql(f"SELECT * FROM (VALUES {vals}) t(src, dst)")
+    ).fetchone()[0]
+    con.close()
+    assert got == want
+
+
+def test_triangles_partition_invariance(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [
+        (f"n{rng.randint(0, 20)}", f"n{rng.randint(0, 20)}") for _ in range(150)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = triangle_count(df.coalesce(1))
+    b = triangle_count(df.repartition(16))
+    ra, rb = a.collect()[0][0], b.collect()[0][0]
+    a._tri_cache.unpersist()
+    b._tri_cache.unpersist()
+    assert ra == rb
