@@ -197,3 +197,42 @@ def test_retention_matches_duckdb(spark):
     want = sorted(tuple(r[i] for i in order) for r in res.fetchall())
     con.close()
     assert got == want and len(got) > 0
+
+
+def test_ohlc_by_hand(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, t0, "x", 10.00),
+        (1, t0 + dt.timedelta(seconds=10), "x", 12.50),
+        (2, t0 + dt.timedelta(seconds=20), "x", 9.25),
+        (3, t0 + dt.timedelta(seconds=70), "x", 11.00),  # next bucket
+        (4, t0, "y", 5.00),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="event_id long, ts timestamp, event_type string, value double"
+    )
+    out = ts.resample_ohlc(df, bucket_s=60.0, by=["event_type"])
+    got = {(r["event_type"], r["bucket"]): r for r in out.collect()}
+    b0 = min(b for (t, b) in got if t == "x")
+    r = got[("x", b0)]
+    assert r["open_cents"] == 1000 and r["high_cents"] == 1250
+    assert r["low_cents"] == 925 and r["close_cents"] == 925 and r["n"] == 3
+    assert got[("x", b0 + 1)]["open_cents"] == 1100
+    assert got[("y", b0)]["n"] == 1
+
+
+def test_ohlc_matches_duckdb(spark):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'"
+    )
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = ts.resample_ohlc(events, bucket_s=3600.0, by=["event_type"])
+    cols = sorted(out.columns)
+    got = sorted(tuple(r[c] for c in cols) for r in out.select(*cols).collect())
+    res = con.execute(ts.ohlc_oracle_sql(bucket_s=3600.0))
+    dcols = [d[0] for d in res.description]
+    order = [dcols.index(c) for c in cols]
+    want = sorted(tuple(r[i] for i in order) for r in res.fetchall())
+    con.close()
+    assert got == want and len(got) > 0

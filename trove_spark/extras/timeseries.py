@@ -468,3 +468,81 @@ SELECT CAST(f.cohort AS BIGINT) AS cohort,
 FROM acts a JOIN first f USING (u)
 GROUP BY 1, 2
 """
+
+
+def resample_ohlc(
+    df: DataFrame,
+    bucket_s: float,
+    value_col: str = "value",
+    time_col: str = "ts",
+    by: list[str] | None = None,
+    tie_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """OHLC resampling: per key and ``bucket_s`` time bucket, the
+    open/high/low/close of ``value_col`` in integer CENTS plus the row
+    count — (keys..., bucket, open_cents, high_cents, low_cents,
+    close_cents, n BIGINT).
+
+    ONE map-side-combined aggregation, no windows: open/close are
+    ``min(struct)``/``max(struct)`` over (time, tie, value) structs —
+    lexicographic first/last with a pinned tie order, the cross-engine
+    max_by replacement (DuckDB ``max_by`` rejects struct keys;
+    CLAUDE.md).  Bucketing is integer DIV on epoch micros; values are
+    ROUND(x·100) BIGINT cents — every column hash-exact."""
+    by = by or []
+    us = (F.unix_micros(F.col(time_col).cast("timestamp"))
+          if dict(df.dtypes)[time_col].startswith("timestamp")
+          else (F.col(time_col).cast("double") * 1e6).cast("long"))
+    bucket_us = int(round(bucket_s * 1e6))
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    key = F.struct(
+        F.col("__us").alias("us"),
+        *[F.col(c).alias(c) for c in tie_cols],
+        F.col("__cents").alias("c"),
+    )
+    return (
+        df.withColumn("__us", us)
+        .withColumn("__cents", cents)
+        .withColumn("__bucket", F.expr(f"__us DIV {bucket_us}").cast("long"))
+        .groupBy(*by, "__bucket")
+        .agg(
+            F.min(key).alias("__first"),
+            F.max(key).alias("__last"),
+            F.max("__cents").alias("high_cents"),
+            F.min("__cents").alias("low_cents"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .select(
+            *by,
+            F.col("__bucket").alias("bucket"),
+            F.col("__first.c").alias("open_cents"),
+            F.col("high_cents"),
+            F.col("low_cents"),
+            F.col("__last.c").alias("close_cents"),
+            "n",
+        )
+    )
+
+
+def ohlc_oracle_sql(
+    bucket_s: float, table: str = "events"
+) -> str:
+    """DuckDB twin of :func:`resample_ohlc` over the events view
+    (keyed by event_type)."""
+    bucket_us = int(round(bucket_s * 1e6))
+    return f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // {bucket_us} AS bucket,
+         {{'us': epoch_us(ts), 'event_id': event_id,
+           'c': CAST(ROUND(value * 100) AS BIGINT)}} AS k,
+         CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM {table}
+)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+       CAST(MIN(k).c AS BIGINT) AS open_cents,
+       CAST(MAX(c) AS BIGINT) AS high_cents,
+       CAST(MIN(c) AS BIGINT) AS low_cents,
+       CAST(MAX(k).c AS BIGINT) AS close_cents,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM e GROUP BY 1, 2
+"""
