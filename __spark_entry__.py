@@ -861,6 +861,21 @@ def q_rel_set_ops(spark, sf_dir):
     return p.subtract(n).withColumnRenamed("k", "p_size")
 
 
+def q_kg_cooccur(spark, sf_dir):
+    """Within-doc concept co-occurrence edges over the canonical triple
+    set (kg_query.cooccurrence_edges) — the KG read path that turns the
+    emitted triples into an analyzable concept graph (feeds pagerank /
+    triangle_count; composition tested in test_kg_query.py).
+
+    Slot yielded by rel_set_ops: its EXCEPT/INTERSECT shapes stay
+    exercised by dedup_exact's distinct, decontam's anti-join DuckDB
+    parity (tests/test_decontam_pii.py), and curate/dsir's semi joins;
+    UNION runs inside every emit_triples/kg_triples row."""
+    from trove_spark.kg_query import cooccurrence_edges
+
+    return cooccurrence_edges(_pipe(spark, sf_dir).triples(), "LINKS_TO")
+
+
 def q_rel_sql_interface(spark, sf_dir):
     """The same engine through the pure-SQL surface (`spark.sql` over
     registered temp views) — users of the reference's export tables get a
@@ -1232,7 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_collocations": q_corpus_collocations,
         "corpus_heavy_hitters": q_corpus_heavy_hitters,
         "bm25_topk": q_bm25_topk,
-        "rel_set_ops": q_rel_set_ops,
+        "kg_cooccur": q_kg_cooccur,
         "rel_range_join": q_rel_range_join,
         "rel_rollup": q_rel_rollup,
         "lm_perplexity": q_lm_perplexity,
@@ -1271,6 +1286,7 @@ def oracle_sql() -> dict[str, str]:
     from trove_spark.extras.collocations import collocations_oracle_sql
     from trove_spark.extras.sketches import heavy_hitters_oracle_sql
     from trove_spark.extras.timeseries import sessionize_oracle_sql
+    from trove_spark.kg_query import cooccur_oracle_sql
 
     out.update({
         "kg_label_model": label_model_oracle_sql(n_iter=3),
@@ -1317,5 +1333,8 @@ def oracle_sql() -> dict[str, str]:
              FROM linked t JOIN terms tm ON tm.term_id = t.term_id""",
         "kg_triples": p + "SELECT subj, pred, obj FROM triples",
         "kg_fused_triples": p + "SELECT subj, pred, obj FROM triples",
+        "kg_cooccur": cooccur_oracle_sql(
+            p + "SELECT subj, pred, obj FROM triples", "LINKS_TO"
+        ),
     })
     return out

@@ -58,6 +58,7 @@ HEADLINE = [
     "bm25_topk",  # r5: native BM25 retrieval (map-only scoring, TakeOrdered)
     "dedup_semantic",  # r5: SemDeDup (k-means + per-cluster BLAS kernel)
     "entity_link_fuzzy",  # r5: QuickUMLS-style char-gram concept linking
+    "kg_cooccur",  # r5: concept co-occurrence graph over the triple set
     "corpus_heavy_hitters",  # r5: exact Misra-Gries+recount heavy hitters
     "corpus_collocations",  # r5: map-side pair enum + exact-integer lift
 ]

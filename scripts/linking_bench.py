@@ -1,15 +1,20 @@
 #!/usr/bin/env python
 """Fuzzy-entity-linking scale measurement (extras/entity_linking.py).
 
-`python scripts/linking_bench.py [cores] [n_aliases] [n_mentions] [tau_micro]`
+`python scripts/linking_bench.py [cores] [n_aliases] [n_mentions] [tau_micro] [vocab]`
 
 Pins itself to <cores> CPUs (the scaling_run.py protocol), synthesizes a
-WIDE-VOCAB terminology + mention load — the testdata documents' 31-word
-vocabulary is vacuous for vocabulary-sensitive code (CLAUDE.md), and a
-16-symbol hex alphabet collapses the char-3-gram space to ~5k buckets,
-quadrupling candidate fan-out vs real text; words here are md5→base-36
-strings remapped to a 26-letter alphabet — and times the two production
-paths:
+terminology + mention load with a REALISTIC word structure — aliases are
+2-3 words drawn ZIPF-ishly from a bounded ``vocab`` of md5→base-36
+words (26-letter remap), the way real terminologies share words
+("chronic X disease" families): gram document-frequencies come out
+Zipf, so the idf-weighted prefix filter has real stopword-grams to
+drop.  (The first version of this bench drew every word UNIFORMLY
+md5-fresh: near-uniform gram idf across a saturated ~21k-gram space
+gave the prefix filter nothing to prune, and at 1M aliases the
+candidate join spilled >70 GB and died — an adversarial-vocabulary
+regime documented in BENCH.md, not the production shape.)  Times the
+two production paths:
 
   * index build — gram df agg (alphabet-bounded collect) + postings with
     canonical tail weights
@@ -42,6 +47,7 @@ def main() -> None:
     n_aliases = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
     n_mentions = int(sys.argv[3]) if len(sys.argv) > 3 else 200_000
     tau = int(sys.argv[4]) if len(sys.argv) > 4 else 700_000
+    vocab = int(sys.argv[5]) if len(sys.argv) > 5 else 50_000
     try:
         os.sched_setaffinity(0, set(range(cores)))
     except (AttributeError, OSError):
@@ -60,14 +66,23 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    def word(col, salt: str, ln: int):
-        # md5 hex → base-36 → digits remapped: 26-letter-alphabet word
+    def vword(col, salt: str, ln: int):
+        # Zipf-ish word DRAW from a bounded vocabulary: squash a uniform
+        # hash fraction quadratically so low word-ids repeat like
+        # function words, then render word-id -> md5 base-36 string
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        u = (h % 1_000_000) / 1_000_000.0
+        wid = (u * u * vocab).cast("long")
         return F.translate(
             F.lower(
                 F.conv(
-                    F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, ln),
-                    16,
-                    36,
+                    F.substring(F.md5(wid.cast("string")), 1, ln), 16, 36
                 )
             ),
             "0123456789",
@@ -78,9 +93,9 @@ def main() -> None:
         F.concat(F.lit("C"), (F.col("id") / 2).cast("long").cast("string")).alias("cui"),
         F.concat_ws(
             " ",
-            word(F.col("id"), "a", 12),
-            F.when(F.col("id") % 3 != 0, word(F.col("id"), "b", 10)),
-            F.when(F.col("id") % 5 == 0, word(F.col("id"), "c", 8)),
+            vword(F.col("id"), "a", 12),
+            vword(F.col("id") + 7_777_777, "b", 10),
+            F.when(F.col("id") % 3 == 0, vword(F.col("id") + 15_555_555, "c", 8)),
         ).alias("term"),
     )
     ali.write.mode("overwrite").parquet("/tmp/linking_bench/aliases")
@@ -129,6 +144,7 @@ def main() -> None:
         json.dumps(
             {
                 "cores": cores,
+                "vocab": vocab,
                 "n_aliases": n_aliases,
                 "n_mentions": n_mentions,
                 "distinct_mentions": distinct_mentions,

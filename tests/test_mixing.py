@@ -148,3 +148,67 @@ def test_pack_over_map_only_key_equals_shuffled(spark):
     a._pack_cache.unpersist()
     b._pack_cache.unpersist()
     assert ra == rb  # packing is a pure function of the key
+
+
+# ---------------------------------------------------------------------------
+# per-group cap
+# ---------------------------------------------------------------------------
+
+from trove_spark.extras.mixing import cap_per_group, cap_per_group_oracle_sql
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # domain sizes: big=1500, mid=300, tiny=7 — cap at 200 hits big+mid
+    rows = (
+        [(f"b{i:05d}", "big", f"t{i}") for i in range(1500)]
+        + [(f"m{i:05d}", "mid", f"t{i}") for i in range(300)]
+        + [(f"t{i:05d}", "tiny", f"t{i}") for i in range(7)]
+    )
+    return spark.createDataFrame(rows, "doc_id string, domain string, text string")
+
+
+def _skewed_sql(skewed):
+    rows = skewed.collect()
+    vals = ", ".join(f"('{r.doc_id}', '{r.domain}', '{r.text}')" for r in rows)
+    return f"SELECT * FROM (VALUES {vals}) d(doc_id, domain, text)"
+
+
+def test_cap_invariants(skewed):
+    out = cap_per_group(skewed, "domain", k=200, seed=11)
+    sizes = {r.domain: r.n for r in out.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"big": 200, "mid": 200, "tiny": 7}
+    # under-cap group passes through untouched (exact same ids)
+    tiny = sorted(r.doc_id for r in out.filter(F.col("domain") == "tiny").collect())
+    assert tiny == [f"t{i:05d}" for i in range(7)]
+    # kept set is a function of (seed, id) only — rerun identical
+    again = cap_per_group(skewed, "domain", k=200, seed=11)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+    # different seed keeps a different sample of the big domain
+    other = cap_per_group(skewed, "domain", k=200, seed=12)
+    a = {r.doc_id for r in out.filter(F.col("domain") == "big").collect()}
+    b = {r.doc_id for r in other.filter(F.col("domain") == "big").collect()}
+    assert a != b
+
+
+def test_cap_partitioning_invariance(skewed):
+    one = cap_per_group(skewed.repartition(1), "domain", k=50, seed=5)
+    many = cap_per_group(skewed.repartition(16), "domain", k=50, seed=5)
+    assert sorted(r.doc_id for r in one.collect()) == sorted(
+        r.doc_id for r in many.collect()
+    )
+
+
+def test_cap_duckdb_parity(skewed):
+    got = sorted(
+        (r.doc_id, r.domain, r.text)
+        for r in cap_per_group(skewed, "domain", k=123, seed=9).collect()
+    )
+    want = sorted(
+        duckdb.sql(
+            cap_per_group_oracle_sql(_skewed_sql(skewed), "domain", k=123, seed=9)
+        ).fetchall()
+    )
+    assert got == want

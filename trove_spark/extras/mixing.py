@@ -129,6 +129,78 @@ def with_shuffle_key(docs: DataFrame, seed: int = 0, id_col: str = "doc_id") -> 
     return docs.withColumn("shuffle_key", _h60(F.concat_ws(":", *cols)))
 
 
+def cap_per_group(
+    docs: DataFrame,
+    group_col: str = "domain",
+    k: int = 1000,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-group document cap (Dolma/C4's per-domain cap,
+    Gopher's per-source limits): keep at most ``k`` docs per group,
+    chosen by the portable (seed, id) hash so the kept set is a uniform
+    random sample that replays bit-for-bit across engines and reruns.
+
+    Scale shape: one count agg (map-side combined, one tiny row per
+    group) finds the OVER-CAP groups; under-cap groups — at web scale
+    the overwhelming majority of domains and a broadcast-joinable set
+    never larger than corpus/k on the other side — pass through
+    MAP-ONLY.  Only rows in over-cap groups pay the rank shuffle, and
+    that window partitions by DOMAIN (few, large partitions — the
+    healthy regime; the per-token-key window anti-pattern in CLAUDE.md
+    is millions of tiny partitions).  Giant-domain sorts spill
+    externally; a histogram k-th-order-statistic threshold (the
+    exact_quantiles formulation) is the documented upgrade if a single
+    domain ever dominates an executor."""
+    if k < 1:
+        raise ValueError(f"cap must be >= 1, got {k}")
+    g = F.col(group_col).cast("string")
+    h = _h60(F.concat_ws(":", F.lit(str(seed)), F.lit("cap"), g, F.col(id_col).cast("string")))
+    over = (
+        docs.groupBy(g.alias("_grp"))
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > k)
+        .select("_grp")
+    )
+    flagged = docs.join(F.broadcast(over), g == F.col("_grp"), "left")
+    passthrough = flagged.filter(F.col("_grp").isNull()).drop("_grp")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(g).orderBy(h.asc(), F.col(id_col).asc())
+    capped = (
+        flagged.filter(F.col("_grp").isNotNull())
+        .drop("_grp")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+    return passthrough.unionByName(capped)
+
+
+def cap_per_group_oracle_sql(
+    docs_sql: str,
+    group_col: str = "domain",
+    k: int = 1000,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`cap_per_group` (single-window form — the
+    split plan above is an execution strategy, not a semantics change)."""
+    return f"""
+WITH d AS ({docs_sql}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY CAST({group_col} AS VARCHAR)
+    ORDER BY CAST('0x' || substr(md5('{seed}' || ':cap:' ||
+        CAST({group_col} AS VARCHAR) || ':' || CAST({id_col} AS VARCHAR)), 1, 15)
+      AS BIGINT) ASC, {id_col} ASC
+  ) AS _rk
+  FROM d
+)
+SELECT * EXCLUDE (_rk) FROM ranked WHERE _rk <= {k}
+"""
+
+
 def deterministic_shuffle(
     docs: DataFrame,
     seed: int = 0,

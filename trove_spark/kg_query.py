@@ -1,0 +1,303 @@
+"""KG query operators over the canonical ``(subj, pred, obj)`` triple
+frame — the read side of the construction pipeline.
+
+The reference stops at emitting entity annotations; a knowledge graph is
+only useful if it can be QUERIED, so this module adds the three query
+shapes every triple store serves (reference scope: trove has no query
+layer — `__ref__` below), expressed as plain Catalyst plans so filters
+push into the bucketed parquet scan (graph.py's `TripleStore` layout):
+
+* ``match_pattern`` — SPO pattern filters (the SPARQL basic graph
+  pattern primitive).  Pure predicate pushdown: a ``pred='LINKS_TO'``
+  pattern reads only the matching row groups.
+* ``co_subject`` — two patterns joined through their shared subject
+  (span): e.g. (span LINKS_TO cui) ⋈ (span HAS_TYPE type) → per-concept
+  type profiles.  ONE equi-join on the span key (high-cardinality,
+  uniform — the join never sees concept-popularity skew) + a
+  map-side-combined count agg.
+* ``cooccurrence_edges`` — project spans to their document and emit the
+  within-doc concept co-occurrence graph (the standard "co-mention
+  edge" used to build concept graphs from corpora).  Per-doc pair
+  fan-out is bounded by (distinct concepts per doc)², i.e. by document
+  length — never by corpus-wide concept frequency — so the explode is
+  skew-safe at any corpus size.  Output feeds the graph-analytics
+  operators (pagerank / triangle_count / near-dup components).
+* ``k_hop`` — BFS neighborhood (node, min_dist ≤ k) with per-round
+  ``localCheckpoint`` (lineage truncation; see CLAUDE.md on iterative
+  plans) and a left-anti visited filter so each node is expanded once.
+
+Scale notes (100 TB): all joins are equi-joins on span/doc keys;
+aggregations are two-phase (map-side combine); nothing collects to the
+driver; k_hop's per-round state is the visited set only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__ref__ = "no reference counterpart (query layer over the emitted KG)"
+
+
+def match_pattern(
+    triples: DataFrame,
+    subj: str | list[str] | None = None,
+    pred: str | list[str] | None = None,
+    obj: str | list[str] | None = None,
+) -> DataFrame:
+    """Basic SPO pattern: each bound position filters (string = equality,
+    list = membership); unbound positions are wildcards.  Filters are
+    plain Column predicates → pushed to the parquet scan."""
+    out = triples
+    for col, val in (("subj", subj), ("pred", pred), ("obj", obj)):
+        if val is None:
+            continue
+        if isinstance(val, str):
+            out = out.filter(F.col(col) == val)
+        else:
+            out = out.filter(F.col(col).isin(list(val)))
+    return out
+
+
+def co_subject(
+    triples: DataFrame,
+    pred_a: str,
+    pred_b: str,
+    min_count: int = 1,
+) -> DataFrame:
+    """Join two predicate patterns through their shared subject →
+    ``(obj_a, obj_b, n_subj)``.
+
+    Because the triple set is canonical (distinct), ``count(*)`` over
+    the join IS the distinct-subject count — no count_distinct shuffle.
+    With ``pred_a == pred_b`` the self-pairs are canonicalized
+    (``obj_a < obj_b``) so each unordered pair appears once."""
+    a = triples.filter(F.col("pred") == pred_a).select("subj", F.col("obj").alias("obj_a"))
+    b = triples.filter(F.col("pred") == pred_b).select("subj", F.col("obj").alias("obj_b"))
+    joined = a.join(b, "subj")
+    if pred_a == pred_b:
+        joined = joined.filter(F.col("obj_a") < F.col("obj_b"))
+    out = (
+        joined.groupBy("obj_a", "obj_b")
+        .agg(F.count("*").cast("long").alias("n_subj"))
+    )
+    if min_count > 1:
+        out = out.filter(F.col("n_subj") >= min_count)
+    return out
+
+
+def cooccurrence_edges(
+    triples: DataFrame,
+    pred: str = "LINKS_TO",
+    min_count: int = 1,
+) -> DataFrame:
+    """Within-document concept co-occurrence graph →
+    ``(obj_a, obj_b, n_docs)`` with ``obj_a < obj_b``.
+
+    Span subjects carry their doc as the ``#``-prefix (graph.py's
+    span_key layout); distinct (doc, concept) projection first so a
+    concept mentioned 50× in one doc contributes one node, then a
+    doc-keyed self-join.  The self-join key is the doc id — uniform —
+    and per-doc fan-out is (concepts/doc)², bounded by doc length."""
+    doc_concepts = (
+        triples.filter(F.col("pred") == pred)
+        .select(
+            F.substring_index(F.col("subj"), "#", 1).alias("doc"),
+            F.col("obj"),
+        )
+        .distinct()
+    )
+    a = doc_concepts.select("doc", F.col("obj").alias("obj_a"))
+    b = doc_concepts.select("doc", F.col("obj").alias("obj_b"))
+    out = (
+        a.join(b, "doc")
+        .filter(F.col("obj_a") < F.col("obj_b"))
+        .groupBy("obj_a", "obj_b")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    if min_count > 1:
+        out = out.filter(F.col("n_docs") >= min_count)
+    return out
+
+
+def _pattern_frame(triples: DataFrame, pattern: tuple[str, str, str], idx: int) -> DataFrame:
+    """One BGP pattern → a frame of its variable bindings: constants
+    filter (pushed to the scan), ``?name`` positions project to columns
+    named after the variable; a variable repeated WITHIN the pattern
+    becomes an equality filter."""
+    df = triples
+    var_cols: dict[str, str] = {}
+    for col, val in zip(("subj", "pred", "obj"), pattern):
+        if val.startswith("?"):
+            name = val[1:]
+            if not name:
+                raise ValueError(f"empty variable name in pattern {idx}: {pattern}")
+            if name in var_cols:  # repeated var inside one pattern
+                df = df.filter(F.col(var_cols[name]) == F.col(col))
+            else:
+                var_cols[name] = col
+        else:
+            df = df.filter(F.col(col) == val)
+    return df.select(*[F.col(c).alias(v) for v, c in var_cols.items()])
+
+
+def query_bgp(triples: DataFrame, patterns: list[tuple[str, str, str]]) -> DataFrame:
+    """SPARQL basic-graph-pattern matching: each pattern is an
+    ``(s, p, o)`` triple of constants and ``?variables``; the result is
+    one row per satisfying binding, one column per distinct variable.
+
+    Execution: each pattern is a filtered projection of the triple scan
+    (constants push down — a ``pred``-bound pattern reads only its
+    predicate's rows), folded left-to-right with equi-joins on the
+    variables shared so far.  Patterns sharing no variable with the
+    accumulated bindings cross-join (legal SPARQL, warned in the
+    docstring sense: order patterns so joins connect).  Catalyst/AQE
+    pick build sides and reorder the equi-join chain; selective
+    patterns (more constants) earliest is the sensible caller order."""
+    if not patterns:
+        raise ValueError("empty pattern list")
+    acc = _pattern_frame(triples, patterns[0], 0)
+    for i, pat in enumerate(patterns[1:], 1):
+        nxt = _pattern_frame(triples, pat, i)
+        shared = [c for c in acc.columns if c in nxt.columns]
+        acc = acc.join(nxt, shared) if shared else acc.crossJoin(nxt)
+    return acc
+
+
+def bgp_oracle_sql(triples_sql: str, patterns: list[tuple[str, str, str]]) -> str:
+    """DuckDB twin of :func:`query_bgp` (same left-to-right join fold)."""
+    if not patterns:
+        raise ValueError("empty pattern list")
+    selects: list[str] = []
+    joins: list[str] = []
+    where0: list[str] = []
+    seen: dict[str, str] = {}  # var -> first binding expr
+    for i, pat in enumerate(patterns):
+        conds = []
+        for col, val in zip(("subj", "pred", "obj"), pat):
+            ref = f"t{i}.{col}"
+            if val.startswith("?"):
+                name = val[1:]
+                if name in seen:
+                    conds.append(f"{ref} = {seen[name]}")
+                else:
+                    seen[name] = ref
+                    selects.append(f"{ref} AS {name}")
+            else:
+                conds.append(f"{ref} = '{val}'")
+        if i == 0:
+            joins.append("trip t0")
+            where0 = conds
+        else:
+            on = " AND ".join(conds) if conds else "TRUE"
+            joins.append(f"JOIN trip t{i} ON {on}")
+    where = ("WHERE " + " AND ".join(where0)) if where0 else ""
+    return f"""
+WITH trip AS ({triples_sql})
+SELECT {', '.join(selects)}
+FROM {' '.join(joins)}
+{where}
+"""
+
+
+def k_hop(
+    triples: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    direction: str = "both",
+) -> DataFrame:
+    """BFS neighborhood: nodes reachable from ``seeds`` (one ``node``
+    column) within ``k`` hops over the triple edges → ``(node, dist)``
+    with ``dist`` = minimum hop count (seeds at 0).
+
+    ``direction``: ``out`` follows subj→obj, ``in`` obj→subj, ``both``
+    the undirected closure.  Each round: frontier ⋈ edges (equi-join),
+    distinct, anti-join against visited, ``localCheckpoint`` (iterative
+    DataFrame loops grow the analyzed plan exponentially otherwise —
+    CLAUDE.md)."""
+    edges_out = triples.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    edges_in = triples.select(F.col("obj").alias("src"), F.col("subj").alias("dst"))
+    if direction == "out":
+        edges = edges_out
+    elif direction == "in":
+        edges = edges_in
+    elif direction == "both":
+        edges = edges_out.unionByName(edges_in)
+    else:
+        raise ValueError(direction)
+    edges = edges.distinct().persist()
+
+    frontier = seeds.select("node").distinct().withColumn("dist", F.lit(0).cast("int"))
+    frontier = frontier.localCheckpoint(eager=True)
+    visited = frontier
+    for i in range(1, k + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(i).cast("int"))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if not nxt.take(1):
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    edges.unpersist()
+    return visited
+
+
+def cooccur_oracle_sql(
+    triples_sql: str, pred: str = "LINKS_TO", min_count: int = 1
+) -> str:
+    """DuckDB twin of :func:`cooccurrence_edges` over a query yielding
+    (subj, pred, obj) rows."""
+    return f"""
+WITH trip AS ({triples_sql}),
+dc AS (
+  SELECT DISTINCT split_part(subj, '#', 1) AS doc, obj
+  FROM trip WHERE pred = '{pred}'
+)
+SELECT a.obj AS obj_a, b.obj AS obj_b, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM dc a JOIN dc b ON a.doc = b.doc AND a.obj < b.obj
+GROUP BY 1, 2
+HAVING COUNT(*) >= {min_count}
+"""
+
+
+def co_subject_oracle_sql(triples_sql: str, pred_a: str, pred_b: str) -> str:
+    """DuckDB twin of :func:`co_subject`."""
+    same = "AND a.obj < b.obj" if pred_a == pred_b else ""
+    return f"""
+WITH trip AS ({triples_sql})
+SELECT a.obj AS obj_a, b.obj AS obj_b, CAST(COUNT(*) AS BIGINT) AS n_subj
+FROM trip a JOIN trip b
+  ON a.subj = b.subj AND a.pred = '{pred_a}' AND b.pred = '{pred_b}' {same}
+GROUP BY 1, 2
+"""
+
+
+def khop_oracle_sql(triples_sql: str, seeds_sql: str, k: int, direction: str = "both") -> str:
+    """DuckDB twin of :func:`k_hop` — recursive CTE bounded by ``k``
+    (duplicate (node, dist) rows collapse via UNION; min-dist projected
+    at the end)."""
+    if direction == "out":
+        edge_sel = "SELECT subj AS src, obj AS dst FROM trip"
+    elif direction == "in":
+        edge_sel = "SELECT obj AS src, subj AS dst FROM trip"
+    else:
+        edge_sel = (
+            "SELECT subj AS src, obj AS dst FROM trip "
+            "UNION SELECT obj AS src, subj AS dst FROM trip"
+        )
+    return f"""
+WITH RECURSIVE trip AS ({triples_sql}),
+edges AS ({edge_sel}),
+walk (node, dist) AS (
+  SELECT node, 0 FROM ({seeds_sql})
+  UNION
+  SELECT e.dst, w.dist + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.dist < {k}
+)
+SELECT node, CAST(MIN(dist) AS INTEGER) AS dist FROM walk GROUP BY node
+"""
