@@ -223,3 +223,33 @@ def test_substring_dedup_in_curate(spark):
     assert run in rows["s1"]  # first occurrence kept
     assert run not in rows["s2"]  # later occurrence cut
     assert rows["s2"].endswith("details")  # surrounding text intact
+
+
+def test_curate_web_ingestion(spark):
+    """url_col + html_input: URL-canonical dedup runs first, markup is
+    stripped before the screens judge the text."""
+    html_good = "<p>" + GOOD.replace("dog and", "dog</p><p>and") + "</p>"
+    rows = [
+        ("w1", html_good, "http://example.com/a?utm_source=x"),
+        # same canonical URL as w1 → dropped at url_dedup (min-id wins)
+        ("w2", html_good, "HTTP://EXAMPLE.com:80/a"),
+        # markup-free near-twin at another URL (same whitespace shape as
+        # w1's STRIPPED text, one word changed → J ≈ 0.91, reliable LSH
+        # collision like the a3 fixture) → caught by near-dedup
+        ("w3", GOOD.replace("dog and", "dog\nand").replace("share", "keep"),
+         "http://example.com/b"),
+        # all-markup doc: html strip leaves too little → quality screen
+        ("w4", "<div><script>var x = 1;</script></div>", "http://example.com/c"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string, url string")
+    cfg = CurateConfig(url_col="url", html_input=True)
+    out = curate(docs, None, cfg)
+    out._curate_cache.unpersist()
+    kept = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert set(kept) == {"w1"}
+    # the kept text is the STRIPPED text (screens and output saw no tags)
+    assert "<p>" not in kept["w1"] and "quick brown fox" in kept["w1"]
+    report = curation_report(docs, None, cfg)
+    stages = dict(report)
+    assert stages["url_dedup"] == 3  # w2 dropped by address identity
+    assert stages["input"] == 4

@@ -1,0 +1,159 @@
+"""Web ingestion (extras/webtext.py): URL canonicalization + HTML → text
+— hand-derived expectations, an idempotence property, and a DuckDB
+parity battery over the shared dialect-intersection regexes."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from trove_spark.extras.webtext import (
+    dedup_by_url,
+    extract_links_col,
+    html_to_text_col,
+    html_to_text_sql,
+    normalize_url_col,
+    normalize_url_sql,
+    registrable_domain_col,
+    registrable_domain_sql,
+    with_url_columns,
+)
+
+URLS = [
+    "HTTP://Example.COM:80/Path/?utm_source=x&b=2&a=1#frag",
+    "https://example.com:443",
+    "https://example.com:8443/x",
+    "https://sub.bbc.co.uk/news?fbclid=abc&q=hi",
+    "http://192.168.1.1/a",
+    "  https://pad.example.org/a?x=1&x=0&gclid=zz ",
+    "ftp://files.example.com/a",
+    "not a url",
+    "https://localhost/only",
+    "http://a.b.example.com/deep/path?ref=tw&keep=1",
+]
+
+EXPECT_NORM = {
+    URLS[0]: "http://example.com/Path/?a=1&b=2",
+    URLS[1]: "https://example.com/",
+    URLS[2]: "https://example.com:8443/x",
+    URLS[3]: "https://sub.bbc.co.uk/news?q=hi",
+    URLS[4]: "http://192.168.1.1/a",
+    URLS[5]: "https://pad.example.org/a?x=0&x=1",
+    URLS[6]: None,
+    URLS[7]: None,
+    URLS[8]: "https://localhost/only",
+    URLS[9]: "http://a.b.example.com/deep/path?keep=1",
+}
+
+HTMLS = [
+    "<p>Hello <b>world</b></p><script>var x = '<p>no</p>';</script><p>Bye</p>",
+    "<div>a</div><style type='text/css'>p { color: red }</style>b",
+    "plain text, no markup",
+    "5 &lt; 6 &amp;&amp; 7 &gt; 2, &quot;q&quot; &#39;a&#39;&nbsp;end",
+    "<!-- hidden --><h1>Title</h1>line1<br>line2<ul><li>x</li><li>y</li></ul>",
+    "<a href=\"https://x.com/1\">one</a> <A HREF='./rel'>two</A> <a>none</a>",
+]
+
+
+def _df(spark):
+    return spark.createDataFrame([(u,) for u in URLS], "url string")
+
+
+def test_normalize_hand_cases(spark):
+    got = {
+        r["url"]: r["n"]
+        for r in _df(spark).select("url", normalize_url_col(F.col("url")).alias("n")).collect()
+    }
+    assert got == EXPECT_NORM
+
+
+def test_normalize_idempotent(spark):
+    df = _df(spark).select(normalize_url_col(F.col("url")).alias("n")).filter(
+        F.col("n").isNotNull()
+    )
+    twice = df.select(F.col("n"), normalize_url_col(F.col("n")).alias("n2"))
+    assert all(r["n"] == r["n2"] for r in twice.collect())
+
+
+def test_registrable_domain(spark):
+    cases = {
+        "https://sub.bbc.co.uk/news": "bbc.co.uk",
+        "http://a.b.example.com/x": "example.com",
+        "http://192.168.1.1/a": "192.168.1.1",
+        "example.org": "example.org",
+        "localhost": "localhost",
+        "Deep.AC.JP.host.CO.uk": "host.co.uk",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "u string")
+    got = {r["u"]: r["d"] for r in df.select("u", registrable_domain_col(F.col("u")).alias("d")).collect()}
+    assert got == cases
+
+
+def test_url_duckdb_parity(spark):
+    sdf = _df(spark).select(
+        "url",
+        normalize_url_col(F.col("url")).alias("n"),
+        registrable_domain_col(F.col("url")).alias("d"),
+    )
+    got = sorted((r["url"], r["n"], r["d"]) for r in sdf.collect())
+    vals = ", ".join("('" + u.replace("'", "''") + "')" for u in URLS)
+    want = sorted(
+        duckdb.sql(
+            f"SELECT url, {normalize_url_sql('url')} AS n, "
+            f"{registrable_domain_sql('url')} AS d "
+            f"FROM (VALUES {vals}) t(url)"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_html_to_text(spark):
+    df = spark.createDataFrame([(h,) for h in HTMLS], "html string")
+    got = [r["t"] for r in df.select(html_to_text_col(F.col("html")).alias("t")).collect()]
+    assert got[0] == "Hello world\nBye"
+    assert got[1] == "a\nb"
+    assert got[2] == "plain text, no markup"
+    assert got[3] == "5 < 6 && 7 > 2, \"q\" 'a' end"
+    assert got[4] == "Title\nline1\nline2\nx\ny"
+
+
+def test_html_duckdb_parity(spark):
+    df = spark.createDataFrame([(h,) for h in HTMLS], "html string")
+    got = sorted(
+        r["t"] for r in df.select(html_to_text_col(F.col("html")).alias("t")).collect()
+    )
+    vals = ", ".join("('" + h.replace("'", "''") + "')" for h in HTMLS)
+    want = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT {html_to_text_sql('html')} AS t FROM (VALUES {vals}) t(html)"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_extract_links(spark):
+    df = spark.createDataFrame([(HTMLS[5],)], "html string")
+    got = df.select(extract_links_col(F.col("html")).alias("l")).collect()[0]["l"]
+    assert got == ["https://x.com/1", "./rel"]
+
+
+def test_dedup_by_url(spark):
+    rows = [
+        ("d1", "http://example.com/a?utm_source=x"),
+        ("d2", "HTTP://EXAMPLE.com:80/a"),  # same canonical as d1
+        ("d3", "http://example.com/b"),
+        ("d4", "garbage"),  # unparseable → kept
+        ("d5", "also garbage"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, url string")
+    kept = sorted(r["doc_id"] for r in dedup_by_url(df).collect())
+    assert kept == ["d1", "d3", "d4", "d5"]
+
+
+def test_with_url_columns(spark):
+    out = with_url_columns(_df(spark)).filter(F.col("url_norm").isNotNull())
+    rows = {r["url_norm"]: r["domain"] for r in out.collect()}
+    assert rows["https://sub.bbc.co.uk/news?q=hi"] == "bbc.co.uk"
+    assert rows["http://192.168.1.1/a"] == "192.168.1.1"

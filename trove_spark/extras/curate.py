@@ -97,6 +97,12 @@ class CurateConfig:
     # (span-identical, dedup.duplicate_kgram_spans docstring).
     substring_dedup_k: int = 0
     substring_hasher: str = "codegen"
+    # web-crawl ingestion (extras/webtext.py): when url_col is set, a
+    # URL-canonical dedup runs FIRST (the C4/CCNet order — address
+    # identity before content screens); html_input strips markup from
+    # text_col map-only, so downstream screens judge text, not tags
+    url_col: str | None = None
+    html_input: bool = False
 
 
 def screen_keep_expr(cfg: CurateConfig = CurateConfig(), text_col: str = "text"):
@@ -164,6 +170,18 @@ def _curate_stages(
     boundary), so the audit trail always matches the actual kept set,
     optional stages included."""
     stages: list[tuple[str, DataFrame]] = []
+
+    # web-crawl ingestion first: address-identity dedup, then markup
+    # stripping (map-only — fuses into the same scan the screens read)
+    if cfg.url_col:
+        from .webtext import dedup_by_url
+
+        docs = dedup_by_url(docs, cfg.url_col, id_col)
+        stages.append(("url_dedup", docs))
+    if cfg.html_input:
+        from .webtext import html_to_text_col
+
+        docs = docs.withColumn(text_col, html_to_text_col(F.col(text_col)))
 
     # blocklist screens run on the RAW text — PII redaction rewrites
     # URLs to <URL>, so the domain screen must look first

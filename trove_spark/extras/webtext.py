@@ -1,0 +1,249 @@
+"""Web-corpus ingestion primitives: URL normalization / canonical-key
+dedup and HTML → text extraction — the step BEFORE every curation
+pipeline when the input is a CommonCrawl-style crawl.
+
+Everything is pure codegen (regexp/array column expressions — no Python
+in the hot path, no UDFs), and every regex is written in the dialect
+intersection of Java regex (Spark) and RE2 (DuckDB): no lookaround, no
+backreferences — so the DuckDB oracle replays the EXACT same patterns
+(tests/test_webtext.py parity battery).
+
+Scale shape (100 TB): normalization and HTML stripping are MAP-ONLY;
+`dedup_by_url` is one uniform-key shuffle on the normalized URL (same
+shape as exact content dedup).  The registrable-domain extractor is a
+documented-reduced public-suffix rule (bounded second-level-TLD list,
+not the full PSL — no external data in this build); swap in the real
+PSL as a broadcast map join when packaging for production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__ref__ = "no reference counterpart (web-ingestion extension)"
+
+# query params that never identify content (trackers); anchored name match
+TRACKING_PARAM_RE = (
+    r"^(utm_[^=&]*|fbclid|gclid|dclid|msclkid|mc_cid|mc_eid|igshid|"
+    r"ref|ref_src|spm|_ga|yclid|wbraid|gbraid)(=.*)?$"
+)
+
+# second-level labels that act as TLD extensions under a 2-letter ccTLD
+# (reduced public-suffix rule; the full PSL is a production swap-in)
+SLD_LABELS = ["co", "com", "net", "org", "gov", "ac", "edu", "or", "ne", "go"]
+
+
+def _scheme(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+
+def _hostport(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+
+
+def normalize_url_col(url: Column) -> Column:
+    """Canonical URL: lowercased scheme+host, default port stripped,
+    fragment dropped, tracking params dropped, remaining query params
+    SORTED (param order is presentation, not identity), empty path →
+    ``/``.  Idempotent (property-tested).  Non-http(s)/relative inputs
+    normalize to NULL (quarantine them, don't guess)."""
+    url = F.trim(url)
+    scheme = _scheme(url)
+    hostport = _hostport(url)
+    host = F.when(scheme == "http", F.regexp_replace(hostport, r":80$", "")).when(
+        scheme == "https", F.regexp_replace(hostport, r":443$", "")
+    ).otherwise(hostport)
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", "/").otherwise(path)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+    out = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs == "", "").otherwise(F.concat(F.lit("?"), qs)),
+    )
+    ok = scheme.isin("http", "https") & (host != "")
+    return F.when(ok, out)
+
+
+def registrable_domain_col(url_or_host: Column) -> Column:
+    """eTLD+1 under the reduced rule: hosts whose second-to-last label is
+    a known SLD under a 2-letter ccTLD keep three labels (``bbc.co.uk``),
+    everything else keeps two (``example.com``).  IPv4 literals pass
+    through whole; single-label hosts (``localhost``) pass through."""
+    host = F.when(
+        url_or_host.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), _hostport(url_or_host)
+    ).otherwise(F.lower(F.trim(url_or_host)))
+    host = F.regexp_replace(host, r":\d+$", "")
+    is_ip = host.rlike(r"^\d+\.\d+\.\d+\.\d+$")
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    second_last = F.element_at(labels, -2)
+    last = F.element_at(labels, -1)
+    three = (
+        (n >= 3) & (F.length(last) == 2) & second_last.isin(*SLD_LABELS)
+    )
+    tail = F.when(three, F.slice(labels, n - 2, 3)).otherwise(
+        F.when(n >= 2, F.slice(labels, n - 1, 2)).otherwise(labels)
+    )
+    return F.when(is_ip, host).otherwise(F.array_join(tail, "."))
+
+
+def with_url_columns(
+    docs: DataFrame, url_col: str = "url", out_prefix: str = ""
+) -> DataFrame:
+    """Map-only: add ``{prefix}url_norm`` and ``{prefix}domain``."""
+    u = F.col(url_col)
+    norm = normalize_url_col(u)
+    return docs.withColumn(f"{out_prefix}url_norm", norm).withColumn(
+        f"{out_prefix}domain", F.when(norm.isNotNull(), registrable_domain_col(norm))
+    )
+
+
+def dedup_by_url(
+    docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one doc per normalized URL (the C4/CCNet URL-dedup pass):
+    winner = min id per canonical URL.  One shuffle on the normalized
+    URL — uniform key, no skew; docs whose URL fails to normalize are
+    kept unconditionally (their identity is content, not address)."""
+    keyed = docs.withColumn("_uk", normalize_url_col(F.col(url_col)))
+    bad = keyed.filter(F.col("_uk").isNull()).drop("_uk")
+    winners = (
+        keyed.filter(F.col("_uk").isNotNull())
+        .groupBy("_uk")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    kept = keyed.filter(F.col("_uk").isNotNull()).drop("_uk").join(winners, id_col)
+    return kept.unionByName(bad)
+
+
+# ---------------------------------------------------------------------------
+# HTML → text
+# ---------------------------------------------------------------------------
+
+# block-level closers/openers that imply a line break when stripped
+_BLOCK_BREAK_RE = (
+    r"(?i)<(?:br|/p|/div|/li|/h[1-6]|/tr|/table|/ul|/ol|/blockquote|"
+    r"/section|/article|/header|/footer|p|div|li|h[1-6]|tr)\b[^>]*>"
+)
+
+# (pattern, replacement) applied in order; dialect-intersection regexes
+HTML_STEPS: list[tuple[str, str]] = [
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (_BLOCK_BREAK_RE, "\n"),
+    (r"(?s)<[^>]*>", " "),
+    (r"&nbsp;", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"&amp;", "&"),
+    (r"[ \t\f\r]+", " "),
+    (r" ?\n ?", "\n"),
+    (r"\n{2,}", "\n"),
+    # final strip: trim() is SPACES-ONLY in both engines — strip \s
+    (r"^\s+|\s+$", ""),
+]
+
+
+def html_to_text_col(html: Column) -> Column:
+    """Naive-but-honest HTML → text: drop script/style/comments, turn
+    block boundaries into newlines, strip remaining tags, decode the
+    five ubiquitous entities, collapse whitespace.  A real boilerplate
+    extractor (trafilatura-class) needs a DOM — out of scope here; this
+    is the map-only screen-feeder (quality screens downstream see text,
+    not markup)."""
+    out = html
+    for pat, rep in HTML_STEPS:
+        out = F.regexp_replace(out, F.lit(pat), F.lit(rep))
+    return out
+
+
+def extract_links_col(html: Column) -> Column:
+    """All href targets (array<string>) — feeds the link-graph builders
+    (graph_analytics) from raw crawl HTML."""
+    return F.regexp_extract_all(
+        html, F.lit(r"""(?i)<a\b[^>]*\bhref\s*=\s*["']([^"']+)["']"""), F.lit(1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins (same regexes, RE2 side)
+# ---------------------------------------------------------------------------
+
+
+def normalize_url_sql(url_expr: str) -> str:
+    """DuckDB expression replaying :func:`normalize_url_col`."""
+    u = f"trim({url_expr})"
+    scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    hostport = f"lower(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"
+    host = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({hostport}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({hostport}, ':443$', '') "
+        f"ELSE {hostport} END"
+    )
+    path = f"regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+    path = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
+    query = f"regexp_extract({u}, '\\?([^#]*)', 1)"
+    params = (
+        f"list_filter(string_split({query}, '&'), "
+        f"p -> p != '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}'))"
+    )
+    # array_to_string/list_sort of an EMPTY list is NULL in DuckDB —
+    # coalesce to '' (Spark's array_join of [] is already '')
+    qs = f"coalesce(array_to_string(list_sort({params}), '&'), '')"
+    out = (
+        f"{scheme} || '://' || {host} || {path} || "
+        f"CASE WHEN {qs} = '' THEN '' ELSE '?' || {qs} END"
+    )
+    return (
+        f"CASE WHEN {scheme} IN ('http', 'https') AND {host} != '' "
+        f"THEN {out} ELSE NULL END"
+    )
+
+
+def registrable_domain_sql(expr: str) -> str:
+    """DuckDB expression replaying :func:`registrable_domain_col`."""
+    host = (
+        f"CASE WHEN regexp_matches({expr}, '^[A-Za-z][A-Za-z0-9+.-]*://') "
+        f"THEN lower(regexp_extract({expr}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) "
+        f"ELSE lower(trim({expr})) END"
+    )
+    host = f"regexp_replace({host}, ':[0-9]+$', '')"
+    labels = f"string_split({host}, '.')"
+    slds = ", ".join(f"'{s}'" for s in SLD_LABELS)
+    three = (
+        f"(len({labels}) >= 3 AND length({labels}[-1]) = 2 "
+        f"AND {labels}[-2] IN ({slds}))"
+    )
+    tail = (
+        f"CASE WHEN {three} THEN {labels}[-3:] "
+        f"WHEN len({labels}) >= 2 THEN {labels}[-2:] ELSE {labels} END"
+    )
+    return (
+        f"CASE WHEN regexp_matches({host}, '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$') "
+        f"THEN {host} ELSE array_to_string({tail}, '.') END"
+    )
+
+
+def html_to_text_sql(expr: str) -> str:
+    """DuckDB expression replaying :func:`html_to_text_col` — the same
+    ordered step list, with Java inline flags mapped to RE2 options
+    ((?is) → 'is' flag arg where needed; RE2 accepts inline flags too,
+    so patterns pass through verbatim)."""
+    out = expr
+    for pat, rep in HTML_STEPS:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
+    return out
