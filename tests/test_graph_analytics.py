@@ -174,3 +174,69 @@ def test_triangles_partition_invariance(spark):
     a._tri_cache.unpersist()
     b._tri_cache.unpersist()
     assert ra == rb
+
+
+# ---------------------------------------------------------------------------
+# connected components + label propagation
+# ---------------------------------------------------------------------------
+
+from trove_spark.extras.graph_analytics import (
+    components_oracle_sql,
+    connected_components,
+    label_propagation,
+    lpa_oracle_sql,
+)
+
+# two dense cliques bridged by one edge + a separate path + a 2-cycle
+LPA_EDGES = (
+    [("a1", "a2"), ("a1", "a3"), ("a2", "a3"), ("a1", "a4"), ("a2", "a4"), ("a3", "a4")]
+    + [("b1", "b2"), ("b1", "b3"), ("b2", "b3"), ("b1", "b4"), ("b2", "b4"), ("b3", "b4")]
+    + [("a4", "b1")]  # bridge
+    + [("p1", "p2"), ("p2", "p3")]  # path component
+    + [("q1", "q2")]  # 2-cycle (oscillation case for sync LPA)
+)
+
+
+def _edges_sql(edges):
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in edges)
+    return f"SELECT * FROM (VALUES {vals}) e(src, dst)"
+
+
+def test_connected_components_parity(spark):
+    df = spark.createDataFrame(LPA_EDGES, "src string, dst string")
+    got = sorted(
+        (r["node"], r["component"]) for r in connected_components(df).collect()
+    )
+    want = sorted(duckdb.sql(components_oracle_sql(_edges_sql(LPA_EDGES))).fetchall())
+    assert got == want
+    comp = dict(got)
+    assert comp["b4"] == "a1" and comp["p3"] == "p1" and comp["q2"] == "q1"
+
+
+def test_label_propagation_parity_and_semantics(spark):
+    df = spark.createDataFrame(LPA_EDGES, "src string, dst string")
+    for n_iter in (1, 4):
+        got = sorted(
+            (r["node"], r["community"])
+            for r in label_propagation(df, n_iter=n_iter).collect()
+        )
+        want = sorted(
+            duckdb.sql(lpa_oracle_sql(_edges_sql(LPA_EDGES), n_iter=n_iter)).fetchall()
+        )
+        assert got == want, n_iter
+    comm = dict(
+        (r["node"], r["community"])
+        for r in label_propagation(df, n_iter=4).collect()
+    )
+    # each clique converges to its minimum label; the bridge does not
+    # merge the two cliques (each side's internal majority dominates)
+    assert {comm[n] for n in ("a1", "a2", "a3")} == {"a1"}
+    assert {comm[n] for n in ("b2", "b3", "b4")} == {"b1"}
+    assert comm["a1"] != comm["b2"]
+
+
+def test_label_propagation_deterministic(spark):
+    df = spark.createDataFrame(LPA_EDGES, "src string, dst string")
+    one = sorted(map(tuple, label_propagation(df.repartition(1), n_iter=3).collect()))
+    many = sorted(map(tuple, label_propagation(df.repartition(16), n_iter=3).collect()))
+    assert one == many

@@ -13,6 +13,7 @@ from trove_spark.extras.webtext import (
     extract_links_col,
     html_to_text_col,
     html_to_text_sql,
+    link_graph,
     normalize_url_col,
     normalize_url_sql,
     registrable_domain_col,
@@ -157,3 +158,29 @@ def test_with_url_columns(spark):
     rows = {r["url_norm"]: r["domain"] for r in out.collect()}
     assert rows["https://sub.bbc.co.uk/news?q=hi"] == "bbc.co.uk"
     assert rows["http://192.168.1.1/a"] == "192.168.1.1"
+
+
+def test_link_graph_and_pagerank(spark):
+    """Crawl HTML → domain edges → the graph operators (the intended
+    composition: a domain authority score straight from raw crawl)."""
+    from trove_spark.extras.graph_analytics import pagerank
+
+    pages = [
+        ("http://a.example.com/1",
+         '<a href="https://hub.org/x">1</a> <a href="https://hub.org/y">2</a>'
+         ' <a href="/relative">skip</a>'),
+        ("http://b-site.net/p?utm_source=z",
+         '<a href="https://hub.org/z">3</a> <a href="http://a.example.com/2">4</a>'),
+        ("http://hub.org/self", '<a href="http://hub.org/other">self-loop</a>'),
+        ("not a url", '<a href="https://hub.org/q">dropped src</a>'),
+    ]
+    docs = spark.createDataFrame(pages, "url string, html string")
+    edges = link_graph(docs)
+    got = {(r["src"], r["dst"]): r["n_links"] for r in edges.collect()}
+    assert got == {
+        ("example.com", "hub.org"): 2,
+        ("b-site.net", "hub.org"): 1,
+        ("b-site.net", "example.com"): 1,
+    }
+    pr = {r["node"]: r["rank_micro"] for r in pagerank(edges, n_iter=3).collect()}
+    assert pr["hub.org"] == max(pr.values())

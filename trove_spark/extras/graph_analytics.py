@@ -248,3 +248,148 @@ closing AS (SELECT least(s, t) AS v, greatest(s, t) AS w FROM o)
 SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
 FROM wedges JOIN closing USING (v, w)
 """
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a generic undirected edge list →
+    ``(node, component)``, component = lexicographically-smallest
+    reachable node (deterministic canonical representative).
+
+    Thin facade over the pointer-jumping min-label propagation that
+    near-dup clustering already runs (extras/dedup.near_dup_clusters —
+    O(log diameter) rounds, per-round ``localCheckpoint``); nodes are
+    the distinct edge endpoints."""
+    from .dedup import near_dup_clusters
+
+    pairs = edges.select(
+        F.col(src_col).cast("string").alias("doc_a"),
+        F.col(dst_col).cast("string").alias("doc_b"),
+    )
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    out = near_dup_clusters(pairs, nodes, max_iter=max_iter)
+    return out.select(
+        F.col("doc_id").alias("node"), F.col("cluster_id").alias("component")
+    )
+
+
+def components_oracle_sql(edges_sql: str) -> str:
+    """DuckDB twin of :func:`connected_components` — recursive reachable
+    closure + per-node MIN (exact for any graph DuckDB can hold; the
+    Spark side's pointer jumping is the scale formulation)."""
+    return f"""
+WITH RECURSIVE raw AS ({edges_sql}),
+e AS (
+  SELECT src AS u, dst AS v FROM raw
+  UNION SELECT dst AS u, src AS v FROM raw
+),
+nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+reach (node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT w.node, e.v FROM reach w JOIN e ON e.u = w.r
+)
+SELECT node, MIN(r) AS component FROM reach GROUP BY node
+"""
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan et
+    al. 2007, the deterministic variant): every node starts as its own
+    label; each round every node adopts the MOST FREQUENT label among
+    its neighbors, ties broken by smallest label, isolated nodes keep
+    their own.  Synchronous rounds + the deterministic tie-break make
+    the result a pure function of (edges, n_iter) — bit-reproducible
+    across engines (async LPA is run-order-dependent), replayed
+    iteration-for-iteration by :func:`lpa_oracle_sql`.  Synchronous LPA
+    can oscillate on bipartite structures — ``n_iter`` is a fixed
+    budget, not a convergence promise (documented trade for
+    determinism).
+
+    Scale shape: per round ONE (neighbor) equi-join + ONE two-level agg
+    — the per-(node,label) count is map-side combined, and the argmax is
+    a lexicographic ``min(struct(-n, label))``, never a window; the
+    label frame is ``localCheckpoint``-ed each round (iterative-plan
+    growth, CLAUDE.md).  Early-stops when no label changes (a no-op
+    round is also a no-op in the oracle replay, so fixed-``n_iter``
+    parity is preserved)."""
+    e = edges.select(
+        F.col(src_col).cast("string").alias("u"),
+        F.col(dst_col).cast("string").alias("v"),
+    )
+    und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    und = und.distinct().localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("u"))
+        .distinct()
+        .select("u", F.col("u").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iter):
+        nb = und.join(
+            labels.select(F.col("u").alias("v"), "label"), "v"
+        ).select("u", "label")
+        counts = nb.groupBy("u", "label").agg(F.count("*").cast("long").alias("n"))
+        top = (
+            counts.groupBy("u")
+            .agg(F.min(F.struct((-F.col("n")).alias("nn"), F.col("label"))).alias("s"))
+            .select("u", F.col("s.label").alias("new_label"))
+        )
+        new_labels = (
+            labels.join(top, "u", "left")
+            .select("u", F.coalesce("new_label", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "u")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("node"), F.col("label").alias("community"))
+
+
+def lpa_oracle_sql(edges_sql: str, n_iter: int = 5) -> str:
+    """DuckDB replay of :func:`label_propagation`: one CTE pair per
+    round — neighbor-label counts, then the same lexicographic
+    ``min({'nn': -n, 'label': label})`` argmax."""
+    ctes = [
+        f"raw AS ({edges_sql})",
+        "e AS (SELECT src AS u, dst AS v FROM raw "
+        "UNION SELECT dst AS u, src AS v FROM raw)",
+        "l0 AS (SELECT DISTINCT u, u AS label FROM e)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""c{i} AS (
+  SELECT e.u, l.label, CAST(COUNT(*) AS BIGINT) AS n
+  FROM e JOIN l{i - 1} l ON l.u = e.v
+  GROUP BY 1, 2
+),
+t{i} AS (
+  SELECT u, MIN({{'nn': -n, 'label': label}}) AS s FROM c{i} GROUP BY u
+),
+l{i} AS (
+  SELECT p.u, COALESCE(t.s['label'], p.label) AS label
+  FROM l{i - 1} p LEFT JOIN t{i} t USING (u)
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT u AS node, label AS community FROM l{n_iter}"
+    )

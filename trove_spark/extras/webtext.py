@@ -247,3 +247,37 @@ def html_to_text_sql(expr: str) -> str:
         r = rep.replace("'", "''")
         out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
     return out
+
+
+def link_graph(
+    docs: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    by_domain: bool = True,
+    drop_self: bool = True,
+) -> DataFrame:
+    """Crawl pages → the (weighted) link graph: ``(src, dst, n_links)``
+    where src/dst are registrable domains (``by_domain``) or canonical
+    URLs.  Relative hrefs don't carry a host and normalize to NULL —
+    they are intra-site edges, dropped under ``drop_self`` semantics
+    anyway.  Map-only explode (fan-out = hrefs per page, bounded by
+    page size) + one count shuffle; the output feeds the graph
+    operators (pagerank for a domain authority score,
+    connected_components for crawl-frontier islands)."""
+    src_u = normalize_url_col(F.col(url_col))
+    out = docs.select(
+        src_u.alias("_src_u"),
+        F.explode(extract_links_col(F.col(html_col))).alias("_href"),
+    ).filter(F.col("_src_u").isNotNull())
+    dst_u = normalize_url_col(F.col("_href"))
+    if by_domain:
+        src = registrable_domain_col(F.col("_src_u"))
+        dst = F.when(dst_u.isNotNull(), registrable_domain_col(dst_u))
+    else:
+        src, dst = F.col("_src_u"), dst_u
+    out = out.select(src.alias("src"), dst.alias("dst")).filter(
+        F.col("dst").isNotNull()
+    )
+    if drop_self:
+        out = out.filter(F.col("src") != F.col("dst"))
+    return out.groupBy("src", "dst").agg(F.count("*").cast("long").alias("n_links"))
