@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Incremental-dedup scale measurement (extras/dedup.py).
+
+`python scripts/incdedup_bench.py [cores] [n_old] [n_new]`
+
+The claim under test: when a new crawl batch lands, near-dup checking it
+against a corpus INDEX costs O(new batch), not O(corpus) — the stored
+signature table replaces re-reading/re-shingling the old text.  Times
+three plans on the same synthetic corpus (wide md5 vocabulary — the
+testdata's 31-word vocab is vacuous for content-hash code, CLAUDE.md;
+~10% of new docs are one-word-edit near-dups of old docs, plus some
+exact dups):
+
+  * index build over OLD (one-time cost, amortized across batches)
+  * incremental: new batch vs stored index (the steady-state op)
+  * full re-run: one-shot estimator over old+new (what a pipeline
+    without an index must do every batch)
+
+Pinned cores, best of 2 for the two steady-state plans, sequential.
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    cores = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    n_old = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    n_new = int(sys.argv[3]) if len(sys.argv) > 3 else 10_000
+    try:
+        os.sched_setaffinity(0, set(range(cores)))
+    except (AttributeError, OSError):
+        pass
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from trove_spark.extras.dedup import (
+        incremental_minhash_pairs,
+        minhash_estimate_pairs,
+        minhash_index,
+    )
+
+    spark = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(2 * cores))
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def word(col, salt):
+        return F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8)
+
+    def synth(n, prefix, dup_of=None):
+        """20-word docs; with dup_of set, ~10% are one-word edits of an
+        old doc and ~5% exact copies (content keyed off the OLD id)."""
+        df = spark.range(n)
+        base = F.when(
+            F.col("id") % 10 == 0, (F.col("id") % dup_of) if dup_of else F.col("id")
+        ).otherwise(F.col("id") + (0 if dup_of is None else 1_000_000_000))
+        words = [word(base, f"w{i}") for i in range(20)]
+        text = F.concat_ws(" ", *words)
+        if dup_of is not None:
+            # one-word edit for the 10% near-dups; 5% exact copies
+            text = F.when(
+                (F.col("id") % 10 == 0) & (F.col("id") % 20 != 0),
+                F.concat_ws(" ", *(words[:-1] + [F.lit("edited")])),
+            ).otherwise(text)
+        return df.select(
+            F.concat(F.lit(prefix), F.col("id").cast("string")).alias("doc_id"),
+            text.alias("text"),
+        )
+
+    old = synth(n_old, "o")
+    new = synth(n_new, "n", dup_of=n_old)
+    old.write.mode("overwrite").parquet("/tmp/incdedup/old")
+    new.write.mode("overwrite").parquet("/tmp/incdedup/new")
+    old = spark.read.parquet("/tmp/incdedup/old")
+    new = spark.read.parquet("/tmp/incdedup/new")
+
+    from trove_spark.extras.dedup import _band_sigs
+
+    t0 = time.time()
+    sig = minhash_index(old).persist()
+    sig.write.mode("overwrite").parquet("/tmp/incdedup/index")
+    _band_sigs(sig, 4).write.mode("overwrite").parquet("/tmp/incdedup/bands")
+    sig.unpersist()
+    index_build = round(time.time() - t0, 2)
+    index = spark.read.parquet("/tmp/incdedup/index")
+    bands = spark.read.parquet("/tmp/incdedup/bands")
+
+    def inc():
+        out = incremental_minhash_pairs(new, index, threshold=0.5, index_bands=bands)
+        n = out.count()
+        out._new_sigs.unpersist()
+        out._new_bands.unpersist()
+        return n
+
+    def full():
+        out = minhash_estimate_pairs(old.unionByName(new), threshold=0.5)
+        n = out.count()
+        out._sig_cache.unpersist()
+        return n
+
+    results, counts = {}, {}
+    for name, fn in [("incremental", inc), ("full_rerun", full)]:
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            counts[name] = fn()
+            best_t = time.time() - t0
+            best = best_t if best is None else min(best, best_t)
+        results[name] = round(best, 2)
+    # old docs are all-distinct by construction → no old×old pairs → the
+    # two plans must find the SAME pair set
+    assert counts["incremental"] == counts["full_rerun"], counts
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "n_old": n_old,
+                "n_new": n_new,
+                "index_build_sec": index_build,
+                "incremental_pairs": counts["incremental"],
+                "incremental_sec_best": results["incremental"],
+                "full_rerun_pairs": counts["full_rerun"],
+                "full_rerun_sec_best": results["full_rerun"],
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

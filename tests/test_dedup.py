@@ -228,3 +228,147 @@ def test_embedding_near_dup_subset_and_recall(spark):
     }
     assert got <= brute
     assert len(got) / max(len(brute), 1) >= 0.5, (len(got), len(brute))
+
+
+# ---------------------------------------------------------------------------
+# incremental minhash (signature-index) dedup
+# ---------------------------------------------------------------------------
+
+import duckdb
+
+from trove_spark.extras.dedup import (
+    incremental_minhash_pairs,
+    minhash_estimate_pairs,
+    minhash_index,
+)
+
+T1 = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega end")
+T2 = ("one two three four five six seven eight nine ten eleven twelve "
+      "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty done")
+T3 = ("red orange yellow green blue indigo violet cyan magenta maroon "
+      "olive navy teal silver golden bronze copper pearl amber coral stop")
+T4 = ("north south east west upward downward forward backward inward outward "
+      "leftward rightward sideways onward homeward skyward seaward landward away")
+
+BATCH_A = [
+    ("a1", T1),
+    ("a2", T1.replace("end", "finish")),  # near-dup WITHIN the old batch
+    ("a3", T2),
+    ("a4", T3),
+]
+BATCH_B = [
+    ("b1", T1.replace("omega", "sigma2")),  # near-dup of a1/a2 (new-old)
+    ("b2", T2),                              # exact dup of a3 (new-old)
+    ("b3", T4),                              # fresh
+    ("b4", T4.replace("away", "gone")),      # near-dup of b3 (new-new)
+]
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_incremental_equals_batch_estimator(spark):
+    idx = minhash_index(_docs(spark, BATCH_A))
+    inc = incremental_minhash_pairs(_docs(spark, BATCH_B), idx, threshold=0.5)
+    got = {(r["doc_a"], r["doc_b"]) for r in inc.collect()}
+    inc._new_sigs.unpersist()
+
+    full = minhash_estimate_pairs(_docs(spark, BATCH_A + BATCH_B), threshold=0.5)
+    new_ids = {d for d, _ in BATCH_B}
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in full.collect()
+        if r["doc_a"] in new_ids or r["doc_b"] in new_ids
+    }
+    full._sig_cache.unpersist()
+    assert got == want
+    # the dup pairs a rolling pipeline needs are all found…
+    assert {("a3", "b2"), ("b3", "b4")} <= got
+    assert any(p in got for p in [("a1", "b1"), ("a2", "b1")])
+    # …and old×old work is never redone
+    assert ("a1", "a2") not in got
+
+
+def test_estimator_duckdb_parity(spark):
+    docs = BATCH_A + BATCH_B
+    got = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_estimate_pairs(_docs(spark, docs), threshold=0.5).collect()
+    )
+    vals = ", ".join(f"('{d}', '{t}')" for d, t in docs)
+    h = "CAST('0x' || substr(md5(shingle || ':' || seed), 1, 15) AS BIGINT)"
+    want = sorted(
+        duckdb.sql(f"""
+WITH d AS (SELECT * FROM (VALUES {vals}) t(doc_id, text)),
+shingles AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(0, greatest(len(string_split(text, ' ')) - 4, 1)),
+             i -> array_to_string(array_slice(string_split(text, ' '), i + 1, i + 5), ' ')
+         ))) AS shingle
+  FROM d
+),
+sig AS (
+  SELECT doc_id, seed, MIN({h}) AS mh
+  FROM shingles, (SELECT unnest(range(0, 16)) AS seed) s
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // 4 AS band,
+         md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS band_sig
+  FROM sig GROUP BY doc_id, seed // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+GROUP BY doc_a, doc_b
+HAVING SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) * 1000000 >= 500000 * 16
+""").fetchall()
+    )
+    assert got == want
+
+
+def test_index_append_roundtrip(spark):
+    """The maintenance loop: pairs first, then append _new_sigs — the
+    appended index reproduces a from-scratch index over A∪B."""
+    idx = minhash_index(_docs(spark, BATCH_A))
+    inc = incremental_minhash_pairs(_docs(spark, BATCH_B), idx)
+    inc.count()  # materialize pairs before the append (the documented order)
+    appended = idx.unionByName(inc._new_sigs)
+    scratch = minhash_index(_docs(spark, BATCH_A + BATCH_B))
+    assert sorted(map(tuple, appended.collect())) == sorted(
+        map(tuple, scratch.collect())
+    )
+    inc._new_sigs.unpersist()
+
+
+def test_incremental_stored_bands_path(spark):
+    """Passing precomputed index bands (the production layout) changes
+    the plan, not the answer — and _new_bands appends reproduce a
+    from-scratch band table."""
+    from trove_spark.extras.dedup import _band_sigs
+
+    idx = minhash_index(_docs(spark, BATCH_A))
+    bands = _band_sigs(idx, 4)
+    base = incremental_minhash_pairs(_docs(spark, BATCH_B), idx, threshold=0.5)
+    got_base = sorted(map(tuple, base.collect()))
+    fast = incremental_minhash_pairs(
+        _docs(spark, BATCH_B), idx, threshold=0.5, index_bands=bands
+    )
+    got_fast = sorted(map(tuple, fast.collect()))
+    assert got_base == got_fast
+    appended = bands.unionByName(fast._new_bands)
+    scratch = _band_sigs(minhash_index(_docs(spark, BATCH_A + BATCH_B)), 4)
+    assert sorted(map(tuple, appended.collect())) == sorted(
+        map(tuple, scratch.collect())
+    )
+    base._new_sigs.unpersist(); base._new_bands.unpersist()
+    fast._new_sigs.unpersist(); fast._new_bands.unpersist()

@@ -678,3 +678,153 @@ def dedup_substrings(
         .filter(F.size("kept") > 0)
     )
     return kept.select("doc_id", F.array_join("kept", " ").alias(text_col))
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup: new batch vs a stored signature index
+# ---------------------------------------------------------------------------
+
+
+def minhash_index(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The persistent signature INDEX for incremental dedup: one
+    ``(doc_id, seed, mh)`` row per hash — n_hashes longs per doc, a
+    constant-factor sketch of the corpus that a 100-TB pipeline stores
+    once (parquet, bucketed by doc) and appends to per crawl batch.
+    Signatures are over the UNCAPPED shingle set: a boilerplate-df cap
+    is a corpus-global statistic an append-only index cannot maintain
+    (the batch path applies it; the incremental path trades that
+    polish for O(new batch) work — Dolma/RefinedWeb make the same
+    trade)."""
+    return minhash_signatures(docs, n_hashes=n_hashes, k=k, id_col=id_col, text_col=text_col)
+
+
+def _band_sigs(sig: DataFrame, band_size: int) -> DataFrame:
+    """(doc_id, seed, mh) → (doc_id, band, band_sig) — map-side derivable
+    from the stored index (bands are presentation, not state)."""
+    return (
+        sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                        lambda s: s["mh"].cast("string"),
+                    ),
+                )
+            ).alias("band_sig")
+        )
+    )
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    index: DataFrame,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    k: int = 5,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    index_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pairs of a NEW batch against itself and against the
+    stored corpus index — WITHOUT touching the old corpus text: the
+    operation a rolling 100-TB pipeline runs when a crawl lands
+    ("is this new page a dup of anything we already have?").
+
+    Candidates: new band signatures equi-joined against (index ∪ new)
+    band signatures — every emitted pair has ≥1 new side by
+    construction; old×old pairs are never generated (that work was
+    done when those batches landed).  Verification: the MINHASH
+    ESTIMATE — matching-seed fraction ≥ threshold, an integer compare
+    (matches·1e6 ≥ thr_micro·n_hashes) — because exact-Jaccard verify
+    needs the old docs' shingles, i.e. the corpus text this operator
+    exists to avoid reading.  E[estimate] = true Jaccard (the MinHash
+    guarantee); at n_hashes=16 the estimator's σ ≈ 0.12 — raise
+    n_hashes for a tighter gate (index size scales linearly).  Batch
+    equivalence (tested): two-batch incremental ≡ the one-shot
+    estimator restricted to pairs with a new side.
+
+    Returns (doc_a, doc_b) with doc_a < doc_b.  The new batch's
+    signature rows ride on the result as ``result._new_sigs`` — append
+    them to the index AFTER materializing (resume-safe order: pairs
+    first, index append second, exactly the shard-manifest discipline).
+    """
+    thr_micro = int(round(threshold * 1_000_000))
+    new_sig = minhash_index(new_docs, n_hashes, k, id_col, text_col).persist()
+    all_sig = index.unionByName(new_sig)
+    bands_new = _band_sigs(new_sig, band_size).persist()
+    # bands over the old corpus are derivable, but deriving them is the
+    # only per-batch agg that scans the whole index — a pipeline that
+    # stores them next to the signature rows (also append-only; ride-along
+    # ``_new_bands``) turns candidate generation into a pure equi-join
+    old_bands = index_bands if index_bands is not None else _band_sigs(index, band_size)
+    bands_all = old_bands.unionByName(bands_new)
+    cand = (
+        bands_new.alias("a")
+        .join(bands_all.alias("b"), ["band", "band_sig"])
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = all_sig.select(F.col("doc_id").alias("doc_a"), "seed", F.col("mh").alias("ma"))
+    sb = all_sig.select(F.col("doc_id").alias("doc_b"), "seed", F.col("mh").alias("mb"))
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum((F.col("ma") == F.col("mb")).cast("long")).alias("matches"))
+        .filter(F.col("matches") * 1_000_000 >= F.lit(thr_micro) * n_hashes)
+        .select("doc_a", "doc_b")
+    )
+    est._new_sigs = new_sig
+    est._new_bands = bands_new
+    return est
+
+
+def minhash_estimate_pairs(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    k: int = 5,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One-shot estimator twin of :func:`incremental_minhash_pairs`
+    (LSH candidates + matching-seed verify over the whole corpus) —
+    the equivalence baseline for the incremental path and the variant
+    to use when signatures exist but shingles were never persisted."""
+    sig = minhash_index(docs, n_hashes, k, id_col, text_col).persist()
+    bands = _band_sigs(sig, band_size)
+    thr_micro = int(round(threshold * 1_000_000))
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "band_sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), "seed", F.col("mh").alias("ma"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), "seed", F.col("mh").alias("mb"))
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum((F.col("ma") == F.col("mb")).cast("long")).alias("matches"))
+        .filter(F.col("matches") * 1_000_000 >= F.lit(thr_micro) * n_hashes)
+        .select("doc_a", "doc_b")
+    )
+    est._sig_cache = sig
+    return est
