@@ -870,10 +870,14 @@ def q_kg_cooccur(spark, sf_dir):
     Slot yielded by rel_set_ops: its EXCEPT/INTERSECT shapes stay
     exercised by dedup_exact's distinct, decontam's anti-join DuckDB
     parity (tests/test_decontam_pii.py), and curate/dsir's semi joins;
-    UNION runs inside every emit_triples/kg_triples row."""
+    UNION runs inside every emit_triples/kg_triples row.
+
+    Input triples come from the FUSED kernel (the production plan;
+    row-identical to the staged path, tests/test_fused.py) so this row
+    prices the co-occurrence join, not a second staged-pipeline run."""
     from trove_spark.kg_query import cooccurrence_edges
 
-    return cooccurrence_edges(_pipe(spark, sf_dir).triples(), "LINKS_TO")
+    return cooccurrence_edges(q_kg_fused_triples(spark, sf_dir), "LINKS_TO")
 
 
 def q_rel_sql_interface(spark, sf_dir):

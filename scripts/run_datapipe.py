@@ -76,6 +76,10 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--lm-max-nll-per-token-micro", type=int, default=6_900_000,
                     help="perplexity-cut threshold in micro-nats/token "
                          "(default ~ perplexity 1000)")
+    ap.add_argument("--url-col", default=None,
+                    help="URL column: canonical-URL dedup runs before the screens")
+    ap.add_argument("--html-input", action="store_true",
+                    help="text-col holds raw HTML: strip markup before the screens")
     ap.add_argument("--split", default="train=0.98,val=0.01,test=0.01")
     ap.add_argument("--pack-split", default="train",
                     help="which split reaches the packed shards")
@@ -97,6 +101,8 @@ def main(argv: list[str] | None = None) -> dict:
     cfg = CurateConfig(
         substring_dedup_k=args.substring_k,
         substring_hasher=args.substring_hasher,
+        url_col=args.url_col,
+        html_input=args.html_input,
     )
     lm_model = None
     if args.lm_ref_mod:

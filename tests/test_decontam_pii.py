@@ -241,3 +241,56 @@ def test_blocked_domain_hit_col_matches_join_form(spark):
     assert sorted(r.doc_id for r in mapform.collect()) == want
     plan = mapform._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# fuzzy (near-dup) contamination
+# ---------------------------------------------------------------------------
+
+from trove_spark.extras.decontam import fuzzy_contamination, fuzzy_decontaminate
+
+_BENCH_Q = ("what is the capital city of the ancient kingdom of lydia "
+            "the answer to this riddle is the famous city of sardis indeed")
+
+
+def test_fuzzy_contamination(spark):
+    corpus = spark.createDataFrame(
+        [
+            # paraphrase-grade edit: word 11 of 22 sits inside EVERY
+            # 13-gram window (kills all exact grams) but only 5 of the
+            # 18 5-shingles → J ≈ 0.57, caught at the fuzzy threshold
+            ("c1", _BENCH_Q.replace("lydia", "phrygia")),
+            ("c2", "a completely unrelated document about sailing ships "
+                   "crossing the wide sea under a calm and starry night sky"),
+            ("c3", _BENCH_Q),  # verbatim copy
+        ],
+        "doc_id string, text string",
+    )
+    bench = spark.createDataFrame(
+        [("q1", _BENCH_Q)], "qid string, question string"
+    )
+    flagged = fuzzy_contamination(
+        corpus, bench, threshold=0.4,
+        bench_id_col="qid", bench_text_col="question",
+    )
+    got = {(r["doc_id"], r["bench_id"]) for r in flagged.collect()}
+    flagged._new_sigs.unpersist(); flagged._new_bands.unpersist()
+    assert got == {("c1", "q1"), ("c3", "q1")}
+    # exact 13-gram decontam misses the paraphrase (the gap this fills)
+    from trove_spark.extras.decontam import contamination
+
+    exact = {
+        r["doc_id"]
+        for r in contamination(
+            corpus, bench, bench_id_col="qid", bench_text_col="question"
+        ).filter("contaminated").collect()
+    }
+    assert exact == {"c3"}
+
+    clean = fuzzy_decontaminate(
+        corpus, bench, threshold=0.4,
+        bench_id_col="qid", bench_text_col="question",
+    )
+    kept = sorted(r["doc_id"] for r in clean.collect())
+    clean._new_sigs.unpersist(); clean._new_bands.unpersist()
+    assert kept == ["c2"]

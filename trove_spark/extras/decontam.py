@@ -144,3 +144,83 @@ def decontaminate(
         corpus[id_col].cast("string") == hit_ids["doc_id"],
         "left_anti",
     )
+
+
+def fuzzy_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    k: int = 5,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """NEAR-duplicate contamination: corpus docs whose whole-text MinHash
+    estimate against any benchmark doc reaches ``threshold`` —
+    paraphrased / lightly-edited eval leakage the exact 13-gram probe
+    misses (GPT-3's 13-gram rule catches verbatim overlap only; this is
+    the fuzzy complement, same trade as incremental dedup: estimator
+    verify, no benchmark-text re-read at check time).
+
+    Mechanics = :func:`dedup.incremental_minhash_pairs` with the
+    benchmark as the stored index (benchmarks are small — the index
+    side is broadcast-scale) and the corpus as the "new batch"; output
+    is one (doc_id, bench_id) row per flagged pair.  Compose with a
+    left-anti join to drop flagged docs (the `decontaminate` pattern)."""
+    from .dedup import incremental_minhash_pairs, minhash_index
+
+    bench_pref = benchmark.select(
+        F.concat(F.lit("\x01b:"), F.col(bench_id_col).cast("string")).alias("doc_id"),
+        F.col(bench_text_col).alias("text"),
+    )
+    corp_pref = corpus.select(
+        F.concat(F.lit("\x02c:"), F.col(id_col).cast("string")).alias("doc_id"),
+        F.col(text_col).alias("text"),
+    )
+    idx = minhash_index(bench_pref, n_hashes=n_hashes, k=k)
+    pairs = incremental_minhash_pairs(
+        corp_pref, idx, n_hashes=n_hashes, band_size=band_size, k=k,
+        threshold=threshold,
+    )
+    # \x01 < \x02 ⇒ canonical pairs are (bench, corpus); corpus×corpus
+    # pairs (both \x02) are near-dups, not contamination — drop them
+    out = (
+        pairs.filter(F.col("doc_a").startswith("\x01b:"))
+        .select(
+            F.expr("substring(doc_b, 4)").alias("doc_id"),
+            F.expr("substring(doc_a, 4)").alias("bench_id"),
+        )
+    )
+    out._new_sigs = pairs._new_sigs
+    out._new_bands = pairs._new_bands
+    return out
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Drop corpus docs flagged by :func:`fuzzy_contamination` (left-anti
+    on the flagged id set — the same shape as `decontaminate`)."""
+    flagged = fuzzy_contamination(
+        corpus, benchmark, threshold=threshold, id_col=id_col, text_col=text_col,
+        bench_id_col=bench_id_col, bench_text_col=bench_text_col,
+    )
+    ids = flagged.select(F.col("doc_id").alias("_fid")).distinct()
+    out = corpus.join(
+        ids, corpus[id_col].cast("string") == ids["_fid"], "left_anti"
+    )
+    # the anti-join is LAZY — unpersisting here would drop the signature
+    # cache before anything consumed it (the run_datapipe DSIR advice
+    # bug); the handles ride along for the caller instead
+    out._new_sigs = flagged._new_sigs
+    out._new_bands = flagged._new_bands
+    return out
