@@ -1,0 +1,61 @@
+"""Corpus data card (extras/datacard.py): hand-derived numbers on a
+fixture corpus + the four-job cost claim."""
+
+from __future__ import annotations
+
+import pytest
+
+from trove_spark.extras.datacard import datacard
+
+GOOD = ("the quick brown fox jumps over the lazy dog and then the fox "
+        "runs back home with a bone for the old hound dog")  # 24 tokens
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        ("a", GOOD, "example.com"),
+        ("b", GOOD, "example.com"),                # exact dup of a
+        ("c", GOOD.replace("dog", "cat"), "example.com"),
+        ("d", "zz qq vv kk xx ww yy nn mm pp", "other.net"),  # non-English
+        ("e", "tiny", "other.net"),                # fails quality (len<5)
+        ("f", "contact me at a@b.io for details about the old plan today",
+         "pii.org"),                               # PII doc, English
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string, domain string")
+
+
+def test_datacard_numbers(corpus):
+    card = datacard(corpus, domain_col="domain", top_domains=2,
+                    length_quantiles=(0.5, 1.0))
+    assert card["n_docs"] == 6
+    # 24*3 + 10 + 1 + 11
+    assert card["n_tokens"] == 24 * 3 + 10 + 1 + 11
+    assert card["n_distinct_texts"] == 5 and card["n_exact_dup_docs"] == 1
+    # d passes the shape screens (mean wlen 2.0 sits on the boundary);
+    # it is the LANGUAGE screen that rejects it
+    assert card["n_quality_pass"] == 5          # a, b, c, d, f
+    assert card["n_english"] == 4               # a, b, c, f
+    assert card["n_docs_with_pii"] == 1 and card["n_pii_spans"] == 1
+    # lengths sorted: [1, 10, 11, 24, 24, 24]; median (rank 3) = 11
+    assert card["token_length_quantiles"] == {"0.5": 11, "1.0": 24}
+    assert card["top_domains"] == [("example.com", 3), ("other.net", 2)]
+
+
+def test_datacard_without_domains(corpus):
+    card = datacard(corpus.drop("domain"))
+    assert "top_domains" not in card
+    assert card["n_docs"] == 6
+
+
+def test_datacard_job_count(corpus, spark):
+    """The cost claim: the whole card is a BOUNDED number of Spark jobs
+    (4 logical aggregates + the two-job quantile selection; AQE
+    materializes each shuffle stage as its own job, hence the slack),
+    independent of how many stats the card reports — the fused
+    single-row aggregate is what keeps 8 map-only stats at one scan."""
+    sc = spark.sparkContext
+    n0 = sc._jsc.sc().dagScheduler().nextJobId()
+    datacard(corpus, domain_col="domain")
+    n1 = sc._jsc.sc().dagScheduler().nextJobId()
+    assert n1 - n0 <= 14, n1 - n0

@@ -1,0 +1,75 @@
+"""Unicode normalization + mojibake repair (extras/textnorm.py):
+hand-derived cases, DuckDB nfc_normalize parity, and the downstream
+property the pass exists for — normalized twins hash identically."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from trove_spark.extras.textnorm import _fix_mojibake_str, normalize_text
+
+COMPOSED = "café résumé"          # é as single codepoints
+DECOMPOSED = "café résumé"      # e + combining acute
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_nfc_merges_composition_variants(spark):
+    docs = _docs(spark, [("a", COMPOSED), ("b", DECOMPOSED), ("c", None)])
+    out = {r["doc_id"]: r["text"] for r in normalize_text(docs).collect()}
+    assert out["a"] == out["b"] == COMPOSED
+    assert out["c"] is None
+
+
+def test_nfc_duckdb_parity(spark):
+    rows = [("a", COMPOSED), ("b", DECOMPOSED), ("c", "plain ascii"),
+            ("d", "ﬁne ligature ①")]  # ﬁ ligature, ① (NFC keeps both)
+    got = sorted(
+        (r["doc_id"], r["text"]) for r in normalize_text(_docs(spark, rows)).collect()
+    )
+    vals = ", ".join(f"('{d}', '{t}')" for d, t in rows)
+    want = sorted(
+        duckdb.sql(
+            f"SELECT doc_id, nfc_normalize(text) FROM (VALUES {vals}) t(doc_id, text)"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_nfkc_folds_compatibility(spark):
+    docs = _docs(spark, [("a", "ﬁne ① ½")])
+    out = normalize_text(docs, form="NFKC").collect()[0]["text"]
+    assert out == "fine 1 1⁄2"  # ligature, circled digit, vulgar fraction
+
+
+def test_mojibake_repair():
+    assert _fix_mojibake_str("cafÃ©") == "café"  # é read as latin-1
+    # double mojibake unwinds in two rounds
+    double = "café".encode("utf-8").decode("latin-1").encode("utf-8").decode("latin-1")
+    assert _fix_mojibake_str(double) == "café"
+    # cp1252 rung: — (em dash, U+2014) mis-read as â€”
+    assert _fix_mojibake_str("aâ€”b") == "a—b"
+    # clean text is untouched
+    for clean in ("plain ascii", "café true utf-8", "", "日本語のテキスト"):
+        assert _fix_mojibake_str(clean) == clean
+
+
+def test_mojibake_in_pipeline_and_hash_property(spark):
+    broken = "cafÃ© menu"
+    docs = _docs(spark, [("a", broken), ("b", "café menu"), ("c", DECOMPOSED)])
+    out = normalize_text(docs, fix_mojibake=True)
+    hashes = {
+        r["doc_id"]: r["h"]
+        for r in out.select("doc_id", F.sha2(F.col("text"), 256).alias("h")).collect()
+    }
+    # the point of the pass: repaired + composed variants dedup exactly
+    assert hashes["a"] == hashes["b"]
+
+
+def test_bad_form_rejected(spark):
+    with pytest.raises(ValueError):
+        normalize_text(_docs(spark, [("a", "x")]), form="NFX")

@@ -1,0 +1,92 @@
+"""Corpus data card: the one-page quantitative summary every released
+dataset ships with (Dolma's data sheets, The Pile's datasheet, HF
+dataset cards) — size, length distribution, language mix, quality-screen
+pass rates, duplication, PII incidence, top domains — computed with the
+engine's own tested column builders.
+
+Cost model (the reason this is its own operator, not a notebook): the
+whole card is FOUR bounded jobs over the corpus, not one job per stat —
+  1. one fused map + single-row aggregate for every per-doc map-only
+     stat (counts, screen pass rates, language mix, PII totals);
+  2. one content-hash shuffle for exact duplication (sha256 groups);
+  3. the exact-quantile two-job histogram selection for token lengths
+     (no global sort — sketches.exact_quantiles);
+  4. one count-agg + top-k for domains (skipped without a domain col).
+Every number the card reports is integer-exact (the repo convention) so
+reruns and engines agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .pii import PII_PATTERNS
+from .sketches import exact_quantiles
+from .textstats import quality_cols, repetition_cols, stopword_permille_col
+
+__ref__ = "no reference counterpart (LLM-data-pipeline extension)"
+
+
+def datacard(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str | None = None,
+    top_domains: int = 10,
+    length_quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    lang_threshold_permille: int = 30,
+) -> dict:
+    """The card, as a plain JSON-able dict (every value a Python int /
+    list of ints — driver-side size is O(top_domains + quantiles))."""
+    q = quality_cols(text_col)
+    r = repetition_cols(text_col)
+    sp = stopword_permille_col(text_col)
+    pii_total = None
+    for name, pat in PII_PATTERNS:
+        c = F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        pii_total = c if pii_total is None else (pii_total + c)
+
+    # job 1: every map-only per-doc stat folded into ONE aggregate row
+    agg_row = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(q["n_tokens"]).alias("n_tokens"),
+        F.sum(F.length(text_col).cast("long")).alias("n_chars"),
+        F.sum(q["keep"].cast("long")).alias("n_quality_pass"),
+        F.sum((sp >= lang_threshold_permille).cast("long")).alias("n_english"),
+        F.sum((r["dup_line_permille"] <= 300).cast("long")).alias("n_repetition_pass"),
+        F.sum((pii_total > 0).cast("long")).alias("n_docs_with_pii"),
+        F.sum(pii_total.cast("long")).alias("n_pii_spans"),
+    ).collect()[0]
+    card: dict = {k: int(v) for k, v in agg_row.asDict().items()}
+
+    # job 2: exact duplication via content-hash groups
+    dup_row = (
+        docs.select(F.sha2(F.col(text_col), 256).alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.count("*").alias("n_distinct_texts"),
+            F.sum(F.col("n") - 1).alias("n_exact_dup_docs"),
+        )
+        .collect()[0]
+    )
+    card["n_distinct_texts"] = int(dup_row["n_distinct_texts"])
+    card["n_exact_dup_docs"] = int(dup_row["n_exact_dup_docs"] or 0)
+
+    # jobs 3a/3b: exact token-length quantiles (histogram selection)
+    lengths = docs.select(q["n_tokens"].alias("len"))
+    card["token_length_quantiles"] = {
+        str(qq): int(v) for qq, v in exact_quantiles(lengths, "len", list(length_quantiles))
+    }
+
+    # job 4: top domains (count agg + bounded sort-limit)
+    if domain_col is not None:
+        top = (
+            docs.groupBy(F.col(domain_col).cast("string").alias("domain"))
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("domain"))
+            .limit(top_domains)
+            .collect()
+        )
+        card["top_domains"] = [(r["domain"], int(r["n"])) for r in top]
+    return card

@@ -1,0 +1,77 @@
+"""Unicode text normalization for web corpora: NFC/NFKC canonical forms
+and mojibake repair — the hygiene pass (C4/CCNet run NFC; mis-decoded
+UTF-8 is endemic in crawls) that belongs BEFORE tokenization and
+hashing, since every dedup/shingle/gram operator in this engine keys on
+bytes ("café" composed and decomposed must hash identically).
+
+Normalization is a per-row pure function → one Arrow-batched pandas UDF
+(stdlib ``unicodedata`` implements UAX #15 exactly; there is no JVM
+built-in, so this is the sanctioned Python-kernel case).  DuckDB ships
+``nfc_normalize`` — the parity test pins both engines to the same
+canonical form.
+
+Mojibake repair is the standard round-trip heuristic (what ftfy calls
+the latin-1/cp1252 "encoding ladder", reduced to one rung): if the text
+re-encodes losslessly as cp1252/latin-1 AND those bytes decode strictly
+as UTF-8, the string was UTF-8 read under the wrong codec — undo it.
+Applied iteratively (double-mojibake unwinds), with a no-op guarantee on
+clean text: plain ASCII never round-trips to different text, and
+genuine UTF-8 text virtually never satisfies the strict double-decode
+by accident.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+__ref__ = "no reference counterpart (web-ingestion extension)"
+
+_MAX_MOJIBAKE_ROUNDS = 3
+
+
+def _fix_mojibake_str(s: str) -> str:
+    for _ in range(_MAX_MOJIBAKE_ROUNDS):
+        if not s or all(ord(c) < 128 for c in s):
+            return s
+        for codec in ("cp1252", "latin-1"):
+            try:
+                decoded = s.encode(codec).decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                continue
+            break
+        else:
+            return s
+        if decoded == s:
+            return s
+        s = decoded
+    return s
+
+
+def normalize_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    fix_mojibake: bool = False,
+) -> DataFrame:
+    """Replace ``text_col`` with its Unicode-normalized (and optionally
+    mojibake-repaired) form.  Map-only (no shuffle); the UDF is
+    Arrow-batched and emits an explicitly-dtyped Series (empty-batch
+    inference gotcha, CLAUDE.md)."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(form)
+
+    @F.pandas_udf("string")
+    def _norm(col: pd.Series) -> pd.Series:
+        def one(s):
+            if s is None:
+                return None
+            if fix_mojibake:
+                s = _fix_mojibake_str(s)
+            return unicodedata.normalize(form, s)
+
+        return pd.Series([one(s) for s in col], dtype="object")
+
+    return docs.withColumn(text_col, _norm(F.col(text_col)))
