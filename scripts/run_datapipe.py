@@ -76,6 +76,8 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--lm-max-nll-per-token-micro", type=int, default=6_900_000,
                     help="perplexity-cut threshold in micro-nats/token "
                          "(default ~ perplexity 1000)")
+    ap.add_argument("--datacard", action="store_true",
+                    help="write DATACARD.json (release datasheet) next to the shards")
     ap.add_argument("--url-col", default=None,
                     help="URL column: canonical-URL dedup runs before the screens")
     ap.add_argument("--html-input", action="store_true",
@@ -180,6 +182,17 @@ def main(argv: list[str] | None = None) -> dict:
     # persist) have materialized, else the whole curate+DSIR lineage
     # recomputes (r4 advice item)
     stats["curated_docs"] = train.count()
+    if args.datacard:
+        # the release datasheet over the CURATED train split — written
+        # next to the shards (train is persisted, so the card's four
+        # bounded jobs never recompute the curation lineage)
+        from trove_spark.extras.datacard import datacard
+
+        card = datacard(train, id_col=args.id_col, text_col=args.text_col)
+        os.makedirs(args.output, exist_ok=True)
+        with open(os.path.join(args.output, "DATACARD.json"), "w") as f:
+            json.dump(card, f, indent=1, sort_keys=True)
+        stats["datacard"] = True
     if dsir_cache is not None:
         dsir_cache.unpersist()
     if sem_cache is not None:

@@ -217,3 +217,42 @@ def test_datapipe_semdedup_stage(spark, tmp_path):
     assert stats["semdedup_kept"] == 6
     assert stats["curated_docs"] == 6
     assert stats["written_shards"] >= 1 and stats["verified"]
+
+
+def test_datapipe_web_flags_and_datacard(spark, tmp_path):
+    """--url-col/--html-input/--datacard: URL dedup first, markup
+    stripped before screens, DATACARD.json lands next to the shards."""
+    import json
+
+    base = [
+        (
+            f"d{i:02d}",
+            f"<p>the w{i}a quick w{i}b brown w{i}c fox and w{i}d dog "
+            f"of w{i}e house near w{i}f barn</p>",
+            f"http://site{i}.example.com/p",
+        )
+        for i in range(20)
+    ]
+    # same canonical URL as d00 → dropped at url_dedup
+    base += [("u_dup", "<p>anything at all here</p>",
+              "HTTP://SITE0.EXAMPLE.com:80/p?utm_source=x")]
+    docs = spark.createDataFrame(base, "doc_id string, text string, url string")
+    inp = str(tmp_path / "in.parquet")
+    out = str(tmp_path / "out")
+    docs.write.parquet(inp)
+
+    stats = run_datapipe.main([
+        "--input", inp, "--output", out,
+        "--seq-len", "16", "--n-merges", "40",
+        "--windows-per-shard", "8", "--seed", "1",
+        "--split", "train=1.0", "--bpe-min-count", "1",
+        "--url-col", "url", "--html-input", "--datacard",
+    ])
+    assert stats["input_docs"] == 21
+    assert stats["curated_docs"] == 20  # u_dup gone at url_dedup
+    assert stats["datacard"]
+    card = json.load(open(os.path.join(out, "DATACARD.json")))
+    assert card["n_docs"] == 20 and card["n_exact_dup_docs"] == 0
+    # screens saw STRIPPED text: shards contain no markup tokens
+    shards = spark.read.parquet(os.path.join(out, "shards"))
+    assert shards.count() > 0

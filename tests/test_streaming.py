@@ -376,3 +376,55 @@ def test_streaming_sessionize_merges_and_matches_batch(spark, dirs):
         end = dt.datetime.fromtimestamp(r["end_us"] / 1e6) + gap
         bmap[(r["user_id"], start, end)] = r["n_events"]
     assert bmap == got
+
+
+def test_stream_dedup_against_index(spark, tmp_path):
+    """Rolling near-dup dedup: batch 2 dups against batch 1 THROUGH the
+    disk-backed signature index (restart between batches — state is the
+    index, not stream memory), and against a pre-seeded prior corpus."""
+    from trove_spark.extras.dedup import _band_sigs, minhash_index
+    from trove_spark.streaming import stream_dedup_against_index
+
+    d = {k: str(tmp_path / k) for k in ("in", "out", "ckpt", "idx")}
+    t_a = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+           "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega end")
+    t_b = ("one two three four five six seven eight nine ten eleven twelve "
+           "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty done")
+    t_c = ("red orange yellow green blue indigo violet cyan magenta maroon "
+           "olive navy teal silver golden bronze copper pearl amber coral stop")
+
+    # pre-seed the index with a prior corpus containing t_a
+    prior = spark.createDataFrame([("old1", t_a)], "doc_id string, text string")
+    sig = minhash_index(prior).persist()
+    sig.write.parquet(d["idx"] + "/sigs")
+    _band_sigs(sig, 4).write.parquet(d["idx"] + "/bands")
+    sig.unpersist()
+
+    batch1 = [
+        ("n1", t_a.replace("omega", "omega2")),  # near-dup of prior old1
+        ("n2", t_b),                             # fresh
+        ("n3", t_b.replace("done", "complete")), # near-dup of n2 (in-batch)
+    ]
+    spark.createDataFrame(batch1, "doc_id string, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(d["in"])
+    q = stream_dedup_against_index(spark, d["in"], d["out"], d["ckpt"], d["idx"])
+    q.awaitTermination()
+
+    # restart with batch 2: dups of batch 1 must be caught via the index
+    batch2 = [("m1", t_b), ("m2", t_c)]
+    spark.createDataFrame(batch2, "doc_id string, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(d["in"])
+    q2 = stream_dedup_against_index(spark, d["in"], d["out"], d["ckpt"], d["idx"])
+    q2.awaitTermination()
+
+    out = spark.read.option("basePath", d["out"]).parquet(d["out"] + "/batch=*")
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == ["m2", "n2"]
+    # the index now covers prior + both batches
+    idx_docs = {
+        r.doc_id
+        for r in spark.read.parquet(d["idx"] + "/sigs").select("doc_id").distinct().collect()
+    }
+    assert idx_docs == {"old1", "n1", "n2", "n3", "m1", "m2"}

@@ -390,3 +390,93 @@ def stream_curate(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup_against_index(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    index_dir: str,
+    threshold: float = 0.5,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    k: int = 5,
+    max_files_per_trigger: int = 4,
+) -> StreamingQuery:
+    """Rolling NEAR-dup dedup as a stream: each micro-batch of newly
+    landed documents is checked against the persistent MinHash signature
+    index (``extras.dedup.incremental_minhash_pairs``), survivors land
+    in ``output_dir/batch=N``, and the batch's signatures + band sigs
+    are APPENDED to the index — so later batches dedup against
+    everything that came before, across restarts, without the
+    unbounded in-memory state a watermarked near-dup operator would
+    need (exact dedup can live in ``dropDuplicatesWithinWatermark``
+    state; LSH banding cannot, which is why this is a foreachBatch
+    composition over a DISK-backed index).
+
+    Ordering inside the sink mirrors the batch discipline (pairs →
+    survivors → THEN index append): a replayed batch after a crash
+    re-checks against the same pre-batch index state it saw the first
+    time plus its own earlier append — re-appending is harmless
+    (duplicate signature rows band into the same buckets; candidate
+    pairs dedup through `distinct`), so the sink stays idempotent in
+    kept-content.
+
+    Call with the index dirs pre-seeded (empty parquet with the right
+    schema or a prior corpus index); ``trigger(availableNow)`` drains
+    the backlog then stops — re-invoke per ingest cycle (the cron
+    shape) or swap the trigger for continuous tailing."""
+    from pyspark.sql import functions as F
+
+    from .extras.dedup import incremental_minhash_pairs
+
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        index = spark.read.parquet(f"{index_dir}/sigs")
+        bands = spark.read.parquet(f"{index_dir}/bands")
+        pairs = incremental_minhash_pairs(
+            batch_df, index, n_hashes=n_hashes, band_size=band_size, k=k,
+            threshold=threshold, index_bands=bands,
+        )
+        # drop every batch doc that near-matches ANYTHING: for a pair
+        # with both sides in this batch the larger id loses (keep min);
+        # for a new-old pair the BATCH side loses whichever way the
+        # canonical (min, max) order put it
+        batch_ids = batch_df.select(
+            F.col("doc_id").cast("string").alias("_bid")
+        ).localCheckpoint(eager=True)
+        p2 = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+        drop_b = p2.join(
+            batch_ids, p2["doc_b"] == batch_ids["_bid"], "left_semi"
+        ).select(F.col("doc_b").alias("_loser"))
+        drop_a = (
+            p2.join(batch_ids, p2["doc_a"] == batch_ids["_bid"], "left_semi")
+            .join(batch_ids, p2["doc_b"] == batch_ids["_bid"], "left_anti")
+            .select(F.col("doc_a").alias("_loser"))
+        )
+        losers = drop_b.unionByName(drop_a).distinct()
+        survivors = batch_df.join(
+            losers, batch_df["doc_id"].cast("string") == losers["_loser"], "left_anti"
+        )
+        survivors.write.mode("overwrite").parquet(
+            f"{output_dir}/batch={batch_id}"
+        )
+        # index append LAST (the documented order)
+        pairs._new_sigs.write.mode("append").parquet(f"{index_dir}/sigs")
+        pairs._new_bands.write.mode("append").parquet(f"{index_dir}/bands")
+        pairs._new_sigs.unpersist()
+        pairs._new_bands.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
