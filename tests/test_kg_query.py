@@ -203,3 +203,32 @@ def test_bgp_repeated_var_in_pattern_and_errors(spark):
 
     with _pt.raises(ValueError):
         query_bgp(t, [])
+
+
+def test_triplestore_query_facade(spark, tmp_path):
+    """The stored graph is directly queryable: match / BGP / k-hop over
+    a committed TripleStore snapshot equal the in-memory operators."""
+    from trove_spark.graph import TripleStore
+
+    store = TripleStore(spark, str(tmp_path / "kg"), n_buckets=4)
+    store.write_triples(_spark_triples(spark))
+
+    assert store.match(pred="LINKS_TO").count() == 8
+    assert store.match(pred="LINKS_TO", obj="C1").count() == 4
+
+    got = sorted(
+        map(tuple, store.query_bgp(
+            [("?s", "LINKS_TO", "?cui"), ("?s", "HAS_TYPE", "?ty")]
+        ).collect())
+    )
+    want = sorted(
+        map(tuple, query_bgp(
+            _spark_triples(spark),
+            [("?s", "LINKS_TO", "?cui"), ("?s", "HAS_TYPE", "?ty")],
+        ).collect())
+    )
+    assert got == want and len(got) == 3
+
+    seeds = spark.createDataFrame([("C1",)], "node string")
+    hop = {r["node"]: r["dist"] for r in store.k_hop(seeds, 2).collect()}
+    assert hop["Drug"] == 2 and hop["C1"] == 0

@@ -352,6 +352,32 @@ class TripleStore:
             self.edges_dir + "/bucket=*"
         )
 
+    # -- query layer (trove_spark.kg_query over the stored snapshot) -------
+
+    def match(self, subj=None, pred=None, obj=None) -> DataFrame:
+        """SPO pattern over the committed snapshot — the filters are
+        plain Column predicates, so they push into the multi-path
+        parquet scan (predicate pushdown + row-group pruning on the
+        bucketed layout)."""
+        from .kg_query import match_pattern
+
+        return match_pattern(self.read_triples(), subj=subj, pred=pred, obj=obj)
+
+    def query_bgp(self, patterns: list[tuple[str, str, str]]) -> DataFrame:
+        """SPARQL basic-graph-pattern bindings over the stored graph
+        (kg_query.query_bgp — each pattern a filtered scan, folded with
+        equi-joins on shared variables)."""
+        from .kg_query import query_bgp
+
+        return query_bgp(self.read_triples().select("subj", "pred", "obj"), patterns)
+
+    def k_hop(self, seeds: DataFrame, k: int, direction: str = "both") -> DataFrame:
+        """BFS neighborhood of ``seeds`` over the stored graph
+        (kg_query.k_hop)."""
+        from .kg_query import k_hop
+
+        return k_hop(self.read_triples().select("subj", "pred", "obj"), seeds, k, direction)
+
     def verify_manifests(self) -> bool:
         """Recompute per-bucket fingerprints from the materialized table and
         compare to the committed manifests."""
