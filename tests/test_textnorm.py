@@ -73,3 +73,28 @@ def test_mojibake_in_pipeline_and_hash_property(spark):
 def test_bad_form_rejected(spark):
     with pytest.raises(ValueError):
         normalize_text(_docs(spark, [("a", "x")]), form="NFX")
+
+
+# ---------------------------------------------------------------------------
+# hypothesis fuzz
+# ---------------------------------------------------------------------------
+
+import unicodedata
+
+from hypothesis import given, settings, strategies as st
+
+from trove_spark.extras.textnorm import _MAX_MOJIBAKE_ROUNDS
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=500, deadline=None)
+def test_fuzz_mojibake_total_and_sane(s):
+    """_fix_mojibake_str never throws, always returns a str, is a no-op
+    on ASCII, and its output is stable (a fixed point within the round
+    budget)."""
+    out = _fix_mojibake_str(s)
+    assert isinstance(out, str)
+    if all(ord(c) < 128 for c in s):
+        assert out == s
+    # NFC of the output never throws either (pipeline composition)
+    unicodedata.normalize("NFC", out)

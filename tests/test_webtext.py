@@ -184,3 +184,52 @@ def test_link_graph_and_pagerank(spark):
     }
     pr = {r["node"]: r["rank_micro"] for r in pagerank(edges, n_iter=3).collect()}
     assert pr["hub.org"] == max(pr.values())
+
+
+# ---------------------------------------------------------------------------
+# hypothesis fuzz: total functions, idempotent canonicalization
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@pytest.fixture(scope="module")
+def _one_col_runner(spark):
+    """Evaluate a Column builder over arbitrary strings in ONE reusable
+    plan (per-example Spark jobs would make hypothesis unusably slow —
+    batch the examples instead)."""
+    def run(builder, values):
+        df = spark.createDataFrame([(v,) for v in values], "s string")
+        return [r["o"] for r in df.select(builder(F.col("s")).alias("o")).collect()]
+    return run
+
+
+@given(st.lists(st.text(max_size=120), min_size=1, max_size=60))
+@settings(max_examples=12, deadline=None)
+def test_fuzz_normalize_total_and_idempotent(_one_col_runner, urls):
+    """normalize_url_col never throws on arbitrary text, and is
+    idempotent on everything it accepts."""
+    out = _one_col_runner(normalize_url_col, urls)
+    accepted = [o for o in out if o is not None]
+    if accepted:
+        again = _one_col_runner(normalize_url_col, accepted)
+        assert again == accepted
+
+
+@given(st.lists(st.text(max_size=200), min_size=1, max_size=60))
+@settings(max_examples=12, deadline=None)
+def test_fuzz_html_to_text_total(_one_col_runner, htmls):
+    """html_to_text_col and extract_links_col are total: any byte soup
+    (unclosed tags, stray ampersands, nested brackets) yields a string,
+    never an error."""
+    texts = _one_col_runner(html_to_text_col, htmls)
+    assert all(t is None or isinstance(t, str) for t in texts)
+    links = _one_col_runner(extract_links_col, htmls)
+    assert all(l is None or isinstance(l, list) for l in links)
+
+
+@given(st.lists(st.text(max_size=120), min_size=1, max_size=60))
+@settings(max_examples=12, deadline=None)
+def test_fuzz_registrable_domain_total(_one_col_runner, hosts):
+    out = _one_col_runner(registrable_domain_col, hosts)
+    assert all(o is None or isinstance(o, str) for o in out)
