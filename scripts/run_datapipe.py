@@ -43,6 +43,9 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--embeddings", default=None,
                     help="per-doc embeddings parquet: enables the SemDeDup "
                          "semantic-dedup stage (extras/similarity.semdedup)")
+    ap.add_argument("--hash-embed-dim", type=int, default=0,
+                    help="no encoder embeddings? compute feature-hashing BoW "
+                         "embeddings of this dim in-pipeline for the semdedup stage")
     ap.add_argument("--emb-id-col", default="doc_id")
     ap.add_argument("--emb-col", default="embedding")
     ap.add_argument("--semdedup-tau", type=float, default=0.9,
@@ -132,16 +135,29 @@ def main(argv: list[str] | None = None) -> dict:
     stats = {"input_docs": docs.count()}
 
     sem_cache = None
-    if args.embeddings:
+    if args.embeddings or args.hash_embed_dim:
         from trove_spark.extras.similarity import kmeans_fit_distributed, semdedup
 
         # ids may be strings: key everything on xxhash64(id) — a pure,
         # join-back-free mapping (the corpus side recomputes the same
         # hash; 64-bit collisions are negligible at any corpus size)
-        embs = spark.read.parquet(args.embeddings).select(
-            F.xxhash64(F.col(args.emb_id_col).cast("string")).alias("vec_id"),
-            F.col(args.emb_col).alias("embedding"),
-        )
+        if args.embeddings:
+            embs = spark.read.parquet(args.embeddings).select(
+                F.xxhash64(F.col(args.emb_id_col).cast("string")).alias("vec_id"),
+                F.col(args.emb_col).alias("embedding"),
+            )
+        else:
+            # no encoder available: deterministic feature-hashing BoW
+            # embeddings computed in-pipeline (extras/embed.py)
+            from trove_spark.extras.embed import hashed_doc_embeddings
+
+            embs = hashed_doc_embeddings(
+                docs, dim=args.hash_embed_dim,
+                id_col=args.id_col, text_col=args.text_col,
+            ).select(
+                F.xxhash64(F.col("doc_id")).alias("vec_id"),
+                F.col("embedding"),
+            )
         cents = kmeans_fit_distributed(embs, k=args.semdedup_k, n_iter=3)
         keep = (
             semdedup(embs, cents, tau=args.semdedup_tau)

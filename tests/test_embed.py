@@ -1,0 +1,93 @@
+"""Feature-hashing text embeddings (extras/embed.py): numpy-twin
+value equality, BoW-similarity semantics, and composition with the
+embedding consumers (SemDeDup / brute ANN)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from trove_spark.extras.embed import embed_py, hashed_doc_embeddings
+
+DOCS = [
+    ("a", "the quick brown fox jumps over the lazy dog near the old barn"),
+    ("b", "the quick brown fox jumps over the lazy dog near the old shed"),
+    ("c", "integer partial sums make distributed aggregation exactly reproducible"),
+    ("d", ""),
+    ("e", "  multiple   spaces \t and\nnewlines  "),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id string, text string")
+
+
+def test_kernel_equals_reference_twin(spark):
+    got = {r["doc_id"]: r["embedding"] for r in hashed_doc_embeddings(_df(spark)).collect()}
+    for doc_id, text in DOCS:
+        assert got[doc_id] == embed_py(text), doc_id
+    # empty doc → zero vector (normalize guards /0)
+    assert got["d"] == [0.0] * 64
+
+
+def test_similarity_semantics(spark):
+    got = {r["doc_id"]: r["embedding"] for r in hashed_doc_embeddings(_df(spark)).collect()}
+
+    def cos(u, v):
+        return sum(x * y for x, y in zip(u, v))
+
+    # one-word edit → near-identical; unrelated text → far
+    assert cos(got["a"], got["b"]) > 0.85
+    assert cos(got["a"], got["c"]) < 0.5
+    # unit norm for non-empty docs
+    assert math.isclose(sum(x * x for x in got["a"]), 1.0, rel_tol=1e-9)
+
+
+def test_ngram_and_determinism(spark):
+    one = hashed_doc_embeddings(_df(spark).repartition(1), ngram=2)
+    many = hashed_doc_embeddings(_df(spark).repartition(8), ngram=2)
+    assert sorted(map(tuple, one.collect())) == sorted(
+        (r["doc_id"], tuple(r["embedding"])) for r in many.collect()
+    ) or sorted((r["doc_id"], tuple(r["embedding"])) for r in one.collect()) == sorted(
+        (r["doc_id"], tuple(r["embedding"])) for r in many.collect()
+    )
+    with pytest.raises(ValueError):
+        hashed_doc_embeddings(_df(spark), dim=1)
+
+
+def test_feeds_semdedup_and_ann(spark):
+    """The intended composition: raw text → hashed embeddings →
+    brute-force ANN finds the one-word-edit twin as nearest neighbor;
+    SemDeDup marks exactly one of the twins as a semantic duplicate."""
+    import numpy as np
+
+    from trove_spark.extras.similarity import (
+        brute_force_topk,
+        semdedup,
+        spherical_kmeans_quantized,
+    )
+
+    ids = {d: i + 1 for i, (d, _) in enumerate(DOCS)}  # consumers use long ids
+    emb = hashed_doc_embeddings(_df(spark))
+    vecs = emb.withColumn(
+        "vec_id",
+        F.create_map(*[x for d, i in sorted(ids.items()) for x in (F.lit(d), F.lit(i))])[
+            F.col("doc_id")
+        ],
+    ).select("vec_id", "embedding").filter(F.col("vec_id") != ids["d"])
+
+    nn = brute_force_topk(
+        vecs, vecs.filter(F.col("vec_id") == ids["a"]), k=1
+    ).collect()
+    assert [(r["query_id"], r["neighbor_id"]) for r in nn] == [(ids["a"], ids["b"])]
+
+    sample = np.array(
+        [r["embedding"] for r in vecs.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    cents = spherical_kmeans_quantized(sample, k=2, n_iter=3)
+    out = semdedup(vecs, cents, tau=0.8)
+    kept = {r["vec_id"] for r in out.filter(F.col("kept") == 1).collect()}
+    # exactly one of the {a, b} twins survives; the unrelated doc does
+    assert len(kept & {ids["a"], ids["b"]}) == 1 and ids["c"] in kept

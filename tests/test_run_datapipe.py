@@ -256,3 +256,35 @@ def test_datapipe_web_flags_and_datacard(spark, tmp_path):
     # screens saw STRIPPED text: shards contain no markup tokens
     shards = spark.read.parquet(os.path.join(out, "shards"))
     assert shards.count() > 0
+
+
+def test_datapipe_hash_embed_semdedup(spark, tmp_path):
+    """--hash-embed-dim: the semdedup stage runs from raw text via
+    in-pipeline feature-hashing embeddings (no encoder parquet)."""
+    rows = [
+        (
+            f"d{i:02d}",
+            f"the w{i}a quick w{i}b brown w{i}c fox and w{i}d dog "
+            f"of w{i}e house near w{i}f barn",
+        )
+        for i in range(20)
+    ]
+    # WORD-ORDER-permuted twin of d00: identical bag of words (cosine
+    # 1.0 → semdedup catches it) but no shared 5-shingle (the minhash
+    # near-dedup stage can NOT — this isolates the semantic stage)
+    rows += [("twin", " ".join(reversed(rows[0][1].split())))]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    inp = str(tmp_path / "in.parquet")
+    out = str(tmp_path / "out")
+    docs.write.parquet(inp)
+
+    stats = run_datapipe.main([
+        "--input", inp, "--output", out,
+        "--seq-len", "16", "--n-merges", "40",
+        "--windows-per-shard", "8", "--seed", "1",
+        "--split", "train=1.0", "--bpe-min-count", "1",
+        "--hash-embed-dim", "64", "--semdedup-tau", "0.8", "--semdedup-k", "4",
+    ])
+    assert stats["input_docs"] == 21
+    assert stats["semdedup_kept"] == 20  # one of the twins dropped
+    assert stats["curated_docs"] == 20

@@ -1,0 +1,105 @@
+"""Deterministic text embeddings in-engine: the feature-hashing trick
+(Weinberger et al. 2009 — each token hashes to a dimension and a ±1
+sign; HashingVectorizer semantics) with optional word n-grams and L2
+normalization — so the embedding-consuming operators (SemDeDup, the ANN
+family, embedding near-dup pairs) can run END-TO-END from raw text with
+no external encoder and no model download.
+
+These are bag-of-words vectors, not neural semantics: two documents are
+close iff their token distributions are close — exactly the signal
+corpus-level semantic dedup needs (SemDeDup's clusters on web data are
+dominated by template/boilerplate families, which BoW separates well),
+and a drop-in column for the ANN index builders.  Swap in real encoder
+vectors (an `array<float>` column from any source) without touching the
+consumers.
+
+Scale + exactness: one Arrow kernel pass, map-only (token→(dim, sign)
+is a pure md5 function — no vocabulary, no fitting, no driver state);
+deterministic across engines/retries by construction, replayed
+value-for-value by a numpy twin in the tests (the kmeans LIST-EQUAL
+precedent).  Per-batch token memoization keeps the md5 cost at
+O(distinct tokens), not O(tokens).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+__ref__ = "no reference counterpart (LLM-data-pipeline extension)"
+
+
+def _token_slot(token: str, dim: int) -> tuple[int, float]:
+    """(dimension, sign) for a token — low 60 bits of md5 pick the
+    bucket, bit 60 the sign (independent of the bucket bits)."""
+    h = int(hashlib.md5(token.encode("utf-8", "surrogatepass")).hexdigest()[:16], 16)
+    return (h & ((1 << 60) - 1)) % dim, 1.0 if (h >> 60) & 1 else -1.0
+
+
+def _tokens(text: str, ngram: int) -> list[str]:
+    ws = [w for w in text.lower().split() if w]
+    if ngram <= 1:
+        return ws
+    return ws + [" ".join(ws[i : i + ngram]) for i in range(len(ws) - ngram + 1)]
+
+
+def embed_py(text: str, dim: int = 64, ngram: int = 1, normalize: bool = True) -> list[float]:
+    """Single-string reference implementation (the test twin and the
+    kernel's inner loop share this exact math)."""
+    v = np.zeros(dim, dtype=np.float64)
+    for t in _tokens(text or "", ngram):
+        slot, sign = _token_slot(t, dim)
+        v[slot] += sign
+    if normalize:
+        n = float(np.linalg.norm(v))
+        if n > 0:
+            v = v / n
+    return [float(x) for x in v]
+
+
+def hashed_doc_embeddings(
+    docs: DataFrame,
+    dim: int = 64,
+    ngram: int = 1,
+    normalize: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, embedding array<double>) — one map-only Arrow pass."""
+    if dim < 2:
+        raise ValueError(f"dim must be >= 2, got {dim}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        slot_cache: dict[str, tuple[int, float]] = {}
+        for pdf in batches:
+            out_ids, out_vecs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                v = np.zeros(dim, dtype=np.float64)
+                for t in _tokens(text or "", ngram):
+                    slot = slot_cache.get(t)
+                    if slot is None:
+                        slot = _token_slot(t, dim)
+                        slot_cache[t] = slot
+                    v[slot[0]] += slot[1]
+                if normalize:
+                    n = float(np.linalg.norm(v))
+                    if n > 0:
+                        v = v / n
+                out_ids.append(doc_id)
+                out_vecs.append([float(x) for x in v])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_ids, dtype="object"),
+                    "embedding": pd.Series(out_vecs, dtype="object"),
+                }
+            )
+
+    src = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(text_col).cast("string").alias("text"),
+    )
+    return src.mapInPandas(kernel, "doc_id string, embedding array<double>")
