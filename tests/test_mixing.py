@@ -212,3 +212,25 @@ def test_cap_duckdb_parity(skewed):
         ).fetchall()
     )
     assert got == want
+
+
+def test_top_k_per_group(spark):
+    from trove_spark.extras.mixing import top_k_per_group, top_k_per_group_oracle_sql
+
+    rows = [
+        (f"d{i:03d}", "big" if i < 40 else "tiny", (i * 37) % 100) for i in range(45)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, domain string, score long")
+    out = top_k_per_group(df, "domain", 5, "score")
+    sizes = {r.domain: r.n for r in out.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"big": 5, "tiny": 5}  # tiny has exactly 5 → untouched
+    # the kept big docs are the 5 highest scores
+    big_scores = sorted((r.score for r in out.filter("domain = 'big'").collect()), reverse=True)
+    want = sorted(((i * 37) % 100 for i in range(40)), reverse=True)[:5]
+    assert big_scores == want
+    vals = ", ".join(f"('{d}', '{g}', {s})" for d, g, s in rows)
+    sql = top_k_per_group_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) d(doc_id, domain, score)", "domain", 5, "score"
+    )
+    got = sorted((r.doc_id, r.domain, r.score) for r in out.collect())
+    assert got == sorted(duckdb.sql(sql).fetchall())

@@ -231,3 +231,65 @@ def deterministic_shuffle(
     return out.repartition(n_shards, "shard").sortWithinPartitions(
         "shard", "shuffle_key"
     )
+
+
+def top_k_per_group(
+    docs: DataFrame,
+    group_col: str,
+    k: int,
+    order_col: str,
+    descending: bool = True,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the k best rows per group by an explicit score column
+    (ties broken by id ascending — deterministic): the quality-ranked
+    sibling of :func:`cap_per_group`'s uniform sample (keep the k
+    HIGHEST-quality docs per domain, the FineWeb-style per-source
+    skim).  Same split plan: only over-cap groups pay the rank window;
+    under-cap groups pass through map-only after one tiny count agg."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    g = F.col(group_col).cast("string")
+    over = (
+        docs.groupBy(g.alias("_grp"))
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > k)
+        .select("_grp")
+    )
+    flagged = docs.join(F.broadcast(over), g == F.col("_grp"), "left")
+    passthrough = flagged.filter(F.col("_grp").isNull()).drop("_grp")
+    from pyspark.sql import Window
+
+    order = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = Window.partitionBy(g).orderBy(order, F.col(id_col).asc())
+    capped = (
+        flagged.filter(F.col("_grp").isNotNull())
+        .drop("_grp")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+    return passthrough.unionByName(capped)
+
+
+def top_k_per_group_oracle_sql(
+    docs_sql: str,
+    group_col: str,
+    k: int,
+    order_col: str,
+    descending: bool = True,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`top_k_per_group`."""
+    d = "DESC" if descending else "ASC"
+    return f"""
+WITH d AS ({docs_sql}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY CAST({group_col} AS VARCHAR)
+    ORDER BY {order_col} {d}, {id_col} ASC
+  ) AS _rk
+  FROM d
+)
+SELECT * EXCLUDE (_rk) FROM ranked WHERE _rk <= {k}
+"""
