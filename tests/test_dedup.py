@@ -372,3 +372,18 @@ def test_incremental_stored_bands_path(spark):
     )
     base._new_sigs.unpersist(); base._new_bands.unpersist()
     fast._new_sigs.unpersist(); fast._new_bands.unpersist()
+
+
+def test_incremental_tolerates_duplicated_index_rows(spark):
+    """A replayed append duplicates (doc_id, seed, mh) rows; deduped on
+    read, the pair set is unchanged (duplicated rows would otherwise
+    corrupt derived band sigs and double the matching-seed count)."""
+    idx = minhash_index(_docs(spark, BATCH_A))
+    doubled = idx.unionByName(idx).dropDuplicates(["doc_id", "seed"])
+    base = incremental_minhash_pairs(_docs(spark, BATCH_B), idx, threshold=0.5)
+    got_base = sorted(map(tuple, base.collect()))
+    dd = incremental_minhash_pairs(_docs(spark, BATCH_B), doubled, threshold=0.5)
+    got_dd = sorted(map(tuple, dd.collect()))
+    assert got_base == got_dd
+    for h in (base, dd):
+        h._new_sigs.unpersist(); h._new_bands.unpersist()

@@ -416,12 +416,14 @@ def stream_dedup_against_index(
     composition over a DISK-backed index).
 
     Ordering inside the sink mirrors the batch discipline (pairs →
-    survivors → THEN index append): a replayed batch after a crash
-    re-checks against the same pre-batch index state it saw the first
-    time plus its own earlier append — re-appending is harmless
-    (duplicate signature rows band into the same buckets; candidate
-    pairs dedup through `distinct`), so the sink stays idempotent in
-    kept-content.
+    survivors → THEN index append).  A replayed batch after a crash may
+    re-append its signatures; duplicated (doc_id, seed, mh) rows would
+    CORRUPT derived band signatures (the md5 runs over a doubled
+    minhash list) and inflate the matching-seed estimate, so the sink
+    deduplicates the index on read — (doc_id, seed) for signatures,
+    (doc_id, band, band_sig) for bands — restoring idempotence in
+    kept-content at the cost of one exchange over the (16-longs-per-
+    doc) index, not the corpus.
 
     Call with the index dirs pre-seeded (empty parquet with the right
     schema or a prior corpus index); ``trigger(availableNow)`` drains
@@ -439,8 +441,12 @@ def stream_dedup_against_index(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint(eager=True)
-        index = spark.read.parquet(f"{index_dir}/sigs")
-        bands = spark.read.parquet(f"{index_dir}/bands")
+        index = spark.read.parquet(f"{index_dir}/sigs").dropDuplicates(
+            ["doc_id", "seed"]
+        )
+        bands = spark.read.parquet(f"{index_dir}/bands").dropDuplicates(
+            ["doc_id", "band", "band_sig"]
+        )
         pairs = incremental_minhash_pairs(
             batch_df, index, n_hashes=n_hashes, band_size=band_size, k=k,
             threshold=threshold, index_bands=bands,
