@@ -955,6 +955,29 @@ def q_dedup_exact(spark, sf_dir):
     return exact_dup_groups(_docs(spark, sf_dir))
 
 
+def q_code_triples(spark, sf_dir):
+    """Code-KG extraction (extras/code.py): the BASELINE input shape —
+    (repo, path, commit, lang, content) source files — harvested into
+    (subj, pred, obj) triples: IN_REPO / WRITTEN_IN / IMPORTS / DEFINES
+    via the shared Java∩RE2 grammar registry, ONE map-only scan + one
+    explode + distinct.  Fixed-scale by design: the corpus is the frozen
+    code fixture (every grammar branch: py/java/go/js/rust plain+grouped
+    imports, async/receiver/pub defs, unknown-lang probe) and the oracle
+    replays the IDENTICAL patterns over the same VALUES table.  Takes the
+    slot of dedup_exact, whose sha256-groupBy winner shape is exercised
+    verbatim by dedup_paragraphs' hash-winner shuffle and by the curate
+    stage-1 pass; a dedicated DuckDB-parity pytest (test_dedup.py::
+    test_exact_dedup_duckdb_parity) keeps dedup_exact end-to-end checked."""
+    from trove_spark.code_fixture import CODE_DOCS
+    from trove_spark.extras.code import code_triples
+
+    docs = spark.createDataFrame(
+        CODE_DOCS,
+        schema="repo string, path string, commit string, lang string, content string",
+    )
+    return code_triples(docs)
+
+
 def q_dedup_jaccard_pairs(spark, sf_dir):
     from trove_spark.extras.dedup import ngram_jaccard_pairs
 
@@ -1211,7 +1234,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dedup_semantic AND ann_ivfpq_topk, the list_id-probe equi-join +
     rank window by ann_ivfpq_topk; a full engine-vs-DuckDB pytest in
     test_ivf keeps it end-to-end-checked — slot yielded to
-    dedup_semantic, the SemDeDup semantic-dedup operator, late r5).
+    dedup_semantic, the SemDeDup semantic-dedup operator, late r5),
+    dedup_exact (its sha256-groupBy winner shape is driver-exercised by
+    dedup_paragraphs and curate stage 1; test_exact_dedup_duckdb_parity
+    keeps it oracle-checked — slot yielded to code_triples, the
+    source-code KG extractor over the BASELINE input_hint shape, r5).
     The trimmed callables remain importable + tested."""
     return {
         "kg_tokens": q_kg_tokens,
@@ -1255,7 +1282,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_range_join": q_rel_range_join,
         "rel_rollup": q_rel_rollup,
         "lm_perplexity": q_lm_perplexity,
-        "dedup_exact": q_dedup_exact,
+        # slot swapped r5: dedup_exact's sha256-group winner shape is
+        # exercised by dedup_paragraphs + curate stage 1, and a DuckDB
+        # parity pytest keeps it checked; code_triples adds the
+        # source-code KG extractor (the BASELINE input_hint shape).
+        "code_triples": q_code_triples,
         "dedup_substring_spans": q_dedup_substring_spans,
         "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1287,12 +1318,15 @@ def oracle_sql() -> dict[str, str]:
     out.update(clinical_oracles())
     # every registered query is oracle-checked — including kg_label_model,
     # whose deterministic-replay EM is replayed iteration-by-iteration
+    from trove_spark.code_fixture import code_fixture_sql
+    from trove_spark.extras.code import code_triples_oracle_sql
     from trove_spark.extras.collocations import collocations_oracle_sql
     from trove_spark.extras.sketches import heavy_hitters_oracle_sql
     from trove_spark.extras.timeseries import sessionize_oracle_sql
     from trove_spark.kg_query import cooccur_oracle_sql
 
     out.update({
+        "code_triples": code_triples_oracle_sql(code_fixture_sql()),
         "kg_label_model": label_model_oracle_sql(n_iter=3),
         "corpus_heavy_hitters": heavy_hitters_oracle_sql(capacity=40),
         "corpus_collocations": collocations_oracle_sql(window=3, min_count=5),

@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Source-code operator scale measurement (extras/code.py).
+
+`python scripts/code_bench.py [cores] [n_files]`
+
+Synthesizes a code corpus IN-ENGINE (map-only from range(); md5-derived
+identifier vocabulary — the testdata's 31-word prose vocab is vacuous
+for grammar extraction, CLAUDE.md) with per-language import/def grammar:
+~8 imports + ~6 defs per file across python/java/go/js/rust, ~60 nonsense
+filler lines, plus a camelCase body for the identifier splitter.  Times:
+
+  * code_triples:      full KG extraction (scan + explode + distinct)
+  * code_screens:      fused StarCoder quality filter (map-only)
+  * dependency_graph:  provider distinct + module equi-join + pair count
+  * ident_subtokens:   camelCase/snake_case subtoken explosion (agg count)
+
+Pinned cores, best of 2 each, sequential (never concurrent — CPU-steal
+variance, CLAUDE.md).  Prints one JSON line; run at 4 and 16 cores for
+the N→4N scaling pair.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    cores = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+    try:
+        os.sched_setaffinity(0, set(range(cores)))
+    except (AttributeError, OSError):
+        pass
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from trove_spark.extras.code import (
+        code_screens,
+        code_triples,
+        dependency_graph,
+        split_identifiers_col,
+    )
+
+    spark = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(2 * cores))
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    langs = ["py", "java", "go", "js", "rs"]
+    n_repos = max(n_files // 50, 1)
+
+    def ident(tag: str, scale: int):
+        # bounded vocab (Zipf-ish reuse via modulo) so the dependency join
+        # has real fan-in, like production stems
+        return F.concat(
+            F.lit(tag),
+            F.substring(
+                F.md5(F.concat(F.lit(tag), (F.col("id") % scale).cast("string"))),
+                1, 8,
+            ),
+        )
+
+    def lines(fmt_prefix: str, tag: str, k: int, scale: int):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: F.concat(
+                F.lit(fmt_prefix),
+                F.substring(
+                    F.md5(F.concat(F.lit(tag), ((F.col("id") + i) % scale).cast("string"))),
+                    1, 8,
+                ),
+            ),
+        )
+
+    base = spark.range(n_files).withColumn("lang", F.element_at(
+        F.array(*[F.lit(x) for x in langs]), (F.col("id") % 5 + 1).cast("int")
+    ))
+    imp = {
+        "py": lines("import mod_", "m", 8, 5000),
+        "java": lines("import com.acme.Pkg", "m", 8, 5000),
+        "go": lines('import "pkg/mod_', "m", 8, 5000),
+        "js": lines("import 'mod_", "m", 8, 5000),
+        "rs": lines("use mod_", "m", 8, 5000),
+    }
+    dfn = {
+        "py": lines("def fn_", "d", 6, 100_000),
+        "java": lines("class Cls_", "d", 6, 100_000),
+        "go": lines("func fn_", "d", 6, 100_000),
+        "js": lines("function fn_", "d", 6, 100_000),
+        "rs": lines("fn fn_", "d", 6, 100_000),
+    }
+    filler = lines("    someCamelCaseCall(parse_value_", "f", 60, 1_000_000)
+    content = None
+    for lg in langs:
+        arr = F.concat(imp[lg], dfn[lg], filler)
+        content = (
+            F.when(F.col("lang") == lg, F.array_join(arr, "\n"))
+            if content is None
+            else content.when(F.col("lang") == lg, F.array_join(arr, "\n"))
+        )
+    docs = base.select(
+        F.concat(F.lit("org/repo-"), (F.col("id") % n_repos).cast("string")).alias("repo"),
+        F.concat(F.lit("src/file_"), F.col("id").cast("string"),
+                 F.lit("."), F.col("lang")).alias("path"),
+        F.md5(F.col("id").cast("string")).alias("commit"),
+        "lang",
+        content.alias("content"),
+        F.col("id"),
+    ).persist()
+    n = docs.count()
+
+    def best2(fn):
+        ts = []
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            ts.append(time.time() - t0)
+        return min(ts)
+
+    out = {"cores": cores, "n_files": n}
+    out["triples_s"] = best2(lambda: code_triples(docs).count())
+    out["n_triples"] = code_triples(docs).count()
+    out["screens_s"] = best2(lambda: code_screens(docs).count())
+    out["depgraph_s"] = best2(lambda: dependency_graph(docs).count())
+    out["n_edges"] = dependency_graph(docs).count()
+    out["ident_s"] = best2(
+        lambda: docs.select(
+            F.explode(split_identifiers_col(F.col("content"))).alias("t")
+        ).groupBy().count().collect()
+    )
+    out["triples_files_per_s"] = round(n / out["triples_s"], 1)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

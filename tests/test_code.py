@@ -1,0 +1,230 @@
+"""Source-code operators (extras/code.py): hand-pinned extraction
+expectations per grammar branch, full DuckDB parity over the shared
+pattern registry (fixture corpus AND real testdata documents for the
+quality battery), StarCoder screen behavior, identifier splitting, and
+the cross-repo dependency graph."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from conftest import normalize_rows
+from trove_spark.code_fixture import CODE_DOCS, code_fixture_sql
+from trove_spark.extras.code import (
+    code_quality_cols,
+    code_quality_sql_exprs,
+    code_screens,
+    code_triples,
+    code_triples_oracle_sql,
+    dependency_graph,
+    extract_defs,
+    extract_imports,
+    split_identifiers_col,
+    split_identifiers_sql,
+    with_code_quality,
+)
+
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def _docs(spark):
+    return spark.createDataFrame(CODE_DOCS, schema=SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Hand-pinned grammar expectations
+# ---------------------------------------------------------------------------
+
+
+def test_imports_pinned(spark):
+    got = {
+        (r["repo"], r["module"])
+        for r in extract_imports(_docs(spark)).collect()
+    }
+    assert {(r, m) for r, m in got if r == "acme/jsonkit"} == {
+        ("acme/jsonkit", "os"),
+        ("acme/jsonkit", "collections.abc"),
+        ("acme/jsonkit", "typing"),
+    }
+    assert {m for r, m in got if r == "acme/webapp"} == {"jsonkit", "logging"}
+    assert {m for r, m in got if r == "gopher/tool"} == {
+        "fmt", "os", "github.com/acme/webapp/util"
+    }
+    assert {m for r, m in got if r == "npm/leftpad"} == {"fs", "lodash", "polyfill"}
+    assert {m for r, m in got if r == "rustacean/ferris"} == {"std", "serde"}
+    assert {m for r, m in got if r == "corp/javalib"} == {
+        "java.util.List", "org.junit.Assert.assertTrue"
+    }
+    # unknown lang + the screen fixtures contribute nothing / only sys
+    assert not any(r == "docs/site" for r, _ in got)
+    assert {m for r, m in got if r == "acme/protos"} == {"sys"}
+
+
+def test_defs_pinned(spark):
+    got = {
+        (r["repo"], r["kind"], r["symbol"])
+        for r in extract_defs(_docs(spark)).collect()
+    }
+    assert {(k, s) for r, k, s in got if r == "acme/jsonkit"} == {
+        ("class", "JsonParser"),
+        ("function", "parseJsonValue"),
+        ("function", "streamDecode"),
+    }
+    assert {(k, s) for r, k, s in got if r == "gopher/tool"} == {
+        ("function", "main"), ("function", "handleConn"), ("type", "Server"),
+    }
+    assert {(k, s) for r, k, s in got if r == "npm/leftpad"} == {
+        ("const", "fs"), ("const", "padLeft"),
+        ("function", "doPad"), ("class", "PadError"),
+    }
+    assert {(k, s) for r, k, s in got if r == "rustacean/ferris"} == {
+        ("function", "encode_thing"), ("type", "FastEncoder"), ("type", "Encode"),
+    }
+    assert {(k, s) for r, k, s in got if r == "corp/javalib"} == {
+        ("class", "AppServer"), ("class", "RequestHandler"),
+    }
+
+
+def test_triples_unknown_lang_probe_only(spark):
+    rows = code_triples(_docs(spark)).filter(
+        F.col("subj") == "docs/site:README.txt"
+    ).collect()
+    assert {(r["pred"], r["obj"]) for r in rows} == {("IN_REPO", "docs/site")}
+
+
+def test_triples_duckdb_parity(spark):
+    sdf = code_triples(_docs(spark))
+    got = normalize_rows((r["subj"], r["pred"], r["obj"]) for r in sdf.collect())
+    want = normalize_rows(
+        duckdb.sql(code_triples_oracle_sql(code_fixture_sql())).fetchall()
+    )
+    assert got == want and len(got) > 30
+
+
+# ---------------------------------------------------------------------------
+# Quality battery
+# ---------------------------------------------------------------------------
+
+_QCOLS = [
+    "n_lines", "max_line_len", "avg_line_len_x100", "alnum_permille",
+    "alpha_permille", "comment_permille", "has_data_blob", "is_autogen",
+]
+
+
+def test_quality_duckdb_parity_fixture(spark):
+    sdf = with_code_quality(_docs(spark)).select("repo", "path", *_QCOLS)
+    got = normalize_rows(tuple(r) for r in sdf.collect())
+    exprs = ", ".join(
+        f"{e} AS {n}" for n, e in code_quality_sql_exprs("content").items()
+    )
+    want = normalize_rows(
+        duckdb.sql(
+            f"SELECT repo, path, {exprs} FROM ({code_fixture_sql()})"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_quality_duckdb_parity_testdata(spark):
+    """The battery is lang-agnostic integer codegen — replay it over the
+    real testdata documents table too (scale-shaped input, not fixture)."""
+    sf = "/root/testdata/sf0.001"
+    sdf = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", *[c.alias(n) for n, c in code_quality_cols("text").items()]
+    )
+    got = normalize_rows(tuple(r) for r in sdf.collect())
+    exprs = ", ".join(
+        f"{e} AS {n}" for n, e in code_quality_sql_exprs("text").items()
+    )
+    want = normalize_rows(
+        duckdb.sql(
+            f"SELECT doc_id, {exprs} "
+            f"FROM read_parquet('{sf}/documents.parquet')"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_screens_starcoder_defaults(spark):
+    kept = {r["repo"] for r in code_screens(_docs(spark)).select("repo").collect()}
+    assert "acme/minified" not in kept       # >1000-char line
+    assert "acme/protos" not in kept         # auto-generated marker
+    assert "acme/assets" not in kept         # base64 blob
+    assert {"acme/jsonkit", "acme/webapp", "corp/javalib", "gopher/tool",
+            "npm/leftpad", "rustacean/ferris"} <= kept
+
+
+def test_quality_values_pinned(spark):
+    q = {
+        r["path"]: r
+        for r in with_code_quality(_docs(spark)).select("path", *_QCOLS).collect()
+    }
+    blob = q["data/blob.py"]
+    assert blob["has_data_blob"] and not blob["is_autogen"]
+    auto = q["gen/api_pb2.py"]
+    # 1 comment of 5 lines (trailing \n yields a final empty line)
+    assert auto["is_autogen"] and auto["comment_permille"] == 200
+    minified = q["dist/bundle.min.js"]
+    assert minified["max_line_len"] == 1208 and minified["n_lines"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Identifier subtokens
+# ---------------------------------------------------------------------------
+
+
+def test_split_identifiers_pinned(spark):
+    df = spark.createDataFrame(
+        [("parseJsonValue HTTPServer snake_case_x2 X y9z",)], "content string"
+    )
+    [row] = df.select(split_identifiers_col(F.col("content")).alias("t")).collect()
+    assert row["t"] == [
+        "parse", "json", "value", "http", "server", "snake", "case", "x2",
+        "x", "y9z",
+    ]
+
+
+def test_split_identifiers_duckdb_parity(spark):
+    sdf = _docs(spark).select(
+        "path", split_identifiers_col(F.col("content")).alias("toks")
+    )
+    got = normalize_rows((r["path"], " ".join(r["toks"])) for r in sdf.collect())
+    want = normalize_rows(
+        duckdb.sql(
+            f"SELECT path, array_to_string({split_identifiers_sql('content')}, ' ') "
+            f"FROM ({code_fixture_sql()})"
+        ).fetchall()
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Dependency graph + KG composition
+# ---------------------------------------------------------------------------
+
+
+def test_dependency_graph_pinned(spark):
+    got = {
+        (r["src_repo"], r["dst_repo"]): r["n_imports"]
+        for r in dependency_graph(_docs(spark)).collect()
+    }
+    assert got == {
+        ("acme/webapp", "acme/jsonkit"): 1,   # import jsonkit (+from, distinct)
+        ("gopher/tool", "acme/webapp"): 1,    # "github.com/acme/webapp/util"
+    }
+
+
+def test_code_triples_feed_kg_query(spark):
+    """Composition: the code KG is queryable by the generic KG layer."""
+    from trove_spark.kg_query import match_pattern, query_bgp
+
+    t = code_triples(_docs(spark))
+    langs = match_pattern(t, None, "WRITTEN_IN", "go")
+    assert {r["subj"] for r in langs.collect()} == {
+        "gopher/tool:cmd/tool/main.go", "acme/webapp:util/util.go",
+    }
+    # files that import os AND define a class
+    bgp = query_bgp(t, [("?f", "IMPORTS", "os"), ("?f", "DEFINES", "?d")])
+    hits = {(r["f"], r["d"]) for r in bgp.collect()}
+    assert ("acme/jsonkit:src/jsonkit.py", "class:JsonParser") in hits

@@ -387,3 +387,29 @@ def test_incremental_tolerates_duplicated_index_rows(spark):
     assert got_base == got_dd
     for h in (base, dd):
         h._new_sigs.unpersist(); h._new_bands.unpersist()
+
+
+def test_exact_dedup_duckdb_parity(spark):
+    """Keeps dedup_exact end-to-end oracle-checked after its driver slot
+    was yielded to code_triples (r5): q_dedup_exact vs the oracle SQL at
+    sf0.001, the driver compare reproduced verbatim."""
+    from __spark_entry__ import q_dedup_exact
+    from tests.conftest import normalize_rows
+    from trove_spark.oracle import extras_oracles
+
+    sf = "/root/testdata/sf0.001"
+    sdf = q_dedup_exact(spark, sf)
+    cols = sorted(sdf.columns)
+    got = normalize_rows(
+        tuple(r[c] for c in cols) for r in sdf.select(*cols).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    res = con.execute(extras_oracles()["dedup_exact"])
+    dcols = [d[0] for d in res.description]
+    assert sorted(dcols) == cols
+    order = [dcols.index(c) for c in cols]
+    want = normalize_rows(tuple(r[i] for i in order) for r in res.fetchall())
+    assert got == want

@@ -1,0 +1,507 @@
+"""Source-code corpus operators — the input shape this engine is specified
+against (BASELINE.json input_hint: an Iceberg/parquet table of repositories
+with columns ``repo, path, commit, lang, content``).
+
+Three operator families a KG-over-code user needs that the text stack
+doesn't cover:
+
+1. **Code KG extraction** (`extract_imports`, `extract_defs`,
+   `code_triples`): regex-grammar import/definition harvesting per
+   language → ``(subj, pred, obj)`` triples (``IN_REPO`` / ``WRITTEN_IN``
+   / ``IMPORTS`` / ``DEFINES``) that feed the existing `TripleStore` /
+   `kg_query` / `graph_analytics` layers.  This is deliberately a
+   REGEX-grammar extractor (the tree-sitter-class parser is a production
+   swap-in; no parser libs in this container) — patterns are anchored,
+   line-oriented, and shared verbatim with the DuckDB oracle.
+2. **Code-quality screens** (`code_quality_cols`, `code_screens`): the
+   BigCode/StarCoder curation battery — line-length stats, alphanumeric /
+   alphabetic fraction, embedded-data blobs (base64/hex runs),
+   auto-generated markers, comment-line ratio.  Pure integer codegen
+   (permille, not float fractions) so rows hash-exactly cross-engine.
+3. **Identifier subtokens** (`split_identifiers_col`): camelCase /
+   snake_case splitting so BM25 / hashing-trick embeddings / collocations
+   operate on code the way they operate on prose.
+
+Every regex is in the Java∩RE2 dialect intersection (no lookaround, no
+backreferences) so DuckDB replays the exact same patterns; every pattern
+lives in ONE module-level registry consumed by both the Spark columns and
+the SQL generators — change a grammar and both engines move together
+(the `synth.LEXICON` discipline).
+
+Scale shape (10^12 files): extraction and screens are MAP-ONLY single
+scans (one `explode` whose fan-out is bounded by matches per file);
+`dependency_graph` adds one provider-distinct shuffle + one equi-join on
+module name (AQE skew-join handles hot stems like ``utils``) + one count
+shuffle.  No Python in any hot path.
+
+__ref__ = "no reference counterpart (source-code extension; input shape
+from BASELINE.json input_hint)"
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__ref__ = "no reference counterpart (source-code extension)"
+
+# ---------------------------------------------------------------------------
+# Language canonicalization
+# ---------------------------------------------------------------------------
+
+LANG_CANON: dict[str, str] = {
+    "py": "python", "python": "python",
+    "java": "java",
+    "go": "go", "golang": "go",
+    "js": "javascript", "javascript": "javascript",
+    "ts": "javascript", "typescript": "javascript",  # same import grammar
+    "rs": "rust", "rust": "rust",
+}
+
+# ---------------------------------------------------------------------------
+# Grammar registry (Java∩RE2: no lookaround, no backrefs; (?m)/(?s) inline)
+# ---------------------------------------------------------------------------
+
+IMPORT_PATTERNS: dict[str, list[str]] = {
+    "python": [
+        r"(?m)^[ \t]*import[ \t]+([A-Za-z_][A-Za-z0-9_.]*)",
+        r"(?m)^[ \t]*from[ \t]+([A-Za-z_][A-Za-z0-9_.]*)[ \t]+import\b",
+    ],
+    "java": [
+        r"(?m)^[ \t]*import[ \t]+(?:static[ \t]+)?([A-Za-z_][A-Za-z0-9_.]*)[ \t]*;",
+    ],
+    "javascript": [
+        r"""require\([ \t]*['"]([^'"\n]+)['"][ \t]*\)""",
+        r"""(?m)^[ \t]*import[ \t]+[^;\n]*?from[ \t]+['"]([^'"\n]+)['"]""",
+        r"""(?m)^[ \t]*import[ \t]+['"]([^'"\n]+)['"]""",
+    ],
+    "go": [
+        r'(?m)^[ \t]*import[ \t]+(?:[A-Za-z_.][A-Za-z0-9_]*[ \t]+)?"([^"\n]+)"',
+    ],
+    "rust": [
+        r"(?m)^[ \t]*(?:pub[ \t]+)?use[ \t]+([A-Za-z_][A-Za-z0-9_]*)",
+        r"(?m)^[ \t]*extern[ \t]+crate[ \t]+([A-Za-z_][A-Za-z0-9_]*)",
+    ],
+}
+
+# Go grouped imports: the paren block is lifted once, then quoted paths are
+# harvested from it (covers the idiomatic single block; a second block in
+# one file is vanishingly rare and documented-reduced).
+GO_IMPORT_BLOCK_RE = r"(?s)import[ \t]*\(([^)]*)\)"
+GO_QUOTED_RE = r'"([^"\n]+)"'
+
+DEF_PATTERNS: dict[str, list[tuple[str, str]]] = {
+    "python": [
+        ("function", r"(?m)^[ \t]*(?:async[ \t]+)?def[ \t]+([A-Za-z_][A-Za-z0-9_]*)"),
+        ("class", r"(?m)^[ \t]*class[ \t]+([A-Za-z_][A-Za-z0-9_]*)"),
+    ],
+    "java": [
+        ("class", r"(?m)\b(?:class|interface|enum)[ \t]+([A-Za-z_][A-Za-z0-9_]*)"),
+    ],
+    "javascript": [
+        ("function", r"\bfunction[ \t]+([A-Za-z_$][A-Za-z0-9_$]*)"),
+        ("class", r"\bclass[ \t]+([A-Za-z_$][A-Za-z0-9_$]*)"),
+        ("const", r"(?m)^[ \t]*(?:export[ \t]+)?const[ \t]+([A-Za-z_$][A-Za-z0-9_$]*)[ \t]*="),
+    ],
+    "go": [
+        ("function", r"(?m)^func[ \t]+(?:\([^)\n]*\)[ \t]*)?([A-Za-z_][A-Za-z0-9_]*)"),
+        ("type", r"(?m)^type[ \t]+([A-Za-z_][A-Za-z0-9_]*)"),
+    ],
+    "rust": [
+        ("function", r"(?m)^[ \t]*(?:pub(?:\([a-z]+\))?[ \t]+)?(?:async[ \t]+)?fn[ \t]+([A-Za-z_][A-Za-z0-9_]*)"),
+        ("type", r"(?m)^[ \t]*(?:pub(?:\([a-z]+\))?[ \t]+)?(?:struct|enum|trait)[ \t]+([A-Za-z_][A-Za-z0-9_]*)"),
+    ],
+}
+
+
+def canonical_lang_col(lang: Column) -> Column:
+    out = F.lit(None).cast("string")
+    c = F.lower(F.trim(lang))
+    expr = None
+    for raw, canon in LANG_CANON.items():
+        expr = F.when(c == raw, canon) if expr is None else expr.when(c == raw, canon)
+    return expr.otherwise(out)
+
+
+def canonical_lang_sql(expr: str) -> str:
+    c = f"lower(trim({expr}))"
+    whens = " ".join(
+        f"WHEN {c} = '{raw}' THEN '{canon}'" for raw, canon in LANG_CANON.items()
+    )
+    return f"(CASE {whens} ELSE NULL END)"
+
+
+def _extract_all_concat(content: Column, patterns: list[str]) -> Column:
+    arrs = [F.regexp_extract_all(content, F.lit(p), F.lit(1)) for p in patterns]
+    out = arrs[0]
+    for a in arrs[1:]:
+        out = F.concat(out, a)
+    return out
+
+
+def imports_col(lang: Column, content: Column) -> Column:
+    """array<string> of imported module identifiers (per-doc distinct)."""
+    canon = canonical_lang_col(lang)
+    expr = None
+    for lg, pats in IMPORT_PATTERNS.items():
+        arr = _extract_all_concat(content, pats)
+        if lg == "go":
+            block = F.regexp_extract(content, GO_IMPORT_BLOCK_RE, 1)
+            arr = F.concat(arr, F.regexp_extract_all(block, F.lit(GO_QUOTED_RE), F.lit(1)))
+        expr = F.when(canon == lg, arr) if expr is None else expr.when(canon == lg, arr)
+    return F.array_distinct(expr.otherwise(F.array().cast("array<string>")))
+
+
+def defs_col(lang: Column, content: Column) -> Column:
+    """array<struct<kind,symbol>> of definitions (per-doc distinct)."""
+    canon = canonical_lang_col(lang)
+
+    # NB: a two-arg lambda to F.transform means (element, index) — binding
+    # `kind` via a defaulted second param silently becomes the index.
+    def _tagger(kind: str):
+        return lambda s: F.struct(F.lit(kind).alias("kind"), s.alias("symbol"))
+
+    expr = None
+    for lg, pats in DEF_PATTERNS.items():
+        arrs = [
+            F.transform(
+                F.regexp_extract_all(content, F.lit(p), F.lit(1)), _tagger(kind)
+            )
+            for kind, p in pats
+        ]
+        arr = arrs[0]
+        for a in arrs[1:]:
+            arr = F.concat(arr, a)
+        expr = F.when(canon == lg, arr) if expr is None else expr.when(canon == lg, arr)
+    empty = F.array().cast("array<struct<kind:string,symbol:string>>")
+    return F.array_distinct(expr.otherwise(empty))
+
+
+def extract_imports(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    lang_col: str = "lang",
+    content_col: str = "content",
+) -> DataFrame:
+    """(repo, path, lang, module) — one map-only scan + bounded explode."""
+    return docs.select(
+        F.col(repo_col).alias("repo"),
+        F.col(path_col).alias("path"),
+        canonical_lang_col(F.col(lang_col)).alias("lang"),
+        F.explode(imports_col(F.col(lang_col), F.col(content_col))).alias("module"),
+    )
+
+
+def extract_defs(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    lang_col: str = "lang",
+    content_col: str = "content",
+) -> DataFrame:
+    """(repo, path, lang, kind, symbol) — one map-only scan + explode."""
+    z = docs.select(
+        F.col(repo_col).alias("repo"),
+        F.col(path_col).alias("path"),
+        canonical_lang_col(F.col(lang_col)).alias("lang"),
+        F.explode(defs_col(F.col(lang_col), F.col(content_col))).alias("d"),
+    )
+    return z.select("repo", "path", "lang", F.col("d.kind").alias("kind"),
+                    F.col("d.symbol").alias("symbol"))
+
+
+def code_triples(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    lang_col: str = "lang",
+    content_col: str = "content",
+) -> DataFrame:
+    """The code KG: ``(subj, pred, obj)`` with subj = ``repo:path``.
+
+    Emits IN_REPO / WRITTEN_IN (when the language is known) / IMPORTS /
+    DEFINES(kind:symbol) in ONE corpus scan (all facts built as one
+    array<struct> per file, one explode, distinct) — the same
+    triple-frame contract as `pipeline.triples`, so `TripleStore`,
+    `kg_query.match_pattern` / `query_bgp` / `k_hop`, and the graph
+    analytics run on code KGs unchanged."""
+    repo, path = F.col(repo_col), F.col(path_col)
+    lang, content = F.col(lang_col), F.col(content_col)
+    subj = F.concat(repo, F.lit(":"), path)
+    canon = canonical_lang_col(lang)
+
+    def _t(pred: Column | str, obj: Column) -> Column:
+        p = F.lit(pred) if isinstance(pred, str) else pred
+        return F.struct(p.alias("pred"), obj.alias("obj"))
+
+    base = F.array(_t("IN_REPO", repo))
+    wl = F.when(canon.isNotNull(), F.array(_t("WRITTEN_IN", canon))).otherwise(
+        F.array().cast("array<struct<pred:string,obj:string>>")
+    )
+    imp = F.transform(imports_col(lang, content), lambda m: _t("IMPORTS", m))
+    dfs = F.transform(
+        defs_col(lang, content),
+        lambda d: _t("DEFINES", F.concat(d["kind"], F.lit(":"), d["symbol"])),
+    )
+    out = docs.select(
+        subj.alias("subj"),
+        F.explode(F.concat(base, wl, imp, dfs)).alias("t"),
+    )
+    return out.select(
+        "subj", F.col("t.pred").alias("pred"), F.col("t.obj").alias("obj")
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle generators (same registries, RE2 side)
+# ---------------------------------------------------------------------------
+
+
+def _sq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def imports_sql_select(docs_sql: str, repo="repo", path="path",
+                       lang="lang", content="content") -> str:
+    """SELECT DISTINCT repo, path, lang, module replaying extract_imports."""
+    canon = canonical_lang_sql(lang)
+    parts = []
+    for lg, pats in IMPORT_PATTERNS.items():
+        exprs = [f"regexp_extract_all({content}, '{_sq(p)}', 1)" for p in pats]
+        if lg == "go":
+            block = f"regexp_extract({content}, '{_sq(GO_IMPORT_BLOCK_RE)}', 1)"
+            exprs.append(f"regexp_extract_all({block}, '{_sq(GO_QUOTED_RE)}', 1)")
+        lst = exprs[0]
+        for e in exprs[1:]:
+            lst = f"list_concat({lst}, {e})"
+        parts.append(
+            f"SELECT {repo} AS repo, {path} AS path, {canon} AS lang, "
+            f"unnest({lst}) AS module FROM ({docs_sql}) WHERE {canon} = '{lg}'"
+        )
+    return "SELECT DISTINCT repo, path, lang, module FROM (" + " UNION ALL ".join(parts) + ")"
+
+
+def defs_sql_select(docs_sql: str, repo="repo", path="path",
+                    lang="lang", content="content") -> str:
+    canon = canonical_lang_sql(lang)
+    parts = []
+    for lg, pats in DEF_PATTERNS.items():
+        for kind, p in pats:
+            parts.append(
+                f"SELECT {repo} AS repo, {path} AS path, {canon} AS lang, "
+                f"'{kind}' AS kind, "
+                f"unnest(regexp_extract_all({content}, '{_sq(p)}', 1)) AS symbol "
+                f"FROM ({docs_sql}) WHERE {canon} = '{lg}'"
+            )
+    return ("SELECT DISTINCT repo, path, lang, kind, symbol FROM ("
+            + " UNION ALL ".join(parts) + ")")
+
+
+def code_triples_oracle_sql(docs_sql: str, repo="repo", path="path",
+                            lang="lang", content="content") -> str:
+    canon = canonical_lang_sql(lang)
+    subj = f"{repo} || ':' || {path}"
+    imports = imports_sql_select(docs_sql, repo, path, lang, content)
+    defs = defs_sql_select(docs_sql, repo, path, lang, content)
+    return f"""
+WITH imp AS ({imports}), d AS ({defs})
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT {subj} AS subj, 'IN_REPO' AS pred, {repo} AS obj FROM ({docs_sql})
+  UNION ALL
+  SELECT {subj} AS subj, 'WRITTEN_IN' AS pred, {canon} AS obj
+  FROM ({docs_sql}) WHERE {canon} IS NOT NULL
+  UNION ALL
+  SELECT repo || ':' || path, 'IMPORTS', module FROM imp
+  UNION ALL
+  SELECT repo || ':' || path, 'DEFINES', kind || ':' || symbol FROM d
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Code-quality screens (BigCode/StarCoder battery) — integer codegen
+# ---------------------------------------------------------------------------
+
+AUTOGEN_RE = r"(?i)(auto[- ]?generated|generated by|do not edit|@generated)"
+BASE64_BLOB_RE = r"[A-Za-z0-9+/=]{64,}"
+HEX_BLOB_RE = r"(?i)(0x)?[0-9a-f]{64,}"
+COMMENT_LINE_RE = r"^[ \t]*(#|//|--|/\*|\*|;;)"
+
+# All ratios are integer PERMILLE (÷ by greatest(len,1)); numerators stay
+# < 2^52 so floor(double /) is exact — and the DuckDB twin uses // which
+# is the same floor on nonneg ints.
+
+
+def code_quality_cols(content_col: str) -> dict[str, Column]:
+    c = F.col(content_col)
+    lines = F.split(c, "\n")  # literal newline via the function API
+    n_lines = F.size(lines).cast("long")
+    body = F.length(c).cast("long") - (n_lines - F.lit(1))  # chars sans \n
+    alnum = F.length(F.regexp_replace(c, r"[^A-Za-z0-9]", "")).cast("long")
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("long")
+    denom = F.greatest(F.length(c).cast("long"), F.lit(1))
+    comment_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(COMMENT_LINE_RE))
+    ).cast("long")
+    return {
+        "n_lines": n_lines,
+        "max_line_len": F.array_max(
+            F.transform(lines, lambda l: F.length(l).cast("long"))
+        ),
+        "avg_line_len_x100": F.floor(body * 100 / n_lines).cast("long"),
+        "alnum_permille": F.floor(alnum * 1000 / denom).cast("long"),
+        "alpha_permille": F.floor(alpha * 1000 / denom).cast("long"),
+        "comment_permille": F.floor(comment_lines * 1000 / n_lines).cast("long"),
+        "has_data_blob": c.rlike(BASE64_BLOB_RE) | c.rlike(HEX_BLOB_RE),
+        "is_autogen": c.rlike(AUTOGEN_RE),
+    }
+
+
+def code_quality_sql_exprs(content_expr: str) -> dict[str, str]:
+    c = content_expr
+    lines = f"string_split({c}, chr(10))"
+    n_lines = f"CAST(len({lines}) AS BIGINT)"
+    body = f"(CAST(length({c}) AS BIGINT) - ({n_lines} - 1))"
+    alnum = f"CAST(length(regexp_replace({c}, '[^A-Za-z0-9]', '', 'g')) AS BIGINT)"
+    alpha = f"CAST(length(regexp_replace({c}, '[^A-Za-z]', '', 'g')) AS BIGINT)"
+    denom = f"greatest(CAST(length({c}) AS BIGINT), 1)"
+    comments = (
+        f"CAST(len(list_filter({lines}, "
+        f"l -> regexp_matches(l, '{_sq(COMMENT_LINE_RE)}'))) AS BIGINT)"
+    )
+    return {
+        "n_lines": n_lines,
+        "max_line_len": f"CAST(list_max(list_transform({lines}, l -> length(l))) AS BIGINT)",
+        "avg_line_len_x100": f"CAST(({body} * 100) // {n_lines} AS BIGINT)",
+        "alnum_permille": f"CAST(({alnum} * 1000) // {denom} AS BIGINT)",
+        "alpha_permille": f"CAST(({alpha} * 1000) // {denom} AS BIGINT)",
+        "comment_permille": f"CAST(({comments} * 1000) // {n_lines} AS BIGINT)",
+        "has_data_blob": (
+            f"(regexp_matches({c}, '{_sq(BASE64_BLOB_RE)}') OR "
+            f"regexp_matches({c}, '{_sq(HEX_BLOB_RE)}'))"
+        ),
+        "is_autogen": f"regexp_matches({c}, '{_sq(AUTOGEN_RE)}')",
+    }
+
+
+def with_code_quality(docs: DataFrame, content_col: str = "content") -> DataFrame:
+    """Map-only: append the whole screen battery as columns."""
+    out = docs
+    for name, col in code_quality_cols(content_col).items():
+        out = out.withColumn(name, col)
+    return out
+
+
+def code_screens(
+    docs: DataFrame,
+    content_col: str = "content",
+    max_line_len: int = 1000,
+    max_avg_line_len: int = 100,
+    min_alnum_permille: int = 250,
+    max_data_blob: bool = True,
+    drop_autogen: bool = True,
+) -> DataFrame:
+    """StarCoder-style keep filter — ONE fused map filter (the
+    stream_curate discipline: never N scans for N screens)."""
+    q = code_quality_cols(content_col)
+    keep = (
+        (q["max_line_len"] <= max_line_len)
+        & (q["avg_line_len_x100"] <= max_avg_line_len * 100)
+        & (q["alnum_permille"] >= min_alnum_permille)
+    )
+    if max_data_blob:
+        keep = keep & ~q["has_data_blob"]
+    if drop_autogen:
+        keep = keep & ~q["is_autogen"]
+    return docs.filter(keep)
+
+
+# ---------------------------------------------------------------------------
+# Identifier subtokens
+# ---------------------------------------------------------------------------
+
+IDENTIFIER_RE = r"[A-Za-z_][A-Za-z0-9_]*"
+_CAMEL_1 = (r"([A-Z]+)([A-Z][a-z])", " ")   # HTTPServer -> HTTP Server
+_CAMEL_2 = (r"([a-z0-9])([A-Z])", " ")      # parseJson -> parse Json
+
+
+def split_identifiers_col(content: Column) -> Column:
+    """array<string> of lowercased identifier subtokens: identifiers are
+    harvested, camelCase boundaries spaced (two capture-group rewrites —
+    no lookaround, so the same patterns replay in RE2), then split on
+    [_ ]+ and lowercased.  Lambda args are BOUND, so the per-element
+    regexes don't re-evaluate any outer expression (HOF gotcha)."""
+    ids = F.regexp_extract_all(content, F.lit(IDENTIFIER_RE), F.lit(0))
+    def _split(x: Column) -> Column:
+        y = F.regexp_replace(x, _CAMEL_1[0], r"$1 $2")
+        y = F.regexp_replace(y, _CAMEL_2[0], r"$1 $2")
+        return F.filter(F.split(F.lower(y), r"[_ ]+"), lambda t: t != "")
+    return F.flatten(F.transform(ids, _split))
+
+
+def split_identifiers_sql(content_expr: str) -> str:
+    ids = f"regexp_extract_all({content_expr}, '{_sq(IDENTIFIER_RE)}')"
+    y = f"regexp_replace(x, '{_sq(_CAMEL_1[0])}', '\\1 \\2', 'g')"
+    y = f"regexp_replace({y}, '{_sq(_CAMEL_2[0])}', '\\1 \\2', 'g')"
+    inner = f"list_filter(string_split_regex(lower({y}), '[_ ]+'), t -> t != '')"
+    return f"flatten(list_transform({ids}, x -> {inner}))"
+
+
+# ---------------------------------------------------------------------------
+# Cross-repo dependency graph
+# ---------------------------------------------------------------------------
+
+_INDEX_STEMS = ["__init__", "mod", "index", "lib", "main"]
+
+
+def _stem(path: Column) -> Column:
+    base = F.element_at(F.split(path, "/"), -1)
+    return F.regexp_replace(base, r"\.[A-Za-z0-9]+$", "")
+
+
+def dependency_graph(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    lang_col: str = "lang",
+    content_col: str = "content",
+) -> DataFrame:
+    """Repo-level ``(src_repo, dst_repo, n_imports)`` edges under a
+    documented-reduced resolution rule (a build-system resolver is the
+    production swap-in): a repo PROVIDES a module name equal to a file
+    stem — with index stems (``__init__``/``mod``/``index``/``lib``/
+    ``main``) promoted to their parent directory name — and an import
+    RESOLVES by its top segment (last path segment for go imports,
+    first ``.``-segment otherwise; relative js imports dropped).
+
+    Shape: providers are a DISTINCT over (name, repo) — bounded by the
+    identifier vocabulary × repos, orders of magnitude under file count —
+    then ONE equi-join on module name (AQE skew-join absorbs hot stems)
+    and one count shuffle on repo pairs.  Output feeds pagerank /
+    connected_components / triangles unchanged (a repo-authority score
+    over 10^12 files is exactly this plan)."""
+    repo, path = F.col(repo_col), F.col(path_col)
+    stem = _stem(path)
+    parent = F.element_at(F.split(path, "/"), -2)
+    provides = F.when(
+        stem.isin(*_INDEX_STEMS) & parent.isNotNull(), parent
+    ).otherwise(stem)
+    providers = (
+        docs.select(F.lower(provides).alias("module_top"), repo.alias("dst_repo"))
+        .filter(F.col("module_top") != "")
+        .distinct()
+    )
+    imp = extract_imports(docs, repo_col, path_col, lang_col, content_col)
+    top = F.when(
+        F.col("lang") == "go", F.element_at(F.split(F.col("module"), "/"), -1)
+    ).otherwise(F.element_at(F.split(F.col("module"), r"[.:/]"), 1))
+    wants = (
+        imp.filter(~F.col("module").startswith("."))
+        .select(F.col("repo").alias("src_repo"), F.lower(top).alias("module_top"))
+        .filter(F.col("module_top") != "")
+    )
+    return (
+        wants.join(providers, "module_top")
+        .filter(F.col("src_repo") != F.col("dst_repo"))
+        .groupBy("src_repo", "dst_repo")
+        .agg(F.count("*").cast("long").alias("n_imports"))
+    )
