@@ -978,6 +978,31 @@ def q_code_triples(spark, sf_dir):
     return code_triples(docs)
 
 
+def q_code_licenses(spark, sf_dir):
+    """License detection + per-repo rollup (extras/code_curate.py): SPDX
+    headers anywhere + full-text phrase families over LICENSE-shaped
+    paths → arg-min-by-restrictiveness rollup to (repo, license,
+    permissive) — The Stack's permissive-only training cut.  Fixed-scale
+    by design: the corpus is the frozen code+curation fixture (MIT /
+    Apache-2.0 / GPL-3 texts, an SPDX-tagged source file, an
+    unrecognized license file) and the oracle replays the IDENTICAL
+    Java∩RE2 pattern registry over the same VALUES table.  Takes the
+    slot of kg_coverage_stats (G5-G7), whose per-token-groupBy →
+    global-boolean-sum shape is exercised verbatim INSIDE the green
+    kg_lf_summary row (same per-token vote agg, same >=2 boolean sums,
+    per-LF instead of global); a dedicated DuckDB-parity pytest
+    (test_analysis.py::test_coverage_stats_duckdb_parity) keeps
+    kg_coverage_stats itself end-to-end checked at sf0.001."""
+    from trove_spark.code_fixture import CODE_CURATE_DOCS, CODE_DOCS
+    from trove_spark.extras.code_curate import repo_licenses
+
+    docs = spark.createDataFrame(
+        CODE_DOCS + CODE_CURATE_DOCS,
+        schema="repo string, path string, commit string, lang string, content string",
+    )
+    return repo_licenses(docs)
+
+
 def q_dedup_jaccard_pairs(spark, sf_dir):
     from trove_spark.extras.dedup import ngram_jaccard_pairs
 
@@ -1251,7 +1276,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": q_kg_triples,
         "kg_fused_triples": q_kg_fused_triples,
         "kg_lf_suite": q_kg_lf_suite,
-        "kg_coverage_stats": q_kg_coverage_stats,
+        # slot swapped r5: kg_coverage_stats' per-token-agg →
+        # global-boolean-sum shape is exercised inside kg_lf_summary's
+        # green row, and a dedicated sf0.001 DuckDB-parity pytest keeps
+        # it checked; code_licenses adds the license-detection operator
+        # over the BASELINE input_hint shape.
+        "code_licenses": q_code_licenses,
         "kg_lf_summary": q_kg_lf_summary,
         "kg_ontology_rank": q_kg_ontology_rank,
         "kg_label_model": q_kg_label_model,
@@ -1318,8 +1348,9 @@ def oracle_sql() -> dict[str, str]:
     out.update(clinical_oracles())
     # every registered query is oracle-checked — including kg_label_model,
     # whose deterministic-replay EM is replayed iteration-by-iteration
-    from trove_spark.code_fixture import code_fixture_sql
+    from trove_spark.code_fixture import code_curate_fixture_sql, code_fixture_sql
     from trove_spark.extras.code import code_triples_oracle_sql
+    from trove_spark.extras.code_curate import repo_licenses_sql
     from trove_spark.extras.collocations import collocations_oracle_sql
     from trove_spark.extras.sketches import heavy_hitters_oracle_sql
     from trove_spark.extras.timeseries import sessionize_oracle_sql
@@ -1327,6 +1358,7 @@ def oracle_sql() -> dict[str, str]:
 
     out.update({
         "code_triples": code_triples_oracle_sql(code_fixture_sql()),
+        "code_licenses": repo_licenses_sql(code_curate_fixture_sql()),
         "kg_label_model": label_model_oracle_sql(n_iter=3),
         "corpus_heavy_hitters": heavy_hitters_oracle_sql(capacity=40),
         "corpus_collocations": collocations_oracle_sql(window=3, min_count=5),

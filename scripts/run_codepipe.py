@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""spark-submit entry point: source-code corpus → code knowledge graph.
+
+The production composition of the source-code operators over the
+BASELINE.json input_hint shape ``(repo, path, commit, lang, content)`` —
+the north-rule flow end to end:
+
+    zip -r /tmp/trove_spark.zip trove_spark
+    spark-submit --master <cluster> --py-files /tmp/trove_spark.zip \
+        scripts/run_codepipe.py --input <files parquet> --output <dir> \
+        [--licenses permissive|permissive-or-unknown|off] \
+        [--redact-secrets] [--dedup normalized|off] [--screens/--no-screens] \
+        [--deps-out <dir>] [--n-buckets 16] [--max-buckets N] [--stage-counts]
+
+Stages (each optional, all map-only or single-shuffle — see the module
+docstrings for the 10^12-file shape):
+
+1. content sha256 manifest over the INPUT (ingest.content_manifest) —
+   the per-row invariant the spec demands; re-derived over the SURVIVING
+   rows after curation (drop-only stages never edit content, so every
+   kept row's sha256 still matches the source row's).
+2. license screen (extras/code_curate.license_screens) — The-Stack-style
+   permissive-only cut by repo rollup (ONE evidence scan: the persisted
+   rollup feeds both the summary histogram and the screen join).
+3. StarCoder quality screens (extras/code.code_screens) — fused map filter.
+4. normalized dedup (keep_normalized_winners) — reformatted-copy kill.
+5. secrets redaction (redact_secrets) — typed placeholder masking; a
+   deliberate content REWRITE, so it runs after the invariant manifests
+   and is recorded in the summary.
+6. code_triples → TripleStore.write_triples (bucketed, manifest-committed,
+   RESUME-AWARE: a killed run re-submitted with the same --output rewrites
+   only uncommitted buckets).
+7. optional cross-repo dependency_graph edges parquet.
+
+Action economy: the curated frame is persisted ONCE and every downstream
+action (kept manifest, triples write, dep edges) reuses it; per-stage
+survivor counts cost one extra partial scan each, so they're opt-in
+(``--stage-counts``).  Prints ONE JSON summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> dict:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="source files parquet "
+                    "(repo, path, commit, lang, content)")
+    ap.add_argument("--output", required=True, help="TripleStore dir")
+    ap.add_argument("--licenses", default="permissive",
+                    choices=("permissive", "permissive-or-unknown", "off"))
+    ap.add_argument("--redact-secrets", action="store_true")
+    ap.add_argument("--dedup", default="normalized", choices=("normalized", "off"))
+    ap.add_argument("--screens", action="store_true", default=True)
+    ap.add_argument("--no-screens", dest="screens", action="store_false")
+    ap.add_argument("--deps-out", default=None,
+                    help="also write repo-level DEPENDS_ON edges parquet here")
+    ap.add_argument("--n-buckets", type=int, default=16)
+    ap.add_argument("--max-buckets", type=int, default=None,
+                    help="stop after N uncommitted buckets (kill/resume testing)")
+    ap.add_argument("--stage-counts", action="store_true",
+                    help="record per-stage survivor counts (one extra "
+                    "partial scan per stage — diagnostics, not production)")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from trove_spark.extras.code import code_screens, code_triples, dependency_graph
+    from trove_spark.extras.code_curate import (
+        keep_normalized_winners,
+        license_screens,
+        redact_secrets,
+        repo_licenses,
+    )
+    from trove_spark.graph import TripleStore
+    from trove_spark.ingest import content_manifest
+
+    spark = SparkSession.builder.appName("trove_spark_codepipe").getOrCreate()
+    t0 = time.time()
+    stats: dict = {}
+    docs = spark.read.parquet(args.input)
+
+    def _sha_rows(d):
+        return d.select(
+            F.concat_ws(":", "repo", "path").alias("doc_id"),
+            F.sha2(F.col("content"), 256).alias("content_sha256"),
+        )
+
+    def _manifest(d):
+        rows = sorted(
+            content_manifest(_sha_rows(d), args.n_buckets).collect(),
+            key=lambda r: r["bucket"],
+        )
+        return [
+            {"bucket": r["bucket"], "n_rows": r["n_rows"],
+             "fingerprint": r["content_fingerprint"]}
+            for r in rows
+        ]
+
+    # 1. per-row content-sha256 invariant manifest over the input
+    stats["input_manifest"] = _manifest(docs)
+    stats["input_files"] = sum(b["n_rows"] for b in stats["input_manifest"])
+
+    rl = None
+    if args.licenses != "off":
+        # ONE evidence scan: the persisted rollup (#repos rows) feeds both
+        # the summary histogram and the screen join; per-repo rows are
+        # never collected (10^8 repos ≠ a driver collect)
+        rl = repo_licenses(docs).persist()
+        hist = rl.groupBy("license").agg(F.count("*").alias("n")).collect()
+        stats["license_histogram"] = {r["license"]: int(r["n"]) for r in hist}
+        docs = license_screens(
+            docs,
+            keep_unlicensed=(args.licenses == "permissive-or-unknown"),
+            licenses=rl,
+        )
+        if args.stage_counts:
+            stats["after_license"] = docs.count()
+
+    if args.screens:
+        docs = code_screens(docs)
+        if args.stage_counts:
+            stats["after_screens"] = docs.count()
+
+    if args.dedup == "normalized":
+        docs = keep_normalized_winners(docs)
+        if args.stage_counts:
+            stats["after_dedup"] = docs.count()
+
+    # the curated frame feeds every downstream action — persist ONCE;
+    # the kept-rows manifest is the materializing action (and proves the
+    # per-row sha256 invariant on the survivors, pre-redaction)
+    docs = docs.persist()
+    stats["kept_manifest"] = _manifest(docs)
+    stats["kept_files"] = sum(b["n_rows"] for b in stats["kept_manifest"])
+    if rl is not None:
+        rl.unpersist()  # docs is materialized; the join result is cached
+
+    # 5. secrets redaction (content rewrite — after the invariant manifests)
+    out_docs = redact_secrets(docs) if args.redact_secrets else docs
+    stats["secrets_redacted"] = bool(args.redact_secrets)
+
+    # 6. triples → resumable bucketed store
+    store = TripleStore(spark, args.output, n_buckets=args.n_buckets)
+    w = store.write_triples(code_triples(out_docs), max_buckets=args.max_buckets)
+    stats["triples_write"] = w
+
+    # 7. optional dependency edges
+    if args.deps_out:
+        dependency_graph(out_docs).write.mode("overwrite").parquet(args.deps_out)
+        stats["dep_edges"] = spark.read.parquet(args.deps_out).count()
+
+    docs.unpersist()
+    stats["wall_s"] = round(time.time() - t0, 2)
+    print(json.dumps(stats))
+    return stats
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,221 @@
+"""Source-code curation battery (extras/code_curate.py): pinned license /
+secret / comment / normalized-dedup expectations over the curation
+fixture, plus full DuckDB parity through the shared pattern registry."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from conftest import normalize_rows
+from trove_spark.code_fixture import (
+    CODE_CURATE_DOCS,
+    CODE_DOCS,
+    code_curate_fixture_sql,
+)
+from trove_spark.extras.code_curate import (
+    SECRET_PATTERNS,
+    dedup_normalized,
+    dedup_normalized_sql,
+    extract_comments,
+    extract_comments_sql,
+    license_screens,
+    redact_secrets,
+    redact_secrets_sql_expr,
+    repo_licenses,
+    repo_licenses_sql,
+    secret_stats,
+    secret_stats_sql,
+)
+
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def _docs(spark):
+    return spark.createDataFrame(CODE_DOCS + CODE_CURATE_DOCS, schema=SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Licenses
+# ---------------------------------------------------------------------------
+
+
+def test_repo_licenses_pinned(spark):
+    got = {
+        r["repo"]: (r["license"], r["permissive"])
+        for r in repo_licenses(_docs(spark)).collect()
+    }
+    assert got["acme/jsonkit"] == ("mit", True)
+    assert got["corp/javalib"] == ("apache-2.0", True)
+    assert got["gopher/tool"] == ("gpl-3.0", False)
+    # SPDX header in a source file, no LICENSE file at all
+    assert got["rustacean/ferris"] == ("apache-2.0", True)
+    # license-shaped file, unrecognized text
+    assert got["docs/site"] == ("other", False)
+    # repos with no evidence are absent
+    assert "npm/leftpad" not in got and "acme/webapp" not in got
+
+
+def test_repo_licenses_duckdb_parity(spark):
+    sdf = repo_licenses(_docs(spark))
+    got = normalize_rows(tuple(r) for r in sdf.collect())
+    want = normalize_rows(
+        duckdb.sql(repo_licenses_sql(code_curate_fixture_sql())).fetchall()
+    )
+    assert got == want and len(got) >= 5
+
+
+def test_license_screens(spark):
+    docs = _docs(spark)
+    kept = {r["repo"] for r in license_screens(docs).select("repo").collect()}
+    assert "acme/jsonkit" in kept and "corp/javalib" in kept
+    assert "gopher/tool" not in kept          # GPL
+    assert "npm/leftpad" not in kept          # no evidence, strict mode
+    kept_u = {
+        r["repo"]
+        for r in license_screens(docs, keep_unlicensed=True).select("repo").collect()
+    }
+    assert "npm/leftpad" in kept_u and "gopher/tool" not in kept_u
+    assert "docs/site" not in kept_u          # evidence present but 'other'
+
+
+# ---------------------------------------------------------------------------
+# Secrets
+# ---------------------------------------------------------------------------
+
+
+def test_secret_stats_pinned(spark):
+    row = (
+        secret_stats(_docs(spark))
+        .filter(F.col("path") == "config/creds.py")
+        .collect()[0]
+    )
+    assert row["n_aws_key"] == 1
+    assert row["n_github_token"] == 1
+    assert row["n_private_key"] == 1
+    assert row["n_secret_assign"] >= 1  # password = "hunter422"
+    assert row["n_secrets_total"] == (
+        row["n_private_key"] + row["n_aws_key"] + row["n_github_token"]
+        + row["n_slack_token"] + row["n_jwt"] + row["n_secret_assign"]
+    )
+    clean = (
+        secret_stats(_docs(spark))
+        .filter(F.col("path") == "src/jsonkit.py")
+        .collect()[0]
+    )
+    assert clean["n_secrets_total"] == 0
+
+
+def test_secret_stats_duckdb_parity(spark):
+    sdf = secret_stats(_docs(spark))
+    got = normalize_rows(tuple(r) for r in sdf.collect())
+    want = normalize_rows(
+        duckdb.sql(secret_stats_sql(code_curate_fixture_sql())).fetchall()
+    )
+    assert got == want
+
+
+def test_redact_secrets_parity_and_coverage(spark):
+    red = redact_secrets(_docs(spark)).select("repo", "path", "content")
+    got = normalize_rows(tuple(r) for r in red.collect())
+    want = normalize_rows(
+        duckdb.sql(
+            f"SELECT repo, path, {redact_secrets_sql_expr('content')} AS content "
+            f"FROM ({code_curate_fixture_sql()})"
+        ).fetchall()
+    )
+    assert got == want
+    creds = red.filter(F.col("path") == "config/creds.py").collect()[0]["content"]
+    assert "AKIA" not in creds and "ghp_" not in creds
+    assert "BEGIN RSA PRIVATE KEY" not in creds
+    assert "hunter422" not in creds
+    assert "<SECRET:AWS_KEY>" in creds and "<SECRET:PRIVATE_KEY>" in creds
+
+
+def test_secret_patterns_no_false_positives_on_testdata(spark):
+    """The typed shapes must be quiet on ordinary prose — replay the
+    counts over the real testdata documents table (DuckDB parity too)."""
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("repo"),
+        F.lit("p").alias("path"),
+        F.lit("c").alias("commit"),
+        F.lit("txt").alias("lang"),
+        F.col("text").alias("content"),
+    )
+    got_rows = secret_stats(docs).collect()
+    assert all(r["n_secrets_total"] == 0 for r in got_rows)
+    want = duckdb.sql(
+        secret_stats_sql(
+            f"SELECT CAST(doc_id AS VARCHAR) AS repo, 'p' AS path, "
+            f"'c' AS commit, 'txt' AS lang, text AS content "
+            f"FROM read_parquet('{sf}/documents.parquet')"
+        )
+    ).fetchall()
+    assert normalize_rows(tuple(r) for r in got_rows) == normalize_rows(want)
+
+
+# ---------------------------------------------------------------------------
+# Comments
+# ---------------------------------------------------------------------------
+
+
+def test_extract_comments_pinned(spark):
+    got = {
+        (r["path"], r["comment"])
+        for r in extract_comments(_docs(spark)).collect()
+    }
+    assert ("src/util.py", "Utility module docstring.") in got
+    assert ("src/util.py", "helper: pads things") in got
+    # mid-line comment is NOT harvested (whole-line anchoring)
+    assert not any("not a whole-line comment" in c for _, c in got)
+    # SPDX line comment comes through the // channel
+    assert ("src/spdx.rs", "SPDX-License-Identifier: Apache-2.0") in got
+
+
+def test_extract_comments_duckdb_parity(spark):
+    sdf = extract_comments(_docs(spark))
+    got = normalize_rows(tuple(r) for r in sdf.collect())
+    want = normalize_rows(
+        duckdb.sql(extract_comments_sql(code_curate_fixture_sql())).fetchall()
+    )
+    assert got == want and len(got) >= 5
+
+
+# ---------------------------------------------------------------------------
+# Normalized dedup
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_normalized_catches_reformatted_twin(spark):
+    g = {
+        (r["repo"], r["path"]): r["n_copies"]
+        for r in dedup_normalized(_docs(spark)).collect()
+    }
+    # the reformatted+re-commented fork collapses onto the original;
+    # winner is the lexicographically-least (repo, path)
+    assert g[("acme/jsonkit", "src/jsonkit.py")] == 2
+    assert ("forks/jsonkit-fork", "jsonkit.py") not in g
+    # byte-exact dedup would NOT catch it
+    n_exact = (
+        _docs(spark).select(F.sha2(F.col("content"), 256).alias("h"))
+        .distinct().count()
+    )
+    assert n_exact == len(CODE_DOCS) + len(CODE_CURATE_DOCS)
+
+
+def test_dedup_normalized_duckdb_parity(spark):
+    sdf = dedup_normalized(_docs(spark))
+    got = normalize_rows(tuple(r) for r in sdf.collect())
+    want = normalize_rows(
+        duckdb.sql(dedup_normalized_sql(code_curate_fixture_sql())).fetchall()
+    )
+    assert got == want
+
+
+def test_secret_pattern_registry_shape():
+    # progressive-redaction order contract: structured shapes before the
+    # broad quoted-assignment catch-all
+    names = [n for n, _ in SECRET_PATTERNS]
+    assert names[-1] == "secret_assign"
+    assert len(names) == len(set(names))

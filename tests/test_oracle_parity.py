@@ -65,3 +65,23 @@ def test_query_matches_oracle(spark, name):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_coverage_stats_duckdb_parity(spark):
+    """kg_coverage_stats yielded its driver slot to code_licenses in r5
+    (its per-token-agg → global-boolean-sum shape stays driver-exercised
+    inside kg_lf_summary); this keeps the operator itself end-to-end
+    engine-vs-DuckDB checked at the same fidelity as the old gate."""
+    from trove_spark.oracle import analysis_oracles
+
+    sdf = entrymod.q_kg_coverage_stats(spark, SF_DIR)
+    spark_cols = sorted(sdf.columns)
+    spark_rows = [
+        tuple(r[c] for c in spark_cols) for r in sdf.select(*spark_cols).collect()
+    ]
+    res = duck_run(analysis_oracles()["kg_coverage_stats"])
+    duck_cols_full = [d[0] for d in res.description]
+    assert sorted(duck_cols_full) == spark_cols
+    order = [duck_cols_full.index(c) for c in spark_cols]
+    duck_rows = [tuple(r[i] for i in order) for r in res.fetchall()]
+    assert normalize_rows(spark_rows) == normalize_rows(duck_rows)

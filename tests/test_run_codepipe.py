@@ -1,0 +1,92 @@
+"""End-to-end smoke of the production code-KG entry
+(scripts/run_codepipe.py): source files → license cut → screens →
+normalized dedup → secrets redaction → bucketed TripleStore write,
+including resume (second run writes zero buckets) and the per-row
+content-sha256 invariant manifests."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+SCRIPT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "scripts",
+    "run_codepipe.py",
+)
+spec = importlib.util.spec_from_file_location("run_codepipe", SCRIPT)
+run_codepipe = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(run_codepipe)
+
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def _fixture_docs(spark):
+    from trove_spark.code_fixture import CODE_CURATE_DOCS, CODE_DOCS
+
+    return spark.createDataFrame(CODE_DOCS + CODE_CURATE_DOCS, schema=SCHEMA)
+
+
+def test_codepipe_end_to_end_and_resume(spark, tmp_path):
+    inp = str(tmp_path / "files.parquet")
+    out = str(tmp_path / "kg")
+    _fixture_docs(spark).write.parquet(inp)
+
+    argv = [
+        "--input", inp, "--output", out,
+        "--licenses", "permissive-or-unknown",
+        "--redact-secrets", "--stage-counts",
+        "--n-buckets", "4",
+    ]
+    stats = run_codepipe.main(argv)
+
+    # invariant manifests: input covers every row; kept ⊆ input per bucket
+    n_in = stats["input_files"]
+    assert n_in == _fixture_docs(spark).count()
+    assert stats["kept_files"] <= stats["after_license"] <= n_in
+    in_by_bucket = {b["bucket"]: b for b in stats["input_manifest"]}
+    for b in stats["kept_manifest"]:
+        assert b["n_rows"] <= in_by_bucket[b["bucket"]]["n_rows"]
+
+    # license cut: GPL'd gopher/tool gone, permissive + unknown kept
+    assert stats["license_histogram"]["gpl-3.0"] == 1
+    assert stats["license_histogram"]["mit"] == 1
+
+    # the store holds triples and none of them leak a secret
+    w = stats["triples_write"]
+    assert w["written_buckets"] >= 1
+    from trove_spark.graph import TripleStore
+
+    store = TripleStore(spark, out, n_buckets=4)
+    edges = store.read_triples()
+    assert edges.count() > 0
+    subs = {r["subj"] for r in edges.select("subj").distinct().collect()}
+    assert not any(s.startswith("gopher/tool") for s in subs)
+    objs = [r["obj"] for r in edges.select("obj").collect()]
+    assert not any("AKIA" in o or "ghp_" in o for o in objs)
+
+    # the reformatted fork deduped onto the original: no fork subjects
+    assert not any(s.startswith("forks/jsonkit-fork") for s in subs)
+
+    # resume: a second identical run commits nothing new
+    stats2 = run_codepipe.main(argv)
+    assert stats2["triples_write"]["written_buckets"] == 0
+    assert stats2["triples_write"]["skipped_buckets"] == w["written_buckets"]
+
+
+def test_codepipe_deps_out(spark, tmp_path):
+    inp = str(tmp_path / "files.parquet")
+    out = str(tmp_path / "kg")
+    deps = str(tmp_path / "deps")
+    _fixture_docs(spark).write.parquet(inp)
+
+    stats = run_codepipe.main([
+        "--input", inp, "--output", out,
+        "--licenses", "off", "--dedup", "off", "--no-screens",
+        "--deps-out", deps, "--n-buckets", "2",
+    ])
+    assert stats["kept_files"] == stats["input_files"]
+    edges = spark.read.parquet(deps)
+    rows = {(r["src_repo"], r["dst_repo"]) for r in edges.collect()}
+    # gopher/tool imports github.com/acme/webapp/util → repo-level edge
+    assert ("gopher/tool", "acme/webapp") in rows

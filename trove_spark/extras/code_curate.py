@@ -1,0 +1,529 @@
+"""Source-code curation operators — the BigCode/StarCoder screening tail
+over the BASELINE.json input_hint shape ``(repo, path, commit, lang,
+content)``, completing `extras/code.py`'s quality screens:
+
+1. **License detection** (`file_license_col`, `repo_licenses`,
+   `license_screens`): SPDX-License-Identifier headers in any file plus
+   full-text phrase families over LICENSE/COPYING-shaped paths, rolled
+   up to one license per repo by a deterministic priority arg-min, then
+   the permissive-only keep filter (The-Stack-style: only repos under
+   MIT/Apache/BSD/ISC/Unlicense reach training).
+2. **Secrets scan + redaction** (`secret_stats`, `redact_secrets`): AWS
+   access keys, GitHub/Slack tokens, JWTs, PEM private-key blocks, and
+   quoted credential assignments — counted on progressively-redacted
+   text (one span never double-counts, the `pii.pii_stats` discipline)
+   and masked with typed placeholders.
+3. **Comment / docstring extraction** (`extract_comments`): per-language
+   whole-line + block comments and Python docstrings as a
+   ``(repo, path, lang, comment)`` channel — the natural-language side
+   of code for the text stack (quality screens, embeddings, BM25).
+4. **Format-normalized dedup** (`normalize_code_col`,
+   `dedup_normalized`): comment-stripped whitespace-collapsed content
+   keyed by a portable md5, exact-group winners — catches the
+   reformatted/re-commented copies byte-exact dedup misses.
+
+Every pattern is Java∩RE2 (no lookaround / backreferences; inline
+``(?i)(?s)(?m)`` flags and lazy ``*?`` are in both dialects) and lives in
+ONE module-level registry consumed by both the Spark columns and the
+DuckDB SQL twins, so the engines move together.
+
+Scale shape (10^12 files): licenses/secrets/comments/normalize are
+MAP-ONLY single scans; `repo_licenses` aggregates license-evidence rows
+only (≈ #license-files + #SPDX-tagged files, orders of magnitude under
+the corpus) with one arg-min shuffle on repo; `license_screens` is one
+equi-join on repo (repo cardinality ~10^8 at 10^12 files — a shuffle
+join, AQE-skew-safe, never a driver collect); `dedup_normalized` is the
+exact-dedup plan on a 128-bit uniform key.  No Python anywhere.
+
+__ref__ = "no reference counterpart (source-code extension; curation
+battery follows the published BigCode/StarCoder data-prep recipe)"
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__ref__ = "no reference counterpart (source-code extension)"
+
+_WS_TRIM = r"^[\s]+|[\s]+$"  # trim() strips spaces only — this gets \n\t too
+
+
+def _sq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+# ---------------------------------------------------------------------------
+# License detection
+# ---------------------------------------------------------------------------
+
+# Full-text phrase families, FIRST MATCH WINS in this order (copyleft
+# before the permissive families whose preambles they embed; BSD-3 before
+# BSD-2 — same opening clause plus the neither-the-name clause).
+LICENSE_TEXT_PATTERNS: list[tuple[str, str]] = [
+    ("agpl-3.0", r"(?i)gnu affero general public license"),
+    ("lgpl", r"(?i)gnu lesser general public license"),
+    ("gpl-3.0", r"(?is)gnu general public license.{0,80}version 3"),
+    ("gpl-2.0", r"(?is)gnu general public license.{0,80}version 2"),
+    ("mpl-2.0", r"(?i)mozilla public license"),
+    ("apache-2.0", r"(?i)apache license,?[\s]+version 2\.0"),
+    ("mit", r"(?i)permission is hereby granted, free of charge"),
+    ("bsd-3-clause",
+     r"(?is)redistribution and use in source and binary forms.{0,600}neither the name"),
+    ("bsd-2-clause", r"(?i)redistribution and use in source and binary forms"),
+    ("isc", r"(?i)permission to use, copy, modify, and(/or)? distribute this software"),
+    ("unlicense", r"(?i)free and unencumbered software released into the public domain"),
+]
+
+# Canonical priority for the per-repo arg-min (most-restrictive first, so
+# a repo carrying both a GPL COPYING and an MIT subdir license rolls up
+# to the restrictive one — the conservative call for a training filter).
+LICENSE_PRIORITY: list[str] = [
+    "agpl-3.0", "gpl-3.0", "gpl-2.0", "lgpl", "mpl-2.0",
+    "apache-2.0", "bsd-3-clause", "bsd-2-clause", "mit", "isc",
+    "unlicense", "other",
+]
+
+PERMISSIVE_LICENSES: frozenset[str] = frozenset(
+    {"mit", "apache-2.0", "bsd-2-clause", "bsd-3-clause", "isc", "unlicense"}
+)
+
+SPDX_RE = r"SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+-]+)"
+
+# lower(spdx id) → family (the ids seen in real corpora; unknown ids
+# fall through to 'other' — a tag was present but unrecognized).
+SPDX_MAP: dict[str, str] = {
+    "mit": "mit",
+    "apache-2.0": "apache-2.0",
+    "gpl-2.0": "gpl-2.0", "gpl-2.0-only": "gpl-2.0", "gpl-2.0-or-later": "gpl-2.0",
+    "gpl-3.0": "gpl-3.0", "gpl-3.0-only": "gpl-3.0", "gpl-3.0-or-later": "gpl-3.0",
+    "agpl-3.0": "agpl-3.0", "agpl-3.0-only": "agpl-3.0",
+    "agpl-3.0-or-later": "agpl-3.0",
+    "lgpl-2.1": "lgpl", "lgpl-2.1-only": "lgpl", "lgpl-2.1-or-later": "lgpl",
+    "lgpl-3.0": "lgpl", "lgpl-3.0-only": "lgpl", "lgpl-3.0-or-later": "lgpl",
+    "mpl-2.0": "mpl-2.0",
+    "bsd-2-clause": "bsd-2-clause", "bsd-3-clause": "bsd-3-clause",
+    "isc": "isc", "unlicense": "unlicense", "0bsd": "unlicense",
+}
+
+LICENSE_PATH_RE = r"(?i)(^|/)(licen[cs]e|copying|copyright|notice)(\.(txt|md|rst))?$"
+
+
+def file_license_col(path: Column, content: Column) -> Column:
+    """Per-file license family (string, null = no evidence): an SPDX
+    header anywhere beats full-text phrase detection, which only runs on
+    LICENSE/COPYING-shaped paths ('other' = a license-ish file whose text
+    matched no family)."""
+    spdx = F.lower(F.regexp_extract(content, SPDX_RE, 1))
+    spdx_fam = F.lit(None).cast("string")
+    for raw, fam in reversed(list(SPDX_MAP.items())):
+        spdx_fam = F.when(spdx == raw, fam).otherwise(spdx_fam)
+    spdx_fam = F.when(spdx == "", F.lit(None)).otherwise(
+        F.coalesce(spdx_fam, F.lit("other"))
+    )
+    text_fam = F.lit("other")
+    for fam, pat in reversed(LICENSE_TEXT_PATTERNS):
+        text_fam = F.when(content.rlike(pat), fam).otherwise(text_fam)
+    return F.coalesce(
+        spdx_fam, F.when(path.rlike(LICENSE_PATH_RE), text_fam)
+    )
+
+
+def file_license_sql(path_expr: str, content_expr: str) -> str:
+    spdx = f"lower(regexp_extract({content_expr}, '{_sq(SPDX_RE)}', 1))"
+    whens = " ".join(
+        f"WHEN {spdx} = '{raw}' THEN '{fam}'" for raw, fam in SPDX_MAP.items()
+    )
+    spdx_fam = (
+        f"(CASE WHEN {spdx} = '' THEN NULL ELSE "
+        f"(CASE {whens} ELSE 'other' END) END)"
+    )
+    text_whens = " ".join(
+        f"WHEN regexp_matches({content_expr}, '{_sq(pat)}') THEN '{fam}'"
+        for fam, pat in LICENSE_TEXT_PATTERNS
+    )
+    text_fam = f"(CASE {text_whens} ELSE 'other' END)"
+    return (
+        f"coalesce({spdx_fam}, CASE WHEN "
+        f"regexp_matches({path_expr}, '{_sq(LICENSE_PATH_RE)}') "
+        f"THEN {text_fam} END)"
+    )
+
+
+def _priority_col(lic: Column) -> Column:
+    out = F.lit(len(LICENSE_PRIORITY)).cast("long")
+    for i, fam in enumerate(reversed(LICENSE_PRIORITY)):
+        out = F.when(lic == fam, len(LICENSE_PRIORITY) - 1 - i).otherwise(out)
+    return out
+
+
+def repo_licenses(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    content_col: str = "content",
+) -> DataFrame:
+    """(repo, license, permissive) — one map-only evidence scan (rows
+    with no license signal drop before the shuffle) + one arg-min agg by
+    restrictiveness (min-of-struct, the windowless trick)."""
+    lic = file_license_col(F.col(path_col), F.col(content_col))
+    ev = docs.select(F.col(repo_col).alias("repo"), lic.alias("license")).filter(
+        F.col("license").isNotNull()
+    )
+    best = ev.groupBy("repo").agg(
+        F.min(
+            F.struct(_priority_col(F.col("license")).alias("p"),
+                     F.col("license").alias("l"))
+        ).alias("b")
+    )
+    permissive = F.col("b.l").isin(*sorted(PERMISSIVE_LICENSES))
+    return best.select(
+        "repo", F.col("b.l").alias("license"), permissive.alias("permissive")
+    )
+
+
+def repo_licenses_sql(docs_sql: str, repo="repo", path="path",
+                      content="content") -> str:
+    lic = file_license_sql(path, content)
+    prio_whens = " ".join(
+        f"WHEN license = '{fam}' THEN {i}"
+        for i, fam in enumerate(LICENSE_PRIORITY)
+    )
+    prio = f"(CASE {prio_whens} ELSE {len(LICENSE_PRIORITY)} END)"
+    perm = ", ".join(f"'{x}'" for x in sorted(PERMISSIVE_LICENSES))
+    return f"""
+WITH ev AS (
+  SELECT {repo} AS repo, {lic} AS license FROM ({docs_sql})
+), ev2 AS (SELECT repo, license FROM ev WHERE license IS NOT NULL),
+best AS (
+  SELECT repo, min({{'p': {prio}, 'l': license}}) AS b FROM ev2 GROUP BY repo
+)
+SELECT repo, b.l AS license, (b.l IN ({perm})) AS permissive FROM best"""
+
+
+def license_screens(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    content_col: str = "content",
+    keep: frozenset[str] = PERMISSIVE_LICENSES,
+    keep_unlicensed: bool = False,
+    licenses: DataFrame | None = None,
+) -> DataFrame:
+    """Keep only files from repos whose rolled-up license is in ``keep``
+    (The Stack's permissive-only cut).  One equi-join on repo — the
+    license table is #repos rows, so this shuffles the corpus once on a
+    uniform key; ``keep_unlicensed`` admits repos with no evidence
+    (left join + null-license pass) for the permissive-or-unknown
+    variant.  Pass a precomputed (ideally persisted) ``licenses`` frame
+    when the caller also consumes :func:`repo_licenses` — otherwise the
+    evidence scan would run once per consumer."""
+    all_lic = (
+        licenses
+        if licenses is not None
+        else repo_licenses(docs, repo_col, path_col, content_col)
+    )
+    lic = all_lic.filter(F.col("license").isin(*sorted(keep))).select("repo")
+    if not keep_unlicensed:
+        return docs.join(lic, docs[repo_col] == lic["repo"], "left_semi")
+    j = docs.join(
+        all_lic.withColumnRenamed("repo", "_lic_repo"),
+        docs[repo_col] == F.col("_lic_repo"),
+        "left",
+    )
+    return j.filter(
+        F.col("license").isNull() | F.col("license").isin(*sorted(keep))
+    ).select(*docs.columns)
+
+
+# ---------------------------------------------------------------------------
+# Secrets scan + redaction
+# ---------------------------------------------------------------------------
+
+# Order matters for the progressive redaction: structured high-precision
+# shapes first, the broad quoted-assignment shape last so it can't chew a
+# span a typed pattern owns.
+SECRET_PATTERNS: list[tuple[str, str]] = [
+    ("private_key", r"-----BEGIN [A-Z ]{0,30}PRIVATE KEY-----"),
+    ("aws_key", r"\bAKIA[0-9A-Z]{16}\b"),
+    ("github_token", r"\bgh[pousr]_[A-Za-z0-9]{36}\b"),
+    ("slack_token", r"\bxox[baprs]-[A-Za-z0-9-]{10,48}\b"),
+    ("jwt", r"\beyJ[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{4,}\b"),
+    ("secret_assign",
+     r"""(?i)(password|passwd|secret|api[_-]?key|access[_-]?token)"""
+     r"""[ \t]*[:=][ \t]*['"][^'"\n]{6,}['"]"""),
+]
+
+
+def _count(col: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0))).cast("long")
+
+
+def secret_stats(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    content_col: str = "content",
+) -> DataFrame:
+    """(repo, path, n_<type>..., n_secrets_total) counted on
+    progressively-redacted text so one span never double-counts."""
+    out = docs.select(
+        F.col(repo_col).alias("repo"),
+        F.col(path_col).alias("path"),
+        F.col(content_col).alias("_t"),
+    )
+    total = F.lit(0).cast("long")
+    cols = []
+    for name, pat in SECRET_PATTERNS:
+        out = out.withColumn(f"n_{name}", _count(F.col("_t"), pat)).withColumn(
+            "_t", F.regexp_replace("_t", pat, f"<SECRET:{name.upper()}>")
+        )
+        cols.append(f"n_{name}")
+        total = total + F.col(f"n_{name}")
+    return out.withColumn("n_secrets_total", total).select(
+        "repo", "path", *cols, "n_secrets_total"
+    )
+
+
+def secret_stats_sql(docs_sql: str, repo="repo", path="path",
+                     content="content") -> str:
+    t = content
+    selects, names = [], []
+    for name, pat in SECRET_PATTERNS:
+        selects.append(
+            f"CAST(len(regexp_extract_all({t}, '{_sq(pat)}')) AS BIGINT) AS n_{name}"
+        )
+        t = f"regexp_replace({t}, '{_sq(pat)}', '<SECRET:{name.upper()}>', 'g')"
+        names.append(f"n_{name}")
+    total = " + ".join(names)
+    return (
+        f"SELECT repo, path, {', '.join(names)}, "
+        f"CAST({total} AS BIGINT) AS n_secrets_total FROM ("
+        f"SELECT {repo} AS repo, {path} AS path, {', '.join(selects)} "
+        f"FROM ({docs_sql}))"
+    )
+
+
+def redact_secrets(docs: DataFrame, content_col: str = "content") -> DataFrame:
+    """Same rows with every secret span replaced by its typed
+    placeholder, in :data:`SECRET_PATTERNS` order.  Map-only codegen."""
+    red = F.col(content_col)
+    for name, pat in SECRET_PATTERNS:
+        red = F.regexp_replace(red, F.lit(pat), F.lit(f"<SECRET:{name.upper()}>"))
+    return docs.withColumn(content_col, red)
+
+
+def redact_secrets_sql_expr(content_expr: str) -> str:
+    red = content_expr
+    for name, pat in SECRET_PATTERNS:
+        red = f"regexp_replace({red}, '{_sq(pat)}', '<SECRET:{name.upper()}>', 'g')"
+    return red
+
+
+# ---------------------------------------------------------------------------
+# Comment / docstring extraction
+# ---------------------------------------------------------------------------
+
+# Per canonical language (extras/code.py LANG_CANON): whole-line comments
+# only (mid-line # / // inside strings are the classic regex-grammar
+# false positive; anchoring to line start keeps precision, documented
+# reduction) plus lazy block comments / docstrings.
+COMMENT_PATTERNS: dict[str, list[str]] = {
+    "python": [
+        r"(?m)^[ \t]*#([^\n]*)",
+        r'(?s)"""(.*?)"""',
+    ],
+    "java": [r"(?m)^[ \t]*//([^\n]*)", r"(?s)/\*(.*?)\*/"],
+    "javascript": [r"(?m)^[ \t]*//([^\n]*)", r"(?s)/\*(.*?)\*/"],
+    "go": [r"(?m)^[ \t]*//([^\n]*)", r"(?s)/\*(.*?)\*/"],
+    "rust": [r"(?m)^[ \t]*//([^\n]*)", r"(?s)/\*(.*?)\*/"],
+}
+
+
+def comments_col(lang: Column, content: Column) -> Column:
+    """array<string>: whitespace-trimmed nonempty comment/docstring
+    bodies for the file's (canonical) language."""
+    from .code import canonical_lang_col
+
+    canon = canonical_lang_col(lang)
+    expr = None
+    for lg, pats in COMMENT_PATTERNS.items():
+        arrs = [F.regexp_extract_all(content, F.lit(p), F.lit(1)) for p in pats]
+        arr = arrs[0]
+        for a in arrs[1:]:
+            arr = F.concat(arr, a)
+        expr = F.when(canon == lg, arr) if expr is None else expr.when(canon == lg, arr)
+    out = expr.otherwise(F.array().cast("array<string>"))
+    trimmed = F.transform(out, lambda c: F.regexp_replace(c, _WS_TRIM, ""))
+    return F.filter(trimmed, lambda c: c != "")
+
+
+def extract_comments(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    lang_col: str = "lang",
+    content_col: str = "content",
+) -> DataFrame:
+    """(repo, path, lang, comment) — one map-only scan + bounded explode;
+    the text channel of code for the prose stack (quality screens,
+    embeddings, BM25 over comments)."""
+    from .code import canonical_lang_col
+
+    return docs.select(
+        F.col(repo_col).alias("repo"),
+        F.col(path_col).alias("path"),
+        canonical_lang_col(F.col(lang_col)).alias("lang"),
+        F.explode(
+            comments_col(F.col(lang_col), F.col(content_col))
+        ).alias("comment"),
+    )
+
+
+def extract_comments_sql(docs_sql: str, repo="repo", path="path",
+                         lang="lang", content="content") -> str:
+    from .code import canonical_lang_sql
+
+    canon = canonical_lang_sql(lang)
+    parts = []
+    for lg, pats in COMMENT_PATTERNS.items():
+        exprs = [f"regexp_extract_all({content}, '{_sq(p)}', 1)" for p in pats]
+        lst = exprs[0]
+        for e in exprs[1:]:
+            lst = f"list_concat({lst}, {e})"
+        parts.append(
+            f"SELECT {repo} AS repo, {path} AS path, {canon} AS lang, "
+            f"unnest({lst}) AS c FROM ({docs_sql}) WHERE {canon} = '{lg}'"
+        )
+    u = " UNION ALL ".join(parts)
+    return (
+        "SELECT repo, path, lang, comment FROM ("
+        f"SELECT repo, path, lang, "
+        f"regexp_replace(c, '{_sq(_WS_TRIM)}', '', 'g') AS comment FROM ({u})"
+        ") WHERE comment != ''"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Format-normalized dedup
+# ---------------------------------------------------------------------------
+
+_BLOCK_COMMENT_RE = r"(?s)/\*.*?\*/"
+_LINE_SLASH_RE = r"(?m)^[ \t]*//[^\n]*"
+_LINE_HASH_RE = r"(?m)^[ \t]*#[^\n]*"
+_DOCSTRING_RE = r'(?s)""".*?"""'
+_WS_RUN = r"[\s]+"
+
+
+def normalize_code_col(lang: Column, content: Column) -> Column:
+    """Comment-stripped (language-appropriate), whitespace-collapsed
+    content — the dedup key surface.  A reformat, re-indent, or comment
+    edit leaves it unchanged; any code-token change moves it."""
+    from .code import canonical_lang_col
+
+    canon = canonical_lang_col(lang)
+    slashy = F.regexp_replace(
+        F.regexp_replace(content, _BLOCK_COMMENT_RE, " "), _LINE_SLASH_RE, " "
+    )
+    pythonic = F.regexp_replace(
+        F.regexp_replace(content, _DOCSTRING_RE, " "), _LINE_HASH_RE, " "
+    )
+    stripped = (
+        F.when(canon == "python", pythonic)
+        .when(canon.isNull(), content)
+        .otherwise(slashy)
+    )
+    collapsed = F.regexp_replace(stripped, _WS_RUN, " ")
+    return F.regexp_replace(collapsed, _WS_TRIM, "")
+
+
+def normalize_code_sql_expr(lang_expr: str, content_expr: str) -> str:
+    from .code import canonical_lang_sql
+
+    canon = canonical_lang_sql(lang_expr)
+    slashy = (
+        f"regexp_replace(regexp_replace({content_expr}, "
+        f"'{_sq(_BLOCK_COMMENT_RE)}', ' ', 'g'), '{_sq(_LINE_SLASH_RE)}', ' ', 'g')"
+    )
+    pythonic = (
+        f"regexp_replace(regexp_replace({content_expr}, "
+        f"'{_sq(_DOCSTRING_RE)}', ' ', 'g'), '{_sq(_LINE_HASH_RE)}', ' ', 'g')"
+    )
+    stripped = (
+        f"(CASE WHEN {canon} = 'python' THEN {pythonic} "
+        f"WHEN {canon} IS NULL THEN {content_expr} ELSE {slashy} END)"
+    )
+    collapsed = f"regexp_replace({stripped}, '{_sq(_WS_RUN)}', ' ', 'g')"
+    return f"regexp_replace({collapsed}, '{_sq(_WS_TRIM)}', '', 'g')"
+
+
+def dedup_normalized(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    lang_col: str = "lang",
+    content_col: str = "content",
+) -> DataFrame:
+    """(content_key, n_copies, repo, path): md5 of the normalized content
+    → exact groups on a uniform 128-bit key (one shuffle), winner = the
+    lexicographically-least (repo, path) via min-of-struct (windowless).
+    Catches reformatted / re-commented file copies that byte-exact
+    sha256 dedup misses."""
+    key = F.md5(normalize_code_col(F.col(lang_col), F.col(content_col)))
+    rows = docs.select(
+        key.alias("content_key"),
+        F.struct(F.col(repo_col).alias("repo"), F.col(path_col).alias("path")).alias("w"),
+    )
+    g = rows.groupBy("content_key").agg(
+        F.count("*").cast("long").alias("n_copies"), F.min("w").alias("w")
+    )
+    return g.select(
+        "content_key", "n_copies",
+        F.col("w.repo").alias("repo"), F.col("w.path").alias("path"),
+    )
+
+
+def keep_normalized_winners(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    lang_col: str = "lang",
+    content_col: str = "content",
+) -> DataFrame:
+    """Corpus-filter form of :func:`dedup_normalized`: keep exactly one
+    file per normalized-content group (the lexicographically-least
+    (repo, path)), preserving the full input row.  One winner shuffle +
+    one left-semi join on (key, repo, path) — the exact-dedup plan.
+
+    The normalize/md5 map runs once per branch (winner agg + join-back):
+    two MAP-SIDE regex passes over the source scan, zero extra shuffles.
+    Deliberately NOT persisted — caching the keyed corpus would pin
+    corpus-sized storage at 100 TB to save a cheap embarrassingly
+    parallel map."""
+    winners = dedup_normalized(docs, repo_col, path_col, lang_col, content_col)
+    keyed = docs.withColumn(
+        "_nkey", F.md5(normalize_code_col(F.col(lang_col), F.col(content_col)))
+    )
+    return keyed.join(
+        winners.select(
+            F.col("content_key").alias("_nkey"),
+            F.col("repo").alias(repo_col),
+            F.col("path").alias(path_col),
+        ),
+        ["_nkey", repo_col, path_col],
+        "left_semi",
+    ).drop("_nkey")
+
+
+def dedup_normalized_sql(docs_sql: str, repo="repo", path="path",
+                         lang="lang", content="content") -> str:
+    norm = normalize_code_sql_expr(lang, content)
+    return f"""
+WITH rows_n AS (
+  SELECT md5({norm}) AS content_key,
+         {{'repo': {repo}, 'path': {path}}} AS w
+  FROM ({docs_sql})
+), g AS (
+  SELECT content_key, CAST(count(*) AS BIGINT) AS n_copies, min(w) AS w
+  FROM rows_n GROUP BY content_key
+)
+SELECT content_key, n_copies, w.repo AS repo, w.path AS path FROM g"""
