@@ -68,6 +68,13 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--stage-counts", action="store_true",
                     help="record per-stage survivor counts (one extra "
                     "partial scan per stage — diagnostics, not production)")
+    ap.add_argument("--incremental-old", default=None,
+                    help="previous snapshot parquet: diff by (repo, path, "
+                    "commit), re-extract only changed files, rewrite only "
+                    "touched buckets.  Per-file stages (screens, redaction) "
+                    "apply to the changed files; repo-level stages (license "
+                    "cut, cross-file dedup) need a full rebuild when their "
+                    "inputs change — this mode assumes they didn't.")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession, functions as F
@@ -86,6 +93,21 @@ def main(argv: list[str] | None = None) -> dict:
     t0 = time.time()
     stats: dict = {}
     docs = spark.read.parquet(args.input)
+
+    if args.incremental_old:
+        from trove_spark.extras.code import incremental_code_kg_update
+
+        old = spark.read.parquet(args.incremental_old)
+        new_cur = code_screens(docs) if args.screens else docs
+        old_cur = code_screens(old) if args.screens else old
+        if args.redact_secrets:
+            new_cur = redact_secrets(new_cur)
+            old_cur = redact_secrets(old_cur)
+        store = TripleStore(spark, args.output, n_buckets=args.n_buckets)
+        stats["incremental"] = incremental_code_kg_update(store, old_cur, new_cur)
+        stats["wall_s"] = round(time.time() - t0, 2)
+        print(json.dumps(stats))
+        return stats
 
     def _sha_rows(d):
         return d.select(

@@ -213,6 +213,40 @@ def test_dedup_normalized_duckdb_parity(spark):
     assert got == want
 
 
+def test_infer_lang_from_path(spark):
+    """Tables with no lang column: extension inference feeds the same
+    canonical names the extractors dispatch on, DuckDB-parity via the
+    shared EXT_LANG registry."""
+    from trove_spark.extras.code import (
+        code_triples,
+        infer_lang_col,
+        infer_lang_sql,
+    )
+
+    docs = _docs(spark).withColumn("lang", infer_lang_col(F.col("path")))
+    got = {
+        (r["path"], r["lang"])
+        for r in docs.select("path", "lang").collect()
+    }
+    assert ("src/jsonkit.py", "python") in got
+    assert ("src/index.js", "javascript") in got
+    assert ("src/lib.rs", "rust") in got
+    assert ("LICENSE", None) in got
+    want = normalize_rows(
+        duckdb.sql(
+            f"SELECT path, {infer_lang_sql('path')} AS lang "
+            f"FROM ({code_curate_fixture_sql()})"
+        ).fetchall()
+    )
+    assert normalize_rows(tuple(r) for r in docs.select("path", "lang").collect()) == want
+    # inferred langs drive extraction end-to-end
+    trip = code_triples(docs)
+    assert trip.filter(
+        (F.col("subj") == "rustacean/ferris:src/lib.rs")
+        & (F.col("pred") == "IMPORTS") & (F.col("obj") == "serde")
+    ).count() == 1
+
+
 def test_secret_pattern_registry_shape():
     # progressive-redaction order contract: structured shapes before the
     # broad quoted-assignment catch-all

@@ -74,6 +74,52 @@ def test_codepipe_end_to_end_and_resume(spark, tmp_path):
     assert stats2["triples_write"]["skipped_buckets"] == w["written_buckets"]
 
 
+def test_codepipe_incremental_equals_full_rebuild(spark, tmp_path):
+    """Build a store from snapshot A, mutate the corpus (change a file's
+    commit+content, delete a file, add a file), incrementally update —
+    the store must equal a from-scratch extraction of snapshot B."""
+    from trove_spark.code_fixture import CODE_DOCS
+    from trove_spark.extras.code import code_triples, incremental_code_kg_update
+    from trove_spark.graph import TripleStore
+
+    out = str(tmp_path / "kg")
+    old_rows = list(CODE_DOCS)
+    docs_a = spark.createDataFrame(old_rows, schema=SCHEMA)
+    store = TripleStore(spark, out, n_buckets=4)
+    store.write_triples(code_triples(docs_a))
+
+    # change: new commit of the js file adds an import; delete the go
+    # tool's main; add a brand-new file
+    new_rows = [
+        r for r in old_rows
+        if r[1] not in ("src/index.js", "cmd/tool/main.go")
+    ]
+    js = next(r for r in old_rows if r[1] == "src/index.js")
+    new_rows.append(
+        (js[0], js[1], "f" * 40, js[3], js[4] + "const extra = require('extra')\n")
+    )
+    new_rows.append(
+        ("new/repo", "lib.py", "e1" * 20, "py", "import fresh\ndef brand_new(): pass\n")
+    )
+    docs_b = spark.createDataFrame(new_rows, schema=SCHEMA)
+
+    res = incremental_code_kg_update(store, docs_a, docs_b)
+    assert 1 <= res["updated_buckets"] <= 4
+
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in store.read_triples().collect()
+    }
+    want = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in code_triples(docs_b).collect()
+    }
+    assert got == want
+    assert any(s == "new/repo:lib.py" for s, _, _ in got)
+    assert not any(s == "gopher/tool:cmd/tool/main.go" for s, _, _ in got)
+    assert ("npm/leftpad:src/index.js", "IMPORTS", "extra") in got
+
+
 def test_codepipe_deps_out(spark, tmp_path):
     inp = str(tmp_path / "files.parquet")
     out = str(tmp_path / "kg")

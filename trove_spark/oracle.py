@@ -1656,6 +1656,8 @@ def _entity_link_sql(k: int = 1, min_sim_micro: int = 300_000) -> str:
 
 
 def extras_oracles() -> dict[str, str]:
+    from .extras.textstats import _WORD_WS_CHARS
+
     h_sh = _H60.format(x="shingle || ':' || seed")
     h_w = _H60.format(x="w")
     return {
@@ -1794,7 +1796,7 @@ SELECT doc_id, stopword_permille,
        CASE WHEN stopword_permille >= 30 THEN 'en' ELSE 'other' END AS lang_pred
 FROM t
 """,
-        "text_quality": r"""
+        "text_quality": f"""
 WITH t AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
          string_split(text, ' ') AS ws,
@@ -1807,7 +1809,7 @@ m AS (
          CAST(len(ws) AS BIGINT) AS n_tokens,
          CAST(FLOOR((len(text) - (len(ws) - 1)) * 100 / n) AS BIGINT) AS mean_wlen_x100,
          CAST(FLOOR(len(list_distinct(ws)) * 1000 / n) AS BIGINT) AS distinct_permille,
-         CAST(FLOOR(len(regexp_replace(text, '[\w\s]', '', 'g')) * 1000 / nc) AS BIGINT) AS punct_permille
+         CAST(FLOOR(len(translate(text, '{_WORD_WS_CHARS}', '')) * 1000 / nc) AS BIGINT) AS punct_permille
   FROM t
 )
 SELECT *, (n_tokens >= 5 AND mean_wlen_x100 BETWEEN 200 AND 1200
