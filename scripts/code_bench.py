@@ -6,8 +6,10 @@
 Synthesizes a code corpus IN-ENGINE (map-only from range(); md5-derived
 identifier vocabulary — the testdata's 31-word prose vocab is vacuous
 for grammar extraction, CLAUDE.md) with per-language import/def grammar:
-~8 imports + ~6 defs per file across python/java/go/js/rust, ~60 nonsense
-filler lines, plus a camelCase body for the identifier splitter.  Times:
+8 library imports + 2 RESOLVABLE file imports (targets = other files'
+path stems, so dependency_graph joins on real matches) + ~6 defs per
+file across python/java/go/js/rust, ~60 nonsense filler lines, plus a
+camelCase body for the identifier splitter.  Times:
 
   * code_triples:      full KG extraction (scan + explode + distinct)
   * code_screens:      fused StarCoder quality filter (map-only)
@@ -29,31 +31,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> None:
-    cores = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
-    try:
-        os.sched_setaffinity(0, set(range(cores)))
-    except (AttributeError, OSError):
-        pass
-
-    from pyspark.sql import SparkSession, functions as F
-
-    from trove_spark.extras.code import (
-        code_screens,
-        code_triples,
-        dependency_graph,
-        split_identifiers_col,
-    )
-
-    spark = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .config("spark.sql.shuffle.partitions", str(2 * cores))
-        .config("spark.driver.memory", "48g")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+def synth_code_corpus(spark, n_files: int):
+    """Deterministic in-engine source-file corpus over the BASELINE
+    input_hint shape (repo, path, commit, lang, content) + an ``id``
+    helper column.  Shared by code_bench and codepipe_scaling so the
+    per-op rows and the end-to-end pipeline time the same input."""
+    from pyspark.sql import functions as F
 
     langs = ["py", "java", "go", "js", "rs"]
     n_repos = max(n_files // 50, 1)
@@ -69,7 +52,7 @@ def main() -> None:
             ),
         )
 
-    def lines(fmt_prefix: str, tag: str, k: int, scale: int):
+    def lines(fmt_prefix: str, tag: str, k: int, scale: int, suffix: str = ""):
         return F.transform(
             F.sequence(F.lit(0), F.lit(k - 1)),
             lambda i: F.concat(
@@ -78,18 +61,42 @@ def main() -> None:
                     F.md5(F.concat(F.lit(tag), ((F.col("id") + i) % scale).cast("string"))),
                     1, 8,
                 ),
+                F.lit(suffix),
+            ),
+        )
+
+    def xlines(fmt_prefix: str, k: int, suffix: str = ""):
+        # RESOLVABLE imports: target other files' path stems
+        # (file_<n> provides module "file_<n>") so dependency_graph
+        # measures a real match join, not a zero-hit scan
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: F.concat(
+                F.lit(fmt_prefix),
+                F.lit("file_"),
+                ((F.col("id") * 7 + i * 13 + 1) % n_files).cast("string"),
+                F.lit(suffix),
             ),
         )
 
     base = spark.range(n_files).withColumn("lang", F.element_at(
         F.array(*[F.lit(x) for x in langs]), (F.col("id") % 5 + 1).cast("int")
     ))
+    # closing quote / semicolon matter: the import grammars anchor on
+    # them (an unterminated `import "pkg/x` matches NOTHING)
     imp = {
         "py": lines("import mod_", "m", 8, 5000),
-        "java": lines("import com.acme.Pkg", "m", 8, 5000),
-        "go": lines('import "pkg/mod_', "m", 8, 5000),
-        "js": lines("import 'mod_", "m", 8, 5000),
+        "java": lines("import com.acme.Pkg", "m", 8, 5000, ";"),
+        "go": lines('import "pkg/mod_', "m", 8, 5000, '"'),
+        "js": lines("import 'mod_", "m", 8, 5000, "'"),
         "rs": lines("use mod_", "m", 8, 5000),
+    }
+    ximp = {
+        "py": xlines("import ", 2),
+        "java": xlines("import ", 2, ".Cls;"),
+        "go": xlines('import "pkg/', 2, '"'),
+        "js": xlines("import '", 2, "'"),
+        "rs": xlines("use ", 2),
     }
     dfn = {
         "py": lines("def fn_", "d", 6, 100_000),
@@ -101,13 +108,13 @@ def main() -> None:
     filler = lines("    someCamelCaseCall(parse_value_", "f", 60, 1_000_000)
     content = None
     for lg in langs:
-        arr = F.concat(imp[lg], dfn[lg], filler)
+        arr = F.concat(imp[lg], ximp[lg], dfn[lg], filler)
         content = (
             F.when(F.col("lang") == lg, F.array_join(arr, "\n"))
             if content is None
             else content.when(F.col("lang") == lg, F.array_join(arr, "\n"))
         )
-    docs = base.select(
+    return base.select(
         F.concat(F.lit("org/repo-"), (F.col("id") % n_repos).cast("string")).alias("repo"),
         F.concat(F.lit("src/file_"), F.col("id").cast("string"),
                  F.lit("."), F.col("lang")).alias("path"),
@@ -115,44 +122,17 @@ def main() -> None:
         "lang",
         content.alias("content"),
         F.col("id"),
-    ).persist()
-    n = docs.count()
-
-    def best2(fn):
-        ts = []
-        for _ in range(2):
-            t0 = time.time()
-            fn()
-            ts.append(time.time() - t0)
-        return min(ts)
-
-    out = {"cores": cores, "n_files": n}
-    out["triples_s"] = best2(lambda: code_triples(docs).count())
-    out["n_triples"] = code_triples(docs).count()
-    out["screens_s"] = best2(lambda: code_screens(docs).count())
-    out["depgraph_s"] = best2(lambda: dependency_graph(docs).count())
-    out["n_edges"] = dependency_graph(docs).count()
-    out["ident_s"] = best2(
-        lambda: docs.select(
-            F.explode(split_identifiers_col(F.col("content"))).alias("t")
-        ).groupBy().count().collect()
-    )
-    out["triples_files_per_s"] = round(n / out["triples_s"], 1)
-
-    # --- curation battery (extras/code_curate.py) over an AUGMENTED corpus:
-    # per-repo LICENSE files (mit/apache/gpl3 round-robin, 10% SPDX-tagged
-    # source files), ~1% secret-bearing files, and 20% reformatted twins —
-    # so the license rollup, the secret scan, and the normalized dedup all
-    # measure real hit paths, not vacuous zero-match scans.
-    from trove_spark.extras.code_curate import (
-        extract_comments,
-        keep_normalized_winners,
-        license_screens,
-        redact_secrets,
-        repo_licenses,
-        secret_stats,
     )
 
+
+def augment_code_corpus(spark, docs, n_files: int):
+    """Hit-path augmentation: per-repo LICENSE files (mit/apache/gpl3
+    round-robin), ~1% secret-bearing files, 20% reformatted twins — so
+    license rollup, secret scan, and normalized dedup all measure real
+    matches, not vacuous zero-hit scans."""
+    from pyspark.sql import functions as F
+
+    n_repos = max(n_files // 50, 1)
     lic_texts = [
         "MIT License\npermission is hereby granted, free of charge, x\n",
         "Apache License\n Version 2.0, January 2004\n",
@@ -194,7 +174,74 @@ def main() -> None:
         ).alias("content"),
         (F.col("id") + 2 * n_files).alias("id"),
     )
-    aug = with_secrets.unionByName(twins).unionByName(lic_rows).persist()
+    return with_secrets.unionByName(twins).unionByName(lic_rows)
+
+
+def main() -> None:
+    cores = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+    try:
+        os.sched_setaffinity(0, set(range(cores)))
+    except (AttributeError, OSError):
+        pass
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from trove_spark.extras.code import (
+        code_screens,
+        code_triples,
+        dependency_graph,
+        split_identifiers_col,
+    )
+
+    spark = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(2 * cores))
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = synth_code_corpus(spark, n_files).persist()
+    n = docs.count()
+
+    def best2(fn):
+        ts = []
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            ts.append(time.time() - t0)
+        return min(ts)
+
+    out = {"cores": cores, "n_files": n}
+    out["triples_s"] = best2(lambda: code_triples(docs).count())
+    out["n_triples"] = code_triples(docs).count()
+    out["screens_s"] = best2(lambda: code_screens(docs).count())
+    out["depgraph_s"] = best2(lambda: dependency_graph(docs).count())
+    out["n_edges"] = dependency_graph(docs).count()
+    out["ident_s"] = best2(
+        lambda: docs.select(
+            F.explode(split_identifiers_col(F.col("content"))).alias("t")
+        ).groupBy().count().collect()
+    )
+    out["triples_files_per_s"] = round(n / out["triples_s"], 1)
+
+    # --- curation battery (extras/code_curate.py) over an AUGMENTED corpus:
+    # per-repo LICENSE files (mit/apache/gpl3 round-robin, 10% SPDX-tagged
+    # source files), ~1% secret-bearing files, and 20% reformatted twins —
+    # so the license rollup, the secret scan, and the normalized dedup all
+    # measure real hit paths, not vacuous zero-match scans.
+    from trove_spark.extras.code_curate import (
+        extract_comments,
+        keep_normalized_winners,
+        license_screens,
+        redact_secrets,
+        repo_licenses,
+        secret_stats,
+    )
+
+    aug = augment_code_corpus(spark, docs, n_files).persist()
     out["n_files_aug"] = aug.count()
 
     out["licenses_s"] = best2(lambda: repo_licenses(aug).count())

@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""End-to-end code-KG pipeline scaling pair (the north-rule shape).
+
+`python scripts/codepipe_scaling.py <cores> [n_files] [--gen-only]`
+
+Times the FULL production entry (`scripts/run_codepipe.py` — input
+sha256 manifests, license rollup+screen, fused quality screens,
+normalized dedup, secrets redaction, bucketed resumable triples write,
+dependency edges) over the shared synthetic corpus
+(`code_bench.synth_code_corpus` + augmentation), pinned to N cores.
+
+Protocol (CLAUDE.md): one subprocess per parallelism level (sticky
+Spark context), `sched_setaffinity` pinning, input parquet generated
+ONCE (deterministic md5 content, but generating once also removes any
+file-layout variance), 4 vs 16 cores — never 8 vs 32 on this host
+(throttles above ~16 busy vCPUs).  Run:
+
+    python scripts/codepipe_scaling.py 16 200000 --gen-only
+    python scripts/codepipe_scaling.py 4  200000
+    python scripts/codepipe_scaling.py 16 200000
+
+and compare the printed `pipeline_wall_s` (run_codepipe's own internal
+wall, which excludes session startup and corpus generation).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    cores = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+    gen_only = "--gen-only" in sys.argv
+    try:
+        os.sched_setaffinity(0, set(range(cores)))
+    except (AttributeError, OSError):
+        pass
+
+    from pyspark.sql import SparkSession
+
+    from code_bench import augment_code_corpus, synth_code_corpus
+    import run_codepipe
+
+    spark = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(2 * cores))
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    inp = f"/tmp/codepipe_scale_input_{n_files}"
+    if not os.path.exists(os.path.join(inp, "_SUCCESS")):
+        docs = synth_code_corpus(spark, n_files)
+        aug = augment_code_corpus(spark, docs, n_files).drop("id")
+        aug.write.mode("overwrite").parquet(inp)
+    if gen_only:
+        print(json.dumps({"generated": inp}))
+        spark.stop()
+        return
+
+    out = f"/tmp/codepipe_scale_kg_{cores}"
+    deps = f"/tmp/codepipe_scale_deps_{cores}"
+    shutil.rmtree(out, ignore_errors=True)  # fresh store: no resume skips
+    shutil.rmtree(deps, ignore_errors=True)
+
+    stats = run_codepipe.main([
+        "--input", inp, "--output", out,
+        "--licenses", "permissive",
+        "--redact-secrets",
+        "--dedup", "normalized",
+        "--deps-out", deps,
+        "--n-buckets", "16",
+    ])
+    n_in = stats["input_files"]
+    from trove_spark.graph import TripleStore
+
+    # post-timing sanity read-back through the store API
+    n_triples = TripleStore(spark, out, n_buckets=16).read_triples().count()
+    print(json.dumps({
+        "cores": cores,
+        "n_files": n_in,
+        "kept_files": stats["kept_files"],
+        "triples": n_triples,
+        "written_buckets": stats["triples_write"]["written_buckets"],
+        "dep_edges": stats.get("dep_edges"),
+        "pipeline_wall_s": stats["wall_s"],
+        "files_per_s": round(n_in / stats["wall_s"], 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

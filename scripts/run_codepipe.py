@@ -92,6 +92,15 @@ def main(argv: list[str] | None = None) -> dict:
     spark = SparkSession.builder.appName("trove_spark_codepipe").getOrCreate()
     t0 = time.time()
     stats: dict = {}
+    walls: dict = {}  # per-ACTION wall clocks (lazy stages bill to the
+    stats["stage_walls"] = walls  # action that materializes them)
+    _last = [t0]
+
+    def _mark(name: str) -> None:
+        now = time.time()
+        walls[name] = round(now - _last[0], 2)
+        _last[0] = now
+
     docs = spark.read.parquet(args.input)
 
     if args.incremental_old:
@@ -129,6 +138,7 @@ def main(argv: list[str] | None = None) -> dict:
     # 1. per-row content-sha256 invariant manifest over the input
     stats["input_manifest"] = _manifest(docs)
     stats["input_files"] = sum(b["n_rows"] for b in stats["input_manifest"])
+    _mark("input_manifest")
 
     rl = None
     if args.licenses != "off":
@@ -138,6 +148,7 @@ def main(argv: list[str] | None = None) -> dict:
         rl = repo_licenses(docs).persist()
         hist = rl.groupBy("license").agg(F.count("*").alias("n")).collect()
         stats["license_histogram"] = {r["license"]: int(r["n"]) for r in hist}
+        _mark("license_rollup")
         docs = license_screens(
             docs,
             keep_unlicensed=(args.licenses == "permissive-or-unknown"),
@@ -162,6 +173,7 @@ def main(argv: list[str] | None = None) -> dict:
     docs = docs.persist()
     stats["kept_manifest"] = _manifest(docs)
     stats["kept_files"] = sum(b["n_rows"] for b in stats["kept_manifest"])
+    _mark("curate_and_kept_manifest")
     if rl is not None:
         rl.unpersist()  # docs is materialized; the join result is cached
 
@@ -173,11 +185,13 @@ def main(argv: list[str] | None = None) -> dict:
     store = TripleStore(spark, args.output, n_buckets=args.n_buckets)
     w = store.write_triples(code_triples(out_docs), max_buckets=args.max_buckets)
     stats["triples_write"] = w
+    _mark("triples_write")
 
     # 7. optional dependency edges
     if args.deps_out:
         dependency_graph(out_docs).write.mode("overwrite").parquet(args.deps_out)
         stats["dep_edges"] = spark.read.parquet(args.deps_out).count()
+        _mark("dep_edges")
 
     docs.unpersist()
     stats["wall_s"] = round(time.time() - t0, 2)

@@ -66,13 +66,16 @@ _EOS = "</s>"
 def _shape_expr(col):
     """Word-shape class: collapse letters/digits to A/a/9, cap run length
     at 1 per class transition — 'HbA1c' → 'AaA9a', '123' → '9'."""
-    s = F.regexp_replace(col, r"[A-Z]", "A")
-    s = F.regexp_replace(s, r"[a-z]", "a")
-    s = F.regexp_replace(s, r"[0-9]", "9")
-    # collapse runs: 'AAaa99' → 'Aa9'
-    for ch in ("A", "a", "9"):
-        s = F.regexp_replace(s, f"{ch}+", ch)
-    return s
+    # class-collapse via ONE translate table lookup (regexp_replace per
+    # char class builds a new string per pass — the measured 27x
+    # anti-pattern from extras/code.py), then ONE backreference pass to
+    # collapse A/a/9 runs
+    upper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    lower = "abcdefghijklmnopqrstuvwxyz"
+    digit = "0123456789"
+    s = F.translate(col, upper + lower + digit,
+                    "A" * 26 + "a" * 26 + "9" * 10)
+    return F.regexp_replace(s, r"([Aa9])\1+", "$1")
 
 
 def featurize_tokens(tokens: DataFrame) -> DataFrame:
