@@ -180,12 +180,27 @@ def main(argv: list[str] | None = None) -> dict:
     # 5. secrets redaction (content rewrite — after the invariant manifests)
     out_docs = redact_secrets(docs) if args.redact_secrets else docs
     stats["secrets_redacted"] = bool(args.redact_secrets)
+    # the redacted frame feeds TWO actions (triples write, dep edges) —
+    # persist it so the redaction map runs once, and release the
+    # pre-redaction cache as soon as the redacted one is materialized
+    two_consumers = args.redact_secrets and args.deps_out
+    if two_consumers:
+        out_docs = out_docs.persist()
 
-    # 6. triples → resumable bucketed store
+    # 6. triples → resumable bucketed store.  Default is the single
+    # partitionBy job (all pending buckets in ONE write — per-bucket
+    # driver-loop writes cost ~0.6 s of job overhead EACH, CLAUDE.md);
+    # --max-buckets keeps the loop form for kill/resume testing, where
+    # per-bucket commit granularity is the point.
     store = TripleStore(spark, args.output, n_buckets=args.n_buckets)
-    w = store.write_triples(code_triples(out_docs), max_buckets=args.max_buckets)
+    if args.max_buckets is not None:
+        w = store.write_triples(code_triples(out_docs), max_buckets=args.max_buckets)
+    else:
+        w = store.write_triples_onepass(code_triples(out_docs))
     stats["triples_write"] = w
     _mark("triples_write")
+    if two_consumers:
+        docs.unpersist()  # out_docs is materialized; drop the raw cache
 
     # 7. optional dependency edges
     if args.deps_out:
@@ -193,7 +208,7 @@ def main(argv: list[str] | None = None) -> dict:
         stats["dep_edges"] = spark.read.parquet(args.deps_out).count()
         _mark("dep_edges")
 
-    docs.unpersist()
+    (out_docs if two_consumers else docs).unpersist()
     stats["wall_s"] = round(time.time() - t0, 2)
     print(json.dumps(stats))
     return stats

@@ -491,27 +491,29 @@ def keep_normalized_winners(
 ) -> DataFrame:
     """Corpus-filter form of :func:`dedup_normalized`: keep exactly one
     file per normalized-content group (the lexicographically-least
-    (repo, path)), preserving the full input row.  One winner shuffle +
-    one left-semi join on (key, repo, path) — the exact-dedup plan.
+    (repo, path)), preserving the full input row.
 
-    The normalize/md5 map runs once per branch (winner agg + join-back):
-    two MAP-SIDE regex passes over the source scan, zero extra shuffles.
-    Deliberately NOT persisted — caching the keyed corpus would pin
-    corpus-sized storage at 100 TB to save a cheap embarrassingly
-    parallel map."""
-    winners = dedup_normalized(docs, repo_col, path_col, lang_col, content_col)
-    keyed = docs.withColumn(
-        "_nkey", F.md5(normalize_code_col(F.col(lang_col), F.col(content_col)))
+    ONE upstream pass + ONE shuffle: ``groupBy(key).agg(min(struct(
+    repo, path, <rest>)))`` carries the whole winner row through the
+    aggregation, and the map-side partial combine collapses duplicate
+    copies before anything moves — shuffle volume ≤ unique-content
+    volume.  (The previous winner-agg + left-semi-join-back form
+    recomputed the entire upstream lineage — source scan, license join,
+    quality screens, normalize/md5 — in BOTH join branches: no auto-CSE
+    across DataFrame refs.)  Struct ordering puts (repo, path) first,
+    so min() is exactly the lexicographic-least winner; (repo, path) is
+    the row key, so ties are impossible and the rest of the struct
+    never influences the choice."""
+    key = F.md5(normalize_code_col(F.col(lang_col), F.col(content_col)))
+    rest = [c for c in docs.columns if c not in (repo_col, path_col)]
+    row_struct = F.struct(F.col(repo_col), F.col(path_col),
+                          *[F.col(c) for c in rest])
+    won = (
+        docs.select(key.alias("_nkey"), row_struct.alias("_row"))
+        .groupBy("_nkey")
+        .agg(F.min("_row").alias("_row"))
     )
-    return keyed.join(
-        winners.select(
-            F.col("content_key").alias("_nkey"),
-            F.col("repo").alias(repo_col),
-            F.col("path").alias(path_col),
-        ),
-        ["_nkey", repo_col, path_col],
-        "left_semi",
-    ).drop("_nkey")
+    return won.select(*[F.col(f"_row.{c}").alias(c) for c in docs.columns])
 
 
 def dedup_normalized_sql(docs_sql: str, repo="repo", path="path",

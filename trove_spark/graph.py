@@ -63,10 +63,12 @@ def _h60(col):
 
 
 class TripleStore:
-    def __init__(self, spark: SparkSession, base_dir: str, n_buckets: int = 16):
+    def __init__(self, spark: SparkSession, base_dir: str, n_buckets: int = 16,
+                 files_per_bucket: int = 1):
         self.spark = spark
         self.base_dir = base_dir
         self.n_buckets = n_buckets
+        self.files_per_bucket = files_per_bucket
         self.edges_dir = os.path.join(base_dir, "edges")
         self.nodes_dir = os.path.join(base_dir, "nodes")
         self.manifest_dir = os.path.join(base_dir, "_manifests")
@@ -176,8 +178,19 @@ class TripleStore:
                 )
                 .collect()
             }
+            # co-locate each bucket before the partitionBy write: without
+            # this every upstream task opens a writer per bucket value it
+            # sees (P×B small files + a per-task sort); with it, one file
+            # per (bucket, subj-salt) slice.  files_per_bucket spreads a
+            # bucket over several writer tasks when buckets outnumber the
+            # cluster's write bandwidth per task (raise it at 100 TB).
+            fpb = max(1, int(self.files_per_bucket))
+            slices = pending.repartition(
+                len(todo) * fpb, "bucket",
+                F.pmod(F.xxhash64("subj"), F.lit(fpb)),
+            )
             (
-                pending.write.mode("overwrite")
+                slices.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("bucket")
                 .parquet(self.edges_dir)
