@@ -29,6 +29,7 @@ import json
 import os
 import shutil
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -37,12 +38,13 @@ def main() -> None:
     cores = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
     gen_only = "--gen-only" in sys.argv
+    rounds = 3 if "--rounds3" in sys.argv else (2 if "--rounds2" in sys.argv else 1)
     try:
         os.sched_setaffinity(0, set(range(cores)))
     except (AttributeError, OSError):
         pass
 
-    from pyspark.sql import SparkSession
+    from pyspark.sql import SparkSession, functions as F
 
     from code_bench import augment_code_corpus, synth_code_corpus
     import run_codepipe
@@ -68,22 +70,46 @@ def main() -> None:
 
     out = f"/tmp/codepipe_scale_kg_{cores}"
     deps = f"/tmp/codepipe_scale_deps_{cores}"
-    shutil.rmtree(out, ignore_errors=True)  # fresh store: no resume skips
-    shutil.rmtree(deps, ignore_errors=True)
 
-    stats = run_codepipe.main([
-        "--input", inp, "--output", out,
-        "--licenses", "permissive",
-        "--redact-secrets",
-        "--dedup", "normalized",
-        "--deps-out", deps,
-        "--n-buckets", "16",
-    ])
+    # best-of-N rounds (CLAUDE.md: this VM shows up to 25% CPU steal and
+    # 2x trial variance — single-shot walls are not evidence); each round
+    # starts from a FRESH store so resume never skips buckets
+    walls, all_stage_walls = [], []
+    stats = None
+    for _ in range(rounds):
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(deps, ignore_errors=True)
+        s = run_codepipe.main([
+            "--input", inp, "--output", out,
+            "--licenses", "permissive",
+            "--redact-secrets",
+            "--dedup", "normalized",
+            "--deps-out", deps,
+            "--n-buckets", "16",
+        ])
+        walls.append(s["wall_s"])
+        all_stage_walls.append(s["stage_walls"])
+        if stats is None or s["wall_s"] == min(walls):
+            stats = s
     n_in = stats["input_files"]
     from trove_spark.graph import TripleStore
 
     # post-timing sanity read-back through the store API
     n_triples = TripleStore(spark, out, n_buckets=16).read_triples().count()
+    # same-window host-ceiling probe: a zero-memory-traffic codegen spin
+    # (sum of id%7 over a long range).  On this VM the per-core clock at 4
+    # busy cores can be ~1.4x the 16-busy-core clock (turbo + steal), so
+    # raw 4-vs-16 efficiency is capped BELOW 1.0 for any CPU-bound job —
+    # report pipeline efficiency alongside the ceiling measured minutes
+    # apart, not against an assumed-perfect host.
+    spin_ts = []
+    for _ in range(3):
+        t0 = time.time()
+        (spark.range(40_000_000_000, numPartitions=4 * cores)
+         .select(F.sum((F.col("id") % 7).cast("long"))).collect())
+        spin_ts.append(round(time.time() - t0, 2))
+
+    best = min(walls)
     print(json.dumps({
         "cores": cores,
         "n_files": n_in,
@@ -91,8 +117,12 @@ def main() -> None:
         "triples": n_triples,
         "written_buckets": stats["triples_write"]["written_buckets"],
         "dep_edges": stats.get("dep_edges"),
-        "pipeline_wall_s": stats["wall_s"],
-        "files_per_s": round(n_in / stats["wall_s"], 1),
+        "pipeline_wall_s": best,
+        "round_walls": walls,
+        "stage_walls_best": stats["stage_walls"],
+        "files_per_s": round(n_in / best, 1),
+        "cpu_spin_best_s": min(spin_ts),
+        "cpu_spin_walls": spin_ts,
     }))
     spark.stop()
 
