@@ -1186,6 +1186,32 @@ def q_text_language_id(spark, sf_dir):
     return language_id(_docs(spark, sf_dir))
 
 
+def q_code_symbol_links(spark, sf_dir):
+    """Symbol-level entity linking over code (extras/code_link.py): the
+    north-rule mention→canonical analog for the code payload — call-site
+    mentions (keyword-filtered identifier-before-paren, Java∩RE2) resolved
+    against the corpus's own def table through local (map-side
+    array_contains) / same-repo (min-path canonical winner) / imported-
+    provider (min repo:path winner) scopes, unresolved kept for coverage.
+    Fixed-scale by design: the frozen code+curation fixture exercises all
+    four resolutions INCLUDING a two-candidate cross-repo tie broken by
+    the canonical min (acme/jsonkit vs forks/jsonkit-fork).  Takes the
+    slot of text_language_id, whose map-only stopword-ratio CASE
+    classifier shape is exercised verbatim inside the green text_quality
+    row (same fused codegen screen family over documents); dedicated
+    DuckDB-parity pytests (test_textstats.py::test_language_id_duckdb_
+    parity at sf0.001, plus the ngram variant) keep language-ID itself
+    end-to-end checked."""
+    from trove_spark.code_fixture import CODE_CURATE_DOCS, CODE_DOCS
+    from trove_spark.extras.code_link import symbol_links
+
+    docs = spark.createDataFrame(
+        CODE_DOCS + CODE_CURATE_DOCS,
+        schema="repo string, path string, commit string, lang string, content string",
+    )
+    return symbol_links(docs, persist=False)
+
+
 def q_text_quality(spark, sf_dir):
     from trove_spark.extras.textstats import quality_score
 
@@ -1325,7 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": q_ann_brute_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "dedup_semantic": q_dedup_semantic,
-        "text_language_id": q_text_language_id,
+        "code_symbol_links": q_code_symbol_links,
         "text_quality": q_text_quality,
         "dedup_paragraphs": q_dedup_paragraphs,
     }
@@ -1351,6 +1377,7 @@ def oracle_sql() -> dict[str, str]:
     from trove_spark.code_fixture import code_curate_fixture_sql, code_fixture_sql
     from trove_spark.extras.code import code_triples_oracle_sql
     from trove_spark.extras.code_curate import repo_licenses_sql
+    from trove_spark.extras.code_link import symbol_links_oracle_sql
     from trove_spark.extras.collocations import collocations_oracle_sql
     from trove_spark.extras.sketches import heavy_hitters_oracle_sql
     from trove_spark.extras.timeseries import sessionize_oracle_sql
@@ -1359,6 +1386,7 @@ def oracle_sql() -> dict[str, str]:
     out.update({
         "code_triples": code_triples_oracle_sql(code_fixture_sql()),
         "code_licenses": repo_licenses_sql(code_curate_fixture_sql()),
+        "code_symbol_links": symbol_links_oracle_sql(code_curate_fixture_sql()),
         "kg_label_model": label_model_oracle_sql(n_iter=3),
         "corpus_heavy_hitters": heavy_hitters_oracle_sql(capacity=40),
         "corpus_collocations": collocations_oracle_sql(window=3, min_count=5),

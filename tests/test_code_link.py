@@ -1,0 +1,123 @@
+"""Symbol-level entity linking over code (extras/code_link.py): call-site
+mentions resolved to canonical def sites through local/repo/import scopes,
+DuckDB-parity checked on the full code fixture."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from trove_spark.code_fixture import (
+    CODE_CURATE_DOCS,
+    CODE_DOCS,
+    code_curate_fixture_sql,
+)
+from trove_spark.extras.code_link import (
+    symbol_link_triples,
+    symbol_links,
+    symbol_links_oracle_sql,
+)
+
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+@pytest.fixture(scope="module")
+def links(spark):
+    docs = spark.createDataFrame(CODE_DOCS + CODE_CURATE_DOCS, schema=SCHEMA)
+    out = symbol_links(docs)
+    rows = sorted(
+        (r["repo"], r["path"], r["symbol"], r["resolution"], r["target"])
+        for r in out.collect()
+    )
+    out._link_cache.unpersist()
+    return rows
+
+
+def test_duckdb_parity(links):
+    want = sorted(
+        tuple(x)
+        for x in duckdb.sql(
+            symbol_links_oracle_sql(code_curate_fixture_sql())
+        ).fetchall()
+    )
+    assert links == want
+
+
+def test_local_and_unresolved_tiers(links):
+    d = {(r[0], r[1], r[2]): (r[3], r[4]) for r in links}
+    # a def site is trivially a local mention of itself
+    assert d[("gopher/tool", "cmd/tool/main.go", "main")] == (
+        "local",
+        "gopher/tool:cmd/tool/main.go#main",
+    )
+    # stdlib call with no corpus def site stays unresolved, target NULL
+    assert d[("acme/jsonkit", "src/jsonkit.py", "basename")] == (
+        "unresolved",
+        None,
+    )
+    # declaration keywords never become mentions (go grouped import,
+    # rust pub(crate))
+    assert ("gopher/tool", "cmd/tool/main.go", "import") not in d
+    assert ("rustacean/ferris", "src/lib.rs", "pub") not in d
+
+
+def test_import_tier_canonical_winner(links):
+    d = {(r[0], r[1], r[2]): (r[3], r[4]) for r in links}
+    # webapp imports jsonkit; BOTH acme/jsonkit and forks/jsonkit-fork
+    # provide module top 'jsonkit' and define JsonParser — the canonical
+    # winner is the min concatenated id (acme < forks)
+    assert d[("acme/webapp", "app/handlers.py", "JsonParser")] == (
+        "import",
+        "acme/jsonkit:src/jsonkit.py#JsonParser",
+    )
+
+
+def test_unknown_language_is_probe_only(links):
+    # README.txt contains 'not_code(): pass' but lang=txt is not a
+    # covered grammar -> no mentions at all
+    assert not any(r[0] == "docs/site" for r in links)
+
+
+def test_one_row_per_mention(spark):
+    # the import expansion (mentions x imports x providers) must collapse
+    # back to exactly one row per (repo, path, symbol)
+    docs = spark.createDataFrame(CODE_DOCS + CODE_CURATE_DOCS, schema=SCHEMA)
+    out = symbol_links(docs, persist=False)
+    total = out.count()
+    distinct = out.select("repo", "path", "symbol").distinct().count()
+    assert total == distinct
+
+
+def test_repo_tier_min_path_winner(spark):
+    docs = spark.createDataFrame(
+        [
+            ("r/a", "b/impl.py", "1" * 40, "py", "def helper(x):\n    pass\n"),
+            ("r/a", "a/impl.py", "2" * 40, "py", "def helper(x):\n    pass\n"),
+            ("r/a", "z/use.py", "3" * 40, "py", "y = helper(1)\n"),
+        ],
+        schema=SCHEMA,
+    )
+    out = symbol_links(docs, persist=False)
+    d = {
+        (r["path"], r["symbol"]): (r["resolution"], r["target"])
+        for r in out.collect()
+    }
+    # cross-file within the repo resolves to min(path) = a/impl.py
+    assert d[("z/use.py", "helper")] == ("repo", "r/a:a/impl.py#helper")
+    # each def file links its own mention locally, not to the other file
+    assert d[("b/impl.py", "helper")] == ("local", "r/a:b/impl.py#helper")
+
+
+def test_triples_contract(spark):
+    docs = spark.createDataFrame(CODE_DOCS, schema=SCHEMA)
+    out = symbol_links(docs, persist=False)
+    t = symbol_link_triples(out)
+    assert t.columns == ["subj", "pred", "obj"]
+    rows = t.collect()
+    assert all(r["pred"] == "CALLS" for r in rows)
+    assert (
+        "acme/webapp:app/handlers.py",
+        "CALLS",
+        "acme/jsonkit:src/jsonkit.py#JsonParser",
+    ) in [(r["subj"], r["pred"], r["obj"]) for r in rows]

@@ -165,6 +165,31 @@ def test_language_id_ngram_classifies_fixture(spark):
     assert all(r["score_micro"] >= 0 for r in got.values())
 
 
+def test_language_id_duckdb_parity(spark):
+    """The stopword-ratio language_id vs its oracle at sf0.001 — the
+    end-to-end check backing the text_language_id -> code_symbol_links
+    driver-slot yield (__spark_entry__.q_code_symbol_links docstring)."""
+    import duckdb
+
+    from tests.conftest import normalize_rows
+    from trove_spark.extras.textstats import language_id
+    from trove_spark.oracle import extras_oracles
+
+    sf = "/root/testdata/sf0.001"
+    got = language_id(spark.read.parquet(f"{sf}/documents.parquet"))
+    cols = sorted(got.columns)
+    rows = [tuple(r[c] for c in cols) for r in got.select(*cols).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    res = con.execute(extras_oracles()["text_language_id"])
+    dcols = [d[0] for d in res.description]
+    order = [dcols.index(c) for c in cols]
+    want = [tuple(r[i] for i in order) for r in res.fetchall()]
+    assert normalize_rows(rows) == normalize_rows(want)
+
+
 def test_language_id_ngram_duckdb_parity(spark):
     """Engine vs DuckDB replay (identical integer profile literals,
     identical padded-trigram extraction) over the sf0.001 corpus."""

@@ -533,11 +533,51 @@ def split_identifiers_sql(content_expr: str) -> str:
 # ---------------------------------------------------------------------------
 
 _INDEX_STEMS = ["__init__", "mod", "index", "lib", "main"]
+_STEM_EXT_RE = r"\.[A-Za-z0-9]+$"
 
 
 def _stem(path: Column) -> Column:
     base = F.element_at(F.split(path, "/"), -1)
-    return F.regexp_replace(base, r"\.[A-Za-z0-9]+$", "")
+    return F.regexp_replace(base, _STEM_EXT_RE, "")
+
+
+def providers_frame(
+    docs: DataFrame, repo_col: str = "repo", path_col: str = "path"
+) -> DataFrame:
+    """DISTINCT ``(module_top, dst_repo)`` provider table: a repo
+    PROVIDES a module name equal to a file stem, with index stems
+    promoted to their parent directory name.  Column-pruned scan (repo +
+    path only); bounded by stem vocabulary × repos.  Shared by
+    :func:`dependency_graph` and ``code_link.symbol_links``."""
+    repo, path = F.col(repo_col), F.col(path_col)
+    stem = _stem(path)
+    parent = F.element_at(F.split(path, "/"), -2)
+    provides = F.when(
+        stem.isin(*_INDEX_STEMS) & parent.isNotNull(), parent
+    ).otherwise(stem)
+    return (
+        docs.select(F.lower(provides).alias("module_top"), repo.alias("dst_repo"))
+        .filter(F.col("module_top") != "")
+        .distinct()
+    )
+
+
+def providers_sql(docs_sql: str, repo="repo", path="path") -> str:
+    """DuckDB twin of :func:`providers_frame`."""
+    stem = (
+        f"regexp_replace(list_extract(string_split({path}, '/'), -1), "
+        f"'{_sq(_STEM_EXT_RE)}', '')"
+    )
+    parent = f"list_extract(string_split({path}, '/'), -2)"
+    stems = ", ".join(f"'{s}'" for s in _INDEX_STEMS)
+    provides = (
+        f"(CASE WHEN {stem} IN ({stems}) AND {parent} IS NOT NULL "
+        f"THEN {parent} ELSE {stem} END)"
+    )
+    return (
+        f"SELECT DISTINCT lower({provides}) AS module_top, {repo} AS dst_repo "
+        f"FROM ({docs_sql}) WHERE lower({provides}) != ''"
+    )
 
 
 def dependency_graph(
@@ -561,17 +601,7 @@ def dependency_graph(
     and one count shuffle on repo pairs.  Output feeds pagerank /
     connected_components / triangles unchanged (a repo-authority score
     over 10^12 files is exactly this plan)."""
-    repo, path = F.col(repo_col), F.col(path_col)
-    stem = _stem(path)
-    parent = F.element_at(F.split(path, "/"), -2)
-    provides = F.when(
-        stem.isin(*_INDEX_STEMS) & parent.isNotNull(), parent
-    ).otherwise(stem)
-    providers = (
-        docs.select(F.lower(provides).alias("module_top"), repo.alias("dst_repo"))
-        .filter(F.col("module_top") != "")
-        .distinct()
-    )
+    providers = providers_frame(docs, repo_col, path_col)
     imp = extract_imports(docs, repo_col, path_col, lang_col, content_col)
     top = F.when(
         F.col("lang") == "go", F.element_at(F.split(F.col("module"), "/"), -1)

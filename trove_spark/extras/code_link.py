@@ -1,0 +1,370 @@
+"""Symbol-level entity linking over source code — the code-payload analog
+of mention→CUI linking (BASELINE.json north_rule: "triple extraction,
+entity linking, canonicalization" over repositories of source files).
+
+A *mention* is a call-site: an identifier immediately followed by ``(``
+(keyword-filtered, per-file distinct, language-gated).  The *terminology*
+is the corpus's own definition table (``extract_defs``).  Each mention is
+resolved to a canonical def site ``repo:path#symbol`` through three
+scopes, in precedence order:
+
+- ``local``  — the file itself defines the symbol (decided map-side at
+  extraction time via ``array_contains`` on the file's own def list; no
+  join at all);
+- ``repo``   — some file in the same repo defines it; the canonical
+  winner is ``min(path)`` over the repo's def sites (the deterministic
+  salted-dedup analog of canonicalizing against the concept vocabulary);
+- ``import`` — a repo that PROVIDES one of the file's imported module
+  tops (``code.providers_frame`` stem rule) defines it; winner is
+  ``min(dst_repo || ':' || path)`` over all candidates.
+
+Anything else is ``unresolved`` (target NULL) — kept in the output so
+linking coverage is measurable, exactly as the clinical pipeline keeps
+unlinked mentions.
+
+Scale shape: ONE content scan builds per-file arrays (calls, def
+symbols, import tops) — persisted narrow (``_link_cache``, caller
+unpersists) so the mention explode and the def-site aggregation never
+re-read content.  The def-site table is a groupBy on (repo, symbol) —
+bounded by identifier vocabulary × repos, hot names bounded per repo —
+probed twice (own repo, provider repo) as LEFT equi-joins; the import
+expansion multiplies each mention by the file's distinct import tops
+(bounded per file) and collapses in one aggregation.  No window
+functions, no per-row Python, no corpus cartesian.
+
+This is a lexical-grammar linker (regex, Java∩RE2 dialect shared with
+the DuckDB oracle) — a documented-reduced config of the same plan a
+tree-sitter-backed Arrow kernel would feed at production.
+
+__ref__ = "no reference counterpart (source-code extension; linking
+semantics mirror trove's mention->CUI canonicalization)"
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .code import (
+    DEF_PATTERNS,
+    IMPORT_PATTERNS,
+    GO_IMPORT_BLOCK_RE,
+    GO_QUOTED_RE,
+    _sq,
+    canonical_lang_col,
+    canonical_lang_sql,
+    defs_col,
+    imports_col,
+    providers_frame,
+    providers_sql,
+)
+
+__ref__ = "no reference counterpart (source-code extension)"
+
+# identifier immediately (modulo spaces/tabs) followed by an open paren;
+# group 1 is the mention.  No lookaround — replays verbatim in DuckDB.
+CALL_RE = r"([A-Za-z_][A-Za-z0-9_]*)[ \t]*\("
+
+# Shared control-flow / declaration keywords that precede '(' in the five
+# grammars but are never call mentions.  One flat list on purpose: a
+# keyword in any covered language is noise in all of them, and the single
+# list keeps the Spark filter and the DuckDB twin trivially identical.
+CALL_KEYWORDS: list[str] = [
+    "if", "elif", "else", "for", "while", "switch", "match", "case",
+    "return", "yield", "raise", "throw", "catch", "except", "try",
+    "finally", "with", "assert", "lambda", "def", "fn", "func",
+    "function", "class", "not", "and", "or", "in", "is", "do",
+    "typeof", "delete", "await", "async", "defer", "go", "select",
+    "loop", "impl", "where", "this", "super",
+    # declaration/module keywords that legally precede '(' (go grouped
+    # imports, rust pub(crate), js export lists, …)
+    "import", "from", "export", "package", "use", "extern", "pub",
+    "type", "struct", "enum", "trait", "interface", "const", "var",
+    "let", "static", "public", "private", "protected", "void",
+]
+
+
+def calls_col(lang: Column, content: Column) -> Column:
+    """array<string> of distinct call-site mentions (language-gated:
+    unknown languages are probe-only, same as imports/defs)."""
+    canon = canonical_lang_col(lang)
+    arr = F.regexp_extract_all(content, F.lit(CALL_RE), F.lit(1))
+    arr = F.array_distinct(F.filter(arr, lambda s: ~s.isin(*CALL_KEYWORDS)))
+    return F.when(canon.isNotNull(), arr).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _import_tops_col(lang: Column, content: Column) -> Column:
+    """array<string> of distinct lowercased module top segments (the
+    dependency_graph resolution rule: last '/' segment for go, first
+    [.:/]-segment otherwise; relative imports dropped)."""
+    canon = canonical_lang_col(lang)
+    imps = F.filter(imports_col(lang, content), lambda m: ~m.startswith("."))
+    top = F.when(
+        canon == "go",
+        F.transform(imps, lambda m: F.element_at(F.split(m, "/"), -1)),
+    ).otherwise(
+        F.transform(imps, lambda m: F.element_at(F.split(m, r"[.:/]"), 1))
+    )
+    return F.array_distinct(
+        F.filter(F.transform(top, F.lower), lambda t: t != "")
+    )
+
+
+def symbol_links(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    lang_col: str = "lang",
+    content_col: str = "content",
+    persist: bool = True,
+) -> DataFrame:
+    """``(repo, path, symbol, resolution, target)`` — one row per distinct
+    call-site mention per file; ``resolution`` in local/repo/import/
+    unresolved, ``target`` the canonical ``repo:path#symbol`` (NULL when
+    unresolved).
+
+    When ``persist`` (default) the single-scan per-file array frame is
+    cached and exposed as ``out._link_cache`` — the caller unpersists
+    after materializing (the minhash ``_shingle_cache`` contract)."""
+    repo, path = F.col(repo_col), F.col(path_col)
+    lang, content = F.col(lang_col), F.col(content_col)
+
+    # ONE content scan: every per-file array the linker needs.
+    z = docs.select(
+        repo.alias("repo"),
+        path.alias("path"),
+        calls_col(lang, content).alias("calls"),
+        F.transform(defs_col(lang, content), lambda d: d["symbol"]).alias(
+            "defsyms"
+        ),
+        _import_tops_col(lang, content).alias("imp_tops"),
+    )
+    if persist:
+        z = z.persist()
+
+    # mentions; the local tier is decided here, map-side (defsyms is a
+    # BOUND column ref, so the lambda does not re-evaluate the extraction
+    # per element — the HOF-recompute gotcha).
+    m = z.select(
+        "repo",
+        "path",
+        F.explode(
+            F.transform(
+                F.col("calls"),
+                lambda s: F.struct(
+                    s.alias("symbol"),
+                    F.array_contains(F.col("defsyms"), s).alias("is_local"),
+                ),
+            )
+        ).alias("mn"),
+        "imp_tops",
+    ).select(
+        "repo",
+        "path",
+        F.col("mn.symbol").alias("symbol"),
+        F.col("mn.is_local").alias("is_local"),
+        "imp_tops",
+    )
+
+    # canonical def sites: min(path) per (repo, symbol) — built from the
+    # persisted narrow frame, probed twice below (cheap re-agg off cache).
+    ds = (
+        z.select("repo", "path", F.explode("defsyms").alias("symbol"))
+        .groupBy("repo", "symbol")
+        .agg(F.min("path").alias("def_path"))
+    )
+    prov = providers_frame(docs, repo_col, path_col)
+
+    ds1 = ds.select(
+        F.col("repo").alias("r1"),
+        F.col("symbol").alias("s1"),
+        F.col("def_path").alias("repo_def_path"),
+    )
+    ds2 = ds.select(
+        F.col("repo").alias("r2"),
+        F.col("symbol").alias("s2"),
+        F.col("def_path").alias("imp_def_path"),
+    )
+
+    j = (
+        m.join(
+            ds1,
+            (F.col("repo") == F.col("r1")) & (F.col("symbol") == F.col("s1")),
+            "left",
+        )
+        .withColumn("module_top", F.explode_outer("imp_tops"))
+        .join(prov, "module_top", "left")
+        .join(
+            ds2,
+            (F.col("dst_repo") == F.col("r2"))
+            & (F.col("symbol") == F.col("s2")),
+            "left",
+        )
+        .groupBy("repo", "path", "symbol")
+        .agg(
+            F.max("is_local").alias("is_local"),
+            F.min("repo_def_path").alias("repo_def_path"),
+            F.min(
+                F.when(
+                    F.col("imp_def_path").isNotNull(),
+                    F.concat(
+                        F.col("dst_repo"), F.lit(":"), F.col("imp_def_path")
+                    ),
+                )
+            ).alias("imp_target"),
+        )
+    )
+
+    local_t = F.concat(
+        F.col("repo"), F.lit(":"), F.col("path"), F.lit("#"), F.col("symbol")
+    )
+    repo_t = F.concat(
+        F.col("repo"),
+        F.lit(":"),
+        F.col("repo_def_path"),
+        F.lit("#"),
+        F.col("symbol"),
+    )
+    imp_t = F.concat(F.col("imp_target"), F.lit("#"), F.col("symbol"))
+    out = j.select(
+        "repo",
+        "path",
+        "symbol",
+        F.when(F.col("is_local"), "local")
+        .when(F.col("repo_def_path").isNotNull(), "repo")
+        .when(F.col("imp_target").isNotNull(), "import")
+        .otherwise("unresolved")
+        .alias("resolution"),
+        F.when(F.col("is_local"), local_t)
+        .when(F.col("repo_def_path").isNotNull(), repo_t)
+        .when(F.col("imp_target").isNotNull(), imp_t)
+        .alias("target"),
+    )
+    if persist:
+        out._link_cache = z
+    return out
+
+
+def symbol_link_triples(links: DataFrame) -> DataFrame:
+    """Resolved links as ``(subj, pred, obj)`` = (repo:path, CALLS,
+    canonical def id) — the same triple-frame contract as code_triples,
+    so TripleStore / kg_query / graph analytics consume it unchanged."""
+    return (
+        links.filter(F.col("target").isNotNull())
+        .select(
+            F.concat(F.col("repo"), F.lit(":"), F.col("path")).alias("subj"),
+            F.lit("CALLS").alias("pred"),
+            F.col("target").alias("obj"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twin
+# ---------------------------------------------------------------------------
+
+
+def _calls_sql(canon: str, content: str) -> str:
+    kws = ", ".join(f"'{k}'" for k in CALL_KEYWORDS)
+    arr = (
+        f"list_distinct(list_filter(regexp_extract_all({content}, "
+        f"'{_sq(CALL_RE)}', 1), s -> s NOT IN ({kws})))"
+    )
+    return f"(CASE WHEN {canon} IS NULL THEN [] ELSE {arr} END)"
+
+
+def _defsyms_sql(canon: str, content: str) -> str:
+    whens = []
+    for lg, pats in DEF_PATTERNS.items():
+        exprs = [
+            f"regexp_extract_all({content}, '{_sq(p)}', 1)" for _, p in pats
+        ]
+        lst = exprs[0]
+        for e in exprs[1:]:
+            lst = f"list_concat({lst}, {e})"
+        whens.append(f"WHEN {canon} = '{lg}' THEN {lst}")
+    return "(CASE " + " ".join(whens) + " ELSE [] END)"
+
+
+def _imp_tops_sql(canon: str, content: str) -> str:
+    whens = []
+    for lg, pats in IMPORT_PATTERNS.items():
+        exprs = [
+            f"regexp_extract_all({content}, '{_sq(p)}', 1)" for p in pats
+        ]
+        if lg == "go":
+            block = f"regexp_extract({content}, '{_sq(GO_IMPORT_BLOCK_RE)}', 1)"
+            exprs.append(f"regexp_extract_all({block}, '{_sq(GO_QUOTED_RE)}', 1)")
+        lst = exprs[0]
+        for e in exprs[1:]:
+            lst = f"list_concat({lst}, {e})"
+        if lg == "go":
+            top = "list_extract(string_split(x, '/'), -1)"
+        else:
+            top = "list_extract(string_split_regex(x, '[.:/]'), 1)"
+        tops = (
+            f"list_distinct(list_filter(list_transform(list_filter("
+            f"list_distinct({lst}), x -> x NOT LIKE '.%'), "
+            f"x -> lower({top})), t -> t != ''))"
+        )
+        whens.append(f"WHEN {canon} = '{lg}' THEN {tops}")
+    return "(CASE " + " ".join(whens) + " ELSE [] END)"
+
+
+def symbol_links_oracle_sql(
+    docs_sql: str, repo="repo", path="path", lang="lang", content="content"
+) -> str:
+    """DuckDB replay of :func:`symbol_links` over the same rows."""
+    canon = canonical_lang_sql(lang)
+    prov = providers_sql(docs_sql, repo, path)
+    return f"""
+WITH z AS (
+  SELECT {repo} AS repo, {path} AS path,
+         {_calls_sql(canon, content)} AS calls,
+         {_defsyms_sql(canon, content)} AS defsyms,
+         {_imp_tops_sql(canon, content)} AS imp_tops
+  FROM ({docs_sql})
+),
+m AS (
+  SELECT repo, path, symbol, list_contains(defsyms, symbol) AS is_local,
+         imp_tops
+  FROM (SELECT repo, path, unnest(calls) AS symbol, defsyms, imp_tops FROM z)
+),
+ds AS (
+  SELECT repo AS drepo, symbol, min(path) AS def_path
+  FROM (SELECT repo, path, unnest(defsyms) AS symbol FROM z)
+  GROUP BY drepo, symbol
+),
+prov AS ({prov}),
+mi AS (
+  SELECT repo, path, symbol, is_local,
+         unnest(CASE WHEN len(imp_tops) = 0
+                     THEN [CAST(NULL AS VARCHAR)] ELSE imp_tops END)
+           AS module_top
+  FROM m
+),
+j AS (
+  SELECT mi.repo, mi.path, mi.symbol,
+         max(mi.is_local) AS is_local,
+         min(ds1.def_path) AS repo_def_path,
+         min(CASE WHEN ds2.def_path IS NOT NULL
+                  THEN prov.dst_repo || ':' || ds2.def_path END) AS imp_target
+  FROM mi
+  LEFT JOIN ds ds1 ON ds1.drepo = mi.repo AND ds1.symbol = mi.symbol
+  LEFT JOIN prov ON prov.module_top = mi.module_top
+  LEFT JOIN ds ds2 ON ds2.drepo = prov.dst_repo AND ds2.symbol = mi.symbol
+  GROUP BY mi.repo, mi.path, mi.symbol
+)
+SELECT repo, path, symbol,
+       CASE WHEN is_local THEN 'local'
+            WHEN repo_def_path IS NOT NULL THEN 'repo'
+            WHEN imp_target IS NOT NULL THEN 'import'
+            ELSE 'unresolved' END AS resolution,
+       CASE WHEN is_local THEN repo || ':' || path || '#' || symbol
+            WHEN repo_def_path IS NOT NULL
+              THEN repo || ':' || repo_def_path || '#' || symbol
+            WHEN imp_target IS NOT NULL THEN imp_target || '#' || symbol
+       END AS target
+FROM j"""
