@@ -227,6 +227,51 @@ def main() -> None:
     )
     out["triples_files_per_s"] = round(n / out["triples_s"], 1)
 
+    # --- symbol linking (extras/code_link.py) over an op-local call-site
+    # augmentation (the shared corpus stays byte-identical for the rows
+    # above): 3 calls into the file's OWN def vocabulary (local tier, the
+    # map-side array_contains path) + 3 shifted calls into the global def
+    # vocabulary (mostly cross-repo -> def-site join miss traffic, some
+    # repo-tier hits) — so both the zero-join local path and the
+    # (repo, symbol) equi-joins measure real hit/miss mixes.
+    from trove_spark.extras.code_link import symbol_links
+
+    def _call_lines(shift_mult: int, shift_add: int, k: int):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: F.concat(
+                F.lit("x = fn_"),
+                F.substring(
+                    F.md5(F.concat(
+                        F.lit("d"),
+                        ((F.col("id") * shift_mult + i + shift_add) % 100_000)
+                        .cast("string"),
+                    )),
+                    1, 8,
+                ),
+                F.lit("(1)"),
+            ),
+        )
+
+    linkdocs = docs.withColumn(
+        "content",
+        F.concat(
+            F.col("content"), F.lit("\n"),
+            F.array_join(F.concat(_call_lines(1, 0, 3), _call_lines(3, 7, 3)), "\n"),
+        ),
+    )
+    def _run_symlink():
+        ln = symbol_links(linkdocs)  # production config: persisted scan
+        res = {
+            r["resolution"]: r["count"]
+            for r in ln.groupBy("resolution").count().collect()
+        }
+        ln._link_cache.unpersist()
+        return res
+
+    out["symlink_s"] = best2(_run_symlink)
+    out["symlink_resolutions"] = _run_symlink()
+
     # --- curation battery (extras/code_curate.py) over an AUGMENTED corpus:
     # per-repo LICENSE files (mit/apache/gpl3 round-robin, 10% SPDX-tagged
     # source files), ~1% secret-bearing files, and 20% reformatted twins —

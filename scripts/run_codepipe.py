@@ -10,7 +10,8 @@ the north-rule flow end to end:
         scripts/run_codepipe.py --input <files parquet> --output <dir> \
         [--licenses permissive|permissive-or-unknown|off] \
         [--redact-secrets] [--dedup normalized|off] [--screens/--no-screens] \
-        [--deps-out <dir>] [--n-buckets 16] [--max-buckets N] [--stage-counts]
+        [--deps-out <dir>] [--link-symbols] [--n-buckets 16] \
+        [--max-buckets N] [--stage-counts]
 
 Stages (each optional, all map-only or single-shuffle — see the module
 docstrings for the 10^12-file shape):
@@ -31,6 +32,9 @@ docstrings for the 10^12-file shape):
    RESUME-AWARE: a killed run re-submitted with the same --output rewrites
    only uncommitted buckets).
 7. optional cross-repo dependency_graph edges parquet.
+8. optional symbol-level entity linking (``--link-symbols``): call-site
+   mentions resolved to canonical def sites (extras/code_link), CALLS
+   triples unioned into the same store write.
 
 Action economy: the curated frame is persisted ONCE and every downstream
 action (kept manifest, triples write, dep edges) reuses it; per-stage
@@ -62,6 +66,10 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--no-screens", dest="screens", action="store_false")
     ap.add_argument("--deps-out", default=None,
                     help="also write repo-level DEPENDS_ON edges parquet here")
+    ap.add_argument("--link-symbols", action="store_true",
+                    help="also resolve call-site mentions to canonical def "
+                    "sites (extras/code_link) and union the CALLS triples "
+                    "into the same store write")
     ap.add_argument("--n-buckets", type=int, default=16)
     ap.add_argument("--max-buckets", type=int, default=None,
                     help="stop after N uncommitted buckets (kill/resume testing)")
@@ -193,11 +201,30 @@ def main(argv: list[str] | None = None) -> dict:
     # --max-buckets keeps the loop form for kill/resume testing, where
     # per-bucket commit granularity is the point.
     store = TripleStore(spark, args.output, n_buckets=args.n_buckets)
+    triples = code_triples(out_docs)
+    link_cache = None
+    if args.link_symbols:
+        # entity linking: CALLS triples union into the SAME single store
+        # write (a second write_triples call would see committed buckets
+        # and skip); the one-scan link cache is released after the write
+        from trove_spark.extras.code_link import symbol_link_triples, symbol_links
+
+        links = symbol_links(out_docs)
+        link_cache = links._link_cache
+        triples = triples.unionByName(symbol_link_triples(links))
+        if args.stage_counts:
+            stats["symbol_resolutions"] = {
+                r["resolution"]: int(r["count"])
+                for r in links.groupBy("resolution").count().collect()
+            }
     if args.max_buckets is not None:
-        w = store.write_triples(code_triples(out_docs), max_buckets=args.max_buckets)
+        w = store.write_triples(triples, max_buckets=args.max_buckets)
     else:
-        w = store.write_triples_onepass(code_triples(out_docs))
+        w = store.write_triples_onepass(triples)
     stats["triples_write"] = w
+    if link_cache is not None:
+        link_cache.unpersist()
+    stats["symbols_linked"] = bool(args.link_symbols)
     _mark("triples_write")
     if two_consumers:
         docs.unpersist()  # out_docs is materialized; drop the raw cache

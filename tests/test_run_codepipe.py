@@ -136,3 +136,32 @@ def test_codepipe_deps_out(spark, tmp_path):
     rows = {(r["src_repo"], r["dst_repo"]) for r in edges.collect()}
     # gopher/tool imports github.com/acme/webapp/util → repo-level edge
     assert ("gopher/tool", "acme/webapp") in rows
+
+
+def test_codepipe_link_symbols(spark, tmp_path):
+    inp = str(tmp_path / "files.parquet")
+    out = str(tmp_path / "kg")
+    _fixture_docs(spark).write.parquet(inp)
+
+    stats = run_codepipe.main([
+        "--input", inp, "--output", out,
+        "--licenses", "off", "--dedup", "off", "--no-screens",
+        "--link-symbols", "--stage-counts", "--n-buckets", "2",
+    ])
+    assert stats["symbols_linked"]
+    res = stats["symbol_resolutions"]
+    assert res.get("local", 0) > 0 and res.get("import", 0) > 0
+
+    from trove_spark.graph import TripleStore
+
+    t = TripleStore(spark, out, n_buckets=2).read_triples()
+    calls = {
+        (r["subj"], r["obj"])
+        for r in t.filter(t.pred == "CALLS").collect()
+    }
+    # the CALLS triples land in the SAME store as the extraction triples
+    assert (
+        "acme/webapp:app/handlers.py",
+        "acme/jsonkit:src/jsonkit.py#JsonParser",
+    ) in calls
+    assert t.filter(t.pred == "DEFINES").count() > 0
