@@ -1212,6 +1212,37 @@ def q_code_symbol_links(spark, sf_dir):
     return symbol_links(docs, persist=False)
 
 
+def q_code_clone_groups(spark, sf_dir):
+    """Function-level clone detection (extras/code_clones.py): the
+    DejaVu/SourcererCC operator at def granularity — sentinel-split
+    function units, type-2 normalization (strings→S, numbers→0,
+    non-keyword identifiers→ID via the marker trick, comments stripped,
+    whitespace collapsed), md5 clone key, ONE groupBy shuffle to groups
+    with exact cross-repo spread and a min-of-struct canonical winner.
+    Fixed-scale by design: the frozen fixture exercises a cross-repo
+    type-2 rename twin, a reformatted fork, a go twin, a WITHIN-file
+    duplicate pair (invisible to any file-level dedup), and a near-miss
+    (one extra statement) that must NOT appear.  Takes the slot of
+    dedup_simhash_pairs, whose full pair computation (fingerprint
+    bit-math + pigeonhole byte-block banding + Hamming verify) stays
+    driver-exercised VERBATIM inside the green dedup_clusters row (its
+    edges ARE simhash_near_pairs output); a dedicated DuckDB-parity
+    pytest (test_dedup.py::test_simhash_pairs_duckdb_parity) keeps the
+    pair row itself end-to-end checked at the old fidelity."""
+    from trove_spark.code_fixture import (
+        CODE_CLONE_DOCS,
+        CODE_CURATE_DOCS,
+        CODE_DOCS,
+    )
+    from trove_spark.extras.code_clones import function_clones
+
+    docs = spark.createDataFrame(
+        CODE_DOCS + CODE_CURATE_DOCS + CODE_CLONE_DOCS,
+        schema="repo string, path string, commit string, lang string, content string",
+    )
+    return function_clones(docs)
+
+
 def q_text_quality(spark, sf_dir):
     from trove_spark.extras.textstats import quality_score
 
@@ -1289,7 +1320,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dedup_exact (its sha256-groupBy winner shape is driver-exercised by
     dedup_paragraphs and curate stage 1; test_exact_dedup_duckdb_parity
     keeps it oracle-checked — slot yielded to code_triples, the
-    source-code KG extractor over the BASELINE input_hint shape, r5).
+    source-code KG extractor over the BASELINE input_hint shape, r5),
+    dedup_simhash_pairs (its fingerprint bit-math + pigeonhole banding +
+    Hamming verify run verbatim inside the green dedup_clusters row;
+    test_simhash_pairs_duckdb_parity keeps the pair row oracle-checked —
+    slot yielded to code_clone_groups, function-level type-2 clone
+    detection over the input_hint shape, late r5).
     The trimmed callables remain importable + tested."""
     return {
         "kg_tokens": q_kg_tokens,
@@ -1345,7 +1381,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_triples": q_code_triples,
         "dedup_substring_spans": q_dedup_substring_spans,
         "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        # slot swapped late r5: dedup_simhash_pairs' full computation is
+        # driver-exercised verbatim inside dedup_clusters (whose edges ARE
+        # simhash_near_pairs output) and a DuckDB-parity pytest keeps the
+        # pair row checked; code_clone_groups adds function-level clone
+        # detection over the BASELINE input_hint shape.
+        "code_clone_groups": q_code_clone_groups,
         "dedup_clusters": q_dedup_clusters,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "ann_brute_topk": q_ann_brute_topk,
@@ -1374,8 +1415,13 @@ def oracle_sql() -> dict[str, str]:
     out.update(clinical_oracles())
     # every registered query is oracle-checked — including kg_label_model,
     # whose deterministic-replay EM is replayed iteration-by-iteration
-    from trove_spark.code_fixture import code_curate_fixture_sql, code_fixture_sql
+    from trove_spark.code_fixture import (
+        code_clone_fixture_sql,
+        code_curate_fixture_sql,
+        code_fixture_sql,
+    )
     from trove_spark.extras.code import code_triples_oracle_sql
+    from trove_spark.extras.code_clones import function_clones_sql
     from trove_spark.extras.code_curate import repo_licenses_sql
     from trove_spark.extras.code_link import symbol_links_oracle_sql
     from trove_spark.extras.collocations import collocations_oracle_sql
@@ -1387,6 +1433,7 @@ def oracle_sql() -> dict[str, str]:
         "code_triples": code_triples_oracle_sql(code_fixture_sql()),
         "code_licenses": repo_licenses_sql(code_curate_fixture_sql()),
         "code_symbol_links": symbol_links_oracle_sql(code_curate_fixture_sql()),
+        "code_clone_groups": function_clones_sql(code_clone_fixture_sql()),
         "kg_label_model": label_model_oracle_sql(n_iter=3),
         "corpus_heavy_hitters": heavy_hitters_oracle_sql(capacity=40),
         "corpus_collocations": collocations_oracle_sql(window=3, min_count=5),

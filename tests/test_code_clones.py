@@ -1,0 +1,193 @@
+"""Function-level clone detection (extras/code_clones.py): extraction
+golden rows, type-2 normalization invariants, clone groups vs the DuckDB
+twin, CLONE_OF edges, near-miss minhash composition, plan shape."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from trove_spark.code_fixture import (
+    CODE_CLONE_DOCS,
+    CODE_CURATE_DOCS,
+    CODE_DOCS,
+    code_clone_fixture_sql,
+)
+from trove_spark.extras.code_clones import (
+    clone_triples,
+    extract_functions,
+    function_clones,
+    function_clones_sql,
+    function_near_clones,
+    normalize_function_col,
+)
+
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, schema=SCHEMA)
+
+
+def _full(spark):
+    return _docs(spark, CODE_DOCS + CODE_CURATE_DOCS + CODE_CLONE_DOCS)
+
+
+# ---------------------------------------------------------------------------
+# Extraction
+# ---------------------------------------------------------------------------
+
+def test_extract_functions_golden(spark):
+    fn = extract_functions(_docs(spark, CODE_DOCS))
+    got = {(r.repo, r.path, r.func_name) for r in fn.collect()}
+    assert ("acme/jsonkit", "src/jsonkit.py", "parseJsonValue") in got
+    assert ("acme/jsonkit", "src/jsonkit.py", "streamDecode") in got
+    assert ("gopher/tool", "cmd/tool/main.go", "handleConn") in got
+    assert ("npm/leftpad", "src/index.js", "doPad") in got
+    assert ("rustacean/ferris", "src/lib.rs", "encode_thing") in got
+    # unknown language and java are probe-only / omitted: no units
+    assert not any(r == "docs/site" for r, _, _ in got)
+    assert not any(p.endswith(".java") for _, p, _ in got)
+
+
+def test_unit_boundaries(spark):
+    """A unit runs from its def line to just before the next def line."""
+    fn = extract_functions(_docs(spark, CODE_DOCS))
+    rows = {r.func_name: r.unit for r in fn.filter(F.col("repo") == "acme/jsonkit").collect()}
+    assert rows["parseJsonValue"].startswith("    def parseJsonValue")
+    assert "streamDecode" not in rows["parseJsonValue"]
+    assert rows["streamDecode"].startswith("async def streamDecode")
+
+
+# ---------------------------------------------------------------------------
+# Type-2 normalization invariants
+# ---------------------------------------------------------------------------
+
+def _norm_one(spark, lang, unit):
+    df = spark.createDataFrame([(lang, unit)], schema="lang string, unit string")
+    return df.select(
+        normalize_function_col(F.col("lang"), F.col("unit")).alias("n")
+    ).head().n
+
+
+BASE_PY = 'def get_value(self, raw):\n    limit = 42\n    return self.fetch(raw, "mode")\n'
+
+
+@pytest.mark.parametrize("twin", [
+    # identifier renames
+    'def extract_item(self, blob):\n    cap = 42\n    return self.fetch(blob, "mode")\n',
+    # literal edits (number and string values)
+    'def get_value(self, raw):\n    limit = 977\n    return self.fetch(raw, "other")\n',
+    # reformat + comments
+    'def get_value(self, raw):  # reads\n\n    limit   =  42\n    # boundary\n    return self.fetch(raw, "mode")\n',
+])
+def test_type2_invariant_same_key(spark, twin):
+    assert _norm_one(spark, "py", BASE_PY) == _norm_one(spark, "py", twin)
+
+
+@pytest.mark.parametrize("other", [
+    # extra statement
+    'def get_value(self, raw):\n    raw = raw.strip()\n    limit = 42\n    return self.fetch(raw, "mode")\n',
+    # keyword change (control flow is structure)
+    'def get_value(self, raw):\n    limit = 42\n    yield self.fetch(raw, "mode")\n',
+    # arity change
+    'def get_value(self, raw, extra):\n    limit = 42\n    return self.fetch(raw, "mode")\n',
+])
+def test_structural_change_moves_key(spark, other):
+    assert _norm_one(spark, "py", BASE_PY) != _norm_one(spark, "py", other)
+
+
+def test_string_mask_distinct_from_identifier(spark):
+    """A string literal normalizes to S, not ID — `return x` and
+    `return "x"` must NOT clone."""
+    a = _norm_one(spark, "py", "def f(x):\n    return x\n")
+    b = _norm_one(spark, "py", 'def f(x):\n    return "x"\n')
+    assert a != b
+    assert a.endswith("return ID") and b.endswith("return S")
+
+
+def test_sentinel_chars_in_content_harmless(spark):
+    """Control chars \\x1e/\\x01/\\x02/\\x03 in source cannot forge unit
+    boundaries or identifier markers."""
+    evil = "def f(x):\n    s = 'a\x1eb\x01c\x02d\x03e'\n    return x\n"
+    fn = extract_functions(_docs(spark, [("r", "p.py", "0" * 40, "py", evil)]))
+    assert fn.count() == 1
+    n = _norm_one(spark, "py", evil)
+    assert "\x1e" not in n and "\x01" not in n and "\x03" not in n
+
+
+# ---------------------------------------------------------------------------
+# Clone groups + DuckDB twin
+# ---------------------------------------------------------------------------
+
+EXPECTED_GROUPS = {
+    # (winner repo, winner path, winner func, n_copies, n_repos)
+    ("acme/jsonkit", "src/jsonkit.py", "parseJsonValue", 3, 3),
+    ("acme/jsonkit", "src/jsonkit.py", "streamDecode", 2, 2),
+    ("acme/webapp", "util/util.go", "PadNum", 2, 2),
+    ("acme/tools", "scripts/dup.py", "first_helper", 2, 1),
+}
+
+
+def test_function_clones_golden(spark):
+    g = function_clones(_full(spark))
+    got = {(r.repo, r.path, r.func_name, r.n_copies, r.n_repos) for r in g.collect()}
+    assert got == EXPECTED_GROUPS
+
+
+def test_function_clones_duckdb_parity(spark):
+    sdf = function_clones(_full(spark))
+    spark_rows = sorted(tuple(r) for r in sdf.collect())
+    odf = duckdb.sql(function_clones_sql(code_clone_fixture_sql())).fetchall()
+    assert spark_rows == sorted(odf)
+
+
+def test_clone_triples(spark):
+    t = clone_triples(_full(spark))
+    got = {(r.subj, r.obj) for r in t.collect()}
+    t._clone_cache.unpersist()
+    assert got == {
+        ("forks/jsonkit-fork:jsonkit.py#parseJsonValue",
+         "acme/jsonkit:src/jsonkit.py#parseJsonValue"),
+        ("mirror/jsonkit-v2:lib/parser.py#extractValue",
+         "acme/jsonkit:src/jsonkit.py#parseJsonValue"),
+        ("forks/jsonkit-fork:jsonkit.py#streamDecode",
+         "acme/jsonkit:src/jsonkit.py#streamDecode"),
+        ("gadgets/numlib:pkg/add.go#AddNum",
+         "acme/webapp:util/util.go#PadNum"),
+        ("acme/tools:scripts/dup.py#second_helper",
+         "acme/tools:scripts/dup.py#first_helper"),
+    }
+    assert t.filter(F.col("pred") != "CLONE_OF").count() == 0
+
+
+def test_near_miss_invisible_to_exact_but_caught_by_minhash(spark):
+    """near/miss's parseJsonValue (one extra statement) is NOT an exact
+    type-2 clone, but minhash over normalized units pairs it with the
+    original."""
+    g = function_clones(_full(spark))
+    assert not any(r.repo == "near/miss" for r in g.collect())
+    # single-hash bands: with one extra statement the normalized-unit
+    # Jaccard is ~0.375, so 4-hash bands would collide with prob j^4 —
+    # recall-tuned banding is the caller's knob, exactly as in the
+    # document path
+    pairs = function_near_clones(
+        _full(spark), threshold=0.3, shingle_k=2, n_hashes=16, band_size=1,
+    )
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    pairs._shingle_cache.unpersist()
+    near = [
+        p for p in got
+        if ("near/miss" in p[0] or "near/miss" in p[1])
+        and ("acme/jsonkit:src/jsonkit.py#parseJsonValue" in p[0]
+             or "acme/jsonkit:src/jsonkit.py#parseJsonValue" in p[1])
+    ]
+    assert near, f"near-miss pair not found in {got}"
+
+
+def test_plan_shape(spark):
+    """No cartesian, no window functions in the clone-group plan."""
+    plan = function_clones(_full(spark))._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan

@@ -413,3 +413,31 @@ def test_exact_dedup_duckdb_parity(spark):
     order = [dcols.index(c) for c in cols]
     want = normalize_rows(tuple(r[i] for i in order) for r in res.fetchall())
     assert got == want
+
+
+def test_simhash_pairs_duckdb_parity(spark):
+    """Keeps dedup_simhash_pairs end-to-end oracle-checked after its
+    driver slot was yielded to code_clone_groups (late r5; the pair
+    computation itself still runs verbatim inside the green
+    dedup_clusters driver row): q_dedup_simhash_pairs vs the oracle SQL
+    at sf0.001, the driver compare reproduced verbatim."""
+    from __spark_entry__ import q_dedup_simhash_pairs
+    from tests.conftest import normalize_rows
+    from trove_spark.oracle import extras_oracles
+
+    sf = "/root/testdata/sf0.001"
+    sdf = q_dedup_simhash_pairs(spark, sf)
+    cols = sorted(sdf.columns)
+    got = normalize_rows(
+        tuple(r[c] for c in cols) for r in sdf.select(*cols).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    res = con.execute(extras_oracles()["dedup_simhash_pairs"])
+    dcols = [d[0] for d in res.description]
+    assert sorted(dcols) == cols
+    order = [dcols.index(c) for c in cols]
+    want = normalize_rows(tuple(r[i] for i in order) for r in res.fetchall())
+    assert got == want

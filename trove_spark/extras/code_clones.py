@@ -1,0 +1,429 @@
+"""Function-level clone detection over source code — the DejaVu /
+SourcererCC operator family at def granularity (file-level normalized
+dedup lives in code_curate.py; this finds the *within-file* copies that
+file hashing can never see, the dominant duplication mode in big-code
+corpora).
+
+Pipeline (all map-only until one groupBy shuffle):
+
+1. **Function-unit extraction** (`extract_functions`): a sentinel
+   (``\\x1e``) is inserted before every function-start line with ONE
+   ``regexp_replace`` per language, the content is split on it, and every
+   segment after the first is a unit — *function start to just before the
+   next function start* (trailing top-level code rides with the last
+   unit; documented reduction of the brace/indent-matched cut a
+   tree-sitter kernel would make).  Python / go / rust / javascript;
+   java methods need a parser (no ``def`` keyword) and are omitted,
+   documented.
+2. **Type-2 normalization** (`normalize_function_col`): string literals
+   → ``S``, comments stripped (language-gated channels), numeric
+   literals → ``0``, every non-keyword identifier → ``ID`` (keywords
+   preserved via a marker trick: one pass rewrites ``keyword`` →
+   ``\\x01keyword\\x02`` and identifiers → ``\\x01\\x02``, then the empty
+   marker pair becomes ``ID`` and a single ``translate`` drops the
+   markers), whitespace collapsed.  A reformat, rename, literal edit, or
+   comment change leaves the key fixed; any structural token change
+   moves it.
+3. **Clone groups** (`function_clones`): md5 of the normalized unit →
+   ``groupBy`` (ONE shuffle, uniform 128-bit key, map-side combine) →
+   groups with ``n_copies`` ≥ *min_copies*, exact ``n_repos`` spread
+   (the DejaVu headline metric), winner = lexicographically-least
+   (repo, path, func_name) via min-of-struct (windowless).
+4. **KG edges** (`clone_triples`): ``member CLONE_OF winner`` triples in
+   the `TripleStore` frame contract — one equi-join of the (persisted,
+   narrow) function table against its own winners.
+5. **Near-miss (type-3) clones** (`function_near_clones`): composition —
+   `dedup.minhash_lsh_pairs` over the normalized units, so banding /
+   verification / caps are shared with the document path.
+
+Every regex is Java∩RE2 (no lookaround/backrefs in patterns; the one
+replacement backref ``$1``/``\\1`` is dialect-mapped) and lives in ONE
+module registry consumed by both the Spark columns and the DuckDB SQL
+generator (`function_clones_sql`) — change a grammar and both engines
+move together.
+
+Scale shape (10^12 files): extraction + normalization are one content
+scan (bounded fan-out: units per file); the group agg shuffles ≤ one row
+per function with map-side combine; `clone_triples` adds one equi-join
+on the group key (AQE-skewable; pathological single-key groups are
+bounded by `max_group` before the join).  No window functions, no
+per-row Python, no corpus cartesian.
+
+__ref__ = "no reference counterpart (source-code extension; clone
+semantics follow Lopes et al. 'DejaVu: a map of code duplicates on
+GitHub' and Sajnani et al. 'SourcererCC', public literature)"
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .code import canonical_lang_col, canonical_lang_sql, _sq
+from .code_link import CALL_KEYWORDS
+
+__ref__ = "no reference counterpart (source-code extension)"
+
+# sentinel / marker control chars (deleted from raw content first, so
+# adversarial input cannot forge unit boundaries or identifier markers)
+_SENT = "\x1e"
+_K1, _K2, _STR = "\x01", "\x02", "\x03"
+
+# ---------------------------------------------------------------------------
+# Grammar registry
+# ---------------------------------------------------------------------------
+
+# function-start line per canonical language; group 1 is re-emitted after
+# the sentinel so the unit text keeps its original first line
+FUNC_START: dict[str, str] = {
+    "python": r"(?m)^([ \t]*(?:async[ \t]+)?def[ \t])",
+    "go": r"(?m)^(func[ \t])",
+    "rust": r"(?m)^([ \t]*(?:pub(?:\([a-z]+\))?[ \t]+)?(?:async[ \t]+)?fn[ \t])",
+    "javascript": r"(?m)^([ \t]*(?:export[ \t]+)?(?:async[ \t]+)?function[ \t*])",
+}
+
+# function name inside a unit (the unit starts at the def line)
+FUNC_NAME: dict[str, str] = {
+    "python": r"def[ \t]+([A-Za-z_][A-Za-z0-9_]*)",
+    "go": r"func[ \t]+(?:\([^)\n]*\)[ \t]*)?([A-Za-z_][A-Za-z0-9_]*)",
+    "rust": r"fn[ \t]+([A-Za-z_][A-Za-z0-9_]*)",
+    "javascript": r"function[ \t*]+([A-Za-z_$][A-Za-z0-9_$]*)",
+}
+
+# literal masks, in application order (triple-quoted FIRST — the
+# line-bounded patterns must not eat a docstring's opening quotes)
+STRING_PATTERNS: list[str] = [
+    r'(?s)""".*?"""',
+    r"(?s)'''.*?'''",
+    r'"(?:[^"\\\n]|\\.)*"',
+    r"'(?:[^'\\\n]|\\.)*'",
+    r"(?s)`[^`]*`",
+]
+
+NUMBER_RE = r"\b[0-9][0-9A-Za-z_.]*"
+
+# comment channels, language-gated exactly like code_curate's normalizer
+# (a '#' in go/rust/js or '//' in python is code, not comment)
+_PY_COMMENT = r"(?m)#[^\n]*"
+_SLASH_BLOCK = r"(?s)/\*.*?\*/"
+_SLASH_LINE = r"//[^\n]*"
+
+# keyword vocabulary preserved by normalization: the shared call-site
+# keyword registry (code_link) plus literals/declarators that carry
+# structure.  One flat union across the five grammars on purpose — a
+# keyword in any covered language is structure in all of them, and the
+# single list keeps the Spark column and the DuckDB twin identical.
+CLONE_KEYWORDS: list[str] = sorted(
+    set(CALL_KEYWORDS)
+    | {
+        "pass", "break", "continue", "new", "null", "nil", "none",
+        "true", "false", "self", "mut", "ref", "as", "mod", "crate",
+        "chan", "map", "range", "global", "nonlocal", "instanceof",
+        "extends", "implements", "abstract", "final", "default",
+    }
+)
+
+KEYWORD_OR_ID_RE = (
+    r"\b(" + "|".join(CLONE_KEYWORDS) + r")\b|[A-Za-z_$][A-Za-z0-9_$]*"
+)
+
+_WS_RUN = r"[\s]+"
+_WS_TRIM = r"^[\s]+|[\s]+$"
+
+
+# ---------------------------------------------------------------------------
+# Spark columns
+# ---------------------------------------------------------------------------
+
+def function_units_col(lang: Column, content: Column) -> Column:
+    """array<string> of function units (empty for uncovered languages)."""
+    canon = canonical_lang_col(lang)
+    clean = F.translate(content, _SENT, "")
+    expr = None
+    for lg, pat in FUNC_START.items():
+        marked = F.regexp_replace(clean, pat, _SENT + "$1")
+        segs = F.split(marked, _SENT)
+        units = F.slice(segs, 2, F.greatest(F.size(segs) - 1, F.lit(0)))
+        expr = F.when(canon == lg, units) if expr is None else expr.when(canon == lg, units)
+    return expr.otherwise(F.array().cast("array<string>"))
+
+
+def func_name_col(lang: Column, unit: Column) -> Column:
+    """Function name of a unit (NULL for anonymous js functions)."""
+    canon = canonical_lang_col(lang)
+    expr = None
+    for lg, pat in FUNC_NAME.items():
+        name = F.nullif(F.regexp_extract(unit, pat, 1), F.lit(""))
+        expr = F.when(canon == lg, name) if expr is None else expr.when(canon == lg, name)
+    return expr.otherwise(F.lit(None).cast("string"))
+
+
+def normalize_function_col(lang: Column, unit: Column) -> Column:
+    """Type-2 fingerprint surface of a function unit (see module doc)."""
+    canon = canonical_lang_col(lang)
+    x = F.translate(unit, _K1 + _K2 + _STR, "")
+    for pat in STRING_PATTERNS:
+        x = F.regexp_replace(x, F.lit(pat), F.lit(_STR))
+    pythonic = F.regexp_replace(x, _PY_COMMENT, " ")
+    slashy = F.regexp_replace(F.regexp_replace(x, _SLASH_BLOCK, " "), _SLASH_LINE, " ")
+    x = F.when(canon == "python", pythonic).otherwise(slashy)
+    x = F.regexp_replace(x, F.lit(NUMBER_RE), F.lit("0"))
+    x = F.regexp_replace(x, F.lit(KEYWORD_OR_ID_RE), F.lit(_K1 + "$1" + _K2))
+    x = F.regexp_replace(x, F.lit(_K1 + _K2), F.lit("ID"))
+    # one translate: map the string mask to S, drop the keyword markers
+    x = F.translate(x, _STR + _K1 + _K2, "S")
+    x = F.regexp_replace(x, _WS_RUN, " ")
+    return F.regexp_replace(x, _WS_TRIM, "")
+
+
+# ---------------------------------------------------------------------------
+# Frames
+# ---------------------------------------------------------------------------
+
+def extract_functions(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    lang_col: str = "lang",
+    content_col: str = "content",
+) -> DataFrame:
+    """(repo, path, lang, func_name, unit) — one map-only scan + bounded
+    explode (units per file)."""
+    z = docs.select(
+        F.col(repo_col).alias("repo"),
+        F.col(path_col).alias("path"),
+        canonical_lang_col(F.col(lang_col)).alias("lang"),
+        F.col(lang_col).alias("_rawlang"),
+        F.explode(function_units_col(F.col(lang_col), F.col(content_col))).alias("unit"),
+    )
+    return z.select(
+        "repo", "path", "lang",
+        func_name_col(F.col("_rawlang"), F.col("unit")).alias("func_name"),
+        "unit",
+    )
+
+
+def _keyed_functions(
+    docs: DataFrame, repo_col: str, path_col: str, lang_col: str,
+    content_col: str, min_norm_len: int,
+) -> DataFrame:
+    """Narrow (repo, path, lang, func_name, func_key) frame — the md5 of
+    the normalized unit, trivial units (norm shorter than
+    ``min_norm_len``) dropped before anything shuffles."""
+    fn = extract_functions(docs, repo_col, path_col, lang_col, content_col)
+    norm = normalize_function_col(F.col("lang"), F.col("unit"))
+    return (
+        fn.select(
+            "repo", "path", "lang", "func_name",
+            norm.alias("_norm"),
+        )
+        .filter(F.length("_norm") >= min_norm_len)
+        .select(
+            "repo", "path", "lang", "func_name",
+            F.md5(F.col("_norm")).alias("func_key"),
+        )
+    )
+
+
+def function_clones(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    lang_col: str = "lang",
+    content_col: str = "content",
+    min_norm_len: int = 16,
+    min_copies: int = 2,
+) -> DataFrame:
+    """Clone groups: (func_key, n_copies, n_repos, repo, path,
+    func_name) — winner = lexicographically-least member.  ONE shuffle
+    (group agg with map-side combine); ``n_repos`` is the exact
+    cross-repo spread."""
+    keyed = _keyed_functions(docs, repo_col, path_col, lang_col,
+                             content_col, min_norm_len)
+    w = F.struct(F.col("repo"), F.col("path"), F.col("func_name"))
+    g = keyed.groupBy("func_key").agg(
+        F.count("*").cast("long").alias("n_copies"),
+        F.countDistinct("repo").cast("long").alias("n_repos"),
+        F.min(w).alias("w"),
+    )
+    return g.filter(F.col("n_copies") >= min_copies).select(
+        "func_key", "n_copies", "n_repos",
+        F.col("w.repo").alias("repo"), F.col("w.path").alias("path"),
+        F.col("w.func_name").alias("func_name"),
+    )
+
+
+def clone_triples(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    lang_col: str = "lang",
+    content_col: str = "content",
+    min_norm_len: int = 16,
+    max_group: int = 10_000,
+    persist: bool = True,
+) -> DataFrame:
+    """(subj, pred, obj) CLONE_OF edges: every non-winner member points
+    at its group's canonical winner (``repo:path#func_name``) — the same
+    star-shaped canonicalization the entity-linking path uses, so clone
+    families are k_hop/components-queryable in the TripleStore.
+
+    The keyed function table feeds BOTH the group agg and the member
+    join — persisted narrow (caller unpersists via ``._clone_cache``),
+    else the whole content scan re-runs per branch (no auto-CSE across
+    DataFrame refs).  Degenerate mega-groups (boilerplate getters at
+    corpus scale) are capped at ``max_group`` members before the join —
+    the cap is on the GROUP table, so the equi-join stays skew-bounded."""
+    keyed = _keyed_functions(docs, repo_col, path_col, lang_col,
+                             content_col, min_norm_len)
+    if persist:
+        keyed = keyed.persist()
+    w = F.struct(F.col("repo"), F.col("path"), F.col("func_name"))
+    groups = (
+        keyed.groupBy("func_key")
+        .agg(F.count("*").cast("long").alias("n_copies"), F.min(w).alias("w"))
+        .filter((F.col("n_copies") >= 2) & (F.col("n_copies") <= max_group))
+        .select(
+            "func_key",
+            F.concat_ws("#", F.concat_ws(":", "w.repo", "w.path"),
+                        "w.func_name").alias("_winner"),
+            F.col("w.repo").alias("_wrepo"), F.col("w.path").alias("_wpath"),
+            F.col("w.func_name").alias("_wname"),
+        )
+    )
+    members = keyed.join(groups, "func_key").filter(
+        ~((F.col("repo") == F.col("_wrepo"))
+          & (F.col("path") == F.col("_wpath"))
+          & (F.col("func_name").eqNullSafe(F.col("_wname"))))
+    )
+    out = members.select(
+        F.concat_ws("#", F.concat_ws(":", "repo", "path"),
+                    "func_name").alias("subj"),
+        F.lit("CLONE_OF").alias("pred"),
+        F.col("_winner").alias("obj"),
+    ).distinct()
+    out._clone_cache = keyed  # type: ignore[attr-defined]
+    return out
+
+
+def function_near_clones(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    lang_col: str = "lang",
+    content_col: str = "content",
+    min_norm_len: int = 16,
+    threshold: float = 0.7,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    shingle_k: int = 4,
+) -> DataFrame:
+    """Type-3 (near-miss) clone pairs: minhash-LSH over the normalized
+    units — pure composition with `dedup.minhash_lsh_pairs`, so banding,
+    hot-shingle caps, and candidate-bounded verification are exactly the
+    document path's.  Ids are ``repo:path#func_name#ordinal`` (ordinal
+    disambiguates same-named units in one file)."""
+    from .dedup import minhash_lsh_pairs
+
+    fn = extract_functions(docs, repo_col, path_col, lang_col, content_col)
+    norm = normalize_function_col(F.col("lang"), F.col("unit"))
+    units = (
+        fn.select("repo", "path", "func_name", norm.alias("text"))
+        .filter(F.length("text") >= min_norm_len)
+        .withColumn(
+            "doc_id",
+            F.concat_ws(
+                "#",
+                F.concat_ws(":", "repo", "path"),
+                F.coalesce("func_name", F.lit("")),
+                F.md5("text").substr(1, 8),
+            ),
+        )
+        .select("doc_id", "text")
+    )
+    return minhash_lsh_pairs(
+        units, n_hashes=n_hashes, band_size=band_size, k=shingle_k,
+        threshold=threshold,
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twin
+# ---------------------------------------------------------------------------
+
+def _units_sql(canon: str, content: str) -> str:
+    """list-of-units expression (DuckDB): CASE over the four grammars."""
+    branches = []
+    for lg, pat in FUNC_START.items():
+        marked = (
+            f"regexp_replace(translate({content}, chr(30), ''), "
+            f"'{_sq(pat)}', chr(30) || '\\1', 'g')"
+        )
+        segs = f"string_split({marked}, chr(30))"
+        branches.append(
+            f"WHEN {canon} = '{lg}' THEN list_slice({segs}, 2, len({segs}))"
+        )
+    return "(CASE " + " ".join(branches) + " ELSE [] END)"
+
+
+def _name_sql(canon: str, unit: str) -> str:
+    branches = [
+        f"WHEN {canon} = '{lg}' THEN nullif(regexp_extract({unit}, '{_sq(pat)}', 1), '')"
+        for lg, pat in FUNC_NAME.items()
+    ]
+    return "(CASE " + " ".join(branches) + " ELSE NULL END)"
+
+
+def _norm_sql(canon: str, unit: str) -> str:
+    x = f"translate({unit}, chr(1) || chr(2) || chr(3), '')"
+    for pat in STRING_PATTERNS:
+        x = f"regexp_replace({x}, '{_sq(pat)}', chr(3), 'g')"
+    pythonic = f"regexp_replace({x}, '{_sq(_PY_COMMENT)}', ' ', 'g')"
+    slashy = (
+        f"regexp_replace(regexp_replace({x}, '{_sq(_SLASH_BLOCK)}', ' ', 'g'), "
+        f"'{_sq(_SLASH_LINE)}', ' ', 'g')"
+    )
+    x = f"(CASE WHEN {canon} = 'python' THEN {pythonic} ELSE {slashy} END)"
+    x = f"regexp_replace({x}, '{_sq(NUMBER_RE)}', '0', 'g')"
+    x = (
+        f"regexp_replace({x}, '{_sq(KEYWORD_OR_ID_RE)}', "
+        f"chr(1) || '\\1' || chr(2), 'g')"
+    )
+    x = f"regexp_replace({x}, chr(1) || chr(2), 'ID', 'g')"
+    x = f"translate({x}, chr(3) || chr(1) || chr(2), 'S')"
+    x = f"regexp_replace({x}, '{_sq(_WS_RUN)}', ' ', 'g')"
+    return f"regexp_replace({x}, '{_sq(_WS_TRIM)}', '', 'g')"
+
+
+def extract_functions_sql(docs_sql: str, repo="repo", path="path",
+                          lang="lang", content="content") -> str:
+    canon = canonical_lang_sql(lang)
+    return f"""
+WITH fsrc AS (
+  SELECT {repo} AS repo, {path} AS path, {canon} AS lang,
+         unnest({_units_sql(canon, content)}) AS unit
+  FROM ({docs_sql})
+)
+SELECT repo, path, lang, {_name_sql("lang", "unit")} AS func_name, unit
+FROM fsrc"""
+
+
+def function_clones_sql(docs_sql: str, repo="repo", path="path",
+                        lang="lang", content="content",
+                        min_norm_len: int = 16, min_copies: int = 2) -> str:
+    inner = extract_functions_sql(docs_sql, repo, path, lang, content)
+    norm = _norm_sql("lang", "unit")
+    return f"""
+WITH fkeyed AS (
+  SELECT repo, path, lang, func_name, md5(n) AS func_key
+  FROM (SELECT *, {norm} AS n FROM ({inner}))
+  WHERE len(n) >= {min_norm_len}
+), fgroups AS (
+  SELECT func_key,
+         CAST(count(*) AS BIGINT) AS n_copies,
+         CAST(count(DISTINCT repo) AS BIGINT) AS n_repos,
+         min({{'repo': repo, 'path': path, 'func_name': func_name}}) AS w
+  FROM fkeyed GROUP BY func_key
+)
+SELECT func_key, n_copies, n_repos,
+       w.repo AS repo, w.path AS path, w.func_name AS func_name
+FROM fgroups WHERE n_copies >= {min_copies}"""
