@@ -177,6 +177,65 @@ def augment_code_corpus(spark, docs, n_files: int):
     return with_secrets.unionByName(twins).unionByName(lic_rows)
 
 
+def clone_bench_docs(docs):
+    """Op-local augmentation for the clone-detection row: the shared
+    corpus's filler lines all normalize to the SAME type-2 shape (one
+    degenerate mega-group per language — vacuous AND skewed), so clone
+    bench files instead carry 6 functions each whose STRUCTURE
+    (statement count 1..24 × arg arity, decorrelated digits of ``id``)
+    varies by a deterministic class while identifier names vary freely —
+    a few hundred clone classes across the 4 unit-bearing languages, so
+    the group shuffle sees realistic many-key traffic with map-side
+    combine, and the timed cost is dominated by the same
+    regex-normalization map scan production pays."""
+    from pyspark.sql import functions as F
+
+    def _fn_block(j: int):
+        m = (F.col("id") * 13 + F.lit(j * 7)) % 24 + 1
+        # id%24 (m) and id//24 (arity) are independent digits — a shared
+        # modulus would collapse the class cross-product to 24 per lang
+        arity = ((F.floor(F.col("id") / 24) + F.lit(j)) % 4 + 1).cast("int")
+        args = F.element_at(
+            F.array(F.lit(""), F.lit("v"), F.lit("v, v"), F.lit("v, v, v")),
+            arity,
+        )
+        name = F.substring(
+            F.md5(F.concat(F.lit("c"), ((F.col("id") * 6 + j) % 50_000).cast("string"))),
+            1, 8,
+        )
+        header = (
+            F.when(F.col("lang") == "py",
+                   F.concat(F.lit("def fn_"), name, F.lit("(a, b):")))
+            .when(F.col("lang") == "go",
+                  F.concat(F.lit("func fn_"), name, F.lit("(a int) int {")))
+            .when(F.col("lang") == "rs",
+                  F.concat(F.lit("fn fn_"), name, F.lit("(a: u8) -> u8 {")))
+            .when(F.col("lang") == "js",
+                  F.concat(F.lit("function fn_"), name, F.lit("(a) {")))
+            .otherwise(F.lit("// java: no regex-grammar units"))
+        )
+        body = F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), m),
+                lambda i: F.concat(
+                    F.lit("    v = call_"),
+                    F.substring(
+                        F.md5(F.concat(F.lit("b"), ((F.col("id") + i) % 99_991).cast("string"))),
+                        1, 8,
+                    ),
+                    F.lit("("), args, F.lit(")"),
+                ),
+            ),
+            "\n",
+        )
+        tail = F.when(F.col("lang") == "py", F.lit("")).otherwise(F.lit("}"))
+        return F.concat_ws("\n", header, body, tail)
+
+    return docs.withColumn(
+        "content", F.concat_ws("\n", *[_fn_block(j) for j in range(6)])
+    )
+
+
 def main() -> None:
     cores = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
@@ -271,6 +330,15 @@ def main() -> None:
 
     out["symlink_s"] = best2(_run_symlink)
     out["symlink_resolutions"] = _run_symlink()
+
+    # --- function-level clone detection (extras/code_clones.py)
+    from trove_spark.extras.code_clones import function_clones
+
+    clonedocs = clone_bench_docs(docs)
+    out["clones_s"] = best2(
+        lambda: function_clones(clonedocs).agg(F.sum("n_copies")).collect()
+    )
+    out["clone_groups"] = function_clones(clonedocs).count()
 
     # --- curation battery (extras/code_curate.py) over an AUGMENTED corpus:
     # per-repo LICENSE files (mit/apache/gpl3 round-robin, 10% SPDX-tagged

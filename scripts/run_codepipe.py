@@ -35,6 +35,9 @@ docstrings for the 10^12-file shape):
 8. optional symbol-level entity linking (``--link-symbols``): call-site
    mentions resolved to canonical def sites (extras/code_link), CALLS
    triples unioned into the same store write.
+9. optional function-level clone canonicalization (``--clone-triples``):
+   type-2 clone groups (extras/code_clones), CLONE_OF edges to each
+   group's canonical winner unioned into the same store write.
 
 Action economy: the curated frame is persisted ONCE and every downstream
 action (kept manifest, triples write, dep edges) reuses it; per-stage
@@ -70,6 +73,10 @@ def main(argv: list[str] | None = None) -> dict:
                     help="also resolve call-site mentions to canonical def "
                     "sites (extras/code_link) and union the CALLS triples "
                     "into the same store write")
+    ap.add_argument("--clone-triples", action="store_true",
+                    help="also detect function-level type-2 clones "
+                    "(extras/code_clones) and union the CLONE_OF edges "
+                    "(member -> canonical winner) into the same store write")
     ap.add_argument("--n-buckets", type=int, default=16)
     ap.add_argument("--max-buckets", type=int, default=None,
                     help="stop after N uncommitted buckets (kill/resume testing)")
@@ -217,6 +224,16 @@ def main(argv: list[str] | None = None) -> dict:
                 r["resolution"]: int(r["count"])
                 for r in links.groupBy("resolution").count().collect()
             }
+    clone_cache = None
+    if args.clone_triples:
+        # clone canonicalization: CLONE_OF edges into the SAME single
+        # store write; the narrow keyed-function cache (it feeds both the
+        # group agg and the member join) is released after the write
+        from trove_spark.extras.code_clones import clone_triples
+
+        ct = clone_triples(out_docs)
+        clone_cache = ct._clone_cache
+        triples = triples.unionByName(ct)
     if args.max_buckets is not None:
         w = store.write_triples(triples, max_buckets=args.max_buckets)
     else:
@@ -224,7 +241,10 @@ def main(argv: list[str] | None = None) -> dict:
     stats["triples_write"] = w
     if link_cache is not None:
         link_cache.unpersist()
+    if clone_cache is not None:
+        clone_cache.unpersist()
     stats["symbols_linked"] = bool(args.link_symbols)
+    stats["clones_linked"] = bool(args.clone_triples)
     _mark("triples_write")
     if two_consumers:
         docs.unpersist()  # out_docs is materialized; drop the raw cache

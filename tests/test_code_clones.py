@@ -191,3 +191,54 @@ def test_plan_shape(spark):
     plan = function_clones(_full(spark))._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_clone_grammar_fuzz_cross_engine(spark):
+    """Deterministic-random code-ish corpus (keywords, identifiers,
+    literals with escapes, comments, punctuation, control chars,
+    function-start lines) — Spark extraction+normalization must agree
+    with the DuckDB twin char-for-char on every row.  One batch per
+    engine, not per-example jobs."""
+    import random
+
+    from trove_spark.code_fixture import _values_sql
+    from trove_spark.extras.code_clones import (
+        _norm_sql,
+        extract_functions_sql,
+    )
+    from trove_spark.extras.code import canonical_lang_sql
+
+    rng = random.Random(20260819)
+    pool = [
+        "def", "return", "if", "in", "class", "func", "fn", "function",
+        "while", "pass", "interface",
+        "foo", "Bar_9", "x$y", "_p", "value", "definite", "S", "ID",
+        "0", "42", "0x1f", "3.14", "9_000",
+        '"a b"', "'it\\'s'", '"es\\"q"', '"""doc str"""', "'''d'''", "`tpl`",
+        "# c1", "// c2", "/* b1 */", '"http://u"',
+        "(", ")", ":", "{", "}", ",", "+", "=", "<", ">", ";", ".",
+        " ", "\t", "\n", "\n\n", "\x01", "\x02", "\x03", "\x1e",
+        "def foo(a):\n", "async def k(b):\n", "func g() {\n",
+        "fn h(x: u8) {\n", "function j(a) {\n", "pub fn q() {\n",
+    ]
+    langs = ["py", "go", "rs", "js", "java", "txt"]
+    rows = []
+    for i in range(150):
+        content = "".join(rng.choice(pool) for _ in range(rng.randint(1, 60)))
+        rows.append((f"r{i % 10}", f"p{i}", "0" * 40, langs[i % 6], content))
+
+    docs = spark.createDataFrame(rows, schema=SCHEMA)
+    fn = extract_functions(docs).select(
+        "repo", "path", "func_name", "unit",
+        normalize_function_col(F.col("lang"), F.col("unit")).alias("norm"),
+    )
+    key = lambda t: tuple("" if v is None else v for v in t)
+    got = sorted((tuple(r) for r in fn.collect()), key=key)
+
+    inner = extract_functions_sql(_values_sql(rows, "fuzz_docs"))
+    sql = (
+        f"SELECT repo, path, func_name, unit, {_norm_sql('lang', 'unit')} AS norm "
+        f"FROM ({inner})"
+    )
+    want = sorted((tuple(r) for r in duckdb.sql(sql).fetchall()), key=key)
+    assert got == want

@@ -165,3 +165,42 @@ def test_codepipe_link_symbols(spark, tmp_path):
         "acme/jsonkit:src/jsonkit.py#JsonParser",
     ) in calls
     assert t.filter(t.pred == "DEFINES").count() > 0
+
+
+def test_codepipe_clone_triples(spark, tmp_path):
+    from trove_spark.code_fixture import (
+        CODE_CLONE_DOCS,
+        CODE_CURATE_DOCS,
+        CODE_DOCS,
+    )
+
+    inp = str(tmp_path / "files.parquet")
+    out = str(tmp_path / "kg")
+    spark.createDataFrame(
+        CODE_DOCS + CODE_CURATE_DOCS + CODE_CLONE_DOCS, schema=SCHEMA
+    ).write.parquet(inp)
+
+    stats = run_codepipe.main([
+        "--input", inp, "--output", out,
+        "--licenses", "off", "--dedup", "off", "--no-screens",
+        "--clone-triples", "--n-buckets", "2",
+    ])
+    assert stats["clones_linked"]
+
+    from trove_spark.graph import TripleStore
+
+    t = TripleStore(spark, out, n_buckets=2).read_triples()
+    clones = {
+        (r["subj"], r["obj"]) for r in t.filter(t.pred == "CLONE_OF").collect()
+    }
+    # CLONE_OF edges land in the SAME store as the extraction triples —
+    # including the within-file pair file-level dedup can't see
+    assert (
+        "acme/tools:scripts/dup.py#second_helper",
+        "acme/tools:scripts/dup.py#first_helper",
+    ) in clones
+    assert (
+        "mirror/jsonkit-v2:lib/parser.py#extractValue",
+        "acme/jsonkit:src/jsonkit.py#parseJsonValue",
+    ) in clones
+    assert t.filter(t.pred == "DEFINES").count() > 0
