@@ -77,6 +77,13 @@ def main(argv: list[str] | None = None) -> dict:
                     help="also detect function-level type-2 clones "
                     "(extras/code_clones) and union the CLONE_OF edges "
                     "(member -> canonical winner) into the same store write")
+    ap.add_argument("--license-conflicts", default=None, metavar="DIR",
+                    help="also write a license-contamination report "
+                    "parquet here (extras/code_clones."
+                    "clone_license_conflicts): functions in permissive/"
+                    "unlicensed repos whose type-2 clone key appears in "
+                    "a copyleft repo.  Runs over the RAW input (before "
+                    "the license screen removes the copyleft sources).")
     ap.add_argument("--n-buckets", type=int, default=16)
     ap.add_argument("--max-buckets", type=int, default=None,
                     help="stop after N uncommitted buckets (kill/resume testing)")
@@ -155,6 +162,7 @@ def main(argv: list[str] | None = None) -> dict:
     stats["input_files"] = sum(b["n_rows"] for b in stats["input_manifest"])
     _mark("input_manifest")
 
+    raw_docs = docs  # the contamination report needs the pre-screen corpus
     rl = None
     if args.licenses != "off":
         # ONE evidence scan: the persisted rollup (#repos rows) feeds both
@@ -171,6 +179,22 @@ def main(argv: list[str] | None = None) -> dict:
         )
         if args.stage_counts:
             stats["after_license"] = docs.count()
+
+    if args.license_conflicts:
+        # license-contamination report over the RAW corpus (the screen
+        # below removes exactly the copyleft sources that evidence it);
+        # reuses the persisted rollup when the license stage ran.  Write
+        # first, then count from the read-back — one execution of the
+        # function-scan lineage (the ShardWriter lesson).
+        from trove_spark.extras.code_clones import clone_license_conflicts
+
+        confl = clone_license_conflicts(raw_docs, licenses=rl)
+        confl.write.mode("overwrite").parquet(args.license_conflicts)
+        confl._conflict_cache.unpersist()
+        stats["license_conflicts"] = spark.read.parquet(
+            args.license_conflicts
+        ).count()
+        _mark("license_conflicts")
 
     if args.screens:
         docs = code_screens(docs)

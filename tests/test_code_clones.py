@@ -242,3 +242,68 @@ def test_clone_grammar_fuzz_cross_engine(spark):
     )
     want = sorted((tuple(r) for r in duckdb.sql(sql).fetchall()), key=key)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# License contamination (clone_license_conflicts)
+# ---------------------------------------------------------------------------
+
+def _conflict_docs(spark):
+    from trove_spark.code_fixture import CODE_CONFLICT_DOCS
+
+    return _docs(
+        spark, CODE_DOCS + CODE_CURATE_DOCS + CODE_CLONE_DOCS + CODE_CONFLICT_DOCS
+    )
+
+
+def test_clone_license_conflicts_fixture(spark):
+    """The GPL clamp function's MIT and unlicensed twins are flagged
+    with the GPL member as witness; the jsonkit clone family (MIT +
+    unlicensed, no copyleft member) is NOT."""
+    from trove_spark.extras.code_clones import clone_license_conflicts
+
+    c = clone_license_conflicts(_conflict_docs(spark))
+    rows = c.collect()
+    c._conflict_cache.unpersist()
+    flagged = {(r.repo, r.path, r.license) for r in rows}
+    assert ("acme/jsonkit", "src/limit.py", "mit") in flagged
+    assert ("vendored/snippets", "util/clamp.py", None) in flagged
+    assert len(rows) == 2
+    for r in rows:
+        assert (r.src_repo, r.src_path, r.src_func_name, r.src_license) == (
+            "gpl/rangelib", "src/clamp.py", "clamp_range", "gpl-3.0",
+        )
+    # the copyleft source member itself is never a target
+    assert not any(r.repo == "gpl/rangelib" for r in rows)
+
+
+def test_clone_license_conflicts_oracle_parity(spark):
+    from trove_spark.code_fixture import code_conflict_fixture_sql
+    from trove_spark.extras.code_clones import (
+        clone_license_conflicts,
+        clone_license_conflicts_sql,
+    )
+
+    c = clone_license_conflicts(_conflict_docs(spark))
+    cols = sorted(c.columns)
+    key = lambda t: tuple("" if v is None else str(v) for v in t)
+    got = sorted(
+        (tuple(r[x] for x in cols) for r in c.collect()), key=key
+    )
+    c._conflict_cache.unpersist()
+    sql = clone_license_conflicts_sql(code_conflict_fixture_sql())
+    res = duckdb.sql(sql)
+    order = [res.columns.index(x) for x in cols]
+    want = sorted(
+        (tuple(r[i] for i in order) for r in res.fetchall()), key=key
+    )
+    assert got == want
+
+
+def test_clone_license_conflicts_plan(spark):
+    from trove_spark.extras.code_clones import clone_license_conflicts
+
+    c = clone_license_conflicts(_conflict_docs(spark), persist=False)
+    plan = c._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan

@@ -204,3 +204,39 @@ def test_codepipe_clone_triples(spark, tmp_path):
         "acme/jsonkit:src/jsonkit.py#parseJsonValue",
     ) in clones
     assert t.filter(t.pred == "DEFINES").count() > 0
+
+
+def test_codepipe_license_conflicts(spark, tmp_path):
+    from trove_spark.code_fixture import (
+        CODE_CLONE_DOCS,
+        CODE_CONFLICT_DOCS,
+        CODE_CURATE_DOCS,
+        CODE_DOCS,
+    )
+
+    inp = str(tmp_path / "files.parquet")
+    out = str(tmp_path / "kg")
+    rpt = str(tmp_path / "conflicts")
+    spark.createDataFrame(
+        CODE_DOCS + CODE_CURATE_DOCS + CODE_CLONE_DOCS + CODE_CONFLICT_DOCS,
+        schema=SCHEMA,
+    ).write.parquet(inp)
+
+    stats = run_codepipe.main([
+        "--input", inp, "--output", out,
+        "--dedup", "off", "--no-screens",
+        "--license-conflicts", rpt, "--n-buckets", "2",
+    ])
+    # report found both contaminated twins, BEFORE the permissive screen
+    assert stats["license_conflicts"] == 2
+    rows = spark.read.parquet(rpt).collect()
+    assert {(r.repo, r.path) for r in rows} == {
+        ("acme/jsonkit", "src/limit.py"),
+        ("vendored/snippets", "util/clamp.py"),
+    }
+    assert all(r.src_repo == "gpl/rangelib" for r in rows)
+    # ...and the screen still removed the copyleft repo from the KG
+    from trove_spark.graph import TripleStore
+
+    t = TripleStore(spark, out, n_buckets=2).read_triples()
+    assert t.filter(t.subj.startswith("gpl/rangelib")).count() == 0

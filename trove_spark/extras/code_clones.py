@@ -310,6 +310,85 @@ def clone_triples(
     return out
 
 
+def clone_license_conflicts(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    lang_col: str = "lang",
+    content_col: str = "content",
+    min_norm_len: int = 16,
+    max_group: int = 10_000,
+    licenses: DataFrame | None = None,
+    persist: bool = True,
+) -> DataFrame:
+    """License-contamination report: every function in a PERMISSIVE or
+    UNLICENSED repo whose type-2 clone key also appears in a
+    COPYLEFT-licensed repo, paired with a deterministic copyleft witness
+    (most-restrictive family first, then lexicographically-least
+    member) — (func_key, repo, path, func_name, license, src_repo,
+    src_path, src_func_name, src_license).  'other'-licensed repos are
+    neither sources nor targets (see code_curate.COPYLEFT_LICENSES).
+
+    Must run over the RAW corpus, BEFORE any permissive-only license
+    screen — the screen removes exactly the copyleft repos that
+    evidence contamination.  Pass ``licenses`` to reuse an
+    already-computed `repo_licenses` rollup (run_codepipe does).
+
+    Scale shape (10^12 files): the function scan is map-only; the
+    license rollup is repo-level (~10^8 rows — an equi-join on repo,
+    AQE-skew-safe, never a broadcast assumption); the joined
+    member frame feeds BOTH the witness agg and the flag join-back, so
+    it is persisted narrow (caller releases via ``._conflict_cache``);
+    boilerplate mega-groups are capped on the GROUP side
+    (``max_group``) before the join-back, keeping it skew-bounded."""
+    from .code_curate import (
+        COPYLEFT_LICENSES,
+        PERMISSIVE_LICENSES,
+        _priority_col,
+        repo_licenses,
+    )
+
+    keyed = _keyed_functions(docs, repo_col, path_col, lang_col,
+                             content_col, min_norm_len)
+    if licenses is None:
+        licenses = repo_licenses(docs, repo_col, path_col, content_col)
+    lic = licenses.select(F.col("repo"), F.col("license"))
+    m = keyed.join(lic, "repo", "left")
+    if persist:
+        m = m.persist()
+    is_copyleft = F.col("license").isin(*sorted(COPYLEFT_LICENSES))
+    # witness func_name coalesced to '' INSIDE the struct so min-of-
+    # struct ordering never compares a null field (engine-portable)
+    witness = F.when(is_copyleft, F.struct(
+        _priority_col(F.col("license")).alias("p"),
+        F.col("repo").alias("repo"), F.col("path").alias("path"),
+        F.coalesce(F.col("func_name"), F.lit("")).alias("func_name"),
+        F.col("license").alias("license"),
+    ))
+    grp = (
+        m.groupBy("func_key")
+        .agg(F.count("*").alias("n_copies"), F.min(witness).alias("src"))
+        .filter(F.col("src").isNotNull() & (F.col("n_copies") <= max_group))
+        .select(
+            "func_key",
+            F.col("src.repo").alias("src_repo"),
+            F.col("src.path").alias("src_path"),
+            F.col("src.func_name").alias("src_func_name"),
+            F.col("src.license").alias("src_license"),
+        )
+    )
+    at_risk = m.filter(
+        F.col("license").isNull()
+        | F.col("license").isin(*sorted(PERMISSIVE_LICENSES))
+    )
+    out = at_risk.join(grp, "func_key").select(
+        "func_key", "repo", "path", "func_name", "license",
+        "src_repo", "src_path", "src_func_name", "src_license",
+    ).distinct()
+    out._conflict_cache = m  # type: ignore[attr-defined]
+    return out
+
+
 def function_near_clones(
     docs: DataFrame,
     repo_col: str = "repo",
@@ -428,3 +507,51 @@ WITH fkeyed AS (
 SELECT func_key, n_copies, n_repos,
        w.repo AS repo, w.path AS path, w.func_name AS func_name
 FROM fgroups WHERE n_copies >= {min_copies}"""
+
+
+def clone_license_conflicts_sql(docs_sql: str, repo="repo", path="path",
+                                lang="lang", content="content",
+                                min_norm_len: int = 16,
+                                max_group: int = 10_000) -> str:
+    from .code_curate import (
+        COPYLEFT_LICENSES,
+        LICENSE_PRIORITY,
+        PERMISSIVE_LICENSES,
+        repo_licenses_sql,
+    )
+
+    inner = extract_functions_sql(docs_sql, repo, path, lang, content)
+    norm = _norm_sql("lang", "unit")
+    lic_sql = repo_licenses_sql(docs_sql, repo, path, content)
+    prio_whens = " ".join(
+        f"WHEN license = '{fam}' THEN {i}"
+        for i, fam in enumerate(LICENSE_PRIORITY)
+    )
+    prio = f"(CASE {prio_whens} ELSE {len(LICENSE_PRIORITY)} END)"
+    cl = ", ".join(f"'{x}'" for x in sorted(COPYLEFT_LICENSES))
+    perm = ", ".join(f"'{x}'" for x in sorted(PERMISSIVE_LICENSES))
+    return f"""
+WITH fkeyed AS (
+  SELECT repo, path, func_name, md5(n) AS func_key
+  FROM (SELECT *, {norm} AS n FROM ({inner}))
+  WHERE len(n) >= {min_norm_len}
+), lic AS (SELECT repo, license FROM ({lic_sql})),
+m AS (
+  SELECT f.repo, f.path, f.func_name, f.func_key, l.license
+  FROM fkeyed f LEFT JOIN lic l USING (repo)
+), grp AS (
+  SELECT func_key, count(*) AS n_copies,
+         min(CASE WHEN license IN ({cl}) THEN
+             {{'p': {prio}, 'repo': repo, 'path': path,
+               'func_name': coalesce(func_name, ''),
+               'license': license}} END) AS src
+  FROM m GROUP BY func_key
+), confl AS (
+  SELECT func_key, src FROM grp
+  WHERE src IS NOT NULL AND n_copies <= {max_group}
+)
+SELECT DISTINCT m.func_key, m.repo, m.path, m.func_name, m.license,
+       src['repo'] AS src_repo, src['path'] AS src_path,
+       src['func_name'] AS src_func_name, src['license'] AS src_license
+FROM m JOIN confl USING (func_key)
+WHERE m.license IS NULL OR m.license IN ({perm})"""

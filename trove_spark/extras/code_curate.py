@@ -87,6 +87,16 @@ PERMISSIVE_LICENSES: frozenset[str] = frozenset(
     {"mit", "apache-2.0", "bsd-2-clause", "bsd-3-clause", "isc", "unlicense"}
 )
 
+# Families whose terms attach to copied code (strong + file-level
+# copyleft): clone provenance from one of these into a permissive or
+# unlicensed repo is a license-contamination signal
+# (code_clones.clone_license_conflicts).  'other' is deliberately in
+# neither set — unrecognized license text is evidence of SOME license,
+# so those repos are neither contamination sources nor flagged targets.
+COPYLEFT_LICENSES: frozenset[str] = frozenset(
+    {"agpl-3.0", "gpl-3.0", "gpl-2.0", "lgpl", "mpl-2.0"}
+)
+
 SPDX_RE = r"SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+-]+)"
 
 # lower(spdx id) → family (the ids seen in real corpora; unknown ids
