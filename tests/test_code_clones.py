@@ -307,3 +307,37 @@ def test_clone_license_conflicts_plan(spark):
     plan = c._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_code_kg_queryable(spark):
+    """The code KG speaks the generic triple schema: SPARQL BGP joins
+    and k-hop BFS run unchanged over code_triples ∪ clone_triples —
+    the clone family is one undirected hop around its canonical
+    winner."""
+    from trove_spark.extras.code import code_triples
+    from trove_spark.kg_query import k_hop, query_bgp
+
+    docs = _full(spark)
+    ct = clone_triples(docs)
+    t = code_triples(docs).select("subj", "pred", "obj").unionByName(
+        ct.select("subj", "pred", "obj")
+    )
+    got = {
+        (r["f"], r["s"])
+        for r in query_bgp(
+            t, [("?f", "IMPORTS", "os"), ("?f", "DEFINES", "?s")]
+        ).collect()
+    }
+    assert ("acme/jsonkit:src/jsonkit.py", "class:JsonParser") in got
+    seeds = spark.createDataFrame(
+        [("acme/jsonkit:src/jsonkit.py#parseJsonValue",)], "node string"
+    )
+    fam = {
+        r["node"]
+        for r in k_hop(
+            t.filter(F.col("pred") == "CLONE_OF"), seeds, k=1,
+            direction="both",
+        ).collect()
+    }
+    ct._clone_cache.unpersist()
+    assert "mirror/jsonkit-v2:lib/parser.py#extractValue" in fam
