@@ -90,6 +90,14 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--stage-counts", action="store_true",
                     help="record per-stage survivor counts (one extra "
                     "partial scan per stage — diagnostics, not production)")
+    ap.add_argument("--clone-index", default=None, metavar="DIR",
+                    help="stored clone_key_index parquet (incremental "
+                    "mode only): CLONE_OF edges for the changed files "
+                    "are maintained in the same bucket update — no "
+                    "corpus rescan — and the index snapshot is "
+                    "refreshed (write-next + rename here; row-level "
+                    "delete + append on the index table at catalog "
+                    "scale)")
     ap.add_argument("--incremental-old", default=None,
                     help="previous snapshot parquet: diff by (repo, path, "
                     "commit), re-extract only changed files, rewrite only "
@@ -135,7 +143,38 @@ def main(argv: list[str] | None = None) -> dict:
             new_cur = redact_secrets(new_cur)
             old_cur = redact_secrets(old_cur)
         store = TripleStore(spark, args.output, n_buckets=args.n_buckets)
-        stats["incremental"] = incremental_code_kg_update(store, old_cur, new_cur)
+        idx = spark.read.parquet(args.clone_index) if args.clone_index else None
+        stats["incremental"] = incremental_code_kg_update(
+            store, old_cur, new_cur, clone_index=idx
+        )
+        if idx is not None:
+            # refresh the index snapshot: drop rows of changed/removed
+            # files, append the new batch's keys.  Local-fs swap here;
+            # the catalog-scale form is a row-level delete + append on
+            # the index table (same rows).
+            import shutil
+
+            from trove_spark.extras.code_clones import clone_key_index
+
+            key = ["repo", "path", "commit"]
+            changed = new_cur.join(old_cur.select(*key), key, "left_anti")
+            stale = (
+                old_cur.select(*key)
+                .join(new_cur.select(*key), key, "left_anti")
+                .select("repo", "path")
+                .unionByName(changed.select("repo", "path"))
+                .distinct()
+            )
+            new_index = idx.join(stale, ["repo", "path"], "left_anti").unionByName(
+                clone_key_index(changed)
+            )
+            nxt = args.clone_index.rstrip("/") + ".next"
+            new_index.write.mode("overwrite").parquet(nxt)
+            stats["clone_index_rows"] = spark.read.parquet(nxt).count()
+            prev = args.clone_index.rstrip("/") + ".prev"
+            os.rename(args.clone_index, prev)
+            os.rename(nxt, args.clone_index)
+            shutil.rmtree(prev)
         stats["wall_s"] = round(time.time() - t0, 2)
         print(json.dumps(stats))
         return stats

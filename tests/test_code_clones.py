@@ -341,3 +341,128 @@ def test_code_kg_queryable(spark):
     }
     ct._clone_cache.unpersist()
     assert "mirror/jsonkit-v2:lib/parser.py#extractValue" in fam
+
+
+# ---------------------------------------------------------------------------
+# Incremental clone index
+# ---------------------------------------------------------------------------
+
+NEW_BATCH: list[tuple[str, str, str, str, str]] = [
+    # fresh type-2 twin of the jsonkit parse family -> edge to the
+    # batch-path winner already in the index
+    (
+        "zeta/late-fork", "src/copy.py", "e5" * 20, "py",
+        "import os\n"
+        "class LateParser:\n"
+        "    def grabField(self, payload):\n"
+        "        return os.path.abspath(payload)\n",
+    ),
+    # brand-new key duplicated WITHIN the batch -> star on the batch min
+    (
+        "alpha/fresh", "a.py", "f5" * 20, "py",
+        "def brand_new_shape(p, q):\n"
+        "    while p < q:\n"
+        "        p = p * 2\n"
+        "    return p\n",
+    ),
+    (
+        "beta/fresh", "b.py", "a6" * 20, "py",
+        "def same_new_shape(r, s):\n"
+        "    while r < s:\n"
+        "        r = r * 3\n"
+        "    return r\n",
+    ),
+    # singleton new key: no group, no edge
+    (
+        "gamma/solo", "c.py", "b6" * 20, "py",
+        "def lonely_one(m_val):\n"
+        "    return [m_val for m_val in range(m_val) if m_val]\n",
+    ),
+]
+
+
+def test_incremental_clone_members(spark):
+    from trove_spark.extras.code_clones import (
+        clone_key_index,
+        incremental_clone_members,
+    )
+
+    old = _full(spark)
+    index = clone_key_index(old)
+    inc = incremental_clone_members(_docs(spark, NEW_BATCH), index)
+    rows = inc.collect()
+    inc._new_keys.unpersist()
+    edges = {(r.subj, r.obj) for r in rows}
+    # every edge has a new-side subject; old x old never re-emitted
+    assert all(s.split(":")[0] in
+               {"zeta/late-fork", "alpha/fresh", "beta/fresh"}
+               for s, _ in edges)
+    # known key -> the INDEX winner (== the batch-path winner here)
+    assert (
+        "zeta/late-fork:src/copy.py#grabField",
+        "acme/jsonkit:src/jsonkit.py#parseJsonValue",
+    ) in edges
+    # new key duplicated within the batch -> star on the batch min
+    assert (
+        "beta/fresh:b.py#same_new_shape",
+        "alpha/fresh:a.py#brand_new_shape",
+    ) in edges
+    # singleton new key produces nothing
+    assert not any("gamma/solo" in s or "gamma/solo" in o for s, o in edges)
+    assert len(edges) == 2
+
+
+def test_incremental_matches_batch_when_winners_agree(spark):
+    """When the index winner is also the global winner (the common
+    case — first-landed member sorts lowest), incremental edges over
+    the new batch equal the one-shot batch edges restricted to
+    new-side subjects."""
+    from trove_spark.extras.code_clones import (
+        clone_key_index,
+        clone_triples,
+        incremental_clone_members,
+    )
+
+    old_rows = CODE_DOCS + CODE_CURATE_DOCS + CODE_CLONE_DOCS
+    new_repos = {r for r, *_ in NEW_BATCH}
+    ct = clone_triples(_docs(spark, old_rows + NEW_BATCH))
+    batch_edges = {
+        (r.subj, r.obj) for r in ct.collect()
+        if r.subj.split(":")[0] in new_repos
+    }
+    ct._clone_cache.unpersist()
+
+    inc = incremental_clone_members(
+        _docs(spark, NEW_BATCH), clone_key_index(_docs(spark, old_rows))
+    )
+    inc_edges = {(r.subj, r.obj) for r in inc.collect()}
+    inc._new_keys.unpersist()
+    assert inc_edges == batch_edges
+
+
+def test_incremental_winner_stability(spark):
+    """A later member that sorts BELOW the index winner still points at
+    the index winner — previously emitted edges are never re-pointed
+    (the append-only trade, documented)."""
+    from trove_spark.extras.code_clones import (
+        clone_key_index,
+        incremental_clone_members,
+    )
+
+    index = clone_key_index(_full(spark))
+    early = [(
+        "aaa/first", "a.py", "c6" * 20, "py",
+        "import os\n"
+        "class EarlyParser:\n"
+        "    def firstField(self, payload):\n"
+        "        return os.path.abspath(payload)\n",
+    )]
+    inc = incremental_clone_members(_docs(spark, early), index)
+    edges = {(r.subj, r.obj) for r in inc.collect()}
+    inc._new_keys.unpersist()
+    # 'aaa/first' < 'acme/jsonkit' lexicographically, but the index
+    # winner keeps the crown
+    assert edges == {(
+        "aaa/first:a.py#firstField",
+        "acme/jsonkit:src/jsonkit.py#parseJsonValue",
+    )}

@@ -240,3 +240,124 @@ def test_codepipe_license_conflicts(spark, tmp_path):
 
     t = TripleStore(spark, out, n_buckets=2).read_triples()
     assert t.filter(t.subj.startswith("gpl/rangelib")).count() == 0
+
+
+def test_incremental_update_maintains_clone_edges(spark, tmp_path):
+    """Snapshot A's store carries batch CLONE_OF edges; snapshot B
+    changes a clone member so it leaves its family (stale edge must
+    vanish) and adds a fresh member (new edge must appear).  The
+    incrementally-updated store must equal a from-scratch
+    code_triples ∪ clone_triples extraction of B."""
+    from trove_spark.code_fixture import (
+        CODE_CLONE_DOCS,
+        CODE_CURATE_DOCS,
+        CODE_DOCS,
+    )
+    from trove_spark.extras.code import code_triples, incremental_code_kg_update
+    from trove_spark.extras.code_clones import clone_key_index, clone_triples
+    from trove_spark.graph import TripleStore
+
+    out = str(tmp_path / "kg")
+    old_rows = CODE_DOCS + CODE_CURATE_DOCS + CODE_CLONE_DOCS
+    docs_a = spark.createDataFrame(old_rows, schema=SCHEMA)
+    store = TripleStore(spark, out, n_buckets=4)
+    ct_a = clone_triples(docs_a)
+    store.write_triples(code_triples(docs_a).unionByName(ct_a))
+    ct_a._clone_cache.unpersist()
+
+    # B: mirror's parser gains two statements (leaves the parse family —
+    # and matches nothing else), a new repo joins the family
+    new_rows = [r for r in old_rows if r[0] != "mirror/jsonkit-v2"]
+    new_rows.append((
+        "mirror/jsonkit-v2", "lib/parser.py", "e2" * 20, "py",
+        "import os\n"
+        "class BlobParser:\n"
+        "    def extractValue(self, blob_data):\n"
+        "        blob_data = blob_data.lower()\n"
+        "        blob_data = blob_data.title()\n"
+        "        return os.path.dirname(blob_data)\n",
+    ))
+    new_rows.append((
+        "zeta/late-fork", "src/copy.py", "e5" * 20, "py",
+        "import os\n"
+        "class LateParser:\n"
+        "    def grabField(self, payload):\n"
+        "        return os.path.abspath(payload)\n",
+    ))
+    docs_b = spark.createDataFrame(new_rows, schema=SCHEMA)
+
+    res = incremental_code_kg_update(
+        store, docs_a, docs_b, clone_index=clone_key_index(docs_a)
+    )
+    assert res["updated_buckets"] >= 1
+
+    got = {(r.subj, r.pred, r.obj) for r in store.read_triples().collect()}
+    ct_b = clone_triples(docs_b)
+    want = {
+        (r.subj, r.pred, r.obj)
+        for r in code_triples(docs_b).unionByName(ct_b).collect()
+    }
+    ct_b._clone_cache.unpersist()
+    assert got == want
+    assert (
+        "zeta/late-fork:src/copy.py#grabField", "CLONE_OF",
+        "acme/jsonkit:src/jsonkit.py#parseJsonValue",
+    ) in got
+    assert not any(
+        s.startswith("mirror/jsonkit-v2") and p == "CLONE_OF"
+        for s, p, _ in got
+    )
+
+
+def test_codepipe_incremental_clone_index(spark, tmp_path):
+    """Script-level incremental run with a stored clone index: the
+    store gains/loses CLONE_OF edges for changed files only, and the
+    index snapshot is refreshed in place."""
+    from trove_spark.code_fixture import (
+        CODE_CLONE_DOCS,
+        CODE_CURATE_DOCS,
+        CODE_DOCS,
+    )
+    from trove_spark.extras.code import code_triples
+    from trove_spark.extras.code_clones import clone_key_index, clone_triples
+    from trove_spark.graph import TripleStore
+
+    out = str(tmp_path / "kg")
+    idx_dir = str(tmp_path / "clone_index")
+    old_p = str(tmp_path / "a.parquet")
+    new_p = str(tmp_path / "b.parquet")
+
+    old_rows = CODE_DOCS + CODE_CURATE_DOCS + CODE_CLONE_DOCS
+    docs_a = spark.createDataFrame(old_rows, schema=SCHEMA)
+    docs_a.write.parquet(old_p)
+    store = TripleStore(spark, out, n_buckets=4)
+    ct_a = clone_triples(docs_a)
+    store.write_triples(code_triples(docs_a).unionByName(ct_a))
+    ct_a._clone_cache.unpersist()
+    clone_key_index(docs_a).write.parquet(idx_dir)
+
+    new_rows = old_rows + [(
+        "zeta/late-fork", "src/copy.py", "e5" * 20, "py",
+        "import os\n"
+        "class LateParser:\n"
+        "    def grabField(self, payload):\n"
+        "        return os.path.abspath(payload)\n",
+    )]
+    spark.createDataFrame(new_rows, schema=SCHEMA).write.parquet(new_p)
+
+    stats = run_codepipe.main([
+        "--input", new_p, "--output", out,
+        "--incremental-old", old_p, "--clone-index", idx_dir,
+        "--licenses", "off", "--dedup", "off", "--no-screens",
+        "--n-buckets", "4",
+    ])
+    assert stats["incremental"]["updated_buckets"] >= 1
+    got = {(r.subj, r.pred, r.obj) for r in store.read_triples().collect()}
+    assert (
+        "zeta/late-fork:src/copy.py#grabField", "CLONE_OF",
+        "acme/jsonkit:src/jsonkit.py#parseJsonValue",
+    ) in got
+    # index refreshed in place: new keys present, count recorded
+    idx = spark.read.parquet(idx_dir)
+    assert idx.filter(idx.repo == "zeta/late-fork").count() == 1
+    assert stats["clone_index_rows"] == idx.count()

@@ -293,6 +293,7 @@ def incremental_code_kg_update(
     commit_col: str = "commit",
     lang_col: str = "lang",
     content_col: str = "content",
+    clone_index: DataFrame | None = None,
 ) -> dict:
     """Continuous code-KG maintenance: diff two snapshots of the source
     table by ``(repo, path, commit)``, re-extract triples ONLY for
@@ -307,7 +308,20 @@ def incremental_code_kg_update(
     O(changed files) extraction + O(touched buckets) rewrite — two
     anti-joins on the uniform (repo, path, commit) key; at catalog
     scale the adds/deletes come straight from the table format's commit
-    log (Iceberg incremental scan) instead of a snapshot diff."""
+    log (Iceberg incremental scan) instead of a snapshot diff.
+
+    With ``clone_index`` (a `code_clones.clone_key_index` snapshot),
+    CLONE_OF edges for the changed files are maintained in the same
+    bucket update: function subjects are ``repo:path#fn``, so
+    update_triples' doc-of-subj replacement drops a changed file's
+    stale clone edges automatically, and the incremental member edges
+    (``code_clones.incremental_clone_members`` — O(changed) work, no
+    corpus rescan) land in the same generation commit.  The index rows
+    of changed/removed files are anti-joined out first (a rename must
+    not make a file "a clone of its own old entry"); at catalog scale
+    that delete-then-append is the table format's row-level delete.
+    AFTER this returns, append ``clone_key_index(changed_files)`` to
+    the stored index (same diff: new_files ⟕̸ old keys)."""
     key = [repo_col, path_col, commit_col]
     changed = new_files.join(old_files.select(*key), key, "left_anti")
     removed = old_files.select(*key).join(new_files.select(*key), key, "left_anti")
@@ -318,7 +332,25 @@ def incremental_code_kg_update(
         .distinct()
     )
     new_triples = code_triples(changed, repo_col, path_col, lang_col, content_col)
-    return store.update_triples(new_triples, touched)
+    inc = None
+    if clone_index is not None:
+        from .code_clones import incremental_clone_members
+
+        stale = (
+            changed.select(F.col(repo_col).alias("repo"),
+                           F.col(path_col).alias("path"))
+            .unionByName(removed.select(F.col(repo_col).alias("repo"),
+                                        F.col(path_col).alias("path")))
+            .distinct()
+        )
+        live_index = clone_index.join(stale, ["repo", "path"], "left_anti")
+        inc = incremental_clone_members(
+            changed, live_index, repo_col, path_col, lang_col, content_col)
+        new_triples = new_triples.unionByName(inc.select("subj", "pred", "obj"))
+    result = store.update_triples(new_triples, touched)
+    if inc is not None:
+        inc._new_keys.unpersist()
+    return result
 
 
 # ---------------------------------------------------------------------------

@@ -310,6 +310,99 @@ def clone_triples(
     return out
 
 
+def clone_key_index(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    lang_col: str = "lang",
+    content_col: str = "content",
+    min_norm_len: int = 16,
+) -> DataFrame:
+    """The persistent clone-key INDEX for incremental clone detection:
+    one ``(repo, path, lang, func_name, func_key)`` row per non-trivial
+    function — a constant-width sketch a 100-TB pipeline stores once
+    (parquet, BUCKETED BY func_key so the per-batch semi-join below is
+    co-located) and appends to per push batch.  The dual of
+    `dedup.minhash_index` for exact type-2 keys."""
+    return _keyed_functions(docs, repo_col, path_col, lang_col,
+                            content_col, min_norm_len)
+
+
+def incremental_clone_members(
+    new_docs: DataFrame,
+    index: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    lang_col: str = "lang",
+    content_col: str = "content",
+    min_norm_len: int = 16,
+    max_group: int = 10_000,
+    persist: bool = True,
+) -> DataFrame:
+    """CLONE_OF edges for a NEW push batch against the stored corpus
+    index and within the batch — WITHOUT rescanning old content (the
+    operation a rolling 10^12-file pipeline runs when a push lands:
+    "is this function a copy of anything we already have?").
+
+    Winner stability: for keys already in the index the canonical
+    winner is the INDEX min — appends never re-point previously emitted
+    edges, so the edge set stays append-only (the trade vs the batch
+    path's global min; a later batch that would sort below the original
+    winner still points AT it).  Keys new to the corpus use the batch
+    min (the batch-path rule).  Old×old edges are never re-emitted —
+    that work was done when those batches landed.
+
+    Cost shape: O(batch) extraction (map-only), one distinct of batch
+    keys, a semi-join that prunes the index to touched keys (co-located
+    when the index is bucketed by func_key), two capped aggs, one
+    join-back.  Mega-groups are capped at ``max_group`` TOTAL members
+    (old + new) on the group side.  The batch's keyed rows ride on the
+    result as ``result._new_keys`` — append them to the index after
+    committing the edges (same contract as
+    `dedup.incremental_minhash_pairs`)."""
+    new_keyed = _keyed_functions(new_docs, repo_col, path_col, lang_col,
+                                 content_col, min_norm_len)
+    if persist:
+        new_keyed = new_keyed.persist()
+    touched = new_keyed.select("func_key").distinct()
+    idx = index.join(touched, "func_key", "left_semi")
+    w = F.struct(
+        F.col("repo").alias("repo"), F.col("path").alias("path"),
+        F.coalesce(F.col("func_name"), F.lit("")).alias("func_name"),
+    )
+    idx_w = idx.groupBy("func_key").agg(
+        F.min(w).alias("iw"), F.count("*").alias("n_old"))
+    batch_w = new_keyed.groupBy("func_key").agg(
+        F.min(w).alias("bw"), F.count("*").alias("n_new"))
+    winner = F.when(F.col("n_old").isNotNull(), F.col("iw")).otherwise(F.col("bw"))
+    groups = (
+        batch_w.join(idx_w, "func_key", "left")
+        .withColumn("n_total", F.col("n_new") + F.coalesce(F.col("n_old"), F.lit(0)))
+        .filter((F.col("n_total") >= 2) & (F.col("n_total") <= max_group))
+        .select(
+            "func_key",
+            # the struct coalesces func_name to '' for portable min
+            # ordering; nullif restores it so edge strings match the
+            # batch path's concat_ws-skips-null formatting
+            F.concat_ws("#", F.concat_ws(":", winner["repo"], winner["path"]),
+                        F.nullif(winner["func_name"], F.lit(""))).alias("_winner"),
+        )
+    )
+    out = (
+        new_keyed.join(groups, "func_key")
+        .withColumn(
+            "subj",
+            F.concat_ws("#", F.concat_ws(":", "repo", "path"), "func_name"),
+        )
+        .filter(F.col("subj") != F.col("_winner"))
+        .select("subj", F.lit("CLONE_OF").alias("pred"),
+                F.col("_winner").alias("obj"))
+        .distinct()
+    )
+    out._new_keys = new_keyed  # type: ignore[attr-defined]
+    return out
+
+
 def clone_license_conflicts(
     docs: DataFrame,
     repo_col: str = "repo",
