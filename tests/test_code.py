@@ -228,3 +228,31 @@ def test_code_triples_feed_kg_query(spark):
     bgp = query_bgp(t, [("?f", "IMPORTS", "os"), ("?f", "DEFINES", "?d")])
     hits = {(r["f"], r["d"]) for r in bgp.collect()}
     assert ("acme/jsonkit:src/jsonkit.py", "class:JsonParser") in hits
+
+
+def test_code_search_bm25(spark):
+    """Composition: the code→text channel (identifier subtokens +
+    comments/docstrings) is directly searchable with the native BM25
+    operator — code search without an external engine."""
+    from trove_spark.extras.bm25 import bm25_topk
+    from trove_spark.extras.code_curate import extract_comments
+
+    docs = _docs(spark)
+    subs = docs.select(
+        F.concat_ws(":", "repo", "path").alias("doc_id"),
+        F.array_join(split_identifiers_col(F.col("content")), " ").alias("text"),
+    )
+    com = extract_comments(docs).select(
+        F.concat_ws(":", "repo", "path").alias("doc_id"),
+        F.col("comment").alias("text"),
+    )
+    corpus = (
+        subs.unionByName(com)
+        .groupBy("doc_id")
+        .agg(F.array_join(F.collect_list("text"), " ").alias("text"))
+    )
+    top = bm25_topk(corpus, ["json", "parser"], k=3).collect()
+    ids = [r["doc_id"] for r in top]
+    assert "acme/jsonkit:src/jsonkit.py" in ids[:2]
+    scores = [r["score_micro"] for r in top]
+    assert scores == sorted(scores, reverse=True)
