@@ -84,6 +84,11 @@ def main(argv: list[str] | None = None) -> dict:
                     "unlicensed repos whose type-2 clone key appears in "
                     "a copyleft repo.  Runs over the RAW input (before "
                     "the license screen removes the copyleft sources).")
+    ap.add_argument("--datacard", action="store_true",
+                    help="embed a The-Stack-style release datasheet for "
+                    "the RAW input in the stats JSON (code_datacard: "
+                    "five bounded jobs — size/language/license/secret/"
+                    "dup/clone rates)")
     ap.add_argument("--n-buckets", type=int, default=16)
     ap.add_argument("--max-buckets", type=int, default=None,
                     help="stop after N uncommitted buckets (kill/resume testing)")
@@ -195,6 +200,12 @@ def main(argv: list[str] | None = None) -> dict:
              "fingerprint": r["content_fingerprint"]}
             for r in rows
         ]
+
+    if args.datacard:
+        from trove_spark.extras.code_curate import code_datacard
+
+        stats["datacard"] = code_datacard(docs)
+        _mark("datacard")
 
     # 1. per-row content-sha256 invariant manifest over the input
     stats["input_manifest"] = _manifest(docs)

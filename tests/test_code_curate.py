@@ -253,3 +253,96 @@ def test_secret_pattern_registry_shape():
     names = [n for n, _ in SECRET_PATTERNS]
     assert names[-1] == "secret_assign"
     assert len(names) == len(set(names))
+
+
+def test_code_datacard_cross_engine(spark):
+    """Every card stat replays stat-for-stat in DuckDB via the twin
+    registries — the release datasheet is engine-reproducible."""
+    from trove_spark.code_fixture import (
+        CODE_CLONE_DOCS,
+        CODE_CONFLICT_DOCS,
+        CODE_CURATE_DOCS,
+        CODE_DOCS,
+        code_conflict_fixture_sql,
+    )
+    from trove_spark.extras.code import canonical_lang_sql, code_quality_sql_exprs
+    from trove_spark.extras.code_clones import _norm_sql, extract_functions_sql
+    from trove_spark.extras.code_curate import (
+        code_datacard,
+        normalize_code_sql_expr,
+        repo_licenses_sql,
+        secret_stats_sql,
+    )
+
+    rows = CODE_DOCS + CODE_CURATE_DOCS + CODE_CLONE_DOCS + CODE_CONFLICT_DOCS
+    card = code_datacard(spark.createDataFrame(rows, schema=SCHEMA))
+    src = code_conflict_fixture_sql()
+
+    base = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT repo), sum(length(content)), "
+        f"sum(len(string_split(content, chr(10)))) FROM ({src})"
+    ).fetchone()
+    assert (card["n_files"], card["n_repos"]) == (base[0], base[1])
+    assert (card["n_chars"], card["n_lines"]) == (int(base[2]), int(base[3]))
+
+    q = code_quality_sql_exprs("content")
+    keep = (
+        f"({q['max_line_len']} <= 1000 AND {q['avg_line_len_x100']} <= 10000"
+        f" AND {q['alnum_permille']} >= 250 AND NOT {q['has_data_blob']}"
+        f" AND NOT {q['is_autogen']})"
+    )
+    n_pass = duckdb.sql(
+        f"SELECT sum(CASE WHEN {keep} THEN 1 ELSE 0 END) FROM ({src})"
+    ).fetchone()[0]
+    assert card["n_screen_pass"] == int(n_pass)
+
+    sec = duckdb.sql(
+        f"SELECT sum(n_secrets_total), "
+        f"sum(CASE WHEN n_secrets_total > 0 THEN 1 ELSE 0 END) "
+        f"FROM ({secret_stats_sql(src)})"
+    ).fetchone()
+    assert (card["n_secret_spans"], card["n_files_with_secrets"]) == (
+        int(sec[0]), int(sec[1]))
+
+    langs = dict(duckdb.sql(
+        f"SELECT coalesce({canonical_lang_sql('lang')}, 'other') AS lg, "
+        f"count(*) FROM ({src}) GROUP BY lg"
+    ).fetchall())
+    assert dict(card["languages"]) == langs
+
+    lic = dict(duckdb.sql(
+        f"SELECT license, count(*) FROM ({repo_licenses_sql(src)}) "
+        f"GROUP BY license"
+    ).fetchall())
+    assert dict(card["license_histogram"]) == lic
+    perm = duckdb.sql(
+        f"SELECT sum(CASE WHEN permissive THEN 1 ELSE 0 END) "
+        f"FROM ({repo_licenses_sql(src)})"
+    ).fetchone()[0]
+    assert card["n_repos_permissive"] == int(perm)
+    assert card["n_repos_licensed"] == sum(lic.values())
+
+    norm = normalize_code_sql_expr("lang", "content")
+    dup = duckdb.sql(
+        f"SELECT count(*), sum(n - 1) FROM "
+        f"(SELECT md5({norm}) AS k, count(*) AS n FROM ({src}) GROUP BY k)"
+    ).fetchone()
+    assert (card["n_distinct_normalized"], card["n_normalized_dup_files"]) \
+        == (int(dup[0]), int(dup[1]))
+
+    inner = extract_functions_sql(src)
+    fsql = (
+        f"SELECT md5(n) AS k FROM "
+        f"(SELECT {_norm_sql('lang', 'unit')} AS n FROM ({inner})) "
+        f"WHERE len(n) >= 16"
+    )
+    fn = duckdb.sql(
+        f"SELECT sum(n), sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END), "
+        f"sum(CASE WHEN n >= 2 THEN n ELSE 0 END) FROM "
+        f"(SELECT k, count(*) AS n FROM ({fsql}) GROUP BY k)"
+    ).fetchone()
+    assert (card["n_functions"], card["n_clone_groups"],
+            card["n_cloned_functions"]) == tuple(int(x or 0) for x in fn)
+    # sanity on fixture-known facts
+    assert card["n_clone_groups"] >= 4
+    assert card["n_files_with_secrets"] >= 1

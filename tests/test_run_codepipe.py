@@ -225,8 +225,13 @@ def test_codepipe_license_conflicts(spark, tmp_path):
     stats = run_codepipe.main([
         "--input", inp, "--output", out,
         "--dedup", "off", "--no-screens",
-        "--license-conflicts", rpt, "--n-buckets", "2",
+        "--license-conflicts", rpt, "--datacard", "--n-buckets", "2",
     ])
+    # the embedded datasheet covers the RAW input (pre-screen)
+    card = stats["datacard"]
+    assert card["n_files"] == stats["input_files"]
+    assert ("gpl-3.0", 2) in card["license_histogram"]
+    assert card["n_clone_groups"] >= 4
     # report found both contaminated twins, BEFORE the permissive screen
     assert stats["license_conflicts"] == 2
     rows = spark.read.parquet(rpt).collect()

@@ -505,6 +505,29 @@ def with_code_quality(docs: DataFrame, content_col: str = "content") -> DataFram
     return out
 
 
+def code_keep_col(
+    content_col: str = "content",
+    max_line_len: int = 1000,
+    max_avg_line_len: int = 100,
+    min_alnum_permille: int = 250,
+    max_data_blob: bool = True,
+    drop_autogen: bool = True,
+) -> Column:
+    """The StarCoder keep predicate as a pure column — reusable inside
+    other fused single-scan consumers (code_datacard's pass-rate agg)."""
+    q = code_quality_cols(content_col)
+    keep = (
+        (q["max_line_len"] <= max_line_len)
+        & (q["avg_line_len_x100"] <= max_avg_line_len * 100)
+        & (q["alnum_permille"] >= min_alnum_permille)
+    )
+    if max_data_blob:
+        keep = keep & ~q["has_data_blob"]
+    if drop_autogen:
+        keep = keep & ~q["is_autogen"]
+    return keep
+
+
 def code_screens(
     docs: DataFrame,
     content_col: str = "content",
@@ -516,17 +539,10 @@ def code_screens(
 ) -> DataFrame:
     """StarCoder-style keep filter — ONE fused map filter (the
     stream_curate discipline: never N scans for N screens)."""
-    q = code_quality_cols(content_col)
-    keep = (
-        (q["max_line_len"] <= max_line_len)
-        & (q["avg_line_len_x100"] <= max_avg_line_len * 100)
-        & (q["alnum_permille"] >= min_alnum_permille)
-    )
-    if max_data_blob:
-        keep = keep & ~q["has_data_blob"]
-    if drop_autogen:
-        keep = keep & ~q["is_autogen"]
-    return docs.filter(keep)
+    return docs.filter(code_keep_col(
+        content_col, max_line_len, max_avg_line_len, min_alnum_permille,
+        max_data_blob, drop_autogen,
+    ))
 
 
 # ---------------------------------------------------------------------------

@@ -268,6 +268,23 @@ def _count(col: Column, pattern: str) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0))).cast("long")
 
 
+def secret_count_cols(content_col: str = "content") -> tuple[dict[str, Column], Column]:
+    """Per-type secret-span counts on progressively-redacted text (one
+    span never double-counts) as PURE columns, plus their total — the
+    column form of `secret_stats`, reusable inside other fused
+    single-scan consumers (code_datacard's incidence agg).  Codegen CSE
+    shares the nested redaction prefixes across the counts."""
+    t = F.col(content_col)
+    cols: dict[str, Column] = {}
+    total = F.lit(0).cast("long")
+    for name, pat in SECRET_PATTERNS:
+        c = _count(t, pat)
+        cols[f"n_{name}"] = c
+        total = total + c
+        t = F.regexp_replace(t, F.lit(pat), F.lit(f"<SECRET:{name.upper()}>"))
+    return cols, total
+
+
 def secret_stats(
     docs: DataFrame,
     repo_col: str = "repo",
@@ -276,21 +293,12 @@ def secret_stats(
 ) -> DataFrame:
     """(repo, path, n_<type>..., n_secrets_total) counted on
     progressively-redacted text so one span never double-counts."""
-    out = docs.select(
+    cols, total = secret_count_cols(content_col)
+    return docs.select(
         F.col(repo_col).alias("repo"),
         F.col(path_col).alias("path"),
-        F.col(content_col).alias("_t"),
-    )
-    total = F.lit(0).cast("long")
-    cols = []
-    for name, pat in SECRET_PATTERNS:
-        out = out.withColumn(f"n_{name}", _count(F.col("_t"), pat)).withColumn(
-            "_t", F.regexp_replace("_t", pat, f"<SECRET:{name.upper()}>")
-        )
-        cols.append(f"n_{name}")
-        total = total + F.col(f"n_{name}")
-    return out.withColumn("n_secrets_total", total).select(
-        "repo", "path", *cols, "n_secrets_total"
+        *[c.alias(n) for n, c in cols.items()],
+        total.alias("n_secrets_total"),
     )
 
 
@@ -539,3 +547,106 @@ WITH rows_n AS (
   FROM rows_n GROUP BY content_key
 )
 SELECT content_key, n_copies, w.repo AS repo, w.path AS path FROM g"""
+
+
+# ---------------------------------------------------------------------------
+# Code datacard
+# ---------------------------------------------------------------------------
+
+def code_datacard(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    lang_col: str = "lang",
+    content_col: str = "content",
+    top_langs: int = 20,
+    min_norm_len: int = 16,
+) -> dict:
+    """The-Stack-style release datasheet for a code corpus, as a
+    JSON-able dict of exact integers (the `datacard` convention:
+    bit-reproducible across reruns and engines).
+
+    Cost model — FIVE bounded jobs over the corpus, never one per stat:
+      1. one fused map + single-row agg: files, repos, chars, lines,
+         StarCoder screen pass count (`code.code_keep_col`), secret
+         incidence (`secret_count_cols` progressive totals);
+      2. one small groupBy for the canonical-language histogram;
+      3. the license rollup histogram + permissive share (evidence rows
+         only — orders of magnitude under the corpus);
+      4. one md5-group shuffle for format-normalized duplication;
+      5. one func_key agg for function counts and type-2 clone rates.
+    Every number replays already-parity-tested column builders, so the
+    card is DuckDB-replayable stat by stat (tested)."""
+    from .code import canonical_lang_col, code_keep_col
+    from .code_clones import _keyed_functions
+
+    c = F.col(content_col)
+    _, secret_total = secret_count_cols(content_col)
+    keep = code_keep_col(content_col)
+    n_lines = F.size(F.split(c, "\n")).cast("long")
+
+    row = docs.agg(
+        F.count("*").alias("n_files"),
+        F.countDistinct(repo_col).alias("n_repos"),
+        F.sum(F.length(c).cast("long")).alias("n_chars"),
+        F.sum(n_lines).alias("n_lines"),
+        F.sum(keep.cast("long")).alias("n_screen_pass"),
+        F.sum((secret_total > 0).cast("long")).alias("n_files_with_secrets"),
+        F.sum(secret_total).alias("n_secret_spans"),
+    ).collect()[0]
+    card: dict = {k: int(v or 0) for k, v in row.asDict().items()}
+
+    lang_rows = (
+        docs.groupBy(
+            F.coalesce(canonical_lang_col(F.col(lang_col)),
+                       F.lit("other")).alias("lang")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("lang"))
+        .limit(top_langs)
+        .collect()
+    )
+    card["languages"] = [(r["lang"], int(r["n"])) for r in lang_rows]
+
+    lic_rows = (
+        repo_licenses(docs, repo_col, path_col, content_col)
+        .groupBy("license")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("permissive").cast("long")).alias("n_perm"))
+        .collect()
+    )
+    card["license_histogram"] = sorted(
+        (r["license"], int(r["n"])) for r in lic_rows
+    )
+    card["n_repos_licensed"] = sum(n for _, n in card["license_histogram"])
+    card["n_repos_permissive"] = int(sum(r["n_perm"] or 0 for r in lic_rows))
+
+    dup = (
+        docs.select(
+            F.md5(normalize_code_col(F.col(lang_col), F.col(content_col))).alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+        .agg(F.count("*").alias("n_distinct_normalized"),
+             F.sum(F.col("n") - 1).alias("n_normalized_dup_files"))
+        .collect()[0]
+    )
+    card["n_distinct_normalized"] = int(dup["n_distinct_normalized"])
+    card["n_normalized_dup_files"] = int(dup["n_normalized_dup_files"] or 0)
+
+    fr = (
+        _keyed_functions(docs, repo_col, path_col, lang_col, content_col,
+                         min_norm_len)
+        .groupBy("func_key")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.sum("n").alias("n_functions"),
+            F.sum(F.when(F.col("n") >= 2, 1).otherwise(0)).alias("n_clone_groups"),
+            F.sum(F.when(F.col("n") >= 2, F.col("n")).otherwise(0)).alias("n_cloned_functions"),
+        )
+        .collect()[0]
+    )
+    card["n_functions"] = int(fr["n_functions"] or 0)
+    card["n_clone_groups"] = int(fr["n_clone_groups"] or 0)
+    card["n_cloned_functions"] = int(fr["n_cloned_functions"] or 0)
+    return card
