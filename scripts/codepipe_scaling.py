@@ -39,6 +39,7 @@ def main() -> None:
     n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
     gen_only = "--gen-only" in sys.argv
     rounds = 3 if "--rounds3" in sys.argv else (2 if "--rounds2" in sys.argv else 1)
+    clones = "--clones" in sys.argv  # include the CLONE_OF stage in the timed pass
     try:
         os.sched_setaffinity(0, set(range(cores)))
     except (AttributeError, OSError):
@@ -79,14 +80,17 @@ def main() -> None:
     for _ in range(rounds):
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(deps, ignore_errors=True)
-        s = run_codepipe.main([
+        args = [
             "--input", inp, "--output", out,
             "--licenses", "permissive",
             "--redact-secrets",
             "--dedup", "normalized",
             "--deps-out", deps,
             "--n-buckets", "16",
-        ])
+        ]
+        if clones:
+            args.append("--clone-triples")
+        s = run_codepipe.main(args)
         walls.append(s["wall_s"])
         all_stage_walls.append(s["stage_walls"])
         if stats is None or s["wall_s"] == min(walls):
@@ -112,6 +116,7 @@ def main() -> None:
     best = min(walls)
     print(json.dumps({
         "cores": cores,
+        "clones": clones,
         "n_files": n_in,
         "kept_files": stats["kept_files"],
         "triples": n_triples,
