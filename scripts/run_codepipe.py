@@ -84,6 +84,12 @@ def main(argv: list[str] | None = None) -> dict:
                     "unlicensed repos whose type-2 clone key appears in "
                     "a copyleft repo.  Runs over the RAW input (before "
                     "the license screen removes the copyleft sources).")
+    ap.add_argument("--dependency-conflicts", default=None, metavar="DIR",
+                    help="also write the import-channel contamination "
+                    "report parquet here (code_curate."
+                    "dependency_license_conflicts): dependency edges "
+                    "where a permissive/unlicensed repo imports a "
+                    "copyleft repo.  Runs over the RAW input.")
     ap.add_argument("--datacard", action="store_true",
                     help="embed a The-Stack-style release datasheet for "
                     "the RAW input in the stats JSON (code_datacard: "
@@ -245,6 +251,19 @@ def main(argv: list[str] | None = None) -> dict:
             args.license_conflicts
         ).count()
         _mark("license_conflicts")
+
+    if args.dependency_conflicts:
+        # the linking-based complement (permissive/unlicensed repo
+        # IMPORTING a copyleft repo) — same RAW-corpus rule, same
+        # write-then-count-read-back discipline
+        from trove_spark.extras.code_curate import dependency_license_conflicts
+
+        dconfl = dependency_license_conflicts(raw_docs, licenses=rl)
+        dconfl.write.mode("overwrite").parquet(args.dependency_conflicts)
+        stats["dependency_conflicts"] = spark.read.parquet(
+            args.dependency_conflicts
+        ).count()
+        _mark("dependency_conflicts")
 
     if args.screens:
         docs = code_screens(docs)

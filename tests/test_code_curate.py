@@ -346,3 +346,73 @@ def test_code_datacard_cross_engine(spark):
     # sanity on fixture-known facts
     assert card["n_clone_groups"] >= 4
     assert card["n_files_with_secrets"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# Dependency-based license contamination
+# ---------------------------------------------------------------------------
+
+
+def test_dependency_graph_duckdb_parity(spark):
+    """The repo dependency graph replays edge-for-edge in DuckDB."""
+    from trove_spark.extras.code import dependency_graph, dependency_graph_sql
+
+    got = normalize_rows(tuple(r) for r in dependency_graph(_docs(spark)).collect())
+    want = normalize_rows(
+        duckdb.sql(dependency_graph_sql(code_curate_fixture_sql())).fetchall()
+    )
+    assert got == want and len(got) == 4
+
+
+def _depconf_docs(spark):
+    from trove_spark.code_fixture import CODE_DEPCONF_DOCS
+
+    return spark.createDataFrame(CODE_DEPCONF_DOCS, schema=SCHEMA)
+
+
+def test_dependency_license_conflicts_pinned(spark):
+    from trove_spark.extras.code import dependency_graph
+    from trove_spark.extras.code_curate import dependency_license_conflicts
+
+    docs = _depconf_docs(spark)
+    deps = {
+        (r["src_repo"], r["dst_repo"]): r["n_imports"]
+        for r in dependency_graph(docs).collect()
+    }
+    assert deps == {
+        ("viz/plotlib", "fsf/gplcore"): 1,   # mit -> gpl (flagged)
+        ("viz/plotlib", "acme/plotkit"): 1,  # mit -> mit (edge, no flag)
+        ("solo/hack", "fsf/gplcore"): 1,     # unlicensed -> gpl (flagged)
+        ("fsf/gpltool", "fsf/gplcore"): 1,   # gpl -> gpl (no flag)
+    }
+    got = {
+        (r["src_repo"], r["src_license"], r["dst_repo"], r["dst_license"])
+        for r in dependency_license_conflicts(docs).collect()
+    }
+    assert got == {
+        ("viz/plotlib", "mit", "fsf/gplcore", "gpl-3.0"),
+        ("solo/hack", None, "fsf/gplcore", "gpl-3.0"),
+    }
+
+
+def test_dependency_license_conflicts_duckdb_parity(spark):
+    """Flag-for-flag DuckDB parity over the union of every code fixture
+    list (the extra repos contribute only negatives: permissive->
+    permissive, copyleft src, no matching provider)."""
+    from trove_spark.code_fixture import CODE_DEPCONF_DOCS, _values_sql
+    from trove_spark.extras.code_curate import (
+        dependency_license_conflicts,
+        dependency_license_conflicts_sql,
+    )
+
+    rows = CODE_DOCS + CODE_CURATE_DOCS + CODE_DEPCONF_DOCS
+    sdf = dependency_license_conflicts(
+        spark.createDataFrame(rows, schema=SCHEMA)
+    )
+    got = normalize_rows(tuple(r) for r in sdf.collect())
+    want = normalize_rows(
+        duckdb.sql(
+            dependency_license_conflicts_sql(_values_sql(rows, "dlc_all"))
+        ).fetchall()
+    )
+    assert got == want and len(got) == 2

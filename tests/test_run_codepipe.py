@@ -366,3 +366,32 @@ def test_codepipe_incremental_clone_index(spark, tmp_path):
     idx = spark.read.parquet(idx_dir)
     assert idx.filter(idx.repo == "zeta/late-fork").count() == 1
     assert stats["clone_index_rows"] == idx.count()
+
+
+def test_codepipe_dependency_conflicts(spark, tmp_path):
+    """--dependency-conflicts writes the import-channel contamination
+    report over the RAW input while the permissive screen still removes
+    the copyleft provider from the KG itself."""
+    from trove_spark.code_fixture import CODE_DEPCONF_DOCS
+
+    inp = str(tmp_path / "files.parquet")
+    out = str(tmp_path / "kg")
+    rpt = str(tmp_path / "depconf")
+    spark.createDataFrame(CODE_DEPCONF_DOCS, schema=SCHEMA).write.parquet(inp)
+
+    stats = run_codepipe.main([
+        "--input", inp, "--output", out,
+        "--dedup", "off", "--no-screens",
+        "--dependency-conflicts", rpt, "--n-buckets", "2",
+    ])
+    assert stats["dependency_conflicts"] == 2
+    rows = spark.read.parquet(rpt).collect()
+    assert {(r.src_repo, r.src_license, r.dst_repo, r.dst_license)
+            for r in rows} == {
+        ("viz/plotlib", "mit", "fsf/gplcore", "gpl-3.0"),
+        ("solo/hack", None, "fsf/gplcore", "gpl-3.0"),
+    }
+    from trove_spark.graph import TripleStore
+
+    t = TripleStore(spark, out, n_buckets=2).read_triples()
+    assert t.filter(t.subj.startswith("fsf/gplcore")).count() == 0

@@ -665,3 +665,28 @@ def dependency_graph(
         .groupBy("src_repo", "dst_repo")
         .agg(F.count("*").cast("long").alias("n_imports"))
     )
+
+
+def dependency_graph_sql(docs_sql: str, repo="repo", path="path",
+                         lang="lang", content="content") -> str:
+    """DuckDB twin of :func:`dependency_graph` — composes
+    :func:`imports_sql_select` and :func:`providers_sql` with the same
+    top-segment resolution rule (last ``/`` segment for go, first
+    ``[.:/]`` segment otherwise; relative imports dropped)."""
+    imports = imports_sql_select(docs_sql, repo, path, lang, content)
+    providers = providers_sql(docs_sql, repo, path)
+    top = (
+        "(CASE WHEN lang = 'go' "
+        "THEN list_extract(string_split(module, '/'), -1) "
+        "ELSE list_extract(string_split_regex(module, '[.:/]'), 1) END)"
+    )
+    return f"""
+WITH dg_imp AS ({imports}), dg_prov AS ({providers}),
+dg_wants AS (
+  SELECT repo AS src_repo, lower({top}) AS module_top
+  FROM dg_imp WHERE NOT starts_with(module, '.')
+)
+SELECT src_repo, dst_repo, CAST(count(*) AS BIGINT) AS n_imports
+FROM dg_wants JOIN dg_prov USING (module_top)
+WHERE module_top != '' AND src_repo != dst_repo
+GROUP BY src_repo, dst_repo"""

@@ -650,3 +650,80 @@ def code_datacard(
     card["n_clone_groups"] = int(fr["n_clone_groups"] or 0)
     card["n_cloned_functions"] = int(fr["n_cloned_functions"] or 0)
     return card
+
+
+# ---------------------------------------------------------------------------
+# Dependency-based license contamination
+# ---------------------------------------------------------------------------
+
+
+def dependency_license_conflicts(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    lang_col: str = "lang",
+    content_col: str = "content",
+    licenses: DataFrame | None = None,
+    deps: DataFrame | None = None,
+) -> DataFrame:
+    """Import-graph license contamination: every dependency edge where a
+    PERMISSIVE or UNLICENSED repo imports a COPYLEFT-licensed repo —
+    (src_repo, src_license, dst_repo, dst_license, n_imports).  The
+    linking-based complement of ``code_clones.clone_license_conflicts``
+    (copied code vs linked code; (L)GPL terms attach through both
+    channels).  'other'-licensed repos are neither flagged nor sources,
+    matching the clone report's convention.
+
+    Must run over the RAW corpus BEFORE any permissive-only screen (the
+    screen removes exactly the copyleft providers that evidence the
+    conflict).  Pass precomputed ``licenses`` / ``deps`` frames to reuse
+    rollups the caller already built (run_codepipe does for licenses).
+
+    Scale shape (10^12 files): both inputs are ALREADY repo-level
+    (~10^8 rows) — the conflict pass itself adds two repo-key equi-joins
+    and a filter, no corpus scan and no shuffle wider than the edge
+    list.  The corpus-scale work lives in ``dependency_graph`` (one
+    module-name equi-join + one pair-count shuffle) and
+    ``repo_licenses`` (map-only evidence scan + one arg-min agg), each
+    executed once."""
+    from .code import dependency_graph
+
+    if deps is None:
+        deps = dependency_graph(docs, repo_col, path_col, lang_col, content_col)
+    if licenses is None:
+        licenses = repo_licenses(docs, repo_col, path_col, content_col)
+    lic = licenses.select("repo", "license")
+    dst = lic.filter(F.col("license").isin(*sorted(COPYLEFT_LICENSES))).select(
+        F.col("repo").alias("dst_repo"), F.col("license").alias("dst_license")
+    )
+    src = lic.select(
+        F.col("repo").alias("src_repo"), F.col("license").alias("src_license")
+    )
+    return (
+        deps.join(dst, "dst_repo")
+        .join(src, "src_repo", "left")
+        .filter(
+            F.col("src_license").isNull()
+            | F.col("src_license").isin(*sorted(PERMISSIVE_LICENSES))
+        )
+        .select("src_repo", "src_license", "dst_repo", "dst_license", "n_imports")
+    )
+
+
+def dependency_license_conflicts_sql(docs_sql: str, repo="repo", path="path",
+                                     lang="lang", content="content") -> str:
+    """DuckDB twin of :func:`dependency_license_conflicts`."""
+    from .code import dependency_graph_sql
+
+    deps = dependency_graph_sql(docs_sql, repo, path, lang, content)
+    lic = repo_licenses_sql(docs_sql, repo, path, content)
+    cl = ", ".join(f"'{x}'" for x in sorted(COPYLEFT_LICENSES))
+    perm = ", ".join(f"'{x}'" for x in sorted(PERMISSIVE_LICENSES))
+    return f"""
+WITH dlc_deps AS ({deps}), dlc_lic AS ({lic})
+SELECT d.src_repo, sl.license AS src_license,
+       d.dst_repo, dl.license AS dst_license, d.n_imports
+FROM dlc_deps d
+JOIN dlc_lic dl ON d.dst_repo = dl.repo AND dl.license IN ({cl})
+LEFT JOIN dlc_lic sl ON d.src_repo = sl.repo
+WHERE sl.license IS NULL OR sl.license IN ({perm})"""
