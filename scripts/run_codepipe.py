@@ -90,6 +90,10 @@ def main(argv: list[str] | None = None) -> dict:
                     "dependency_license_conflicts): dependency edges "
                     "where a permissive/unlicensed repo imports a "
                     "copyleft repo.  Runs over the RAW input.")
+    ap.add_argument("--dependency-hops", type=int, default=1,
+                    help="with --dependency-conflicts: >1 switches to "
+                    "the transitive closure (BFS within N imports, "
+                    "hop-distance + deterministic copyleft witness)")
     ap.add_argument("--datacard", action="store_true",
                     help="embed a The-Stack-style release datasheet for "
                     "the RAW input in the stats JSON (code_datacard: "
@@ -256,9 +260,17 @@ def main(argv: list[str] | None = None) -> dict:
         # the linking-based complement (permissive/unlicensed repo
         # IMPORTING a copyleft repo) — same RAW-corpus rule, same
         # write-then-count-read-back discipline
-        from trove_spark.extras.code_curate import dependency_license_conflicts
+        from trove_spark.extras.code_curate import (
+            dependency_license_conflicts,
+            transitive_dependency_conflicts,
+        )
 
-        dconfl = dependency_license_conflicts(raw_docs, licenses=rl)
+        if args.dependency_hops > 1:
+            dconfl = transitive_dependency_conflicts(
+                raw_docs, max_hops=args.dependency_hops, licenses=rl
+            )
+        else:
+            dconfl = dependency_license_conflicts(raw_docs, licenses=rl)
         dconfl.write.mode("overwrite").parquet(args.dependency_conflicts)
         stats["dependency_conflicts"] = spark.read.parquet(
             args.dependency_conflicts

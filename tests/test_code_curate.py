@@ -416,3 +416,72 @@ def test_dependency_license_conflicts_duckdb_parity(spark):
         ).fetchall()
     )
     assert got == want and len(got) == 2
+
+
+def test_transitive_dependency_conflicts_pinned(spark):
+    """Chain fixture: mit->gpl at 1 hop, mit->mit->gpl at 2, and an
+    unlicensed repo three imports away — all flagged with the same
+    deterministic copyleft witness and their BFS hop distance; the
+    copyleft importer stays excluded; max_hops truncates the closure."""
+    from trove_spark.code_fixture import CODE_DEPCHAIN_DOCS, CODE_DEPCONF_DOCS
+    from trove_spark.extras.code_curate import transitive_dependency_conflicts
+
+    docs = spark.createDataFrame(
+        CODE_DEPCONF_DOCS + CODE_DEPCHAIN_DOCS, schema=SCHEMA
+    )
+    got = {
+        (r["src_repo"], r["src_license"], r["copyleft_repo"], r["hops"])
+        for r in transitive_dependency_conflicts(docs, max_hops=3).collect()
+    }
+    assert got == {
+        ("viz/plotlib", "mit", "fsf/gplcore", 1),
+        ("solo/hack", None, "fsf/gplcore", 1),
+        ("app/dash", "mit", "fsf/gplcore", 2),
+        ("corp/far", None, "fsf/gplcore", 3),
+    }
+    got2 = {
+        r["src_repo"]
+        for r in transitive_dependency_conflicts(docs, max_hops=2).collect()
+    }
+    assert got2 == {"viz/plotlib", "solo/hack", "app/dash"}
+
+
+def test_transitive_dependency_conflicts_duckdb_parity(spark):
+    from trove_spark.code_fixture import (
+        CODE_DEPCHAIN_DOCS,
+        CODE_DEPCONF_DOCS,
+        _values_sql,
+    )
+    from trove_spark.extras.code_curate import (
+        transitive_dependency_conflicts,
+        transitive_dependency_conflicts_sql,
+    )
+
+    rows = CODE_DOCS + CODE_CURATE_DOCS + CODE_DEPCONF_DOCS + CODE_DEPCHAIN_DOCS
+    for hops in (1, 3):
+        sdf = transitive_dependency_conflicts(
+            spark.createDataFrame(rows, schema=SCHEMA), max_hops=hops
+        )
+        got = normalize_rows(tuple(r) for r in sdf.collect())
+        want = normalize_rows(
+            duckdb.sql(
+                transitive_dependency_conflicts_sql(
+                    _values_sql(rows, "tdc_all"), max_hops=hops
+                )
+            ).fetchall()
+        )
+        assert got == want and len(got) >= 2
+    # 1-hop closure == the direct-edge report's flag set
+    from trove_spark.extras.code_curate import dependency_license_conflicts
+
+    direct = dependency_license_conflicts(
+        spark.createDataFrame(rows, schema=SCHEMA)
+    )
+    d = {(r["src_repo"], r["dst_repo"]) for r in direct.collect()}
+    t = {
+        (r["src_repo"], r["copyleft_repo"])
+        for r in transitive_dependency_conflicts(
+            spark.createDataFrame(rows, schema=SCHEMA), max_hops=1
+        ).collect()
+    }
+    assert t == d

@@ -372,12 +372,14 @@ def test_codepipe_dependency_conflicts(spark, tmp_path):
     """--dependency-conflicts writes the import-channel contamination
     report over the RAW input while the permissive screen still removes
     the copyleft provider from the KG itself."""
-    from trove_spark.code_fixture import CODE_DEPCONF_DOCS
+    from trove_spark.code_fixture import CODE_DEPCHAIN_DOCS, CODE_DEPCONF_DOCS
 
     inp = str(tmp_path / "files.parquet")
     out = str(tmp_path / "kg")
     rpt = str(tmp_path / "depconf")
-    spark.createDataFrame(CODE_DEPCONF_DOCS, schema=SCHEMA).write.parquet(inp)
+    spark.createDataFrame(
+        CODE_DEPCONF_DOCS + CODE_DEPCHAIN_DOCS, schema=SCHEMA
+    ).write.parquet(inp)
 
     stats = run_codepipe.main([
         "--input", inp, "--output", out,
@@ -395,3 +397,20 @@ def test_codepipe_dependency_conflicts(spark, tmp_path):
 
     t = TripleStore(spark, out, n_buckets=2).read_triples()
     assert t.filter(t.subj.startswith("fsf/gplcore")).count() == 0
+
+    # transitive closure: the 2- and 3-hop chain repos join the report
+    import shutil
+
+    shutil.rmtree(out)
+    stats = run_codepipe.main([
+        "--input", inp, "--output", out,
+        "--dedup", "off", "--no-screens",
+        "--dependency-conflicts", rpt, "--dependency-hops", "3",
+        "--n-buckets", "2",
+    ])
+    assert stats["dependency_conflicts"] == 4
+    hops = {
+        r.src_repo: r.hops for r in spark.read.parquet(rpt).collect()
+    }
+    assert hops == {"viz/plotlib": 1, "solo/hack": 1, "app/dash": 2,
+                    "corp/far": 3}

@@ -727,3 +727,120 @@ FROM dlc_deps d
 JOIN dlc_lic dl ON d.dst_repo = dl.repo AND dl.license IN ({cl})
 LEFT JOIN dlc_lic sl ON d.src_repo = sl.repo
 WHERE sl.license IS NULL OR sl.license IN ({perm})"""
+
+
+def transitive_dependency_conflicts(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    lang_col: str = "lang",
+    content_col: str = "content",
+    max_hops: int = 3,
+    licenses: DataFrame | None = None,
+    deps: DataFrame | None = None,
+) -> DataFrame:
+    """Transitive closure of :func:`dependency_license_conflicts`:
+    every PERMISSIVE or UNLICENSED repo whose dependency chain reaches a
+    COPYLEFT repo within ``max_hops`` imports — (src_repo, src_license,
+    copyleft_repo, copyleft_license, hops).  (L)GPL obligations
+    propagate through intermediate dependencies, so the direct-edge
+    report understates exposure; the witness is deterministic: first by
+    hop distance (BFS first reach), then the lexicographically-least
+    copyleft repo at that distance.
+
+    Shape: backward BFS over the REPO-level edge list from the copyleft
+    seed set — ``max_hops`` equi-joins on repo keys (each frontier is a
+    subset of repos, monotonically shrinking via the anti-join; cycles
+    cannot re-enter).  ``localCheckpoint`` per round truncates the
+    iterative plan (the label-propagation lesson).  No corpus scan
+    beyond the two inputs, each computed once."""
+    from .code import dependency_graph
+
+    if deps is None:
+        deps = dependency_graph(docs, repo_col, path_col, lang_col, content_col)
+    if licenses is None:
+        licenses = repo_licenses(docs, repo_col, path_col, content_col)
+    lic = licenses.select("repo", "license")
+    edges = deps.select("src_repo", "dst_repo")
+    seed = lic.filter(F.col("license").isin(*sorted(COPYLEFT_LICENSES))).select(
+        "repo",
+        F.struct(
+            F.lit(0).alias("h"),
+            F.col("repo").alias("cr"),
+            F.col("license").alias("cl"),
+        ).alias("w"),
+    )
+    reached, frontier = seed, seed
+    for _ in range(max_hops):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("repo", "dst_repo"), "dst_repo")
+            .select(
+                F.col("src_repo").alias("repo"),
+                F.struct(
+                    (F.col("w.h") + F.lit(1)).alias("h"),
+                    F.col("w.cr").alias("cr"),
+                    F.col("w.cl").alias("cl"),
+                ).alias("w"),
+            )
+            .groupBy("repo")
+            .agg(F.min("w").alias("w"))
+            .join(reached.select("repo"), "repo", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        reached = reached.unionByName(nxt)
+        frontier = nxt
+    src = lic.withColumnRenamed("repo", "src_repo").withColumnRenamed(
+        "license", "src_license"
+    )
+    return (
+        reached.filter(F.col("w.h") >= 1)
+        .withColumnRenamed("repo", "src_repo")
+        .join(src, "src_repo", "left")
+        .filter(
+            F.col("src_license").isNull()
+            | F.col("src_license").isin(*sorted(PERMISSIVE_LICENSES))
+        )
+        .select(
+            "src_repo",
+            "src_license",
+            F.col("w.cr").alias("copyleft_repo"),
+            F.col("w.cl").alias("copyleft_license"),
+            F.col("w.h").cast("long").alias("hops"),
+        )
+    )
+
+
+def transitive_dependency_conflicts_sql(
+    docs_sql: str, repo="repo", path="path", lang="lang", content="content",
+    max_hops: int = 3,
+) -> str:
+    """DuckDB twin of :func:`transitive_dependency_conflicts` — bounded
+    WITH RECURSIVE path enumeration + the same min-of-struct witness
+    (min over all ≤max_hops paths ≡ BFS first-reach + lexicographic
+    tie-break; struct order (h, cr, cl) on both engines)."""
+    from .code import dependency_graph_sql
+
+    deps = dependency_graph_sql(docs_sql, repo, path, lang, content)
+    lic = repo_licenses_sql(docs_sql, repo, path, content)
+    cl = ", ".join(f"'{x}'" for x in sorted(COPYLEFT_LICENSES))
+    perm = ", ".join(f"'{x}'" for x in sorted(PERMISSIVE_LICENSES))
+    return f"""
+WITH RECURSIVE tdc_deps AS ({deps}), tdc_lic AS ({lic}),
+tdc_reach(repo, h, cr, cl) AS (
+  SELECT repo, 0, repo, license FROM tdc_lic WHERE license IN ({cl})
+  UNION ALL
+  SELECT d.src_repo, r.h + 1, r.cr, r.cl
+  FROM tdc_deps d JOIN tdc_reach r ON d.dst_repo = r.repo
+  WHERE r.h < {max_hops}
+),
+tdc_best AS (
+  SELECT repo, min({{'h': h, 'cr': cr, 'cl': cl}}) AS w
+  FROM tdc_reach GROUP BY repo
+)
+SELECT b.repo AS src_repo, sl.license AS src_license,
+       struct_extract(b.w, 'cr') AS copyleft_repo,
+       struct_extract(b.w, 'cl') AS copyleft_license,
+       CAST(struct_extract(b.w, 'h') AS BIGINT) AS hops
+FROM tdc_best b LEFT JOIN tdc_lic sl ON b.repo = sl.repo
+WHERE struct_extract(b.w, 'h') >= 1
+  AND (sl.license IS NULL OR sl.license IN ({perm}))"""
