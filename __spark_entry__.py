@@ -978,29 +978,31 @@ def q_code_triples(spark, sf_dir):
     return code_triples(docs)
 
 
-def q_code_licenses(spark, sf_dir):
-    """License detection + per-repo rollup (extras/code_curate.py): SPDX
-    headers anywhere + full-text phrase families over LICENSE-shaped
-    paths → arg-min-by-restrictiveness rollup to (repo, license,
-    permissive) — The Stack's permissive-only training cut.  Fixed-scale
-    by design: the corpus is the frozen code+curation fixture (MIT /
-    Apache-2.0 / GPL-3 texts, an SPDX-tagged source file, an
-    unrecognized license file) and the oracle replays the IDENTICAL
-    Java∩RE2 pattern registry over the same VALUES table.  Takes the
-    slot of kg_coverage_stats (G5-G7), whose per-token-groupBy →
-    global-boolean-sum shape is exercised verbatim INSIDE the green
-    kg_lf_summary row (same per-token vote agg, same >=2 boolean sums,
-    per-LF instead of global); a dedicated DuckDB-parity pytest
-    (test_analysis.py::test_coverage_stats_duckdb_parity) keeps
-    kg_coverage_stats itself end-to-end checked at sf0.001."""
-    from trove_spark.code_fixture import CODE_CURATE_DOCS, CODE_DOCS
-    from trove_spark.extras.code_curate import repo_licenses
+def q_code_dependency_conflicts(spark, sf_dir):
+    """Transitive dependency-license contamination
+    (extras/code_curate.transitive_dependency_conflicts): permissive or
+    unlicensed repos whose import chain reaches a copyleft repo within
+    3 hops — backward BFS over the repo dependency graph from the
+    copyleft seed set, min-of-struct (hops, repo) witness; the oracle
+    replays it as a bounded WITH RECURSIVE path enumeration over the
+    same VALUES fixture (the conflict triangle + a 2- and a 3-hop
+    chain, so direct, transitive, truncation, unlicensed-NULL and
+    copyleft-importer-excluded cases are all exercised).  Takes the
+    slot of code_licenses (which itself took kg_coverage_stats, see
+    git history): the license-detection + arg-min rollup plan of
+    code_licenses runs VERBATIM inside this row on both engines
+    (repo_licenses / repo_licenses_sql are composed as the seed and
+    flag joins), and
+    test_code_curate.py::test_repo_licenses_duckdb_parity keeps the
+    standalone rollup end-to-end checked."""
+    from trove_spark.code_fixture import CODE_DEPCHAIN_DOCS, CODE_DEPCONF_DOCS
+    from trove_spark.extras.code_curate import transitive_dependency_conflicts
 
     docs = spark.createDataFrame(
-        CODE_DOCS + CODE_CURATE_DOCS,
+        CODE_DEPCONF_DOCS + CODE_DEPCHAIN_DOCS,
         schema="repo string, path string, commit string, lang string, content string",
     )
-    return repo_licenses(docs)
+    return transitive_dependency_conflicts(docs, max_hops=3)
 
 
 def q_dedup_jaccard_pairs(spark, sf_dir):
@@ -1341,9 +1343,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slot swapped r5: kg_coverage_stats' per-token-agg →
         # global-boolean-sum shape is exercised inside kg_lf_summary's
         # green row, and a dedicated sf0.001 DuckDB-parity pytest keeps
-        # it checked; code_licenses adds the license-detection operator
-        # over the BASELINE input_hint shape.
-        "code_licenses": q_code_licenses,
+        # it checked; code_licenses added the license-detection operator
+        # over the BASELINE input_hint shape, then yielded in turn to
+        # code_dependency_conflicts (whose plan embeds the identical
+        # rollup on both engines — see the row's docstring).
+        "code_dependency_conflicts": q_code_dependency_conflicts,
         "kg_lf_summary": q_kg_lf_summary,
         "kg_ontology_rank": q_kg_ontology_rank,
         "kg_label_model": q_kg_label_model,
@@ -1418,11 +1422,14 @@ def oracle_sql() -> dict[str, str]:
     from trove_spark.code_fixture import (
         code_clone_fixture_sql,
         code_curate_fixture_sql,
+        code_depconf_chain_fixture_sql,
         code_fixture_sql,
     )
     from trove_spark.extras.code import code_triples_oracle_sql
     from trove_spark.extras.code_clones import function_clones_sql
-    from trove_spark.extras.code_curate import repo_licenses_sql
+    from trove_spark.extras.code_curate import (
+        transitive_dependency_conflicts_sql,
+    )
     from trove_spark.extras.code_link import symbol_links_oracle_sql
     from trove_spark.extras.collocations import collocations_oracle_sql
     from trove_spark.extras.sketches import heavy_hitters_oracle_sql
@@ -1431,7 +1438,8 @@ def oracle_sql() -> dict[str, str]:
 
     out.update({
         "code_triples": code_triples_oracle_sql(code_fixture_sql()),
-        "code_licenses": repo_licenses_sql(code_curate_fixture_sql()),
+        "code_dependency_conflicts": transitive_dependency_conflicts_sql(
+            code_depconf_chain_fixture_sql(), max_hops=3),
         "code_symbol_links": symbol_links_oracle_sql(code_curate_fixture_sql()),
         "code_clone_groups": function_clones_sql(code_clone_fixture_sql()),
         "kg_label_model": label_model_oracle_sql(n_iter=3),
