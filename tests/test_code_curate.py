@@ -485,3 +485,33 @@ def test_transitive_dependency_conflicts_duckdb_parity(spark):
         ).collect()
     }
     assert t == d
+
+
+def test_dependency_conflict_triples_feed_kg_query(spark):
+    """Composition: contamination edges ride the generic triple contract
+    (SPO match + k_hop over the emitted frame)."""
+    from trove_spark.code_fixture import CODE_DEPCHAIN_DOCS, CODE_DEPCONF_DOCS
+    from trove_spark.extras.code_curate import (
+        dependency_conflict_triples,
+        transitive_dependency_conflicts,
+    )
+    from trove_spark.kg_query import k_hop, match_pattern
+
+    docs = spark.createDataFrame(
+        CODE_DEPCONF_DOCS + CODE_DEPCHAIN_DOCS, schema=SCHEMA
+    )
+    t = dependency_conflict_triples(
+        transitive_dependency_conflicts(docs, max_hops=3)
+    )
+    assert {tuple(r) for r in t.collect()} == {
+        ("viz/plotlib", "DEPENDS_ON_COPYLEFT", "fsf/gplcore"),
+        ("solo/hack", "DEPENDS_ON_COPYLEFT", "fsf/gplcore"),
+        ("app/dash", "DEPENDS_ON_COPYLEFT", "fsf/gplcore"),
+        ("corp/far", "DEPENDS_ON_COPYLEFT", "fsf/gplcore"),
+    }
+    m = match_pattern(t, subj="corp/far")
+    assert m.count() == 1
+    # witness edges form a star: every exposed repo is 1 hop from the seed
+    seeds = spark.createDataFrame([("viz/plotlib",)], "node string")
+    reach = k_hop(t, seeds, k=1, direction="out")
+    assert {r["node"] for r in reach.collect()} >= {"fsf/gplcore"}

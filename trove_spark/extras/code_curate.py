@@ -844,3 +844,18 @@ SELECT b.repo AS src_repo, sl.license AS src_license,
 FROM tdc_best b LEFT JOIN tdc_lic sl ON b.repo = sl.repo
 WHERE struct_extract(b.w, 'h') >= 1
   AND (sl.license IS NULL OR sl.license IN ({perm}))"""
+
+
+def dependency_conflict_triples(conflicts: DataFrame) -> DataFrame:
+    """Contamination edges as ``(subj, pred, obj)`` = (src_repo,
+    DEPENDS_ON_COPYLEFT, copyleft witness repo) — the same triple-frame
+    contract as code_triples / clone_triples, so exposure chains are
+    k_hop/components-queryable in the TripleStore.  Accepts either
+    report shape (`dependency_license_conflicts` uses ``dst_repo``,
+    `transitive_dependency_conflicts` uses ``copyleft_repo``)."""
+    dst = "copyleft_repo" if "copyleft_repo" in conflicts.columns else "dst_repo"
+    return conflicts.select(
+        F.col("src_repo").alias("subj"),
+        F.lit("DEPENDS_ON_COPYLEFT").alias("pred"),
+        F.col(dst).alias("obj"),
+    ).distinct()
