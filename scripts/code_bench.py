@@ -366,6 +366,19 @@ def main() -> None:
     out["license_conflicts_s"] = best2(_run_confl)
     out["license_conflicts"] = _run_confl()
 
+    # --- dependency-channel contamination (import graph × license
+    # rollup, transitive closure to 3 hops): the corpus-scale work is
+    # the two input scans; the closure itself is repo-level joins
+    from trove_spark.extras.code_curate import transitive_dependency_conflicts
+
+    dep_docs = docs.unionByName(license_rows(spark, n_files))
+    out["dep_conflicts_s"] = best2(
+        lambda: transitive_dependency_conflicts(dep_docs, max_hops=3).count()
+    )
+    out["dep_conflicts"] = transitive_dependency_conflicts(
+        dep_docs, max_hops=3
+    ).count()
+
     # --- curation battery (extras/code_curate.py) over an AUGMENTED corpus:
     # per-repo LICENSE files (mit/apache/gpl3 round-robin, 10% SPDX-tagged
     # source files), ~1% secret-bearing files, and 20% reformatted twins —
