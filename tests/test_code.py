@@ -256,3 +256,81 @@ def test_code_search_bm25(spark):
     assert "acme/jsonkit:src/jsonkit.py" in ids[:2]
     scores = [r["score_micro"] for r in top]
     assert scores == sorted(scores, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# Declared dependencies (package manifests)
+# ---------------------------------------------------------------------------
+
+
+def test_declared_dependencies_pinned(spark):
+    from trove_spark.code_fixture import CODE_MANIFEST_DOCS
+    from trove_spark.extras.code import declared_dependencies
+
+    docs = spark.createDataFrame(CODE_MANIFEST_DOCS, schema=SCHEMA)
+    got = {
+        (r["repo"], r["ecosystem"], r["dep_name"], r["spec"])
+        for r in declared_dependencies(docs).collect()
+    }
+    assert got == {
+        ("py/app", "pypi", "jsonkit", "==1.2"),
+        ("py/app", "pypi", "numpy", ">=1.21,<2"),
+        ("py/app", "pypi", "Json_Kit-extra", "==0.1"),
+        ("js/site", "npm", "leftpad", "^1.0.0"),
+        ("js/site", "npm", "plotkit", "2.1.0"),      # jest (dev) excluded
+        ("go/svc", "go", "github.com/acme/webapp", "v1.2.0"),
+        ("go/svc", "go", "github.com/gopher/tool", "v0.9.1"),
+        ("go/svc", "go", "golang.org/x/text", "v0.3.0"),
+        ("rs/cli", "cargo", "serde", '"1.0"'),
+        ("rs/cli", "cargo", "ferris", '{ version = "0.2" }'),  # mockall (dev) excluded
+    }
+
+
+def test_declared_dependencies_duckdb_parity(spark):
+    import duckdb
+
+    from trove_spark.code_fixture import (
+        CODE_DOCS,
+        CODE_MANIFEST_DOCS,
+        code_manifest_fixture_sql,
+    )
+    from trove_spark.extras.code import (
+        declared_dependencies,
+        declared_dependencies_sql,
+        manifest_dependency_graph,
+        manifest_dependency_graph_sql,
+    )
+
+    docs = spark.createDataFrame(CODE_DOCS + CODE_MANIFEST_DOCS, schema=SCHEMA)
+    src = code_manifest_fixture_sql()
+    got = normalize_rows(tuple(r) for r in declared_dependencies(docs).collect())
+    want = normalize_rows(duckdb.sql(declared_dependencies_sql(src)).fetchall())
+    assert got == want and len(got) == 10
+
+    got_g = normalize_rows(
+        tuple(r) for r in manifest_dependency_graph(docs).collect()
+    )
+    want_g = normalize_rows(
+        duckdb.sql(manifest_dependency_graph_sql(src)).fetchall()
+    )
+    assert got_g == want_g and len(got_g) == 5
+
+
+def test_manifest_dependency_graph_pinned(spark):
+    from trove_spark.code_fixture import CODE_DOCS, CODE_MANIFEST_DOCS
+    from trove_spark.extras.code import manifest_dependency_graph
+
+    docs = spark.createDataFrame(CODE_DOCS + CODE_MANIFEST_DOCS, schema=SCHEMA)
+    got = {
+        (r["src_repo"], r["dst_repo"], r["ecosystem"]): r["n_deps"]
+        for r in manifest_dependency_graph(docs).collect()
+    }
+    assert got == {
+        ("py/app", "acme/jsonkit", "pypi"): 1,       # jsonkit==1.2
+        ("js/site", "npm/leftpad", "npm"): 1,        # leftpad ^1.0.0
+        ("go/svc", "acme/webapp", "go"): 1,          # module basename
+        ("go/svc", "gopher/tool", "go"): 1,
+        ("rs/cli", "rustacean/ferris", "cargo"): 1,
+    }
+    # Json_Kit-extra normalizes to json-kit-extra, NOT jsonkit; numpy,
+    # plotkit, serde, golang.org/x/text have no provider repo

@@ -690,3 +690,182 @@ SELECT src_repo, dst_repo, CAST(count(*) AS BIGINT) AS n_imports
 FROM dg_wants JOIN dg_prov USING (module_top)
 WHERE module_top != '' AND src_repo != dst_repo
 GROUP BY src_repo, dst_repo"""
+
+
+# ---------------------------------------------------------------------------
+# Declared dependencies from package manifests
+# ---------------------------------------------------------------------------
+
+# (ecosystem, manifest-path regex, block regex or '', name regex, spec
+# regex).  The optional block regex narrows the text first (group 1);
+# the name and spec patterns then match the SAME line set inside it, so
+# a positional zip re-pairs them — the aligned-double-extract_all trick
+# (regexp_extract_all returns ONE group, and the shared Java∩RE2
+# dialect has no lookaround).  Documented-reduced parsing: whole-line
+# regex grammars, not a TOML/JSON parser — the same trade the import
+# grammars make; a build-tool resolver is the production swap-in.
+MANIFEST_GRAMMAR: list[tuple[str, str, str, str, str]] = [
+    # requirements.txt: dep lines start with an alnum name; comments
+    # (#), includes (-r) and options (--x) start elsewhere and drop out
+    ("pypi", r"(^|/)requirements[^/]*\.txt$", "",
+     r"(?m)^[ \t]*([A-Za-z0-9][A-Za-z0-9._-]*)[^\r\n]*",
+     r"(?m)^[ \t]*[A-Za-z0-9][A-Za-z0-9._-]*[ \t]*([^\r\n]*)"),
+    # package.json: the first non-greedy {...} after the literal
+    # "dependencies" key (devDependencies cannot match — capital D)
+    ("npm", r"(^|/)package\.json$",
+     r'(?s)"dependencies"[ \t]*:[ \t]*\{(.*?)\}',
+     r'"([^"]+)"[ \t]*:',
+     r'"[^"]+"[ \t]*:[ \t]*"([^"]*)"'),
+    # go.mod: single-line `require mod vX` ...
+    ("go", r"(^|/)go\.mod$", "",
+     r"(?m)^require[ \t]+([^ \t\r\n(]+)[ \t]+v[^ \t\r\n]*",
+     r"(?m)^require[ \t]+[^ \t\r\n(]+[ \t]+(v[^ \t\r\n]*)"),
+    # ... plus the require ( ... ) block (closing ')' line starts
+    # non-alnum and drops out; '// indirect' tails stay in the spec's
+    # token only if glued — the spec captures the version token alone)
+    ("go", r"(^|/)go\.mod$", r"(?s)require[ \t]*\((.*?)\)",
+     r"(?m)^[ \t]*([A-Za-z0-9][^ \t\r\n]*)[ \t]+v[^ \t\r\n]*",
+     r"(?m)^[ \t]*[A-Za-z0-9][^ \t\r\n]*[ \t]+(v[^ \t\r\n]*)"),
+    # Cargo.toml: `name = spec` lines inside [dependencies] only
+    # ([dev-dependencies] cannot match the literal section header)
+    ("cargo", r"(^|/)Cargo\.toml$",
+     r"(?s)\[dependencies\](.*?)(\n\[|$)",
+     r"(?m)^[ \t]*([A-Za-z0-9_-]+)[ \t]*=",
+     r"(?m)^[ \t]*[A-Za-z0-9_-]+[ \t]*=[ \t]*([^\r\n]+)"),
+]
+
+
+def declared_dependencies(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    content_col: str = "content",
+) -> DataFrame:
+    """DISTINCT ``(repo, path, ecosystem, dep_name, spec)`` from package
+    manifests (requirements.txt / package.json / go.mod / Cargo.toml) —
+    the DECLARED-dependency channel next to :func:`extract_imports`'s
+    observed-imports channel.  Map-only: the path filter prunes the scan
+    to manifest-shaped files before any content regex runs, every
+    extraction is a per-row regexp over :data:`MANIFEST_GRAMMAR`, and
+    the only shuffle is the closing distinct."""
+    parts = []
+    for eco, path_re, block_re, name_re, spec_re in MANIFEST_GRAMMAR:
+        text = F.col(content_col)
+        if block_re:
+            text = F.regexp_extract(text, block_re, 1)
+        d = (
+            docs.filter(F.col(path_col).rlike(path_re))
+            .select(
+                F.col(repo_col).alias("repo"),
+                F.col(path_col).alias("path"),
+                F.lit(eco).alias("ecosystem"),
+                F.regexp_extract_all(text, F.lit(name_re), 1).alias("names"),
+                F.regexp_extract_all(text, F.lit(spec_re), 1).alias("specs"),
+            )
+            .select(
+                "repo", "path", "ecosystem",
+                F.explode(
+                    F.zip_with(
+                        F.col("names"), F.col("specs"),
+                        lambda n, s: F.struct(
+                            n.alias("dep_name"),
+                            F.trim(F.coalesce(s, F.lit(""))).alias("spec"),
+                        ),
+                    )
+                ).alias("d"),
+            )
+            .select("repo", "path", "ecosystem",
+                    F.col("d.dep_name").alias("dep_name"),
+                    F.col("d.spec").alias("spec"))
+        )
+        parts.append(d)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def declared_dependencies_sql(docs_sql: str, repo="repo", path="path",
+                              content="content") -> str:
+    """DuckDB twin of :func:`declared_dependencies` — the identical
+    grammar; the aligned name/spec lists are re-paired by DuckDB's
+    positional parallel unnest."""
+    parts = []
+    for eco, path_re, block_re, name_re, spec_re in MANIFEST_GRAMMAR:
+        text = content
+        if block_re:
+            text = f"regexp_extract({content}, '{_sq(block_re)}', 1)"
+        parts.append(
+            f"SELECT repo, path, ecosystem, "
+            f"unnest(names) AS dep_name, unnest(specs) AS spec "
+            f"FROM (SELECT {repo} AS repo, {path} AS path, "
+            f"'{eco}' AS ecosystem, "
+            f"regexp_extract_all({text}, '{_sq(name_re)}', 1) AS names, "
+            f"regexp_extract_all({text}, '{_sq(spec_re)}', 1) AS specs "
+            f"FROM ({docs_sql}) "
+            f"WHERE regexp_matches({path}, '{_sq(path_re)}')) AS m_{eco}"
+        )
+    return ("SELECT DISTINCT repo, path, ecosystem, dep_name, "
+            "trim(coalesce(spec, '')) AS spec FROM ("
+            + " UNION ALL ".join(parts) + ")")
+
+
+def manifest_dependency_graph(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    content_col: str = "content",
+) -> DataFrame:
+    """Repo-level ``(src_repo, dst_repo, ecosystem, n_deps)`` edges from
+    DECLARED dependencies: a dep name resolves to a repo whose basename
+    (last ``/`` segment, lowercased, ``_``→``-``) equals the dep's
+    normalized basename — exact for the dominant convention (package
+    named after its repo), documented-reduced otherwise.  Shape mirrors
+    :func:`dependency_graph`: the provider side is a DISTINCT over
+    (basename, repo) — bounded by repo count — then ONE equi-join on the
+    normalized name and one pair-count shuffle."""
+    norm = lambda c: F.regexp_replace(  # noqa: E731
+        F.lower(F.element_at(F.split(c, "/"), -1)), "_", "-"
+    )
+    providers = (
+        docs.select(norm(F.col(repo_col)).alias("dep_key"),
+                    F.col(repo_col).alias("dst_repo"))
+        .filter(F.col("dep_key") != "")
+        .distinct()
+    )
+    wants = declared_dependencies(docs, repo_col, path_col, content_col).select(
+        F.col("repo").alias("src_repo"),
+        F.col("ecosystem").alias("ecosystem"),
+        norm(F.col("dep_name")).alias("dep_key"),
+    )
+    return (
+        wants.join(providers, "dep_key")
+        .filter(F.col("src_repo") != F.col("dst_repo"))
+        .groupBy("src_repo", "dst_repo", "ecosystem")
+        .agg(F.count("*").cast("long").alias("n_deps"))
+    )
+
+
+def manifest_dependency_graph_sql(docs_sql: str, repo="repo", path="path",
+                                  content="content") -> str:
+    """DuckDB twin of :func:`manifest_dependency_graph`."""
+    decl = declared_dependencies_sql(docs_sql, repo, path, content)
+
+    def norm(expr: str) -> str:
+        return (f"replace(lower(list_extract(string_split({expr}, '/'), -1)),"
+                f" '_', '-')")
+
+    return f"""
+WITH mdg_decl AS ({decl}),
+mdg_prov AS (
+  SELECT DISTINCT {norm(repo)} AS dep_key, {repo} AS dst_repo
+  FROM ({docs_sql}) WHERE {norm(repo)} != ''
+),
+mdg_wants AS (
+  SELECT repo AS src_repo, ecosystem, {norm('dep_name')} AS dep_key
+  FROM mdg_decl
+)
+SELECT src_repo, dst_repo, ecosystem, CAST(count(*) AS BIGINT) AS n_deps
+FROM mdg_wants JOIN mdg_prov USING (dep_key)
+WHERE src_repo != dst_repo
+GROUP BY src_repo, dst_repo, ecosystem"""
