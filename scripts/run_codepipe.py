@@ -84,6 +84,11 @@ def main(argv: list[str] | None = None) -> dict:
                     "unlicensed repos whose type-2 clone key appears in "
                     "a copyleft repo.  Runs over the RAW input (before "
                     "the license screen removes the copyleft sources).")
+    ap.add_argument("--explode-notebooks", action="store_true",
+                    help="replace .ipynb rows with one code-doc row per "
+                    "code cell (repo, path#cellN, kernel lang, source) "
+                    "before any stage — notebooks then flow through the "
+                    "whole battery as ordinary files")
     ap.add_argument("--dependency-conflicts", default=None, metavar="DIR",
                     help="also write the import-channel contamination "
                     "report parquet here (code_curate."
@@ -147,6 +152,19 @@ def main(argv: list[str] | None = None) -> dict:
         _last[0] = now
 
     docs = spark.read.parquet(args.input)
+
+    if args.explode_notebooks:
+        # .ipynb rows become one code-doc row per code cell
+        # (repo, path#cellN, kernel lang, cell source); non-notebook
+        # rows pass through untouched.  Map-only pre-pass.
+        from trove_spark.extras.code import (
+            NOTEBOOK_PATH_RE,
+            explode_notebook_cells,
+        )
+
+        docs = docs.filter(~F.col("path").rlike(NOTEBOOK_PATH_RE)).unionByName(
+            explode_notebook_cells(docs)
+        )
 
     if args.incremental_old:
         from trove_spark.extras.code import incremental_code_kg_update

@@ -334,3 +334,63 @@ def test_manifest_dependency_graph_pinned(spark):
     }
     # Json_Kit-extra normalizes to json-kit-extra, NOT jsonkit; numpy,
     # plotkit, serde, golang.org/x/text have no provider repo
+
+
+# ---------------------------------------------------------------------------
+# Jupyter notebook ingestion
+# ---------------------------------------------------------------------------
+
+
+def test_explode_notebook_cells_pinned(spark):
+    from trove_spark.code_fixture import CODE_NOTEBOOK_DOCS
+    from trove_spark.extras.code import explode_notebook_cells
+
+    docs = spark.createDataFrame(CODE_NOTEBOOK_DOCS, schema=SCHEMA)
+    got = {
+        (r["repo"], r["path"], r["lang"]): r["content"]
+        for r in explode_notebook_cells(docs).collect()
+    }
+    # markdown cell dropped, cell indices preserved, string-form source
+    # (quick.ipynb) parsed by the fallback schema, go kernel carried,
+    # package.json (non-notebook path) never scanned
+    assert set(got) == {
+        ("lab/analysis", "nb/explore.ipynb#cell1", "python"),
+        ("lab/analysis", "nb/explore.ipynb#cell2", "python"),
+        ("lab/analysis", "nb/quick.ipynb#cell0", "python"),
+        ("lab/gonb", "nb/tour.ipynb#cell0", "go"),
+    }
+    assert got[("lab/analysis", "nb/quick.ipynb#cell0", "python")] == "print(1)"
+    assert got[("lab/analysis", "nb/explore.ipynb#cell1", "python")] == (
+        "import jsonkit\ndata = jsonkit.parse(raw)\n"
+    )
+
+
+def test_notebook_cells_duckdb_parity(spark):
+    import duckdb
+
+    from trove_spark.code_fixture import (
+        CODE_NOTEBOOK_DOCS,
+        code_notebook_fixture_sql,
+    )
+    from trove_spark.extras.code import explode_notebook_cells, notebook_cells_sql
+
+    docs = spark.createDataFrame(CODE_NOTEBOOK_DOCS, schema=SCHEMA)
+    got = normalize_rows(tuple(r) for r in explode_notebook_cells(docs).collect())
+    want = normalize_rows(
+        duckdb.sql(notebook_cells_sql(code_notebook_fixture_sql())).fetchall()
+    )
+    assert got == want and len(got) == 4
+
+
+def test_notebook_cells_feed_code_kg(spark):
+    """Composition: exploded cells are ordinary code docs — the KG
+    extractor sees notebook imports/defs with per-cell provenance."""
+    from trove_spark.code_fixture import CODE_NOTEBOOK_DOCS
+    from trove_spark.extras.code import code_triples, explode_notebook_cells
+
+    docs = spark.createDataFrame(CODE_NOTEBOOK_DOCS, schema=SCHEMA)
+    t = {tuple(r) for r in code_triples(explode_notebook_cells(docs)).collect()}
+    assert ("lab/analysis:nb/explore.ipynb#cell1", "IMPORTS", "jsonkit") in t
+    assert ("lab/analysis:nb/explore.ipynb#cell2", "DEFINES",
+            "function:clean") in t
+    assert ("lab/gonb:nb/tour.ipynb#cell0", "IMPORTS", "fmt") in t

@@ -414,3 +414,28 @@ def test_codepipe_dependency_conflicts(spark, tmp_path):
     }
     assert hops == {"viz/plotlib": 1, "solo/hack": 1, "app/dash": 2,
                     "corp/far": 3}
+
+
+def test_codepipe_explode_notebooks(spark, tmp_path):
+    """--explode-notebooks: cells become first-class files in the KG."""
+    from trove_spark.code_fixture import CODE_DOCS, CODE_NOTEBOOK_DOCS
+
+    inp = str(tmp_path / "files.parquet")
+    out = str(tmp_path / "kg")
+    spark.createDataFrame(
+        CODE_DOCS + CODE_NOTEBOOK_DOCS, schema=SCHEMA
+    ).write.parquet(inp)
+
+    run_codepipe.main([
+        "--input", inp, "--output", out,
+        "--licenses", "off", "--dedup", "off", "--no-screens",
+        "--explode-notebooks", "--n-buckets", "2",
+    ])
+    from trove_spark.graph import TripleStore
+
+    t = TripleStore(spark, out, n_buckets=2).read_triples()
+    trips = {tuple(r) for r in t.select("subj", "pred", "obj").collect()}
+    assert ("lab/analysis:nb/explore.ipynb#cell1", "IMPORTS", "jsonkit") in trips
+    assert ("lab/gonb:nb/tour.ipynb#cell0", "IMPORTS", "fmt") in trips
+    # the raw notebook JSON row itself is gone (replaced by its cells)
+    assert not any(s.endswith("explore.ipynb") for s, _, _ in trips)

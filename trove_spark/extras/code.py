@@ -869,3 +869,112 @@ SELECT src_repo, dst_repo, ecosystem, CAST(count(*) AS BIGINT) AS n_deps
 FROM mdg_wants JOIN mdg_prov USING (dep_key)
 WHERE src_repo != dst_repo
 GROUP BY src_repo, dst_repo, ecosystem"""
+
+
+# ---------------------------------------------------------------------------
+# Jupyter notebook ingestion
+# ---------------------------------------------------------------------------
+
+# nbformat stores a cell's `source` as EITHER a list of line strings (the
+# on-disk normal form) or a single string — two typed parses, coalesced
+# per file.  A file mixing both forms in one notebook fails both parses
+# and is quarantined (null cells), not crashed — the multimodal decode
+# convention.
+_NB_SCHEMA_LIST = (
+    "struct<cells: array<struct<cell_type: string, source: array<string>>>,"
+    " metadata: struct<kernelspec: struct<language: string>>>"
+)
+_NB_SCHEMA_STR = (
+    "struct<cells: array<struct<cell_type: string, source: string>>,"
+    " metadata: struct<kernelspec: struct<language: string>>>"
+)
+
+NOTEBOOK_PATH_RE = r"\.ipynb$"
+
+
+def explode_notebook_cells(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    commit_col: str = "commit",
+    content_col: str = "content",
+    keep_cell_type: str = "code",
+) -> DataFrame:
+    """``.ipynb`` files → one document row PER CELL of ``keep_cell_type``
+    (default: code), shaped exactly like source-file rows — (repo,
+    ``path#cell<i>``, commit, kernel language, cell source) — so the
+    whole code battery (triples, screens, clones, linking) consumes
+    notebooks unchanged.  Map-only: the path filter prunes the scan
+    before any JSON parse, both parses and the explode are per-row, and
+    there is no shuffle at all."""
+    nb = docs.filter(F.col(path_col).rlike(NOTEBOOK_PATH_RE))
+    p1 = F.from_json(F.col(content_col), _NB_SCHEMA_LIST)
+    p2 = F.from_json(F.col(content_col), _NB_SCHEMA_STR)
+    p2_cells = p2["cells"]
+    # Spark's PERMISSIVE from_json nulls only the mistyped LEAF (a
+    # string-form `source` under the array schema and vice versa), so
+    # the coalesce must happen PER CELL — the two-arg transform lambda
+    # receives (element, index), and the index addresses the sibling
+    # parse's same cell (same JSON → same length when both parse; a
+    # wholly-failed sibling parse is a null array and element_at of a
+    # null array is null, not an ANSI error).
+    cells = F.transform(
+        p1["cells"],
+        lambda c, i: F.struct(
+            c["cell_type"].alias("cell_type"),
+            F.coalesce(
+                F.when(c["source"].isNotNull(), F.concat_ws("", c["source"])),
+                F.element_at(p2_cells, i + F.lit(1))["source"],
+            ).alias("source"),
+        ),
+    )
+    lang = F.lower(
+        F.coalesce(
+            p1["metadata"]["kernelspec"]["language"],
+            p2["metadata"]["kernelspec"]["language"],
+            F.lit("python"),
+        )
+    )
+    out = nb.select(
+        F.col(repo_col).alias("repo"),
+        F.col(path_col).alias("path"),
+        F.col(commit_col).alias("commit"),
+        lang.alias("lang"),
+        F.posexplode(cells).alias("idx", "cell"),
+    )
+    return out.filter(F.col("cell.cell_type") == keep_cell_type).select(
+        "repo",
+        F.concat(F.col("path"), F.lit("#cell"), F.col("idx")).alias("path"),
+        "commit",
+        "lang",
+        F.col("cell.source").alias("content"),
+    )
+
+
+def notebook_cells_sql(docs_sql: str, repo="repo", path="path",
+                       commit="commit", content="content",
+                       keep_cell_type: str = "code") -> str:
+    """DuckDB twin of :func:`explode_notebook_cells` (scalar JSON
+    functions + parallel unnest; the string-or-list ``source`` coalesce
+    mirrors the two typed Spark parses)."""
+    src_list = (
+        "array_to_string(cast(json_transform(json_extract(cell, '$.source'),"
+        " '[\"VARCHAR\"]') AS VARCHAR[]), '')"
+    )
+    src_str = "json_extract_string(cell, '$.source')"
+    return f"""
+SELECT repo, path || '#cell' || CAST(idx AS VARCHAR) AS path, commit, lang,
+       coalesce({src_list}, {src_str}) AS content
+FROM (
+  SELECT repo, path, commit, lang,
+         unnest(cells) AS cell, unnest(range(len(cells))) AS idx
+  FROM (
+    SELECT {repo} AS repo, {path} AS path, {commit} AS commit,
+           lower(coalesce(json_extract_string({content},
+             '$.metadata.kernelspec.language'), 'python')) AS lang,
+           cast(json_extract({content}, '$.cells') AS JSON[]) AS cells
+    FROM ({docs_sql})
+    WHERE regexp_matches({path}, '{_sq(NOTEBOOK_PATH_RE)}')
+  ) AS nb_parsed
+) AS nb_cells
+WHERE json_extract_string(cell, '$.cell_type') = '{keep_cell_type}'"""
