@@ -73,6 +73,13 @@ def main(argv: list[str] | None = None) -> dict:
                     help="also resolve call-site mentions to canonical def "
                     "sites (extras/code_link) and union the CALLS triples "
                     "into the same store write")
+    ap.add_argument("--call-graph", action="store_true",
+                    help="also build the function-level call graph "
+                    "(extras/callgraph): call sites inside named "
+                    "function units resolved through the symbol_links "
+                    "scopes, CALLS_FN triples unioned into the same "
+                    "store write (shares one resolution plan with "
+                    "--link-symbols when both are set)")
     ap.add_argument("--clone-triples", action="store_true",
                     help="also detect function-level type-2 clones "
                     "(extras/code_clones) and union the CLONE_OF edges "
@@ -333,6 +340,7 @@ def main(argv: list[str] | None = None) -> dict:
     store = TripleStore(spark, args.output, n_buckets=args.n_buckets)
     triples = code_triples(out_docs)
     link_cache = None
+    links = None
     if args.link_symbols:
         # entity linking: CALLS triples union into the SAME single store
         # write (a second write_triples call would see committed buckets
@@ -347,6 +355,19 @@ def main(argv: list[str] | None = None) -> dict:
                 r["resolution"]: int(r["count"])
                 for r in links.groupBy("resolution").count().collect()
             }
+    if args.call_graph:
+        # function-level CALLS_FN edges into the SAME single store write;
+        # reuses the --link-symbols resolution plan (and its one-scan
+        # cache) when both are set, otherwise owns its own
+        from trove_spark.extras.callgraph import (
+            call_graph_edges,
+            call_graph_triples,
+        )
+
+        cg = call_graph_edges(out_docs, links=links)
+        if links is None:
+            link_cache = cg._link_cache
+        triples = triples.unionByName(call_graph_triples(cg))
     clone_cache = None
     if args.clone_triples:
         # clone canonicalization: CLONE_OF edges into the SAME single
@@ -367,6 +388,7 @@ def main(argv: list[str] | None = None) -> dict:
     if clone_cache is not None:
         clone_cache.unpersist()
     stats["symbols_linked"] = bool(args.link_symbols)
+    stats["call_graph"] = bool(args.call_graph)
     stats["clones_linked"] = bool(args.clone_triples)
     _mark("triples_write")
     if two_consumers:

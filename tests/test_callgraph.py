@@ -1,0 +1,93 @@
+"""Function-level call graph (extras/callgraph.py): CALLS_FN edges at
+def granularity — pinned resolution tiers, documented exclusions, DuckDB
+parity, and the triple-frame composition."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from trove_spark.code_fixture import (
+    CODE_CALLGRAPH_DOCS,
+    code_callgraph_fixture_sql,
+)
+from trove_spark.extras.callgraph import (
+    call_graph_edges,
+    call_graph_oracle_sql,
+    call_graph_triples,
+)
+
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    docs = spark.createDataFrame(CODE_CALLGRAPH_DOCS, schema=SCHEMA)
+    out = call_graph_edges(docs)
+    rows = sorted(
+        (r["caller"], r["symbol"], r["resolution"], r["target"])
+        for r in out.collect()
+    )
+    out._link_cache.unpersist()
+    return rows
+
+
+EXPECTED = sorted([
+    # local: callee defined in the caller's own file
+    ("kg/core:src/core.py#parse", "tokenize", "local",
+     "kg/core:src/core.py#tokenize"),
+    ("kg/core:src/enc.py#encode_pair", "helper", "local",
+     "kg/core:src/enc.py#helper"),
+    ("go/hub:cmd/hub.go#Run", "Dial", "local", "go/hub:cmd/hub.go#Dial"),
+    ("rs/enc:src/lib.rs#pack", "unpack", "local", "rs/enc:src/lib.rs#unpack"),
+    # repo: callee defined in a sibling file of the same repo
+    ("kg/core:src/core.py#tokenize", "encode_pair", "repo",
+     "kg/core:src/enc.py#encode_pair"),
+    # import: callee defined in a repo providing an imported module top
+    ("kg/app:app/main.py#main", "parse", "import",
+     "kg/core:src/core.py#parse"),
+    # unresolved: kept with NULL target (coverage measurable)
+    ("kg/core:src/core.py#tokenize", "mystery_fn", "unresolved", None),
+    ("kg/app:app/main.py#main", "load", "unresolved", None),
+    ("js/site:src/app.js#render", "mapValues", "unresolved", None),
+])
+
+
+def test_pinned_edges(edges):
+    assert edges == EXPECTED
+
+
+def test_exclusions(edges):
+    callers = {r[0] for r in edges}
+    symbols = {(r[0], r[1]) for r in edges}
+    # top-level call outside any unit is not a function-level edge
+    assert not any(r[1] == "setup_logging" for r in edges)
+    # self/signature mentions dropped (helper's recursion, every def line)
+    assert ("kg/core:src/enc.py#helper", "helper") not in symbols
+    assert all(r[0].rsplit("#", 1)[1] != r[1] for r in edges)
+    # anonymous js unit has no node id
+    assert all("#None" not in c and not c.endswith("#") for c in callers)
+    # keyword before '(' is never a mention
+    assert not any(r[1] == "while" for r in edges)
+
+
+def test_duckdb_parity(edges):
+    want = sorted(
+        tuple(x)
+        for x in duckdb.sql(
+            call_graph_oracle_sql(code_callgraph_fixture_sql())
+        ).fetchall()
+    )
+    assert edges == want
+
+
+def test_triples_contract(spark):
+    docs = spark.createDataFrame(CODE_CALLGRAPH_DOCS, schema=SCHEMA)
+    out = call_graph_edges(docs, persist=False)
+    tr = call_graph_triples(out)
+    assert tr.columns == ["subj", "pred", "obj"]
+    rows = {(r["subj"], r["pred"], r["obj"]) for r in tr.collect()}
+    assert ("kg/app:app/main.py#main", "CALLS_FN",
+            "kg/core:src/core.py#parse") in rows
+    # only resolved edges become triples
+    assert len(rows) == sum(1 for e in EXPECTED if e[3] is not None)

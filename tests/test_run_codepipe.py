@@ -167,6 +167,56 @@ def test_codepipe_link_symbols(spark, tmp_path):
     assert t.filter(t.pred == "DEFINES").count() > 0
 
 
+def test_codepipe_call_graph(spark, tmp_path):
+    from trove_spark.code_fixture import CODE_CALLGRAPH_DOCS
+
+    inp = str(tmp_path / "files.parquet")
+    out = str(tmp_path / "kg")
+    spark.createDataFrame(CODE_CALLGRAPH_DOCS, schema=SCHEMA).write.parquet(inp)
+
+    # both flags: the call graph must REUSE the --link-symbols resolution
+    # plan (links is not None branch) and still land CALLS_FN edges
+    stats = run_codepipe.main([
+        "--input", inp, "--output", out,
+        "--licenses", "off", "--dedup", "off", "--no-screens",
+        "--link-symbols", "--call-graph", "--n-buckets", "2",
+    ])
+    assert stats["call_graph"] and stats["symbols_linked"]
+
+    from trove_spark.graph import TripleStore
+
+    t = TripleStore(spark, out, n_buckets=2).read_triples()
+    fn_calls = {
+        (r["subj"], r["obj"])
+        for r in t.filter(t.pred == "CALLS_FN").collect()
+    }
+    # function-granularity edge sits NEXT TO the file-level CALLS family
+    assert (
+        "kg/app:app/main.py#main",
+        "kg/core:src/core.py#parse",
+    ) in fn_calls
+    assert (
+        "kg/core:src/core.py#tokenize",
+        "kg/core:src/enc.py#encode_pair",
+    ) in fn_calls
+    file_calls = {
+        (r["subj"], r["obj"]) for r in t.filter(t.pred == "CALLS").collect()
+    }
+    assert ("kg/app:app/main.py", "kg/core:src/core.py#parse") in file_calls
+
+    # --call-graph alone owns its resolution plan/cache
+    out2 = str(tmp_path / "kg2")
+    stats2 = run_codepipe.main([
+        "--input", inp, "--output", out2,
+        "--licenses", "off", "--dedup", "off", "--no-screens",
+        "--call-graph", "--n-buckets", "2",
+    ])
+    assert stats2["call_graph"] and not stats2["symbols_linked"]
+    t2 = TripleStore(spark, out2, n_buckets=2).read_triples()
+    assert t2.filter(t2.pred == "CALLS_FN").count() == len(fn_calls)
+    assert t2.filter(t2.pred == "CALLS").count() == 0
+
+
 def test_codepipe_clone_triples(spark, tmp_path):
     from trove_spark.code_fixture import (
         CODE_CLONE_DOCS,

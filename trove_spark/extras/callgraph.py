@@ -1,0 +1,160 @@
+"""Function-level call graph over source code — CALLS_FN edges at def
+granularity, the code-KG edge family between file-level IMPORTS
+(code.dependency_graph) and symbol-level linking (code_link.symbol_links).
+
+A node is a *named function unit* ``repo:path#func_name``
+(code_clones.extract_functions); an edge is a call site inside that
+unit's text, resolved to a canonical def site by EXACTLY the
+symbol_links three-scope rule (local file / same repo / imported
+provider repo).  The composition is deliberate: resolution semantics are
+defined once (code_link) and this module only changes the *subject*
+granularity from file to function, so the two edge families can never
+disagree about what a symbol resolves to.
+
+Exclusions (all deliberate, all mirrored in the DuckDB twin):
+
+- ``symbol == func_name`` rows are dropped: a lexical grammar cannot
+  tell the unit's own signature (``def parse(raw):`` emits a ``parse``
+  mention) from self-recursion, so neither is emitted;
+- anonymous units (``func_name`` NULL — js anonymous functions) have no
+  stable node id and are dropped;
+- top-level calls outside any unit (module scope before the first def)
+  belong to the FILE-level edge family (symbol_link_triples), not here.
+
+Scale shape (10^12 files): two map-only content scans (the unit scan
+here, the per-file array scan inside symbol_links — both bounded
+fan-out), symbol_links' bounded joins, then ONE (repo, path, symbol)
+equi-join of the exploded unit calls against the per-file resolutions.
+The join key is the file's distinct called-symbol set — uniform, no hot
+key beyond what a single file contains.  No window functions, no per-row
+Python, no corpus cartesian.
+
+__ref__ = "no reference counterpart (source-code extension; subject
+granularity change over code_link's mention->def canonicalization,
+mirroring trove's mention->CUI linking)"
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .code import _sq
+from .code_clones import extract_functions, extract_functions_sql
+from .code_link import CALL_RE, CALL_KEYWORDS, symbol_links, symbol_links_oracle_sql
+
+__ref__ = "no reference counterpart (source-code extension)"
+
+
+def function_call_sites(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    lang_col: str = "lang",
+    content_col: str = "content",
+) -> DataFrame:
+    """``(repo, path, func_name, symbol)`` — one row per distinct called
+    symbol per NAMED function unit; map-only scan + bounded explode."""
+    fn = extract_functions(docs, repo_col, path_col, lang_col, content_col)
+    calls = F.array_distinct(
+        F.filter(
+            F.regexp_extract_all(F.col("unit"), F.lit(CALL_RE), F.lit(1)),
+            lambda s: ~s.isin(*CALL_KEYWORDS),
+        )
+    )
+    return (
+        fn.filter(F.col("func_name").isNotNull())
+        .select(
+            "repo", "path", "func_name", F.explode(calls).alias("symbol")
+        )
+        .filter(F.col("symbol") != F.col("func_name"))
+        .distinct()
+    )
+
+
+def call_graph_edges(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    lang_col: str = "lang",
+    content_col: str = "content",
+    persist: bool = True,
+    links: DataFrame | None = None,
+) -> DataFrame:
+    """``(caller, symbol, resolution, target)`` — caller is
+    ``repo:path#func_name``; resolution/target are symbol_links' columns
+    verbatim (unresolved rows kept, target NULL, so linking coverage at
+    function granularity stays measurable).
+
+    When ``persist`` (default) symbol_links' single-scan array frame is
+    cached and re-exposed as ``out._link_cache`` — caller unpersists
+    after materializing (the minhash ``_shingle_cache`` contract).
+    Pass a precomputed ``links`` frame (run_codepipe with both
+    --link-symbols and --call-graph) to share one resolution plan; the
+    caller then owns its cache."""
+    sites = function_call_sites(docs, repo_col, path_col, lang_col, content_col)
+    if links is None:
+        links = symbol_links(
+            docs, repo_col, path_col, lang_col, content_col, persist=persist
+        )
+    else:
+        persist = False
+    out = sites.join(links, ["repo", "path", "symbol"]).select(
+        F.concat(
+            F.col("repo"), F.lit(":"), F.col("path"),
+            F.lit("#"), F.col("func_name"),
+        ).alias("caller"),
+        "symbol",
+        "resolution",
+        "target",
+    )
+    if persist:
+        out._link_cache = links._link_cache
+    return out
+
+
+def call_graph_triples(edges: DataFrame) -> DataFrame:
+    """Resolved function-level edges as ``(subj, pred, obj)`` =
+    (repo:path#func, CALLS_FN, canonical def id) — the TripleStore /
+    kg_query frame contract, next to symbol_link_triples' file-level
+    CALLS edges."""
+    return (
+        edges.filter(F.col("target").isNotNull())
+        .select(
+            F.col("caller").alias("subj"),
+            F.lit("CALLS_FN").alias("pred"),
+            F.col("target").alias("obj"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twin
+# ---------------------------------------------------------------------------
+
+
+def call_graph_oracle_sql(
+    docs_sql: str, repo="repo", path="path", lang="lang", content="content"
+) -> str:
+    """DuckDB replay of :func:`call_graph_edges` over the same rows."""
+    fx = extract_functions_sql(docs_sql, repo, path, lang, content)
+    links = symbol_links_oracle_sql(docs_sql, repo, path, lang, content)
+    kws = ", ".join(f"'{k}'" for k in CALL_KEYWORDS)
+    return f"""
+WITH fx AS ({fx}),
+sites AS (
+  SELECT DISTINCT repo, path, func_name, symbol
+  FROM (
+    SELECT repo, path, func_name,
+           unnest(list_distinct(list_filter(
+             regexp_extract_all(unit, '{_sq(CALL_RE)}', 1),
+             s -> s NOT IN ({kws})))) AS symbol
+    FROM fx WHERE func_name IS NOT NULL
+  )
+  WHERE symbol != func_name
+),
+links AS ({links})
+SELECT s.repo || ':' || s.path || '#' || s.func_name AS caller,
+       s.symbol, l.resolution, l.target
+FROM sites s
+JOIN links l ON l.repo = s.repo AND l.path = s.path AND l.symbol = s.symbol"""
