@@ -67,6 +67,13 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--dedup", default="normalized", choices=("normalized", "off"))
     ap.add_argument("--screens", action="store_true", default=True)
     ap.add_argument("--no-screens", dest="screens", action="store_false")
+    ap.add_argument("--drop-vendored", action="store_true",
+                    help="drop vendored third-party code before the "
+                    "quality screens (code_curate.drop_vendored): "
+                    "vendor-directory/minified paths plus files whose "
+                    "normalized body appears in >= --vendored-min-repos "
+                    "distinct repos")
+    ap.add_argument("--vendored-min-repos", type=int, default=3)
     ap.add_argument("--deps-out", default=None,
                     help="also write repo-level DEPENDS_ON edges parquet here")
     ap.add_argument("--link-symbols", action="store_true",
@@ -301,6 +308,16 @@ def main(argv: list[str] | None = None) -> dict:
             args.dependency_conflicts
         ).count()
         _mark("dependency_conflicts")
+
+    if args.drop_vendored:
+        # vendored third-party code out before the per-file screens (the
+        # spread aggregation is cheapest over the license-cut survivors,
+        # and screens need not score files that are leaving anyway)
+        from trove_spark.extras.code_curate import drop_vendored
+
+        docs = drop_vendored(docs, min_repos=args.vendored_min_repos)
+        if args.stage_counts:
+            stats["after_vendored"] = docs.count()
 
     if args.screens:
         docs = code_screens(docs)

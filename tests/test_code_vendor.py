@@ -1,0 +1,74 @@
+"""Vendored-code detection (code_curate.vendored_files / drop_vendored):
+path-channel conventions, normalized cross-repo content spread, DuckDB
+parity, and the corpus-filter form."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from trove_spark.code_fixture import CODE_VENDOR_DOCS, code_vendor_fixture_sql
+from trove_spark.extras.code_curate import (
+    drop_vendored,
+    vendored_files,
+    vendored_files_sql,
+)
+
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+@pytest.fixture(scope="module")
+def flags(spark):
+    docs = spark.createDataFrame(CODE_VENDOR_DOCS, schema=SCHEMA)
+    out = vendored_files(docs)
+    rows = sorted(
+        (r["repo"], r["path"], r["vendored_path"], r["content_repos"],
+         r["is_vendored"])
+        for r in out.collect()
+    )
+    out._vendor_cache.unpersist()
+    return rows
+
+
+def test_pinned_verdicts(flags):
+    d = {(r[0], r[1]): (r[2], r[3], r[4]) for r in flags}
+    assert len(d) == len(CODE_VENDOR_DOCS)
+    # content channel: comment/format variants normalize equal → spread 3
+    for k in [("app/alpha", "static/jquery.js"),
+              ("app/beta", "assets/js/jquery.js"),
+              ("app/gamma", "lib/jquery.js")]:
+        assert d[k] == (False, 3, True)
+    # path channel: vendor dir + minified bundle, spread 1
+    assert d[("app/alpha", "node_modules/leftpad/index.js")] == (True, 1, True)
+    assert d[("app/beta", "dist/app.min.js")] == (True, 1, True)
+    # negatives: unique, same-repo twin (DISTINCT repos = 1),
+    # two-repo spread below the default threshold of 3
+    assert d[("app/alpha", "src/main.py")] == (False, 1, False)
+    assert d[("app/alpha", "src/copy1.go")] == (False, 1, False)
+    assert d[("app/alpha", "pkg/copy2.go")] == (False, 1, False)
+    assert d[("app/beta", "src/two.rs")] == (False, 2, False)
+    assert d[("app/gamma", "src/two.rs")] == (False, 2, False)
+
+
+def test_duckdb_parity(flags):
+    want = sorted(
+        tuple(x)
+        for x in duckdb.sql(
+            vendored_files_sql(code_vendor_fixture_sql())
+        ).fetchall()
+    )
+    assert flags == want
+
+
+def test_drop_vendored_filter(spark, flags):
+    docs = spark.createDataFrame(CODE_VENDOR_DOCS, schema=SCHEMA)
+    kept = drop_vendored(docs)
+    # full input rows preserved, exactly the non-vendored five survive
+    assert kept.columns == docs.columns
+    got = {(r["repo"], r["path"]) for r in kept.collect()}
+    want = {(r[0], r[1]) for r in flags if not r[4]}
+    assert got == want
+    # a lower threshold pulls the two-repo spread in
+    kept2 = drop_vendored(docs, min_repos=2)
+    got2 = {(r["repo"], r["path"]) for r in kept2.collect()}
+    assert got2 == got - {("app/beta", "src/two.rs"), ("app/gamma", "src/two.rs")}

@@ -167,6 +167,24 @@ def test_codepipe_link_symbols(spark, tmp_path):
     assert t.filter(t.pred == "DEFINES").count() > 0
 
 
+def test_codepipe_drop_vendored(spark, tmp_path):
+    from trove_spark.code_fixture import CODE_VENDOR_DOCS
+
+    inp = str(tmp_path / "files.parquet")
+    out = str(tmp_path / "kg")
+    spark.createDataFrame(CODE_VENDOR_DOCS, schema=SCHEMA).write.parquet(inp)
+
+    stats = run_codepipe.main([
+        "--input", inp, "--output", out,
+        "--licenses", "off", "--dedup", "off", "--no-screens",
+        "--drop-vendored", "--stage-counts", "--n-buckets", "2",
+    ])
+    # 10 fixture rows; 3 cross-repo copies + 2 vendor-path rows drop
+    assert stats["input_files"] == len(CODE_VENDOR_DOCS)
+    assert stats["after_vendored"] == 5
+    assert stats["kept_files"] == 5
+
+
 def test_codepipe_call_graph(spark, tmp_path):
     from trove_spark.code_fixture import CODE_CALLGRAPH_DOCS
 

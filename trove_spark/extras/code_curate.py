@@ -550,6 +550,133 @@ SELECT content_key, n_copies, w.repo AS repo, w.path AS path FROM g"""
 
 
 # ---------------------------------------------------------------------------
+# Vendored-code detection
+# ---------------------------------------------------------------------------
+
+# The-Stack / StarCoder data-prep rule: vendored third-party code and
+# minified bundles are excluded from training corpora (they are massively
+# duplicated and not authored in-repo).  Two channels, both mirrored in
+# DuckDB:
+#   path    — conventional vendor directories + minified-bundle names
+#             (map-only);
+#   content — the same file body (normalized: comment/reformat-invariant,
+#             the dedup_normalized key surface) appearing in ≥ min_repos
+#             DISTINCT repos — the DejaVu file-level spread metric; a
+#             checked-in library is the same bytes in thousands of repos
+#             whatever directory it landed in.
+VENDOR_PATH_RE = (
+    r"(^|/)(vendor|vendors|third_party|thirdparty|node_modules"
+    r"|bower_components|external|externals|site-packages)/"
+)
+MINIFIED_PATH_RE = r"[.-]min\.(js|css)$"
+
+
+def vendored_path_col(path: Column) -> Column:
+    return path.rlike(VENDOR_PATH_RE) | path.rlike(MINIFIED_PATH_RE)
+
+
+def vendored_path_sql(path_expr: str) -> str:
+    return (
+        f"(regexp_matches({path_expr}, '{_sq(VENDOR_PATH_RE)}') OR "
+        f"regexp_matches({path_expr}, '{_sq(MINIFIED_PATH_RE)}'))"
+    )
+
+
+def vendored_files(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    lang_col: str = "lang",
+    content_col: str = "content",
+    min_repos: int = 3,
+    persist: bool = True,
+) -> DataFrame:
+    """``(repo, path, vendored_path, content_repos, is_vendored)`` —
+    per-file vendoring verdict over both channels.
+
+    Scale shape (10^12 files): ONE content scan builds the narrow
+    (repo, path, flag, key) frame — persisted (``out._vendor_cache``,
+    caller unpersists) because it feeds BOTH the spread aggregation and
+    the verdict join (the no-auto-CSE rule).  The spread agg is one
+    uniform 128-bit-key shuffle with map-side combine; the join-back is
+    key-co-partitioned.  No windows, no per-row Python."""
+    key = F.md5(normalize_code_col(F.col(lang_col), F.col(content_col)))
+    z = docs.select(
+        F.col(repo_col).alias("repo"),
+        F.col(path_col).alias("path"),
+        vendored_path_col(F.col(path_col)).alias("vendored_path"),
+        key.alias("_vkey"),
+    )
+    if persist:
+        z = z.persist()
+    counts = z.groupBy("_vkey").agg(
+        F.countDistinct("repo").cast("long").alias("content_repos")
+    )
+    out = z.join(counts, "_vkey").select(
+        "repo",
+        "path",
+        "vendored_path",
+        "content_repos",
+        (
+            F.col("vendored_path") | (F.col("content_repos") >= min_repos)
+        ).alias("is_vendored"),
+    )
+    if persist:
+        out._vendor_cache = z
+    return out
+
+
+def drop_vendored(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    lang_col: str = "lang",
+    content_col: str = "content",
+    min_repos: int = 3,
+) -> DataFrame:
+    """Corpus-filter form: keep only non-vendored rows, preserving the
+    full input row.  The path channel is a pushed-down map filter; the
+    content channel anti-joins the (bounded: one row per normalized
+    content with spread ≥ min_repos) hot-key table — two content scans
+    total (spread table + probe), the aggregate genuinely needs global
+    information."""
+    key = F.md5(normalize_code_col(F.col(lang_col), F.col(content_col)))
+    hot = (
+        docs.select(key.alias("_vkey"), F.col(repo_col).alias("repo"))
+        .groupBy("_vkey")
+        .agg(F.countDistinct("repo").alias("_nr"))
+        .filter(F.col("_nr") >= min_repos)
+        .select("_vkey")
+    )
+    return (
+        docs.filter(~vendored_path_col(F.col(path_col)))
+        .withColumn("_vkey", key)
+        .join(hot, "_vkey", "left_anti")
+        .drop("_vkey")
+    )
+
+
+def vendored_files_sql(docs_sql: str, repo="repo", path="path",
+                       lang="lang", content="content",
+                       min_repos: int = 3) -> str:
+    """DuckDB replay of :func:`vendored_files` over the same rows."""
+    norm = normalize_code_sql_expr(lang, content)
+    return f"""
+WITH vz AS (
+  SELECT {repo} AS repo, {path} AS path,
+         {vendored_path_sql(path)} AS vendored_path,
+         md5({norm}) AS k
+  FROM ({docs_sql})
+), vc AS (
+  SELECT k, CAST(count(DISTINCT repo) AS BIGINT) AS content_repos
+  FROM vz GROUP BY k
+)
+SELECT vz.repo, vz.path, vz.vendored_path, vc.content_repos,
+       (vz.vendored_path OR vc.content_repos >= {min_repos}) AS is_vendored
+FROM vz JOIN vc ON vc.k = vz.k"""
+
+
+# ---------------------------------------------------------------------------
 # Code datacard
 # ---------------------------------------------------------------------------
 
