@@ -1,0 +1,130 @@
+"""Static code metrics (extras/code_metrics.py): security-smell counts,
+HAS_SMELL triples, lexical cyclomatic complexity on the type-2
+normalized unit surface — pinned + DuckDB parity."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from trove_spark.code_fixture import _values_sql
+from trove_spark.extras.code_metrics import (
+    file_complexity,
+    file_complexity_sql,
+    function_complexity,
+    function_complexity_sql,
+    security_smells,
+    security_smells_sql,
+    smell_triples,
+)
+
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+SMELL_DOCS = [
+    ("sec/app", "src/danger.py", "1b" * 20, "py",
+     "import pickle, yaml, hashlib, subprocess\n"
+     "def load(blob):\n"
+     "    obj = pickle.loads(blob)\n"
+     "    cfg = yaml.load(open('c'))\n"
+     "    subprocess.run(cmd, shell=True)\n"
+     "    h = hashlib.md5(blob)\n"
+     "    return eval(expr)\n"),
+    # negatives: eval-prefixed identifier, https url, no quoted password
+    ("sec/app", "src/clean.py", "2b" * 20, "py",
+     "def evaluate(x):\n    return x\n"
+     "URL = 'https://example.com'\n"),
+    ("sec/web", "src/login.js", "3b" * 20, "js",
+     'const PASSWORD = "hunter2"\n'
+     "fetch('http://api.local/v1')\n"),
+]
+
+COMPLEX_DOCS = [
+    ("m/x", "src/cx.py", "4b" * 20, "py",
+     "def branchy(a, b):\n"
+     "    if a and b:\n"
+     "        return 1\n"
+     "    for i in items:\n"
+     "        while i:\n"
+     "            i -= 1\n"
+     "    return 0\n"
+     "def flat(x):\n"
+     "    return 'if inside a string never counts'\n"),
+    ("m/x", "src/cx.js", "5b" * 20, "js",
+     "function tern(a, b) {\n"
+     "  // if this comment counted, complexity would be wrong\n"
+     "  return a && b ? 1 : 2\n"
+     "}\n"),
+]
+
+
+def test_smells_pinned_and_triples(spark):
+    docs = spark.createDataFrame(SMELL_DOCS, schema=SCHEMA)
+    sm = security_smells(docs)
+    rows = {(r["repo"], r["path"], r["smell"]): r["n"] for r in sm.collect()}
+    assert rows == {
+        ("sec/app", "src/danger.py", "eval_call"): 1,
+        ("sec/app", "src/danger.py", "pickle_load"): 1,
+        ("sec/app", "src/danger.py", "yaml_unsafe_load"): 1,
+        ("sec/app", "src/danger.py", "subprocess_shell"): 1,
+        ("sec/app", "src/danger.py", "weak_hash"): 1,
+        ("sec/web", "src/login.js", "plain_http"): 1,
+        ("sec/web", "src/login.js", "password_literal"): 1,
+    }
+    tr = smell_triples(sm)
+    assert tr.columns == ["subj", "pred", "obj"]
+    got = {(r["subj"], r["obj"]) for r in tr.collect()}
+    assert ("sec/app:src/danger.py", "eval_call") in got
+    assert len(got) == 7
+
+
+def test_smells_duckdb_parity(spark):
+    docs = spark.createDataFrame(SMELL_DOCS, schema=SCHEMA)
+    have = sorted(
+        tuple(r) for r in security_smells(docs).collect()
+    )
+    want = sorted(
+        tuple(x)
+        for x in duckdb.sql(
+            security_smells_sql(_values_sql(SMELL_DOCS, "smell_docs"))
+        ).fetchall()
+    )
+    assert have == want
+
+
+def test_complexity_pinned(spark):
+    docs = spark.createDataFrame(COMPLEX_DOCS, schema=SCHEMA)
+    fc = function_complexity(docs)
+    rows = {
+        (r["repo"], r["path"], r["func_name"]): (r["fn_lines"], r["complexity"])
+        for r in fc.collect()
+    }
+    # if + for + while = 3 branches; 'and' is not a branch token
+    assert rows[("m/x", "src/cx.py", "branchy")] == (7, 4)
+    # 'if' inside a string literal is masked before counting
+    assert rows[("m/x", "src/cx.py", "flat")] == (2, 1)
+    # && and ? count; the comment 'if' is stripped before counting
+    assert rows[("m/x", "src/cx.js", "tern")] == (4, 3)
+
+
+def test_complexity_duckdb_parity(spark):
+    docs = spark.createDataFrame(COMPLEX_DOCS + SMELL_DOCS, schema=SCHEMA)
+    src = _values_sql(COMPLEX_DOCS + SMELL_DOCS, "cx_docs")
+    have = sorted(tuple(r) for r in function_complexity(docs).collect())
+    want = sorted(tuple(x) for x in duckdb.sql(
+        function_complexity_sql(src)).fetchall())
+    assert have == want
+    have_f = sorted(tuple(r) for r in file_complexity(docs).collect())
+    want_f = sorted(tuple(x) for x in duckdb.sql(
+        file_complexity_sql(src)).fetchall())
+    assert have_f == want_f
+
+
+def test_file_rollup(spark):
+    docs = spark.createDataFrame(COMPLEX_DOCS, schema=SCHEMA)
+    roll = {
+        (r["repo"], r["path"]): (r["n_funcs"], r["max_complexity"],
+                                 r["total_complexity"])
+        for r in file_complexity(docs).collect()
+    }
+    assert roll[("m/x", "src/cx.py")] == (2, 4, 5)
+    assert roll[("m/x", "src/cx.js")] == (1, 3, 3)

@@ -1,0 +1,219 @@
+"""Static code metrics and risk screens — security-smell counts at file
+granularity and cyclomatic-approximation complexity at function
+granularity, both as KG-ready facts over the BASELINE input shape.
+
+Security smells (`smell_cols` / `security_smells` / `smell_triples`):
+a curated battery of lexical risk patterns (eval/exec, unsafe
+deserialization, shell=True, weak hashes, plaintext http, quoted
+password literals) counted per file — the screening complement of
+code_curate's secret scan (that one finds *credentials*, this one finds
+*dangerous constructs*).  Map-only: one content scan computes every
+counter; the long format explodes a bounded literal-name struct array.
+
+Function complexity (`function_complexity` / `file_complexity`):
+1 + (branch tokens) per function unit, the standard lexical cyclomatic
+approximation (McCabe over tokens).  Counted on the TYPE-2 NORMALIZED
+unit (code_clones.normalize_function_col) on purpose: strings are
+masked and comments stripped there, so an ``if`` inside a string
+literal or comment never counts, while keywords survive normalization
+verbatim.  ``?`` counts as a branch (ternary in c-family/js, error
+propagation in rust) — documented approximation of a parser's verdict.
+
+Every pattern is Java∩RE2 (non-capturing groups only — both engines
+count group-0 matches) and is consumed by BOTH the Spark columns and
+the DuckDB twins.
+
+Scale shape (10^12 files): smells are one map-only scan; function
+complexity is one map-only scan + bounded explode; the per-file rollup
+is one (repo, path) shuffle with map-side combine.  No windows, no
+per-row Python, no corpus cartesian.
+
+__ref__ = "no reference counterpart (source-code extension; smell
+battery follows Bandit/Semgrep rule families, complexity follows
+McCabe's cyclomatic measure — public literature)"
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .code import _sq
+from .code_clones import (
+    extract_functions,
+    extract_functions_sql,
+    normalize_function_col,
+    _norm_sql,
+)
+
+__ref__ = "no reference counterpart (source-code extension)"
+
+# ---------------------------------------------------------------------------
+# Security smells
+# ---------------------------------------------------------------------------
+
+# ordered battery: name -> Java∩RE2 pattern (group 0 is the match; no
+# capturing groups, so both engines' extract_all count identically)
+SMELL_PATTERNS: dict[str, str] = {
+    "eval_call": r"\beval[ \t]*\(",
+    "exec_call": r"\bexec[ \t]*\(",
+    "pickle_load": r"\bpickle\.loads?[ \t]*\(",
+    "yaml_unsafe_load": r"\byaml\.load[ \t]*\(",
+    "subprocess_shell": r"\bshell[ \t]*=[ \t]*True\b",
+    "weak_hash": r"\b(?:md5|sha1)[ \t]*\(",
+    "plain_http": r"http://[A-Za-z0-9]",
+    "password_literal": r"(?i)\bpassword[ \t]*=[ \t]*[\"']",
+}
+
+
+def smell_cols(content_col: str = "content") -> dict[str, Column]:
+    """One BIGINT match-count column per smell — reusable inside fused
+    single-scan consumers."""
+    c = F.col(content_col)
+    return {
+        name: F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).cast("long")
+        for name, pat in SMELL_PATTERNS.items()
+    }
+
+
+def smell_sql_exprs(content_expr: str) -> dict[str, str]:
+    return {
+        name: (
+            f"CAST(len(regexp_extract_all({content_expr}, "
+            f"'{_sq(pat)}')) AS BIGINT)"
+        )
+        for name, pat in SMELL_PATTERNS.items()
+    }
+
+
+def security_smells(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    content_col: str = "content",
+) -> DataFrame:
+    """``(repo, path, smell, n)`` long format, hit rows only (n > 0) —
+    one map-only scan + a bounded (battery-sized) explode."""
+    cols = smell_cols(content_col)
+    arr = F.array(*[
+        F.struct(F.lit(name).alias("smell"), col.alias("n"))
+        for name, col in cols.items()
+    ])
+    return (
+        docs.select(
+            F.col(repo_col).alias("repo"),
+            F.col(path_col).alias("path"),
+            F.explode(arr).alias("s"),
+        )
+        .select("repo", "path", F.col("s.smell").alias("smell"),
+                F.col("s.n").alias("n"))
+        .filter(F.col("n") > 0)
+    )
+
+
+def smell_triples(smells: DataFrame) -> DataFrame:
+    """Smell hits as ``(subj, pred, obj)`` = (repo:path, HAS_SMELL,
+    smell name) — the TripleStore / kg_query frame contract."""
+    return smells.select(
+        F.concat(F.col("repo"), F.lit(":"), F.col("path")).alias("subj"),
+        F.lit("HAS_SMELL").alias("pred"),
+        F.col("smell").alias("obj"),
+    ).distinct()
+
+
+def security_smells_sql(docs_sql: str, repo="repo", path="path",
+                        content="content") -> str:
+    """DuckDB replay of :func:`security_smells`."""
+    exprs = smell_sql_exprs(content)
+    structs = ", ".join(
+        f"{{'smell': '{name}', 'n': {e}}}" for name, e in exprs.items()
+    )
+    return f"""
+WITH sm AS (
+  SELECT {repo} AS repo, {path} AS path,
+         unnest([{structs}]) AS s
+  FROM ({docs_sql})
+)
+SELECT repo, path, s.smell AS smell, s.n AS n FROM sm WHERE s.n > 0"""
+
+
+# ---------------------------------------------------------------------------
+# Function complexity
+# ---------------------------------------------------------------------------
+
+# branch tokens over the NORMALIZED unit (keywords survive, strings are
+# masked, comments stripped): keyword branches + short-circuit operators
+# + ternary/error-propagation '?'
+# (every keyword here is in CLONE_KEYWORDS, so it survives type-2
+# normalization verbatim; anything else would already be ID)
+BRANCH_TOKEN_RE = (
+    r"\b(?:if|elif|for|while|case|catch|except)\b|&&|\|\||\?"
+)
+
+
+def function_complexity(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    lang_col: str = "lang",
+    content_col: str = "content",
+) -> DataFrame:
+    """``(repo, path, func_name, fn_lines, complexity)`` — one map-only
+    scan + bounded explode; anonymous units kept (func_name NULL)."""
+    fn = extract_functions(docs, repo_col, path_col, lang_col, content_col)
+    norm = normalize_function_col(F.col("lang"), F.col("unit"))
+    body = F.regexp_replace(F.col("unit"), r"\n$", "")
+    return fn.select(
+        "repo",
+        "path",
+        "func_name",
+        F.size(F.split(body, "\n")).cast("long").alias("fn_lines"),
+        (
+            F.lit(1)
+            + F.size(F.regexp_extract_all(norm, F.lit(BRANCH_TOKEN_RE), F.lit(0)))
+        ).cast("long").alias("complexity"),
+    )
+
+
+def file_complexity(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    lang_col: str = "lang",
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-file rollup ``(repo, path, n_funcs, max_complexity,
+    total_complexity)`` — the screen-input form (e.g. drop files whose
+    max_complexity exceeds a budget).  ONE (repo, path) shuffle with
+    map-side combine."""
+    fc = function_complexity(docs, repo_col, path_col, lang_col, content_col)
+    return fc.groupBy("repo", "path").agg(
+        F.count("*").cast("long").alias("n_funcs"),
+        F.max("complexity").cast("long").alias("max_complexity"),
+        F.sum("complexity").cast("long").alias("total_complexity"),
+    )
+
+
+def function_complexity_sql(docs_sql: str, repo="repo", path="path",
+                            lang="lang", content="content") -> str:
+    """DuckDB replay of :func:`function_complexity`."""
+    fx = extract_functions_sql(docs_sql, repo, path, lang, content)
+    norm = _norm_sql("lang", "unit")
+    return f"""
+WITH fx AS ({fx})
+SELECT repo, path, func_name,
+       CAST(len(string_split(regexp_replace(unit, chr(10) || '$', ''), chr(10)))
+            AS BIGINT) AS fn_lines,
+       CAST(1 + len(regexp_extract_all({norm}, '{_sq(BRANCH_TOKEN_RE)}'))
+            AS BIGINT) AS complexity
+FROM fx"""
+
+
+def file_complexity_sql(docs_sql: str, repo="repo", path="path",
+                        lang="lang", content="content") -> str:
+    inner = function_complexity_sql(docs_sql, repo, path, lang, content)
+    return f"""
+SELECT repo, path,
+       CAST(count(*) AS BIGINT) AS n_funcs,
+       CAST(max(complexity) AS BIGINT) AS max_complexity,
+       CAST(sum(complexity) AS BIGINT) AS total_complexity
+FROM ({inner}) GROUP BY repo, path"""
