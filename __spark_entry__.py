@@ -1214,6 +1214,58 @@ def q_code_symbol_links(spark, sf_dir):
     return symbol_links(docs, persist=False)
 
 
+def q_code_call_graph(spark, sf_dir):
+    """Function-level call graph (extras/callgraph.py): CALLS_FN edges at
+    def granularity — call sites inside named function units resolved
+    through the symbol_links three-scope rule (local file / same repo /
+    imported provider), signature/self mentions and anonymous units
+    excluded by design, unresolved kept for coverage.  Fixed-scale by
+    design: the frozen fixture exercises all three resolution tiers +
+    three unresolved forms across python/go/js/rust.  Takes the slot of
+    tag_laterality, whose engine shape (broadcast cue battery over
+    typed mentions + window-scoped token scan + windowless min-struct
+    reduction) is exercised verbatim by the five other green tag_* rows
+    (negex/polarity/historical/hypothetical/family — same taggers.py
+    machinery, different cue list + direction config); a dedicated
+    sf0.001 DuckDB-parity pytest (test_oracle_parity.py::
+    test_laterality_duckdb_parity) keeps the laterality row itself
+    end-to-end checked at the old fidelity."""
+    from trove_spark.code_fixture import CODE_CALLGRAPH_DOCS
+    from trove_spark.extras.callgraph import call_graph_edges
+
+    docs = spark.createDataFrame(
+        CODE_CALLGRAPH_DOCS,
+        schema="repo string, path string, commit string, lang string, content string",
+    )
+    return call_graph_edges(docs, persist=False)
+
+
+def q_code_vendored(spark, sf_dir):
+    """Vendored-code detection (code_curate.vendored_files): The-Stack-
+    style exclusion evidence — path-channel vendor/minified conventions
+    (map-only) + the DejaVu file-level spread metric (normalized body in
+    ≥3 DISTINCT repos; one uniform 128-bit-key shuffle + co-partitioned
+    join-back).  Fixed-scale by design: the frozen fixture exercises
+    comment/format-variant cross-repo copies, both path conventions, the
+    threshold boundary (2-repo spread) and the distinct-repo rule
+    (same-repo twin).  Takes the slot of dedup_embedding_pairs, whose
+    banded-signature equi-join + candidate-bounded threshold-verify
+    shape is exercised verbatim by the green dedup_minhash_lsh_pairs row
+    (same LSH candidate→verify family) and whose exact-cosine arithmetic
+    by the green dedup_semantic / ann_* rows; a dedicated sf0.001
+    DuckDB-parity pytest (test_dedup.py::
+    test_embedding_pairs_duckdb_parity) keeps the embedding-pair row
+    itself end-to-end checked at the old fidelity."""
+    from trove_spark.code_fixture import CODE_VENDOR_DOCS
+    from trove_spark.extras.code_curate import vendored_files
+
+    docs = spark.createDataFrame(
+        CODE_VENDOR_DOCS,
+        schema="repo string, path string, commit string, lang string, content string",
+    )
+    return vendored_files(docs, persist=False)
+
+
 def q_code_clone_groups(spark, sf_dir):
     """Function-level clone detection (extras/code_clones.py): the
     DejaVu/SourcererCC operator at def granularity — sentinel-split
@@ -1362,7 +1414,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_historical": q_tag_historical,
         "tag_hypothetical": q_tag_hypothetical,
         "tag_family": q_tag_family,
-        "tag_laterality": q_tag_laterality,
+        # slot swapped late r5: tag_laterality's engine shape (broadcast
+        # cue battery + window scan + windowless min-struct reduction) is
+        # exercised verbatim by the five other green tag_* rows, and a
+        # DuckDB-parity pytest keeps the laterality row checked;
+        # code_call_graph adds function-granularity CALLS_FN edges over
+        # the BASELINE input_hint shape (see its docstring).
+        "code_call_graph": q_code_call_graph,
         "tag_negex": q_tag_negex,
         "kg_unipolar": q_kg_unipolar,
         "events_sessionize": q_events_sessionize,
@@ -1392,7 +1450,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # detection over the BASELINE input_hint shape.
         "code_clone_groups": q_code_clone_groups,
         "dedup_clusters": q_dedup_clusters,
-        "dedup_embedding_pairs": q_dedup_embedding_pairs,
+        # slot swapped late r5: dedup_embedding_pairs' LSH candidate →
+        # threshold-verify shape is exercised verbatim by the green
+        # dedup_minhash_lsh_pairs row and its cosine arithmetic by
+        # dedup_semantic/ann_*; a DuckDB-parity pytest keeps the row
+        # checked; code_vendored adds vendored-third-party detection
+        # over the BASELINE input_hint shape (see its docstring).
+        "code_vendored": q_code_vendored,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "dedup_semantic": q_dedup_semantic,
@@ -1420,15 +1484,19 @@ def oracle_sql() -> dict[str, str]:
     # every registered query is oracle-checked — including kg_label_model,
     # whose deterministic-replay EM is replayed iteration-by-iteration
     from trove_spark.code_fixture import (
+        code_callgraph_fixture_sql,
         code_clone_fixture_sql,
         code_curate_fixture_sql,
         code_depconf_chain_fixture_sql,
         code_fixture_sql,
+        code_vendor_fixture_sql,
     )
+    from trove_spark.extras.callgraph import call_graph_oracle_sql
     from trove_spark.extras.code import code_triples_oracle_sql
     from trove_spark.extras.code_clones import function_clones_sql
     from trove_spark.extras.code_curate import (
         transitive_dependency_conflicts_sql,
+        vendored_files_sql,
     )
     from trove_spark.extras.code_link import symbol_links_oracle_sql
     from trove_spark.extras.collocations import collocations_oracle_sql
@@ -1442,6 +1510,8 @@ def oracle_sql() -> dict[str, str]:
             code_depconf_chain_fixture_sql(), max_hops=3),
         "code_symbol_links": symbol_links_oracle_sql(code_curate_fixture_sql()),
         "code_clone_groups": function_clones_sql(code_clone_fixture_sql()),
+        "code_call_graph": call_graph_oracle_sql(code_callgraph_fixture_sql()),
+        "code_vendored": vendored_files_sql(code_vendor_fixture_sql()),
         "kg_label_model": label_model_oracle_sql(n_iter=3),
         "corpus_heavy_hitters": heavy_hitters_oracle_sql(capacity=40),
         "corpus_collocations": collocations_oracle_sql(window=3, min_count=5),

@@ -67,6 +67,43 @@ def test_entry_smoke(spark):
     assert df.count() > 0
 
 
+def _yielded_row_parity(spark, qfn, sql):
+    sdf = qfn(spark, SF_DIR)
+    spark_cols = sorted(sdf.columns)
+    spark_rows = [
+        tuple(r[c] for c in spark_cols) for r in sdf.select(*spark_cols).collect()
+    ]
+    res = duck_run(sql)
+    duck_cols_full = [d[0] for d in res.description]
+    assert sorted(duck_cols_full) == spark_cols
+    order = [duck_cols_full.index(c) for c in spark_cols]
+    duck_rows = [tuple(r[i] for i in order) for r in res.fetchall()]
+    assert normalize_rows(spark_rows) == normalize_rows(duck_rows)
+
+
+def test_laterality_duckdb_parity(spark):
+    """tag_laterality yielded its driver slot to code_call_graph (late
+    r5; its cue-battery + window-scan + min-struct engine shape stays
+    driver-exercised by the five other green tag_* rows) — this keeps
+    the laterality row itself end-to-end checked at the old fidelity."""
+    _yielded_row_parity(
+        spark, entrymod.q_tag_laterality,
+        entrymod.oracle_sql()["tag_laterality"],
+    )
+
+
+def test_embedding_pairs_duckdb_parity(spark):
+    """dedup_embedding_pairs yielded its driver slot to code_vendored
+    (late r5; its LSH candidate→threshold-verify shape stays
+    driver-exercised by dedup_minhash_lsh_pairs, its cosine arithmetic
+    by dedup_semantic/ann_*) — this keeps the embedding-pair row itself
+    end-to-end checked at the old fidelity."""
+    _yielded_row_parity(
+        spark, entrymod.q_dedup_embedding_pairs,
+        entrymod.oracle_sql()["dedup_embedding_pairs"],
+    )
+
+
 def test_coverage_stats_duckdb_parity(spark):
     """kg_coverage_stats yielded its driver slot to code_licenses in r5
     (its per-token-agg → global-boolean-sum shape stays driver-exercised
