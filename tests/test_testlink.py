@@ -1,0 +1,87 @@
+"""Test-file detection and test→subject linking (extras/testlink.py):
+convention coverage across languages, canonical-winner linking, the
+per-repo coverage rollup, and DuckDB parity."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from trove_spark.code_fixture import _values_sql
+# aliased imports: the operator names start with test_ and pytest would
+# otherwise collect them as test functions
+from trove_spark.extras.testlink import test_link_triples as link_triples_op
+from trove_spark.extras.testlink import test_links as links_op
+from trove_spark.extras.testlink import test_links_sql as links_sql_op
+from trove_spark.extras.testlink import test_ratio as ratio_op
+from trove_spark.extras.testlink import test_ratio_sql as ratio_sql_op
+
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+TESTMAP_DOCS = [
+    # python: tests/ dir + test_ prefix; TWO stem candidates -> min(path)
+    ("t/app", "src/parser.py", "1c" * 20, "py", "def parse(): pass\n"),
+    ("t/app", "lib/parser.py", "2c" * 20, "py", "def parse2(): pass\n"),
+    ("t/app", "tests/test_parser.py", "3c" * 20, "py",
+     "def test_parse(): pass\n"),
+    # go: _test.go suffix next to the subject
+    ("t/app", "pkg/conn.go", "4c" * 20, "go", "func Dial() {}\n"),
+    ("t/app", "pkg/conn_test.go", "5c" * 20, "go", "func TestDial() {}\n"),
+    # js: .test.js infix
+    ("t/web", "src/render.js", "6c" * 20, "js", "function render() {}\n"),
+    ("t/web", "src/render.test.js", "7c" * 20, "js", "it('renders')\n"),
+    # java: Test suffix in the basename
+    ("t/web", "src/main/App.java", "8c" * 20, "java", "class App {}\n"),
+    ("t/web", "src/main/AppTest.java", "9c" * 20, "java",
+     "class AppTest {}\n"),
+    # orphan test: no same-repo subject stem
+    ("t/app", "tests/test_orphan.py", "0c" * 20, "py", "def test_x(): pass\n"),
+    # negatives: 'test' inside a word is not a marker
+    ("t/app", "src/contest.py", "ac" * 20, "py", "def enter(): pass\n"),
+    ("t/app", "src/attest.go", "bc" * 20, "go", "func Sign() {}\n"),
+]
+
+
+@pytest.fixture(scope="module")
+def links(spark):
+    docs = spark.createDataFrame(TESTMAP_DOCS, schema=SCHEMA)
+    return sorted(
+        (r["repo"], r["test_path"], r["subject_path"])
+        for r in links_op(docs).collect()
+    )
+
+
+def test_pinned_links(links):
+    assert links == sorted([
+        # min(path) winner: lib/parser.py < src/parser.py
+        ("t/app", "tests/test_parser.py", "lib/parser.py"),
+        ("t/app", "pkg/conn_test.go", "pkg/conn.go"),
+        ("t/web", "src/render.test.js", "src/render.js"),
+        ("t/web", "src/main/AppTest.java", "src/main/App.java"),
+        ("t/app", "tests/test_orphan.py", None),
+    ])
+
+
+def test_duckdb_parity(spark, links):
+    src = _values_sql(TESTMAP_DOCS, "testmap_docs")
+    want = sorted(tuple(x) for x in duckdb.sql(links_sql_op(src)).fetchall())
+    assert links == want
+    docs = spark.createDataFrame(TESTMAP_DOCS, schema=SCHEMA)
+    have_r = sorted(tuple(r) for r in ratio_op(docs).collect())
+    want_r = sorted(tuple(x) for x in duckdb.sql(ratio_sql_op(src)).fetchall())
+    assert have_r == want_r
+
+
+def test_triples_and_ratio(spark):
+    docs = spark.createDataFrame(TESTMAP_DOCS, schema=SCHEMA)
+    tr = link_triples_op(links_op(docs))
+    assert tr.columns == ["subj", "pred", "obj"]
+    got = {(r["subj"], r["obj"]) for r in tr.collect()}
+    assert ("t/app:pkg/conn_test.go", "t/app:pkg/conn.go") in got
+    assert len(got) == 4  # the orphan maps to nothing
+    rows = {r["repo"]: (r["n_test_files"], r["n_source_files"],
+                        r["test_permille"])
+            for r in ratio_op(docs).collect()}
+    # t/app: 3 tests (test_parser, conn_test, test_orphan) of 8 files
+    assert rows["t/app"] == (3, 5, 375)
+    assert rows["t/web"] == (2, 2, 500)

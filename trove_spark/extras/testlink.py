@@ -1,0 +1,175 @@
+"""Test-file detection and test→subject linking over source code —
+TESTS edges for the code KG plus the per-repo test-coverage rollup
+(a repo-quality signal: curated code corpora prefer tested repos).
+
+Detection is conventional-path based (the cross-language convention
+surface: ``tests/``-style directories, ``test_*`` / ``*_test.*`` /
+``*.test.*`` / ``*.spec.*`` / ``*Test.java`` basenames).  Linking maps
+a test file to the file it exercises by STEM correspondence inside the
+same repo: the test stem with its test markers stripped equals the
+subject stem (``tests/test_parser.py`` → ``parser``; ``conn_test.go``
+→ ``conn``; ``render.test.js`` → ``render``; ``AppTest.java`` →
+``App``), with the canonical winner ``min(path)`` per (repo, stem) —
+the same deterministic canonicalization discipline as symbol_links.
+Unlinked tests are kept (target NULL) so mapping coverage is
+measurable.
+
+Scale shape (10^12 files): detection and stem-keying are map-only
+column-pruned scans (repo + path only — content is never read); the
+subject table is one (repo, stem) groupBy bounded by stem vocabulary ×
+repos; linking is one LEFT equi-join.  No content regex, no windows,
+no per-row Python.
+
+__ref__ = "no reference counterpart (source-code extension; detection
+conventions follow pytest/go-test/jest/junit public docs)"
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .code import _sq
+
+__ref__ = "no reference counterpart (source-code extension)"
+
+TEST_DIR_RE = r"(^|/)(tests?|specs?|__tests__)/"
+TEST_BASE_RE = r"^test[_-]|[._-]test\.[A-Za-z0-9]+$|[._-]spec\.[A-Za-z0-9]+$|Test\.java$"
+_EXT_RE = r"\.[A-Za-z0-9]+$"
+_TEST_PREFIX_RE = r"^test[_-]"
+_TEST_SUFFIX_RE = r"([._-]test|[._-]spec|Test)$"
+
+
+def _base(path: Column) -> Column:
+    return F.element_at(F.split(path, "/"), -1)
+
+
+def is_test_col(path: Column) -> Column:
+    """Conventional test-file predicate (path-only, map-only)."""
+    return path.rlike(TEST_DIR_RE) | _base(path).rlike(TEST_BASE_RE)
+
+
+def is_test_sql(path_expr: str) -> str:
+    base = f"list_extract(string_split({path_expr}, '/'), -1)"
+    return (
+        f"(regexp_matches({path_expr}, '{_sq(TEST_DIR_RE)}') OR "
+        f"regexp_matches({base}, '{_sq(TEST_BASE_RE)}'))"
+    )
+
+
+def _subject_stem(path: Column) -> Column:
+    """Test stem with its markers stripped, lowercased — the join key."""
+    stem = F.regexp_replace(_base(path), _EXT_RE, "")
+    stem = F.regexp_replace(stem, _TEST_PREFIX_RE, "")
+    stem = F.regexp_replace(stem, _TEST_SUFFIX_RE, "")
+    return F.lower(stem)
+
+
+def _subject_stem_sql(path_expr: str) -> str:
+    stem = f"regexp_replace(list_extract(string_split({path_expr}, '/'), -1), '{_sq(_EXT_RE)}', '')"
+    stem = f"regexp_replace({stem}, '{_sq(_TEST_PREFIX_RE)}', '')"
+    stem = f"regexp_replace({stem}, '{_sq(_TEST_SUFFIX_RE)}', '')"
+    return f"lower({stem})"
+
+
+def test_links(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+) -> DataFrame:
+    """``(repo, test_path, subject_path)`` — one row per detected test
+    file; subject_path NULL when no same-repo stem match exists."""
+    repo, path = F.col(repo_col), F.col(path_col)
+    z = docs.select(repo.alias("repo"), path.alias("path"),
+                    is_test_col(path).alias("_is_test"))
+    tests = z.filter(F.col("_is_test")).select(
+        "repo",
+        F.col("path").alias("test_path"),
+        _subject_stem(F.col("path")).alias("_stem"),
+    )
+    subjects = (
+        z.filter(~F.col("_is_test"))
+        .select(
+            "repo",
+            F.lower(F.regexp_replace(_base(F.col("path")), _EXT_RE, "")).alias("_stem"),
+            F.col("path").alias("subject_path"),
+        )
+        .groupBy("repo", "_stem")
+        .agg(F.min("subject_path").alias("subject_path"))
+    )
+    return tests.join(subjects, ["repo", "_stem"], "left").select(
+        "repo", "test_path", "subject_path"
+    )
+
+
+def test_link_triples(links: DataFrame) -> DataFrame:
+    """Linked tests as ``(subj, pred, obj)`` = (repo:test_path, TESTS,
+    repo:subject_path) — the TripleStore / kg_query frame contract."""
+    return (
+        links.filter(F.col("subject_path").isNotNull())
+        .select(
+            F.concat(F.col("repo"), F.lit(":"), F.col("test_path")).alias("subj"),
+            F.lit("TESTS").alias("pred"),
+            F.concat(F.col("repo"), F.lit(":"), F.col("subject_path")).alias("obj"),
+        )
+        .distinct()
+    )
+
+
+def test_ratio(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+) -> DataFrame:
+    """Per-repo rollup ``(repo, n_test_files, n_source_files,
+    test_permille)`` — ONE (repo) shuffle with map-side combine;
+    test_permille is integer (BIGINT) for hash-exact cross-engine
+    compare."""
+    repo, path = F.col(repo_col), F.col(path_col)
+    t = is_test_col(path).cast("long")
+    return (
+        docs.select(repo.alias("repo"), t.alias("t"))
+        .groupBy("repo")
+        .agg(
+            F.sum("t").cast("long").alias("n_test_files"),
+            (F.count("*") - F.sum("t")).cast("long").alias("n_source_files"),
+            F.floor(F.sum("t") * 1000 / F.count("*")).cast("long").alias("test_permille"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins
+# ---------------------------------------------------------------------------
+
+
+def test_links_sql(docs_sql: str, repo="repo", path="path") -> str:
+    """DuckDB replay of :func:`test_links`."""
+    is_t = is_test_sql(path)
+    return f"""
+WITH tz AS (
+  SELECT {repo} AS repo, {path} AS path, {is_t} AS is_test FROM ({docs_sql})
+),
+tt AS (
+  SELECT repo, path AS test_path, {_subject_stem_sql("path")} AS stem
+  FROM tz WHERE is_test
+),
+ss AS (
+  SELECT repo, lower(regexp_replace(list_extract(string_split(path, '/'), -1),
+                                    '{_sq(_EXT_RE)}', '')) AS stem,
+         min(path) AS subject_path
+  FROM tz WHERE NOT is_test GROUP BY 1, 2
+)
+SELECT tt.repo, tt.test_path, ss.subject_path
+FROM tt LEFT JOIN ss ON ss.repo = tt.repo AND ss.stem = tt.stem"""
+
+
+def test_ratio_sql(docs_sql: str, repo="repo", path="path") -> str:
+    is_t = is_test_sql(path)
+    return f"""
+SELECT {repo} AS repo,
+       CAST(sum(CASE WHEN {is_t} THEN 1 ELSE 0 END) AS BIGINT) AS n_test_files,
+       CAST(count(*) - sum(CASE WHEN {is_t} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_source_files,
+       CAST((sum(CASE WHEN {is_t} THEN 1 ELSE 0 END) * 1000) // count(*)
+            AS BIGINT) AS test_permille
+FROM ({docs_sql}) GROUP BY 1"""
