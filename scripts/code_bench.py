@@ -341,6 +341,21 @@ def main() -> None:
     out["symlink_s"] = best2(_run_symlink)
     out["symlink_resolutions"] = _run_symlink()
 
+    # --- function-level call graph (extras/callgraph.py) over the same
+    # link augmentation: the units scan + explode on top of the
+    # symbol_links resolution plan, so the delta over symlink_s is the
+    # function-granularity surcharge
+    from trove_spark.extras.callgraph import call_graph_edges
+
+    def _run_callgraph():
+        cg = call_graph_edges(linkdocs)
+        n = cg.count()
+        cg._link_cache.unpersist()
+        return n
+
+    out["callgraph_s"] = best2(_run_callgraph)
+    out["callgraph_edges"] = _run_callgraph()
+
     # --- function-level clone detection (extras/code_clones.py)
     from trove_spark.extras.code_clones import function_clones
 
@@ -349,6 +364,16 @@ def main() -> None:
         lambda: function_clones(clonedocs).agg(F.sum("n_copies")).collect()
     )
     out["clone_groups"] = function_clones(clonedocs).count()
+
+    # --- per-function complexity (extras/code_metrics.py) over the same
+    # unit-bearing corpus: extraction + type-2 normalize + branch count,
+    # one (repo, path) rollup shuffle
+    from trove_spark.extras.code_metrics import file_complexity, security_smells
+
+    out["complexity_s"] = best2(
+        lambda: file_complexity(clonedocs)
+        .agg(F.sum("total_complexity")).collect()
+    )
 
     # --- clone-aware license contamination (clone keys × license rollup;
     # 1/3 of repos roll up gpl-3.0, so cross-repo clone classes carry
@@ -408,7 +433,47 @@ def main() -> None:
     out["comments_s"] = best2(lambda: extract_comments(aug).count())
     out["normdedup_s"] = best2(lambda: keep_normalized_winners(aug).count())
     out["n_after_normdedup"] = keep_normalized_winners(aug).count()
+
+    # --- vendored detection (code_curate.vendored_files) over the same
+    # augmented corpus: the vendor/-path twins hit the path channel, the
+    # repeated LICENSE bodies hit the cross-repo content-spread channel
+    from trove_spark.extras.code_curate import vendored_files
+
+    def _run_vendored():
+        v = vendored_files(aug)
+        n = v.filter("is_vendored").count()
+        v._vendor_cache.unpersist()
+        return n
+
+    out["vendored_s"] = best2(_run_vendored)
+    out["vendored_files"] = _run_vendored()
+
+    # --- security smells (map-only battery; the ~1% secret lines carry
+    # password_literal hits, the corpus body is the miss path)
+    out["smells_s"] = best2(
+        lambda: security_smells(aug).groupBy("smell").count().collect()
+    )
     aug.unpersist()
+
+    # --- test→subject linking (extras/testlink.py): a tests/test_* twin
+    # for 20% of files, so detection AND the (repo, stem) equi-join both
+    # carry real hits; path-only — the timing is the column-pruned scan
+    # plus one repo+stem shuffle, never content
+    from trove_spark.extras.testlink import test_links
+
+    tdocs = docs.unionByName(
+        docs.filter(F.col("id") % 5 == 0).select(
+            "repo",
+            F.concat(F.lit("tests/test_file_"), F.col("id").cast("string"),
+                     F.lit("."), F.col("lang")).alias("path"),
+            "commit", "lang", "content", "id",
+        )
+    )
+    out["testlink_s"] = best2(
+        lambda: test_links(tdocs).filter("subject_path IS NOT NULL").count()
+    )
+    out["test_links"] = test_links(tdocs).filter(
+        "subject_path IS NOT NULL").count()
 
     print(json.dumps(out))
     spark.stop()

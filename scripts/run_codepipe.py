@@ -87,6 +87,18 @@ def main(argv: list[str] | None = None) -> dict:
                     "scopes, CALLS_FN triples unioned into the same "
                     "store write (shares one resolution plan with "
                     "--link-symbols when both are set)")
+    ap.add_argument("--smell-triples", action="store_true",
+                    help="also scan for security smells (extras/"
+                    "code_metrics: eval/exec, unsafe deserialization, "
+                    "shell=True, weak hashes, plaintext http, password "
+                    "literals) and union the HAS_SMELL triples into the "
+                    "same store write (map-only battery)")
+    ap.add_argument("--test-triples", action="store_true",
+                    help="also link test files to the subject files they "
+                    "exercise (extras/testlink: conventional-path "
+                    "detection, same-repo stem matching) and union the "
+                    "TESTS edges into the same store write (path-only, "
+                    "map-only + one equi-join)")
     ap.add_argument("--clone-triples", action="store_true",
                     help="also detect function-level type-2 clones "
                     "(extras/code_clones) and union the CLONE_OF edges "
@@ -385,6 +397,22 @@ def main(argv: list[str] | None = None) -> dict:
         if links is None:
             link_cache = cg._link_cache
         triples = triples.unionByName(call_graph_triples(cg))
+    if args.smell_triples:
+        # map-only battery over the (possibly redacted) corpus — note
+        # redaction masks credential VALUES, not construct shapes, so
+        # smell counts are redaction-invariant except password_literal
+        from trove_spark.extras.code_metrics import (
+            security_smells,
+            smell_triples,
+        )
+
+        triples = triples.unionByName(smell_triples(security_smells(out_docs)))
+    if args.test_triples:
+        # path-only detection + one (repo, stem) equi-join; content is
+        # never read, so this rides the column-pruned path scan
+        from trove_spark.extras.testlink import test_link_triples, test_links
+
+        triples = triples.unionByName(test_link_triples(test_links(out_docs)))
     clone_cache = None
     if args.clone_triples:
         # clone canonicalization: CLONE_OF edges into the SAME single
@@ -407,6 +435,7 @@ def main(argv: list[str] | None = None) -> dict:
     stats["symbols_linked"] = bool(args.link_symbols)
     stats["call_graph"] = bool(args.call_graph)
     stats["clones_linked"] = bool(args.clone_triples)
+    stats["tests_linked"] = bool(args.test_triples)
     _mark("triples_write")
     if two_consumers:
         docs.unpersist()  # out_docs is materialized; drop the raw cache

@@ -507,3 +507,38 @@ def test_codepipe_explode_notebooks(spark, tmp_path):
     assert ("lab/gonb:nb/tour.ipynb#cell0", "IMPORTS", "fmt") in trips
     # the raw notebook JSON row itself is gone (replaced by its cells)
     assert not any(s.endswith("explore.ipynb") for s, _, _ in trips)
+
+
+def test_codepipe_smell_and_test_triples(spark, tmp_path):
+    """--smell-triples and --test-triples union HAS_SMELL and TESTS
+    edges into the same single store write as the code triples."""
+    extra = [
+        ("acme/jsonkit", "tests/test_jsonkit.py", "9f" * 20, "py",
+         "from jsonkit import parse\n"
+         "def test_parse():\n    assert parse('1') == 1\n"),
+        ("acme/jsonkit", "src/danger.py", "8f" * 20, "py",
+         "def run(expr):\n    return eval(expr)\n"),
+    ]
+    inp = str(tmp_path / "files.parquet")
+    out = str(tmp_path / "kg")
+    _fixture_docs(spark).unionByName(
+        spark.createDataFrame(extra, schema=SCHEMA)
+    ).write.parquet(inp)
+
+    stats = run_codepipe.main([
+        "--input", inp, "--output", out,
+        "--licenses", "off", "--dedup", "off", "--no-screens",
+        "--smell-triples", "--test-triples", "--n-buckets", "2",
+    ])
+    assert stats["tests_linked"]
+    from trove_spark.graph import TripleStore
+
+    t = TripleStore(spark, out, n_buckets=2).read_triples()
+    trips = {
+        tuple(r)
+        for r in t.filter("pred IN ('TESTS', 'HAS_SMELL')")
+        .select("subj", "pred", "obj").collect()
+    }
+    assert ("acme/jsonkit:tests/test_jsonkit.py", "TESTS",
+            "acme/jsonkit:src/jsonkit.py") in trips
+    assert ("acme/jsonkit:src/danger.py", "HAS_SMELL", "eval_call") in trips
