@@ -475,6 +475,22 @@ def main() -> None:
     out["test_links"] = test_links(tdocs).filter(
         "subject_path IS NOT NULL").count()
 
+    # --- repo hygiene + doc coverage (extras/repo_quality.py): LICENSE
+    # rows hit the license flag, the test twins hit the tests flag (the
+    # rest stay 0 — miss-path cost); doc coverage counts the synthetic
+    # per-language def surface (real hits in every file)
+    from trove_spark.extras.repo_quality import doc_coverage, repo_hygiene
+
+    hdocs = tdocs.unionByName(license_rows(spark, n_files))
+    out["hygiene_s"] = best2(
+        lambda: repo_hygiene(hdocs).agg(F.sum("hygiene_score")).collect()
+    )
+    out["doccov_s"] = best2(
+        lambda: doc_coverage(docs)
+        .agg(F.sum("n_defs").alias("d"), F.sum("n_documented").alias("dd"))
+        .collect()
+    )
+
     print(json.dumps(out))
     spark.stop()
 

@@ -40,6 +40,12 @@ def main() -> None:
     gen_only = "--gen-only" in sys.argv
     rounds = 3 if "--rounds3" in sys.argv else (2 if "--rounds2" in sys.argv else 1)
     clones = "--clones" in sys.argv  # include the CLONE_OF stage in the timed pass
+    # every KG-edge stage in one timed pass: symbol links + call graph
+    # (shared resolution plan), smells, test links, clones, plus the
+    # path-only hygiene screen (min 1 = no drops on this corpus — every
+    # repo has a LICENSE — so the stage's plan cost is measured while
+    # output stays comparable)
+    allops = "--allops" in sys.argv
     try:
         os.sched_setaffinity(0, set(range(cores)))
     except (AttributeError, OSError):
@@ -88,7 +94,11 @@ def main() -> None:
             "--deps-out", deps,
             "--n-buckets", "16",
         ]
-        if clones:
+        if allops:
+            args += ["--link-symbols", "--call-graph", "--smell-triples",
+                     "--test-triples", "--min-hygiene", "1",
+                     "--clone-triples"]
+        elif clones:
             args.append("--clone-triples")
         s = run_codepipe.main(args)
         walls.append(s["wall_s"])
@@ -117,6 +127,7 @@ def main() -> None:
     print(json.dumps({
         "cores": cores,
         "clones": clones,
+        "allops": allops,
         "n_files": n_in,
         "kept_files": stats["kept_files"],
         "triples": n_triples,

@@ -23,6 +23,10 @@ docstrings for the 10^12-file shape):
 2. license screen (extras/code_curate.license_screens) — The-Stack-style
    permissive-only cut by repo rollup (ONE evidence scan: the persisted
    rollup feeds both the summary histogram and the screen join).
+2b. optional repo-hygiene screen (``--min-hygiene N``,
+   extras/repo_quality.keep_hygienic_repos) — PATH-ONLY checklist rollup
+   (README/LICENSE/CI/tests/docs/manifest, 0-6) applied as an n_repos-row
+   semi-join before any content screen; content is never read.
 3. StarCoder quality screens (extras/code.code_screens) — fused map filter.
 4. normalized dedup (keep_normalized_winners) — reformatted-copy kill.
 5. secrets redaction (redact_secrets) — typed placeholder masking; a
@@ -74,6 +78,11 @@ def main(argv: list[str] | None = None) -> dict:
                     "normalized body appears in >= --vendored-min-repos "
                     "distinct repos")
     ap.add_argument("--vendored-min-repos", type=int, default=3)
+    ap.add_argument("--min-hygiene", type=int, default=None, metavar="N",
+                    help="drop every file of repos whose hygiene score "
+                    "(extras/repo_quality: README + LICENSE + CI + tests "
+                    "+ docs/ + manifest, 0-6) is below N — a path-only "
+                    "repo screen (n_repos-row semi-join, content never read)")
     ap.add_argument("--deps-out", default=None,
                     help="also write repo-level DEPENDS_ON edges parquet here")
     ap.add_argument("--link-symbols", action="store_true",
@@ -330,6 +339,16 @@ def main(argv: list[str] | None = None) -> dict:
         docs = drop_vendored(docs, min_repos=args.vendored_min_repos)
         if args.stage_counts:
             stats["after_vendored"] = docs.count()
+
+    if args.min_hygiene is not None:
+        # repo-level hygiene screen: path-only rollup (content never
+        # read), an n_repos-row semi-join — the cheapest possible
+        # repo-quality cut, so it runs before the per-file content screens
+        from trove_spark.extras.repo_quality import keep_hygienic_repos
+
+        docs = keep_hygienic_repos(docs, min_score=args.min_hygiene)
+        if args.stage_counts:
+            stats["after_hygiene"] = docs.count()
 
     if args.screens:
         docs = code_screens(docs)

@@ -343,9 +343,32 @@ def test_code_datacard_cross_engine(spark):
     ).fetchone()
     assert (card["n_functions"], card["n_clone_groups"],
             card["n_cloned_functions"]) == tuple(int(x or 0) for x in fn)
+    from trove_spark.extras.repo_quality import (
+        doc_coverage_sql,
+        repo_hygiene_sql,
+    )
+
+    flags = ["has_readme", "has_license", "has_ci", "has_tests",
+             "has_docs", "has_manifest"]
+    hy = duckdb.sql(
+        "SELECT " + ", ".join(f"sum({f})" for f in flags)
+        + f" FROM ({repo_hygiene_sql(src)})"
+    ).fetchone()
+    assert card["repo_hygiene"] == {
+        f"n_repos_{f[4:]}": int(v or 0) for f, v in zip(flags, hy)
+    }
+    dc = duckdb.sql(
+        f"SELECT sum(n_defs), sum(n_documented) FROM ({doc_coverage_sql(src)})"
+    ).fetchone()
+    assert (card["n_defs"], card["n_documented"]) == (
+        int(dc[0] or 0), int(dc[1] or 0))
+    assert card["doc_permille"] == (
+        card["n_documented"] * 1000 // card["n_defs"] if card["n_defs"] else 0)
+
     # sanity on fixture-known facts
     assert card["n_clone_groups"] >= 4
     assert card["n_files_with_secrets"] >= 1
+    assert card["n_defs"] > 0
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,109 @@
+"""Repo hygiene rollup + documentation coverage (extras/repo_quality.py):
+pinned flags across the checklist, the broadcast semi-join screen,
+per-language doc-surface counts, and DuckDB parity for both."""
+
+from __future__ import annotations
+
+import duckdb
+
+from trove_spark.code_fixture import _values_sql
+from trove_spark.extras.repo_quality import (
+    doc_coverage,
+    doc_coverage_sql,
+    keep_hygienic_repos,
+    repo_hygiene,
+    repo_hygiene_sql,
+)
+
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+HYGIENE_DOCS = [
+    # full-house repo: README, LICENSE, CI, tests, docs/, manifest
+    ("h/full", "README.md", "1a" * 20, "md", "# full\n"),
+    ("h/full", "LICENSE", "2a" * 20, "txt", "MIT License\n"),
+    ("h/full", ".github/workflows/ci.yml", "3a" * 20, "yml", "on: push\n"),
+    ("h/full", "tests/test_core.py", "4a" * 20, "py", "def test_a(): pass\n"),
+    ("h/full", "docs/index.md", "5a" * 20, "md", "docs\n"),
+    ("h/full", "pyproject.toml", "6a" * 20, "toml", "[project]\n"),
+    ("h/full", "src/core.py", "7a" * 20, "py", "def a(): pass\n"),
+    # bare repo: source only — every flag 0
+    ("h/bare", "main.go", "8a" * 20, "go", "func main() {}\n"),
+    # near-miss names must NOT count (readme dir, license source file,
+    # contest is not a test)
+    ("h/miss", "readme/notes.txt", "9a" * 20, "txt", "x\n"),
+    ("h/miss", "src/license_checker.py", "0a" * 20, "py", "def c(): pass\n"),
+    ("h/miss", "src/contest.py", "1b" * 20, "py", "def e(): pass\n"),
+]
+
+DOC_DOCS = [
+    # python: 2 defs, 1 documented (docstring on next line); the inner
+    # string mentioning def does not count
+    ("d/py", "src/a.py", "2b" * 20, "py",
+     'def documented(x):\n    """Doc."""\n    return x\n'
+     "def bare(y):\n    return y\n"),
+    # go: 2 funcs, 1 with a doc comment directly above
+    ("d/go", "pkg/b.go", "3b" * 20, "go",
+     "// Dial opens a connection.\nfunc Dial() {}\n\nfunc close() {}\n"),
+    # javascript: 2 functions, 1 JSDoc'd
+    ("d/js", "src/c.js", "4b" * 20, "js",
+     "/** Renders. */\nfunction render() {}\nfunction helper() {}\n"),
+    # java: 2 classes, 1 Javadoc'd
+    ("d/java", "src/D.java", "5b" * 20, "java",
+     "/** Entry. */\npublic class D {}\nclass Helper {}\n"),
+    # unknown lang contributes zero defs
+    ("d/py", "notes.txt", "6b" * 20, "txt", "def not_code\n"),
+]
+
+
+def test_hygiene_pinned_and_screen(spark):
+    docs = spark.createDataFrame(HYGIENE_DOCS, schema=SCHEMA)
+    rows = {r["repo"]: r.asDict() for r in repo_hygiene(docs).collect()}
+    full = rows["h/full"]
+    assert (full["has_readme"], full["has_license"], full["has_ci"],
+            full["has_tests"], full["has_docs"], full["has_manifest"],
+            full["hygiene_score"], full["n_files"]) == (1, 1, 1, 1, 1, 1, 6, 7)
+    assert rows["h/bare"]["hygiene_score"] == 0
+    assert rows["h/miss"]["hygiene_score"] == 0
+    kept = keep_hygienic_repos(docs, min_score=2)
+    assert {r["repo"] for r in kept.select("repo").distinct().collect()} == {
+        "h/full"
+    }
+    assert kept.count() == 7
+
+
+def test_hygiene_duckdb_parity(spark):
+    docs = spark.createDataFrame(HYGIENE_DOCS, schema=SCHEMA)
+    cols = sorted(repo_hygiene(docs).columns)
+    have = sorted(
+        tuple(r[c] for c in cols) for r in repo_hygiene(docs).collect()
+    )
+    res = duckdb.sql(repo_hygiene_sql(_values_sql(HYGIENE_DOCS, "hd")))
+    order = [res.columns.index(c) for c in cols]
+    want = sorted(tuple(row[i] for i in order) for row in res.fetchall())
+    assert have == want
+
+
+def test_doc_coverage_pinned(spark):
+    docs = spark.createDataFrame(DOC_DOCS, schema=SCHEMA)
+    rows = {
+        r["repo"]: (r["n_defs"], r["n_documented"], r["doc_permille"])
+        for r in doc_coverage(docs).collect()
+    }
+    assert rows == {
+        "d/py": (2, 1, 500),
+        "d/go": (2, 1, 500),
+        "d/js": (2, 1, 500),
+        "d/java": (2, 1, 500),
+    }
+
+
+def test_doc_coverage_duckdb_parity(spark):
+    docs = spark.createDataFrame(DOC_DOCS, schema=SCHEMA)
+    have = sorted(tuple(r) for r in doc_coverage(docs).collect())
+    want = sorted(
+        tuple(x)
+        for x in duckdb.sql(
+            doc_coverage_sql(_values_sql(DOC_DOCS, "dd"))
+        ).fetchall()
+    )
+    assert have == want

@@ -542,3 +542,30 @@ def test_codepipe_smell_and_test_triples(spark, tmp_path):
     assert ("acme/jsonkit:tests/test_jsonkit.py", "TESTS",
             "acme/jsonkit:src/jsonkit.py") in trips
     assert ("acme/jsonkit:src/danger.py", "HAS_SMELL", "eval_call") in trips
+
+
+def test_codepipe_min_hygiene(spark, tmp_path):
+    """--min-hygiene N: files of repos under the path-only hygiene score
+    are dropped before the content screens."""
+    rows = [
+        ("hy/good", "README.md", "1e" * 20, "md", "# good\n"),
+        ("hy/good", "LICENSE", "2e" * 20, "txt", "MIT License\n"),
+        ("hy/good", "src/lib.py", "3e" * 20, "py", "def a():\n    return 1\n"),
+        ("hy/bad", "src/only.py", "4e" * 20, "py", "def b():\n    return 2\n"),
+    ]
+    inp = str(tmp_path / "files.parquet")
+    out = str(tmp_path / "kg")
+    spark.createDataFrame(rows, schema=SCHEMA).write.parquet(inp)
+
+    stats = run_codepipe.main([
+        "--input", inp, "--output", out,
+        "--licenses", "off", "--dedup", "off", "--no-screens",
+        "--min-hygiene", "2", "--stage-counts", "--n-buckets", "2",
+    ])
+    assert stats["after_hygiene"] == 3
+    from trove_spark.graph import TripleStore
+
+    t = TripleStore(spark, out, n_buckets=2).read_triples()
+    subs = {r["subj"] for r in t.select("subj").distinct().collect()}
+    assert any(s.startswith("hy/good") for s in subs)
+    assert not any(s.startswith("hy/bad") for s in subs)

@@ -693,7 +693,7 @@ def code_datacard(
     JSON-able dict of exact integers (the `datacard` convention:
     bit-reproducible across reruns and engines).
 
-    Cost model — FIVE bounded jobs over the corpus, never one per stat:
+    Cost model — SEVEN bounded jobs over the corpus, never one per stat:
       1. one fused map + single-row agg: files, repos, chars, lines,
          StarCoder screen pass count (`code.code_keep_col`), secret
          incidence (`secret_count_cols` progressive totals);
@@ -701,7 +701,11 @@ def code_datacard(
       3. the license rollup histogram + permissive share (evidence rows
          only — orders of magnitude under the corpus);
       4. one md5-group shuffle for format-normalized duplication;
-      5. one func_key agg for function counts and type-2 clone rates.
+      5. one func_key agg for function counts and type-2 clone rates;
+      6. one PATH-ONLY hygiene rollup (repo_quality.repo_hygiene) reduced
+         to per-flag repo counts — column-pruned, content never read;
+      7. one doc-coverage agg (repo_quality.doc_coverage) reduced to
+         corpus-level defs / documented / permille.
     Every number replays already-parity-tested column builders, so the
     card is DuckDB-replayable stat by stat (tested)."""
     from .code import canonical_lang_col, code_keep_col
@@ -776,6 +780,30 @@ def code_datacard(
     card["n_functions"] = int(fr["n_functions"] or 0)
     card["n_clone_groups"] = int(fr["n_clone_groups"] or 0)
     card["n_cloned_functions"] = int(fr["n_cloned_functions"] or 0)
+
+    from .repo_quality import doc_coverage, repo_hygiene
+
+    flags = ["has_readme", "has_license", "has_ci", "has_tests",
+             "has_docs", "has_manifest"]
+    hy = (
+        repo_hygiene(docs, repo_col, path_col)
+        .agg(*[F.sum(f).alias(f) for f in flags])
+        .collect()[0]
+    )
+    card["repo_hygiene"] = {
+        f"n_repos_{f[4:] if f.startswith('has_') else f}": int(hy[f] or 0)
+        for f in flags
+    }
+    dc = (
+        doc_coverage(docs, repo_col, lang_col, content_col)
+        .agg(F.sum("n_defs").alias("d"), F.sum("n_documented").alias("dd"))
+        .collect()[0]
+    )
+    card["n_defs"] = int(dc["d"] or 0)
+    card["n_documented"] = int(dc["dd"] or 0)
+    card["doc_permille"] = (
+        card["n_documented"] * 1000 // card["n_defs"] if card["n_defs"] else 0
+    )
     return card
 
 

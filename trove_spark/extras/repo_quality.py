@@ -1,0 +1,225 @@
+"""Repo-level quality signals for code-corpus curation: the hygiene
+rollup (README / LICENSE / CI config / tests / docs dir / dependency
+manifest — the repo-selection checklist code-LLM corpora screen on) and
+documentation coverage (what permille of a repo's definitions carry a
+docstring / doc comment).
+
+Hygiene is PATH-ONLY: six map-only predicates over the column-pruned
+``(repo, path)`` scan, one ``groupBy(repo)`` max/sum rollup — content is
+never read, so at catalog scale this is the cheapest possible repo
+signal.  Doc coverage reads content but stays pure codegen: two constant
+``regexp_count`` columns per language (definitions, documented
+definitions — same construct surface for both, so the ratio is
+meaningful), one (repo) rollup.  ``keep_hygienic_repos`` applies the
+score as a repo-key semi-join screen (the rollup is n_repos rows —
+AQE broadcasts it when it fits, keyed shuffle join otherwise).
+
+All regexes live in the Java∩RE2 dialect intersection (no lookaround,
+no backreferences) so the DuckDB twins replay them verbatim; all
+reported numbers are BIGINT (integer permille) for hash-exact
+cross-engine compare.
+
+__ref__ = "no reference counterpart (source-code extension; hygiene
+checklist follows the public repo-quality screens in The Stack /
+StarCoder data curation writeups)"
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .code import _sq, canonical_lang_col, canonical_lang_sql
+
+__ref__ = "no reference counterpart (source-code extension)"
+
+# path-only hygiene predicates (basename or path channel)
+README_RE = r"(?i)(^|/)readme(\.[a-z0-9]+)?$"
+LICENSE_RE = r"(?i)(^|/)(license|licence|copying)(\.[a-z0-9]+)?$"
+CI_RE = (
+    r"(^|/)\.github/workflows/|(^|/)\.gitlab-ci\.yml$|(^|/)\.travis\.yml$"
+    r"|(^|/)Jenkinsfile$|(^|/)\.circleci/|(^|/)azure-pipelines\.yml$"
+)
+DOCS_DIR_RE = r"(^|/)docs?/"
+MANIFEST_RE = (
+    r"(^|/)(requirements\.txt|setup\.py|pyproject\.toml|package\.json"
+    r"|go\.mod|Cargo\.toml|pom\.xml|build\.gradle)$"
+)
+
+_FLAGS = [
+    ("has_readme", README_RE),
+    ("has_license", LICENSE_RE),
+    ("has_ci", CI_RE),
+    ("has_tests", None),  # testlink's dir OR basename channel
+    ("has_docs", DOCS_DIR_RE),
+    ("has_manifest", MANIFEST_RE),
+]
+
+# documentation surface per canonical language: (definition construct,
+# documented form of the SAME construct).  python = def + docstring on
+# the next line; go = line comment directly above func (godoc rule);
+# javascript = block-comment end directly above function (JSDoc); java =
+# block-comment end directly above a class/interface/enum.
+_PY_DEF = r"(?m)^[ \t]*(?:async[ \t]+)?def[ \t]+[A-Za-z_][A-Za-z0-9_]*"
+_PY_DOC = (
+    r"(?m)^[ \t]*(?:async[ \t]+)?def[ \t]+[A-Za-z_][A-Za-z0-9_]*"
+    r"\([^)]*\)[^:\n]*:[ \t]*\n[ \t]*[rbuRBU]{0,2}" + '("""|' + "''')"
+)
+_GO_DEF = r"(?m)^func[ \t]"
+_GO_DOC = r"(?m)^//[^\n]*\nfunc[ \t]"
+_JS_DEF = r"(?m)^[ \t]*(?:export[ \t]+)?(?:async[ \t]+)?function[ \t]"
+_JS_DOC = r"\*/[ \t]*\n[ \t]*(?:export[ \t]+)?(?:async[ \t]+)?function[ \t]"
+_JAVA_DEF = r"(?m)^[ \t]*(?:public[ \t]+|final[ \t]+|abstract[ \t]+)*(?:class|interface|enum)[ \t]"
+_JAVA_DOC = r"\*/[ \t]*\n[ \t]*(?:public[ \t]+|final[ \t]+|abstract[ \t]+)*(?:class|interface|enum)[ \t]"
+
+DOC_SURFACE: dict[str, tuple[str, str]] = {
+    "python": (_PY_DEF, _PY_DOC),
+    "go": (_GO_DEF, _GO_DOC),
+    "javascript": (_JS_DEF, _JS_DOC),
+    "java": (_JAVA_DEF, _JAVA_DOC),
+}
+
+
+def _flag_col(path: Column, name: str, pat: str | None) -> Column:
+    if name == "has_tests":
+        from .testlink import is_test_col
+
+        return is_test_col(path)
+    return path.rlike(pat)
+
+
+def repo_hygiene(
+    docs: DataFrame, repo_col: str = "repo", path_col: str = "path"
+) -> DataFrame:
+    """``(repo, n_files, has_readme, has_license, has_ci, has_tests,
+    has_docs, has_manifest, hygiene_score)`` — flags as BIGINT 0/1,
+    score = their sum (0–6).  One column-pruned scan + one (repo)
+    rollup with map-side combine."""
+    repo, path = F.col(repo_col), F.col(path_col)
+    sel = docs.select(
+        repo.alias("repo"),
+        *[
+            _flag_col(path, n, p).cast("long").alias(n)
+            for n, p in _FLAGS
+        ],
+    )
+    aggs = [F.max(n).cast("long").alias(n) for n, _ in _FLAGS]
+    out = sel.groupBy("repo").agg(
+        F.count("*").cast("long").alias("n_files"), *aggs
+    )
+    score = None
+    for n, _ in _FLAGS:
+        score = F.col(n) if score is None else score + F.col(n)
+    return out.withColumn("hygiene_score", score.cast("long"))
+
+
+def keep_hygienic_repos(
+    docs: DataFrame,
+    min_score: int = 2,
+    repo_col: str = "repo",
+    path_col: str = "path",
+) -> DataFrame:
+    """Drop every file of repos scoring below ``min_score`` via a
+    repo-key semi-join against the rollup (n_repos rows — orders of
+    magnitude under the corpus; AQE picks the broadcast form whenever
+    it fits, and a catalog-scale repo list falls back to a keyed
+    shuffle join rather than overflowing the driver)."""
+    keep = (
+        repo_hygiene(docs, repo_col, path_col)
+        .filter(F.col("hygiene_score") >= min_score)
+        .select("repo")
+    )
+    return docs.join(keep, docs[repo_col] == keep["repo"], "left_semi")
+
+
+def doc_coverage(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    lang_col: str = "lang",
+    content_col: str = "content",
+) -> DataFrame:
+    """``(repo, n_defs, n_documented, doc_permille)`` — definition and
+    documented-definition counts over the per-language doc surface
+    (same construct set for numerator and denominator), one (repo)
+    rollup; permille is BIGINT with 0-def repos reporting 0."""
+    canon = canonical_lang_col(F.col(lang_col))
+    content = F.col(content_col)
+    d_expr, doc_expr = F.lit(0).cast("long"), F.lit(0).cast("long")
+    for lg, (dre, docre) in DOC_SURFACE.items():
+        hit = canon == lg
+        d_expr = F.when(hit, F.regexp_count(content, F.lit(dre))).otherwise(d_expr)
+        doc_expr = F.when(hit, F.regexp_count(content, F.lit(docre))).otherwise(doc_expr)
+    return (
+        docs.select(
+            F.col(repo_col).alias("repo"),
+            d_expr.cast("long").alias("d"),
+            doc_expr.cast("long").alias("dd"),
+        )
+        .groupBy("repo")
+        .agg(
+            F.sum("d").cast("long").alias("n_defs"),
+            F.sum("dd").cast("long").alias("n_documented"),
+            F.when(
+                F.sum("d") > 0, F.floor(F.sum("dd") * 1000 / F.sum("d"))
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("doc_permille"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins
+# ---------------------------------------------------------------------------
+
+
+def _flag_sql(path_expr: str, name: str, pat: str | None) -> str:
+    if name == "has_tests":
+        from .testlink import is_test_sql
+
+        return is_test_sql(path_expr)
+    return f"regexp_matches({path_expr}, '{_sq(pat)}')"
+
+
+def repo_hygiene_sql(docs_sql: str, repo="repo", path="path") -> str:
+    flags = ", ".join(
+        f"CAST(max(CASE WHEN {_flag_sql(path, n, p)} THEN 1 ELSE 0 END) AS BIGINT) AS {n}"
+        for n, p in _FLAGS
+    )
+    score = " + ".join(n for n, _ in _FLAGS)
+    return f"""
+WITH h AS (
+  SELECT {repo} AS repo, CAST(count(*) AS BIGINT) AS n_files, {flags}
+  FROM ({docs_sql}) GROUP BY 1
+)
+SELECT h.*, CAST({score} AS BIGINT) AS hygiene_score FROM h"""
+
+
+def doc_coverage_sql(
+    docs_sql: str, repo="repo", lang="lang", content="content"
+) -> str:
+    canon = canonical_lang_sql(lang)
+
+    def cnt(pat: str) -> str:
+        return f"length(regexp_extract_all({content}, '{_sq(pat)}', 0))"
+
+    d_when = " ".join(
+        f"WHEN {canon} = '{lg}' THEN {cnt(dre)}"
+        for lg, (dre, _) in DOC_SURFACE.items()
+    )
+    doc_when = " ".join(
+        f"WHEN {canon} = '{lg}' THEN {cnt(docre)}"
+        for lg, (_, docre) in DOC_SURFACE.items()
+    )
+    return f"""
+WITH per_file AS (
+  SELECT {repo} AS repo,
+         (CASE {d_when} ELSE 0 END) AS d,
+         (CASE {doc_when} ELSE 0 END) AS dd
+  FROM ({docs_sql})
+)
+SELECT repo, CAST(sum(d) AS BIGINT) AS n_defs,
+       CAST(sum(dd) AS BIGINT) AS n_documented,
+       CAST(CASE WHEN sum(d) > 0 THEN (sum(dd) * 1000) // sum(d)
+                 ELSE 0 END AS BIGINT) AS doc_permille
+FROM per_file GROUP BY 1"""
