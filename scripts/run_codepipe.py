@@ -28,6 +28,10 @@ docstrings for the 10^12-file shape):
    (README/LICENSE/CI/tests/docs/manifest, 0-6) applied as an n_repos-row
    semi-join before any content screen; content is never read.
 3. StarCoder quality screens (extras/code.code_screens) — fused map filter.
+3b. optional function-level benchmark decontamination
+   (``--decontam-bench``, extras/code_decontam) — files holding a
+   function whose type-2 fingerprint matches a benchmark solution's are
+   dropped; broadcast probe, no corpus shuffle.
 4. normalized dedup (keep_normalized_winners) — reformatted-copy kill.
 5. secrets redaction (redact_secrets) — typed placeholder masking; a
    deliberate content REWRITE, so it runs after the invariant manifests
@@ -83,6 +87,12 @@ def main(argv: list[str] | None = None) -> dict:
                     "(extras/repo_quality: README + LICENSE + CI + tests "
                     "+ docs/ + manifest, 0-6) is below N — a path-only "
                     "repo screen (n_repos-row semi-join, content never read)")
+    ap.add_argument("--decontam-bench", default=None, metavar="PARQUET",
+                    help="benchmark-solutions parquet (bench_id, lang, "
+                    "content): drop every file containing a function whose "
+                    "type-2 fingerprint matches a benchmark function "
+                    "(extras/code_decontam — catches renamed/reformatted "
+                    "copies; broadcast probe, no corpus shuffle)")
     ap.add_argument("--deps-out", default=None,
                     help="also write repo-level DEPENDS_ON edges parquet here")
     ap.add_argument("--link-symbols", action="store_true",
@@ -354,6 +364,18 @@ def main(argv: list[str] | None = None) -> dict:
         docs = code_screens(docs)
         if args.stage_counts:
             stats["after_screens"] = docs.count()
+
+    if args.decontam_bench is not None:
+        # function-level benchmark decontamination: drop files whose
+        # type-2 function fingerprint matches a benchmark solution's
+        # (renames/reformat copies included) — broadcast probe, no
+        # corpus shuffle (extras/code_decontam)
+        from trove_spark.extras.code_decontam import decontaminate_functions
+
+        bench = spark.read.parquet(args.decontam_bench)
+        docs = decontaminate_functions(docs, bench)
+        if args.stage_counts:
+            stats["after_decontam"] = docs.count()
 
     if args.dedup == "normalized":
         docs = keep_normalized_winners(docs)

@@ -1,0 +1,150 @@
+"""Function-level benchmark decontamination (extras/code_decontam.py):
+the type-2 fingerprint catches renamed/recommented benchmark copies,
+min_norm_len bounds the blast radius, and both frames replay in DuckDB."""
+
+from __future__ import annotations
+
+import duckdb
+
+from trove_spark.code_fixture import _values_sql
+from trove_spark.extras.code_decontam import (
+    decontaminate_functions,
+    decontaminate_functions_sql,
+    function_contamination,
+    function_contamination_sql,
+)
+
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+BENCH_SCHEMA = "bench_id string, lang string, content string"
+
+_BENCH_PY = (
+    "def has_close_elements(numbers, threshold):\n"
+    "    # check pairwise distances\n"
+    "    for i in range(len(numbers)):\n"
+    "        for j in range(len(numbers)):\n"
+    "            if i != j and abs(numbers[i] - numbers[j]) < threshold:\n"
+    "                return True\n"
+    "    return False\n"
+)
+
+# same token structure, every identifier renamed, comment removed,
+# threshold literalized differently — a type-2 clone of _BENCH_PY
+_RENAMED_PY = (
+    "def check_pairs(vals, eps):\n"
+    "    for a in range(len(vals)):\n"
+    "        for b in range(len(vals)):\n"
+    "            if a != b and abs(vals[a] - vals[b]) < eps:\n"
+    "                return True\n"
+    "    return False\n"
+)
+
+_UNRELATED_PY = (
+    "def sum_list(xs):\n"
+    "    total = 0\n"
+    "    for x in xs:\n"
+    "        total += x\n"
+    "    return total\n"
+)
+
+_BENCH_GO = (
+    "func Clamp(x int, lo int, hi int) int {\n"
+    "\tif x < lo {\n\t\treturn lo\n\t}\n"
+    "\tif x > hi {\n\t\treturn hi\n\t}\n"
+    "\treturn x\n}\n"
+)
+
+BENCHMARK = [
+    ("humaneval/0", "py", _BENCH_PY),
+    ("gobench/7", "go", _BENCH_GO),
+]
+
+CORPUS = [
+    # exact copy of the python benchmark solution
+    ("c/exact", "src/sol.py", "1f" * 20, "py", _BENCH_PY),
+    # renamed + recommented copy — only the type-2 fingerprint sees it
+    ("c/renamed", "lib/pairs.py", "2f" * 20, "py",
+     "# utility helpers\n" + _RENAMED_PY),
+    # clean file in the same repo as nothing contaminated
+    ("c/clean", "src/agg.py", "3f" * 20, "py", _UNRELATED_PY),
+    # go copy with renamed identifiers
+    ("c/goclone", "pkg/minmax.go", "4f" * 20, "go",
+     _BENCH_GO.replace("Clamp", "Bound").replace("x ", "v ")
+     .replace("x <", "v <").replace("x >", "v >").replace("n x", "n v")),
+    # a file holding BOTH a leaked and a clean function — still dropped
+    ("c/mixed", "src/mix.py", "5f" * 20, "py",
+     _UNRELATED_PY + "\n" + _BENCH_PY),
+]
+
+
+def _bench_values_sql(alias: str) -> str:
+    rows = ",\n".join(
+        "(" + ", ".join("'" + v.replace("'", "''") + "'" for v in row) + ")"
+        for row in BENCHMARK
+    )
+    return (
+        "SELECT * FROM (VALUES\n" + rows +
+        f"\n) AS {alias}(bench_id, lang, content)"
+    )
+
+
+def test_contamination_pinned(spark):
+    docs = spark.createDataFrame(CORPUS, schema=SCHEMA)
+    bench = spark.createDataFrame(BENCHMARK, schema=BENCH_SCHEMA)
+    hits = {
+        (r["repo"], r["path"], r["bench_id"])
+        for r in function_contamination(docs, bench).collect()
+    }
+    assert hits == {
+        ("c/exact", "src/sol.py", "humaneval/0"),
+        ("c/renamed", "lib/pairs.py", "humaneval/0"),
+        ("c/goclone", "pkg/minmax.go", "gobench/7"),
+        ("c/mixed", "src/mix.py", "humaneval/0"),
+    }
+    kept = decontaminate_functions(docs, bench)
+    assert {(r["repo"], r["path"]) for r in kept.collect()} == {
+        ("c/clean", "src/agg.py"),
+    }
+
+
+def test_min_norm_len_bounds_blast_radius(spark):
+    """A huge min_norm_len drops every fingerprint BEFORE matching on
+    both sides — nothing matches, nothing is dropped."""
+    docs = spark.createDataFrame(CORPUS, schema=SCHEMA)
+    bench = spark.createDataFrame(BENCHMARK, schema=BENCH_SCHEMA)
+    assert function_contamination(docs, bench, min_norm_len=10_000).count() == 0
+    assert decontaminate_functions(
+        docs, bench, min_norm_len=10_000
+    ).count() == len(CORPUS)
+
+
+def test_contamination_duckdb_parity(spark):
+    docs = spark.createDataFrame(CORPUS, schema=SCHEMA)
+    bench = spark.createDataFrame(BENCHMARK, schema=BENCH_SCHEMA)
+    have = sorted(
+        tuple("" if v is None else v for v in r)
+        for r in function_contamination(docs, bench).collect()
+    )
+    want = sorted(
+        tuple("" if v is None else v for v in row)
+        for row in duckdb.sql(
+            function_contamination_sql(
+                _values_sql(CORPUS, "cd"), _bench_values_sql("bb")
+            )
+        ).fetchall()
+    )
+    assert have == want and len(have) >= 4
+
+
+def test_decontaminate_duckdb_parity(spark):
+    docs = spark.createDataFrame(CORPUS, schema=SCHEMA)
+    bench = spark.createDataFrame(BENCHMARK, schema=BENCH_SCHEMA)
+    have = sorted(tuple(r) for r in decontaminate_functions(docs, bench).collect())
+    want = sorted(
+        tuple(row)
+        for row in duckdb.sql(
+            decontaminate_functions_sql(
+                _values_sql(CORPUS, "cd"), _bench_values_sql("bb")
+            )
+        ).fetchall()
+    )
+    assert have == want

@@ -569,3 +569,41 @@ def test_codepipe_min_hygiene(spark, tmp_path):
     subs = {r["subj"] for r in t.select("subj").distinct().collect()}
     assert any(s.startswith("hy/good") for s in subs)
     assert not any(s.startswith("hy/bad") for s in subs)
+
+
+def test_codepipe_decontam_bench(spark, tmp_path):
+    """--decontam-bench: files holding a (renamed) benchmark-solution
+    function are dropped before the triples write."""
+    bench_fn = (
+        "def probe(a, b):\n"
+        "    if a > b:\n"
+        "        return a - b\n"
+        "    return b - a\n"
+    )
+    renamed = bench_fn.replace("probe", "dist").replace("a", "x").replace("b", "y")
+    rows = [
+        ("dc/leak", "src/leak.py", "6e" * 20, "py", renamed),
+        ("dc/ok", "src/keep.py", "7e" * 20, "py",
+         "def total(xs):\n    s = 0\n    for x in xs:\n        s += x\n    return s\n"),
+    ]
+    inp = str(tmp_path / "files.parquet")
+    benchp = str(tmp_path / "bench.parquet")
+    out = str(tmp_path / "kg")
+    spark.createDataFrame(rows, schema=SCHEMA).write.parquet(inp)
+    spark.createDataFrame(
+        [("he/0", "py", bench_fn)],
+        schema="bench_id string, lang string, content string",
+    ).write.parquet(benchp)
+
+    stats = run_codepipe.main([
+        "--input", inp, "--output", out,
+        "--licenses", "off", "--dedup", "off", "--no-screens",
+        "--decontam-bench", benchp, "--stage-counts", "--n-buckets", "2",
+    ])
+    assert stats["after_decontam"] == 1
+    from trove_spark.graph import TripleStore
+
+    t = TripleStore(spark, out, n_buckets=2).read_triples()
+    subs = {r["subj"] for r in t.select("subj").distinct().collect()}
+    assert any(s.startswith("dc/ok") for s in subs)
+    assert not any(s.startswith("dc/leak") for s in subs)

@@ -1,0 +1,181 @@
+"""Function-level benchmark decontamination for code corpora — the
+code-axis twin of extras/decontam.py's 13-gram text probe.
+
+Code-generation benchmarks (HumanEval / MBPP-style) leak into training
+corpora as FUNCTIONS, and the copies are routinely renamed, reformatted
+or re-commented — so n-gram text matching misses them.  This module
+matches at the function-unit level on the TYPE-2 NORMALIZED fingerprint
+(code_clones.normalize_function_col: strings masked, comments stripped,
+numbers zeroed, identifiers folded to ``ID``): a rename, reformat,
+literal tweak or comment change leaves the fingerprint fixed, so the
+probe catches exactly the clone family of each benchmark solution.
+
+Scale shape (10^12 files): the corpus side is ONE map-only content scan
++ bounded per-file explode + md5 (the code_clones ``_keyed_functions``
+plan); the benchmark side is a few hundred to a few thousand rows →
+reduced to distinct fingerprints and EXPLICITLY broadcast, so the match
+is a map-side hash probe with no corpus shuffle (the decontam.py
+discipline).  The drop filter is one (repo, path) anti-join against the
+contaminated-file set — bounded by the number of leaked files, also
+broadcast-sized in practice.  No windows, no per-row Python, no corpus
+cartesian.
+
+Both engines key on ``md5(normalized unit)`` and drop trivial units
+(normalized length < ``min_norm_len``) BEFORE matching, so a benchmark
+stub like ``def f(): pass`` can never nuke the corpus.
+
+__ref__ = "no reference counterpart (source-code extension; the
+function-level decontamination practice follows the published StarCoder
+/ Code Llama data-curation descriptions — public literature)"
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .code_clones import _keyed_functions, extract_functions_sql, _norm_sql
+
+__ref__ = "no reference counterpart (source-code extension)"
+
+
+def _bench_keys(
+    benchmark: DataFrame,
+    bench_id_col: str,
+    lang_col: str,
+    content_col: str,
+    min_norm_len: int,
+) -> DataFrame:
+    """(func_key, bench_id) — one fingerprint per benchmark function,
+    min(bench_id) winner per key (deterministic when two benchmark items
+    share a normalized body)."""
+    keyed = _keyed_functions(
+        benchmark.select(
+            F.col(bench_id_col).alias("repo"),  # reuse the corpus plan shape
+            F.lit("").alias("path"),
+            F.col(lang_col).alias("lang"),
+            F.col(content_col).alias("content"),
+        ),
+        "repo", "path", "lang", "content", min_norm_len,
+    )
+    return keyed.groupBy("func_key").agg(
+        F.min("repo").alias("bench_id")
+    )
+
+
+def function_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    lang_col: str = "lang",
+    content_col: str = "content",
+    bench_id_col: str = "bench_id",
+    bench_lang_col: str = "lang",
+    bench_content_col: str = "content",
+    min_norm_len: int = 16,
+) -> DataFrame:
+    """``(repo, path, func_name, bench_id)`` — one row per corpus
+    function whose type-2 fingerprint equals a benchmark function's
+    (the whole clone family of each benchmark solution: exact copies,
+    renames, reformat/recomment variants).  Map-side broadcast probe;
+    the corpus never shuffles."""
+    corpus = _keyed_functions(
+        docs, repo_col, path_col, lang_col, content_col, min_norm_len
+    )
+    bench = _bench_keys(
+        benchmark, bench_id_col, bench_lang_col, bench_content_col,
+        min_norm_len,
+    )
+    return (
+        corpus.join(F.broadcast(bench), "func_key")
+        .select("repo", "path", "func_name", "bench_id")
+        .distinct()
+    )
+
+
+def decontaminate_functions(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    lang_col: str = "lang",
+    content_col: str = "content",
+    bench_id_col: str = "bench_id",
+    bench_lang_col: str = "lang",
+    bench_content_col: str = "content",
+    min_norm_len: int = 16,
+) -> DataFrame:
+    """Drop every FILE containing at least one contaminated function
+    (the conservative convention: masking a single function leaves
+    prompt/test fragments around it).  One (repo, path) anti-join
+    against the bounded contaminated-file set."""
+    hits = function_contamination(
+        docs, benchmark, repo_col, path_col, lang_col, content_col,
+        bench_id_col, bench_lang_col, bench_content_col, min_norm_len,
+    ).select("repo", "path").distinct()
+    return docs.join(
+        F.broadcast(hits),
+        (docs[repo_col] == hits["repo"]) & (docs[path_col] == hits["path"]),
+        "left_anti",
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins
+# ---------------------------------------------------------------------------
+
+
+def _keyed_sql(docs_sql: str, repo, path, lang, content,
+               min_norm_len: int) -> str:
+    inner = extract_functions_sql(docs_sql, repo, path, lang, content)
+    norm = _norm_sql("lang", "unit")
+    return f"""
+SELECT repo, path, func_name, md5(n) AS func_key
+FROM (SELECT *, {norm} AS n FROM ({inner}))
+WHERE len(n) >= {min_norm_len}"""
+
+
+def function_contamination_sql(
+    docs_sql: str,
+    bench_sql: str,
+    repo="repo", path="path", lang="lang", content="content",
+    bench_id="bench_id", bench_lang="lang", bench_content="content",
+    min_norm_len: int = 16,
+) -> str:
+    """DuckDB replay of :func:`function_contamination`; ``bench_sql``
+    yields (bench_id, lang, content) rows."""
+    bench_shaped = (
+        f"SELECT {bench_id} AS repo, '' AS path, {bench_lang} AS lang, "
+        f"{bench_content} AS content FROM ({bench_sql})"
+    )
+    corpus = _keyed_sql(docs_sql, repo, path, lang, content, min_norm_len)
+    bkeys = _keyed_sql(bench_shaped, "repo", "path", "lang", "content",
+                       min_norm_len)
+    return f"""
+WITH corpus AS ({corpus}),
+bench AS (
+  SELECT func_key, min(repo) AS bench_id FROM ({bkeys}) GROUP BY func_key
+)
+SELECT DISTINCT c.repo, c.path, c.func_name, b.bench_id
+FROM corpus c JOIN bench b USING (func_key)"""
+
+
+def decontaminate_functions_sql(
+    docs_sql: str,
+    bench_sql: str,
+    repo="repo", path="path", lang="lang", content="content",
+    bench_id="bench_id", bench_lang="lang", bench_content="content",
+    min_norm_len: int = 16,
+) -> str:
+    """DuckDB replay of :func:`decontaminate_functions` (same column
+    set as ``docs_sql``)."""
+    hits = function_contamination_sql(
+        docs_sql, bench_sql, repo, path, lang, content,
+        bench_id, bench_lang, bench_content, min_norm_len,
+    )
+    return f"""
+SELECT d.* FROM ({docs_sql}) d
+WHERE NOT EXISTS (
+  SELECT 1 FROM ({hits}) h
+  WHERE h.repo = d.{repo} AND h.path = d.{path}
+)"""
