@@ -1253,7 +1253,7 @@ def q_code_vendored(spark, sf_dir):
     shape is exercised verbatim by the green dedup_minhash_lsh_pairs row
     (same LSH candidate→verify family) and whose exact-cosine arithmetic
     by the green dedup_semantic / ann_* rows; a dedicated sf0.001
-    DuckDB-parity pytest (test_dedup.py::
+    DuckDB-parity pytest (test_oracle_parity.py::
     test_embedding_pairs_duckdb_parity) keeps the embedding-pair row
     itself end-to-end checked at the old fidelity."""
     from trove_spark.code_fixture import CODE_VENDOR_DOCS

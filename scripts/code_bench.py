@@ -397,12 +397,18 @@ def main() -> None:
     from trove_spark.extras.code_curate import transitive_dependency_conflicts
 
     dep_docs = docs.unionByName(license_rows(spark, n_files))
-    out["dep_conflicts_s"] = best2(
-        lambda: transitive_dependency_conflicts(dep_docs, max_hops=3).count()
-    )
-    out["dep_conflicts"] = transitive_dependency_conflicts(
-        dep_docs, max_hops=3
-    ).count()
+    def _dep_conflicts_once():
+        # each call eagerly checkpoints two repo tables — release them
+        # per trial or the orphaned blocks pile up across best-of-N and
+        # shrink the storage pool for every later row in this session
+        tdc = transitive_dependency_conflicts(dep_docs, max_hops=3)
+        n = tdc.count()
+        for c in tdc._ckpt_caches:
+            c.unpersist()
+        return n
+
+    out["dep_conflicts_s"] = best2(_dep_conflicts_once)
+    out["dep_conflicts"] = _dep_conflicts_once()
 
     # --- curation battery (extras/code_curate.py) over an AUGMENTED corpus:
     # per-repo LICENSE files (mit/apache/gpl3 round-robin, 10% SPDX-tagged

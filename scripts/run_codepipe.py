@@ -338,7 +338,24 @@ def main(argv: list[str] | None = None) -> dict:
         stats["dependency_conflicts"] = spark.read.parquet(
             args.dependency_conflicts
         ).count()
+        # the transitive form checkpointed two repo tables — release
+        # them now that the closure is on disk
+        for c in getattr(dconfl, "_ckpt_caches", []):
+            c.unpersist()
         _mark("dependency_conflicts")
+
+    if args.min_hygiene is not None:
+        # repo-level hygiene screen: path-only rollup (content never
+        # read), an n_repos-row semi-join — the cheapest possible
+        # repo-quality cut.  MUST run before drop_vendored: the vendored
+        # content-spread channel deletes byte-identical LICENSE texts /
+        # template CI workflows, which would zero has_license/has_ci for
+        # repos that genuinely have them
+        from trove_spark.extras.repo_quality import keep_hygienic_repos
+
+        docs = keep_hygienic_repos(docs, min_score=args.min_hygiene)
+        if args.stage_counts:
+            stats["after_hygiene"] = docs.count()
 
     if args.drop_vendored:
         # vendored third-party code out before the per-file screens (the
@@ -349,16 +366,6 @@ def main(argv: list[str] | None = None) -> dict:
         docs = drop_vendored(docs, min_repos=args.vendored_min_repos)
         if args.stage_counts:
             stats["after_vendored"] = docs.count()
-
-    if args.min_hygiene is not None:
-        # repo-level hygiene screen: path-only rollup (content never
-        # read), an n_repos-row semi-join — the cheapest possible
-        # repo-quality cut, so it runs before the per-file content screens
-        from trove_spark.extras.repo_quality import keep_hygienic_repos
-
-        docs = keep_hygienic_repos(docs, min_score=args.min_hygiene)
-        if args.stage_counts:
-            stats["after_hygiene"] = docs.count()
 
     if args.screens:
         docs = code_screens(docs)

@@ -54,6 +54,16 @@ COMPLEX_DOCS = [
      "  // if this comment counted, complexity would be wrong\n"
      "  return a && b ? 1 : 2\n"
      "}\n"),
+    # PEP8 double-blank-line separation: the first unit ends in "\n\n\n"
+    # — regression for the \n$-vs-\n+$ engine divergence (Java's $ also
+    # matches before a final terminator; RE2's does not)
+    ("m/x", "src/gap.py", "6b" * 20, "py",
+     "def first(x):\n"
+     "    return x\n"
+     "\n"
+     "\n"
+     "def second(y):\n"
+     "    return y\n"),
 ]
 
 
@@ -104,6 +114,10 @@ def test_complexity_pinned(spark):
     assert rows[("m/x", "src/cx.py", "flat")] == (2, 1)
     # && and ? count; the comment 'if' is stripped before counting
     assert rows[("m/x", "src/cx.js", "tern")] == (4, 3)
+    # trailing blank lines never count as function lines (both engines
+    # strip ALL trailing newlines — the \n+$ form)
+    assert rows[("m/x", "src/gap.py", "first")] == (2, 1)
+    assert rows[("m/x", "src/gap.py", "second")] == (2, 1)
 
 
 def test_complexity_duckdb_parity(spark):

@@ -29,10 +29,14 @@ HYGIENE_DOCS = [
     # bare repo: source only — every flag 0
     ("h/bare", "main.go", "8a" * 20, "go", "func main() {}\n"),
     # near-miss names must NOT count (readme dir, license source file,
-    # contest is not a test)
+    # contest is not a test, LICENSE.html is not a rollup-recognized ext)
     ("h/miss", "readme/notes.txt", "9a" * 20, "txt", "x\n"),
     ("h/miss", "src/license_checker.py", "0a" * 20, "py", "def c(): pass\n"),
     ("h/miss", "src/contest.py", "1b" * 20, "py", "def e(): pass\n"),
+    ("h/miss", "LICENSE.html", "2c" * 20, "html", "<p>MIT</p>\n"),
+    # NOTICE counts as license evidence — the predicate is SHARED with
+    # code_curate's rollup, so hygiene and the datacard histogram agree
+    ("h/notice", "NOTICE", "3c" * 20, "txt", "Apache License\n"),
 ]
 
 DOC_DOCS = [
@@ -64,6 +68,8 @@ def test_hygiene_pinned_and_screen(spark):
             full["hygiene_score"], full["n_files"]) == (1, 1, 1, 1, 1, 1, 6, 7)
     assert rows["h/bare"]["hygiene_score"] == 0
     assert rows["h/miss"]["hygiene_score"] == 0
+    assert (rows["h/notice"]["has_license"],
+            rows["h/notice"]["hygiene_score"]) == (1, 1)
     kept = keep_hygienic_repos(docs, min_score=2)
     assert {r["repo"] for r in kept.select("repo").distinct().collect()} == {
         "h/full"

@@ -607,3 +607,34 @@ def test_codepipe_decontam_bench(spark, tmp_path):
     subs = {r["subj"] for r in t.select("subj").distinct().collect()}
     assert any(s.startswith("dc/ok") for s in subs)
     assert not any(s.startswith("dc/leak") for s in subs)
+
+
+def test_codepipe_hygiene_before_vendored(spark, tmp_path):
+    """Byte-identical LICENSE files across >= min_repos repos are
+    'vendored' by content spread — the hygiene rollup must score repos
+    BEFORE that channel deletes their license evidence."""
+    mit = "MIT License\n\nPermission is hereby granted, free of charge\n"
+    rows = []
+    for i in range(3):
+        rows.append((f"hv/r{i}", "LICENSE", f"{i}a" * 20, "txt", mit))
+        rows.append((f"hv/r{i}", f"src/m{i}.py", f"{i}b" * 20, "py",
+                     f"def f{i}(x):\n    return x + {i}\n"))
+    inp = str(tmp_path / "files.parquet")
+    out = str(tmp_path / "kg")
+    spark.createDataFrame(rows, schema=SCHEMA).write.parquet(inp)
+
+    stats = run_codepipe.main([
+        "--input", inp, "--output", out,
+        "--licenses", "off", "--dedup", "off", "--no-screens",
+        "--min-hygiene", "1", "--drop-vendored", "--vendored-min-repos", "3",
+        "--stage-counts", "--n-buckets", "2",
+    ])
+    # hygiene sees all 6 files (every repo scores has_license=1);
+    # vendored then drops the 3 identical LICENSE copies
+    assert stats["after_hygiene"] == 6
+    assert stats["after_vendored"] == 3
+    from trove_spark.graph import TripleStore
+
+    t = TripleStore(spark, out, n_buckets=2).read_triples()
+    subs = {r["subj"] for r in t.select("subj").distinct().collect()}
+    assert all(any(s.startswith(f"hv/r{i}") for s in subs) for i in range(3))

@@ -959,7 +959,7 @@ def transitive_dependency_conflicts(
     src = lic.withColumnRenamed("repo", "src_repo").withColumnRenamed(
         "license", "src_license"
     )
-    return (
+    out = (
         reached.filter(F.col("w.h") >= 1)
         .withColumnRenamed("repo", "src_repo")
         .join(src, "src_repo", "left")
@@ -975,6 +975,12 @@ def transitive_dependency_conflicts(
             F.col("w.h").cast("long").alias("hops"),
         )
     )
+    # the _link_cache/_vendor_cache contract: the two eagerly
+    # checkpointed repo tables stay pinned in block-manager storage
+    # until GC otherwise — callers that materialize the result and are
+    # done with it can unpersist them promptly
+    out._ckpt_caches = [lic, edges]
+    return out
 
 
 def transitive_dependency_conflicts_sql(

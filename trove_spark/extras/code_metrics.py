@@ -161,7 +161,11 @@ def function_complexity(
     scan + bounded explode; anonymous units kept (func_name NULL)."""
     fn = extract_functions(docs, repo_col, path_col, lang_col, content_col)
     norm = normalize_function_col(F.col("lang"), F.col("unit"))
-    body = F.regexp_replace(F.col("unit"), r"\n$", "")
+    # \n+$ (not \n$): Java's non-MULTILINE $ also matches before a final
+    # line terminator so a bare \n$ strips up to TWO trailing newlines,
+    # while RE2's $ is end-of-text-only and strips one — greedy \n+$
+    # removes ALL trailing newlines identically in both engines
+    body = F.regexp_replace(F.col("unit"), r"\n+$", "")
     return fn.select(
         "repo",
         "path",
@@ -201,7 +205,7 @@ def function_complexity_sql(docs_sql: str, repo="repo", path="path",
     return f"""
 WITH fx AS ({fx})
 SELECT repo, path, func_name,
-       CAST(len(string_split(regexp_replace(unit, chr(10) || '$', ''), chr(10)))
+       CAST(len(string_split(regexp_replace(unit, chr(10) || '+$', ''), chr(10)))
             AS BIGINT) AS fn_lines,
        CAST(1 + len(regexp_extract_all({norm}, '{_sq(BRANCH_TOKEN_RE)}'))
             AS BIGINT) AS complexity

@@ -32,9 +32,14 @@ from .code import _sq, canonical_lang_col, canonical_lang_sql
 
 __ref__ = "no reference counterpart (source-code extension)"
 
-# path-only hygiene predicates (basename or path channel)
+# path-only hygiene predicates (basename or path channel).  The license
+# predicate is SHARED with code_curate's rollup (LICENSE_PATH_RE) so
+# has_license can never disagree with the datacard's license histogram
+# about which paths are license evidence.
+from .code_curate import LICENSE_PATH_RE
+
 README_RE = r"(?i)(^|/)readme(\.[a-z0-9]+)?$"
-LICENSE_RE = r"(?i)(^|/)(license|licence|copying)(\.[a-z0-9]+)?$"
+LICENSE_RE = LICENSE_PATH_RE
 CI_RE = (
     r"(^|/)\.github/workflows/|(^|/)\.gitlab-ci\.yml$|(^|/)\.travis\.yml$"
     r"|(^|/)Jenkinsfile$|(^|/)\.circleci/|(^|/)azure-pipelines\.yml$"
