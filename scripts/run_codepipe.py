@@ -39,7 +39,10 @@ docstrings for the 10^12-file shape):
 6. code_triples → TripleStore.write_triples (bucketed, manifest-committed,
    RESUME-AWARE: a killed run re-submitted with the same --output rewrites
    only uncommitted buckets).
-7. optional cross-repo dependency_graph edges parquet.
+7. optional cross-repo dependency_graph edges parquet; optional
+   CodeSearchNet-style function-doc pairs parquet (``--doc-pairs``,
+   extras/code_pairs — extracted from the curated, post-redaction
+   corpus in one map-only scan).
 8. optional symbol-level entity linking (``--link-symbols``): call-site
    mentions resolved to canonical def sites (extras/code_link), CALLS
    triples unioned into the same store write.
@@ -93,6 +96,12 @@ def main(argv: list[str] | None = None) -> dict:
                     "type-2 fingerprint matches a benchmark function "
                     "(extras/code_decontam — catches renamed/reformatted "
                     "copies; broadcast probe, no corpus shuffle)")
+    ap.add_argument("--doc-pairs", default=None, metavar="DIR",
+                    help="also write CodeSearchNet-style function-doc "
+                    "pairs parquet here (extras/code_pairs: python "
+                    "docstrings, godoc/rustdoc runs, JSDoc blocks paired "
+                    "with the function unit; extracted from the CURATED "
+                    "corpus, map-only)")
     ap.add_argument("--deps-out", default=None,
                     help="also write repo-level DEPENDS_ON edges parquet here")
     ap.add_argument("--link-symbols", action="store_true",
@@ -402,10 +411,11 @@ def main(argv: list[str] | None = None) -> dict:
     # 5. secrets redaction (content rewrite — after the invariant manifests)
     out_docs = redact_secrets(docs) if args.redact_secrets else docs
     stats["secrets_redacted"] = bool(args.redact_secrets)
-    # the redacted frame feeds TWO actions (triples write, dep edges) —
-    # persist it so the redaction map runs once, and release the
-    # pre-redaction cache as soon as the redacted one is materialized
-    two_consumers = args.redact_secrets and args.deps_out
+    # the redacted frame feeds multiple actions (triples write, dep
+    # edges, doc pairs) — persist it so the redaction map runs once, and
+    # release the pre-redaction cache as soon as the redacted one is
+    # materialized
+    two_consumers = args.redact_secrets and (args.deps_out or args.doc_pairs)
     if two_consumers:
         out_docs = out_docs.persist()
 
@@ -493,6 +503,15 @@ def main(argv: list[str] | None = None) -> dict:
         dependency_graph(out_docs).write.mode("overwrite").parquet(args.deps_out)
         stats["dep_edges"] = spark.read.parquet(args.deps_out).count()
         _mark("dep_edges")
+
+    if args.doc_pairs:
+        from trove_spark.extras.code_pairs import function_doc_pairs
+
+        function_doc_pairs(out_docs).write.mode("overwrite").parquet(
+            args.doc_pairs
+        )
+        stats["doc_pairs"] = spark.read.parquet(args.doc_pairs).count()
+        _mark("doc_pairs")
 
     (out_docs if two_consumers else docs).unpersist()
     stats["wall_s"] = round(time.time() - t0, 2)

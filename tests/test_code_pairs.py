@@ -1,0 +1,92 @@
+"""Function–doc pair extraction (extras/code_pairs.py): pinned pairs
+across the four covered languages, marker cleanup, negatives (undocumented,
+non-doc comments, URL tails), and DuckDB parity."""
+
+from __future__ import annotations
+
+import duckdb
+
+from trove_spark.code_fixture import _values_sql
+from trove_spark.extras.code_pairs import (
+    doc_pair_stats,
+    doc_pair_stats_sql,
+    function_doc_pairs,
+    function_doc_pairs_sql,
+)
+
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+PAIR_DOCS = [
+    # python: one """ docstring, one ''' docstring, one undocumented
+    ("p/py", "src/a.py", "1d" * 20, "py",
+     'def alpha(x):\n    """Add one.\n\n    Slowly."""\n    return x + 1\n'
+     "def beta(y):\n    '''Single-quoted doc.'''\n    return y\n"
+     "def bare(z):\n    return z\n"),
+    # go: two-line godoc run above the first func (prefix-only segment),
+    # an undocumented func, and a doc line CONTAINING a URL (the //
+    # inside http:// must not confuse the line-start-anchored run)
+    ("p/go", "pkg/b.go", "2d" * 20, "go",
+     "// Dial opens a connection.\n// It retries twice.\nfunc Dial() {}\n\n"
+     "func close() {}\n\n"
+     "// see http://example.com\nfunc Fetch() {}\n"),
+    # rust: /// doc above a pub fn; plain // above fn is NOT a doc comment
+    ("p/rs", "src/c.rs", "3d" * 20, "rs",
+     "/// Clamps v into range.\npub fn clamp(v: i64) -> i64 { v }\n\n"
+     "// internal helper\nfn helper() {}\n"),
+    # javascript: JSDoc block with * continuation lines; a single-star
+    # /* */ block is NOT a doc block
+    ("p/js", "src/d.js", "4d" * 20, "js",
+     "/** Renders the widget.\n * Returns markup.\n */\n"
+     "export function render() {}\n"
+     "/* not jsdoc */\nfunction helper2() {}\n"),
+]
+
+
+def test_pairs_pinned(spark):
+    docs = spark.createDataFrame(PAIR_DOCS, schema=SCHEMA)
+    rows = {
+        (r["repo"], r["func_name"]): r["doc"]
+        for r in function_doc_pairs(docs).collect()
+    }
+    assert rows == {
+        ("p/py", "alpha"): "Add one.\n\n    Slowly.",
+        ("p/py", "beta"): "Single-quoted doc.",
+        ("p/go", "Dial"): "Dial opens a connection.\nIt retries twice.",
+        ("p/go", "Fetch"): "see http://example.com",
+        ("p/rs", "clamp"): "Clamps v into range.",
+        ("p/js", "render"): "Renders the widget.\nReturns markup.",
+    }
+    # code column is the full unit of the documented function
+    code = {
+        (r["repo"], r["func_name"]): r["code"]
+        for r in function_doc_pairs(docs).collect()
+    }
+    assert code[("p/py", "alpha")].startswith("def alpha(x):")
+    assert "return x + 1" in code[("p/py", "alpha")]
+
+
+def test_pairs_duckdb_parity(spark):
+    docs = spark.createDataFrame(PAIR_DOCS, schema=SCHEMA)
+    have = sorted(tuple(r) for r in function_doc_pairs(docs).collect())
+    want = sorted(
+        tuple(row)
+        for row in duckdb.sql(
+            function_doc_pairs_sql(_values_sql(PAIR_DOCS, "pp"))
+        ).fetchall()
+    )
+    assert have == want and len(have) == 6
+
+
+def test_pair_stats_parity(spark):
+    docs = spark.createDataFrame(PAIR_DOCS, schema=SCHEMA)
+    have = sorted(
+        tuple(r) for r in doc_pair_stats(function_doc_pairs(docs)).collect()
+    )
+    want = sorted(
+        tuple(row)
+        for row in duckdb.sql(
+            doc_pair_stats_sql(_values_sql(PAIR_DOCS, "ps"))
+        ).fetchall()
+    )
+    assert have == want
+    assert {r[0] for r in have} == {"python", "go", "rust", "javascript"}

@@ -638,3 +638,34 @@ def test_codepipe_hygiene_before_vendored(spark, tmp_path):
     t = TripleStore(spark, out, n_buckets=2).read_triples()
     subs = {r["subj"] for r in t.select("subj").distinct().collect()}
     assert all(any(s.startswith(f"hv/r{i}") for s in subs) for i in range(3))
+
+
+def test_codepipe_doc_pairs(spark, tmp_path):
+    """--doc-pairs: CodeSearchNet-style pairs parquet from the curated
+    corpus (documented functions only)."""
+    rows = [
+        ("dp/a", "src/lib.py", "8e" * 20, "py",
+         'def add(a, b):\n    """Sum of a and b."""\n    return a + b\n'
+         "def quiet(c):\n    return c\n"),
+        ("dp/a", "pkg/conn.go", "9e" * 20, "go",
+         "// Dial opens a connection.\nfunc Dial() {}\n"),
+    ]
+    inp = str(tmp_path / "files.parquet")
+    out = str(tmp_path / "kg")
+    pairs_dir = str(tmp_path / "pairs")
+    spark.createDataFrame(rows, schema=SCHEMA).write.parquet(inp)
+
+    stats = run_codepipe.main([
+        "--input", inp, "--output", out,
+        "--licenses", "off", "--dedup", "off", "--no-screens",
+        "--doc-pairs", pairs_dir, "--n-buckets", "2",
+    ])
+    assert stats["doc_pairs"] == 2
+    got = {
+        (r["func_name"], r["doc"])
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    assert got == {
+        ("add", "Sum of a and b."),
+        ("Dial", "Dial opens a connection."),
+    }

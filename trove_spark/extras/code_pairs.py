@@ -1,0 +1,242 @@
+"""Function–documentation pair extraction — the CodeSearchNet corpus
+shape: one row per documented function, pairing the natural-language
+doc (python docstring, godoc ``//`` run, rust ``///`` run, JSDoc block)
+with the function's source — the standard training-pair extractor for
+code search / code-LLM instruction data.
+
+The doc for a python function lives INSIDE its unit (the docstring
+after the signature); for go / rust / javascript it lives in the tail
+of the PRECEDING segment (the comment block directly above the ``func``
+/ ``fn`` / ``function`` line).  So this module splits content into FULL
+segments (prefix + one segment per function — the same sentinel split
+code_clones uses, minus the prefix drop) and pairs unit *i* with the
+tail of segment *i−1*, all inside one map: the segments array is
+projected to a bound column first (HOF lambdas re-evaluate unbound
+expressions per element), the per-unit struct is built by an
+index-aware ``transform``, and a bounded ``posexplode`` yields the
+rows.  Doc extraction and cleanup are constant ``regexp_extract`` /
+``regexp_replace`` columns per language.
+
+Documented reductions (shared with repo_quality's doc surface): the
+python signature match is single-paren (``\\([^)]*\\)``, no nested
+parens in defaults) and the comment runs must sit DIRECTLY above the
+function start.  Java is out (no ``def``-style keyword — unit
+extraction needs a parser there, as in code_clones).
+
+Scale shape (10^12 files): ONE map-only content scan + bounded
+per-file explode; no shuffle at all, no per-row Python, no windows.
+All regexes are Java∩RE2 (lazy quantifiers, no lookaround/backrefs —
+the ``\"\"\"``/``'''`` docstring variants are two alternations
+coalesced, never a backreference) and replay verbatim in the DuckDB
+twin.
+
+__ref__ = "no reference counterpart (source-code extension; the pair
+shape follows Husain et al., 'CodeSearchNet Challenge' — public
+literature)"
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .code import _sq, canonical_lang_col, canonical_lang_sql
+from .code_clones import _SENT, FUNC_START, func_name_col, _name_sql
+
+__ref__ = "no reference counterpart (source-code extension)"
+
+# python: docstring directly after a single-line-paren signature; the
+# two quote styles are separate alternation-free patterns (no backrefs)
+PY_DOC_DQ = (
+    r'(?s)^[^\n]*\([^)]*\)[^:\n]*:[ \t]*\n[ \t]*[rbuRBU]{0,2}"""(.*?)"""'
+)
+PY_DOC_SQ = (
+    r"(?s)^[^\n]*\([^)]*\)[^:\n]*:[ \t]*\n[ \t]*[rbuRBU]{0,2}'''(.*?)'''"
+)
+# go / rust: the run of line comments at the very end of the preceding
+# segment (directly above the function start)
+GO_TAIL = r"(?:^|\n)((?:[ \t]*//[^\n]*\n)+)$"
+RS_TAIL = r"(?:^|\n)((?:[ \t]*///[^\n]*\n)+)$"
+# javascript: a /** ... */ block closing at the very end of the
+# preceding segment (inner part cannot contain */ — no lazy ambiguity)
+JS_TAIL = r"/\*\*((?:[^*]|\*+[^*/])*)\*+/[ \t\n]*$"
+
+# per-line comment-marker strip for each channel
+GO_STRIP = r"(?m)^[ \t]*//+ ?"
+JS_STRIP = r"(?m)^[ \t]*\* ?"
+WS_TRIM = r"^\s+|\s+$"
+
+
+def _segments_col(lang: Column, content: Column) -> Column:
+    """FULL sentinel split: element 1 is the pre-function prefix,
+    elements 2..N are function units (code_clones drops the prefix;
+    pairing needs it for the doc block above the first function)."""
+    canon = canonical_lang_col(lang)
+    clean = F.translate(content, _SENT, "")
+    expr = None
+    for lg, pat in FUNC_START.items():
+        marked = F.regexp_replace(clean, pat, _SENT + "$1")
+        segs = F.split(marked, _SENT)
+        expr = F.when(canon == lg, segs) if expr is None else expr.when(canon == lg, segs)
+    return expr.otherwise(F.array().cast("array<string>"))
+
+
+def _doc_col(lang: Column, code: Column, prev: Column) -> Column:
+    canon = canonical_lang_col(lang)
+    py = F.coalesce(
+        F.nullif(F.regexp_extract(code, PY_DOC_DQ, 1), F.lit("")),
+        F.nullif(F.regexp_extract(code, PY_DOC_SQ, 1), F.lit("")),
+    )
+    go = F.regexp_replace(
+        F.nullif(F.regexp_extract(prev, GO_TAIL, 1), F.lit("")),
+        GO_STRIP, "",
+    )
+    rs = F.regexp_replace(
+        F.nullif(F.regexp_extract(prev, RS_TAIL, 1), F.lit("")),
+        GO_STRIP, "",
+    )
+    js = F.regexp_replace(
+        F.nullif(F.regexp_extract(prev, JS_TAIL, 1), F.lit("")),
+        JS_STRIP, "",
+    )
+    raw = (
+        F.when(canon == "python", py)
+        .when(canon == "go", go)
+        .when(canon == "rust", rs)
+        .when(canon == "javascript", js)
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return F.nullif(F.regexp_replace(raw, WS_TRIM, ""), F.lit(""))
+
+
+def function_doc_pairs(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    lang_col: str = "lang",
+    content_col: str = "content",
+) -> DataFrame:
+    """``(repo, path, lang, func_name, doc, code)`` — one row per
+    DOCUMENTED named function (doc non-empty after marker strip + trim,
+    func_name non-null).  One map-only scan, bounded explode, zero
+    shuffles."""
+    segs = _segments_col(F.col(lang_col), F.col(content_col))
+    z = docs.select(
+        F.col(repo_col).alias("repo"),
+        F.col(path_col).alias("path"),
+        canonical_lang_col(F.col(lang_col)).alias("lang"),
+        segs.alias("_segs"),
+    )
+    # unit j (1-based j ≥ 2 in _segs) with its preceding segment; the
+    # transform's second lambda arg is the 0-based index into the
+    # SLICED array, so unit = _segs[i+2], prev = _segs[i+1] (1-based)
+    units = F.slice(
+        F.col("_segs"), 2, F.greatest(F.size("_segs") - 1, F.lit(0))
+    )
+    pairs = F.transform(
+        units,
+        lambda u, i: F.struct(
+            u.alias("code"),
+            F.element_at(F.col("_segs"), i + F.lit(1)).alias("prev"),
+        ),
+    )
+    x = z.select(
+        "repo", "path", "lang", F.explode(pairs).alias("p")
+    ).select(
+        "repo", "path", "lang",
+        F.col("p.code").alias("code"),
+        F.col("p.prev").alias("prev"),
+    )
+    return (
+        x.select(
+            "repo", "path", "lang",
+            func_name_col(F.col("lang"), F.col("code")).alias("func_name"),
+            _doc_col(F.col("lang"), F.col("code"), F.col("prev")).alias("doc"),
+            "code",
+        )
+        .filter(F.col("doc").isNotNull() & F.col("func_name").isNotNull())
+    )
+
+
+def doc_pair_stats(pairs: DataFrame) -> DataFrame:
+    """Per-language rollup ``(lang, n_pairs, doc_chars, code_chars)`` —
+    the datacard-style audit of the extracted pair corpus (BIGINT)."""
+    return pairs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.length("doc")).cast("long").alias("doc_chars"),
+        F.sum(F.length("code")).cast("long").alias("code_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins
+# ---------------------------------------------------------------------------
+
+
+def _segs_sql(canon: str, content: str) -> str:
+    branches = []
+    for lg, pat in FUNC_START.items():
+        marked = (
+            f"regexp_replace(translate({content}, chr(30), ''), "
+            f"'{_sq(pat)}', chr(30) || '\\1', 'g')"
+        )
+        branches.append(f"WHEN {canon} = '{lg}' THEN string_split({marked}, chr(30))")
+    return "(CASE " + " ".join(branches) + " ELSE [] END)"
+
+
+def function_doc_pairs_sql(docs_sql: str, repo="repo", path="path",
+                           lang="lang", content="content") -> str:
+    """DuckDB replay of :func:`function_doc_pairs` over the same rows."""
+    canon = canonical_lang_sql(lang)
+    segs = _segs_sql(canon, content)
+    py = (
+        f"coalesce(nullif(regexp_extract(code, '{_sq(PY_DOC_DQ)}', 1), ''), "
+        f"nullif(regexp_extract(code, '{_sq(PY_DOC_SQ)}', 1), ''))"
+    )
+    go = (
+        f"regexp_replace(nullif(regexp_extract(prev, '{_sq(GO_TAIL)}', 1), ''), "
+        f"'{_sq(GO_STRIP)}', '', 'g')"
+    )
+    rs = (
+        f"regexp_replace(nullif(regexp_extract(prev, '{_sq(RS_TAIL)}', 1), ''), "
+        f"'{_sq(GO_STRIP)}', '', 'g')"
+    )
+    js = (
+        f"regexp_replace(nullif(regexp_extract(prev, '{_sq(JS_TAIL)}', 1), ''), "
+        f"'{_sq(JS_STRIP)}', '', 'g')"
+    )
+    doc_raw = (
+        f"(CASE lang WHEN 'python' THEN {py} WHEN 'go' THEN {go} "
+        f"WHEN 'rust' THEN {rs} WHEN 'javascript' THEN {js} END)"
+    )
+    name = _name_sql("lang", "code")
+    return f"""
+WITH psrc AS (
+  SELECT {repo} AS repo, {path} AS path, {canon} AS lang,
+         {segs} AS segs
+  FROM ({docs_sql})
+), pex AS (
+  SELECT repo, path, lang, segs, unnest(range(2, len(segs) + 1)) AS i
+  FROM psrc
+), pu AS (
+  SELECT repo, path, lang,
+         list_extract(segs, i) AS code,
+         list_extract(segs, i - 1) AS prev
+  FROM pex
+), pd AS (
+  SELECT repo, path, lang, code,
+         {name} AS func_name,
+         nullif(regexp_replace({doc_raw}, '{_sq(WS_TRIM)}', '', 'g'), '') AS doc
+  FROM pu
+)
+SELECT repo, path, lang, func_name, doc, code
+FROM pd WHERE doc IS NOT NULL AND func_name IS NOT NULL"""
+
+
+def doc_pair_stats_sql(docs_sql: str, repo="repo", path="path",
+                       lang="lang", content="content") -> str:
+    inner = function_doc_pairs_sql(docs_sql, repo, path, lang, content)
+    return f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(length(doc)) AS BIGINT) AS doc_chars,
+       CAST(sum(length(code)) AS BIGINT) AS code_chars
+FROM ({inner}) GROUP BY lang"""
