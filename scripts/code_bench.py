@@ -497,6 +497,27 @@ def main() -> None:
         .collect()
     )
 
+    # --- function-doc pairs (extras/code_pairs.py): the synth corpus has
+    # no doc comments, so inject them map-only first (godoc/rustdoc line
+    # above func/fn starts, a docstring after python def signatures) —
+    # real hit paths in 3 of 5 languages, miss path in java/js
+    from trove_spark.extras.code_pairs import function_doc_pairs
+
+    pdocs = docs.withColumn(
+        "content",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("content"),
+                F.lit(r"(?m)^((?:pub )?(?:func|fn)[ \t])"),
+                F.lit("/// Synthesized doc line.\n$1"),
+            ),
+            F.lit(r"(?m)^(def [^\n]*)\n"),
+            F.lit('$1():\n    """Synthesized docstring."""\n'),
+        ),
+    )
+    out["docpairs_s"] = best2(lambda: function_doc_pairs(pdocs).count())
+    out["doc_pairs"] = function_doc_pairs(pdocs).count()
+
     print(json.dumps(out))
     spark.stop()
 
