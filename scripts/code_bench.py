@@ -398,12 +398,12 @@ def main() -> None:
 
     dep_docs = docs.unionByName(license_rows(spark, n_files))
     def _dep_conflicts_once():
-        # each call eagerly checkpoints two repo tables — release them
-        # per trial or the orphaned blocks pile up across best-of-N and
-        # shrink the storage pool for every later row in this session
+        # each call persists two repo tables — release them per trial
+        # or the orphaned blocks pile up across best-of-N and shrink
+        # the storage pool for every later row in this session
         tdc = transitive_dependency_conflicts(dep_docs, max_hops=3)
         n = tdc.count()
-        for c in tdc._ckpt_caches:
+        for c in tdc._dep_caches:
             c.unpersist()
         return n
 

@@ -347,9 +347,9 @@ def main(argv: list[str] | None = None) -> dict:
         stats["dependency_conflicts"] = spark.read.parquet(
             args.dependency_conflicts
         ).count()
-        # the transitive form checkpointed two repo tables — release
-        # them now that the closure is on disk
-        for c in getattr(dconfl, "_ckpt_caches", []):
+        # the transitive form persisted two repo tables — release them
+        # now that the closure is on disk
+        for c in getattr(dconfl, "_dep_caches", []):
             c.unpersist()
         _mark("dependency_conflicts")
 

@@ -39,6 +39,13 @@ PAIR_DOCS = [
      "/** Renders the widget.\n * Returns markup.\n */\n"
      "export function render() {}\n"
      "/* not jsdoc */\nfunction helper2() {}\n"),
+    # a BLANK line between the comment run and the func detaches it —
+    # no pair, in BOTH engines (the \z-vs-$ anchor regression)
+    ("p/gap", "pkg/e.go", "5e" * 20, "go",
+     "// Orphaned comment.\n\nfunc Orphan() {}\n"),
+    # CRLF-authored js: the JSDoc pair must extract identically
+    ("p/crlf", "src/f.js", "6e" * 20, "js",
+     "/** Saves state. */\r\nfunction save() {}\r\n"),
 ]
 
 
@@ -55,6 +62,7 @@ def test_pairs_pinned(spark):
         ("p/go", "Fetch"): "see http://example.com",
         ("p/rs", "clamp"): "Clamps v into range.",
         ("p/js", "render"): "Renders the widget.\nReturns markup.",
+        ("p/crlf", "save"): "Saves state.",
     }
     # code column is the full unit of the documented function
     code = {
@@ -74,7 +82,7 @@ def test_pairs_duckdb_parity(spark):
             function_doc_pairs_sql(_values_sql(PAIR_DOCS, "pp"))
         ).fetchall()
     )
-    assert have == want and len(have) == 6
+    assert have == want and len(have) == 7
 
 
 def test_pair_stats_parity(spark):

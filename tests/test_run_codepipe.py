@@ -658,6 +658,9 @@ def test_codepipe_doc_pairs(spark, tmp_path):
     stats = run_codepipe.main([
         "--input", inp, "--output", out,
         "--licenses", "off", "--dedup", "off", "--no-screens",
+        # --redact-secrets makes doc-pairs the second consumer of the
+        # redacted frame — exercises the persist/unpersist handoff
+        "--redact-secrets",
         "--doc-pairs", pairs_dir, "--n-buckets", "2",
     ])
     assert stats["doc_pairs"] == 2

@@ -139,15 +139,23 @@ _WS_TRIM = r"^[\s]+|[\s]+$"
 # Spark columns
 # ---------------------------------------------------------------------------
 
-def function_units_col(lang: Column, content: Column) -> Column:
-    """array<string> of function units (empty for uncovered languages)."""
+def function_units_col(
+    lang: Column, content: Column, keep_prefix: bool = False
+) -> Column:
+    """array<string> of function units (empty for uncovered languages).
+    With ``keep_prefix`` the FULL sentinel split is returned — element 1
+    is the pre-function prefix, elements 2..N the units (code_pairs
+    needs the prefix: the doc block above function *i* lives in the
+    tail of segment *i−1*)."""
     canon = canonical_lang_col(lang)
     clean = F.translate(content, _SENT, "")
     expr = None
     for lg, pat in FUNC_START.items():
         marked = F.regexp_replace(clean, pat, _SENT + "$1")
         segs = F.split(marked, _SENT)
-        units = F.slice(segs, 2, F.greatest(F.size(segs) - 1, F.lit(0)))
+        units = segs if keep_prefix else F.slice(
+            segs, 2, F.greatest(F.size(segs) - 1, F.lit(0))
+        )
         expr = F.when(canon == lg, units) if expr is None else expr.when(canon == lg, units)
     return expr.otherwise(F.array().cast("array<string>"))
 
@@ -527,8 +535,9 @@ def function_near_clones(
 # DuckDB twin
 # ---------------------------------------------------------------------------
 
-def _units_sql(canon: str, content: str) -> str:
-    """list-of-units expression (DuckDB): CASE over the four grammars."""
+def _units_sql(canon: str, content: str, keep_prefix: bool = False) -> str:
+    """list-of-units expression (DuckDB): CASE over the four grammars.
+    ``keep_prefix`` mirrors :func:`function_units_col`."""
     branches = []
     for lg, pat in FUNC_START.items():
         marked = (
@@ -536,9 +545,8 @@ def _units_sql(canon: str, content: str) -> str:
             f"'{_sq(pat)}', chr(30) || '\\1', 'g')"
         )
         segs = f"string_split({marked}, chr(30))"
-        branches.append(
-            f"WHEN {canon} = '{lg}' THEN list_slice({segs}, 2, len({segs}))"
-        )
+        expr = segs if keep_prefix else f"list_slice({segs}, 2, len({segs}))"
+        branches.append(f"WHEN {canon} = '{lg}' THEN {expr}")
     return "(CASE " + " ".join(branches) + " ELSE [] END)"
 
 

@@ -907,9 +907,10 @@ def transitive_dependency_conflicts(
     Shape: backward BFS over the REPO-level edge list from the copyleft
     seed set — ``max_hops`` equi-joins on repo keys (each frontier is a
     subset of repos, monotonically shrinking via the anti-join; cycles
-    cannot re-enter).  The edge and license inputs are eagerly
-    checkpointed ONCE (they are repo-level, and each lazy reference
-    re-runs their corpus-scan lineage — measured 2.3× at 200k files);
+    cannot re-enter).  The edge and license inputs are persisted and
+    eagerly materialized ONCE (they are repo-level, and each lazy
+    reference re-runs their corpus-scan lineage — measured 2.3× at
+    200k files), released by callers via ``_dep_caches``;
     the per-round frontier is checkpointed only every
     ``checkpoint_every`` rounds (the union+anti-join tree doubles per
     round, so deep closures need truncation — the label-propagation
@@ -924,10 +925,16 @@ def transitive_dependency_conflicts(
     # every lazy reference to these frames re-evaluates their CORPUS-scan
     # lineage (no auto-CSE across DataFrame refs): the loop references
     # them once per round.  Both are repo-level (~10^8 rows at 10^12
-    # files) — checkpoint them once so the closure only ever joins
-    # materialized repo tables (measured 2.3× at 200k files/16 cores).
-    lic = licenses.select("repo", "license").localCheckpoint(eager=True)
-    edges = deps.select("src_repo", "dst_repo").localCheckpoint(eager=True)
+    # files) and LOOP-INVARIANT, so persist + eager count (NOT
+    # localCheckpoint: its blocks are unreleasable — DataFrame.unpersist
+    # is a no-op on a checkpointed LogicalRDD, verified) gives the same
+    # one-materialization win (measured 2.3× at 200k files/16 cores)
+    # with a working release path; only the mutating frontier below
+    # needs checkpoint-style lineage truncation.
+    lic = licenses.select("repo", "license").persist()
+    edges = deps.select("src_repo", "dst_repo").persist()
+    lic.count()
+    edges.count()
     seed = lic.filter(F.col("license").isin(*sorted(COPYLEFT_LICENSES))).select(
         "repo",
         F.struct(
@@ -975,11 +982,11 @@ def transitive_dependency_conflicts(
             F.col("w.h").cast("long").alias("hops"),
         )
     )
-    # the _link_cache/_vendor_cache contract: the two eagerly
-    # checkpointed repo tables stay pinned in block-manager storage
-    # until GC otherwise — callers that materialize the result and are
-    # done with it can unpersist them promptly
-    out._ckpt_caches = [lic, edges]
+    # the _link_cache/_vendor_cache contract: callers that materialize
+    # the result and are done with it unpersist the two persisted repo
+    # tables promptly (works because they are persist()-cached, not
+    # localCheckpoint-ed — see above)
+    out._dep_caches = [lic, edges]
     return out
 
 

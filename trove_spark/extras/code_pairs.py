@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .code import _sq, canonical_lang_col, canonical_lang_sql
-from .code_clones import _SENT, FUNC_START, func_name_col, _name_sql
+from .code_clones import function_units_col, func_name_col, _name_sql, _units_sql
 
 __ref__ = "no reference counterpart (source-code extension)"
 
@@ -53,12 +53,17 @@ PY_DOC_SQ = (
     r"(?s)^[^\n]*\([^)]*\)[^:\n]*:[ \t]*\n[ \t]*[rbuRBU]{0,2}'''(.*?)'''"
 )
 # go / rust: the run of line comments at the very end of the preceding
-# segment (directly above the function start)
-GO_TAIL = r"(?:^|\n)((?:[ \t]*//[^\n]*\n)+)$"
-RS_TAIL = r"(?:^|\n)((?:[ \t]*///[^\n]*\n)+)$"
+# segment (directly above the function start).  Anchored with \z, NOT $:
+# Java's non-MULTILINE $ also matches before a final line terminator, so
+# a $-anchored tail would match through a blank line between comment and
+# function in Spark but not in RE2/DuckDB (the code_metrics \n$ gotcha);
+# \z is end-of-text in BOTH engines.
+GO_TAIL = r"(?:^|\n)((?:[ \t]*//[^\n]*\n)+)\z"
+RS_TAIL = r"(?:^|\n)((?:[ \t]*///[^\n]*\n)+)\z"
 # javascript: a /** ... */ block closing at the very end of the
-# preceding segment (inner part cannot contain */ — no lazy ambiguity)
-JS_TAIL = r"/\*\*((?:[^*]|\*+[^*/])*)\*+/[ \t\n]*$"
+# preceding segment (inner part cannot contain */ — no lazy ambiguity);
+# \r in the trailing class keeps CRLF corpora engine-identical
+JS_TAIL = r"/\*\*((?:[^*]|\*+[^*/])*)\*+/[ \t\r\n]*\z"
 
 # per-line comment-marker strip for each channel
 GO_STRIP = r"(?m)^[ \t]*//+ ?"
@@ -67,17 +72,10 @@ WS_TRIM = r"^\s+|\s+$"
 
 
 def _segments_col(lang: Column, content: Column) -> Column:
-    """FULL sentinel split: element 1 is the pre-function prefix,
-    elements 2..N are function units (code_clones drops the prefix;
-    pairing needs it for the doc block above the first function)."""
-    canon = canonical_lang_col(lang)
-    clean = F.translate(content, _SENT, "")
-    expr = None
-    for lg, pat in FUNC_START.items():
-        marked = F.regexp_replace(clean, pat, _SENT + "$1")
-        segs = F.split(marked, _SENT)
-        expr = F.when(canon == lg, segs) if expr is None else expr.when(canon == lg, segs)
-    return expr.otherwise(F.array().cast("array<string>"))
+    """FULL sentinel split (code_clones' splitter with the prefix kept
+    — ONE split implementation per dialect, shared with the clone
+    battery so the two views of 'a function unit' can never drift)."""
+    return function_units_col(lang, content, keep_prefix=True)
 
 
 def _doc_col(lang: Column, code: Column, prev: Column) -> Column:
@@ -173,14 +171,7 @@ def doc_pair_stats(pairs: DataFrame) -> DataFrame:
 
 
 def _segs_sql(canon: str, content: str) -> str:
-    branches = []
-    for lg, pat in FUNC_START.items():
-        marked = (
-            f"regexp_replace(translate({content}, chr(30), ''), "
-            f"'{_sq(pat)}', chr(30) || '\\1', 'g')"
-        )
-        branches.append(f"WHEN {canon} = '{lg}' THEN string_split({marked}, chr(30))")
-    return "(CASE " + " ".join(branches) + " ELSE [] END)"
+    return _units_sql(canon, content, keep_prefix=True)
 
 
 def function_doc_pairs_sql(docs_sql: str, repo="repo", path="path",
