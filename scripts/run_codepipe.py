@@ -16,6 +16,9 @@ the north-rule flow end to end:
 Stages (each optional, all map-only or single-shuffle — see the module
 docstrings for the 10^12-file shape):
 
+0. optional opt-out exclusion (``--exclude-repos`` — text file, one
+   repo per line): opted-out repos are dropped BEFORE any manifest,
+   screen or stat touches their rows (broadcast anti-join).
 1. content sha256 manifest over the INPUT (ingest.content_manifest) —
    the per-row invariant the spec demands; re-derived over the SURVIVING
    rows after curation (drop-only stages never edit content, so every
@@ -90,6 +93,10 @@ def main(argv: list[str] | None = None) -> dict:
                     "(extras/repo_quality: README + LICENSE + CI + tests "
                     "+ docs/ + manifest, 0-6) is below N — a path-only "
                     "repo screen (n_repos-row semi-join, content never read)")
+    ap.add_argument("--exclude-repos", default=None, metavar="TXT",
+                    help="opt-out list: text file with one repo per line "
+                    "— all their files are dropped BEFORE any manifest or "
+                    "screen runs (broadcast anti-join)")
     ap.add_argument("--decontam-bench", default=None, metavar="PARQUET",
                     help="benchmark-solutions parquet (bench_id, lang, "
                     "content): drop every file containing a function whose "
@@ -206,6 +213,21 @@ def main(argv: list[str] | None = None) -> dict:
         _last[0] = now
 
     docs = spark.read.parquet(args.input)
+
+    if args.exclude_repos:
+        # opt-out exclusion FIRST — before any manifest, screen or stat
+        # sees the rows (The-Stack convention: opted-out repos must not
+        # even be fingerprinted).  The list is a plain text file, one
+        # repo per line (the published opt-out shape) — driver-read,
+        # broadcast, one anti-join; list size is bounded by opt-out
+        # volume, orders of magnitude under the catalog.
+        with open(args.exclude_repos) as fh:
+            excluded = [ln.strip() for ln in fh if ln.strip()]
+        ex = F.broadcast(
+            spark.createDataFrame([(r,) for r in excluded], "repo string")
+        )
+        docs = docs.join(ex, "repo", "left_anti")
+        stats["excluded_repos"] = len(excluded)
 
     if args.explode_notebooks:
         # .ipynb rows become one code-doc row per code cell

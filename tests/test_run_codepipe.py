@@ -672,3 +672,32 @@ def test_codepipe_doc_pairs(spark, tmp_path):
         ("add", "Sum of a and b."),
         ("Dial", "Dial opens a connection."),
     }
+
+
+def test_codepipe_exclude_repos(spark, tmp_path):
+    """--exclude-repos: every file of opted-out repos is dropped before
+    any manifest or screen runs."""
+    rows = [
+        ("ex/out", "src/a.py", "1g" * 20, "py", "def a():\n    return 1\n"),
+        ("ex/in", "src/b.py", "2g" * 20, "py", "def b():\n    return 2\n"),
+    ]
+    inp = str(tmp_path / "files.parquet")
+    out = str(tmp_path / "kg")
+    optout = tmp_path / "optout.txt"
+    optout.write_text("ex/out\n\n# not-a-repo-line-but-harmless\n")
+    spark.createDataFrame(rows, schema=SCHEMA).write.parquet(inp)
+
+    stats = run_codepipe.main([
+        "--input", inp, "--output", out,
+        "--licenses", "off", "--dedup", "off", "--no-screens",
+        "--exclude-repos", str(optout), "--n-buckets", "2",
+    ])
+    assert stats["excluded_repos"] == 2
+    # the input manifest itself must not fingerprint the excluded repo
+    assert sum(b["n_rows"] for b in stats["input_manifest"]) == 1
+    from trove_spark.graph import TripleStore
+
+    t = TripleStore(spark, out, n_buckets=2).read_triples()
+    subs = {r["subj"] for r in t.select("subj").distinct().collect()}
+    assert any(s.startswith("ex/in") for s in subs)
+    assert not any(s.startswith("ex/out") for s in subs)
