@@ -356,6 +356,63 @@ def main() -> None:
     out["callgraph_s"] = best2(_run_callgraph)
     out["callgraph_edges"] = _run_callgraph()
 
+    # --- type-hierarchy linking (extras/code_inherit.py) over an op-local
+    # augmentation: a local base def + subs extending it (local tier), a
+    # base defined by the NEXT file of the same repo (stride n_repos ->
+    # repo tier), and a never-defined external base (unresolved -> ext:)
+    # — all three resolution tiers carry real traffic in 4 languages,
+    # with go as the scanned negative.
+    from trove_spark.extras.code_inherit import inherit_links
+
+    n_repos_b = max(n_files // 50, 1)
+
+    def _ih(tag, expr):
+        return F.substring(
+            F.md5(F.concat(F.lit(tag), expr.cast("string"))), 1, 8
+        )
+
+    loc_h = _ih("ih", F.col("id") % 50_000)
+    rep_h = _ih("ih", (F.col("id") + n_repos_b) % 50_000)
+    ext_h = _ih("ex", (F.col("id") * 3 + 7) % 50_000)
+    inh_aug = (
+        F.when(F.col("lang") == "py", F.concat(
+            F.lit("class LocB_"), loc_h,
+            F.lit(":\n    pass\nclass Sub1(LocB_"), loc_h,
+            F.lit("):\n    pass\nclass Sub2(LocB_"), rep_h,
+            F.lit("):\n    pass\nclass Sub3(Ext_"), ext_h,
+            F.lit("):\n    pass\n")))
+        .when(F.col("lang") == "java", F.concat(
+            F.lit("class LocJ_"), loc_h,
+            F.lit(" {}\nclass JS1 extends LocJ_"), loc_h,
+            F.lit(" implements Runnable, Ifc_"), ext_h,
+            F.lit(" {}\nclass JS2 extends LocJ_"), rep_h, F.lit(" {}\n")))
+        .when(F.col("lang") == "js", F.concat(
+            F.lit("class LocC_"), loc_h,
+            F.lit(" {}\nclass CS1 extends LocC_"), loc_h,
+            F.lit(" {}\nclass CS2 extends ns.Ext_"), ext_h, F.lit(" {}\n")))
+        .when(F.col("lang") == "rs", F.concat(
+            F.lit("trait LocT_"), loc_h,
+            F.lit(" {}\ntrait TS1: LocT_"), loc_h,
+            F.lit(" + Ext_"), ext_h,
+            F.lit(" {}\nimpl LocT_"), rep_h, F.lit(" for Ty1 {}\n")))
+        .otherwise(F.lit(""))
+    )
+    inhdocs = docs.withColumn(
+        "content", F.concat(F.col("content"), F.lit("\n"), inh_aug)
+    )
+
+    def _run_inherit():
+        il = inherit_links(inhdocs)
+        res = {
+            r["resolution"]: r["count"]
+            for r in il.groupBy("resolution").count().collect()
+        }
+        il._link_cache.unpersist()
+        return res
+
+    out["inherit_s"] = best2(_run_inherit)
+    out["inherit_resolutions"] = _run_inherit()
+
     # --- function-level clone detection (extras/code_clones.py)
     from trove_spark.extras.code_clones import function_clones
 

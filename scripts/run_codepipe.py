@@ -134,6 +134,12 @@ def main(argv: list[str] | None = None) -> dict:
                     "detection, same-repo stem matching) and union the "
                     "TESTS edges into the same store write (path-only, "
                     "map-only + one equi-join)")
+    ap.add_argument("--inherit-triples", action="store_true",
+                    help="also extract class-level type-hierarchy edges "
+                    "(extras/code_inherit: EXTENDS / IMPLEMENTS, "
+                    "supertypes resolved local/repo/import, external "
+                    "bases kept as ext: nodes) and union them into the "
+                    "same store write")
     ap.add_argument("--clone-triples", action="store_true",
                     help="also detect function-level type-2 clones "
                     "(extras/code_clones) and union the CLONE_OF edges "
@@ -493,6 +499,18 @@ def main(argv: list[str] | None = None) -> dict:
         from trove_spark.extras.testlink import test_link_triples, test_links
 
         triples = triples.unionByName(test_link_triples(test_links(out_docs)))
+    inherit_cache = None
+    if args.inherit_triples:
+        # class-level EXTENDS/IMPLEMENTS into the SAME single store
+        # write; its one-scan array cache is released after the write
+        from trove_spark.extras.code_inherit import (
+            inherit_links,
+            inherit_triples,
+        )
+
+        il = inherit_links(out_docs)
+        inherit_cache = il._link_cache
+        triples = triples.unionByName(inherit_triples(il))
     clone_cache = None
     if args.clone_triples:
         # clone canonicalization: CLONE_OF edges into the SAME single
@@ -510,12 +528,15 @@ def main(argv: list[str] | None = None) -> dict:
     stats["triples_write"] = w
     if link_cache is not None:
         link_cache.unpersist()
+    if inherit_cache is not None:
+        inherit_cache.unpersist()
     if clone_cache is not None:
         clone_cache.unpersist()
     stats["symbols_linked"] = bool(args.link_symbols)
     stats["call_graph"] = bool(args.call_graph)
     stats["clones_linked"] = bool(args.clone_triples)
     stats["tests_linked"] = bool(args.test_triples)
+    stats["hierarchy_linked"] = bool(args.inherit_triples)
     _mark("triples_write")
     if two_consumers:
         docs.unpersist()  # out_docs is materialized; drop the raw cache

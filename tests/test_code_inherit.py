@@ -1,0 +1,145 @@
+"""Type-hierarchy edges over code (extras/code_inherit.py): EXTENDS /
+IMPLEMENTS declarations resolved to canonical class-kind def sites through
+local/repo/import scopes, DuckDB-parity checked on the inherit fixture."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from trove_spark.code_fixture import (
+    CODE_INHERIT_DOCS,
+    code_inherit_fixture_sql,
+)
+from trove_spark.extras.code_inherit import (
+    extract_inherits,
+    inherit_links,
+    inherit_links_oracle_sql,
+    inherit_triples,
+    inherit_triples_oracle_sql,
+)
+
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+@pytest.fixture(scope="module")
+def links(spark):
+    docs = spark.createDataFrame(CODE_INHERIT_DOCS, schema=SCHEMA)
+    out = inherit_links(docs)
+    rows = sorted(
+        (r["repo"], r["path"], r["sub"], r["sup"], r["rel"],
+         r["resolution"], r["target"])
+        for r in out.collect()
+    )
+    out._link_cache.unpersist()
+    return rows
+
+
+def test_duckdb_parity(links):
+    want = sorted(
+        tuple(x)
+        for x in duckdb.sql(
+            inherit_links_oracle_sql(code_inherit_fixture_sql())
+        ).fetchall()
+    )
+    assert links == want
+
+
+def test_resolution_tiers(links):
+    d = {(r[0], r[1], r[2], r[3]): (r[4], r[5], r[6]) for r in links}
+    # local: base class defined in the same file
+    assert d[("pylib/app", "src/app.py", "User", "LocalBase")] == (
+        "extends", "local", "pylib/app:src/app.py#LocalBase"
+    )
+    # import: dotted base resolved through the imported provider repo
+    assert d[("pylib/app", "src/app.py", "User", "Model")] == (
+        "extends", "import", "pylib/base:src/base.py#Model"
+    )
+    # repo: base class defined in ANOTHER file of the same repo
+    assert d[("pylib/app", "src/models.py", "Admin", "LocalBase")] == (
+        "extends", "repo", "pylib/app:src/app.py#LocalBase"
+    )
+    # unresolved: stdlib base, target NULL (kept for coverage)
+    assert d[("pylib/app", "src/app.py", "Err", "ValueError")] == (
+        "extends", "unresolved", None
+    )
+
+
+def test_piece_drops(links):
+    sups = {(r[2], r[3]) for r in links}
+    # kwargs, subscripted generics, and `object` never become supertypes
+    assert not any(s == "Meta" for _, s in sups)
+    assert not any("Protocol" in s for _, s in sups)
+    assert not any(s == "object" for _, s in sups)
+    assert ("Plain", "object") not in sups
+    # rust lifetime bound dropped; :: path reduced to its last segment
+    assert ("Encoder", "static") not in sups
+    assert ("Encoder", "Debug") in sups
+
+
+def test_java_grammar(links):
+    d = {(r[2], r[3]): (r[4], r[5]) for r in links
+         if r[0] == "corp/javasvc"}
+    assert d[("Svc", "AbstractService")] == ("extends", "local")
+    assert d[("Svc", "Runnable")] == ("implements", "unresolved")
+    # dotted implements member reduced to its last segment
+    assert d[("Svc", "Closeable")] == ("implements", "unresolved")
+    # interface multi-extends
+    assert d[("Spec", "Cloneable")] == ("extends", "unresolved")
+    assert d[("Spec", "Comparable")] == ("extends", "unresolved")
+    assert len(d) == 5
+
+
+def test_rust_impl_for(links):
+    d = {(r[2], r[3]): (r[4], r[5], r[6]) for r in links
+         if r[0] == "rs/engine"}
+    # impl Trait for Type: the TYPE implements the trait, resolved local
+    assert d[("Fast", "Encoder")] == (
+        "implements", "local", "rs/engine:src/enc.rs#Encoder"
+    )
+    # a plain `impl Fast {` block is not an edge
+    assert all(sub != "Encoder" or rel == "extends"
+               for (sub, _), (rel, _, _) in d.items())
+
+
+def test_go_and_unknown_are_negative(links):
+    # go embedding is structural, not nominal; unknown langs probe-only
+    assert not any(r[0] in ("go/noop", "docs/ihsite") for r in links)
+
+
+def test_triples_parity_and_ext_nodes(spark):
+    docs = spark.createDataFrame(CODE_INHERIT_DOCS, schema=SCHEMA)
+    t = inherit_triples(inherit_links(docs, persist=False))
+    got = sorted((r["subj"], r["pred"], r["obj"]) for r in t.collect())
+    want = sorted(
+        tuple(x)
+        for x in duckdb.sql(
+            inherit_triples_oracle_sql(code_inherit_fixture_sql())
+        ).fetchall()
+    )
+    assert got == want
+    # external supertypes stay queryable as ext: nodes
+    assert ("pylib/app:src/app.py#Err", "EXTENDS", "ext:ValueError") in got
+    assert ("corp/javasvc:src/Svc.java#Svc", "IMPLEMENTS",
+            "ext:Runnable") in got
+    # resolved ones point at canonical def sites
+    assert ("npm/ui:lib/widget.js#Panel", "EXTENDS",
+            "npm/ui:lib/widget.js#Widget") in got
+
+
+def test_one_row_per_declaration(spark):
+    # the import expansion must collapse back to one row per declaration
+    docs = spark.createDataFrame(CODE_INHERIT_DOCS, schema=SCHEMA)
+    out = inherit_links(docs, persist=False)
+    assert out.count() == (
+        out.select("repo", "path", "sub", "sup", "rel").distinct().count()
+    )
+
+
+def test_extract_inherits_shape(spark):
+    docs = spark.createDataFrame(CODE_INHERIT_DOCS, schema=SCHEMA)
+    rows = {(r["sub"], r["sup"], r["rel"])
+            for r in extract_inherits(docs).collect()}
+    assert ("User", "Model", "extends") in rows
+    assert ("Fast", "Encoder", "implements") in rows
+    assert len(rows) == 14

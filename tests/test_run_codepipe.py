@@ -701,3 +701,35 @@ def test_codepipe_exclude_repos(spark, tmp_path):
     subs = {r["subj"] for r in t.select("subj").distinct().collect()}
     assert any(s.startswith("ex/in") for s in subs)
     assert not any(s.startswith("ex/out") for s in subs)
+
+
+def test_codepipe_inherit_triples(spark, tmp_path):
+    """--inherit-triples unions EXTENDS/IMPLEMENTS edges (resolved and
+    ext:) into the same single store write as the code triples."""
+    from trove_spark.code_fixture import CODE_INHERIT_DOCS
+
+    inp = str(tmp_path / "files.parquet")
+    out = str(tmp_path / "kg")
+    spark.createDataFrame(CODE_INHERIT_DOCS, schema=SCHEMA).write.parquet(inp)
+
+    stats = run_codepipe.main([
+        "--input", inp, "--output", out,
+        "--licenses", "off", "--dedup", "off", "--no-screens",
+        "--inherit-triples", "--n-buckets", "2",
+    ])
+    assert stats["hierarchy_linked"]
+    from trove_spark.graph import TripleStore
+
+    t = TripleStore(spark, out, n_buckets=2).read_triples()
+    trips = {
+        tuple(r)
+        for r in t.filter("pred IN ('EXTENDS', 'IMPLEMENTS')")
+        .select("subj", "pred", "obj").collect()
+    }
+    assert ("pylib/app:src/models.py#Admin", "EXTENDS",
+            "pylib/app:src/app.py#LocalBase") in trips
+    assert ("rs/engine:src/enc.rs#Fast", "IMPLEMENTS",
+            "rs/engine:src/enc.rs#Encoder") in trips
+    assert ("pylib/app:src/app.py#Err", "EXTENDS", "ext:ValueError") in trips
+    # hierarchy edges coexist with the base code KG in one store
+    assert t.filter("pred = 'IN_REPO'").count() > 0

@@ -1,0 +1,479 @@
+"""Type-hierarchy edges over source code — EXTENDS / IMPLEMENTS at class
+granularity, the nominal-subtyping edge family of the code KG (alongside
+file-level IMPORTS, symbol-level CALLS, function-level CALLS_FN).
+
+A *mention* is a supertype reference in a class/interface/trait
+declaration; the *terminology* is the corpus's own class-kind definition
+table (``extract_defs`` rows with kind in class/type).  Each supertype is
+resolved to a canonical def site ``repo:path#Super`` through the same
+three scopes as ``code_link.symbol_links`` (local file / same repo /
+imported provider repo, min-path winners); supertypes defined outside the
+corpus (framework/stdlib bases — the common case) stay addressable as
+``ext:<Name>`` nodes so "every class extending Exception" is one
+KG lookup even when Exception's source is not in the table.
+
+Grammar (Java∩RE2 dialect, replayed verbatim in the DuckDB twin):
+
+- python     ``class Sub(Base, mod.Mixin):``     → extends, dotted bases,
+  kwargs (metaclass=) / subscripts (Generic[T]) / ``object`` dropped;
+- java       ``class Sub<T> extends Base``        → extends (single, the
+  language rule); ``class Sub implements A, B``  → implements list;
+  ``interface Sub extends A, B``                 → extends list; generic
+  arguments end a list (``<`` not in the piece alphabet) — the
+  generics-free reduction used across this battery;
+- javascript ``class Sub extends ns.Base``        → extends (single
+  expression; non-identifier bases like ``mixin(Base)`` reduce to the
+  leading identifier);
+- rust       ``trait Sub: A + B``                 → extends (supertrait
+  bounds; lifetimes dropped), ``impl Trait for Type`` → Type implements
+  Trait;
+- go         — deliberately absent: Go subtyping is structural, not
+  nominal; embedding is not an extends edge.
+
+Scale shape (10^12 files): ONE content scan builds the per-file arrays
+(pairs, class-kind def symbols, import tops) — persisted narrow, caller
+unpersists; canonical def sites are a (repo, symbol) groupBy bounded by
+type-name vocabulary × repos; resolution is the same bounded LEFT
+equi-join ladder as symbol_links.  No window functions, no per-row
+Python, no corpus cartesian.
+
+__ref__ = "no reference counterpart (source-code extension; linking
+semantics mirror trove's mention->CUI canonicalization)"
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .code import (
+    DEF_PATTERNS,
+    _sq,
+    canonical_lang_col,
+    canonical_lang_sql,
+    defs_col,
+    providers_frame,
+    providers_sql,
+)
+from .code_link import _import_tops_col, _imp_tops_sql
+
+__ref__ = "no reference counterpart (source-code extension)"
+
+# full-match patterns (group 0 harvested, groups re-extracted per match):
+# group 1 = subtype name, group 2 = supertype (single) or supertype list.
+PY_CLASS_RE = r"(?m)^[ \t]*class[ \t]+([A-Za-z_][A-Za-z0-9_]*)[ \t]*\(([^)\n]*)\)"
+JAVA_EXTENDS_RE = r"\bclass[ \t]+([A-Za-z_][A-Za-z0-9_]*)[^{;\n]*?\bextends[ \t]+([A-Za-z_][A-Za-z0-9_.]*)"
+JAVA_IMPLEMENTS_RE = r"\bclass[ \t]+([A-Za-z_][A-Za-z0-9_]*)[^{;\n]*?\bimplements[ \t]+([A-Za-z0-9_., \t]+)"
+JAVA_IFACE_EXTENDS_RE = r"\binterface[ \t]+([A-Za-z_][A-Za-z0-9_]*)[^{;\n]*?\bextends[ \t]+([A-Za-z0-9_., \t]+)"
+JS_EXTENDS_RE = r"\bclass[ \t]+([A-Za-z_$][A-Za-z0-9_$]*)[ \t]+extends[ \t]+([A-Za-z_$][A-Za-z0-9_$.]*)"
+RUST_TRAIT_RE = r"(?m)^[ \t]*(?:pub[ \t]+)?trait[ \t]+([A-Za-z_][A-Za-z0-9_]*)[ \t]*:[ \t]*([A-Za-z0-9_ \t+:]+)"
+RUST_IMPL_RE = r"(?m)^[ \t]*impl(?:<[^>\n]*>)?[ \t]+([A-Za-z_][A-Za-z0-9_]*)[^{;\n]*?\bfor[ \t]+([A-Za-z_][A-Za-z0-9_]*)"
+
+# one-piece validators (trim + full anchor in one regex; '' = reject)
+_DOTTED_PIECE_RE = r"^[ \t]*([A-Za-z_][A-Za-z0-9_.]*)[ \t]*$"
+_RUSTPATH_PIECE_RE = r"^[ \t]*([A-Za-z_][A-Za-z0-9_:]*)[ \t]*$"
+
+_PAIRS_T = "array<struct<sub:string,sup:string,rel:string>>"
+
+
+def _last_seg(ident: Column, sep: str) -> Column:
+    """Trailing segment of a dotted / ::-qualified name."""
+    return F.element_at(F.split(ident, sep), -1)
+
+
+def pairs_col(lang: Column, content: Column) -> Column:
+    """array<struct<sub,sup,rel>> of distinct (subtype, supertype, rel)
+    declarations per file (rel in extends/implements), language-gated."""
+    canon = canonical_lang_col(lang)
+
+    def _st(sub: Column, sup: Column, rel: str) -> Column:
+        return F.struct(
+            sub.alias("sub"), sup.alias("sup"), F.lit(rel).alias("rel")
+        )
+
+    def _single(pat: str, rel: str, seg_sep: str, swap: bool = False):
+        """One supertype per match (java class extends, js extends,
+        rust impl-for with swap: group1 is the trait, group2 the type)."""
+        ms = F.regexp_extract_all(content, F.lit(pat), F.lit(0))
+
+        def mk(m):
+            g1 = F.regexp_extract(m, pat, 1)
+            g2 = F.regexp_extract(m, pat, 2)
+            sub, sup = (g2, g1) if swap else (g1, g2)
+            return _st(sub, _last_seg(sup, seg_sep), rel)
+
+        return F.transform(ms, mk)
+
+    def _listed(pat: str, rel: str, list_sep: str, piece_re: str,
+                seg_sep: str):
+        """Comma/plus-separated supertype list per match; pieces failing
+        the trim+anchor validator (kwargs, generics, lifetimes, noise
+        from a following clause) are dropped, as is ``object``."""
+        ms = F.regexp_extract_all(content, F.lit(pat), F.lit(0))
+
+        def mk(m):
+            sub = F.regexp_extract(m, pat, 1)
+            pieces = F.split(F.regexp_extract(m, pat, 2), list_sep)
+            idents = F.filter(
+                F.transform(
+                    pieces, lambda p: F.regexp_extract(p, piece_re, 1)
+                ),
+                lambda s: (s != "") & (s != "object"),
+            )
+            return F.transform(
+                idents, lambda s: _st(sub, _last_seg(s, seg_sep), rel)
+            )
+
+        return F.flatten(F.transform(ms, mk))
+
+    by_lang = {
+        "python": F.concat(
+            _listed(PY_CLASS_RE, "extends", ",", _DOTTED_PIECE_RE, r"[.]"),
+        ),
+        "java": F.concat(
+            _single(JAVA_EXTENDS_RE, "extends", r"[.]"),
+            _listed(JAVA_IFACE_EXTENDS_RE, "extends", ",",
+                    _DOTTED_PIECE_RE, r"[.]"),
+            _listed(JAVA_IMPLEMENTS_RE, "implements", ",",
+                    _DOTTED_PIECE_RE, r"[.]"),
+        ),
+        "javascript": F.concat(
+            _single(JS_EXTENDS_RE, "extends", r"[.]"),
+        ),
+        "rust": F.concat(
+            _listed(RUST_TRAIT_RE, "extends", r"\+",
+                    _RUSTPATH_PIECE_RE, ":"),
+            _single(RUST_IMPL_RE, "implements", ":", swap=True),
+        ),
+    }
+    expr = None
+    for lg, arr in by_lang.items():
+        expr = F.when(canon == lg, arr) if expr is None else expr.when(
+            canon == lg, arr
+        )
+    return F.array_distinct(expr.otherwise(F.array().cast(_PAIRS_T)))
+
+
+def _class_defsyms_col(lang: Column, content: Column) -> Column:
+    """array<string> of the file's OWN class-kind definition symbols
+    (kinds class/type — the resolution terminology)."""
+    return F.array_distinct(
+        F.transform(
+            F.filter(
+                defs_col(lang, content),
+                lambda d: d["kind"].isin("class", "type"),
+            ),
+            lambda d: d["symbol"],
+        )
+    )
+
+
+def extract_inherits(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    lang_col: str = "lang",
+    content_col: str = "content",
+) -> DataFrame:
+    """``(repo, path, lang, sub, sup, rel)`` — one map-only scan +
+    bounded explode (the unlinked mention table)."""
+    z = docs.select(
+        F.col(repo_col).alias("repo"),
+        F.col(path_col).alias("path"),
+        canonical_lang_col(F.col(lang_col)).alias("lang"),
+        F.explode(pairs_col(F.col(lang_col), F.col(content_col))).alias("p"),
+    )
+    return z.select(
+        "repo", "path", "lang",
+        F.col("p.sub").alias("sub"),
+        F.col("p.sup").alias("sup"),
+        F.col("p.rel").alias("rel"),
+    )
+
+
+def inherit_links(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    lang_col: str = "lang",
+    content_col: str = "content",
+    persist: bool = True,
+) -> DataFrame:
+    """``(repo, path, sub, sup, rel, resolution, target)`` — one row per
+    distinct declaration; resolution in local/repo/import/unresolved,
+    ``target`` the canonical ``repo:path#Super`` (NULL when unresolved —
+    kept, so hierarchy-linking coverage is measurable).
+
+    When ``persist`` (default) the single-scan per-file array frame is
+    cached and exposed as ``out._link_cache`` — the caller unpersists
+    after materializing (the minhash ``_shingle_cache`` contract)."""
+    repo, path = F.col(repo_col), F.col(path_col)
+    lang, content = F.col(lang_col), F.col(content_col)
+
+    # ONE content scan: pairs + class-kind def symbols + import tops.
+    z = docs.select(
+        repo.alias("repo"),
+        path.alias("path"),
+        pairs_col(lang, content).alias("pairs"),
+        _class_defsyms_col(lang, content).alias("classdefs"),
+        _import_tops_col(lang, content).alias("imp_tops"),
+    )
+    if persist:
+        z = z.persist()
+
+    # mentions; local tier decided map-side (classdefs is a BOUND ref).
+    m = z.select(
+        "repo",
+        "path",
+        F.explode(
+            F.transform(
+                F.col("pairs"),
+                lambda p: F.struct(
+                    p["sub"].alias("sub"),
+                    p["sup"].alias("sup"),
+                    p["rel"].alias("rel"),
+                    F.array_contains(F.col("classdefs"), p["sup"]).alias(
+                        "is_local"
+                    ),
+                ),
+            )
+        ).alias("mn"),
+        "imp_tops",
+    ).select(
+        "repo", "path",
+        F.col("mn.sub").alias("sub"),
+        F.col("mn.sup").alias("sup"),
+        F.col("mn.rel").alias("rel"),
+        F.col("mn.is_local").alias("is_local"),
+        "imp_tops",
+    )
+
+    # canonical class-kind def sites: min(path) per (repo, symbol).
+    ds = (
+        z.select("repo", "path", F.explode("classdefs").alias("symbol"))
+        .groupBy("repo", "symbol")
+        .agg(F.min("path").alias("def_path"))
+    )
+    prov = providers_frame(docs, repo_col, path_col)
+
+    ds1 = ds.select(
+        F.col("repo").alias("r1"), F.col("symbol").alias("s1"),
+        F.col("def_path").alias("repo_def_path"),
+    )
+    ds2 = ds.select(
+        F.col("repo").alias("r2"), F.col("symbol").alias("s2"),
+        F.col("def_path").alias("imp_def_path"),
+    )
+
+    j = (
+        m.join(
+            ds1,
+            (F.col("repo") == F.col("r1")) & (F.col("sup") == F.col("s1")),
+            "left",
+        )
+        .withColumn("module_top", F.explode_outer("imp_tops"))
+        .join(prov, "module_top", "left")
+        .join(
+            ds2,
+            (F.col("dst_repo") == F.col("r2")) & (F.col("sup") == F.col("s2")),
+            "left",
+        )
+        .groupBy("repo", "path", "sub", "sup", "rel")
+        .agg(
+            F.max("is_local").alias("is_local"),
+            F.min("repo_def_path").alias("repo_def_path"),
+            F.min(
+                F.when(
+                    F.col("imp_def_path").isNotNull(),
+                    F.concat(
+                        F.col("dst_repo"), F.lit(":"), F.col("imp_def_path")
+                    ),
+                )
+            ).alias("imp_target"),
+        )
+    )
+
+    local_t = F.concat(
+        F.col("repo"), F.lit(":"), F.col("path"), F.lit("#"), F.col("sup")
+    )
+    repo_t = F.concat(
+        F.col("repo"), F.lit(":"), F.col("repo_def_path"), F.lit("#"),
+        F.col("sup"),
+    )
+    imp_t = F.concat(F.col("imp_target"), F.lit("#"), F.col("sup"))
+    out = j.select(
+        "repo", "path", "sub", "sup", "rel",
+        F.when(F.col("is_local"), "local")
+        .when(F.col("repo_def_path").isNotNull(), "repo")
+        .when(F.col("imp_target").isNotNull(), "import")
+        .otherwise("unresolved")
+        .alias("resolution"),
+        F.when(F.col("is_local"), local_t)
+        .when(F.col("repo_def_path").isNotNull(), repo_t)
+        .when(F.col("imp_target").isNotNull(), imp_t)
+        .alias("target"),
+    )
+    if persist:
+        out._link_cache = z
+    return out
+
+
+def inherit_triples(links: DataFrame) -> DataFrame:
+    """Hierarchy edges as ``(subj, pred, obj)``: subj ``repo:path#Sub``,
+    pred EXTENDS / IMPLEMENTS, obj the canonical def site — or
+    ``ext:<Name>`` for supertypes defined outside the corpus (kept,
+    unlike CALLS' unresolved mentions: supertype references are
+    low-noise and external bases are the common case worth querying)."""
+    return links.select(
+        F.concat(
+            F.col("repo"), F.lit(":"), F.col("path"), F.lit("#"),
+            F.col("sub"),
+        ).alias("subj"),
+        F.upper(F.col("rel")).alias("pred"),
+        F.coalesce(
+            F.col("target"), F.concat(F.lit("ext:"), F.col("sup"))
+        ).alias("obj"),
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twin
+# ---------------------------------------------------------------------------
+
+
+def _pairs_sql(canon: str, content: str) -> str:
+    def _single(pat: str, rel: str, seg_sep: str, swap: bool = False) -> str:
+        p = _sq(pat)
+        g1 = f"regexp_extract(m, '{p}', 1)"
+        g2 = f"regexp_extract(m, '{p}', 2)"
+        sub, sup = (g2, g1) if swap else (g1, g2)
+        sup = f"list_extract(string_split_regex({sup}, '{_sq(seg_sep)}'), -1)"
+        return (
+            f"list_transform(regexp_extract_all({content}, '{p}', 0), "
+            f"m -> {{'sub': {sub}, 'sup': {sup}, 'rel': '{rel}'}})"
+        )
+
+    def _listed(pat: str, rel: str, list_sep: str, piece_re: str,
+                seg_sep: str) -> str:
+        p, pr = _sq(pat), _sq(piece_re)
+        sub = f"regexp_extract(m, '{p}', 1)"
+        idents = (
+            f"list_filter(list_transform("
+            f"string_split_regex(regexp_extract(m, '{p}', 2), '{_sq(list_sep)}'), "
+            f"q -> regexp_extract(q, '{pr}', 1)), "
+            f"s -> s != '' AND s != 'object')"
+        )
+        return (
+            f"flatten(list_transform(regexp_extract_all({content}, '{p}', 0), "
+            f"m -> list_transform({idents}, s -> {{'sub': {sub}, "
+            f"'sup': list_extract(string_split_regex(s, '{_sq(seg_sep)}'), -1), "
+            f"'rel': '{rel}'}})))"
+        )
+
+    j_ext = _single(JAVA_EXTENDS_RE, "extends", r"[.]")
+    j_iface = _listed(JAVA_IFACE_EXTENDS_RE, "extends", ",",
+                      _DOTTED_PIECE_RE, r"[.]")
+    j_impl = _listed(JAVA_IMPLEMENTS_RE, "implements", ",",
+                     _DOTTED_PIECE_RE, r"[.]")
+    r_trait = _listed(RUST_TRAIT_RE, "extends", r"\+",
+                      _RUSTPATH_PIECE_RE, ":")
+    r_impl = _single(RUST_IMPL_RE, "implements", ":", swap=True)
+    by_lang = {
+        "python": _listed(PY_CLASS_RE, "extends", ",", _DOTTED_PIECE_RE,
+                          r"[.]"),
+        "java": f"list_concat(list_concat({j_ext}, {j_iface}), {j_impl})",
+        "javascript": _single(JS_EXTENDS_RE, "extends", r"[.]"),
+        "rust": f"list_concat({r_trait}, {r_impl})",
+    }
+    whens = " ".join(
+        f"WHEN {canon} = '{lg}' THEN {expr}" for lg, expr in by_lang.items()
+    )
+    # NB: no list_distinct here — DuckDB can't hash struct lists
+    # ("Unimplemented type for histogram"); the links GROUP BY collapses
+    # duplicate declarations identically on both engines.
+    return f"(CASE {whens} ELSE [] END)"
+
+
+def _classdefs_sql(canon: str, content: str) -> str:
+    """Class-kind def symbols per file (the kinds-filtered twin of
+    code_link's _defsyms_sql)."""
+    whens = []
+    for lg, pats in DEF_PATTERNS.items():
+        exprs = [
+            f"regexp_extract_all({content}, '{_sq(p)}', 1)"
+            for kind, p in pats if kind in ("class", "type")
+        ]
+        if not exprs:
+            continue
+        lst = exprs[0]
+        for e in exprs[1:]:
+            lst = f"list_concat({lst}, {e})"
+        whens.append(f"WHEN {canon} = '{lg}' THEN list_distinct({lst})")
+    return "(CASE " + " ".join(whens) + " ELSE [] END)"
+
+
+def inherit_links_oracle_sql(
+    docs_sql: str, repo="repo", path="path", lang="lang", content="content"
+) -> str:
+    """DuckDB replay of :func:`inherit_links` over the same rows."""
+    canon = canonical_lang_sql(lang)
+    prov = providers_sql(docs_sql, repo, path)
+    return f"""
+WITH z AS (
+  SELECT {repo} AS repo, {path} AS path,
+         {_pairs_sql(canon, content)} AS pairs,
+         {_classdefs_sql(canon, content)} AS classdefs,
+         {_imp_tops_sql(canon, content)} AS imp_tops
+  FROM ({docs_sql})
+),
+m AS (
+  SELECT repo, path, p['sub'] AS sub, p['sup'] AS sup, p['rel'] AS rel,
+         list_contains(classdefs, p['sup']) AS is_local, imp_tops
+  FROM (SELECT repo, path, unnest(pairs) AS p, classdefs, imp_tops FROM z)
+),
+ds AS (
+  SELECT repo AS drepo, symbol, min(path) AS def_path
+  FROM (SELECT repo, path, unnest(classdefs) AS symbol FROM z)
+  GROUP BY drepo, symbol
+),
+prov AS ({prov}),
+mi AS (
+  SELECT repo, path, sub, sup, rel, is_local,
+         unnest(CASE WHEN len(imp_tops) = 0
+                     THEN [CAST(NULL AS VARCHAR)] ELSE imp_tops END)
+           AS module_top
+  FROM m
+),
+j AS (
+  SELECT mi.repo, mi.path, mi.sub, mi.sup, mi.rel,
+         max(mi.is_local) AS is_local,
+         min(ds1.def_path) AS repo_def_path,
+         min(CASE WHEN ds2.def_path IS NOT NULL
+                  THEN prov.dst_repo || ':' || ds2.def_path END) AS imp_target
+  FROM mi
+  LEFT JOIN ds ds1 ON ds1.drepo = mi.repo AND ds1.symbol = mi.sup
+  LEFT JOIN prov ON prov.module_top = mi.module_top
+  LEFT JOIN ds ds2 ON ds2.drepo = prov.dst_repo AND ds2.symbol = mi.sup
+  GROUP BY mi.repo, mi.path, mi.sub, mi.sup, mi.rel
+)
+SELECT repo, path, sub, sup, rel,
+       CASE WHEN is_local THEN 'local'
+            WHEN repo_def_path IS NOT NULL THEN 'repo'
+            WHEN imp_target IS NOT NULL THEN 'import'
+            ELSE 'unresolved' END AS resolution,
+       CASE WHEN is_local THEN repo || ':' || path || '#' || sup
+            WHEN repo_def_path IS NOT NULL
+              THEN repo || ':' || repo_def_path || '#' || sup
+            WHEN imp_target IS NOT NULL THEN imp_target || '#' || sup
+       END AS target
+FROM j"""
+
+
+def inherit_triples_oracle_sql(
+    docs_sql: str, repo="repo", path="path", lang="lang", content="content"
+) -> str:
+    links = inherit_links_oracle_sql(docs_sql, repo, path, lang, content)
+    return f"""
+SELECT DISTINCT repo || ':' || path || '#' || sub AS subj,
+       upper(rel) AS pred,
+       coalesce(target, 'ext:' || sup) AS obj
+FROM ({links})"""
