@@ -413,6 +413,41 @@ def main() -> None:
     out["inherit_s"] = best2(_run_inherit)
     out["inherit_resolutions"] = _run_inherit()
 
+    # --- repo-level fork detection (extras/code_forks.py): every 10th
+    # repo gets a fork twin carrying 80% of its files VERBATIM under a
+    # new repo name (jaccard 40/51 ≈ 0.78 → real pairs and families),
+    # plus the per-repo LICENSE bodies whose corpus-wide spread must be
+    # capped out of the pairing self-join (the boilerplate channel)
+    from trove_spark.extras.code_forks import fork_clusters, fork_pairs
+
+    # NB: file ids of one repo share id % n_repos_b, so the 80% subset
+    # must key on the WITHIN-repo file index (id div n_repos_b) — an
+    # id-modulus is constant across a repo's files
+    forks_aug = (
+        docs.filter((F.col("id") % n_repos_b) % 10 == 0)
+        .filter(F.floor(F.col("id") / n_repos_b) % 5 != 0)
+        .select(
+            F.concat(F.lit("fork/of-"),
+                     (F.col("id") % n_repos_b).cast("string")).alias("repo"),
+            "path", "commit", "lang", "content", "id",
+        )
+    )
+    fdocs = docs.unionByName(forks_aug).unionByName(
+        license_rows(spark, n_files)
+    )
+
+    def _run_fork_pairs():
+        fp = fork_pairs(fdocs)
+        n = fp.count()
+        fp._fork_cache.unpersist()
+        return n
+
+    out["fork_pairs_s"] = best2(_run_fork_pairs)
+    out["fork_pairs"] = _run_fork_pairs()
+    out["fork_clusters_s"] = best2(
+        lambda: fork_clusters(fdocs).filter("repo != fork_group").count()
+    )
+
     # --- function-level clone detection (extras/code_clones.py)
     from trove_spark.extras.code_clones import function_clones
 

@@ -97,6 +97,12 @@ def main(argv: list[str] | None = None) -> dict:
                     help="opt-out list: text file with one repo per line "
                     "— all their files are dropped BEFORE any manifest or "
                     "screen runs (broadcast anti-join)")
+    ap.add_argument("--drop-forks", default=None, type=float, metavar="J",
+                    help="repo-level fork dedup (extras/code_forks): drop "
+                    "every repo that is a non-canonical member of a fork "
+                    "family (distinct-content Jaccard >= J, connected "
+                    "components, boilerplate hashes capped out of pairing) "
+                    "BEFORE any file-level screen — The-Stack order")
     ap.add_argument("--decontam-bench", default=None, metavar="PARQUET",
                     help="benchmark-solutions parquet (bench_id, lang, "
                     "content): drop every file containing a function whose "
@@ -323,6 +329,19 @@ def main(argv: list[str] | None = None) -> dict:
     _mark("input_manifest")
 
     raw_docs = docs  # the contamination report needs the pre-screen corpus
+
+    if args.drop_forks is not None:
+        # repo-level fork dedup FIRST (The-Stack order: fork networks
+        # dominate raw catalogs, so collapsing families to their
+        # canonical repo shrinks every downstream stage); the pair
+        # graph + clustering run on repo-count-sized frames
+        from trove_spark.extras.code_forks import drop_forks
+
+        docs = drop_forks(docs, threshold=args.drop_forks)
+        if args.stage_counts:
+            stats["after_fork_drop"] = docs.count()
+        _mark("fork_drop")
+
     rl = None
     if args.licenses != "off":
         # ONE evidence scan: the persisted rollup (#repos rows) feeds both

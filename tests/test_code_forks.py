@@ -1,0 +1,99 @@
+"""Repo-level fork detection (extras/code_forks.py): distinct-content
+Jaccard pairs under a boilerplate frequency cap, connected-component fork
+families, canonical-repo screen — DuckDB-parity checked."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from trove_spark.code_fixture import CODE_FORK_DOCS, code_fork_fixture_sql
+from trove_spark.extras.code_forks import (
+    drop_forks,
+    fork_clusters,
+    fork_clusters_oracle_sql,
+    fork_pairs,
+    fork_pairs_oracle_sql,
+)
+
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+THRESH, CAP = 0.4, 3
+
+
+@pytest.fixture(scope="module")
+def pairs(spark):
+    docs = spark.createDataFrame(CODE_FORK_DOCS, schema=SCHEMA)
+    out = fork_pairs(docs, threshold=THRESH, max_repos_per_file=CAP)
+    rows = sorted(
+        (r["repo_a"], r["repo_b"], r["shared_files"], r["files_a"],
+         r["files_b"], round(r["jaccard"], 9))
+        for r in out.collect()
+    )
+    out._fork_cache.unpersist()
+    return rows
+
+
+def test_duckdb_parity(pairs):
+    want = sorted(
+        (a, b, sh, fa, fb, round(j, 9))
+        for a, b, sh, fa, fb, j in duckdb.sql(
+            fork_pairs_oracle_sql(code_fork_fixture_sql(), THRESH, CAP)
+        ).fetchall()
+    )
+    assert pairs == want
+
+
+def test_pinned_pairs(pairs):
+    # the A-B-C chain: orig~copy1 and copy1~copy2 pair at 3/7; the
+    # transitive orig~copy2 overlap (2/8) stays below threshold
+    assert [(a, b, sh) for a, b, sh, *_ in pairs] == [
+        ("forks/copy1", "forks/copy2", 3),
+        ("forks/copy1", "forks/orig", 3),
+    ]
+    # paths differ between orig and copy1 — identity is content-only
+    j = {(a, b): jac for a, b, _, _, _, jac in pairs}
+    assert j[("forks/copy1", "forks/orig")] == round(3 / 7, 9)
+
+
+def test_boilerplate_cap(pairs):
+    # the LICENSE body spreads over 5 repos (> cap): it never pairs
+    # (solo/one and forks/partial share ONLY it / too little)
+    repos_in_pairs = {r for a, b, *_ in pairs for r in (a, b)}
+    assert "solo/one" not in repos_in_pairs
+    assert "forks/partial" not in repos_in_pairs
+    # but it still counts toward sizes (5 files each for the big repos)
+    assert all(fa == 5 and fb == 5 for _, _, _, fa, fb, _ in pairs)
+
+
+def test_clusters_parity_and_chain(spark):
+    docs = spark.createDataFrame(CODE_FORK_DOCS, schema=SCHEMA)
+    got = sorted(
+        (r["repo"], r["fork_group"])
+        for r in fork_clusters(
+            docs, threshold=THRESH, max_repos_per_file=CAP
+        ).collect()
+    )
+    want = sorted(
+        tuple(x)
+        for x in duckdb.sql(
+            fork_clusters_oracle_sql(code_fork_fixture_sql(), THRESH, CAP)
+        ).fetchall()
+    )
+    assert got == want
+    d = dict(got)
+    # the chain collapses into ONE family with the smallest repo id
+    assert d["forks/orig"] == d["forks/copy1"] == d["forks/copy2"] == (
+        "forks/copy1"
+    )
+    # non-forks are their own singletons
+    assert d["forks/partial"] == "forks/partial"
+    assert d["solo/one"] == "solo/one"
+
+
+def test_drop_forks_keeps_canonicals(spark):
+    docs = spark.createDataFrame(CODE_FORK_DOCS, schema=SCHEMA)
+    kept = drop_forks(docs, threshold=THRESH, max_repos_per_file=CAP)
+    repos = {r["repo"] for r in kept.select("repo").distinct().collect()}
+    assert repos == {"forks/copy1", "forks/partial", "solo/one"}
+    assert kept.count() == 10  # 5 + 3 + 2 files survive

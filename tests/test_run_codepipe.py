@@ -733,3 +733,31 @@ def test_codepipe_inherit_triples(spark, tmp_path):
     assert ("pylib/app:src/app.py#Err", "EXTENDS", "ext:ValueError") in trips
     # hierarchy edges coexist with the base code KG in one store
     assert t.filter("pred = 'IN_REPO'").count() > 0
+
+
+def test_codepipe_drop_forks(spark, tmp_path):
+    """--drop-forks collapses fork families to their canonical repo
+    before any file-level stage."""
+    from trove_spark.code_fixture import CODE_FORK_DOCS
+
+    inp = str(tmp_path / "files.parquet")
+    out = str(tmp_path / "kg")
+    spark.createDataFrame(CODE_FORK_DOCS, schema=SCHEMA).write.parquet(inp)
+
+    stats = run_codepipe.main([
+        "--input", inp, "--output", out,
+        "--licenses", "off", "--dedup", "off", "--no-screens",
+        "--drop-forks", "0.4", "--stage-counts", "--n-buckets", "2",
+    ])
+    # input manifest fingerprints ALL 20 rows; the fork drop then keeps
+    # the canonical family member + the two non-fork repos (10 files)
+    assert stats["input_files"] == 20
+    assert stats["after_fork_drop"] == 10
+    from trove_spark.graph import TripleStore
+
+    t = TripleStore(spark, out, n_buckets=2).read_triples()
+    repos = {
+        r["obj"] for r in t.filter("pred = 'IN_REPO'")
+        .select("obj").distinct().collect()
+    }
+    assert repos == {"forks/copy1", "forks/partial", "solo/one"}

@@ -1,0 +1,241 @@
+"""Repo-level fork detection — the The-Stack-style screen that runs
+BEFORE file-level dedup: two repos sharing most of their file contents
+are fork copies, and a training corpus keeps one canonical repo per fork
+family (StarCoder/The-Stack deduplicate at repository granularity first
+precisely because fork networks dominate raw GitHub catalogs).
+
+Semantics: a file's identity is a 60-bit content hash (portable Spark
+``conv(substr(md5,1,15),16,10)`` == DuckDB
+``cast('0x'||substr(md5,1,15) as bigint)``, the engine-parity trick used
+across this repo); a repo is its DISTINCT hash set; two repos are a fork
+pair when the Jaccard of their sets meets ``threshold``.  Hashes carried
+by more than ``max_repos_per_file`` repos (LICENSE texts, vendored
+boilerplate, empty __init__.py) are excluded from PAIRING — they are
+copy-propagation noise, not fork evidence — but still count in each
+repo's size, so boilerplate can only LOWER similarity, never fake it.
+
+Scale shape (10^12 files, 10^8 repos): one distinct shuffle to the
+(repo, fkey) set, one bounded fkey-frequency agg, one fkey equi-join
+whose per-key fan-out is capped at ``max_repos_per_file``² pairs, one
+(repo_a, repo_b) count shuffle, two bounded size joins.  No windows, no
+per-row Python, no corpus cartesian — the cap is what makes the
+self-join survive boilerplate-heavy catalogs.  Fork FAMILIES reuse
+``dedup.near_dup_clusters`` (min-label propagation + pointer jumping
+over repo nodes — O(log diameter) rounds on repo-count-sized frames).
+
+__ref__ = "no reference counterpart (source-code extension; repo-level
+canonicalization mirrors trove's salted-dedup concept canonicalization)"
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import near_dup_clusters
+
+__ref__ = "no reference counterpart (source-code extension)"
+
+
+def _fkey(col):
+    """Portable 60-bit content hash (see module docstring)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def repo_file_keys(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    content_col: str = "content",
+) -> DataFrame:
+    """``(repo, fkey)`` — each repo's DISTINCT file-content hash set
+    (one narrow distinct shuffle; path-independent, so a fork that
+    reorganizes directories still matches)."""
+    return docs.select(
+        F.col(repo_col).alias("repo"),
+        _fkey(F.col(content_col)).alias("fkey"),
+    ).distinct()
+
+
+def fork_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    max_repos_per_file: int = 100,
+    repo_col: str = "repo",
+    content_col: str = "content",
+    persist: bool = True,
+) -> DataFrame:
+    """``(repo_a, repo_b, shared_files, files_a, files_b, jaccard)`` —
+    repo pairs (repo_a < repo_b) whose distinct-content Jaccard ≥
+    ``threshold``.
+
+    When ``persist`` (default) the (repo, fkey) set — consumed by the
+    size agg, the frequency cap, and both join sides — is cached and
+    exposed as ``out._fork_cache``; the caller unpersists after
+    materializing (the minhash ``_shingle_cache`` contract)."""
+    keys = repo_file_keys(docs, repo_col, content_col)
+    if persist:
+        keys = keys.persist()
+
+    sizes = keys.groupBy("repo").agg(F.count("*").alias("n_files"))
+    # pairing alphabet: hashes in ≤ max_repos_per_file repos (keys are
+    # already distinct per repo, so count(*) == repo spread)
+    pairable = (
+        keys.groupBy("fkey")
+        .agg(F.count("*").alias("spread"))
+        .filter(F.col("spread") <= max_repos_per_file)
+        .select("fkey")
+    )
+    kc = keys.join(pairable, "fkey")
+    shared = (
+        kc.select(F.col("repo").alias("repo_a"), "fkey")
+        .join(kc.select(F.col("repo").alias("repo_b"), "fkey"), "fkey")
+        .filter(F.col("repo_a") < F.col("repo_b"))
+        .groupBy("repo_a", "repo_b")
+        .agg(F.count("*").alias("shared_files"))
+    )
+    out = (
+        shared.join(
+            sizes.select(F.col("repo").alias("repo_a"),
+                         F.col("n_files").alias("files_a")),
+            "repo_a",
+        )
+        .join(
+            sizes.select(F.col("repo").alias("repo_b"),
+                         F.col("n_files").alias("files_b")),
+            "repo_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("shared_files").cast("double")
+            / (F.col("files_a") + F.col("files_b") - F.col("shared_files"))
+            .cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("repo_a", "repo_b", "shared_files", "files_a", "files_b",
+                "jaccard")
+    )
+    if persist:
+        out._fork_cache = keys
+    return out
+
+
+def fork_clusters(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    max_repos_per_file: int = 100,
+    repo_col: str = "repo",
+    content_col: str = "content",
+    max_iter: int = 20,
+) -> DataFrame:
+    """``(repo, fork_group)`` — fork FAMILIES as connected components of
+    the pair graph (fork networks chain: A→B→C may each clear the
+    threshold pairwise without A–C doing so); ``fork_group`` is the
+    lexicographically-smallest member, the canonical repo.  Singleton
+    repos cluster to themselves."""
+    pairs = fork_pairs(
+        docs, threshold, max_repos_per_file, repo_col, content_col
+    )
+    repos = docs.select(F.col(repo_col).alias("repo")).distinct()
+    cl = near_dup_clusters(
+        pairs.select(
+            F.col("repo_a").alias("doc_a"), F.col("repo_b").alias("doc_b")
+        ),
+        repos,
+        max_iter=max_iter,
+        id_col="repo",
+    )
+    if hasattr(pairs, "_fork_cache"):
+        pairs._fork_cache.unpersist()
+    return cl.select(
+        F.col("doc_id").alias("repo"), F.col("cluster_id").alias("fork_group")
+    )
+
+
+def drop_forks(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    max_repos_per_file: int = 100,
+    repo_col: str = "repo",
+    content_col: str = "content",
+) -> DataFrame:
+    """The screen: keep every file of each fork family's CANONICAL repo
+    (the smallest repo id — deterministic, append-stable), drop the
+    rest.  One repo-count-sized left_semi join against the corpus."""
+    keep = (
+        fork_clusters(
+            docs, threshold, max_repos_per_file, repo_col, content_col
+        )
+        .filter(F.col("repo") == F.col("fork_group"))
+        .select("repo")
+    )
+    return docs.join(
+        keep, docs[repo_col] == keep["repo"], "left_semi"
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twin
+# ---------------------------------------------------------------------------
+
+
+def fork_pairs_oracle_sql(
+    docs_sql: str,
+    threshold: float = 0.7,
+    max_repos_per_file: int = 100,
+    repo: str = "repo",
+    content: str = "content",
+) -> str:
+    """DuckDB replay of :func:`fork_pairs` over the same rows."""
+    return f"""
+WITH k AS (
+  SELECT DISTINCT {repo} AS repo,
+         CAST('0x' || substr(md5({content}), 1, 15) AS BIGINT) AS fkey
+  FROM ({docs_sql})
+),
+s AS (SELECT repo, count(*) AS n_files FROM k GROUP BY repo),
+pairable AS (
+  SELECT fkey FROM k GROUP BY fkey
+  HAVING count(*) <= {max_repos_per_file}
+),
+kc AS (SELECT k.repo, k.fkey FROM k JOIN pairable USING (fkey)),
+p AS (
+  SELECT a.repo AS repo_a, b.repo AS repo_b, count(*) AS shared_files
+  FROM kc a JOIN kc b ON a.fkey = b.fkey AND a.repo < b.repo
+  GROUP BY repo_a, repo_b
+)
+SELECT repo_a, repo_b, shared_files,
+       sa.n_files AS files_a, sb.n_files AS files_b,
+       CAST(shared_files AS DOUBLE)
+         / CAST(sa.n_files + sb.n_files - shared_files AS DOUBLE) AS jaccard
+FROM p
+JOIN s sa ON sa.repo = p.repo_a
+JOIN s sb ON sb.repo = p.repo_b
+WHERE CAST(shared_files AS DOUBLE)
+        / CAST(sa.n_files + sb.n_files - shared_files AS DOUBLE)
+      >= {threshold}"""
+
+
+def fork_clusters_oracle_sql(
+    docs_sql: str,
+    threshold: float = 0.7,
+    max_repos_per_file: int = 100,
+    repo: str = "repo",
+    content: str = "content",
+) -> str:
+    """Connected components of the fork-pair graph as a recursive CTE
+    (min-reachable-label — the dedup_clusters oracle shape)."""
+    pairs = fork_pairs_oracle_sql(
+        docs_sql, threshold, max_repos_per_file, repo, content
+    )
+    return f"""
+WITH RECURSIVE pr AS ({pairs}),
+e AS (
+  SELECT repo_a AS u, repo_b AS v FROM pr
+  UNION ALL SELECT repo_b AS u, repo_a AS v FROM pr
+),
+nodes AS (SELECT DISTINCT {repo} AS u FROM ({docs_sql})),
+walk(u, label) AS (
+  SELECT u, u FROM nodes
+  UNION
+  SELECT e.u, walk.label FROM e JOIN walk ON walk.u = e.v
+)
+SELECT u AS repo, min(label) AS fork_group FROM walk GROUP BY u"""
