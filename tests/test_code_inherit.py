@@ -143,3 +143,39 @@ def test_extract_inherits_shape(spark):
     assert ("User", "Model", "extends") in rows
     assert ("Fast", "Encoder", "implements") in rows
     assert len(rows) == 14
+
+
+def test_hierarchy_through_kg_query_layer(spark):
+    """EXTENDS edges compose with the generic KG query layer: subtype
+    closure via k_hop, grandparent lookup via a BGP join."""
+    from trove_spark.kg_query import k_hop, query_bgp
+
+    deep = [("pylib/deep", "src/deep.py", "f1" * 20, "py",
+             "class A:\n    pass\n"
+             "class B(A):\n    pass\n"
+             "class C(B):\n    pass\n"
+             "class D(C):\n    pass\n")]
+    docs = spark.createDataFrame(CODE_INHERIT_DOCS + deep, schema=SCHEMA)
+    t = inherit_triples(inherit_links(docs, persist=False))
+
+    # all descendants of A, with depth: B at 1, C at 2, D at 3
+    a = "pylib/deep:src/deep.py#A"
+    seeds = spark.createDataFrame([(a,)], "node string")
+    got = {r["node"]: r["dist"]
+           for r in k_hop(t.filter("pred = 'EXTENDS'"), seeds, k=3,
+                          direction="in").collect()}
+    assert got == {
+        a: 0,
+        "pylib/deep:src/deep.py#B": 1,
+        "pylib/deep:src/deep.py#C": 2,
+        "pylib/deep:src/deep.py#D": 3,
+    }
+
+    # BGP: classes whose PARENT extends A (grandchildren of A)
+    rows = query_bgp(t, [
+        ("?c", "EXTENDS", "?m"),
+        ("?m", "EXTENDS", a),
+    ]).collect()
+    assert {(r["c"], r["m"]) for r in rows} == {
+        ("pylib/deep:src/deep.py#C", "pylib/deep:src/deep.py#B"),
+    }
