@@ -365,6 +365,31 @@ def test_code_datacard_cross_engine(spark):
     assert card["doc_permille"] == (
         card["n_documented"] * 1000 // card["n_defs"] if card["n_defs"] else 0)
 
+    # fork incidence (job 8): the curation fixture has no repo-level
+    # forks at the default threshold — and the DuckDB twin agrees
+    from trove_spark.code_fixture import CODE_FORK_DOCS, code_fork_fixture_sql
+    from trove_spark.extras.code_forks import fork_pairs_oracle_sql
+
+    fo = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT r) FROM (SELECT unnest("
+        f"[repo_a, repo_b]) AS r FROM ({fork_pairs_oracle_sql(src)}))"
+    ).fetchone()
+    assert (card["n_fork_pairs"], card["n_repos_in_fork_pairs"]) == (
+        int(fo[0] or 0) // 2, int(fo[1] or 0))
+
+    # ...and on the fork fixture the stat carries real pairs
+    fcard = code_datacard(
+        spark.createDataFrame(CODE_FORK_DOCS, schema=SCHEMA),
+        fork_threshold=0.4, fork_cap=3,
+    )
+    fo2 = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT r) FROM (SELECT unnest("
+        f"[repo_a, repo_b]) AS r FROM "
+        f"({fork_pairs_oracle_sql(code_fork_fixture_sql(), 0.4, 3)}))"
+    ).fetchone()
+    assert (fcard["n_fork_pairs"], fcard["n_repos_in_fork_pairs"]) == (
+        int(fo2[0]) // 2, int(fo2[1])) == (2, 3)
+
     # sanity on fixture-known facts
     assert card["n_clone_groups"] >= 4
     assert card["n_files_with_secrets"] >= 1

@@ -688,12 +688,14 @@ def code_datacard(
     content_col: str = "content",
     top_langs: int = 20,
     min_norm_len: int = 16,
+    fork_threshold: float = 0.7,
+    fork_cap: int = 100,
 ) -> dict:
     """The-Stack-style release datasheet for a code corpus, as a
     JSON-able dict of exact integers (the `datacard` convention:
     bit-reproducible across reruns and engines).
 
-    Cost model — SEVEN bounded jobs over the corpus, never one per stat:
+    Cost model — EIGHT bounded jobs over the corpus, never one per stat:
       1. one fused map + single-row agg: files, repos, chars, lines,
          StarCoder screen pass count (`code.code_keep_col`), secret
          incidence (`secret_count_cols` progressive totals);
@@ -705,7 +707,11 @@ def code_datacard(
       6. one PATH-ONLY hygiene rollup (repo_quality.repo_hygiene) reduced
          to per-flag repo counts — column-pruned, content never read;
       7. one doc-coverage agg (repo_quality.doc_coverage) reduced to
-         corpus-level defs / documented / permille.
+         corpus-level defs / documented / permille;
+      8. fork incidence (code_forks.fork_pairs at ``fork_threshold`` /
+         ``fork_cap``): pair count + repos involved — one distinct
+         (repo, fkey) shuffle and one capped self-join, no clustering
+         iteration (families are a pipeline decision, not a card stat).
     Every number replays already-parity-tested column builders, so the
     card is DuckDB-replayable stat by stat (tested)."""
     from .code import canonical_lang_col, code_keep_col
@@ -804,6 +810,21 @@ def code_datacard(
     card["doc_permille"] = (
         card["n_documented"] * 1000 // card["n_defs"] if card["n_defs"] else 0
     )
+
+    from .code_forks import fork_pairs
+
+    fp = fork_pairs(docs, threshold=fork_threshold,
+                    max_repos_per_file=fork_cap, repo_col=repo_col,
+                    content_col=content_col)
+    fk = (
+        fp.select(F.explode(F.array("repo_a", "repo_b")).alias("r"))
+        .agg(F.count("*").alias("two_pairs"),
+             F.countDistinct("r").alias("n_repos"))
+        .collect()[0]
+    )
+    fp._fork_cache.unpersist()
+    card["n_fork_pairs"] = int(fk["two_pairs"] or 0) // 2
+    card["n_repos_in_fork_pairs"] = int(fk["n_repos"] or 0)
     return card
 
 
