@@ -7,7 +7,13 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from trove_spark.code_fixture import CODE_FORK_DOCS, code_fork_fixture_sql
+from trove_spark.code_fixture import (
+    _FK,
+    CODE_FORK_DOCS,
+    code_fork_fixture_sql,
+)
+
+_FK_D, _FK_E = _FK["d"], _FK["e"]
 from trove_spark.extras.code_forks import (
     drop_forks,
     fork_clusters,
@@ -97,3 +103,64 @@ def test_drop_forks_keeps_canonicals(spark):
     repos = {r["repo"] for r in kept.select("repo").distinct().collect()}
     assert repos == {"forks/copy1", "forks/partial", "solo/one"}
     assert kept.count() == 10  # 5 + 3 + 2 files survive
+
+
+def test_incremental_equals_full_recompute(spark):
+    """incremental_fork_pairs over a batch == full fork_pairs over the
+    updated catalog restricted to pairs touching a batch repo; the
+    exposed _new_index equals a fresh index of the updated catalog."""
+    from trove_spark.extras.code_forks import (
+        fork_key_index,
+        incremental_fork_pairs,
+        repo_file_keys,
+    )
+
+    old_rows = [r for r in CODE_FORK_DOCS if r[0] != "forks/copy2"]
+    batch_rows = [r for r in CODE_FORK_DOCS if r[0] == "forks/copy2"] + [
+        # forks/partial changes in the batch too — it grows d and e but
+        # STAYS below threshold (∩orig = {a,d} -> 2/8): the changed-but-
+        # not-fork path.  (It must not grow b/c: that would push their
+        # spread over the cap and demote them for every old pair.)
+        ("forks/partial", "src/d3.py", "f7" * 20, "py", _FK_D),
+        ("forks/partial", "src/e3.py", "f8" * 20, "py", _FK_E),
+    ] + [r for r in CODE_FORK_DOCS if r[0] == "forks/partial"]
+
+    old = spark.createDataFrame(old_rows, schema=SCHEMA)
+    batch = spark.createDataFrame(batch_rows, schema=SCHEMA)
+    updated = old.filter("repo != 'forks/partial'").unionByName(batch)
+
+    idx = fork_key_index(old)
+    inc = incremental_fork_pairs(
+        idx, batch, threshold=THRESH, max_repos_per_file=CAP
+    )
+    got = sorted(
+        (r["repo_a"], r["repo_b"], r["shared_files"], r["files_a"],
+         r["files_b"], round(r["jaccard"], 9))
+        for r in inc.collect()
+    )
+    # full recompute over the updated catalog, batch-touching pairs only
+    fp = fork_pairs(updated, threshold=THRESH, max_repos_per_file=CAP,
+                    persist=False)
+    batch_repos = {"forks/copy2", "forks/partial"}
+    want = sorted(
+        (r["repo_a"], r["repo_b"], r["shared_files"], r["files_a"],
+         r["files_b"], round(r["jaccard"], 9))
+        for r in fp.collect()
+        if r["repo_a"] in batch_repos or r["repo_b"] in batch_repos
+    )
+    assert got == want
+    # the new copy2 pairs with copy1 ({b,c,e} = 3/7); the grown partial
+    # stays sub-threshold; the old-old orig~copy1 pair is NOT recomputed
+    assert [(a, b) for a, b, *_ in got] == [("forks/copy1", "forks/copy2")]
+    full_pairs = {(r["repo_a"], r["repo_b"]) for r in fp.collect()}
+    assert ("forks/copy1", "forks/orig") in full_pairs  # old-old exists
+
+    # the maintained index row-equals a fresh one
+    new_idx = sorted(
+        (r["repo"], r["fkey"]) for r in inc._new_index.collect()
+    )
+    fresh = sorted(
+        (r["repo"], r["fkey"]) for r in repo_file_keys(updated).collect()
+    )
+    assert new_idx == fresh
+    inc._fork_cache.unpersist()

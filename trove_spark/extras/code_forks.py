@@ -92,7 +92,17 @@ def fork_pairs(
         .groupBy("repo_a", "repo_b")
         .agg(F.count("*").alias("shared_files"))
     )
-    out = (
+    out = _score_pairs(shared, sizes, threshold)
+    if persist:
+        out._fork_cache = keys
+    return out
+
+
+def _score_pairs(shared: DataFrame, sizes: DataFrame,
+                 threshold: float) -> DataFrame:
+    """Shared tail of the batch and incremental pair paths: size joins,
+    Jaccard, threshold (int/int double division — engine-parity exact)."""
+    return (
         shared.join(
             sizes.select(F.col("repo").alias("repo_a"),
                          F.col("n_files").alias("files_a")),
@@ -113,9 +123,6 @@ def fork_pairs(
         .select("repo_a", "repo_b", "shared_files", "files_a", "files_b",
                 "jaccard")
     )
-    if persist:
-        out._fork_cache = keys
-    return out
 
 
 def fork_clusters(
@@ -170,6 +177,85 @@ def drop_forks(
     return docs.join(
         keep, docs[repo_col] == keep["repo"], "left_semi"
     )
+
+
+def fork_key_index(
+    docs: DataFrame,
+    repo_col: str = "repo",
+    content_col: str = "content",
+) -> DataFrame:
+    """The storable snapshot for incremental fork detection — exactly
+    :func:`repo_file_keys` (named separately so the stored-artifact
+    contract reads like clone_key_index)."""
+    return repo_file_keys(docs, repo_col, content_col)
+
+
+def incremental_fork_pairs(
+    index: DataFrame,
+    new_docs: DataFrame,
+    threshold: float = 0.7,
+    max_repos_per_file: int = 100,
+    repo_col: str = "repo",
+    content_col: str = "content",
+    persist: bool = True,
+) -> DataFrame:
+    """Daily-batch fork detection against a stored ``fork_key_index``
+    snapshot: compute ONLY the pairs that involve a repo present in
+    ``new_docs`` (changed/added repos ship their FULL file set — repo
+    granularity is the natural diff unit here, since a fork decision is
+    a whole-repo property), at O(batch × capped-spread) cost instead of
+    a catalog rescan.
+
+    Equivalence contract (tested): the result row-equals a full
+    ``fork_pairs`` recompute over the updated catalog, restricted to
+    pairs touching a batch repo — the frequency cap and all sizes are
+    evaluated on the UPDATED index, so a batch that pushes a hash over
+    the boilerplate cap demotes it for old pairs too (old-old pairs are
+    by definition unchanged: neither side's key set moved).
+
+    Removed repos: drop their index rows upstream and omit them from
+    ``new_docs``.  The updated index is exposed as ``out._new_index``;
+    replace the snapshot with it after the batch commits (the
+    clone_key_index delete-then-append maintenance rule).  When
+    ``persist`` (default) the updated index — consumed by the size agg,
+    the cap agg, and both join sides — is cached as ``out._fork_cache``;
+    the caller unpersists after materializing."""
+    newk = repo_file_keys(new_docs, repo_col, content_col)
+    new_repos = newk.select("repo").distinct()
+    full = index.join(new_repos, "repo", "left_anti").unionByName(newk)
+    if persist:
+        full = full.persist()
+
+    sizes = full.groupBy("repo").agg(F.count("*").alias("n_files"))
+    pairable = (
+        full.groupBy("fkey")
+        .agg(F.count("*").alias("spread"))
+        .filter(F.col("spread") <= max_repos_per_file)
+        .select("fkey")
+    )
+    kc = full.join(pairable, "fkey")
+    kc_new = kc.join(new_repos, "repo", "left_semi")
+    # one side is always a batch repo; normalize the pair order, then
+    # drop the double count a new-new pair gets from matching in both
+    # directions before the per-pair agg
+    shared = (
+        kc_new.select(F.col("repo").alias("rx"), "fkey")
+        .join(kc.select(F.col("repo").alias("ry"), "fkey"), "fkey")
+        .filter(F.col("rx") != F.col("ry"))
+        .select(
+            F.least("rx", "ry").alias("repo_a"),
+            F.greatest("rx", "ry").alias("repo_b"),
+            "fkey",
+        )
+        .distinct()
+        .groupBy("repo_a", "repo_b")
+        .agg(F.count("*").alias("shared_files"))
+    )
+    out = _score_pairs(shared, sizes, threshold)
+    out._new_index = full
+    if persist:
+        out._fork_cache = full
+    return out
 
 
 # ---------------------------------------------------------------------------
