@@ -103,6 +103,10 @@ def main(argv: list[str] | None = None) -> dict:
                     "family (distinct-content Jaccard >= J, connected "
                     "components, boilerplate hashes capped out of pairing) "
                     "BEFORE any file-level screen — The-Stack order")
+    ap.add_argument("--forks-normalized", action="store_true",
+                    help="fork detection on the comment-stripped "
+                    "whitespace-collapsed surface (catches reformatted "
+                    "forks; code-token edits still separate)")
     ap.add_argument("--decontam-bench", default=None, metavar="PARQUET",
                     help="benchmark-solutions parquet (bench_id, lang, "
                     "content): drop every file containing a function whose "
@@ -337,7 +341,8 @@ def main(argv: list[str] | None = None) -> dict:
         # graph + clustering run on repo-count-sized frames
         from trove_spark.extras.code_forks import drop_forks
 
-        docs = drop_forks(docs, threshold=args.drop_forks)
+        docs = drop_forks(docs, threshold=args.drop_forks,
+                          normalized=args.forks_normalized)
         if args.stage_counts:
             stats["after_fork_drop"] = docs.count()
         _mark("fork_drop")

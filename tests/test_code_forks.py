@@ -164,3 +164,41 @@ def test_incremental_equals_full_recompute(spark):
     )
     assert new_idx == fresh
     inc._fork_cache.unpersist()
+
+
+def test_normalized_mode_catches_reformatted_forks(spark):
+    """normalized=True hashes the comment-stripped whitespace-collapsed
+    surface: a reformatted fork pairs there but not in exact mode; the
+    DuckDB twin replays the normalized mode too."""
+    rows = [
+        ("nf/orig", "src/f.py", "a1" * 20, "py",
+         "def f(x):\n    return x\n"),
+        ("nf/orig", "src/g.py", "a2" * 20, "py",
+         "def g(x):\n    return x + 1\n"),
+        ("nf/refmt", "lib/f.py", "a3" * 20, "py",
+         "# reformatted fork\ndef f(x):\n        return  x\n"),
+        ("nf/refmt", "lib/g.py", "a4" * 20, "py",
+         "# same tokens, new layout\ndef g(x):\n\n    return x + 1\n"),
+    ]
+    docs = spark.createDataFrame(rows, schema=SCHEMA)
+
+    exact = fork_pairs(docs, threshold=0.5, persist=False)
+    assert exact.count() == 0
+
+    norm = fork_pairs(docs, threshold=0.5, normalized=True, persist=False)
+    got = sorted(
+        (r["repo_a"], r["repo_b"], r["shared_files"], r["jaccard"])
+        for r in norm.collect()
+    )
+    assert got == [("nf/orig", "nf/refmt", 2, 1.0)]
+
+    from trove_spark.code_fixture import _values_sql
+
+    src = _values_sql(rows, "nf_docs")
+    want = sorted(
+        (a, b, sh, j)
+        for a, b, sh, _, _, j in duckdb.sql(
+            fork_pairs_oracle_sql(src, 0.5, 100, normalized=True)
+        ).fetchall()
+    )
+    assert got == want

@@ -45,13 +45,27 @@ def repo_file_keys(
     docs: DataFrame,
     repo_col: str = "repo",
     content_col: str = "content",
+    lang_col: str = "lang",
+    normalized: bool = False,
 ) -> DataFrame:
     """``(repo, fkey)`` — each repo's DISTINCT file-content hash set
     (one narrow distinct shuffle; path-independent, so a fork that
-    reorganizes directories still matches)."""
+    reorganizes directories still matches).
+
+    ``normalized=True`` hashes the comment-stripped whitespace-collapsed
+    surface (``code_curate.normalize_code_col`` — the parity-tested
+    dedup key), so a fork that reformatted or re-commented every file
+    still matches; any code-token edit still separates."""
+    if normalized:
+        # lazy import: code_curate's datacard imports this module
+        from .code_curate import normalize_code_col
+
+        surface = normalize_code_col(F.col(lang_col), F.col(content_col))
+    else:
+        surface = F.col(content_col)
     return docs.select(
         F.col(repo_col).alias("repo"),
-        _fkey(F.col(content_col)).alias("fkey"),
+        _fkey(surface).alias("fkey"),
     ).distinct()
 
 
@@ -61,6 +75,8 @@ def fork_pairs(
     max_repos_per_file: int = 100,
     repo_col: str = "repo",
     content_col: str = "content",
+    lang_col: str = "lang",
+    normalized: bool = False,
     persist: bool = True,
 ) -> DataFrame:
     """``(repo_a, repo_b, shared_files, files_a, files_b, jaccard)`` —
@@ -71,7 +87,7 @@ def fork_pairs(
     size agg, the frequency cap, and both join sides — is cached and
     exposed as ``out._fork_cache``; the caller unpersists after
     materializing (the minhash ``_shingle_cache`` contract)."""
-    keys = repo_file_keys(docs, repo_col, content_col)
+    keys = repo_file_keys(docs, repo_col, content_col, lang_col, normalized)
     if persist:
         keys = keys.persist()
 
@@ -131,6 +147,8 @@ def fork_clusters(
     max_repos_per_file: int = 100,
     repo_col: str = "repo",
     content_col: str = "content",
+    lang_col: str = "lang",
+    normalized: bool = False,
     max_iter: int = 20,
 ) -> DataFrame:
     """``(repo, fork_group)`` — fork FAMILIES as connected components of
@@ -139,7 +157,8 @@ def fork_clusters(
     lexicographically-smallest member, the canonical repo.  Singleton
     repos cluster to themselves."""
     pairs = fork_pairs(
-        docs, threshold, max_repos_per_file, repo_col, content_col
+        docs, threshold, max_repos_per_file, repo_col, content_col,
+        lang_col, normalized,
     )
     repos = docs.select(F.col(repo_col).alias("repo")).distinct()
     cl = near_dup_clusters(
@@ -163,13 +182,16 @@ def drop_forks(
     max_repos_per_file: int = 100,
     repo_col: str = "repo",
     content_col: str = "content",
+    lang_col: str = "lang",
+    normalized: bool = False,
 ) -> DataFrame:
     """The screen: keep every file of each fork family's CANONICAL repo
     (the smallest repo id — deterministic, append-stable), drop the
     rest.  One repo-count-sized left_semi join against the corpus."""
     keep = (
         fork_clusters(
-            docs, threshold, max_repos_per_file, repo_col, content_col
+            docs, threshold, max_repos_per_file, repo_col, content_col,
+            lang_col, normalized,
         )
         .filter(F.col("repo") == F.col("fork_group"))
         .select("repo")
@@ -183,11 +205,14 @@ def fork_key_index(
     docs: DataFrame,
     repo_col: str = "repo",
     content_col: str = "content",
+    lang_col: str = "lang",
+    normalized: bool = False,
 ) -> DataFrame:
     """The storable snapshot for incremental fork detection — exactly
     :func:`repo_file_keys` (named separately so the stored-artifact
-    contract reads like clone_key_index)."""
-    return repo_file_keys(docs, repo_col, content_col)
+    contract reads like clone_key_index).  Store the index and run
+    every batch with the SAME ``normalized`` mode."""
+    return repo_file_keys(docs, repo_col, content_col, lang_col, normalized)
 
 
 def incremental_fork_pairs(
@@ -197,6 +222,8 @@ def incremental_fork_pairs(
     max_repos_per_file: int = 100,
     repo_col: str = "repo",
     content_col: str = "content",
+    lang_col: str = "lang",
+    normalized: bool = False,
     persist: bool = True,
 ) -> DataFrame:
     """Daily-batch fork detection against a stored ``fork_key_index``
@@ -220,7 +247,8 @@ def incremental_fork_pairs(
     ``persist`` (default) the updated index — consumed by the size agg,
     the cap agg, and both join sides — is cached as ``out._fork_cache``;
     the caller unpersists after materializing."""
-    newk = repo_file_keys(new_docs, repo_col, content_col)
+    newk = repo_file_keys(new_docs, repo_col, content_col, lang_col,
+                          normalized)
     new_repos = newk.select("repo").distinct()
     full = index.join(new_repos, "repo", "left_anti").unionByName(newk)
     if persist:
@@ -269,12 +297,20 @@ def fork_pairs_oracle_sql(
     max_repos_per_file: int = 100,
     repo: str = "repo",
     content: str = "content",
+    lang: str = "lang",
+    normalized: bool = False,
 ) -> str:
     """DuckDB replay of :func:`fork_pairs` over the same rows."""
+    if normalized:
+        from .code_curate import normalize_code_sql_expr
+
+        surface = normalize_code_sql_expr(lang, content)
+    else:
+        surface = content
     return f"""
 WITH k AS (
   SELECT DISTINCT {repo} AS repo,
-         CAST('0x' || substr(md5({content}), 1, 15) AS BIGINT) AS fkey
+         CAST('0x' || substr(md5({surface}), 1, 15) AS BIGINT) AS fkey
   FROM ({docs_sql})
 ),
 s AS (SELECT repo, count(*) AS n_files FROM k GROUP BY repo),
@@ -306,11 +342,14 @@ def fork_clusters_oracle_sql(
     max_repos_per_file: int = 100,
     repo: str = "repo",
     content: str = "content",
+    lang: str = "lang",
+    normalized: bool = False,
 ) -> str:
     """Connected components of the fork-pair graph as a recursive CTE
     (min-reachable-label — the dedup_clusters oracle shape)."""
     pairs = fork_pairs_oracle_sql(
-        docs_sql, threshold, max_repos_per_file, repo, content
+        docs_sql, threshold, max_repos_per_file, repo, content, lang,
+        normalized,
     )
     return f"""
 WITH RECURSIVE pr AS ({pairs}),
