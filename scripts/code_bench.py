@@ -187,6 +187,72 @@ def augment_code_corpus(spark, docs, n_files: int):
     return with_secrets.unionByName(twins).unionByName(lic_rows)
 
 
+def inherit_augment(docs, n_files: int):
+    """Append three-tier inheritance declarations to every file — a
+    local base def + subs extending it (local tier), a base defined by
+    the NEXT file of the same repo (stride n_repos → repo tier), and a
+    never-defined external base (unresolved → ext:) — in 4 languages,
+    go as the scanned negative.  Shared by the per-op `inherit_s` row
+    and the allops2 scaling input (codepipe_scaling)."""
+    from pyspark.sql import functions as F
+
+    n_repos = max(n_files // 50, 1)
+
+    def _ih(tag, expr):
+        return F.substring(
+            F.md5(F.concat(F.lit(tag), expr.cast("string"))), 1, 8
+        )
+
+    loc_h = _ih("ih", F.col("id") % 50_000)
+    rep_h = _ih("ih", (F.col("id") + n_repos) % 50_000)
+    ext_h = _ih("ex", (F.col("id") * 3 + 7) % 50_000)
+    aug = (
+        F.when(F.col("lang") == "py", F.concat(
+            F.lit("class LocB_"), loc_h,
+            F.lit(":\n    pass\nclass Sub1(LocB_"), loc_h,
+            F.lit("):\n    pass\nclass Sub2(LocB_"), rep_h,
+            F.lit("):\n    pass\nclass Sub3(Ext_"), ext_h,
+            F.lit("):\n    pass\n")))
+        .when(F.col("lang") == "java", F.concat(
+            F.lit("class LocJ_"), loc_h,
+            F.lit(" {}\nclass JS1 extends LocJ_"), loc_h,
+            F.lit(" implements Runnable, Ifc_"), ext_h,
+            F.lit(" {}\nclass JS2 extends LocJ_"), rep_h, F.lit(" {}\n")))
+        .when(F.col("lang") == "js", F.concat(
+            F.lit("class LocC_"), loc_h,
+            F.lit(" {}\nclass CS1 extends LocC_"), loc_h,
+            F.lit(" {}\nclass CS2 extends ns.Ext_"), ext_h, F.lit(" {}\n")))
+        .when(F.col("lang") == "rs", F.concat(
+            F.lit("trait LocT_"), loc_h,
+            F.lit(" {}\ntrait TS1: LocT_"), loc_h,
+            F.lit(" + Ext_"), ext_h,
+            F.lit(" {}\nimpl LocT_"), rep_h, F.lit(" for Ty1 {}\n")))
+        .otherwise(F.lit(""))
+    )
+    return docs.withColumn(
+        "content", F.concat(F.col("content"), F.lit("\n"), aug)
+    )
+
+
+def fork_twin_repos(docs, n_files: int):
+    """Fork twins of every 10th repo carrying 80% of its files VERBATIM
+    under a new repo name (jaccard ≈ 0.78 → real pairs/families).  NB:
+    the 80% subset keys on the WITHIN-repo file index (id div n_repos) —
+    an id-modulus is constant across a repo's files."""
+    from pyspark.sql import functions as F
+
+    n_repos = max(n_files // 50, 1)
+    return (
+        docs.filter((F.col("id") % n_repos) % 10 == 0)
+        .filter(F.floor(F.col("id") / n_repos) % 5 != 0)
+        .select(
+            F.concat(F.lit("fork/of-"),
+                     (F.col("id") % n_repos).cast("string")).alias("repo"),
+            "path", "commit", "lang", "content", "id",
+        )
+    )
+
+
 def clone_bench_docs(docs):
     """Op-local augmentation for the clone-detection row: the shared
     corpus's filler lines all normalize to the SAME type-2 shape (one
@@ -364,42 +430,7 @@ def main() -> None:
     # with go as the scanned negative.
     from trove_spark.extras.code_inherit import inherit_links
 
-    n_repos_b = max(n_files // 50, 1)
-
-    def _ih(tag, expr):
-        return F.substring(
-            F.md5(F.concat(F.lit(tag), expr.cast("string"))), 1, 8
-        )
-
-    loc_h = _ih("ih", F.col("id") % 50_000)
-    rep_h = _ih("ih", (F.col("id") + n_repos_b) % 50_000)
-    ext_h = _ih("ex", (F.col("id") * 3 + 7) % 50_000)
-    inh_aug = (
-        F.when(F.col("lang") == "py", F.concat(
-            F.lit("class LocB_"), loc_h,
-            F.lit(":\n    pass\nclass Sub1(LocB_"), loc_h,
-            F.lit("):\n    pass\nclass Sub2(LocB_"), rep_h,
-            F.lit("):\n    pass\nclass Sub3(Ext_"), ext_h,
-            F.lit("):\n    pass\n")))
-        .when(F.col("lang") == "java", F.concat(
-            F.lit("class LocJ_"), loc_h,
-            F.lit(" {}\nclass JS1 extends LocJ_"), loc_h,
-            F.lit(" implements Runnable, Ifc_"), ext_h,
-            F.lit(" {}\nclass JS2 extends LocJ_"), rep_h, F.lit(" {}\n")))
-        .when(F.col("lang") == "js", F.concat(
-            F.lit("class LocC_"), loc_h,
-            F.lit(" {}\nclass CS1 extends LocC_"), loc_h,
-            F.lit(" {}\nclass CS2 extends ns.Ext_"), ext_h, F.lit(" {}\n")))
-        .when(F.col("lang") == "rs", F.concat(
-            F.lit("trait LocT_"), loc_h,
-            F.lit(" {}\ntrait TS1: LocT_"), loc_h,
-            F.lit(" + Ext_"), ext_h,
-            F.lit(" {}\nimpl LocT_"), rep_h, F.lit(" for Ty1 {}\n")))
-        .otherwise(F.lit(""))
-    )
-    inhdocs = docs.withColumn(
-        "content", F.concat(F.col("content"), F.lit("\n"), inh_aug)
-    )
+    inhdocs = inherit_augment(docs, n_files)
 
     def _run_inherit():
         il = inherit_links(inhdocs)
@@ -420,19 +451,7 @@ def main() -> None:
     # capped out of the pairing self-join (the boilerplate channel)
     from trove_spark.extras.code_forks import fork_clusters, fork_pairs
 
-    # NB: file ids of one repo share id % n_repos_b, so the 80% subset
-    # must key on the WITHIN-repo file index (id div n_repos_b) — an
-    # id-modulus is constant across a repo's files
-    forks_aug = (
-        docs.filter((F.col("id") % n_repos_b) % 10 == 0)
-        .filter(F.floor(F.col("id") / n_repos_b) % 5 != 0)
-        .select(
-            F.concat(F.lit("fork/of-"),
-                     (F.col("id") % n_repos_b).cast("string")).alias("repo"),
-            "path", "commit", "lang", "content", "id",
-        )
-    )
-    fdocs = docs.unionByName(forks_aug).unionByName(
+    fdocs = docs.unionByName(fork_twin_repos(docs, n_files)).unionByName(
         license_rows(spark, n_files)
     )
 

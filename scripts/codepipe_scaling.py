@@ -46,6 +46,14 @@ def main() -> None:
     # repo has a LICENSE — so the stage's plan cost is measured while
     # output stays comparable)
     allops = "--allops" in sys.argv
+    # allops2 = allops + the session-14 stages: class-hierarchy edges
+    # (--inherit-triples) and repo-level fork collapse (--drop-forks) —
+    # over an input augmented with three-tier inheritance declarations
+    # (code_bench.inherit_augment) and verbatim fork-twin repos
+    # (code_bench.fork_twin_repos), so both new stages do real work
+    allops2 = "--allops2" in sys.argv
+    if allops2:
+        allops = True
     try:
         os.sched_setaffinity(0, set(range(cores)))
     except (AttributeError, OSError):
@@ -53,7 +61,12 @@ def main() -> None:
 
     from pyspark.sql import SparkSession, functions as F
 
-    from code_bench import augment_code_corpus, synth_code_corpus
+    from code_bench import (
+        augment_code_corpus,
+        fork_twin_repos,
+        inherit_augment,
+        synth_code_corpus,
+    )
     import run_codepipe
 
     spark = (
@@ -65,11 +78,18 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    inp = f"/tmp/codepipe_scale_input_{n_files}"
+    inp = f"/tmp/codepipe_scale_input_{n_files}" + ("_v2" if allops2 else "")
     if not os.path.exists(os.path.join(inp, "_SUCCESS")):
         docs = synth_code_corpus(spark, n_files)
-        aug = augment_code_corpus(spark, docs, n_files).drop("id")
-        aug.write.mode("overwrite").parquet(inp)
+        aug = augment_code_corpus(spark, docs, n_files)
+        if allops2:
+            # fork twins keep the ORIGINAL file ids, so the shared
+            # inherit augmentation appends identical lines to twin and
+            # original — content overlap (the fork signal) is preserved
+            aug = inherit_augment(
+                aug.unionByName(fork_twin_repos(docs, n_files)), n_files
+            )
+        aug.drop("id").write.mode("overwrite").parquet(inp)
     if gen_only:
         print(json.dumps({"generated": inp}))
         spark.stop()
@@ -98,6 +118,8 @@ def main() -> None:
             args += ["--link-symbols", "--call-graph", "--smell-triples",
                      "--test-triples", "--min-hygiene", "1",
                      "--clone-triples"]
+        if allops2:
+            args += ["--inherit-triples", "--drop-forks", "0.7"]
         elif clones:
             args.append("--clone-triples")
         s = run_codepipe.main(args)
@@ -128,6 +150,7 @@ def main() -> None:
         "cores": cores,
         "clones": clones,
         "allops": allops,
+        "allops2": allops2,
         "n_files": n_in,
         "kept_files": stats["kept_files"],
         "triples": n_triples,
