@@ -1266,6 +1266,33 @@ def q_code_vendored(spark, sf_dir):
     return vendored_files(docs, persist=False)
 
 
+def q_code_fork_pairs(spark, sf_dir):
+    """Repo-level fork detection (extras/code_forks.py): distinct-
+    content-hash Jaccard pairs under a boilerplate frequency cap — the
+    The-Stack-order screen that precedes every file-level stage.  The
+    frozen fixture exercises content-only identity (copy1 carries orig's
+    files under different paths), the A-B-C chain (orig~copy1 and
+    copy1~copy2 pair, the transitive overlap stays below threshold), the
+    cap channel (a LICENSE body spread over all 5 repos never pairs) and
+    the sub-threshold negatives.  Takes the slot of tag_hypothetical,
+    whose engine shape (broadcast trigger battery + 'or' reduction over
+    the clinical-fixture union) is exercised verbatim by the four green
+    tag_negex / tag_polarity / tag_historical / tag_family rows (same
+    trigger_battery_tagger engine, different cue lists); a dedicated
+    sf0.001 DuckDB-parity pytest (test_oracle_parity.py::
+    test_tag_hypothetical_duckdb_parity) keeps the hypothetical row
+    itself end-to-end checked at the old fidelity."""
+    from trove_spark.code_fixture import CODE_FORK_DOCS
+    from trove_spark.extras.code_forks import fork_pairs
+
+    docs = spark.createDataFrame(
+        CODE_FORK_DOCS,
+        schema="repo string, path string, commit string, lang string, content string",
+    )
+    return fork_pairs(docs, threshold=0.4, max_repos_per_file=3,
+                      persist=False)
+
+
 def q_code_clone_groups(spark, sf_dir):
     """Function-level clone detection (extras/code_clones.py): the
     DejaVu/SourcererCC operator at def granularity — sentinel-split
@@ -1412,7 +1439,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_relations": q_tag_relations,
         "tag_polarity": q_tag_polarity,
         "tag_historical": q_tag_historical,
-        "tag_hypothetical": q_tag_hypothetical,
+        # slot swapped r5 session 14: tag_hypothetical's engine shape
+        # (trigger battery + 'or' reduction over the clinical union) is
+        # exercised verbatim by the four other green tag_* rows, and a
+        # DuckDB-parity pytest keeps the hypothetical row checked;
+        # code_fork_pairs adds repo-level fork detection over the
+        # BASELINE input_hint shape (see its docstring).
+        "code_fork_pairs": q_code_fork_pairs,
         "tag_family": q_tag_family,
         # slot swapped late r5: tag_laterality's engine shape (broadcast
         # cue battery + window scan + windowless min-struct reduction) is
@@ -1489,6 +1522,7 @@ def oracle_sql() -> dict[str, str]:
         code_curate_fixture_sql,
         code_depconf_chain_fixture_sql,
         code_fixture_sql,
+        code_fork_fixture_sql,
         code_vendor_fixture_sql,
     )
     from trove_spark.extras.callgraph import call_graph_oracle_sql
@@ -1498,6 +1532,7 @@ def oracle_sql() -> dict[str, str]:
         transitive_dependency_conflicts_sql,
         vendored_files_sql,
     )
+    from trove_spark.extras.code_forks import fork_pairs_oracle_sql
     from trove_spark.extras.code_link import symbol_links_oracle_sql
     from trove_spark.extras.collocations import collocations_oracle_sql
     from trove_spark.extras.sketches import heavy_hitters_oracle_sql
@@ -1512,6 +1547,8 @@ def oracle_sql() -> dict[str, str]:
         "code_clone_groups": function_clones_sql(code_clone_fixture_sql()),
         "code_call_graph": call_graph_oracle_sql(code_callgraph_fixture_sql()),
         "code_vendored": vendored_files_sql(code_vendor_fixture_sql()),
+        "code_fork_pairs": fork_pairs_oracle_sql(
+            code_fork_fixture_sql(), 0.4, 3),
         "kg_label_model": label_model_oracle_sql(n_iter=3),
         "corpus_heavy_hitters": heavy_hitters_oracle_sql(capacity=40),
         "corpus_collocations": collocations_oracle_sql(window=3, min_count=5),

@@ -122,3 +122,15 @@ def test_coverage_stats_duckdb_parity(spark):
     order = [duck_cols_full.index(c) for c in spark_cols]
     duck_rows = [tuple(r[i] for i in order) for r in res.fetchall()]
     assert normalize_rows(spark_rows) == normalize_rows(duck_rows)
+
+
+def test_tag_hypothetical_duckdb_parity(spark):
+    """tag_hypothetical yielded its driver slot to code_fork_pairs (r5
+    session 14; its trigger-battery + 'or'-reduction engine shape stays
+    driver-exercised by the four other green tag_* rows) — this keeps
+    the hypothetical row itself end-to-end checked at the old
+    fidelity."""
+    _yielded_row_parity(
+        spark, entrymod.q_tag_hypothetical,
+        entrymod.oracle_sql()["tag_hypothetical"],
+    )
