@@ -232,3 +232,96 @@ def test_triplestore_query_facade(spark, tmp_path):
     seeds = spark.createDataFrame([("C1",)], "node string")
     hop = {r["node"]: r["dist"] for r in store.k_hop(seeds, 2).collect()}
     assert hop["Drug"] == 2 and hop["C1"] == 0
+
+
+# --- bounded transitive closure -------------------------------------------
+
+CLOSURE_TRIPLES = [
+    # chain a -> b -> c -> d
+    ("a", "EXTENDS", "b"), ("b", "EXTENDS", "c"), ("c", "EXTENDS", "d"),
+    # cycle x -> y -> z -> x (must terminate; (v, v, 3) facts surface)
+    ("x", "EXTENDS", "y"), ("y", "EXTENDS", "z"), ("z", "EXTENDS", "x"),
+    # diamond p -> {q, r} -> s (min dist p->s is 2, both paths)
+    ("p", "EXTENDS", "q"), ("p", "EXTENDS", "r"),
+    ("q", "EXTENDS", "s"), ("r", "EXTENDS", "s"),
+]
+
+CLOSURE_SQL = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in CLOSURE_TRIPLES)
+    + ") t(subj, pred, obj)"
+)
+
+
+def test_transitive_closure_parity_and_semantics(spark):
+    from trove_spark.kg_query import closure_oracle_sql, transitive_closure
+
+    t = spark.createDataFrame(
+        CLOSURE_TRIPLES, "subj string, pred string, obj string"
+    )
+    got = sorted(
+        (r["src"], r["dst"], r["dist"])
+        for r in transitive_closure(t, max_hops=8).collect()
+    )
+    want = sorted(
+        tuple(x)
+        for x in duckdb.sql(closure_oracle_sql(CLOSURE_SQL, 8)).fetchall()
+    )
+    assert got == want
+    d = {(s, o): h for s, o, h in got}
+    # chain distances
+    assert d[("a", "d")] == 3 and d[("a", "c")] == 2 and d[("b", "d")] == 2
+    # diamond: min dist wins over path multiplicity
+    assert d[("p", "s")] == 2
+    # cycle terminates and records the self-loop fact
+    assert d[("x", "x")] == 3 and d[("x", "z")] == 2
+
+
+def test_transitive_closure_hop_bound_and_direction(spark):
+    from trove_spark.kg_query import closure_oracle_sql, transitive_closure
+
+    t = spark.createDataFrame(
+        CLOSURE_TRIPLES, "subj string, pred string, obj string"
+    )
+    # hop bound cuts the chain tail on both engines identically
+    got2 = sorted(
+        (r["src"], r["dst"], r["dist"])
+        for r in transitive_closure(t, max_hops=2).collect()
+    )
+    want2 = sorted(
+        tuple(x)
+        for x in duckdb.sql(closure_oracle_sql(CLOSURE_SQL, 2)).fetchall()
+    )
+    assert got2 == want2
+    assert ("a", "d", 3) not in got2 and ("a", "c", 2) in got2
+    # direction='in' is the descendant view: d reaches a in 3
+    din = {
+        (r["src"], r["dst"]): r["dist"]
+        for r in transitive_closure(t, max_hops=8, direction="in").collect()
+    }
+    assert din[("d", "a")] == 3
+
+
+def test_subtype_closure_composes_with_inherit_triples(spark):
+    """The code battery's ancestor query: inherit_triples -> EXTENDS
+    filter -> transitive_closure gives every class its ancestor set."""
+    from trove_spark.extras.code_inherit import inherit_links, inherit_triples
+    from trove_spark.kg_query import transitive_closure
+
+    docs = spark.createDataFrame(
+        [("pylib/deep", "src/deep.py", "f1" * 20, "py",
+          "class A:\n    pass\n"
+          "class B(A):\n    pass\n"
+          "class C(B):\n    pass\n")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    t = inherit_triples(inherit_links(docs, persist=False))
+    cl = {
+        (r["src"], r["dst"]): r["dist"]
+        for r in transitive_closure(
+            t.filter("pred = 'EXTENDS'"), max_hops=4
+        ).collect()
+    }
+    pre = "pylib/deep:src/deep.py#"
+    assert cl[(pre + "C", pre + "A")] == 2
+    assert cl[(pre + "B", pre + "A")] == 1

@@ -246,6 +246,91 @@ def k_hop(
     return visited
 
 
+def transitive_closure(
+    triples: DataFrame,
+    max_hops: int = 8,
+    direction: str = "out",
+) -> DataFrame:
+    """Bounded all-pairs reachability over the triple edges →
+    ``(src, dst, dist)`` with ``dist`` = minimum hop count (1 ≤ dist ≤
+    ``max_hops``).  The KG closure queries the code battery needs in
+    one call: ancestors of every class (EXTENDS edges), the dependency
+    cone of every repo (DEPENDS_ON), the reachable-callee set
+    (CALLS_FN).
+
+    Level-synchronous BFS from EVERY node at once: each round is one
+    frontier ⋈ edges equi-join + one anti-join against accumulated
+    pairs (first arrival = min dist), ``localCheckpoint`` per round
+    (iterative-plan-growth defense, CLAUDE.md).  Cycles terminate
+    naturally — a pair already seen never re-enters the frontier; a
+    true cycle surfaces as ``(v, v, dist)``.
+
+    Scale note: output is bounded by Σ|reachable set| — run it on a
+    predicate-FILTERED edge set (hierarchies, dependency graphs — small
+    fan-out, shallow), not on a dense social graph; ``max_hops`` is the
+    hard stop either way."""
+    edges_out = triples.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    edges_in = triples.select(F.col("obj").alias("src"), F.col("subj").alias("dst"))
+    if direction == "out":
+        edges = edges_out
+    elif direction == "in":
+        edges = edges_in
+    elif direction == "both":
+        edges = edges_out.unionByName(edges_in)
+    else:
+        raise ValueError(direction)
+    edges = edges.distinct().persist()
+
+    frontier = edges.withColumn("dist", F.lit(1).cast("int"))
+    frontier = frontier.localCheckpoint(eager=True)
+    closure = frontier
+    for i in range(2, max_hops + 1):
+        nxt = (
+            frontier.select("src", F.col("dst").alias("mid"))
+            .join(edges.select(F.col("src").alias("mid"), "dst"), "mid")
+            .select("src", "dst")
+            .distinct()
+            .join(closure.select("src", "dst"), ["src", "dst"], "left_anti")
+            .withColumn("dist", F.lit(i).cast("int"))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if not nxt.take(1):
+            break
+        closure = closure.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    edges.unpersist()
+    return closure
+
+
+def closure_oracle_sql(
+    triples_sql: str, max_hops: int = 8, direction: str = "out"
+) -> str:
+    """DuckDB twin of :func:`transitive_closure` — recursive CTE bounded
+    by ``max_hops``, min dist projected at the end."""
+    if direction == "out":
+        edge_sel = "SELECT DISTINCT subj AS src, obj AS dst FROM trip"
+    elif direction == "in":
+        edge_sel = "SELECT DISTINCT obj AS src, subj AS dst FROM trip"
+    else:
+        edge_sel = (
+            "SELECT subj AS src, obj AS dst FROM trip "
+            "UNION SELECT obj AS src, subj AS dst FROM trip"
+        )
+    return f"""
+WITH RECURSIVE trip AS ({triples_sql}),
+edges AS ({edge_sel}),
+walk (src, dst, dist) AS (
+  SELECT src, dst, 1 FROM edges
+  UNION
+  SELECT w.src, e.dst, w.dist + 1
+  FROM walk w JOIN edges e ON e.src = w.dst
+  WHERE w.dist < {max_hops}
+)
+SELECT src, dst, CAST(MIN(dist) AS INTEGER) AS dist
+FROM walk GROUP BY src, dst
+"""
+
+
 def cooccur_oracle_sql(
     triples_sql: str, pred: str = "LINKS_TO", min_count: int = 1
 ) -> str:
