@@ -761,3 +761,43 @@ def test_codepipe_drop_forks(spark, tmp_path):
         .select("obj").distinct().collect()
     }
     assert repos == {"forks/copy1", "forks/partial", "solo/one"}
+
+
+def test_codepipe_forks_and_hierarchy_compose(spark, tmp_path):
+    """--drop-forks + --inherit-triples in one run: dropped fork repos
+    contribute NO hierarchy edges, and the stored graph answers the
+    ancestor query through TripleStore.closure."""
+    from trove_spark.code_fixture import CODE_FORK_DOCS
+
+    deep = [("forks/copy1", "src/deep.py", "f9" * 20, "py",
+             "class A:\n    pass\n"
+             "class B(A):\n    pass\n"
+             "class C(B):\n    pass\n"),
+            ("forks/orig", "src/deep2.py", "e9" * 20, "py",
+             "class FA:\n    pass\nclass FB(FA):\n    pass\n")]
+    inp = str(tmp_path / "files.parquet")
+    out = str(tmp_path / "kg")
+    spark.createDataFrame(CODE_FORK_DOCS + deep, schema=SCHEMA).write.parquet(inp)
+
+    stats = run_codepipe.main([
+        "--input", inp, "--output", out,
+        "--licenses", "off", "--dedup", "off", "--no-screens",
+        "--drop-forks", "0.4", "--inherit-triples", "--n-buckets", "2",
+    ])
+    assert stats["hierarchy_linked"]
+    from trove_spark.graph import TripleStore
+
+    store = TripleStore(spark, out, n_buckets=2)
+    t = store.read_triples()
+    ext = {(r["subj"], r["obj"])
+           for r in t.filter("pred = 'EXTENDS'").collect()}
+    # at the pipeline's default cap the shared LICENSE counts: orig and
+    # copy2 are fork members of canonical forks/copy1 and are DROPPED —
+    # so orig's hierarchy file contributes nothing, copy1's chain does
+    assert ("forks/copy1:src/deep.py#B", "forks/copy1:src/deep.py#A") in ext
+    assert not any(s.startswith("forks/orig") for s, _ in ext)
+    # ancestor query through the stored graph
+    cl = {(r["src"], r["dst"]): r["dist"]
+          for r in store.closure(pred="EXTENDS", max_hops=4).collect()}
+    assert cl[("forks/copy1:src/deep.py#C",
+               "forks/copy1:src/deep.py#A")] == 2

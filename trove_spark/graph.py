@@ -391,6 +391,19 @@ class TripleStore:
 
         return k_hop(self.read_triples().select("subj", "pred", "obj"), seeds, k, direction)
 
+    def closure(self, pred: str | None = None, max_hops: int = 8,
+                direction: str = "out") -> DataFrame:
+        """Bounded all-pairs min-hop reachability over the stored graph
+        (kg_query.transitive_closure), optionally restricted to one
+        predicate's edges (the usual call: 'EXTENDS' ancestor sets,
+        'DEPENDS_ON' dependency cones)."""
+        from .kg_query import transitive_closure
+
+        t = self.read_triples().select("subj", "pred", "obj")
+        if pred is not None:
+            t = t.filter(F.col("pred") == pred)
+        return transitive_closure(t, max_hops=max_hops, direction=direction)
+
     def verify_manifests(self) -> bool:
         """Recompute per-bucket fingerprints from the materialized table and
         compare to the committed manifests."""
