@@ -83,11 +83,16 @@ def main() -> None:
         docs = synth_code_corpus(spark, n_files)
         aug = augment_code_corpus(spark, docs, n_files)
         if allops2:
-            # fork twins keep the ORIGINAL file ids, so the shared
-            # inherit augmentation appends identical lines to twin and
-            # original — content overlap (the fork signal) is preserved
+            # fork twins are cut from the AUGMENTED corpus (vendored
+            # twins + secret lines included): a twin of the base corpus
+            # alone shares only 40 of an augmented repo's ~101 distinct
+            # files (jaccard 0.40 < 0.7 — a vacuous zero-hit stage,
+            # caught in review).  Twinning aug shares 80/101 ≈ 0.79.
+            # LICENSE rows self-exclude via the within-repo-index filter;
+            # twins keep ORIGINAL file ids, so the shared inherit
+            # augmentation appends identical lines to twin and original.
             aug = inherit_augment(
-                aug.unionByName(fork_twin_repos(docs, n_files)), n_files
+                aug.unionByName(fork_twin_repos(aug, n_files)), n_files
             )
         aug.drop("id").write.mode("overwrite").parquet(inp)
     if gen_only:

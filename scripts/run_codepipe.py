@@ -351,8 +351,13 @@ def main(argv: list[str] | None = None) -> dict:
     if args.licenses != "off":
         # ONE evidence scan: the persisted rollup (#repos rows) feeds both
         # the summary histogram and the screen join; per-repo rows are
-        # never collected (10^8 repos ≠ a driver collect)
-        rl = repo_licenses(docs).persist()
+        # never collected (10^8 repos ≠ a driver collect).  Rolled up
+        # over the PRE-fork corpus (raw_docs): the contamination reports
+        # below run over raw_docs and join this rollup — a copyleft repo
+        # dropped as a non-canonical fork must keep its license row or
+        # its conflict evidence silently vanishes; the screen join over
+        # the post-fork docs is unaffected by the superset.
+        rl = repo_licenses(raw_docs).persist()
         hist = rl.groupBy("license").agg(F.count("*").alias("n")).collect()
         stats["license_histogram"] = {r["license"]: int(r["n"]) for r in hist}
         _mark("license_rollup")

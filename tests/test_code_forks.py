@@ -119,8 +119,9 @@ def test_incremental_equals_full_recompute(spark):
     batch_rows = [r for r in CODE_FORK_DOCS if r[0] == "forks/copy2"] + [
         # forks/partial changes in the batch too — it grows d and e but
         # STAYS below threshold (∩orig = {a,d} -> 2/8): the changed-but-
-        # not-fork path.  (It must not grow b/c: that would push their
-        # spread over the cap and demote them for every old pair.)
+        # not-fork path.  No spread crosses the cap here (d: 1→2,
+        # e: 2→3), so the active set is exactly the batch repos — the
+        # cap-crossing channel has its own test below.
         ("forks/partial", "src/d3.py", "f7" * 20, "py", _FK_D),
         ("forks/partial", "src/e3.py", "f8" * 20, "py", _FK_E),
     ] + [r for r in CODE_FORK_DOCS if r[0] == "forks/partial"]
@@ -155,6 +156,9 @@ def test_incremental_equals_full_recompute(spark):
     full_pairs = {(r["repo_a"], r["repo_b"]) for r in fp.collect()}
     assert ("forks/copy1", "forks/orig") in full_pairs  # old-old exists
 
+    # no cap crossing -> active set is exactly the batch repos
+    assert {r["repo"] for r in inc._touched_repos.collect()} == batch_repos
+
     # the maintained index row-equals a fresh one
     new_idx = sorted(
         (r["repo"], r["fkey"]) for r in inc._new_index.collect()
@@ -163,6 +167,51 @@ def test_incremental_equals_full_recompute(spark):
         (r["repo"], r["fkey"]) for r in repo_file_keys(updated).collect()
     )
     assert new_idx == fresh
+    inc._fork_cache.unpersist()
+
+
+def test_incremental_retracts_cap_crossed_pairs(spark):
+    """A batch that pushes shared hashes over the boilerplate cap must
+    surface the OLD repos holding them in _touched_repos, so the caller
+    retracts their now-dead stored pairs (review finding r5s14)."""
+    from trove_spark.extras.code_forks import (
+        fork_key_index,
+        incremental_fork_pairs,
+    )
+
+    old_rows = [r for r in CODE_FORK_DOCS if r[0] != "forks/copy2"]
+    # the batch grows partial with b and c: their spreads cross the cap
+    # (3 -> 4), demoting them for the OLD orig~copy1 pair too
+    batch_rows = [r for r in CODE_FORK_DOCS if r[0] == "forks/copy2"] + [
+        ("forks/partial", "src/b3.py", "f5" * 20, "py", _FK["b"]),
+        ("forks/partial", "src/c3.py", "f6" * 20, "py", _FK["c"]),
+    ] + [r for r in CODE_FORK_DOCS if r[0] == "forks/partial"]
+
+    old = spark.createDataFrame(old_rows, schema=SCHEMA)
+    batch = spark.createDataFrame(batch_rows, schema=SCHEMA)
+    updated = old.filter("repo != 'forks/partial'").unionByName(batch)
+
+    # the OLD stored pair set contains orig~copy1 (3/7 at cap 3)
+    stored = fork_pairs(old, threshold=THRESH, max_repos_per_file=CAP,
+                        persist=False)
+    assert {(r["repo_a"], r["repo_b"]) for r in stored.collect()} == {
+        ("forks/copy1", "forks/orig")
+    }
+
+    idx = fork_key_index(old)
+    inc = incremental_fork_pairs(
+        idx, batch, threshold=THRESH, max_repos_per_file=CAP
+    )
+    got = {(r["repo_a"], r["repo_b"]) for r in inc.collect()}
+    touched = {r["repo"] for r in inc._touched_repos.collect()}
+    # with b/c capped out, NO pair survives on the updated catalog...
+    full = fork_pairs(updated, threshold=THRESH, max_repos_per_file=CAP,
+                      persist=False)
+    assert {(r["repo_a"], r["repo_b"]) for r in full.collect()} == set()
+    assert got == set()
+    # ...and the active set covers BOTH sides of the dead stored pair,
+    # so delete-pairs-touching-active + append(got) retracts it
+    assert {"forks/orig", "forks/copy1"} <= touched
     inc._fork_cache.unpersist()
 
 

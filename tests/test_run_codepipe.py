@@ -801,3 +801,23 @@ def test_codepipe_forks_and_hierarchy_compose(spark, tmp_path):
           for r in store.closure(pred="EXTENDS", max_hops=4).collect()}
     assert cl[("forks/copy1:src/deep.py#C",
                "forks/copy1:src/deep.py#A")] == 2
+
+
+def test_codepipe_fork_drop_keeps_raw_license_rollup(spark, tmp_path):
+    """The license rollup (feeding the RAW-corpus contamination reports)
+    must roll up PRE-fork repos: dropped fork members keep their license
+    evidence (review finding r5s14)."""
+    from trove_spark.code_fixture import CODE_FORK_DOCS
+
+    inp = str(tmp_path / "files.parquet")
+    out = str(tmp_path / "kg")
+    spark.createDataFrame(CODE_FORK_DOCS, schema=SCHEMA).write.parquet(inp)
+
+    stats = run_codepipe.main([
+        "--input", inp, "--output", out,
+        "--licenses", "permissive", "--dedup", "off", "--no-screens",
+        "--drop-forks", "0.4", "--n-buckets", "2",
+    ])
+    # all 5 input repos carry an MIT LICENSE; the histogram must count
+    # them all even though fork members were dropped from the corpus
+    assert stats["license_histogram"] == {"mit": 5}

@@ -32,13 +32,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .dedup import near_dup_clusters
+# the one portable 60-bit hash (full 60 bits — unlike graph._h60 this is
+# a join/distinct key, never summed, so no mod-2^31 reduction)
+from .sketches import _h60 as _fkey
 
 __ref__ = "no reference counterpart (source-code extension)"
-
-
-def _fkey(col):
-    """Portable 60-bit content hash (see module docstring)."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def repo_file_keys(
@@ -233,12 +231,20 @@ def incremental_fork_pairs(
     a whole-repo property), at O(batch × capped-spread) cost instead of
     a catalog rescan.
 
-    Equivalence contract (tested): the result row-equals a full
-    ``fork_pairs`` recompute over the updated catalog, restricted to
-    pairs touching a batch repo — the frequency cap and all sizes are
-    evaluated on the UPDATED index, so a batch that pushes a hash over
-    the boilerplate cap demotes it for old pairs too (old-old pairs are
-    by definition unchanged: neither side's key set moved).
+    A batch can change OLD-OLD pairs through exactly one channel: a hash
+    whose repo spread CROSSES the ``max_repos_per_file`` cap (in either
+    direction) flips its pairable status for every old pair sharing it.
+    Those crossing keys are detected (old spread from ``index``, new
+    spread from the updated index — boundary events, rare by nature) and
+    every repo holding one joins the batch repos as an *active* repo.
+
+    Equivalence contract (tested, including the cap-crossing case): the
+    result row-equals a full ``fork_pairs`` recompute over the updated
+    catalog restricted to pairs touching an ACTIVE repo.  The active set
+    is exposed as ``out._touched_repos`` (one ``repo`` column):
+    maintain the stored pair set by deleting every pair touching an
+    active repo, then appending this result — that retracts pairs the
+    batch killed as well as inserting the new ones.
 
     Removed repos: drop their index rows upstream and omit them from
     ``new_docs``.  The updated index is exposed as ``out._new_index``;
@@ -255,19 +261,32 @@ def incremental_fork_pairs(
         full = full.persist()
 
     sizes = full.groupBy("repo").agg(F.count("*").alias("n_files"))
+    spread_new = full.groupBy("fkey").agg(F.count("*").alias("n_new"))
     pairable = (
-        full.groupBy("fkey")
-        .agg(F.count("*").alias("spread"))
-        .filter(F.col("spread") <= max_repos_per_file)
+        spread_new.filter(F.col("n_new") <= max_repos_per_file)
         .select("fkey")
     )
+    # cap-crossing keys: pairable status flipped by the batch — the one
+    # way old-old pairs change (an absent side counts as spread 0)
+    spread_old = index.groupBy("fkey").agg(F.count("*").alias("n_old"))
+    crossing = (
+        spread_old.join(spread_new, "fkey", "full")
+        .filter(
+            (F.coalesce(F.col("n_old"), F.lit(0)) <= max_repos_per_file)
+            != (F.coalesce(F.col("n_new"), F.lit(0)) <= max_repos_per_file)
+        )
+        .select("fkey")
+    )
+    affected = full.join(crossing, "fkey").select("repo").distinct()
+    active = new_repos.unionByName(affected).distinct()
+
     kc = full.join(pairable, "fkey")
-    kc_new = kc.join(new_repos, "repo", "left_semi")
-    # one side is always a batch repo; normalize the pair order, then
-    # drop the double count a new-new pair gets from matching in both
-    # directions before the per-pair agg
+    kc_active = kc.join(active, "repo", "left_semi")
+    # one side is always an active repo; normalize the pair order, then
+    # drop the double count an active-active pair gets from matching in
+    # both directions before the per-pair agg
     shared = (
-        kc_new.select(F.col("repo").alias("rx"), "fkey")
+        kc_active.select(F.col("repo").alias("rx"), "fkey")
         .join(kc.select(F.col("repo").alias("ry"), "fkey"), "fkey")
         .filter(F.col("rx") != F.col("ry"))
         .select(
@@ -281,6 +300,7 @@ def incremental_fork_pairs(
     )
     out = _score_pairs(shared, sizes, threshold)
     out._new_index = full
+    out._touched_repos = active
     if persist:
         out._fork_cache = full
     return out
