@@ -195,6 +195,19 @@ def main(argv: list[str] | None = None) -> dict:
                     "refreshed (write-next + rename here; row-level "
                     "delete + append on the index table at catalog "
                     "scale)")
+    ap.add_argument("--fork-index", default=None, metavar="DIR",
+                    help="stored fork_key_index parquet (incremental mode "
+                    "only): repos touched by the batch re-pair against "
+                    "the catalog in O(batch × capped-spread) "
+                    "(code_forks.incremental_fork_pairs — cap-crossing "
+                    "retractions included) and the snapshot is refreshed "
+                    "(write-next + rename; row-level delete + append at "
+                    "catalog scale).  Threshold comes from --drop-forks "
+                    "(default 0.7)")
+    ap.add_argument("--fork-pairs-out", default=None, metavar="DIR",
+                    help="maintained fork-pair parquet (with "
+                    "--fork-index): stored pairs touching an active repo "
+                    "are deleted, the recomputed ones appended")
     ap.add_argument("--incremental-old", default=None,
                     help="previous snapshot parquet: diff by (repo, path, "
                     "commit), re-extract only changed files, rewrite only "
@@ -300,6 +313,67 @@ def main(argv: list[str] | None = None) -> dict:
             os.rename(args.clone_index, prev)
             os.rename(nxt, args.clone_index)
             shutil.rmtree(prev)
+        if args.fork_index:
+            # repo-level fork maintenance for the push batch: a repo
+            # with ANY changed/removed file re-pairs with its FULL new
+            # file set (a fork decision is a whole-repo property);
+            # fully-removed repos just lose their index rows
+            import shutil
+
+            from trove_spark.extras.code_forks import incremental_fork_pairs
+
+            def _swap(path, df):
+                nxt = path.rstrip("/") + ".next"
+                df.write.mode("overwrite").parquet(nxt)
+                n = spark.read.parquet(nxt).count()
+                prev = path.rstrip("/") + ".prev"
+                if os.path.exists(path):
+                    os.rename(path, prev)
+                    os.rename(nxt, path)
+                    shutil.rmtree(prev)
+                else:
+                    os.rename(nxt, path)
+                return n
+
+            fidx = spark.read.parquet(args.fork_index)
+            key = ["repo", "path", "commit"]
+            chg = new_cur.join(old_cur.select(*key), key, "left_anti")
+            rmv = old_cur.select(*key).join(
+                new_cur.select(*key), key, "left_anti"
+            )
+            batch_repos = (
+                chg.select("repo").unionByName(rmv.select("repo")).distinct()
+            )
+            batch = new_cur.join(batch_repos, "repo", "left_semi")
+            gone = batch_repos.join(
+                new_cur.select("repo").distinct(), "repo", "left_anti"
+            )
+            fp = incremental_fork_pairs(
+                fidx.join(gone, "repo", "left_anti"),
+                batch,
+                threshold=(args.drop_forks if args.drop_forks is not None
+                           else 0.7),
+                normalized=args.forks_normalized,
+            )
+            if args.fork_pairs_out:
+                touched = fp._touched_repos
+                if os.path.exists(args.fork_pairs_out):
+                    oldp = spark.read.parquet(args.fork_pairs_out)
+                    kept_pairs = oldp.join(
+                        touched.withColumnRenamed("repo", "repo_a"),
+                        "repo_a", "left_anti",
+                    ).join(
+                        touched.withColumnRenamed("repo", "repo_b"),
+                        "repo_b", "left_anti",
+                    )
+                    pairs = kept_pairs.unionByName(
+                        fp.select(*kept_pairs.columns)
+                    )
+                else:
+                    pairs = fp
+                stats["fork_pairs_rows"] = _swap(args.fork_pairs_out, pairs)
+            stats["fork_index_rows"] = _swap(args.fork_index, fp._new_index)
+            fp._fork_cache.unpersist()
         stats["wall_s"] = round(time.time() - t0, 2)
         print(json.dumps(stats))
         return stats

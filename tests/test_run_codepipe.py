@@ -821,3 +821,66 @@ def test_codepipe_fork_drop_keeps_raw_license_rollup(spark, tmp_path):
     # all 5 input repos carry an MIT LICENSE; the histogram must count
     # them all even though fork members were dropped from the corpus
     assert stats["license_histogram"] == {"mit": 5}
+
+
+def test_codepipe_incremental_fork_index(spark, tmp_path):
+    """--fork-index + --fork-pairs-out in incremental mode: the batch's
+    repos re-pair against the stored index, the maintained pair set
+    keeps untouched old pairs and adds the new ones, and both snapshots
+    refresh to match a full recompute."""
+    from trove_spark.code_fixture import CODE_FORK_DOCS
+    from trove_spark.extras.code_forks import (
+        fork_key_index,
+        fork_pairs,
+        repo_file_keys,
+    )
+
+    old_rows = [r for r in CODE_FORK_DOCS if r[0] != "forks/copy2"]
+    new_rows = list(CODE_FORK_DOCS)
+    old = spark.createDataFrame(old_rows, schema=SCHEMA)
+    new = spark.createDataFrame(new_rows, schema=SCHEMA)
+
+    old_p = str(tmp_path / "old.parquet")
+    new_p = str(tmp_path / "new.parquet")
+    idx_p = str(tmp_path / "fork_index")
+    pairs_p = str(tmp_path / "fork_pairs")
+    out = str(tmp_path / "kg")
+    old.write.parquet(old_p)
+    new.write.parquet(new_p)
+    fork_key_index(old).write.parquet(idx_p)
+    # stored pairs from the old catalog (threshold 0.4, default cap:
+    # the shared LICENSE counts -> orig~copy1 at 4/6)
+    fork_pairs(old, threshold=0.4, persist=False).write.parquet(pairs_p)
+    assert spark.read.parquet(pairs_p).count() == 1
+
+    stats = run_codepipe.main([
+        "--input", new_p, "--output", out,
+        "--licenses", "off", "--dedup", "off", "--no-screens",
+        "--incremental-old", old_p,
+        "--fork-index", idx_p, "--fork-pairs-out", pairs_p,
+        "--drop-forks", "0.4", "--n-buckets", "2",
+    ])
+    # index refreshed to the updated catalog
+    got_idx = sorted(
+        (r["repo"], r["fkey"])
+        for r in spark.read.parquet(idx_p).collect()
+    )
+    want_idx = sorted(
+        (r["repo"], r["fkey"]) for r in repo_file_keys(new).collect()
+    )
+    assert got_idx == want_idx
+    assert stats["fork_index_rows"] == len(want_idx)
+    # maintained pairs == full recompute over the updated catalog: the
+    # untouched orig~copy1 pair survives, copy2's two new pairs appear
+    got_pairs = sorted(
+        (r["repo_a"], r["repo_b"], r["shared_files"])
+        for r in spark.read.parquet(pairs_p).collect()
+    )
+    want_pairs = sorted(
+        (r["repo_a"], r["repo_b"], r["shared_files"])
+        for r in fork_pairs(new, threshold=0.4, persist=False).collect()
+    )
+    assert got_pairs == want_pairs
+    assert ("forks/copy1", "forks/orig", 4) in got_pairs
+    assert any(a == "forks/copy1" and b == "forks/copy2"
+               for a, b, _ in got_pairs)
