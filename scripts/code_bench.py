@@ -236,9 +236,13 @@ def inherit_augment(docs, n_files: int):
 
 def fork_twin_repos(docs, n_files: int):
     """Fork twins of every 10th repo carrying 80% of its files VERBATIM
-    under a new repo name (jaccard ≈ 0.78 → real pairs/families).  NB:
-    the 80% subset keys on the WITHIN-repo file index (id div n_repos) —
-    an id-modulus is constant across a repo's files."""
+    under a new repo name (jaccard ≈ 0.78 → real pairs/families).  The
+    twin name sorts AFTER the original ('zzfork/' > 'org/'), so
+    drop_forks keeps the LICENSED original as canonical — a 'fork/'
+    prefix made the LICENSE-less twin canonical and the subsequent
+    permissive screen deleted the whole family (review finding r5s14).
+    NB: the 80% subset keys on the WITHIN-repo file index (id div
+    n_repos) — an id-modulus is constant across a repo's files."""
     from pyspark.sql import functions as F
 
     n_repos = max(n_files // 50, 1)
@@ -246,7 +250,7 @@ def fork_twin_repos(docs, n_files: int):
         docs.filter((F.col("id") % n_repos) % 10 == 0)
         .filter(F.floor(F.col("id") / n_repos) % 5 != 0)
         .select(
-            F.concat(F.lit("fork/of-"),
+            F.concat(F.lit("zzfork/of-"),
                      (F.col("id") % n_repos).cast("string")).alias("repo"),
             "path", "commit", "lang", "content", "id",
         )

@@ -280,80 +280,87 @@ def main(argv: list[str] | None = None) -> dict:
         if args.redact_secrets:
             new_cur = redact_secrets(new_cur)
             old_cur = redact_secrets(old_cur)
+        needs_diff = bool(args.clone_index or args.fork_index)
+        if needs_diff:
+            # the screened/redacted lineages feed the KG diff AND the
+            # index-maintenance diffs below — persist once or every
+            # reference re-runs the full screen+redaction scan
+            # (no auto-CSE across DataFrame refs, CLAUDE.md)
+            new_cur = new_cur.persist()
+            old_cur = old_cur.persist()
         store = TripleStore(spark, args.output, n_buckets=args.n_buckets)
         idx = spark.read.parquet(args.clone_index) if args.clone_index else None
         stats["incremental"] = incremental_code_kg_update(
             store, old_cur, new_cur, clone_index=idx
         )
-        if idx is not None:
-            # refresh the index snapshot: drop rows of changed/removed
-            # files, append the new batch's keys.  Local-fs swap here;
-            # the catalog-scale form is a row-level delete + append on
-            # the index table (same rows).
+
+        def _swap(path, df):
+            """Atomic snapshot refresh: write .next, count, swap.
+            Local-fs rename here; row-level delete + append on the
+            table at catalog scale."""
             import shutil
 
-            from trove_spark.extras.code_clones import clone_key_index
+            nxt = path.rstrip("/") + ".next"
+            df.write.mode("overwrite").parquet(nxt)
+            n = spark.read.parquet(nxt).count()
+            if os.path.exists(path):
+                prev = path.rstrip("/") + ".prev"
+                os.rename(path, prev)
+                os.rename(nxt, path)
+                shutil.rmtree(prev)
+            else:
+                os.rename(nxt, path)
+            return n
 
+        if needs_diff:
+            # ONE key diff shared by the clone and fork maintenance
             key = ["repo", "path", "commit"]
             changed = new_cur.join(old_cur.select(*key), key, "left_anti")
+            removed = old_cur.select(*key).join(
+                new_cur.select(*key), key, "left_anti"
+            )
+        if idx is not None:
+            # refresh the clone-index snapshot: drop rows of
+            # changed/removed files, append the new batch's keys
+            from trove_spark.extras.code_clones import clone_key_index
+
             stale = (
-                old_cur.select(*key)
-                .join(new_cur.select(*key), key, "left_anti")
-                .select("repo", "path")
+                removed.select("repo", "path")
                 .unionByName(changed.select("repo", "path"))
                 .distinct()
             )
-            new_index = idx.join(stale, ["repo", "path"], "left_anti").unionByName(
-                clone_key_index(changed)
+            stats["clone_index_rows"] = _swap(
+                args.clone_index,
+                idx.join(stale, ["repo", "path"], "left_anti").unionByName(
+                    clone_key_index(changed)
+                ),
             )
-            nxt = args.clone_index.rstrip("/") + ".next"
-            new_index.write.mode("overwrite").parquet(nxt)
-            stats["clone_index_rows"] = spark.read.parquet(nxt).count()
-            prev = args.clone_index.rstrip("/") + ".prev"
-            os.rename(args.clone_index, prev)
-            os.rename(nxt, args.clone_index)
-            shutil.rmtree(prev)
         if args.fork_index:
             # repo-level fork maintenance for the push batch: a repo
             # with ANY changed/removed file re-pairs with its FULL new
             # file set (a fork decision is a whole-repo property);
-            # fully-removed repos just lose their index rows
-            import shutil
-
+            # fully-removed repos are passed explicitly so their stored
+            # pairs are retracted AND removal-driven cap crossings are
+            # detected against the pre-removal spreads
             from trove_spark.extras.code_forks import incremental_fork_pairs
 
-            def _swap(path, df):
-                nxt = path.rstrip("/") + ".next"
-                df.write.mode("overwrite").parquet(nxt)
-                n = spark.read.parquet(nxt).count()
-                prev = path.rstrip("/") + ".prev"
-                if os.path.exists(path):
-                    os.rename(path, prev)
-                    os.rename(nxt, path)
-                    shutil.rmtree(prev)
-                else:
-                    os.rename(nxt, path)
-                return n
-
             fidx = spark.read.parquet(args.fork_index)
-            key = ["repo", "path", "commit"]
-            chg = new_cur.join(old_cur.select(*key), key, "left_anti")
-            rmv = old_cur.select(*key).join(
-                new_cur.select(*key), key, "left_anti"
-            )
             batch_repos = (
-                chg.select("repo").unionByName(rmv.select("repo")).distinct()
+                changed.select("repo")
+                .unionByName(removed.select("repo"))
+                .distinct()
             )
             batch = new_cur.join(batch_repos, "repo", "left_semi")
             gone = batch_repos.join(
                 new_cur.select("repo").distinct(), "repo", "left_anti"
             )
             fp = incremental_fork_pairs(
-                fidx.join(gone, "repo", "left_anti"),
+                fidx,
                 batch,
                 threshold=(args.drop_forks if args.drop_forks is not None
                            else 0.7),
                 normalized=args.forks_normalized,
+                removed_repos=gone,
             )
             if args.fork_pairs_out:
                 touched = fp._touched_repos
@@ -374,6 +381,9 @@ def main(argv: list[str] | None = None) -> dict:
                 stats["fork_pairs_rows"] = _swap(args.fork_pairs_out, pairs)
             stats["fork_index_rows"] = _swap(args.fork_index, fp._new_index)
             fp._fork_cache.unpersist()
+        if needs_diff:
+            new_cur.unpersist()
+            old_cur.unpersist()
         stats["wall_s"] = round(time.time() - t0, 2)
         print(json.dumps(stats))
         return stats

@@ -251,3 +251,47 @@ def test_normalized_mode_catches_reformatted_forks(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_incremental_removed_repo_and_cap_uncrossing(spark):
+    """The removal channel (review finding r5s14): removed repos join
+    the active set so their stored pairs retract, and a removal that
+    brings a hash back UNDER the cap revives old-old pairs — old
+    spreads must count the removed repo's rows."""
+    from trove_spark.extras.code_forks import (
+        fork_key_index,
+        incremental_fork_pairs,
+    )
+
+    # zz/extra holds b, pushing its spread to 4 (> cap 3): with b
+    # unpairable, the old catalog has NO pairs at threshold 0.4
+    extra = [("zz/extra", "src/bb.py", "f0" * 20, "py", _FK["b"])]
+    old = spark.createDataFrame(CODE_FORK_DOCS + extra, schema=SCHEMA)
+    assert fork_pairs(old, threshold=THRESH, max_repos_per_file=CAP,
+                      persist=False).count() == 0
+
+    # the batch REMOVES zz/extra (no changed files at all)
+    batch = spark.createDataFrame([], schema=SCHEMA)
+    gone = spark.createDataFrame([("zz/extra",)], "repo string")
+    inc = incremental_fork_pairs(
+        fork_key_index(old), batch, threshold=THRESH,
+        max_repos_per_file=CAP, removed_repos=gone,
+    )
+    got = sorted(
+        (r["repo_a"], r["repo_b"], r["shared_files"])
+        for r in inc.collect()
+    )
+    # b drops back to spread 3 -> pairable -> the two canonical-fixture
+    # pairs REVIVE, exactly as a full recompute finds them
+    assert got == [
+        ("forks/copy1", "forks/copy2", 3),
+        ("forks/copy1", "forks/orig", 3),
+    ]
+    touched = {r["repo"] for r in inc._touched_repos.collect()}
+    assert "zz/extra" in touched  # its stored pairs would retract
+    assert {"forks/orig", "forks/copy1", "forks/copy2"} <= touched
+    # the maintained index no longer holds the removed repo
+    assert not any(
+        r["repo"] == "zz/extra" for r in inc._new_index.collect()
+    )
+    inc._fork_cache.unpersist()

@@ -884,3 +884,46 @@ def test_codepipe_incremental_fork_index(spark, tmp_path):
     assert ("forks/copy1", "forks/orig", 4) in got_pairs
     assert any(a == "forks/copy1" and b == "forks/copy2"
                for a, b, _ in got_pairs)
+
+
+def test_codepipe_incremental_fork_removal_retracts(spark, tmp_path):
+    """A batch that REMOVES a repo retracts its stored fork pairs and
+    drops its index rows (review finding r5s14 — removal channel)."""
+    from trove_spark.code_fixture import CODE_FORK_DOCS
+    from trove_spark.extras.code_forks import fork_key_index, fork_pairs
+
+    old = spark.createDataFrame(CODE_FORK_DOCS, schema=SCHEMA)
+    new_rows = [r for r in CODE_FORK_DOCS if r[0] != "forks/orig"]
+    new = spark.createDataFrame(new_rows, schema=SCHEMA)
+
+    old_p = str(tmp_path / "old.parquet")
+    new_p = str(tmp_path / "new.parquet")
+    idx_p = str(tmp_path / "fork_index")
+    pairs_p = str(tmp_path / "fork_pairs")
+    out = str(tmp_path / "kg")
+    old.write.parquet(old_p)
+    new.write.parquet(new_p)
+    fork_key_index(old).write.parquet(idx_p)
+    fork_pairs(old, threshold=0.4, persist=False).write.parquet(pairs_p)
+    stored = {(r["repo_a"], r["repo_b"])
+              for r in spark.read.parquet(pairs_p).collect()}
+    assert ("forks/copy1", "forks/orig") in stored
+
+    run_codepipe.main([
+        "--input", new_p, "--output", out,
+        "--licenses", "off", "--dedup", "off", "--no-screens",
+        "--incremental-old", old_p,
+        "--fork-index", idx_p, "--fork-pairs-out", pairs_p,
+        "--drop-forks", "0.4", "--n-buckets", "2",
+    ])
+    got = {(r["repo_a"], r["repo_b"])
+           for r in spark.read.parquet(pairs_p).collect()}
+    want = {(r["repo_a"], r["repo_b"])
+            for r in fork_pairs(new, threshold=0.4, persist=False).collect()}
+    assert got == want
+    assert not any("forks/orig" in p for pair in got for p in pair)
+    # index rows of the removed repo are gone
+    assert not any(
+        r["repo"] == "forks/orig"
+        for r in spark.read.parquet(idx_p).collect()
+    )

@@ -223,6 +223,7 @@ def incremental_fork_pairs(
     lang_col: str = "lang",
     normalized: bool = False,
     persist: bool = True,
+    removed_repos: DataFrame | None = None,
 ) -> DataFrame:
     """Daily-batch fork detection against a stored ``fork_key_index``
     snapshot: compute ONLY the pairs that involve a repo present in
@@ -246,8 +247,13 @@ def incremental_fork_pairs(
     active repo, then appending this result — that retracts pairs the
     batch killed as well as inserting the new ones.
 
-    Removed repos: drop their index rows upstream and omit them from
-    ``new_docs``.  The updated index is exposed as ``out._new_index``;
+    Removed repos: pass them as ``removed_repos`` (one ``repo``
+    column) with the UNMODIFIED index — old spreads must count their
+    rows or a removal-driven cap crossing (a boilerplate hash dropping
+    back under the cap, reviving old-old pairs) is invisible; they join
+    the active set so their stored pairs are retracted, and their index
+    rows are dropped here.  The updated index is exposed as
+    ``out._new_index``;
     replace the snapshot with it after the batch commits (the
     clone_key_index delete-then-append maintenance rule).  When
     ``persist`` (default) the updated index — consumed by the size agg,
@@ -256,7 +262,13 @@ def incremental_fork_pairs(
     newk = repo_file_keys(new_docs, repo_col, content_col, lang_col,
                           normalized)
     new_repos = newk.select("repo").distinct()
-    full = index.join(new_repos, "repo", "left_anti").unionByName(newk)
+    drop = new_repos
+    if removed_repos is not None:
+        removed_repos = removed_repos.select(
+            F.col(removed_repos.columns[0]).alias("repo")
+        ).distinct()
+        drop = drop.unionByName(removed_repos).distinct()
+    full = index.join(drop, "repo", "left_anti").unionByName(newk)
     if persist:
         full = full.persist()
 
@@ -278,7 +290,10 @@ def incremental_fork_pairs(
         .select("fkey")
     )
     affected = full.join(crossing, "fkey").select("repo").distinct()
-    active = new_repos.unionByName(affected).distinct()
+    active = new_repos.unionByName(affected)
+    if removed_repos is not None:
+        active = active.unionByName(removed_repos)
+    active = active.distinct()
 
     kc = full.join(pairable, "fkey")
     kc_active = kc.join(active, "repo", "left_semi")
