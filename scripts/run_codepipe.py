@@ -295,16 +295,25 @@ def main(argv: list[str] | None = None) -> dict:
         )
 
         def _swap(path, df):
-            """Atomic snapshot refresh: write .next, count, swap.
-            Local-fs rename here; row-level delete + append on the
-            table at catalog scale."""
+            """Snapshot refresh: write .next, count, swap (local-fs
+            renames here; row-level delete + append on the table at
+            catalog scale).  NOT atomic across a crash — so it first
+            RECOVERS from a predecessor's crash point: a leftover .prev
+            with no live path is restored (crash between the two
+            renames), a leftover .prev with a live path is stale and
+            removed (crash before cleanup)."""
             import shutil
 
+            prev = path.rstrip("/") + ".prev"
+            if os.path.exists(prev):
+                if os.path.exists(path):
+                    shutil.rmtree(prev)
+                else:
+                    os.rename(prev, path)
             nxt = path.rstrip("/") + ".next"
             df.write.mode("overwrite").parquet(nxt)
             n = spark.read.parquet(nxt).count()
             if os.path.exists(path):
-                prev = path.rstrip("/") + ".prev"
                 os.rename(path, prev)
                 os.rename(nxt, path)
                 shutil.rmtree(prev)
@@ -313,12 +322,17 @@ def main(argv: list[str] | None = None) -> dict:
             return n
 
         if needs_diff:
-            # ONE key diff shared by the clone and fork maintenance
+            # ONE key diff shared by the clone and fork maintenance —
+            # MATERIALIZED (batch-sized): each is referenced by several
+            # later actions, and an unpersisted anti-join would re-run
+            # per reference (no auto-CSE across DataFrame refs)
             key = ["repo", "path", "commit"]
-            changed = new_cur.join(old_cur.select(*key), key, "left_anti")
+            changed = new_cur.join(
+                old_cur.select(*key), key, "left_anti"
+            ).localCheckpoint(eager=True)
             removed = old_cur.select(*key).join(
                 new_cur.select(*key), key, "left_anti"
-            )
+            ).localCheckpoint(eager=True)
         if idx is not None:
             # refresh the clone-index snapshot: drop rows of
             # changed/removed files, append the new batch's keys
@@ -363,7 +377,10 @@ def main(argv: list[str] | None = None) -> dict:
                 removed_repos=gone,
             )
             if args.fork_pairs_out:
-                touched = fp._touched_repos
+                # batch-sized; referenced by BOTH anti-joins of the one
+                # pairs write — materialize so the active-set lineage
+                # (stored-index scan + two spread aggs) runs once
+                touched = fp._touched_repos.localCheckpoint(eager=True)
                 if os.path.exists(args.fork_pairs_out):
                     oldp = spark.read.parquet(args.fork_pairs_out)
                     kept_pairs = oldp.join(

@@ -264,9 +264,9 @@ def incremental_fork_pairs(
     new_repos = newk.select("repo").distinct()
     drop = new_repos
     if removed_repos is not None:
-        removed_repos = removed_repos.select(
-            F.col(removed_repos.columns[0]).alias("repo")
-        ).distinct()
+        # requires a 'repo' column by NAME — a positional grab would
+        # silently accept a mis-shaped frame and retract nothing
+        removed_repos = removed_repos.select("repo").distinct()
         drop = drop.unionByName(removed_repos).distinct()
     full = index.join(drop, "repo", "left_anti").unionByName(newk)
     if persist:
