@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Extra benchmarks for the optimization round (bench.py is FROZEN).
+
+Times a subset of the headline queries with bench.py's exact methodology
+(best-of-N cold runs, `_PIPELINES.clear()` between runs, `.count()` as
+the action after a tiny-sf warmup), or — with --noop — a noop-sink write
+(guide §1.4) that materializes EVERY column instead of letting count()
+prune.  Prints one JSON line {"queries": {name: sec}, ...}.
+
+Usage: python bench_extra.py [--noop] [--runs N] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "kg_tokens", "kg_mentions_longest", "kg_majority_vote", "kg_triples",
+    "tag_polarity", "dedup_minhash_lsh_pairs", "dedup_substring_spans",
+    "ann_brute_topk", "ann_ivfpq_topk", "lm_perplexity", "bm25_topk",
+    "dedup_semantic", "entity_link_fuzzy", "kg_cooccur",
+    "corpus_heavy_hitters", "corpus_collocations", "kg_fused_triples",
+]
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:]]
+    noop = "--noop" in args
+    if noop:
+        args.remove("--noop")
+    runs = 2
+    if "--runs" in args:
+        i = args.index("--runs")
+        runs = int(args[i + 1])
+        del args[i : i + 2]
+    names = args or HEADLINE
+
+    from trove_spark.session import get_spark
+
+    spark = get_spark(app_name="bench_extra", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as em
+
+    qmap = dict(em.queries())
+    qmap["kg_fused_triples"] = em.q_kg_fused_triples
+    # same warmup as bench.py
+    qmap["kg_tokens"](spark, "/root/testdata/sf0.001").count()
+    em._PIPELINES.clear()
+
+    def action(df):
+        if noop:
+            df.write.format("noop").mode("overwrite").save()
+        else:
+            df.count()
+
+    queries: dict[str, float] = {}
+    for name in names:
+        best = None
+        for _ in range(runs):
+            em._PIPELINES.clear()
+            spark.sparkContext.setJobDescription(f"bench_extra:{name}")
+            t0 = time.time()
+            action(qmap[name](spark, SF_DIR))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        queries[name] = round(best, 3)
+        spark.sparkContext.setJobDescription(None)
+    spark.stop()
+    print(json.dumps({
+        "queries": queries,
+        "total": round(sum(queries.values()), 3),
+        "sf": SF_DIR, "cpus": CPUS, "noop": noop, "runs": runs,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Capture .explain("formatted") for headline queries → plans/r06/.
+
+Usage: python scripts/capture_plans.py <suffix> [query ...]
+Writes plans/r06/<query>_<suffix>.txt for each headline query (or the
+named subset).  Plan capture is driver-side; queries whose CONSTRUCTION
+runs jobs (k-means training, LM fit) execute those, but nothing times it.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "kg_tokens", "kg_mentions_longest", "kg_majority_vote", "kg_triples",
+    "tag_polarity", "dedup_minhash_lsh_pairs", "dedup_substring_spans",
+    "ann_brute_topk", "ann_ivfpq_topk", "lm_perplexity", "bm25_topk",
+    "dedup_semantic", "entity_link_fuzzy", "kg_cooccur",
+    "corpus_heavy_hitters", "corpus_collocations", "kg_fused_triples",
+]
+
+
+def main() -> None:
+    suffix = sys.argv[1]
+    names = sys.argv[2:] or HEADLINE
+    out_dir = os.path.join(HERE, "plans", "r06")
+    os.makedirs(out_dir, exist_ok=True)
+
+    from trove_spark.session import get_spark
+
+    spark = get_spark(app_name="capture_plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as em
+
+    qmap = em.queries()
+    for name in names:
+        em._PIPELINES.clear()
+        if name == "kg_fused_triples":
+            df = em.q_kg_fused_triples(spark, SF_DIR)
+        else:
+            df = qmap[name](spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"wrote {path} ({len(plan)} bytes)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -40,6 +40,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..par import fan_out
+
 __ref__ = (
     "replaces reference ES search (trove S17/E5) with a native operator; "
     "no code counterpart"
@@ -88,7 +90,11 @@ def corpus_stats(
         ).alias(f"df_{i}")
         for i, t in enumerate(terms)
     ]
-    row = docs.select(_words_col(text_col).alias("_bm_ws")).agg(*aggs).collect()[0]
+    row = (
+        fan_out(docs.select(_words_col(text_col).alias("_bm_ws")))
+        .agg(*aggs)
+        .collect()[0]
+    )
     n = int(row["n"])
     avgdl = (int(row["len"] or 0) / n) if n else 1.0
     return n, avgdl, {t: int(row[f"df_{i}"]) for i, t in enumerate(terms)}
@@ -121,7 +127,11 @@ def bm25_topk(
         ).cast("long")
         score = score + F.when(tf > 0, term_micro).otherwise(F.lit(0))
     scored = (
-        docs.select(F.col(id_col).alias("doc_id"), _words_col(text_col).alias("_bm_ws"))
+        fan_out(
+            docs.select(
+                F.col(id_col).alias("doc_id"), _words_col(text_col).alias("_bm_ws")
+            )
+        )
         .select("doc_id", score.alias("score_micro"))
         .filter(F.col("score_micro") > 0)
     )

@@ -40,10 +40,14 @@ MICRO = 1_000_000
 
 
 def _word_arrays(docs: DataFrame, text_col: str) -> DataFrame:
-    return docs.select(
-        F.filter(
-            F.split(F.lower(F.col(text_col)), " "), lambda w: w != ""
-        ).alias("ws")
+    from ..par import fan_out
+
+    return fan_out(
+        docs.select(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), " "), lambda w: w != ""
+            ).alias("ws")
+        )
     )
 
 

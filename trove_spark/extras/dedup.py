@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..par import fan_out
+
 __ref__ = "no reference counterpart (LLM-data-pipeline extension)"
 
 # 60-bit portable hash: identical in Spark and DuckDB
@@ -53,9 +55,12 @@ def shingles(
     column BEFORE the shingle lambda references it — an HOF lambda over a
     raw split() expression re-evaluates the split per element (no CSE
     inside lambdas; O(words²) per doc, the dsir.py finding)."""
-    ws = docs.select(
-        F.col(id_col).cast("string").alias("doc_id"),
-        F.split(F.col(text_col), " ").alias("ws"),
+    ws = fan_out(
+        docs.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("ws"),
+        ),
+        "doc_id",
     )
     w = F.col("ws")
     sh = F.transform(
@@ -334,10 +339,13 @@ def simhash(
     fingerprint is sign(Σ count × (±1 by hash bit b)).  Expressed as
     explode(bits) + conditional sum — stays in codegen; the (doc, bit)
     key is perfectly uniform."""
-    words = docs.select(
-        F.col(id_col).cast("string").alias("doc_id"),
-        F.explode(F.split(F.col(text_col), " ")).alias("w"),
-    )
+    words = fan_out(
+        docs.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("ws"),
+        ),
+        "doc_id",
+    ).select("doc_id", F.explode("ws").alias("w"))
     wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
     wh = wc.withColumn("h", _h60(F.col("w")))
     bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
@@ -426,9 +434,15 @@ def dedup_paragraphs(
     no signal and would otherwise all collapse to one survivor.
 
     Output: (doc_id, text) with duplicate paragraphs removed."""
-    paras = docs.select(
-        F.col(id_col).cast("string").alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "para"),
+    paras = fan_out(
+        docs.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.split(F.col(text_col), "\n").alias("__paras"),
+        ),
+        "doc_id",
+    ).select(
+        "doc_id",
+        F.posexplode(F.col("__paras")).alias("pos", "para"),
     ).withColumn(
         "h",
         F.when(F.length(F.trim("para")) >= min_chars, _h60(F.col("para"))),
@@ -561,12 +575,12 @@ def duplicate_kgram_spans(
 
     Output: (doc_id, start, end) — merged word-index intervals
     [start, end) of duplicated text, one row per interval."""
-    base = (
+    base = fan_out(
         docs.select(
             F.col(id_col).cast("string").alias("doc_id"),
             F.split(F.trim(F.col(text_col)), r"\s+").alias("ws"),
-        )
-        .filter(F.size("ws") >= k)
+        ).filter(F.size("ws") >= k),
+        "doc_id",
     )
     if hasher == "rolling":
         grams = base.mapInPandas(

@@ -424,7 +424,9 @@ def word_ngram_mentions(docs: DataFrame, text_col: str = "text") -> DataFrame:
     in the corpus, including ones no alias matches exactly).  Pure
     column expressions; the word array is bound before the HOF lambda
     references it."""
-    ws = docs.select(F.split(F.col(text_col), " ").alias("ws"))
+    from ..par import fan_out
+
+    ws = fan_out(docs.select(F.split(F.col(text_col), " ").alias("ws")))
     w = F.col("ws")
     uni = ws.select(F.explode(w).alias("mention"))
     bi = ws.select(

@@ -37,6 +37,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..par import fan_out
+
 __ref__ = "no reference counterpart (LLM-data-pipeline extension)"
 
 MICRO = 1_000_000
@@ -100,7 +102,7 @@ def train_ngram_lm(
     unigram counts of every kept bigram's context word — needed for the
     conditional denominators and fetched with a broadcast join, not an
     ``isin`` over a 200k-literal plan."""
-    ws = ref_corpus.select(_words_col(text_col).alias("ws"))
+    ws = fan_out(ref_corpus.select(_words_col(text_col).alias("ws")))
     w = F.col("ws")
     bigrams = F.zip_with(
         F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
@@ -193,12 +195,15 @@ def score_perplexity(
     if not un_rows:
         un = un.filter(F.lit(False))
     toks = (
-        corpus.select(
-            # id passes through UNCAST: numeric ids stay numeric (the
-            # driver row's oracle compares BIGINTs) and string ids don't
-            # trip an ANSI cast error
-            F.col(id_col).alias("doc_id"),
-            _words_col(text_col).alias("_lm_ws"),
+        fan_out(
+            corpus.select(
+                # id passes through UNCAST: numeric ids stay numeric (the
+                # driver row's oracle compares BIGINTs) and string ids don't
+                # trip an ANSI cast error
+                F.col(id_col).alias("doc_id"),
+                _words_col(text_col).alias("_lm_ws"),
+            ),
+            "doc_id",
         )
         .select("doc_id", F.explode_outer(_pair_structs()).alias("p"))
         .select("doc_id", F.col("p.prev").alias("prev"), F.col("p.w").alias("w"))

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..par import fan_out
+
 __ref__ = "no reference counterpart (LLM-data-pipeline extension)"
 
 
@@ -64,8 +66,11 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).cast("long").alias("query_id"), F.col(vec_col).alias("emb_q")
     )
-    c = corpus.select(
-        F.col(id_col).cast("long").alias("neighbor_id"), F.col(vec_col).alias("emb_c")
+    c = fan_out(
+        corpus.select(
+            F.col(id_col).cast("long").alias("neighbor_id"),
+            F.col(vec_col).alias("emb_c"),
+        )
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -255,8 +260,10 @@ def ivf_assign(
 ) -> DataFrame:
     """(vid, list_id): every vector assigned to its nearest coarse
     centroid — one NARROW numpy-batched kernel, no shuffle, no join."""
-    e = corpus.select(
-        F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("emb")
+    e = fan_out(
+        corpus.select(
+            F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("emb")
+        )
     )
     return e.mapInPandas(
         _ivf_assign_kernel(centroids, 1, "list_id"), schema="vid long, list_id int"
@@ -282,8 +289,10 @@ def ivf_topk(
     equivalence test), and smaller n_probe trades recall for touching
     ~n_probe/n_lists of the corpus.  A hot list (skewed data) is the
     documented trade-off — AQE skew-join splitting applies."""
-    c = corpus.select(
-        F.col(id_col).cast("long").alias("neighbor_id"), F.col(vec_col).alias("emb")
+    c = fan_out(
+        corpus.select(
+            F.col(id_col).cast("long").alias("neighbor_id"), F.col(vec_col).alias("emb")
+        )
     )
     assigned = c.withColumnRenamed("neighbor_id", "vid").mapInPandas(
         _ivf_assign_kernel(centroids, 1, "list_id"), schema="vid long, list_id int"
@@ -518,8 +527,10 @@ def ivf_pq_index(
     vector instead of the raw embedding.  One narrow kernel, no shuffle;
     at scale this is the frame you persist/bucket BY list_id while the
     raw vectors stay in cold storage."""
-    e = corpus.select(
-        F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("emb")
+    e = fan_out(
+        corpus.select(
+            F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("emb")
+        )
     )
     return e.mapInPandas(
         _pq_index_kernel(centroids, codebooks),
@@ -796,8 +807,10 @@ def semdedup(
     dot-then-norms while the kernel normalizes first — equal after the
     rounding), output similarity quantized to BIGINT nano-units via
     floor(d·1e9 + 0.5)."""
-    e = corpus.select(
-        F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("emb")
+    e = fan_out(
+        corpus.select(
+            F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("emb")
+        )
     )
     asg = e.mapInPandas(
         _semdedup_assign_kernel(centroids),

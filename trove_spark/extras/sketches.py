@@ -55,12 +55,18 @@ def _h60(col):
 
 def _words(docs: DataFrame, text_col: str):
     # single-space split + empty filter, mirrored EXACTLY by the DuckDB
-    # twins (string_split(lower(text), ' ') + list_filter)
-    return docs.select(
-        F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
-        ).alias("word")
-    )
+    # twins (string_split(lower(text), ' ') + list_filter); fanned out
+    # BEFORE the explode so single-row-group sources don't serialize the
+    # whole token stream through one task (par.fan_out)
+    from ..par import fan_out
+
+    return fan_out(
+        docs.select(
+            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "").alias(
+                "__ws"
+            )
+        )
+    ).select(F.explode("__ws").alias("word"))
 
 
 # ---------------------------------------------------------------------------

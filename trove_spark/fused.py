@@ -31,6 +31,7 @@ from pyspark.sql.types import StringType, StructField, StructType
 
 from .lexicon import Lexicon
 from .matching import match_sentence
+from .par import fan_out
 from .skew import salted_distinct
 from .tokenize import get_segmenter
 
@@ -120,8 +121,11 @@ def fused_triples_raw(
     segmenter = get_segmenter(tokenizer_mode)
     cm = dict(class_map)
     cn = dict(class_names)
-    cols = docs.select(
-        docs[id_col].cast("string").alias("doc_id"), docs[text_col].alias("__text")
+    cols = fan_out(
+        docs.select(
+            docs[id_col].cast("string").alias("doc_id"), docs[text_col].alias("__text")
+        ),
+        "doc_id",
     )
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

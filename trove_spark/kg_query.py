@@ -94,23 +94,33 @@ def cooccurrence_edges(
     ``(obj_a, obj_b, n_docs)`` with ``obj_a < obj_b``.
 
     Span subjects carry their doc as the ``#``-prefix (graph.py's
-    span_key layout); distinct (doc, concept) projection first so a
-    concept mentioned 50× in one doc contributes one node, then a
-    doc-keyed self-join.  The self-join key is the doc id — uniform —
-    and per-doc fan-out is (concepts/doc)², bounded by doc length."""
-    doc_concepts = (
-        triples.filter(F.col("pred") == pred)
-        .select(
-            F.substring_index(F.col("subj"), "#", 1).alias("doc"),
-            F.col("obj"),
-        )
-        .distinct()
+    span_key layout).  ONE doc-keyed ``collect_set`` aggregation dedups
+    concepts per doc AND yields the per-doc concept array; the (a < b)
+    pairs are then enumerated MAP-SIDE from the sorted array (bounded by
+    (concepts/doc)², i.e. by doc length) — the r5 self-join form
+    recomputed the ENTIRE triples lineage twice (no cross-reference CSE;
+    for fused triples that meant running the extraction kernel twice)
+    and paid two extra exchanges for the same pair set."""
+    doc_concepts = triples.filter(F.col("pred") == pred).select(
+        F.substring_index(F.col("subj"), "#", 1).alias("doc"),
+        F.col("obj"),
     )
-    a = doc_concepts.select("doc", F.col("obj").alias("obj_a"))
-    b = doc_concepts.select("doc", F.col("obj").alias("obj_b"))
+    per_doc = doc_concepts.groupBy("doc").agg(
+        F.array_sort(F.collect_set("obj")).alias("cs")
+    )
+    cs = F.col("cs")
+    pair_structs = F.flatten(
+        F.transform(
+            cs,
+            lambda x, i: F.transform(
+                F.slice(cs, i + 2, F.greatest(F.size(cs) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("obj_a"), y.alias("obj_b")),
+            ),
+        )
+    )
     out = (
-        a.join(b, "doc")
-        .filter(F.col("obj_a") < F.col("obj_b"))
+        per_doc.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.obj_a").alias("obj_a"), F.col("p.obj_b").alias("obj_b"))
         .groupBy("obj_a", "obj_b")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )

@@ -1,0 +1,44 @@
+"""Scan-parallelism helper: fan a low-parallelism source out to the
+cluster before heavy narrow work.
+
+Why this exists (spark_optimization_guide.md §2.5 "input skew"): a
+parquet file is splittable only at ROW-GROUP granularity.  The testdata
+tables (and any single-row-group file a writer emits) therefore scan as
+ONE task no matter how many byte-range splits Spark makes — every byte
+lands in the split containing the row group's midpoint — and every
+narrow stage above the scan (mapInPandas kernels, shingle/gram
+explodes, md5 hashing) runs on a single core until the first exchange.
+``fan_out`` repartitions such a source up to the session's default
+parallelism so the map side uses the cluster; it is a NO-OP whenever
+the source already has enough partitions (a real multi-file corpus, a
+repartitioned cache), so it never adds a shuffle at healthy scale.
+
+The repartition is HASH by the given key columns when provided —
+deterministic under task retry (guide §2.5: never round-robin on
+non-deterministic input) and it leaves a partitioning downstream
+aggregations/joins on superset keys can reuse (guide §2.4) — otherwise
+round-robin (Spark's sort-before-repartition keeps retries safe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def fan_out(df: DataFrame, *key_cols: str, factor: int = 1) -> DataFrame:
+    """Repartition ``df`` to ``defaultParallelism * factor`` partitions iff
+    it currently has fewer; no-op for streaming frames (no .rdd) and for
+    already-parallel sources."""
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    try:
+        nparts = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if nparts >= target:
+        return df
+    if key_cols:
+        return df.repartition(target, *key_cols)
+    return df.repartition(target)

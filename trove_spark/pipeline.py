@@ -14,6 +14,7 @@ from .labeling import OntologyLF, apply_lfs
 from .lexicon import Lexicon, LexiconFilters, build_lexicon
 from .linking import emit_triples, link_mentions, mention_types, term_candidates
 from .matching import detect_mentions
+from .par import fan_out
 from .tokenize import tokenize_documents
 from .voting import majority_vote
 
@@ -49,10 +50,19 @@ class KGPipeline:
     # emit_triples unions three projections of `linked`): persist so the
     # Python-kernel stages (tokenize/match/LF) run once, not once per branch
     _PERSISTED = {"sentences", "mentions", "labels", "typed", "linked"}
+    # kernel outputs re-keyed hash(doc_id) before persist: every downstream
+    # aggregation/join in the staged path clusters on doc_id-prefixed keys
+    # (token votes, mention typing, CUI linking), and HashPartitioning on a
+    # SUBSET of the clustering keys satisfies the requirement — so the one
+    # repartition each replaces the 6+ per-stage exchanges the votes/typing/
+    # linking chain otherwise pays (guide §2.4 "share one exchange").
+    _DOC_KEYED = {"mentions", "labels"}
 
     def _memo(self, key: str, fn) -> DataFrame:
         if key not in self._cache:
             df = fn()
+            if key in self._DOC_KEYED:
+                df = df.repartition(self._n_shuffle(), "doc_id")
             if key in self._PERSISTED:
                 from pyspark import StorageLevel
 
@@ -60,10 +70,18 @@ class KGPipeline:
             self._cache[key] = df
         return self._cache[key]
 
+    def _n_shuffle(self) -> int:
+        return int(self.spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
     def documents(self) -> DataFrame:
+        # fan_out: a single-row-group parquet scans as ONE task; without it
+        # every Python kernel above (tokenize/match/LF) is single-core
         return self._memo(
             "documents",
-            lambda: self.spark.read.parquet(f"{self.sf_dir}/documents.parquet"),
+            lambda: fan_out(
+                self.spark.read.parquet(f"{self.sf_dir}/documents.parquet"),
+                "doc_id",
+            ),
         )
 
     def sentences(self) -> DataFrame:
