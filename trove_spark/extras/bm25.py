@@ -114,7 +114,13 @@ def bm25_topk(
     docstring).  Ties break on ascending doc_id; docs matching no query
     term are excluded (score 0)."""
     terms = sorted(set(query))
-    n, avgdl, dfs = corpus_stats(docs, terms, text_col)
+    # ONE fanned projection persisted across both passes: the stats job
+    # populates the cache, the scoring pass reads it back — the corpus is
+    # scanned (and the fan_out exchange paid) once, not once per pass.
+    base = fan_out(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__bm_text"))
+    ).persist()
+    n, avgdl, dfs = corpus_stats(base, terms, "__bm_text")
     w = F.col("_bm_ws")
     score = F.lit(0).cast("long")
     for t in terms:
@@ -127,15 +133,11 @@ def bm25_topk(
         ).cast("long")
         score = score + F.when(tf > 0, term_micro).otherwise(F.lit(0))
     scored = (
-        fan_out(
-            docs.select(
-                F.col(id_col).alias("doc_id"), _words_col(text_col).alias("_bm_ws")
-            )
-        )
+        base.select("doc_id", _words_col("__bm_text").alias("_bm_ws"))
         .select("doc_id", score.alias("score_micro"))
         .filter(F.col("score_micro") > 0)
     )
-    return (
+    out = (
         scored.orderBy(F.desc("score_micro"), F.asc("doc_id"))
         .limit(k)
         .select(
@@ -147,6 +149,8 @@ def bm25_topk(
             .alias("rank"),
         )
     )
+    out._bm_cache = base  # caller may unpersist after materializing
+    return out
 
 
 @dataclass

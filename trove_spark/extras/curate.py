@@ -242,6 +242,7 @@ def _curate_stages(
     # it — is fully consumed here.  Release it now instead of pinning
     # corpus-sized storage memory for the rest of the job.
     pairs._shingle_cache.unpersist()
+    pairs._raw_shingle_cache.unpersist()
     stage4 = keep_canonical(stage3, clusters, id_col=id_col)
     stages.append(("near_dedup", stage4))
 

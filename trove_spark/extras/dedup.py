@@ -90,7 +90,10 @@ def ngram_jaccard_pairs(
     persisted — without it each reference re-scans and re-shingles the
     corpus (no cross-reference CSE).  Output: (doc_a, doc_b, co, na, nb)
     with doc_a < doc_b and jaccard ≥ threshold."""
-    sh = capped_shingles(docs, k, max_shingle_freq, id_col, text_col).persist()
+    capped = capped_shingles(
+        docs, k, max_shingle_freq, id_col, text_col, persist_raw=True
+    )
+    sh = capped.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -107,6 +110,7 @@ def ngram_jaccard_pairs(
     )
     out = out.select("doc_a", "doc_b", "co", "na", "nb")
     out._shingle_cache = sh  # handle for callers to unpersist after use
+    out._raw_shingle_cache = capped._raw_shingle_cache
     return out
 
 
@@ -116,18 +120,25 @@ def capped_shingles(
     max_shingle_freq: int = 100,
     id_col: str = "doc_id",
     text_col: str = "text",
+    persist_raw: bool = False,
 ) -> DataFrame:
     """Shingle table with the boilerplate cap applied: shingles whose
     document frequency exceeds ``max_shingle_freq`` are dropped (they
     blow up any pair join and carry no discrimination signal).  One freq
-    shuffle + one equi-join; the raw shingle projection is narrow (no
-    shuffle) so its two in-plan references cost only a second source
-    scan, not a second shuffle."""
+    shuffle + one equi-join.  The raw shingle projection feeds BOTH join
+    sides; with ``persist_raw`` it is persisted so the O(n·k) shingle
+    string build runs once instead of once per side (no cross-reference
+    CSE) — callers unpersist via ``result._raw_shingle_cache``."""
     sh = shingles(docs, k, id_col, text_col)
+    if persist_raw:
+        sh = sh.persist()
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    return sh.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle").select(
+    out = sh.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle").select(
         "doc_id", "shingle"
     )
+    if persist_raw:
+        out._raw_shingle_cache = sh
+    return out
 
 
 def _signatures_from_shingles(sh: DataFrame, n_hashes: int) -> DataFrame:
@@ -189,23 +200,44 @@ def minhash_lsh_pairs(
     after materializing.
 
     Output: (doc_a, doc_b) candidate pairs verified at ≥ threshold."""
-    sh = capped_shingles(docs, k, max_shingle_freq, id_col, text_col).persist()
-    sig = _signatures_from_shingles(sh, n_hashes)
-    bands = (
-        sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
+    capped = capped_shingles(
+        docs, k, max_shingle_freq, id_col, text_col, persist_raw=True
+    )
+    sh = capped.persist()
+    # WIDE signature aggregation (one min column per seed) instead of the
+    # explode-by-seed long form: the explode shuffled n_hashes× the shingle
+    # row count through an exchange keyed (doc_id, seed) and then paid a
+    # SECOND (doc_id, band) shuffle for banding; here ONE map-side-combined
+    # groupBy(doc_id) shuffles n_hashes longs per doc and the band
+    # signatures are pure projections.  Same md5 evaluations per input
+    # row, identical mh/band_sig values (seed-ordered comma join).
+    sig_wide = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                _h60(F.concat_ws(":", F.col("shingle"), F.lit(str(seed))))
+            ).alias(f"mh{seed}")
+            for seed in range(n_hashes)
+        ]
+    )
+    n_bands = (n_hashes + band_size - 1) // band_size
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
             F.md5(
                 F.concat_ws(
                     ",",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                        lambda s: s["mh"].cast("string"),
-                    ),
+                    *[
+                        F.col(f"mh{s}").cast("string")
+                        for s in range(bi * band_size, min((bi + 1) * band_size, n_hashes))
+                    ],
                 )
-            ).alias("band_sig")
+            ).alias("band_sig"),
         )
-    )
+        for bi in range(n_bands)
+    ]
+    bands = sig_wide.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -239,6 +271,7 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
     )
     out._shingle_cache = sh  # handle for callers to unpersist after use
+    out._raw_shingle_cache = capped._raw_shingle_cache
     return out
 
 
