@@ -428,19 +428,17 @@ def word_ngram_mentions(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     ws = fan_out(docs.select(F.split(F.col(text_col), " ").alias("ws")))
     w = F.col("ws")
-    uni = ws.select(F.explode(w).alias("mention"))
-    bi = ws.select(
-        F.explode(
-            F.when(
-                F.size(w) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(w) - 1),
-                    lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("mention")
-    )
-    return uni.union(bi).distinct()
+    bi = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # 1-grams and 2-grams concatenated per doc and exploded in ONE pass
+    # (the union-of-two-branches form scanned the corpus projection twice);
+    # the trailing distinct makes it identical to UNION's set semantics.
+    return ws.select(F.explode(F.concat(w, bi)).alias("mention")).distinct()
 
 
 def word_ngram_mentions_sql(max_words: int = 500) -> str:

@@ -135,21 +135,25 @@ def emit_triples(
 ) -> DataFrame:
     """linked mentions → canonical (subj, pred, obj) triple set.
 
-    Dedup = salted two-phase distinct (head-concept skew defense)."""
+    Dedup = salted two-phase distinct (head-concept skew defense).
+
+    The three triple kinds are emitted in ONE pass over ``linked`` (a
+    per-row 3-struct array exploded, NULL objs dropped — HAS_TYPE only
+    when etype is set, LINKS_TO only when a CUI resolved) instead of a
+    3-way union of filtered projections, which scanned the linked frame
+    three times."""
     lm = span_key(linked)
     name_map = F.create_map(*[x for kv in sorted(class_names.items()) for x in (F.lit(kv[0]), F.lit(kv[1]))])
-    mentions_t = lm.select(
-        F.col("span_key").alias("subj"), F.lit("MENTIONS").alias("pred"), F.col("term").alias("obj")
+    kinds = F.array(
+        F.struct(F.lit("MENTIONS").alias("pred"), F.col("term").alias("obj")),
+        F.struct(F.lit("HAS_TYPE").alias("pred"), name_map[F.col("etype")].alias("obj")),
+        F.struct(F.lit("LINKS_TO").alias("pred"), F.col("cui").alias("obj")),
     )
-    types_t = lm.filter(F.col("etype").isNotNull()).select(
-        F.col("span_key").alias("subj"),
-        F.lit("HAS_TYPE").alias("pred"),
-        name_map[F.col("etype")].alias("obj"),
+    all_t = (
+        lm.select(F.col("span_key").alias("subj"), F.explode(kinds).alias("t"))
+        .filter(F.col("t.obj").isNotNull())
+        .select("subj", F.col("t.pred").alias("pred"), F.col("t.obj").alias("obj"))
     )
-    links_t = lm.filter(F.col("cui").isNotNull()).select(
-        F.col("span_key").alias("subj"), F.lit("LINKS_TO").alias("pred"), F.col("cui").alias("obj")
-    )
-    all_t = mentions_t.unionByName(types_t).unionByName(links_t)
     return salted_distinct(all_t, ["subj", "pred", "obj"], n_salts=n_salts)
 
 
