@@ -241,7 +241,9 @@ def main(argv: list[str] | None = None) -> dict:
         walls[name] = round(now - _last[0], 2)
         _last[0] = now
 
-    docs = spark.read.parquet(args.input)
+    from trove_spark.par import fan_out
+
+    docs = fan_out(spark.read.parquet(args.input))
 
     if args.exclude_repos:
         # opt-out exclusion FIRST — before any manifest, screen or stat
@@ -274,6 +276,32 @@ def main(argv: list[str] | None = None) -> dict:
     if args.incremental_old:
         from trove_spark.extras.code import incremental_code_kg_update
 
+        def _recover(path):
+            """Crash recovery for the snapshot-swap protocol — MUST run
+            before ANY read or exists-check of a maintained path (ADVICE
+            r5: recovery inside _swap was unreachable for the crash
+            window it targets, and the fork_pairs_out exists-check could
+            silently rebuild batch-only pairs over a restorable
+            snapshot).  A crash between _swap's two renames leaves only
+            .prev → restore it; a stale .prev next to a live path is a
+            pre-cleanup crash → drop it; a leftover .next is an aborted
+            write → drop it."""
+            import shutil
+
+            prev = path.rstrip("/") + ".prev"
+            nxt = path.rstrip("/") + ".next"
+            if os.path.exists(prev):
+                if os.path.exists(path):
+                    shutil.rmtree(prev)
+                else:
+                    os.rename(prev, path)
+            if os.path.exists(nxt):
+                shutil.rmtree(nxt)
+
+        for _p in (args.clone_index, args.fork_index, args.fork_pairs_out):
+            if _p:
+                _recover(_p)
+
         old = spark.read.parquet(args.incremental_old)
         new_cur = code_screens(docs) if args.screens else docs
         old_cur = code_screens(old) if args.screens else old
@@ -297,19 +325,13 @@ def main(argv: list[str] | None = None) -> dict:
         def _swap(path, df):
             """Snapshot refresh: write .next, count, swap (local-fs
             renames here; row-level delete + append on the table at
-            catalog scale).  NOT atomic across a crash — so it first
-            RECOVERS from a predecessor's crash point: a leftover .prev
-            with no live path is restored (crash between the two
-            renames), a leftover .prev with a live path is stale and
-            removed (crash before cleanup)."""
+            catalog scale).  NOT atomic across a crash — recovery from a
+            predecessor's crash point runs ONCE at the top of the
+            incremental branch (``_recover``), BEFORE any read of the
+            maintained paths."""
             import shutil
 
             prev = path.rstrip("/") + ".prev"
-            if os.path.exists(prev):
-                if os.path.exists(path):
-                    shutil.rmtree(prev)
-                else:
-                    os.rename(prev, path)
             nxt = path.rstrip("/") + ".next"
             df.write.mode("overwrite").parquet(nxt)
             n = spark.read.parquet(nxt).count()

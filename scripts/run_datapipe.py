@@ -100,7 +100,9 @@ def main(argv: list[str] | None = None) -> dict:
 
     spark = SparkSession.builder.appName("trove_spark_datapipe").getOrCreate()
     t0 = time.time()
-    docs = spark.read.parquet(args.input)
+    from trove_spark.par import fan_out
+
+    docs = fan_out(spark.read.parquet(args.input))
     bench = spark.read.parquet(args.benchmark) if args.benchmark else None
 
     cfg = CurateConfig(

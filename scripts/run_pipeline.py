@@ -64,7 +64,9 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("trove_spark_pipeline").getOrCreate()
     t0 = time.time()
-    docs = spark.read.parquet(args.input)
+    from trove_spark.par import fan_out
+
+    docs = fan_out(spark.read.parquet(args.input))
     # repo-shaped source tables (BASELINE.json input_hint) carry no doc_id:
     # derive ids + the content sha invariant via the ingest stage
     if args.id_col not in docs.columns and {"repo", "path", "commit", "content"} <= set(docs.columns):

@@ -1,0 +1,196 @@
+"""Focused equivalence tests for the r6 optimization restructures.
+
+Each optimization changed an operator's PHYSICAL shape while claiming
+row-identical output; these tests pin the claim against the r5
+formulation (kept inline here) on small synthetic inputs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trove_spark.par import fan_out
+
+
+DOCS = [
+    ("d1", "alpha beta gamma alpha beta delta epsilon"),
+    ("d2", "beta gamma alpha beta delta zeta eta theta"),
+    ("d3", "one two three four five six seven eight nine ten"),
+    ("d4", "one two three four five six seven eight nine ten"),
+    ("d5", "alpha beta gamma alpha beta delta epsilon zeta"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id string, text string")
+
+
+def test_fan_out_is_noop_for_parallel_sources_and_preserves_rows(spark):
+    d = _docs(spark)
+    target = spark.sparkContext.defaultParallelism
+    wide = d.repartition(target + 4)
+    assert fan_out(wide) is wide  # no-op: already >= default parallelism
+    out = fan_out(d.repartition(1), "doc_id")
+    assert out.rdd.getNumPartitions() == target
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in d.collect()
+    )
+
+
+def test_minhash_wide_band_sigs_equal_long_form(spark):
+    """The r6 wide groupBy(doc_id) signature aggregation must produce the
+    exact band signatures of the r5 explode-by-seed formulation."""
+    from trove_spark.extras.dedup import (
+        _band_sigs,
+        _h60,
+        capped_shingles,
+        minhash_lsh_pairs,
+        _signatures_from_shingles,
+    )
+
+    d = _docs(spark)
+    n_hashes, band_size = 16, 4
+    sh = capped_shingles(d, k=3, max_shingle_freq=100)
+    # r5 long form: explode seeds -> (doc_id, seed, mh) -> collect per band
+    long_bands = _band_sigs(
+        _signatures_from_shingles(sh, n_hashes), band_size
+    ).collect()
+    # r6 wide form (re-derived exactly as minhash_lsh_pairs builds it)
+    sig_wide = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                _h60(F.concat_ws(":", F.col("shingle"), F.lit(str(s))))
+            ).alias(f"mh{s}")
+            for s in range(n_hashes)
+        ]
+    )
+    n_bands = (n_hashes + band_size - 1) // band_size
+    structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{s}").cast("string")
+                        for s in range(
+                            b * band_size, min((b + 1) * band_size, n_hashes)
+                        )
+                    ],
+                )
+            ).alias("band_sig"),
+        )
+        for b in range(n_bands)
+    ]
+    wide_bands = (
+        sig_wide.select("doc_id", F.explode(F.array(*structs)).alias("bs"))
+        .select("doc_id", "bs.band", "bs.band_sig")
+        .collect()
+    )
+    key = lambda r: (r["doc_id"], r["band"])
+    assert sorted((key(r), r["band_sig"]) for r in long_bands) == sorted(
+        (key(r), r["band_sig"]) for r in wide_bands
+    )
+
+
+def test_minhash_pairs_detect_planted_dup(spark):
+    from trove_spark.extras.dedup import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(_docs(spark), n_hashes=16, band_size=4, k=3,
+                            threshold=0.5)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    assert ("d3", "d4") in pairs  # exact twin must survive the wide path
+
+
+def test_cooccurrence_edges_equal_self_join_form(spark):
+    """The r6 collect_set + map-side pair enumeration must equal the r5
+    doc-keyed self-join on every (obj_a, obj_b, n_docs) row."""
+    from trove_spark.kg_query import cooccurrence_edges
+
+    triples = spark.createDataFrame(
+        [
+            ("d1#0-5", "LINKS_TO", "C1"),
+            ("d1#6-9", "LINKS_TO", "C2"),
+            ("d1#10-12", "LINKS_TO", "C2"),  # dup concept within doc
+            ("d1#13-15", "LINKS_TO", "C3"),
+            ("d2#0-5", "LINKS_TO", "C2"),
+            ("d2#6-9", "LINKS_TO", "C3"),
+            ("d3#0-4", "LINKS_TO", "C9"),  # singleton doc -> no pairs
+            ("d1#0-5", "HAS_TYPE", "T1"),  # other predicate ignored
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = sorted(
+        (r["obj_a"], r["obj_b"], r["n_docs"])
+        for r in cooccurrence_edges(triples, "LINKS_TO").collect()
+    )
+    # r5 formulation, inline
+    dc = (
+        triples.filter(F.col("pred") == "LINKS_TO")
+        .select(F.substring_index("subj", "#", 1).alias("doc"), "obj")
+        .distinct()
+    )
+    a = dc.select("doc", F.col("obj").alias("obj_a"))
+    b = dc.select("doc", F.col("obj").alias("obj_b"))
+    want = sorted(
+        (r["obj_a"], r["obj_b"], r["n_docs"])
+        for r in a.join(b, "doc")
+        .filter(F.col("obj_a") < F.col("obj_b"))
+        .groupBy("obj_a", "obj_b")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .collect()
+    )
+    assert got == want
+    assert got == [("C1", "C2", 1), ("C1", "C3", 1), ("C2", "C3", 2)]
+
+
+def test_word_ngram_mentions_equal_union_form(spark):
+    from trove_spark.extras.entity_linking import word_ngram_mentions
+
+    d = _docs(spark)
+    got = sorted(r["mention"] for r in word_ngram_mentions(d).collect())
+    ws = d.select(F.split("text", " ").alias("ws"))
+    w = F.col("ws")
+    uni = ws.select(F.explode(w).alias("mention"))
+    bi = ws.select(
+        F.explode(
+            F.when(
+                F.size(w) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - 1),
+                    lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("mention")
+    )
+    want = sorted(r["mention"] for r in uni.union(bi).distinct().collect())
+    assert got == want
+
+
+def test_emit_triples_single_pass_equals_union_form(spark):
+    from trove_spark.linking import emit_triples
+
+    linked = spark.createDataFrame(
+        [
+            ("d1", 0, 0, 1, 10, 20, 3, "aspirin", 1, "C01"),
+            ("d1", 0, 3, 3, 30, 35, 4, "fever", None, None),  # no type/cui
+            ("d2", 0, 0, 0, 0, 6, 5, "cough", 2, None),  # type, no cui
+        ],
+        "doc_id string, sent_idx int, tok_start int, tok_end int, "
+        "char_start int, char_end int, term_id int, term string, "
+        "etype int, cui string",
+    )
+    names = {1: "DRUG", 2: "SYMPTOM"}
+    got = sorted(tuple(r) for r in emit_triples(linked, names).collect())
+    want = sorted(
+        [
+            ("d1#10-20", "MENTIONS", "aspirin"),
+            ("d1#10-20", "HAS_TYPE", "DRUG"),
+            ("d1#10-20", "LINKS_TO", "C01"),
+            ("d1#30-35", "MENTIONS", "fever"),
+            ("d2#0-6", "MENTIONS", "cough"),
+            ("d2#0-6", "HAS_TYPE", "SYMPTOM"),
+        ]
+    )
+    assert got == want

@@ -98,8 +98,13 @@ def hashed_doc_embeddings(
                 }
             )
 
-    src = docs.select(
-        F.col(id_col).cast("string").alias("doc_id"),
-        F.col(text_col).cast("string").alias("text"),
+    from ..par import fan_out
+
+    src = fan_out(
+        docs.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.col(text_col).cast("string").alias("text"),
+        ),
+        "doc_id",
     )
     return src.mapInPandas(kernel, "doc_id string, embedding array<double>")

@@ -163,8 +163,12 @@ def doc_coverage(
         .agg(
             F.sum("d").cast("long").alias("n_defs"),
             F.sum("dd").cast("long").alias("n_documented"),
+            # integer DIV, not floor(double /): a quotient within 0.5 ulp
+            # below an integer can floor differently from DuckDB's exact
+            # ``//`` (ADVICE r5) — keep both engines in BIGINT arithmetic
             F.when(
-                F.sum("d") > 0, F.floor(F.sum("dd") * 1000 / F.sum("d"))
+                F.sum("d") > 0,
+                F.expr("(sum(dd) * 1000) div sum(d)"),
             )
             .otherwise(F.lit(0))
             .cast("long")

@@ -260,10 +260,11 @@ def ivf_assign(
 ) -> DataFrame:
     """(vid, list_id): every vector assigned to its nearest coarse
     centroid — one NARROW numpy-batched kernel, no shuffle, no join."""
-    e = fan_out(
-        corpus.select(
-            F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("emb")
-        )
+    # no fan_out here: the assign kernel is ~µs/row (64-dim argmax) and its
+    # output feeds a shuffle that parallelizes downstream — measured A/B at
+    # sf0.1 showed the extra exchange costs more than the kernel saves
+    e = corpus.select(
+        F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("emb")
     )
     return e.mapInPandas(
         _ivf_assign_kernel(centroids, 1, "list_id"), schema="vid long, list_id int"
@@ -289,10 +290,8 @@ def ivf_topk(
     equivalence test), and smaller n_probe trades recall for touching
     ~n_probe/n_lists of the corpus.  A hot list (skewed data) is the
     documented trade-off — AQE skew-join splitting applies."""
-    c = fan_out(
-        corpus.select(
-            F.col(id_col).cast("long").alias("neighbor_id"), F.col(vec_col).alias("emb")
-        )
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"), F.col(vec_col).alias("emb")
     )
     assigned = c.withColumnRenamed("neighbor_id", "vid").mapInPandas(
         _ivf_assign_kernel(centroids, 1, "list_id"), schema="vid long, list_id int"
@@ -527,10 +526,8 @@ def ivf_pq_index(
     vector instead of the raw embedding.  One narrow kernel, no shuffle;
     at scale this is the frame you persist/bucket BY list_id while the
     raw vectors stay in cold storage."""
-    e = fan_out(
-        corpus.select(
-            F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("emb")
-        )
+    e = corpus.select(
+        F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("emb")
     )
     return e.mapInPandas(
         _pq_index_kernel(centroids, codebooks),
@@ -807,10 +804,8 @@ def semdedup(
     dot-then-norms while the kernel normalizes first — equal after the
     rounding), output similarity quantized to BIGINT nano-units via
     floor(d·1e9 + 0.5)."""
-    e = fan_out(
-        corpus.select(
-            F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("emb")
-        )
+    e = corpus.select(
+        F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("emb")
     )
     asg = e.mapInPandas(
         _semdedup_assign_kernel(centroids),

@@ -132,7 +132,8 @@ def test_ratio(
         .agg(
             F.sum("t").cast("long").alias("n_test_files"),
             (F.count("*") - F.sum("t")).cast("long").alias("n_source_files"),
-            F.floor(F.sum("t") * 1000 / F.count("*")).cast("long").alias("test_permille"),
+            # integer DIV matches DuckDB's ``//`` bit-for-bit (ADVICE r5)
+            F.expr("(sum(t) * 1000) div count(*)").cast("long").alias("test_permille"),
         )
     )
 

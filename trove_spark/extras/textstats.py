@@ -245,9 +245,17 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     """Corpus-quality features, all scaled-integer: mean word length (×100),
     distinct-token ratio (permille), punctuation ratio (permille of chars),
     plus a composite keep/drop flag with the usual curation thresholds."""
+    from ..par import fan_out
+
     cols = quality_cols(text_col)
-    return docs.select(
-        F.col(id_col).cast("string").alias("doc_id"),
+    return fan_out(
+        docs.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.col(text_col).alias(text_col),
+        ),
+        "doc_id",
+    ).select(
+        "doc_id",
         *[c.alias(name) for name, c in cols.items()],
     )
 
