@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Bounded triples-write experiment (VERDICT r5 item 3).
+
+The ALL-OPS code capstone measured ~55 % of 16-core wall in the bucketed
+triples write on this single-disk box.  This script isolates the write
+stage: synthesize N triples (md5-derived subjects — wide key space, no
+testdata dependency), then time the three write strategies the store
+offers on a fresh directory each:
+
+  * loop   — write_triples: one filtered write per bucket (fine commit
+             granularity, driver-serialized jobs)
+  * onepass/fpb=K — write_triples_onepass: single dynamic-partitionBy
+             job, buckets × K writer tasks
+
+Usage: python scripts/write_bench.py [n_rows] [n_buckets ...]
+Prints one JSON line per (strategy, n_buckets, files_per_bucket).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    bucket_list = [int(x) for x in sys.argv[2:]] or [64]
+
+    from pyspark.sql import functions as F
+
+    from trove_spark.graph import TripleStore
+    from trove_spark.session import get_spark
+
+    spark = get_spark(app_name="write_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = (F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 100_000).cast("string")
+    triples = (
+        spark.range(n_rows)
+        .select(
+            F.concat(docs, F.lit("#"), (F.col("id") % 997).cast("string")).alias("subj"),
+            F.element_at(
+                F.array(F.lit("MENTIONS"), F.lit("HAS_TYPE"), F.lit("LINKS_TO")),
+                (F.col("id") % 3 + 1).cast("int"),
+            ).alias("pred"),
+            F.md5(F.col("id").cast("string")).alias("obj"),
+        )
+        .repartition(128)
+        .persist()
+    )
+    triples.count()  # populate before timing
+
+    def run(tag, n_buckets, fpb, fn):
+        base = f"/tmp/write_bench/{tag}_{n_buckets}_{fpb}"
+        shutil.rmtree(base, ignore_errors=True)
+        store = TripleStore(spark, base, n_buckets=n_buckets,
+                            files_per_bucket=fpb)
+        t0 = time.time()
+        stats = fn(store)
+        dt = round(time.time() - t0, 2)
+        print(json.dumps({"strategy": tag, "n_buckets": n_buckets,
+                          "files_per_bucket": fpb, "sec": dt, **stats}))
+
+    for nb in bucket_list:
+        run("loop", nb, 1, lambda s: s.write_triples(triples))
+        run("onepass", nb, 1, lambda s: s.write_triples_onepass(triples))
+        run("onepass", nb, 4, lambda s: s.write_triples_onepass(triples))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -113,9 +113,18 @@ class TripleStore:
         if not todo:
             return {"written_buckets": 0, "skipped_buckets": len(done)}
 
-        # one pass computes all pending buckets' rows; persisted so the
-        # per-bucket writes below don't recompute the upstream pipeline
-        pending = bucketed.filter(F.col("bucket").isin(todo)).persist()
+        # one pass computes all pending buckets' rows, CO-LOCATED by bucket
+        # before the persist: each cached batch then holds one bucket's rows
+        # and InMemoryTableScan's batch stats prune the per-bucket filters
+        # below to ~one partition instead of re-scanning the whole cache per
+        # bucket (measured r6: 2M rows × 64 buckets, the unclustered loop
+        # cost 73 s vs 4.7 s for the onepass write — most of it exactly this
+        # rescan plus serialized job latency)
+        pending = (
+            bucketed.filter(F.col("bucket").isin(todo))
+            .repartition(len(todo), "bucket")
+            .persist()
+        )
         try:
             fps = {
                 r["bucket"]: r
@@ -128,12 +137,17 @@ class TripleStore:
                 )
                 .collect()
             }
-            for b in todo:
+
+            # overlap the independent per-bucket jobs (guide §2.6): each
+            # bucket's write+commit is self-contained and idempotent, so a
+            # small driver pool back-fills executors left idle by another
+            # bucket's write tail; per-bucket commit granularity (the reason
+            # this path exists next to write_triples_onepass) is preserved —
+            # a crash leaves exactly the finished buckets committed.
+            def _write_one(b: int) -> None:
                 bucket_df = pending.filter(F.col("bucket") == b).drop("bucket")
-                (
-                    bucket_df.write.mode("overwrite").parquet(
-                        os.path.join(self.edges_dir, f"bucket={b}")
-                    )
+                bucket_df.write.mode("overwrite").parquet(
+                    os.path.join(self.edges_dir, f"bucket={b}")
                 )
                 stats = fps.get(b)
                 self._commit_manifest(
@@ -143,6 +157,12 @@ class TripleStore:
                         "triple_fingerprint": int(stats["triple_fingerprint"]) if stats else 0,
                     }
                 )
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                for _ in pool.map(_write_one, todo):
+                    pass
         finally:
             pending.unpersist()
         return {"written_buckets": len(todo), "skipped_buckets": len(done)}
